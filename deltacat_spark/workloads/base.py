@@ -1,0 +1,116 @@
+"""Shared helpers for the query inventory (`queries()` / `oracle_sql()`).
+
+Design constraints driven by the driver's correctness gate (DuckDB oracle,
+order-insensitive value-hash at sf=0.01):
+
+* **Float sums are order-dependent**, and Spark's partial aggregation
+  order is not deterministic across runs. Every SUM over a double column
+  therefore casts to ``DECIMAL(38,10)`` first (exact, associative), rounds,
+  and casts back to double — bit-identical on Spark and DuckDB.
+* **events.ts is parquet timestamp[ns]** — Spark reads it as int64 nanos
+  (``spark.sql.legacy.parquet.nanosAsLong``), DuckDB as naive TIMESTAMP.
+  Both sides normalize to *epoch microseconds* (``ts_us``).
+* DuckDB 1.0 has no ``sha1``/``conv``; portable hashing uses ``md5`` hex
+  plus explicit nibble decoding (see ``md5_bucket_sql``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
+
+DEC = "decimal(38,10)"
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one synthetic table; normalizes the events timestamp column.
+
+    The returned events DataFrame carries ``ts_us`` (epoch microseconds,
+    bigint) instead of raw nanos so queries match DuckDB's
+    ``epoch_us(ts)`` exactly.
+    """
+    if name == "events":
+        # Runtime-settable; required to scan INT64(TIMESTAMP(NANOS)).
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/events.parquet")
+        # Integer division — double division loses precision at 1e18 nanos.
+        return df.withColumn("ts_us", F.expr("ts div 1000")).drop("ts")
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# SQL fragment: events with ts_us, for oracle queries.
+EVENTS_US = "(SELECT * EXCLUDE (ts), epoch_us(ts) AS ts_us FROM events)"
+
+
+def dsum(col: Column | str, alias: str, scale: int = 2) -> Column:
+    """Exact (decimal-backed) sum of a double expression → double."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.round(F.sum(c.cast(DEC)), scale).cast("double").alias(alias)
+
+
+def dsum_sql(expr: str, alias: str, scale: int = 2) -> str:
+    return (
+        f"CAST(ROUND(SUM(CAST({expr} AS DECIMAL(38,10))), {scale}) AS DOUBLE)"
+        f" AS {alias}"
+    )
+
+
+def davg(col: Column | str, alias: str, scale: int = 6) -> Column:
+    """Order-independent average: exact decimal sum → double ÷ count."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.round(
+        F.sum(c.cast(DEC)).cast("double") / F.count(c), scale
+    ).alias(alias)
+
+
+def davg_sql(expr: str, alias: str, scale: int = 6) -> str:
+    return (
+        f"ROUND(CAST(SUM(CAST({expr} AS DECIMAL(38,10))) AS DOUBLE)"
+        f" / COUNT({expr}), {scale}) AS {alias}"
+    )
+
+
+def cnt(alias: str) -> Column:
+    return F.count(F.lit(1)).alias(alias)
+
+
+def cnt_sql(alias: str) -> str:
+    return f"CAST(COUNT(*) AS BIGINT) AS {alias}"
+
+
+def md5_prefix_int(col: Column, nchars: int = 6) -> Column:
+    """First `nchars` hex chars of md5 → bigint, portably (Spark side).
+
+    Replaces the reference's SHA-1 primary-key digest
+    (`utils/primary_key_index.py:26-59`) with md5 (the hash both engines
+    share). Decoded nibble-by-nibble because DuckDB has no `conv`.
+    """
+    h = F.md5(col)
+    val = F.lit(0)
+    for i in range(nchars):
+        nib = F.instr(F.lit("0123456789abcdef"), F.substring(h, i + 1, 1)) - F.lit(1)
+        val = val * F.lit(16) + nib
+    return val.cast("long")
+
+
+def md5_prefix_int_sql(expr: str, nchars: int = 6) -> str:
+    """DuckDB fragment mirroring :func:`md5_prefix_int` bit-for-bit."""
+    parts = []
+    for i in range(nchars):
+        parts.append(
+            f"(strpos('0123456789abcdef', substr(md5({expr}), {i + 1}, 1)) - 1)"
+            f" * {16 ** (nchars - 1 - i)}"
+        )
+    return "CAST(" + " + ".join(parts) + " AS BIGINT)"
