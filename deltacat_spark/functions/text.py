@@ -1,0 +1,77 @@
+"""Text-analysis column functions: tokenization, shingling, quality,
+fingerprinting.
+
+All expressions are Spark built-ins (higher-order array functions, md5)
+— no Python UDFs — so they run inside whole-stage codegen and scale
+linearly with executors. Each has an exact DuckDB-SQL twin in
+`deltacat_spark.workloads.text` for the correctness gate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokens (simple split — the document corpus is
+    single-space separated; use split on literal space for engine parity)."""
+    return F.split(text, " ")
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text))
+
+
+def word_shingles(text: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles, the MinHash/Jaccard unit.
+
+    Array of `concat_ws(' ', t[i..i+n-1])` for i in 1..len-n+1 (1-based),
+    built with sequence+transform so it stays vectorized.
+    """
+    t = tokens(text)
+    idx = F.sequence(F.lit(1), F.greatest(F.lit(1), F.size(t) - F.lit(n - 1)))
+    # F.get (0-based) is null-safe out of bounds — element_at raises under
+    # ANSI mode (Spark 4 default); concat_ws then skips the trailing nulls,
+    # matching DuckDB's t[i] out-of-range semantics.
+    parts = lambda i: [F.get(t, i + j - 1) for j in range(n)]  # noqa: E731
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.concat_ws(" ", *parts(i)))
+    )
+
+
+def char_shingles(text: Column, width: int = 8, stride: int = 4) -> Column:
+    """Character shingles (winnowing-style fingerprint unit)."""
+    idx = F.sequence(
+        F.lit(1),
+        F.greatest(F.lit(1), F.length(text) - F.lit(width - 1)),
+        F.lit(stride),
+    )
+    return F.transform(idx, lambda i: F.md5(F.substring(text, i, width)))
+
+
+def doc_fingerprint(text: Column, width: int = 8, stride: int = 4) -> Column:
+    """Deterministic document fingerprint: min md5 over char shingles
+    (a 1-permutation MinHash — robust to small edits)."""
+    return F.array_min(char_shingles(text, width, stride))
+
+
+def quality_score(text: Column, stopwords: tuple[str, ...] = ("the", "a")) -> Column:
+    """Heuristic quality score in [0,1]: length, token length, stopword mix.
+
+    Mirrors classic pretraining-corpus filters (length/stopword-ratio
+    gates). Pure double arithmetic in a fixed expression tree so Spark
+    and DuckDB produce identical bits.
+    """
+    t = tokens(text)
+    n_tok = F.size(t)
+    n_stop = F.size(F.filter(t, lambda x: x.isin(*stopwords)))
+    avg_tok_len = (F.length(F.replace(text, F.lit(" "), F.lit(""))) / n_tok).cast(
+        "double"
+    )
+    stop_ratio = (n_stop / n_tok).cast("double")
+    return F.round(
+        F.lit(0.5) * F.least(F.lit(1.0), n_tok / F.lit(100.0))
+        + F.lit(0.3) * (F.lit(1.0) - stop_ratio)
+        + F.lit(0.2) * F.least(F.lit(1.0), avg_tok_len / F.lit(5.0)),
+        6,
+    )

@@ -1,0 +1,213 @@
+"""Document-level dedup operators: exact, MinHash+LSH, n-gram Jaccard,
+SimHash.
+
+The "beyond the reference" training-data-pipeline surface (the reference
+only dedupes on primary keys — `compactor_v2/utils/dedupe.py`). All
+operators are shuffle-structured for 100 TB:
+
+* exact: one hash-aggregate on a content digest.
+* MinHash LSH: explode shingles → per-(doc, perm) min-hash aggregate →
+  band-signature aggregate → self-join on (band, signature) — every step
+  a key-partitioned shuffle, no O(n²) anywhere.
+* n-gram Jaccard: shingle-inverted-index join with a document-frequency
+  cap (drops shingles shared by > df_cap docs — the standard guard
+  against quadratic blowup on stop-shingles).
+* SimHash: explode (token × 32 bits) → weighted bit-majority aggregate.
+
+Hashes are md5-based (not Spark's murmur3 `hash`) so results are
+engine-reproducible — same rationale as the reference's SHA-1 digests
+(`utils/primary_key_index.py:26-59`).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.window import Window
+
+from deltacat_spark.functions.text import word_shingles
+
+
+def exact_dedupe(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Exact content dedupe: canonical id + member count per digest."""
+    return (
+        df.select(F.col(id_col), F.md5(F.col(text_col)).alias("digest"))
+        .groupBy("digest")
+        .agg(
+            F.min(id_col).alias("canonical_id"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+    )
+
+
+def shingle_sets(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """(doc_id, shingle) distinct pairs — the inverted-index base."""
+    return (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(word_shingles(F.col(text_col), n)).alias("shingle"),
+        )
+        .distinct()
+    )
+
+
+def minhash_signatures(
+    shingles: DataFrame, num_perms: int = 8
+) -> DataFrame:
+    """(doc_id, perm, minhash): min over md5(perm || ':' || shingle).
+
+    Lexicographic min of md5 hex strings is a valid permutation MinHash
+    (each salt defines an independent pseudo-random order on shingles).
+    """
+    perms = F.explode(F.sequence(F.lit(0), F.lit(num_perms - 1))).alias("perm")
+    return (
+        shingles.select("doc_id", "shingle", perms)
+        .select(
+            "doc_id",
+            "perm",
+            F.md5(
+                F.concat_ws(":", F.col("perm").cast("string"), F.col("shingle"))
+            ).alias("h"),
+        )
+        .groupBy("doc_id", "perm")
+        .agg(F.min("h").alias("minhash"))
+    )
+
+
+def lsh_candidates(
+    signatures: DataFrame, rows_per_band: int = 2
+) -> DataFrame:
+    """Banded LSH: docs agreeing on all minhashes of any band → candidate
+    pair (doc_a < doc_b). Band signature built by conditional aggregation
+    (perm order inside the band) so it is engine-portable."""
+    banded = signatures.withColumn(
+        "band", (F.col("perm") / F.lit(rows_per_band)).cast("int")
+    ).withColumn("slot", F.col("perm") % F.lit(rows_per_band))
+    sig = banded.groupBy("doc_id", "band").agg(
+        F.concat_ws(
+            "|",
+            *[
+                F.max(F.when(F.col("slot") == i, F.col("minhash")))
+                for i in range(rows_per_band)
+            ],
+        ).alias("band_sig")
+    )
+    a = sig.alias("a")
+    b = sig.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_sig") == F.col("b.band_sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    shingles: DataFrame,
+    candidates: DataFrame | None = None,
+    df_cap: int | None = 50,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Exact Jaccard over shingle sets for candidate pairs.
+
+    Without `candidates`, pairs come from the shingle inverted index
+    itself (docs sharing ≥1 surviving shingle), with `df_cap` dropping
+    stop-shingles so the join stays near-linear.
+    """
+    sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("set_size"))
+    sh = shingles
+    if df_cap is not None:
+        rare = (
+            shingles.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") <= df_cap)
+            .select("shingle")
+        )
+        sh = shingles.join(rare, "shingle")
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    if candidates is not None:
+        inter = inter.join(candidates, ["doc_a", "doc_b"])
+    sa = sizes.select(
+        F.col("doc_id").alias("doc_a"), F.col("set_size").alias("size_a")
+    )
+    sb = sizes.select(
+        F.col("doc_id").alias("doc_b"), F.col("set_size").alias("size_b")
+    )
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_inter")
+                / (F.col("size_a") + F.col("size_b") - F.col("n_inter")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFrame:
+    """Weighted-majority SimHash over whitespace tokens (md5-bit basis).
+
+    explode(tokens) × explode(bit positions) → per-(doc, bit) weighted
+    vote → packed integer. Two shuffles, both key-partitioned.
+    """
+    toks = (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(F.split(F.col(text_col), " ")).alias("tok"),
+        )
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("h", F.md5(F.col("tok")))
+    )
+    j = F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("j")
+    nib = F.instr(
+        F.lit("0123456789abcdef"),
+        F.substring(F.col("h"), F.floor(F.col("j") / 4).cast("int") + 1, 1),
+    ) - F.lit(1)
+    # bit k of the nibble, k = 3 - j%4, via arithmetic (shiftright doesn't
+    # take a Column bit count, and this form is DuckDB-portable).
+    divisor = (
+        F.when(F.col("j") % 4 == 3, 1)
+        .when(F.col("j") % 4 == 2, 2)
+        .when(F.col("j") % 4 == 1, 4)
+        .otherwise(8)
+    )
+    bit = F.floor(nib / divisor).cast("int") % 2
+    votes = (
+        toks.select("doc_id", "cnt", "h", j)
+        .withColumn("contrib", (F.lit(2) * bit - F.lit(1)) * F.col("cnt"))
+        .groupBy("doc_id", "j")
+        .agg(F.sum("contrib").alias("vote"))
+    )
+    weight = F.pow(F.lit(2.0), F.lit(bits - 1) - F.col("j")).cast("long")
+    return (
+        votes.withColumn(
+            "bit_val", F.when(F.col("vote") >= 0, weight).otherwise(F.lit(0))
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("bit_val").alias("simhash"))
+    )

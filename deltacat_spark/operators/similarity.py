@@ -1,0 +1,83 @@
+"""Embedding similarity search: brute-force cosine top-k + kNN vote.
+
+Baseline ANN surface for the training-data pipeline (the reference has
+no vector ops). Structure for scale:
+
+* Norms are computed per row *before* the join (O(n) work), so the
+  query×candidate join does only the dot product.
+* The query side is broadcast — candidates never shuffle.
+* Top-k is a per-query window over the (small) q×n result.
+
+The scale path beyond brute force (LSH / IVF bucketing so each query
+only meets one bucket) reuses `operators.dedupe.lsh_candidates`-style
+band joins; brute force stays the exactness oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.window import Window
+
+from deltacat_spark.functions.vectors import dot, l2_norm
+
+
+def with_norm(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    return df.withColumn("_norm", l2_norm(F.col(vec_col)))
+
+
+def brute_force_topk(
+    candidates: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k neighbors per query vector.
+
+    Returns (q_id, cand_id, cosine, rank). Deterministic tie-break on
+    candidate id.
+    """
+    q = with_norm(queries, vec_col).select(
+        F.col(id_col).alias("q_id"),
+        F.col(vec_col).alias("q_vec"),
+        F.col("_norm").alias("q_norm"),
+    )
+    c = with_norm(candidates, vec_col).select(
+        F.col(id_col).alias("cand_id"),
+        F.col(vec_col).alias("c_vec"),
+        F.col("_norm").alias("c_norm"),
+    )
+    scored = c.crossJoin(F.broadcast(q)).select(
+        "q_id",
+        "cand_id",
+        (dot(F.col("q_vec"), F.col("c_vec")) / (F.col("q_norm") * F.col("c_norm"))).alias(
+            "cos_raw"
+        ),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos_raw"), F.asc("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "cand_id", F.round("cos_raw", 6).alias("cosine"), "rank")
+    )
+
+
+def knn_label_vote(
+    topk: DataFrame,
+    labels: DataFrame,
+    id_col: str = "vec_id",
+    label_col: str = "label",
+) -> DataFrame:
+    """Majority label among each query's neighbors (ties → smaller label)."""
+    joined = topk.join(
+        labels.select(F.col(id_col).alias("cand_id"), label_col), "cand_id"
+    )
+    counts = joined.groupBy("q_id", label_col).agg(
+        F.count(F.lit(1)).alias("votes")
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("votes"), F.asc(label_col))
+    return (
+        counts.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") == 1)
+        .select("q_id", F.col(label_col).alias("predicted_label"), "votes")
+    )

@@ -1,0 +1,102 @@
+"""Embedding-similarity inventory over the `embeddings` table.
+
+Approximate-nearest-neighbor surface for the training-data pipeline:
+brute-force cosine top-k (the exactness baseline), kNN label voting, and
+per-label norm statistics. Dot products are index-ordered double folds on
+both engines so cosine values hash-match exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from deltacat_spark.functions.vectors import l2_norm
+from deltacat_spark.operators.similarity import brute_force_topk, knn_label_vote
+from deltacat_spark.workloads.base import cnt, cnt_sql, load
+
+# DuckDB fragments: norm + cosine as index-ordered folds (bit-identical
+# to Spark's zip_with/aggregate).
+_NORM_SQL = "sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE)))"
+_DOT_SQL = (
+    "list_sum(list_transform(list_zip(q_vec, c_vec),"
+    " p -> p[1]::DOUBLE * p[2]::DOUBLE))"
+)
+
+
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 10)
+    candidates = e.filter(F.col("vec_id") >= 10)
+    return brute_force_topk(candidates, queries, k=5)
+
+
+ANN_TOPK_SQL = f"""
+WITH v AS (SELECT vec_id, embedding, {_NORM_SQL} AS nrm FROM embeddings),
+q AS (SELECT vec_id AS q_id, embedding AS q_vec, nrm AS q_nrm FROM v WHERE vec_id < 10),
+c AS (SELECT vec_id AS cand_id, embedding AS c_vec, nrm AS c_nrm FROM v WHERE vec_id >= 10),
+s AS (SELECT q_id, cand_id, {_DOT_SQL} / (q_nrm * c_nrm) AS cos_raw FROM c CROSS JOIN q)
+SELECT q_id, cand_id, ROUND(cos_raw, 6) AS cosine, CAST(rn AS INT) AS rank
+FROM (SELECT *, row_number() OVER (PARTITION BY q_id
+                                   ORDER BY cos_raw DESC, cand_id ASC) AS rn
+      FROM s)
+WHERE rn <= 5
+"""
+
+
+def knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 10)
+    candidates = e.filter(F.col("vec_id") >= 10)
+    topk = brute_force_topk(candidates, queries, k=10)
+    return knn_label_vote(topk, e)
+
+
+KNN_SQL = f"""
+WITH v AS (SELECT vec_id, label, embedding, {_NORM_SQL} AS nrm FROM embeddings),
+q AS (SELECT vec_id AS q_id, embedding AS q_vec, nrm AS q_nrm FROM v WHERE vec_id < 10),
+c AS (SELECT vec_id AS cand_id, label, embedding AS c_vec, nrm AS c_nrm FROM v WHERE vec_id >= 10),
+s AS (SELECT q_id, cand_id, label, {_DOT_SQL} / (q_nrm * c_nrm) AS cos_raw FROM c CROSS JOIN q),
+topk AS (SELECT q_id, cand_id, label
+         FROM (SELECT *, row_number() OVER (PARTITION BY q_id
+                                            ORDER BY cos_raw DESC, cand_id ASC) AS rn
+               FROM s)
+         WHERE rn <= 10),
+votes AS (SELECT q_id, label, count(*) AS votes FROM topk GROUP BY q_id, label)
+SELECT q_id, label AS predicted_label, CAST(votes AS BIGINT) AS votes
+FROM (SELECT *, row_number() OVER (PARTITION BY q_id
+                                   ORDER BY votes DESC, label ASC) AS rn
+      FROM votes)
+WHERE rn = 1
+"""
+
+
+def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    n = e.select("label", l2_norm(F.col("embedding")).alias("nrm"))
+    return n.groupBy("label").agg(
+        cnt("n_vectors"),
+        F.round(
+            F.sum(F.col("nrm").cast("decimal(38,10)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("avg_norm"),
+        F.round(F.min("nrm"), 6).alias("min_norm"),
+        F.round(F.max("nrm"), 6).alias("max_norm"),
+    )
+
+
+NORM_STATS_SQL = f"""
+SELECT label, {cnt_sql('n_vectors')},
+  ROUND(CAST(SUM(CAST(nrm AS DECIMAL(38,10))) AS DOUBLE) / COUNT(*), 6) AS avg_norm,
+  ROUND(MIN(nrm), 6) AS min_norm,
+  ROUND(MAX(nrm), 6) AS max_norm
+FROM (SELECT label, {_NORM_SQL} AS nrm FROM embeddings)
+GROUP BY label
+"""
+
+
+QUERIES = {
+    "ann_cosine_topk": (ann_cosine_topk, ANN_TOPK_SQL),
+    "knn_classify": (knn_classify, KNN_SQL),
+    "embedding_norm_stats": (embedding_norm_stats, NORM_STATS_SQL),
+}

@@ -1,0 +1,265 @@
+"""Text-analysis + document-dedup inventory over the `documents` table.
+
+The LLM-training-data-pipeline surface: token counting, quality scoring,
+language-ID heuristic, fingerprinting, exact dedupe, MinHash-LSH and
+exact n-gram-Jaccard near-dup detection, SimHash. Every query has an
+exact DuckDB oracle (the hashes are md5-based specifically so both
+engines agree bit-for-bit).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from deltacat_spark.functions.text import (
+    doc_fingerprint,
+    quality_score,
+    token_count,
+    tokens,
+)
+from deltacat_spark.operators.dedupe import (
+    exact_dedupe,
+    jaccard_pairs,
+    lsh_candidates,
+    minhash_signatures,
+    shingle_sets,
+    simhash,
+)
+from deltacat_spark.workloads.base import load
+
+# DuckDB fragment: distinct (doc_id, shingle) pairs for word 3-grams.
+_SH_SQL = """
+toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+sh AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+    generate_series(1, greatest(1, len(t) - 2)),
+    i -> concat_ws(' ', t[i], t[i+1], t[i+2])))) AS shingle
+  FROM toks)
+"""
+
+
+# --- token counting ---------------------------------------------------------
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        "n_chars",
+        token_count(F.col("text")).alias("n_tokens"),
+        F.size(F.array_distinct(tokens(F.col("text")))).alias("n_unique_tokens"),
+    )
+
+
+TOKEN_COUNT_SQL = """
+SELECT doc_id, n_chars,
+       CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+       CAST(len(list_distinct(string_split(text, ' '))) AS INT) AS n_unique_tokens
+FROM documents
+"""
+
+
+# --- quality scoring --------------------------------------------------------
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        quality_score(F.col("text")).alias("quality"),
+    )
+
+
+QUALITY_SQL = """
+SELECT doc_id,
+  ROUND(
+    0.5 * LEAST(CAST(1.0 AS DOUBLE), n_tok / CAST(100.0 AS DOUBLE))
+    + 0.3 * (CAST(1.0 AS DOUBLE) - CAST(n_stop AS DOUBLE) / n_tok)
+    + 0.2 * LEAST(CAST(1.0 AS DOUBLE), avg_tok_len / CAST(5.0 AS DOUBLE)), 6)
+  AS quality
+FROM (
+  SELECT doc_id,
+         len(string_split(text, ' ')) AS n_tok,
+         len(list_filter(string_split(text, ' '), x -> x IN ('the', 'a'))) AS n_stop,
+         CAST(length(replace(text, ' ', '')) AS DOUBLE)
+           / len(string_split(text, ' ')) AS avg_tok_len
+  FROM documents)
+"""
+
+
+# --- language-ID heuristic --------------------------------------------------
+def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Function-word language scorer (n-gram-heuristic family). The corpus
+    is synthetic English-ish for every `lang` tag, so the value of this
+    query is the agreement *matrix* it returns, not classifier accuracy."""
+    d = load(spark, sf_dir, "documents")
+    t = tokens(F.col("text"))
+    en = F.size(F.filter(t, lambda x: x.isin("the", "a", "of", "and")))
+    de = F.size(F.filter(t, lambda x: x.isin("der", "die", "das", "und")))
+    fr = F.size(F.filter(t, lambda x: x.isin("le", "la", "et", "les")))
+    es = F.size(F.filter(t, lambda x: x.isin("el", "los", "que", "y")))
+    pred = (
+        F.when((en >= de) & (en >= fr) & (en >= es) & (en > 0), "en")
+        .when((de >= fr) & (de >= es) & (de > 0), "de")
+        .when((fr >= es) & (fr > 0), "fr")
+        .when(es > 0, "es")
+        .otherwise("unknown")
+    )
+    return (
+        d.select(F.col("lang"), pred.alias("predicted_lang"))
+        .groupBy("lang", "predicted_lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+LANG_ID_SQL = """
+SELECT lang, predicted_lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM (
+  SELECT lang,
+    CASE
+      WHEN en >= de AND en >= fr AND en >= es AND en > 0 THEN 'en'
+      WHEN de >= fr AND de >= es AND de > 0 THEN 'de'
+      WHEN fr >= es AND fr > 0 THEN 'fr'
+      WHEN es > 0 THEN 'es'
+      ELSE 'unknown'
+    END AS predicted_lang
+  FROM (
+    SELECT lang,
+      len(list_filter(string_split(text,' '), x -> x IN ('the','a','of','and'))) AS en,
+      len(list_filter(string_split(text,' '), x -> x IN ('der','die','das','und'))) AS de,
+      len(list_filter(string_split(text,' '), x -> x IN ('le','la','et','les'))) AS fr,
+      len(list_filter(string_split(text,' '), x -> x IN ('el','los','que','y'))) AS es
+    FROM documents))
+GROUP BY lang, predicted_lang
+"""
+
+
+# --- fingerprint ------------------------------------------------------------
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return d.select("doc_id", doc_fingerprint(F.col("text")).alias("fingerprint"))
+
+
+FINGERPRINT_SQL = """
+SELECT doc_id,
+  list_aggregate(list_transform(
+    generate_series(1, greatest(1, length(text) - 7), 4),
+    i -> md5(substr(text, i, 8))), 'min') AS fingerprint
+FROM documents
+"""
+
+
+# --- exact dedupe -----------------------------------------------------------
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return exact_dedupe(d, "doc_id", "text")
+
+
+DEDUP_EXACT_SQL = """
+SELECT md5(text) AS digest, min(doc_id) AS canonical_id,
+       CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM documents GROUP BY md5(text)
+"""
+
+
+# --- MinHash + LSH near-dup -------------------------------------------------
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    sh = shingle_sets(d, "doc_id", "text", n=3)
+    sigs = minhash_signatures(sh, num_perms=8)
+    cands = lsh_candidates(sigs, rows_per_band=2)
+    return jaccard_pairs(sh, candidates=cands, df_cap=None, threshold=0.7)
+
+
+MINHASH_SQL = f"""
+WITH {_SH_SQL},
+mh AS (
+  SELECT doc_id, perm,
+         min(md5(concat(CAST(perm AS VARCHAR), ':', shingle))) AS minhash
+  FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS perm) p
+  GROUP BY doc_id, perm),
+bands AS (
+  SELECT doc_id, CAST(FLOOR(perm / 2) AS INT) AS band,
+         concat_ws('|',
+           max(CASE WHEN perm % 2 = 0 THEN minhash END),
+           max(CASE WHEN perm % 2 = 1 THEN minhash END)) AS band_sig
+  FROM mh GROUP BY doc_id, CAST(FLOOR(perm / 2) AS INT)),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id),
+sizes AS (SELECT doc_id, count(*) AS set_size FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT c.doc_a, c.doc_b,
+       ROUND(CAST(i.n_inter AS DOUBLE) / (sa.set_size + sb.set_size - i.n_inter), 6)
+         AS jaccard
+FROM cand c JOIN inter i ON c.doc_a = i.doc_a AND c.doc_b = i.doc_b
+JOIN sizes sa ON sa.doc_id = c.doc_a
+JOIN sizes sb ON sb.doc_id = c.doc_b
+WHERE ROUND(CAST(i.n_inter AS DOUBLE) / (sa.set_size + sb.set_size - i.n_inter), 6) >= 0.7
+"""
+
+
+# --- exact n-gram Jaccard near-dup ------------------------------------------
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    sh = shingle_sets(d, "doc_id", "text", n=3)
+    return jaccard_pairs(sh, candidates=None, df_cap=50, threshold=0.7)
+
+
+NGRAM_JACCARD_SQL = f"""
+WITH {_SH_SQL},
+rare AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 50),
+sh2 AS (SELECT sh.* FROM sh JOIN rare USING (shingle)),
+sizes AS (SELECT doc_id, count(*) AS set_size FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+  FROM sh2 a JOIN sh2 b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT i.doc_a, i.doc_b,
+       ROUND(CAST(i.n_inter AS DOUBLE) / (sa.set_size + sb.set_size - i.n_inter), 6)
+         AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.doc_a
+JOIN sizes sb ON sb.doc_id = i.doc_b
+WHERE ROUND(CAST(i.n_inter AS DOUBLE) / (sa.set_size + sb.set_size - i.n_inter), 6) >= 0.7
+"""
+
+
+# --- SimHash ----------------------------------------------------------------
+def simhash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return simhash(d, "doc_id", "text", bits=32)
+
+
+SIMHASH_SQL = """
+WITH toks AS (
+  SELECT doc_id, tok, count(*) AS cnt, md5(tok) AS h
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+  GROUP BY doc_id, tok),
+bitsrc AS (
+  SELECT doc_id, cnt, h, j
+  FROM toks CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS j) js),
+votes AS (
+  SELECT doc_id, j,
+    SUM((2 * (CAST(FLOOR(
+        (strpos('0123456789abcdef', substr(h, CAST(FLOOR(j / 4) AS INT) + 1, 1)) - 1)
+        / (CASE WHEN j % 4 = 3 THEN 1 WHEN j % 4 = 2 THEN 2
+                WHEN j % 4 = 1 THEN 4 ELSE 8 END)) AS INT) % 2) - 1) * cnt) AS vote
+  FROM bitsrc GROUP BY doc_id, j)
+SELECT doc_id,
+  CAST(SUM(CASE WHEN vote >= 0 THEN CAST(POWER(2, 31 - j) AS BIGINT) ELSE 0 END)
+    AS BIGINT) AS simhash
+FROM votes GROUP BY doc_id
+"""
+
+
+QUERIES = {
+    "text_token_count": (text_token_count, TOKEN_COUNT_SQL),
+    "text_quality": (text_quality, QUALITY_SQL),
+    "lang_id_heuristic": (lang_id_heuristic, LANG_ID_SQL),
+    "doc_fingerprints": (doc_fingerprints, FINGERPRINT_SQL),
+    "dedup_exact": (dedup_exact, DEDUP_EXACT_SQL),
+    "dedup_minhash_lsh": (dedup_minhash_lsh, MINHASH_SQL),
+    "dedup_ngram_jaccard": (dedup_ngram_jaccard, NGRAM_JACCARD_SQL),
+    "simhash_fingerprint": (simhash_fingerprint, SIMHASH_SQL),
+}
