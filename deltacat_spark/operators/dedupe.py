@@ -122,6 +122,10 @@ def jaccard_pairs(
     stop-shingles so the join stays near-linear.
     """
     sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("set_size"))
+    # NOTE: we deliberately do NOT pre-filter the shingle index down to
+    # candidate docs — that re-evaluates the whole LSH lineage a second
+    # time (measured 4× slower at sf0.1). The shingle self-join is already
+    # near-linear because shingle document-frequency is ~1.
     sh = shingles
     if df_cap is not None:
         rare = (
