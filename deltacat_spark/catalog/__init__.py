@@ -1,0 +1,15 @@
+"""Pythonic catalog API over the table format — the `dc.*` surface.
+
+Mirrors the reference's catalog interface (`catalog/interface.py`,
+`catalog/main/impl.py`; top-level exports `deltacat/__init__.py:5-115`)
+re-expressed Spark-first: namespace/table CRUD, six write modes, snapshot
+reads with projection/pushdown/time-travel, compaction.
+"""
+
+from deltacat_spark.catalog.catalog import (
+    Catalog,
+    TableNotFoundError,
+    TableWriteMode,
+)
+
+__all__ = ["Catalog", "TableNotFoundError", "TableWriteMode"]

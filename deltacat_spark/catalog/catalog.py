@@ -1,0 +1,700 @@
+"""The Catalog: namespaces, tables, six write modes, snapshot reads.
+
+Reference surface: `catalog/main/impl.py` (write dispatch :466-529,
+mode handlers :531-650, read :1638-1722, create :1901-2062, alter
+:1725-1870, drop/rename :2063,2318) per SURVEY §2.1/§2.4.
+
+Execution stance: all data movement is Spark DataFrame programs; the
+catalog itself is thin driver-side Python over the commit log. MERGE and
+DELETE default to copy-on-write (read_optimization=max — the reference's
+READ_OPTIMIZATION_LEVEL MAX compact-on-write, `types/tables.py:627-649`)
+and can defer to merge-on-read (read_optimization=none) where writes
+stay O(batch) and the read path folds deltas with the same window +
+anti-join program.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from deltacat_spark.catalog.io import (
+    DEFAULT_MAX_RECORDS_PER_FILE,
+    write_data_files,
+)
+from deltacat_spark.operators.merge import (
+    dedupe_last_writer,
+    equality_delete,
+    partial_upsert,
+    upsert,
+)
+from deltacat_spark.plans.expr import Expr
+from deltacat_spark.plans.transforms import (
+    PartitionKey,
+    SortKey,
+    scheme_to_json,
+)
+from deltacat_spark.schema import Schema, SchemaError
+from deltacat_spark.storage.commit import (
+    Commit,
+    CommitConflictError,
+    CommitLog,
+    DeltaType,
+)
+from deltacat_spark.storage.snapshot import FileEntry, Snapshot
+
+DEFAULT_NAMESPACE = "default"
+
+# Reference compaction triggers (`types/tables.py:652-663`).
+DEFAULT_PROPERTIES = {
+    "read_optimization": "max",  # max (CoW) | none (MoR)
+    "schema_evolution": "auto",  # auto | manual | disabled
+    "compaction.trigger.deltas": 100,
+    "compaction.trigger.files": 1000,
+    "compaction.trigger.records": 64_000_000,
+    "max_records_per_file": DEFAULT_MAX_RECORDS_PER_FILE,
+}
+
+_DATA_DELTAS = {DeltaType.APPEND, DeltaType.ADD, DeltaType.CHRONO, DeltaType.UPSERT, None}
+
+
+class TableNotFoundError(FileNotFoundError):
+    pass
+
+
+class TableWriteMode:
+    """Reference `types/tables.py:547-571`."""
+
+    AUTO = "auto"
+    CREATE = "create"
+    APPEND = "append"
+    ADD = "add"
+    CHRONO = "chrono"
+    REPLACE = "replace"
+    MERGE = "merge"
+    DELETE = "delete"
+
+
+class Catalog:
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    # ------------------------------------------------------------------
+    # namespaces
+    # ------------------------------------------------------------------
+    def create_namespace(self, namespace: str, properties: dict | None = None) -> None:
+        ns_dir = os.path.join(self.root, namespace)
+        os.makedirs(ns_dir, exist_ok=True)
+        with open(os.path.join(ns_dir, "_namespace.json"), "w") as fh:
+            json.dump({"name": namespace, "properties": properties or {}}, fh)
+
+    def namespace_exists(self, namespace: str) -> bool:
+        return os.path.isfile(os.path.join(self.root, namespace, "_namespace.json"))
+
+    def list_namespaces(self) -> list[str]:
+        out = []
+        for name in sorted(os.listdir(self.root)):
+            if self.namespace_exists(name):
+                out.append(name)
+        return out
+
+    def drop_namespace(self, namespace: str, purge: bool = False) -> None:
+        ns_dir = os.path.join(self.root, namespace)
+        if not purge and self.list_tables(namespace):
+            raise ValueError(f"namespace {namespace!r} not empty (use purge)")
+        shutil.rmtree(ns_dir, ignore_errors=True)
+
+    # ------------------------------------------------------------------
+    # tables
+    # ------------------------------------------------------------------
+    def _table_root(self, table: str, namespace: str) -> str:
+        return os.path.join(self.root, namespace, table)
+
+    def _log(self, table: str, namespace: str) -> CommitLog:
+        return CommitLog(self._table_root(table, namespace))
+
+    def table_exists(self, table: str, namespace: str = DEFAULT_NAMESPACE) -> bool:
+        return self._log(table, namespace).latest_version() is not None
+
+    def list_tables(self, namespace: str = DEFAULT_NAMESPACE) -> list[str]:
+        ns_dir = os.path.join(self.root, namespace)
+        if not os.path.isdir(ns_dir):
+            return []
+        return sorted(
+            t
+            for t in os.listdir(ns_dir)
+            if os.path.isdir(os.path.join(ns_dir, t, CommitLog.LOG_DIR))
+        )
+
+    def create_table(
+        self,
+        table: str,
+        namespace: str = DEFAULT_NAMESPACE,
+        schema: Schema | None = None,
+        partition_scheme: list[PartitionKey] | None = None,
+        sort_scheme: list[SortKey] | None = None,
+        properties: dict[str, Any] | None = None,
+        fail_if_exists: bool = True,
+    ) -> None:
+        if not self.namespace_exists(namespace):
+            self.create_namespace(namespace)
+        log = self._log(table, namespace)
+        if log.latest_version() is not None:
+            if fail_if_exists:
+                raise ValueError(f"table {namespace}.{table} already exists")
+            return
+        props = {**DEFAULT_PROPERTIES, **(properties or {})}
+        commit = Commit(
+            version=1,
+            operation="CREATE",
+            schema_json=schema.to_json() if schema else None,
+            partition_scheme=scheme_to_json(partition_scheme),
+            sort_scheme=scheme_to_json(sort_scheme),
+            properties=props,
+        )
+        if not log.try_commit(commit):
+            if fail_if_exists:
+                raise ValueError(f"table {namespace}.{table} already exists")
+
+    def drop_table(
+        self, table: str, namespace: str = DEFAULT_NAMESPACE, purge: bool = True
+    ) -> None:
+        root = self._table_root(table, namespace)
+        if not os.path.isdir(root):
+            raise TableNotFoundError(f"{namespace}.{table}")
+        shutil.rmtree(root) if purge else shutil.rmtree(
+            os.path.join(root, CommitLog.LOG_DIR)
+        )
+
+    def rename_table(
+        self, table: str, new_name: str, namespace: str = DEFAULT_NAMESPACE
+    ) -> None:
+        src = self._table_root(table, namespace)
+        dst = self._table_root(new_name, namespace)
+        if not os.path.isdir(src):
+            raise TableNotFoundError(f"{namespace}.{table}")
+        if os.path.isdir(dst):
+            raise ValueError(f"table {namespace}.{new_name} already exists")
+        os.rename(src, dst)
+
+    def truncate_table(self, table: str, namespace: str = DEFAULT_NAMESPACE) -> None:
+        snap = self.snapshot(table, namespace)
+        commit = Commit(
+            version=snap.version + 1,
+            operation="TRUNCATE",
+            actions=[{"remove": {"path": f.path}} for f in snap.files],
+        )
+        self._log(table, namespace).commit(commit)
+
+    def alter_table(
+        self,
+        table: str,
+        namespace: str = DEFAULT_NAMESPACE,
+        schema: Schema | None = None,
+        sort_scheme: list[SortKey] | None = None,
+        properties: dict[str, Any] | None = None,
+    ) -> None:
+        """Metadata-only commit (reference `alter_table`,
+        `catalog/main/impl.py:1725-1870`)."""
+        snap = self.snapshot(table, namespace)
+        if schema is not None and snap.schema is not None:
+            # Alters must be compatible evolutions of the current schema.
+            schema = snap.schema.evolve(schema)
+        commit = Commit(
+            version=snap.version + 1,
+            operation="ALTER",
+            schema_json=schema.to_json() if schema else None,
+            sort_scheme=scheme_to_json(sort_scheme),
+            properties=properties,
+        )
+        self._log(table, namespace).commit(commit)
+
+    # ------------------------------------------------------------------
+    # snapshots / reads
+    # ------------------------------------------------------------------
+    def snapshot(
+        self,
+        table: str,
+        namespace: str = DEFAULT_NAMESPACE,
+        version_as_of: int | None = None,
+        timestamp_as_of: int | None = None,
+    ) -> Snapshot:
+        log = self._log(table, namespace)
+        if log.latest_version() is None:
+            raise TableNotFoundError(f"{namespace}.{table}")
+        return Snapshot.of(log, version_as_of, timestamp_as_of)
+
+    def read_table(
+        self,
+        table: str,
+        namespace: str = DEFAULT_NAMESPACE,
+        columns: list[str] | None = None,
+        version_as_of: int | None = None,
+        timestamp_as_of: int | None = None,
+        partition_filter: dict[str, Any] | None = None,
+        predicate: Expr | None = None,
+        file_path_column: str | None = None,
+    ) -> DataFrame:
+        """Snapshot read (reference `read_table`,
+        `catalog/main/impl.py:1638-1722`).
+
+        Driver-side: log replay + stats/partition file pruning. Executor
+        side: one `spark.read.parquet(live_files)` (per schema
+        generation), merge-on-read fold only if unresolved deltas exist.
+        """
+        snap = self.snapshot(table, namespace, version_as_of, timestamp_as_of)
+        preds = predicate.skipping_predicates() if predicate is not None else None
+        files = snap.prune(partition_filter, preds)
+        df = self._read_files(snap, files, file_path_column)
+        if predicate is not None:
+            df = df.filter(predicate.to_column())
+        if columns:
+            extra = [file_path_column] if file_path_column else []
+            df = df.select(*columns, *extra)
+        return df
+
+    def _empty(self, snap: Snapshot) -> DataFrame:
+        st = snap.schema.to_struct_type() if snap.schema else None
+        return self.spark.createDataFrame([], st or "dummy int")
+
+    def _read_files(
+        self,
+        snap: Snapshot,
+        files: list[FileEntry],
+        file_path_column: str | None = None,
+    ) -> DataFrame:
+        if not files:
+            return self._empty(snap)
+        has_mor = any(f.delta_type in (DeltaType.UPSERT, DeltaType.DELETE) for f in files)
+        if not has_mor:
+            df = self._scan(snap, [f for f in files], file_path_column)
+            return df
+        return self._resolve_mor(snap, files, file_path_column)
+
+    def _schema_at(self, snap: Snapshot, version: int) -> Schema | None:
+        sch = None
+        for c in snap.commits:
+            if c.version > version:
+                break
+            if c.schema_json:
+                sch = Schema.from_json(c.schema_json)
+        return sch
+
+    def _scan(
+        self,
+        snap: Snapshot,
+        files: list[FileEntry],
+        file_path_column: str | None = None,
+        provenance: bool = False,
+    ) -> DataFrame:
+        """Read a file set, normalizing schema generations to the
+        snapshot schema (zero-copy evolution: per-file-generation
+        projection with `past_default` fill — reference
+        `catalog/main/impl.py:1563-1635`).
+
+        Files are grouped by the schema generation they were written
+        under; each group is one `spark.read.parquet(paths)` (so Spark
+        parallelizes per file), then groups union by name.
+        """
+        target = snap.schema
+        schema_versions = sorted({c.version for c in snap.commits if c.schema_json})
+
+        def gen(v: int) -> int:
+            g = 0
+            for sv in schema_versions:
+                if sv <= v:
+                    g = sv
+            return g
+
+        groups: dict[int, list[FileEntry]] = {}
+        for f in files:
+            groups.setdefault(gen(f.version), []).append(f)
+        parts = []
+        for gv, fs in sorted(groups.items()):
+            reader = self.spark.read
+            file_schema = self._schema_at(snap, gv)
+            if file_schema is not None:
+                reader = reader.schema(file_schema.to_struct_type())
+            df = reader.parquet(*[f.abs_path(snap.table_root) for f in fs])
+            if file_path_column:
+                df = df.withColumn(file_path_column, F.input_file_name())
+            if provenance:
+                # (version, file_index) per row — the merge-on-read
+                # ordering key (reference envelopes ordered by
+                # (stream_position, file_index), `steps/merge.py:522-543`).
+                # Keyed by file basename (part filenames embed task UUIDs,
+                # globally unique) since input_file_name() URI-prefixes
+                # the path.
+                kv = []
+                for f in fs:
+                    kv.extend(
+                        [
+                            F.lit(os.path.basename(f.path)),
+                            F.lit(f"{f.version}:{f.file_index}"),
+                        ]
+                    )
+                prov = F.create_map(*kv)[
+                    F.regexp_extract(F.input_file_name(), r"([^/]+)$", 1)
+                ]
+                df = (
+                    df.withColumn("__dcs_v", F.split(prov, ":")[0].cast("long"))
+                    .withColumn("__dcs_f", F.split(prov, ":")[1].cast("long"))
+                )
+            parts.append(df)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p, allowMissingColumns=True)
+        if target is not None:
+            extras = [
+                c
+                for c in out.columns
+                if c.startswith("__dcs_") or c == file_path_column
+            ]
+            out = out.select(
+                *[
+                    (
+                        F.col(f.name).cast(f.data_type).alias(f.name)
+                        if f.name in out.columns
+                        else F.lit(f.past_default).cast(f.data_type).alias(f.name)
+                    )
+                    for f in target.fields
+                ],
+                *[F.col(e) for e in extras],
+            )
+        return out
+
+    def _resolve_mor(
+        self,
+        snap: Snapshot,
+        files: list[FileEntry],
+        file_path_column: str | None = None,
+    ) -> DataFrame:
+        """Merge-on-read fold (reference merge semantics re-expressed as
+        one declarative plan — SURVEY §3.3 final note): survivors of the
+        last delete per key, then one winner per key by merge order
+        (default: arrival order = (version, file_index) desc)."""
+        assert snap.schema is not None, "merge-on-read requires a schema"
+        keys = snap.schema.merge_keys
+        data_files = [f for f in files if f.delta_type in _DATA_DELTAS]
+        del_files = [f for f in files if f.delta_type == DeltaType.DELETE]
+        rows = self._scan(snap, data_files, file_path_column, provenance=True)
+        if del_files:
+            dels = self._scan(snap, del_files, provenance=True)
+            last_del = (
+                dels.groupBy(*[F.col(k).alias(f"__dk_{k}") for k in keys])
+                .agg(F.max("__dcs_v").alias("__del_v"))
+            )
+            cond = [rows[k].eqNullSafe(last_del[f"__dk_{k}"]) for k in keys]
+            rows = (
+                rows.join(F.broadcast(last_del), cond, "left")
+                .filter(
+                    F.col("__del_v").isNull() | (F.col("__dcs_v") > F.col("__del_v"))
+                )
+                .drop("__del_v", *[f"__dk_{k}" for k in keys])
+            )
+        order = snap.schema.merge_order_columns()
+        order = order + [F.desc("__dcs_v"), F.desc("__dcs_f")]
+        winners = dedupe_last_writer(rows, keys, order)
+        return winners.drop("__dcs_v", "__dcs_f")
+
+    # ------------------------------------------------------------------
+    # writes
+    # ------------------------------------------------------------------
+    def write_to_table(
+        self,
+        df: DataFrame,
+        table: str,
+        namespace: str = DEFAULT_NAMESPACE,
+        mode: str = TableWriteMode.AUTO,
+        schema: Schema | None = None,
+        partition_scheme: list[PartitionKey] | None = None,
+        sort_scheme: list[SortKey] | None = None,
+        properties: dict[str, Any] | None = None,
+        max_commit_retries: int = 10,
+    ) -> None:
+        """Transactional multi-mode write (reference
+        `catalog/main/impl.py:226-650`). Retries the whole program on
+        non-commuting commit conflicts (optimistic MVCC)."""
+        exists = self.table_exists(table, namespace)
+        if mode == TableWriteMode.CREATE and exists:
+            raise ValueError(f"table {namespace}.{table} already exists")
+        if not exists:
+            if mode not in (TableWriteMode.AUTO, TableWriteMode.CREATE):
+                raise TableNotFoundError(f"{namespace}.{table}")
+            self.create_table(
+                table,
+                namespace,
+                schema=schema or Schema.from_dataframe(df),
+                partition_scheme=partition_scheme,
+                sort_scheme=sort_scheme,
+                properties=properties,
+                fail_if_exists=False,
+            )
+        for attempt in range(max_commit_retries):
+            try:
+                return self._write_once(df, table, namespace, mode)
+            except CommitConflictError:
+                if attempt == max_commit_retries - 1:
+                    raise
+
+    def _write_once(
+        self, df: DataFrame, table: str, namespace: str, mode: str
+    ) -> None:
+        snap = self.snapshot(table, namespace)
+        schema = snap.schema
+        props = {**DEFAULT_PROPERTIES, **snap.properties}
+        evolution = props.get("schema_evolution", "auto")
+        schema_changed = False
+        if schema is None:
+            schema = Schema.from_dataframe(df)
+            schema_changed = True
+        elif evolution == "auto":
+            evolved = schema.evolve(Schema.from_dataframe(df))
+            if evolved.to_json() != schema.to_json():
+                schema, schema_changed = evolved, True
+        merge_keys = schema.merge_keys
+
+        if mode in (TableWriteMode.AUTO, TableWriteMode.CREATE):
+            # AUTO dispatch (reference `types/tables.py:551-552`): MERGE
+            # when the table has merge keys, else ordered APPEND. CREATE
+            # reaches here after the table was just created.
+            mode = TableWriteMode.MERGE if merge_keys else TableWriteMode.APPEND
+        if mode in (TableWriteMode.APPEND, TableWriteMode.ADD, TableWriteMode.CHRONO):
+            if merge_keys:
+                # Reference rejects ordered appends on merge-key tables
+                # (`catalog/main/impl.py:563-624`).
+                raise SchemaError(
+                    f"{mode} not allowed on a table with merge keys {merge_keys}"
+                )
+        if mode in (TableWriteMode.MERGE, TableWriteMode.DELETE) and not merge_keys:
+            raise SchemaError(f"{mode} requires at least one merge key")
+
+        part_scheme = (
+            [PartitionKey.from_dict(d) for d in snap.partition_scheme]
+            if snap.partition_scheme
+            else None
+        )
+        srt_scheme = (
+            [SortKey.from_dict(d) for d in snap.sort_scheme]
+            if snap.sort_scheme
+            else None
+        )
+        max_rpf = int(props.get("max_records_per_file", DEFAULT_MAX_RECORDS_PER_FILE))
+        troot = self._table_root(table, namespace)
+        log = self._log(table, namespace)
+
+        def _write(data: DataFrame) -> list[dict]:
+            return write_data_files(data, troot, part_scheme, srt_scheme, max_rpf)
+
+        schema_json = schema.to_json() if schema_changed else None
+
+        if mode in (TableWriteMode.APPEND, TableWriteMode.ADD):
+            batch = schema.validate_and_coerce(df)
+            adds = _write(batch)
+            commit = Commit(
+                version=snap.version + 1,
+                operation=mode.upper(),
+                delta_type=DeltaType.APPEND if mode == "append" else DeltaType.ADD,
+                schema_json=schema_json,
+                actions=adds,
+            )
+            log.commit(commit)
+            return
+
+        if mode == TableWriteMode.CHRONO:
+            et = schema.event_time_field
+            if not et:
+                raise SchemaError("CHRONO requires an event_time field")
+            batch = schema.validate_and_coerce(df)
+            et_type = schema.field(et).data_type.typeName()
+            if et_type in ("long", "integer"):
+                # Event time already numeric (e.g. epoch micros).
+                pos_expr = F.max(F.col(et))
+            else:
+                # Wall-clock NTZ micros — TZ-independent on both write
+                # and read sides.
+                pos_expr = F.max(
+                    F.unix_micros(
+                        F.to_utc_timestamp(F.col(et).cast("timestamp_ntz"), "UTC")
+                    )
+                )
+            pos_row = batch.agg(pos_expr.alias("m")).collect()[0]
+            pos = int(pos_row["m"]) if pos_row["m"] is not None else None
+            adds = _write(batch)
+            commit = Commit(
+                version=snap.version + 1,
+                operation="CHRONO",
+                delta_type=DeltaType.CHRONO,
+                stream_position=pos,
+                watermark=pos,
+                schema_json=schema_json,
+                actions=adds,
+            )
+            log.commit(commit)
+            return
+
+        if mode == TableWriteMode.REPLACE:
+            batch = schema.validate_and_coerce(df)
+            adds = _write(batch)
+            commit = Commit(
+                version=snap.version + 1,
+                operation="REPLACE",
+                delta_type=DeltaType.APPEND,
+                schema_json=schema_json,
+                actions=adds + [{"remove": {"path": f.path}} for f in snap.files],
+            )
+            log.commit(commit)
+            return
+
+        # MERGE / DELETE
+        cow = props.get("read_optimization", "max") == "max"
+        if mode == TableWriteMode.DELETE:
+            if cow:
+                current = self._read_files(snap, snap.files)
+                current = schema.read_projection(current)
+                delete_cols = [c for c in df.columns if c in schema.names]
+                result = equality_delete(current, df, delete_cols)
+                adds = _write(result)
+                # CoW adds are fully resolved data — no delta_type, or the
+                # read path would re-fold them as merge-on-read deltas.
+                commit = Commit(
+                    version=snap.version + 1,
+                    operation="DELETE",
+                    schema_json=schema_json,
+                    actions=adds
+                    + [{"remove": {"path": f.path}} for f in snap.files],
+                )
+            else:
+                adds = _write(df)
+                commit = Commit(
+                    version=snap.version + 1,
+                    operation="DELETE",
+                    delta_type=DeltaType.DELETE,
+                    schema_json=schema_json,
+                    actions=adds,
+                )
+            log.commit(commit)
+            return
+
+        # MERGE
+        batch = self._normalize_merge_batch(df, schema)
+        if cow:
+            current = self._read_files(snap, snap.files)
+            current = schema.read_projection(current)
+            # Partial when the batch lacks some existing non-key column —
+            # those fill from the matched old row (reference
+            # `_merge_records_partially`, `steps/merge.py:256-308`).
+            partial = bool(
+                set(snap.schema.names) - set(df.columns)
+            ) if snap.schema else False
+            if partial:
+                result = partial_upsert(current, batch, merge_keys)
+                result = schema.read_projection(result)
+            elif schema.merge_order_specs():
+                # Merge order (or event time) picks the winner — an
+                # incoming row only replaces when it wins the ordering
+                # (reference `schema.py:1018-1046`; precedence over
+                # arrival order, `test_default_catalog_impl.py:4643`).
+                coerced = schema.validate_and_coerce(batch)
+                unioned = current.withColumn("__dcs_src", F.lit(0)).unionByName(
+                    coerced.withColumn("__dcs_src", F.lit(1))
+                )
+                order = schema.merge_order_columns() + [F.desc("__dcs_src")]
+                result = dedupe_last_writer(unioned, merge_keys, order).drop(
+                    "__dcs_src"
+                )
+            else:
+                result = upsert(current, schema.validate_and_coerce(batch), merge_keys)
+            adds = _write(result)
+            # CoW adds are resolved data — see DELETE note above.
+            commit = Commit(
+                version=snap.version + 1,
+                operation="MERGE",
+                schema_json=schema_json,
+                actions=adds + [{"remove": {"path": f.path}} for f in snap.files],
+            )
+        else:
+            adds = _write(schema.validate_and_coerce(batch))
+            commit = Commit(
+                version=snap.version + 1,
+                operation="MERGE",
+                delta_type=DeltaType.UPSERT,
+                schema_json=schema_json,
+                actions=adds,
+            )
+        log.commit(commit)
+
+    def _normalize_merge_batch(self, df: DataFrame, schema: Schema) -> DataFrame:
+        """Dedupe the incoming batch per merge key (last row wins within
+        a batch unless merge order says otherwise — reference dedupes the
+        incremental batch before merging, `compactor_v2/utils/dedupe.py`)."""
+        keys = schema.merge_keys
+        order = schema.merge_order_columns(available=df.columns)
+        df = df.withColumn("__dcs_row", F.monotonically_increasing_id())
+        order = order + [F.desc("__dcs_row")]
+        return dedupe_last_writer(df, keys, order).drop("__dcs_row")
+
+    # ------------------------------------------------------------------
+    # maintenance
+    # ------------------------------------------------------------------
+    def optimize_table(
+        self, table: str, namespace: str = DEFAULT_NAMESPACE
+    ) -> None:
+        """Compaction: fold any unresolved deltas + rewrite the live set
+        (reference `compact_partition` v2 collapsed into one Spark job —
+        SURVEY §2.9/§3.3)."""
+        snap = self.snapshot(table, namespace)
+        if not snap.files:
+            return
+        resolved = self._read_files(snap, snap.files)
+        if snap.schema is not None:
+            resolved = snap.schema.read_projection(resolved)
+        part_scheme = (
+            [PartitionKey.from_dict(d) for d in snap.partition_scheme]
+            if snap.partition_scheme
+            else None
+        )
+        srt = (
+            [SortKey.from_dict(d) for d in snap.sort_scheme]
+            if snap.sort_scheme
+            else None
+        )
+        props = {**DEFAULT_PROPERTIES, **snap.properties}
+        adds = write_data_files(
+            resolved,
+            self._table_root(table, namespace),
+            part_scheme,
+            srt,
+            int(props.get("max_records_per_file", DEFAULT_MAX_RECORDS_PER_FILE)),
+        )
+        commit = Commit(
+            version=snap.version + 1,
+            operation="OPTIMIZE",
+            actions=adds + [{"remove": {"path": f.path}} for f in snap.files],
+        )
+        self._log(table, namespace).commit(commit)
+
+    def vacuum(self, table: str, namespace: str = DEFAULT_NAMESPACE) -> int:
+        """Delete data files no longer referenced by ANY log version
+        (janitor equivalent, reference `compute/janitor.py:85-228`)."""
+        snap = self.snapshot(table, namespace)
+        troot = self._table_root(table, namespace)
+        referenced: set[str] = set()
+        for c in snap.commits:
+            for a in c.adds:
+                referenced.add(a["path"])
+        removed = 0
+        data_dir = os.path.join(troot, "data")
+        for dirpath, _d, fnames in os.walk(data_dir):
+            for fn in fnames:
+                p = os.path.join(dirpath, fn)
+                if fn.endswith(".parquet") and os.path.relpath(p, troot) not in referenced:
+                    os.unlink(p)
+                    removed += 1
+        return removed

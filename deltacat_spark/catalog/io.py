@@ -1,0 +1,164 @@
+"""Physical data-file IO for the table format.
+
+Write path: executors write parquet (optionally hash/partition-layout
+via `partitionBy` on generated transform columns, sorted within files by
+the sort scheme, sliced by `maxRecordsPerFile` — the reference's
+`records_per_compacted_file` slicing, `storage/main/impl.py:2578-2659`);
+the driver then reads back parquet footers for per-file records/bytes +
+column min/max stats recorded in the commit log (the reference's delta
+stats, `compute/stats/models/delta_stats.py`, reborn as Delta-style
+skipping stats).
+
+Each commit writes under its own `data/{uuid}/` directory so concurrent
+writers never collide on filenames and failed writes are garbage, not
+corruption (cleaned by vacuum).
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+from typing import Any
+from urllib.parse import unquote
+
+import pyarrow.parquet as pq
+from pyspark.sql import DataFrame
+
+from deltacat_spark.plans.transforms import (
+    PART_PREFIX,
+    PartitionKey,
+    SortKey,
+    partition_columns,
+    sort_columns,
+)
+
+# Reference default: 4M records per compacted file
+# (`compute/compactor_v2/constants.py:7`).
+DEFAULT_MAX_RECORDS_PER_FILE = 4_000_000
+
+_STATS_MAX_COLS = 32
+_STATS_TYPES = {
+    "BOOLEAN",
+    "INT32",
+    "INT64",
+    "FLOAT",
+    "DOUBLE",
+    "BYTE_ARRAY",
+}
+
+
+def write_data_files(
+    df: DataFrame,
+    table_root: str,
+    partition_scheme: list[PartitionKey] | None = None,
+    sort_scheme: list[SortKey] | None = None,
+    max_records_per_file: int = DEFAULT_MAX_RECORDS_PER_FILE,
+) -> list[dict[str, Any]]:
+    """Write a batch; return commit `add` action dicts."""
+    dest = os.path.join(table_root, "data", uuid.uuid4().hex)
+    part_cols = partition_columns(partition_scheme, df.schema)
+    out = df
+    for name, col in part_cols.items():
+        out = out.withColumn(name, col)
+    if part_cols:
+        # Cluster rows of one partition into the same task so each
+        # partition gets few, large files. (At 1000-executor scale a
+        # low-cardinality scheme would underuse the cluster — AQE
+        # coalescing plus a salt column would be the refinement.)
+        out = out.repartition(*part_cols.keys())
+    if sort_scheme:
+        out = out.sortWithinPartitions(*sort_columns(sort_scheme))
+    writer = out.write.mode("overwrite").option(
+        "maxRecordsPerFile", max_records_per_file
+    )
+    if part_cols:
+        writer = writer.partitionBy(*part_cols.keys())
+    writer.parquet(dest)
+    return collect_add_actions(dest, table_root)
+
+
+def collect_add_actions(dest: str, table_root: str) -> list[dict[str, Any]]:
+    """Paths are recorded *relative to the table root* so the table stays
+    relocatable (rename_table is an O(1) directory move)."""
+    adds = []
+    for dirpath, _dirs, files in os.walk(dest):
+        for fname in sorted(files):
+            if not fname.endswith(".parquet"):
+                continue
+            path = os.path.join(dirpath, fname)
+            rel_dir = os.path.relpath(dirpath, dest)
+            pvals = _partition_values_from_relpath(rel_dir)
+            adds.append(
+                {
+                    "add": {
+                        "path": os.path.relpath(path, table_root),
+                        "partition_values": pvals or None,
+                        **_footer_stats(path),
+                    }
+                }
+            )
+    adds = [a for a in adds if a["add"].get("records", 0) > 0]
+    return adds
+
+
+def _partition_values_from_relpath(rel: str) -> dict[str, str]:
+    out: dict[str, str] = {}
+    if rel in (".", ""):
+        return out
+    for seg in rel.split(os.sep):
+        if "=" in seg:
+            k, v = seg.split("=", 1)
+            if k.startswith(PART_PREFIX):
+                k = k[len(PART_PREFIX):]
+            out[k] = unquote(v)
+    return out
+
+
+def _footer_stats(path: str) -> dict[str, Any]:
+    md = pq.read_metadata(path)
+    stats: dict[str, dict[str, Any]] = {}
+    ncols = min(md.num_columns, _STATS_MAX_COLS)
+    for rg in range(md.num_row_groups):
+        g = md.row_group(rg)
+        for i in range(ncols):
+            col = g.column(i)
+            st = col.statistics
+            if st is None or not st.has_min_max:
+                continue
+            if col.physical_type not in _STATS_TYPES:
+                continue
+            name = col.path_in_schema
+            if "." in name:  # nested — skip
+                continue
+            mn, mx = st.min, st.max
+            if isinstance(mn, bytes):
+                try:
+                    mn, mx = mn.decode(), mx.decode()
+                except UnicodeDecodeError:
+                    continue
+            cur = stats.get(name)
+            if cur is None:
+                stats[name] = {"min": mn, "max": mx}
+            else:
+                cur["min"] = min(cur["min"], mn)
+                cur["max"] = max(cur["max"], mx)
+    out: dict[str, Any] = {
+        "records": md.num_rows,
+        "bytes": os.path.getsize(path),
+    }
+    if stats:
+        out["stats"] = _jsonable(stats)
+    return out
+
+
+def _jsonable(stats: dict) -> dict:
+    import datetime
+
+    def conv(v):
+        if isinstance(v, (datetime.datetime, datetime.date)):
+            return v.isoformat()
+        return v
+
+    return {
+        c: {k: conv(v) for k, v in mm.items()} for c, mm in stats.items()
+    }

@@ -1,0 +1,196 @@
+"""Versioned commit log with put-if-absent commits and optimistic MVCC.
+
+The reference detects write-write conflicts by colliding metafile
+*revision numbers* (`metafile.py:271`, `transaction.py:1561-1571`). We
+use the same idea one level up: each table mutation is a numbered commit
+file ``_dcs_log/{version:020d}.json`` created with a put-if-absent
+primitive; a version collision IS the conflict signal.
+
+On a POSIX filesystem the put-if-absent is ``os.link`` (hard-link from a
+temp file — atomic, fails with EEXIST). On an object store this slot
+would be a conditional-PUT / commit-service call (Delta-style); the
+``CommitLog`` class isolates that primitive in ``_put_if_absent`` so
+swapping the backend touches one method.
+
+Commit schema (one JSON object per file):
+  version, txn_id, timestamp_ms, operation, delta_type, stream_position,
+  watermark, schema (Spark StructType json, present when changed),
+  partition_scheme / sort_scheme (present when changed), properties,
+  actions: [{"add": {path, records, bytes, partition_values, stats}} |
+            {"remove": {path}}]
+
+``stream_position``: monotonically increasing per commit for ordered
+appends (APPEND), the event-time unix micros for CHRONO commits, and
+absent for unordered ADD (reference `storage/main/impl.py:2695-2699`).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+from dataclasses import dataclass, field as dc_field
+from typing import Any
+
+
+class DeltaType:
+    """Reference `storage/model/types.py:41-46`."""
+
+    ADD = "ADD"
+    CHRONO = "CHRONO"
+    APPEND = "APPEND"
+    UPSERT = "UPSERT"
+    DELETE = "DELETE"
+
+
+# Operations that only ever add files at the end of the stream; they
+# commute with each other and can auto-rebase onto a newer log version.
+_COMMUTING_OPS = {"APPEND", "ADD", "CHRONO"}
+
+
+class CommitConflictError(RuntimeError):
+    """A concurrent transaction took our commit version and does not
+    commute — the caller must recompute against the new snapshot."""
+
+
+@dataclass
+class Commit:
+    version: int
+    operation: str  # CREATE/APPEND/ADD/CHRONO/REPLACE/MERGE/DELETE/ALTER/TRUNCATE/OPTIMIZE
+    txn_id: str = dc_field(default_factory=lambda: uuid.uuid4().hex)
+    timestamp_ms: int = dc_field(default_factory=lambda: int(time.time() * 1000))
+    delta_type: str | None = None
+    stream_position: int | None = None
+    watermark: int | None = None
+    schema_json: str | None = None
+    partition_scheme: list[dict] | None = None
+    sort_scheme: list[dict] | None = None
+    properties: dict[str, Any] | None = None
+    actions: list[dict] = dc_field(default_factory=list)
+
+    def to_json(self) -> str:
+        d = {k: v for k, v in self.__dict__.items() if v is not None}
+        return json.dumps(d, separators=(",", ":"))
+
+    @classmethod
+    def from_json(cls, s: str) -> "Commit":
+        d = json.loads(s)
+        c = cls(version=d["version"], operation=d["operation"])
+        for k, v in d.items():
+            setattr(c, k, v)
+        return c
+
+    @property
+    def adds(self) -> list[dict]:
+        return [a["add"] for a in self.actions if "add" in a]
+
+    @property
+    def removes(self) -> list[str]:
+        return [a["remove"]["path"] for a in self.actions if "remove" in a]
+
+
+class CommitLog:
+    """The `_dcs_log/` directory of one table."""
+
+    LOG_DIR = "_dcs_log"
+
+    def __init__(self, table_root: str):
+        self.table_root = table_root
+        self.log_dir = os.path.join(table_root, self.LOG_DIR)
+
+    # -- read ----------------------------------------------------------
+    def versions(self) -> list[int]:
+        if not os.path.isdir(self.log_dir):
+            return []
+        out = []
+        for name in os.listdir(self.log_dir):
+            if name.endswith(".json") and name[:-5].isdigit():
+                out.append(int(name[:-5]))
+        return sorted(out)
+
+    def latest_version(self) -> int | None:
+        vs = self.versions()
+        return vs[-1] if vs else None
+
+    def read_commit(self, version: int) -> Commit:
+        path = os.path.join(self.log_dir, f"{version:020d}.json")
+        with open(path, encoding="utf-8") as fh:
+            return Commit.from_json(fh.read())
+
+    def replay(
+        self,
+        version_as_of: int | None = None,
+        timestamp_as_of: int | None = None,
+    ) -> list[Commit]:
+        commits = []
+        for v in self.versions():
+            if version_as_of is not None and v > version_as_of:
+                break
+            c = self.read_commit(v)
+            if timestamp_as_of is not None and c.timestamp_ms > timestamp_as_of:
+                break
+            commits.append(c)
+        return commits
+
+    # -- write ---------------------------------------------------------
+    def _put_if_absent(self, payload: str, version: int) -> bool:
+        """Atomically create commit file `version`; False if taken.
+
+        POSIX: write temp + hard-link (atomic, EEXIST on collision).
+        Object-store backends replace this one method with a
+        conditional PUT."""
+        os.makedirs(self.log_dir, exist_ok=True)
+        final = os.path.join(self.log_dir, f"{version:020d}.json")
+        tmp = os.path.join(self.log_dir, f".tmp-{uuid.uuid4().hex}")
+        with open(tmp, "w", encoding="utf-8") as fh:
+            fh.write(payload)
+            fh.flush()
+            os.fsync(fh.fileno())
+        try:
+            os.link(tmp, final)
+            return True
+        except FileExistsError:
+            return False
+        finally:
+            os.unlink(tmp)
+
+    def try_commit(self, commit: Commit) -> bool:
+        return self._put_if_absent(commit.to_json(), commit.version)
+
+    def commit(
+        self,
+        commit: Commit,
+        max_retries: int = 20,
+    ) -> Commit:
+        """Commit with optimistic rebase.
+
+        Append-family commits (APPEND/ADD/CHRONO/OPTIMIZE-free adds)
+        auto-rebase onto newer versions as long as every intervening
+        commit also commutes. Non-commuting collisions raise
+        :class:`CommitConflictError` — the caller recomputes from the
+        fresh snapshot (the reference behaves identically:
+        `transaction.py:1561-1571`)."""
+        for _ in range(max_retries):
+            if commit.operation == "APPEND":
+                # Ordered appends take the commit version as their
+                # stream position — strictly monotone by construction.
+                commit.stream_position = commit.version
+            if self.try_commit(commit):
+                return commit
+            latest = self.latest_version()
+            assert latest is not None
+            if commit.operation not in _COMMUTING_OPS:
+                raise CommitConflictError(
+                    f"version {commit.version} taken by a concurrent writer "
+                    f"(op={commit.operation} does not auto-rebase)"
+                )
+            for v in range(commit.version, latest + 1):
+                inter = self.read_commit(v)
+                if inter.operation not in _COMMUTING_OPS:
+                    raise CommitConflictError(
+                        f"concurrent non-commuting {inter.operation} at "
+                        f"version {v}"
+                    )
+            commit.version = latest + 1
+        raise CommitConflictError("too many commit retries")

@@ -1,0 +1,149 @@
+"""F2/F3 golden tests: MERGE last-writer-wins, DELETE (incl. null
+delete-column matching), partial upsert, schema evolution during merge,
+CoW/MoR equivalence (FIXTURES.md F2/F3)."""
+
+import pytest
+from pyspark.sql import types as T
+
+from deltacat_spark.catalog import Catalog
+from deltacat_spark.schema import Field, Schema, SchemaError
+
+USERS_MERGE = Schema(
+    [
+        Field("id", T.LongType(), merge_key=True),
+        Field("name", T.StringType()),
+        Field("age", T.IntegerType()),
+        Field("city", T.StringType()),
+    ]
+)
+
+
+def rows(spark, data):
+    return spark.createDataFrame(data, "id long, name string, age int, city string")
+
+
+@pytest.fixture(params=["max", "none"], ids=["cow", "mor"])
+def merge_catalog(request, spark, tmp_path):
+    c = Catalog(spark, str(tmp_path / f"cat_{request.param}"))
+    c.create_table(
+        "um",
+        schema=USERS_MERGE,
+        properties={"read_optimization": request.param},
+    )
+    return c
+
+
+def read_map(catalog):
+    return {r.id: r for r in catalog.read_table("um").collect()}
+
+
+def test_upsert_last_writer_wins(spark, merge_catalog):
+    c = merge_catalog
+    c.write_to_table(rows(spark, [(1, "a", 10, "x"), (2, "b", 20, "y")]), "um", mode="merge")
+    c.write_to_table(rows(spark, [(2, "B", 21, "y2"), (3, "c", 30, "z")]), "um", mode="merge")
+    m = read_map(c)
+    assert set(m) == {1, 2, 3}
+    assert m[2].name == "B" and m[2].age == 21
+
+
+def test_within_batch_dedupe(spark, merge_catalog):
+    c = merge_catalog
+    c.write_to_table(
+        rows(spark, [(1, "first", 1, "x"), (1, "last", 2, "x")]), "um", mode="merge"
+    )
+    m = read_map(c)
+    assert len(m) == 1 and m[1].name == "last"
+
+
+def test_delete_then_upsert_restores(spark, merge_catalog):
+    c = merge_catalog
+    c.write_to_table(rows(spark, [(1, "a", 10, "x"), (2, "b", 20, "y")]), "um", mode="merge")
+    deletes = spark.createDataFrame([(1,)], "id long")
+    c.write_to_table(deletes, "um", mode="delete")
+    assert set(read_map(c)) == {2}
+    c.write_to_table(rows(spark, [(1, "re", 11, "x")]), "um", mode="merge")
+    m = read_map(c)
+    assert set(m) == {1, 2} and m[1].name == "re"
+
+
+def test_delete_on_non_key_column_null_safe(spark, merge_catalog):
+    c = merge_catalog
+    if c.snapshot("um", "default").properties.get("read_optimization") == "none":
+        pytest.skip("MoR delete payload is key-based; non-key deletes are CoW")
+    c.write_to_table(
+        rows(spark, [(1, "a", 10, None), (2, "b", 20, "y")]), "um", mode="merge"
+    )
+    deletes = spark.createDataFrame([(None,)], "city string")
+    c.write_to_table(deletes, "um", mode="delete")
+    # null city row deleted — null == null matches (reference
+    # delete_strategy_equality_delete.py:52-113)
+    assert set(read_map(c)) == {2}
+
+
+def test_merge_requires_merge_keys(spark, catalog):
+    df = rows(spark, [(1, "a", 10, "x")])
+    catalog.write_to_table(df, "plain", mode="auto")
+    with pytest.raises(SchemaError):
+        catalog.write_to_table(df, "plain", mode="merge")
+
+
+def test_partial_upsert_fills_missing_columns(spark, merge_catalog):
+    c = merge_catalog
+    if c.snapshot("um").properties.get("read_optimization") == "none":
+        pytest.skip("partial upsert resolves at write (CoW) in v1")
+    c.write_to_table(rows(spark, [(1, "a", 10, "x"), (2, "b", 20, "y")]), "um", mode="merge")
+    partial = spark.createDataFrame([(1, 99), (5, 50)], "id long, age int")
+    c.write_to_table(partial, "um", mode="merge")
+    m = read_map(c)
+    assert m[1].age == 99 and m[1].name == "a" and m[1].city == "x"
+    assert m[5].age == 50 and m[5].name is None
+    assert m[2].age == 20
+
+
+def test_schema_evolution_new_column_and_promotion(spark, merge_catalog):
+    c = merge_catalog
+    c.write_to_table(rows(spark, [(1, "a", 10, "x")]), "um", mode="merge")
+    evolved = spark.createDataFrame(
+        [(2, "b", 20, "y", 0.5)], "id long, name string, age long, city string, score double"
+    )
+    c.write_to_table(evolved, "um", mode="merge")
+    out = c.read_table("um")
+    assert dict(out.dtypes)["age"] == "bigint"  # int32 → int64 promotion
+    m = {r.id: r for r in out.collect()}
+    assert m[1].score is None  # old rows read with null default
+    assert m[2].score == 0.5
+
+
+def test_cow_mor_equivalence(spark, tmp_path):
+    """Same write sequence → identical table under CoW and MoR."""
+    results = []
+    for ro in ("max", "none"):
+        c = Catalog(spark, str(tmp_path / f"eq_{ro}"))
+        c.create_table("um", schema=USERS_MERGE, properties={"read_optimization": ro})
+        c.write_to_table(rows(spark, [(i, f"u{i}", i, "x") for i in range(1, 6)]), "um", mode="merge")
+        c.write_to_table(rows(spark, [(i, f"U{i}", i + 100, "y") for i in range(3, 8)]), "um", mode="merge")
+        c.write_to_table(spark.createDataFrame([(4,), (6,)], "id long"), "um", mode="delete")
+        c.write_to_table(rows(spark, [(6, "back", 6, "z")]), "um", mode="merge")
+        results.append(
+            sorted(tuple(r) for r in c.read_table("um").collect())
+        )
+    assert results[0] == results[1]
+
+
+def test_mor_optimize_compacts_to_same_result(spark, tmp_path):
+    c = Catalog(spark, str(tmp_path / "opt"))
+    c.create_table("um", schema=USERS_MERGE, properties={"read_optimization": "none"})
+    c.write_to_table(rows(spark, [(i, f"u{i}", i, "x") for i in range(5)]), "um", mode="merge")
+    c.write_to_table(rows(spark, [(2, "two", 2, "y")]), "um", mode="merge")
+    c.write_to_table(spark.createDataFrame([(0,)], "id long"), "um", mode="delete")
+    before = sorted(tuple(r) for r in c.read_table("um").collect())
+    c.optimize_table("um")
+    after = sorted(tuple(r) for r in c.read_table("um").collect())
+    assert before == after
+    # compacted: no unresolved deltas remain
+    assert all(f.delta_type is None for f in c.snapshot("um").files)
+    # vacuum drops only unreferenced files (e.g. empty part files never
+    # recorded in the log) — reads at current AND old versions survive
+    c.vacuum("um")
+    assert sorted(tuple(r) for r in c.read_table("um").collect()) == after
+    assert c.read_table("um", version_as_of=2).count() == 5
