@@ -271,11 +271,88 @@ class Catalog:
     ) -> DataFrame:
         if not files:
             return self._empty(snap)
+        if any(f.content_type for f in files):
+            # Schemaless / multimodal table — reads return the flattened
+            # manifest (reference `_handle_schemaless_table_read`,
+            # `catalog/main/impl.py:1408-1439`).
+            return self._manifest_df(snap, files)
         has_mor = any(f.delta_type in (DeltaType.UPSERT, DeltaType.DELETE) for f in files)
         if not has_mor:
             df = self._scan(snap, [f for f in files], file_path_column)
             return df
         return self._resolve_mor(snap, files, file_path_column)
+
+    def _manifest_df(self, snap: Snapshot, files: list[FileEntry]) -> DataFrame:
+        rows = [
+            (
+                f.abs_path(snap.table_root),
+                f.records,
+                f.bytes,
+                f.content_type or "application/parquet",
+                f.version,
+            )
+            for f in files
+        ]
+        return self.spark.createDataFrame(
+            rows,
+            "path string, record_count long, content_length long,"
+            " content_type string, commit_version long",
+        )
+
+    def from_manifest_table(self, manifest_df: DataFrame) -> DataFrame:
+        """Download manifest payloads (reference `from_manifest_table`,
+        `catalog/interface.py:516-540`) as a binaryFile DataFrame."""
+        paths = [r.path for r in manifest_df.select("path").collect()]
+        return self.spark.read.format("binaryFile").load(paths)
+
+    def put_files(
+        self,
+        paths: list[str],
+        table: str,
+        namespace: str = DEFAULT_NAMESPACE,
+        content_type: str = "application/octet-stream",
+    ) -> None:
+        """Ingest opaque files into a schemaless table (reference
+        schemaless write path; payloads copied under the table root,
+        committed as an unordered ADD)."""
+        import shutil as _sh
+        import uuid as _uuid
+
+        if not self.table_exists(table, namespace):
+            self.create_table(table, namespace, schema=None, fail_if_exists=False)
+        snap = self.snapshot(table, namespace)
+        if snap.schema is not None:
+            # Reference guard: schemaless content can't mix into a
+            # schema'd table (`catalog/main/impl.py:318-331`).
+            raise SchemaError(
+                f"table {namespace}.{table} has a schema; binary payloads "
+                "cannot be written to it"
+            )
+        troot = self._table_root(table, namespace)
+        dest = os.path.join(troot, "data", _uuid.uuid4().hex)
+        os.makedirs(dest, exist_ok=True)
+        adds = []
+        for p in sorted(paths):
+            tgt = os.path.join(dest, os.path.basename(p))
+            _sh.copyfile(p, tgt)
+            adds.append(
+                {
+                    "add": {
+                        "path": os.path.relpath(tgt, troot),
+                        "records": 1,
+                        "bytes": os.path.getsize(tgt),
+                        "content_type": content_type,
+                    }
+                }
+            )
+        self._log(table, namespace).commit(
+            Commit(
+                version=snap.version + 1,
+                operation="ADD",
+                delta_type=DeltaType.ADD,
+                actions=adds,
+            )
+        )
 
     def _schema_at(self, snap: Snapshot, version: int) -> Schema | None:
         sch = None
@@ -447,6 +524,13 @@ class Catalog:
         self, df: DataFrame, table: str, namespace: str, mode: str
     ) -> None:
         snap = self.snapshot(table, namespace)
+        if any(f.content_type for f in snap.files):
+            # Mirror guard of put_files: schema'd writes can't mix into a
+            # schemaless/binary table (`catalog/main/impl.py:318-331`).
+            raise SchemaError(
+                f"table {namespace}.{table} is schemaless (binary); "
+                "DataFrame writes are not allowed"
+            )
         schema = snap.schema
         props = {**DEFAULT_PROPERTIES, **snap.properties}
         evolution = props.get("schema_evolution", "auto")

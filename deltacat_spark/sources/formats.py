@@ -1,0 +1,150 @@
+"""Multi-format readers/writers + the URL-addressable dataset API.
+
+Reference surface: per-content-type readers (`utils/pyarrow.py:232-484`:
+CSV/TSV/PSV/unescaped-TSV, JSON, ORC, PARQUET, AVRO, FEATHER; encodings
+gzip/zstd/bzip2/snappy) and the universal `dc.get/put/copy/list` URL API
+(`api.py:97-480`, `DatastoreType` `types/media.py:353-420`). Spark
+mapping per SURVEY §2.1: `spark.read.<fmt>` with options; exotic media →
+`binaryFile`; Feather → Arrow on the driver (not splittable; scale note
+in `read_feather`).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+
+# content-type key → (spark format, default options)
+FORMATS: dict[str, tuple[str, dict[str, Any]]] = {
+    "parquet": ("parquet", {}),
+    "orc": ("orc", {}),
+    "json": ("json", {}),
+    "csv": ("csv", {"header": "true", "inferSchema": "true"}),
+    "tsv": ("csv", {"header": "true", "inferSchema": "true", "sep": "\t"}),
+    "psv": ("csv", {"header": "true", "inferSchema": "true", "sep": "|"}),
+    # reference's "unescaped TSV" dialect (`utils/pyarrow.py`):
+    # no quoting at all
+    "unescaped_tsv": (
+        "csv",
+        {"header": "true", "inferSchema": "true", "sep": "\t", "quote": ""},
+    ),
+    "avro": ("avro", {}),  # needs spark-avro on the classpath
+    "binary": ("binaryFile", {}),
+    "text": ("text", {}),
+}
+
+_EXT_TO_FORMAT = {
+    ".parquet": "parquet",
+    ".orc": "orc",
+    ".json": "json",
+    ".jsonl": "json",
+    ".csv": "csv",
+    ".tsv": "tsv",
+    ".psv": "psv",
+    ".avro": "avro",
+    ".txt": "text",
+    ".feather": "feather",
+    ".png": "binary",
+    ".jpg": "binary",
+    ".jpeg": "binary",
+    ".wav": "binary",
+    ".mp4": "binary",
+    ".bin": "binary",
+}
+
+
+def infer_format(url: str) -> str:
+    base = url.rstrip("/")
+    _, ext = os.path.splitext(base)
+    return _EXT_TO_FORMAT.get(ext.lower(), "parquet")
+
+
+def read_url(
+    spark: SparkSession,
+    url: str,
+    fmt: str | None = None,
+    options: dict[str, Any] | None = None,
+) -> DataFrame:
+    """`dc.get` equivalent: URL → DataFrame (reference `api.py:97+`)."""
+    fmt = fmt or infer_format(url)
+    if fmt == "feather":
+        return read_feather(spark, url)
+    sfmt, defaults = FORMATS[fmt]
+    reader = spark.read.format(sfmt)
+    for k, v in {**defaults, **(options or {})}.items():
+        reader = reader.option(k, v)
+    return reader.load(url)
+
+
+def write_url(
+    df: DataFrame,
+    url: str,
+    fmt: str | None = None,
+    mode: str = "overwrite",
+    options: dict[str, Any] | None = None,
+) -> None:
+    """`dc.put` equivalent: DataFrame → URL."""
+    fmt = fmt or infer_format(url)
+    if fmt == "feather":
+        return write_feather(df, url)
+    if fmt == "binary":
+        raise ValueError("binary is a read-only format (use put_files)")
+    sfmt, defaults = FORMATS[fmt]
+    writer = df.write.format(sfmt).mode(mode)
+    for k, v in {**defaults, **(options or {})}.items():
+        writer = writer.option(k, v)
+    writer.save(url)
+
+
+def copy_url(
+    spark: SparkSession,
+    src: str,
+    dst: str,
+    src_fmt: str | None = None,
+    dst_fmt: str | None = None,
+) -> None:
+    """`dc.copy`: any supported source format → any sink format
+    (reference universal copy, `api.py:97-480`)."""
+    write_url(read_url(spark, src, src_fmt), dst, dst_fmt)
+
+
+def list_url(spark: SparkSession, url: str) -> list[dict[str, Any]]:
+    """`dc.list`: child object metadata for a URL."""
+    out = []
+    if os.path.isdir(url):
+        for name in sorted(os.listdir(url)):
+            p = os.path.join(url, name)
+            st = os.stat(p)
+            out.append(
+                {
+                    "path": p,
+                    "is_dir": os.path.isdir(p),
+                    "bytes": st.st_size,
+                    "format": infer_format(p),
+                }
+            )
+    elif os.path.isfile(url):
+        st = os.stat(url)
+        out.append(
+            {"path": url, "is_dir": False, "bytes": st.st_size, "format": infer_format(url)}
+        )
+    return out
+
+
+def read_feather(spark: SparkSession, url: str) -> DataFrame:
+    """Feather/Arrow IPC — not splittable and not a Spark datasource;
+    loaded via Arrow on the driver. Fine for dimension-sized files; at
+    scale convert to parquet first (`copy_url`)."""
+    import pyarrow.feather as feather
+
+    table = feather.read_table(url)
+    return spark.createDataFrame(table.to_pandas())
+
+
+def write_feather(df: DataFrame, url: str) -> None:
+    import pyarrow as pa
+    import pyarrow.feather as feather
+
+    feather.write_feather(pa.Table.from_pandas(df.toPandas()), url)

@@ -31,6 +31,7 @@ class FileEntry:
     bytes: int | None = None
     partition_values: dict[str, Any] | None = None
     stats: dict[str, dict[str, Any]] | None = None  # col -> {min,max,nulls}
+    content_type: str | None = None  # None ⇒ parquet data file
     # Provenance for merge-on-read ordering (reference orders envelopes
     # by (stream_position, file_index) — `steps/merge.py:522-543`).
     version: int = 0
@@ -88,6 +89,7 @@ class Snapshot:
                     bytes=add.get("bytes"),
                     partition_values=add.get("partition_values"),
                     stats=add.get("stats"),
+                    content_type=add.get("content_type"),
                     version=c.version,
                     stream_position=c.stream_position,
                     file_index=idx,

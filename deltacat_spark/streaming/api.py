@@ -1,0 +1,99 @@
+"""Streaming operators + the streaming table sink.
+
+* `stream_write_to_table` — a `foreachBatch` sink committing each
+  micro-batch as an ADD/CHRONO commit into the table format (the
+  reference's Ray datasink pattern — executors write files, the driver
+  commits metadata once per batch, `io/datasink/deltacat_datasink.py:84-207`
+  — is exactly Spark's foreachBatch contract).
+* window aggregations — tumbling / sliding / session, usable both on
+  streams (with `withWatermark` handling late data like the reference's
+  stream watermark) and on batch DataFrames (same code path, which is
+  how the correctness gate checks them against DuckDB).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def with_watermark_if_streaming(df: DataFrame, event_time: str, delay: str) -> DataFrame:
+    return df.withWatermark(event_time, delay) if df.isStreaming else df
+
+
+def tumbling_window_agg(
+    df: DataFrame,
+    event_time: str,
+    duration: str,
+    group_by: list[str],
+    aggs: list[Column],
+    watermark_delay: str | None = None,
+) -> DataFrame:
+    if watermark_delay and df.isStreaming:
+        df = df.withWatermark(event_time, watermark_delay)
+    return df.groupBy(F.window(event_time, duration), *group_by).agg(*aggs)
+
+
+def sliding_window_agg(
+    df: DataFrame,
+    event_time: str,
+    duration: str,
+    slide: str,
+    group_by: list[str],
+    aggs: list[Column],
+    watermark_delay: str | None = None,
+) -> DataFrame:
+    if watermark_delay and df.isStreaming:
+        df = df.withWatermark(event_time, watermark_delay)
+    return df.groupBy(F.window(event_time, duration, slide), *group_by).agg(*aggs)
+
+
+def session_window_agg(
+    df: DataFrame,
+    event_time: str,
+    gap: str,
+    group_by: list[str],
+    aggs: list[Column],
+    watermark_delay: str | None = None,
+) -> DataFrame:
+    if watermark_delay and df.isStreaming:
+        df = df.withWatermark(event_time, watermark_delay)
+    return df.groupBy(F.session_window(event_time, gap), *group_by).agg(*aggs)
+
+
+def stream_write_to_table(
+    stream_df: DataFrame,
+    catalog,
+    table: str,
+    namespace: str = "default",
+    mode: str = "add",
+    checkpoint_dir: str | None = None,
+    trigger_once: bool = True,
+):
+    """Write a streaming DataFrame into a catalog table.
+
+    Each micro-batch becomes one atomic commit (`mode` add|append|chrono
+    — chrono stamps the commit with the batch's max event time, giving
+    the reference's CHRONO/watermark semantics on a live stream).
+    Returns the StreamingQuery.
+    """
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        if not catalog.table_exists(table, namespace):
+            from deltacat_spark.schema import Schema
+
+            catalog.create_table(
+                table,
+                namespace,
+                schema=Schema.from_dataframe(batch_df),
+                fail_if_exists=False,
+            )
+        catalog.write_to_table(batch_df, table, namespace, mode=mode)
+
+    writer = stream_df.writeStream.foreachBatch(_sink).outputMode("append")
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -1,0 +1,62 @@
+"""Format IO + URL API tests (reference readers `utils/pyarrow.py:232-682`,
+URL API `api.py:97-480`)."""
+
+import pytest
+
+from deltacat_spark.sources.formats import (
+    copy_url,
+    infer_format,
+    list_url,
+    read_url,
+    write_url,
+)
+
+
+@pytest.fixture()
+def sample(spark):
+    return spark.createDataFrame(
+        [(1, "a", 1.5), (2, "b|x", 2.5), (3, None, None)],
+        "id long, s string, v double",
+    )
+
+
+@pytest.mark.parametrize("fmt", ["parquet", "orc", "json", "csv", "tsv", "psv"])
+def test_roundtrip(spark, tmp_path, sample, fmt):
+    url = str(tmp_path / f"data_{fmt}")
+    write_url(sample, url, fmt)
+    back = read_url(spark, url, fmt)
+    assert back.count() == 3
+    ids = sorted(r.id for r in back.collect())
+    assert ids == [1, 2, 3]
+
+
+def test_feather_roundtrip(spark, tmp_path, sample):
+    url = str(tmp_path / "d.feather")
+    write_url(sample, url, "feather")
+    back = read_url(spark, url, "feather")
+    assert back.count() == 3
+
+
+def test_copy_between_formats(spark, tmp_path, sample):
+    src = str(tmp_path / "src_csv")
+    dst = str(tmp_path / "dst_parquet")
+    write_url(sample, src, "csv")
+    copy_url(spark, src, dst, "csv", "parquet")
+    assert read_url(spark, dst, "parquet").count() == 3
+
+
+def test_infer_and_list(spark, tmp_path, sample):
+    assert infer_format("x/y.csv") == "csv"
+    assert infer_format("x/y.jsonl") == "json"
+    assert infer_format("x/img.png") == "binary"
+    url = str(tmp_path / "d.parquet")
+    write_url(sample, url, "parquet")
+    listing = list_url(spark, str(tmp_path))
+    assert any(e["path"].endswith("d.parquet") for e in listing)
+
+
+def test_compressed_json(spark, tmp_path, sample):
+    url = str(tmp_path / "gz_json")
+    write_url(sample, url, "json", options={"compression": "gzip"})
+    back = read_url(spark, url, "json")
+    assert back.count() == 3
