@@ -589,6 +589,7 @@ class Catalog:
                 actions=adds,
             )
             log.commit(commit)
+            self._maybe_autocompact(table, namespace, props)
             return
 
         if mode == TableWriteMode.CHRONO:
@@ -640,19 +641,23 @@ class Catalog:
         cow = props.get("read_optimization", "max") == "max"
         if mode == TableWriteMode.DELETE:
             if cow:
-                current = self._read_files(snap, snap.files)
-                current = schema.read_projection(current)
                 delete_cols = [c for c in df.columns if c in schema.names]
+                touched, _untouched = self._split_by_key_overlap(
+                    snap, df, delete_cols
+                )
+                current = self._read_files(snap, touched)
+                current = schema.read_projection(current)
                 result = equality_delete(current, df, delete_cols)
                 adds = _write(result)
                 # CoW adds are fully resolved data — no delta_type, or the
                 # read path would re-fold them as merge-on-read deltas.
+                # Untouched files stay live by reference.
                 commit = Commit(
                     version=snap.version + 1,
                     operation="DELETE",
                     schema_json=schema_json,
                     actions=adds
-                    + [{"remove": {"path": f.path}} for f in snap.files],
+                    + [{"remove": {"path": f.path}} for f in touched],
                 )
             else:
                 adds = _write(df)
@@ -669,7 +674,11 @@ class Catalog:
         # MERGE
         batch = self._normalize_merge_batch(df, schema)
         if cow:
-            current = self._read_files(snap, snap.files)
+            touched, untouched = self._split_by_key_overlap(
+                snap, batch, merge_keys
+            )
+            work_snap_files = touched
+            current = self._read_files(snap, work_snap_files)
             current = schema.read_projection(current)
             # Partial when the batch lacks some existing non-key column —
             # those fill from the matched old row (reference
@@ -696,12 +705,15 @@ class Catalog:
             else:
                 result = upsert(current, schema.validate_and_coerce(batch), merge_keys)
             adds = _write(result)
-            # CoW adds are resolved data — see DELETE note above.
+            # CoW adds are resolved data — see DELETE note above. Only
+            # touched files are removed; untouched files stay live by
+            # reference (copy-by-reference, `merge.py:463-502`).
             commit = Commit(
                 version=snap.version + 1,
                 operation="MERGE",
                 schema_json=schema_json,
-                actions=adds + [{"remove": {"path": f.path}} for f in snap.files],
+                actions=adds
+                + [{"remove": {"path": f.path}} for f in work_snap_files],
             )
         else:
             adds = _write(schema.validate_and_coerce(batch))
@@ -713,6 +725,80 @@ class Catalog:
                 actions=adds,
             )
         log.commit(commit)
+
+    def _maybe_autocompact(
+        self, table: str, namespace: str, props: dict[str, Any]
+    ) -> None:
+        """Append-trigger compaction (reference `_trigger_compaction`,
+        `catalog/main/impl.py:1012-1091`; thresholds
+        `types/tables.py:652-663`): compact when the deltas/files/records
+        accumulated since the last resolved state exceed the table's
+        trigger properties."""
+        if props.get("read_optimization", "max") != "max":
+            return
+        snap = self.snapshot(table, namespace)
+        deltas = files = records = 0
+        for c in reversed(snap.commits):
+            if c.operation in ("OPTIMIZE", "REPLACE", "MERGE", "DELETE", "CREATE", "TRUNCATE"):
+                break
+            adds = c.adds
+            deltas += 1
+            files += len(adds)
+            records += sum(a.get("records") or 0 for a in adds)
+        if (
+            deltas >= int(props.get("compaction.trigger.deltas", 100))
+            or files >= int(props.get("compaction.trigger.files", 1000))
+            or records >= int(props.get("compaction.trigger.records", 64_000_000))
+        ):
+            self.optimize_table(table, namespace)
+
+    def _split_by_key_overlap(
+        self,
+        snap: Snapshot,
+        payload: DataFrame,
+        cols: list[str],
+    ) -> tuple[list[FileEntry], list[FileEntry]]:
+        """Copy-by-reference planning (reference `merge.py:408-502`:
+        untouched hash buckets reuse previous files without rewrite).
+
+        Spark-first equivalent: a file whose min/max range on the first
+        key column cannot contain any payload key is carried forward *by
+        reference* — not read, not rewritten, not removed. Returns
+        (touched, untouched). Conservative: files without usable stats,
+        or non-comparable stat types, count as touched.
+        """
+        files = snap.files
+        if not files or not cols:
+            return files, []
+        key = cols[0]
+        row = payload.agg(
+            F.min(F.col(key)).alias("lo"), F.max(F.col(key)).alias("hi")
+        ).collect()[0]
+        lo, hi = row["lo"], row["hi"]
+        if lo is None or hi is None:
+            return files, []
+        import datetime
+
+        if isinstance(lo, (datetime.datetime, datetime.date)):
+            lo, hi = lo.isoformat(), hi.isoformat()
+        touched, untouched = [], []
+        for f in files:
+            st = (f.stats or {}).get(key)
+            fmin = st.get("min") if st else None
+            fmax = st.get("max") if st else None
+            comparable = (
+                fmin is not None
+                and fmax is not None
+                and (
+                    (isinstance(fmin, (int, float)) and isinstance(lo, (int, float)))
+                    or (isinstance(fmin, str) and isinstance(lo, str))
+                )
+            )
+            if comparable and (fmax < lo or fmin > hi):
+                untouched.append(f)
+            else:
+                touched.append(f)
+        return touched, untouched
 
     def _normalize_merge_batch(self, df: DataFrame, schema: Schema) -> DataFrame:
         """Dedupe the incoming batch per merge key (last row wins within
@@ -763,6 +849,41 @@ class Catalog:
             actions=adds + [{"remove": {"path": f.path}} for f in snap.files],
         )
         self._log(table, namespace).commit(commit)
+
+    def repartition_table_by_range(
+        self,
+        table: str,
+        namespace: str = DEFAULT_NAMESPACE,
+        column: str = "",
+        num_partitions: int = 8,
+    ) -> None:
+        """Range repartition rewrite (reference `repartition_range`,
+        `compute/compactor/steps/repartition.py:42-244` — whose own
+        comment cites Spark's repartition(column) as the model). Value
+        ranges → `repartitionByRange`, files sliced per range; commits
+        as an OPTIMIZE generation."""
+        snap = self.snapshot(table, namespace)
+        if not snap.files:
+            return
+        resolved = self._read_files(snap, snap.files)
+        if snap.schema is not None:
+            resolved = snap.schema.read_projection(resolved)
+        arranged = resolved.repartitionByRange(num_partitions, F.col(column))
+        props = {**DEFAULT_PROPERTIES, **snap.properties}
+        adds = write_data_files(
+            arranged,
+            self._table_root(table, namespace),
+            None,
+            None,
+            int(props.get("max_records_per_file", DEFAULT_MAX_RECORDS_PER_FILE)),
+        )
+        self._log(table, namespace).commit(
+            Commit(
+                version=snap.version + 1,
+                operation="OPTIMIZE",
+                actions=adds + [{"remove": {"path": f.path}} for f in snap.files],
+            )
+        )
 
     def vacuum(self, table: str, namespace: str = DEFAULT_NAMESPACE) -> int:
         """Delete data files no longer referenced by ANY log version
