@@ -45,9 +45,10 @@ def main() -> None:
     from deltacat_spark.workloads import REGISTRY
 
     spark = build_session("deltacat-spark-bench")
-    # Warm the JVM/codegen path once so per-query numbers measure the
-    # engine, not session startup.
+    # Warm the JVM/codegen/parquet-reader paths once so per-query numbers
+    # measure the engine, not session startup.
     spark.range(1000).selectExpr("sum(id)").collect()
+    spark.read.parquet(f"{sf_dir}/region.parquet").count()
 
     timings: dict[str, float] = {}
     total = 0.0

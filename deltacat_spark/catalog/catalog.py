@@ -811,6 +811,16 @@ class Catalog:
         return dedupe_last_writer(df, keys, order).drop("__dcs_row")
 
     # ------------------------------------------------------------------
+    # transactions
+    # ------------------------------------------------------------------
+    def transaction(self):
+        """Interactive multi-op transaction (reference
+        `dc.transaction()`; see `catalog/transaction.py`)."""
+        from deltacat_spark.catalog.transaction import Transaction
+
+        return Transaction(self)
+
+    # ------------------------------------------------------------------
     # maintenance
     # ------------------------------------------------------------------
     def optimize_table(

@@ -24,7 +24,7 @@ def _late_modules() -> list:
     """Modules that may not exist yet in early rounds; imported lazily so a
     partial checkout still exposes the core inventory."""
     mods = []
-    for name in ("text", "similarity", "windows"):
+    for name in ("text", "similarity", "windows", "relational2"):
         try:
             mods.append(
                 __import__(f"deltacat_spark.workloads.{name}", fromlist=["QUERIES"])

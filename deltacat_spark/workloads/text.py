@@ -161,6 +161,10 @@ FROM documents GROUP BY md5(text)
 # --- MinHash + LSH near-dup -------------------------------------------------
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
+    # NOTE: persisting the shingle index was measured 1.7× SLOWER here —
+    # tokenize+explode recompute is cheaper than cache materialization.
+    # At cluster scale with much larger documents, revisit with
+    # MEMORY_AND_DISK persistence.
     sh = shingle_sets(d, "doc_id", "text", n=3)
     sigs = minhash_signatures(sh, num_perms=8)
     cands = lsh_candidates(sigs, rows_per_band=2)

@@ -1,0 +1,26 @@
+"""Top-level dc-style API surface test (reference
+`deltacat/__init__.py:5-115` exports)."""
+
+from deltacat_spark import api as dc
+
+
+def test_dc_surface(spark, tmp_path):
+    dc.init(str(tmp_path / "cat"), spark)
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id long, s string")
+    dc.write(df, "t")
+    assert dc.read("t").count() == 2
+    assert dc.list_tables() == ["t"]
+    assert dc.table_exists("t")
+    dc.rename_table("t", "t2")
+    assert dc.read("t2").count() == 2
+    dc.truncate_table("t2")
+    assert dc.read("t2").count() == 0
+    dc.drop_table("t2")
+    assert not dc.table_exists("t2")
+
+    url = str(tmp_path / "d.parquet")
+    dc.put(df, url)
+    assert dc.get(url).count() == 2
+    dc.copy(url, str(tmp_path / "d_csv"), dst_fmt="csv")
+    assert dc.get(str(tmp_path / "d_csv"), fmt="csv").count() == 2
+    assert any(e["path"].endswith("d.parquet") for e in dc.list(str(tmp_path)))
