@@ -57,6 +57,7 @@ DEFAULT_PROPERTIES = {
     "compaction.trigger.files": 1000,
     "compaction.trigger.records": 64_000_000,
     "max_records_per_file": DEFAULT_MAX_RECORDS_PER_FILE,
+    "checkpoint.interval": 20,
 }
 
 _DATA_DELTAS = {DeltaType.APPEND, DeltaType.ADD, DeltaType.CHRONO, DeltaType.UPSERT, None}
@@ -228,7 +229,21 @@ class Catalog:
         log = self._log(table, namespace)
         if log.latest_version() is None:
             raise TableNotFoundError(f"{namespace}.{table}")
-        return Snapshot.of(log, version_as_of, timestamp_as_of)
+        snap = Snapshot.of(log, version_as_of, timestamp_as_of)
+        if version_as_of is None and timestamp_as_of is None:
+            # Lazy checkpointing: whoever resolves a snapshot far enough
+            # past the last checkpoint persists a new one, keeping later
+            # resolutions O(tail) without touching the write paths.
+            interval = int(
+                {**DEFAULT_PROPERTIES, **snap.properties}.get(
+                    "checkpoint.interval", 20
+                )
+            )
+            cps = log.checkpoints()
+            last_cp = cps[-1] if cps else 0
+            if snap.version - last_cp >= interval:
+                log.write_checkpoint(snap.version, snap.to_state())
+        return snap
 
     def read_table(
         self,
@@ -355,13 +370,7 @@ class Catalog:
         )
 
     def _schema_at(self, snap: Snapshot, version: int) -> Schema | None:
-        sch = None
-        for c in snap.commits:
-            if c.version > version:
-                break
-            if c.schema_json:
-                sch = Schema.from_json(c.schema_json)
-        return sch
+        return snap.schema_at(version)
 
     def _scan(
         self,
@@ -380,7 +389,7 @@ class Catalog:
         parallelizes per file), then groups union by name.
         """
         target = snap.schema
-        schema_versions = sorted({c.version for c in snap.commits if c.schema_json})
+        schema_versions = sorted({v for v, _ in snap.schema_history})
 
         def gen(v: int) -> int:
             g = 0
@@ -736,11 +745,11 @@ class Catalog:
         trigger properties."""
         if props.get("read_optimization", "max") != "max":
             return
-        snap = self.snapshot(table, namespace)
+        log = self._log(table, namespace)
         deltas = files = records = 0
-        for c in reversed(snap.commits):
-            if c.operation in ("OPTIMIZE", "REPLACE", "MERGE", "DELETE", "CREATE", "TRUNCATE"):
-                break
+        for c in log.replay_reverse_until(
+            {"OPTIMIZE", "REPLACE", "MERGE", "DELETE", "CREATE", "TRUNCATE"}
+        ):
             adds = c.adds
             deltas += 1
             files += len(adds)
@@ -809,6 +818,66 @@ class Catalog:
         df = df.withColumn("__dcs_row", F.monotonically_increasing_id())
         order = order + [F.desc("__dcs_row")]
         return dedupe_last_writer(df, keys, order).drop("__dcs_row")
+
+    def read_delta(
+        self, table: str, version: int, namespace: str = DEFAULT_NAMESPACE
+    ) -> DataFrame:
+        """Read exactly one commit's data files (reference
+        `download_delta`, `storage/main/impl.py:947-1085`)."""
+        snap = self.snapshot(table, namespace, version_as_of=version)
+        files = [f for f in snap.files if f.version == version]
+        if not files:
+            return self._empty(snap)
+        return self._scan(snap, files)
+
+    def read_changes(
+        self,
+        table: str,
+        from_version: int,
+        to_version: int | None = None,
+        namespace: str = DEFAULT_NAMESPACE,
+    ) -> DataFrame:
+        """CDC-style incremental read: rows from delta commits in
+        (from_version, to_version], stamped with `_commit_version` /
+        `_change_type`.
+
+        Exact for append-family and merge-on-read tables (their commits
+        carry delta files). Copy-on-write MERGE/DELETE commits rewrite
+        resolved files (delta_type None) and are skipped — use
+        read_optimization=none for full CDC fidelity.
+        """
+        snap = self.snapshot(table, namespace, version_as_of=to_version)
+        log = self._log(table, namespace)
+        parts = []
+        for c in log.replay(to_version, start_after=from_version):
+            if c.delta_type is None or not c.adds:
+                continue
+            entries = [
+                FileEntry(
+                    path=a["path"],
+                    records=a.get("records"),
+                    bytes=a.get("bytes"),
+                    version=c.version,
+                    file_index=i,
+                    delta_type=c.delta_type,
+                )
+                for i, a in enumerate(c.adds)
+            ]
+            df = self._scan(snap, entries)
+            parts.append(
+                df.withColumn("_commit_version", F.lit(c.version)).withColumn(
+                    "_change_type", F.lit(c.delta_type)
+                )
+            )
+        if not parts:
+            base = self._empty(snap)
+            return base.withColumn("_commit_version", F.lit(None).cast("long")).withColumn(
+                "_change_type", F.lit(None).cast("string")
+            )
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
 
     # ------------------------------------------------------------------
     # transactions
@@ -898,10 +967,11 @@ class Catalog:
     def vacuum(self, table: str, namespace: str = DEFAULT_NAMESPACE) -> int:
         """Delete data files no longer referenced by ANY log version
         (janitor equivalent, reference `compute/janitor.py:85-228`)."""
-        snap = self.snapshot(table, namespace)
         troot = self._table_root(table, namespace)
         referenced: set[str] = set()
-        for c in snap.commits:
+        # Full log scan (not the checkpoint-truncated snapshot tail) —
+        # vacuum must see every version's adds.
+        for c in self._log(table, namespace).replay():
             for a in c.adds:
                 referenced.add(a["path"])
         removed = 0

@@ -122,9 +122,12 @@ class CommitLog:
         self,
         version_as_of: int | None = None,
         timestamp_as_of: int | None = None,
+        start_after: int = 0,
     ) -> list[Commit]:
         commits = []
         for v in self.versions():
+            if v <= start_after:
+                continue
             if version_as_of is not None and v > version_as_of:
                 break
             c = self.read_commit(v)
@@ -132,6 +135,48 @@ class CommitLog:
                 break
             commits.append(c)
         return commits
+
+    def replay_reverse_until(self, stop_ops: set[str], limit: int = 10_000) -> list[Commit]:
+        """Newest-first commits up to (and excluding) the first commit
+        whose operation is in `stop_ops` — bounded metadata scan for
+        trigger evaluation without full replay."""
+        out = []
+        for v in reversed(self.versions()[-limit:]):
+            c = self.read_commit(v)
+            if c.operation in stop_ops:
+                break
+            out.append(c)
+        return out
+
+    # -- checkpoints ----------------------------------------------------
+    def checkpoints(self) -> list[int]:
+        if not os.path.isdir(self.log_dir):
+            return []
+        out = []
+        for name in os.listdir(self.log_dir):
+            if name.endswith(".checkpoint.json"):
+                v = name.split(".")[0]
+                if v.isdigit():
+                    out.append(int(v))
+        return sorted(out)
+
+    def write_checkpoint(self, version: int, state: dict) -> None:
+        path = os.path.join(self.log_dir, f"{version:020d}.checkpoint.json")
+        tmp = path + ".tmp"
+        with open(tmp, "w", encoding="utf-8") as fh:
+            json.dump(state, fh, separators=(",", ":"))
+        os.replace(tmp, path)
+
+    def latest_checkpoint(self) -> "tuple[int, dict] | None":
+        cps = self.checkpoints()
+        if not cps:
+            return None
+        v = cps[-1]
+        with open(
+            os.path.join(self.log_dir, f"{v:020d}.checkpoint.json"),
+            encoding="utf-8",
+        ) as fh:
+            return v, json.load(fh)
 
     # -- write ---------------------------------------------------------
     def _put_if_absent(self, payload: str, version: int) -> bool:

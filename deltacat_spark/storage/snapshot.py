@@ -1,17 +1,25 @@
-"""Log-replay snapshots: live file set, schema, stats-based file skipping.
+"""Log-replay snapshots: live file set, schema history, stats-based file
+skipping, checkpoint-accelerated resolution.
 
 Replaces the reference's driver-side delta discovery
 (`catalog/main/impl.py:1356-1386,2716-2834`): replaying the commit log
-yields the table's live files (with per-file partition values and
-column min/max stats), the current schema/properties, and the delta
-sub-streams a merge-on-read reader needs. File skipping is a driver-side
-filter of the file list against stats — Delta-style data skipping, done
-*before* Spark ever sees a path (so a 100 TB table with a selective
-predicate schedules only the matching files).
+yields the table's live files (with per-file partition values and column
+min/max stats), the schema history (for schema-generation-aware scans),
+properties, and watermark. File skipping is a driver-side filter of the
+file list against stats — Delta-style data skipping, done *before* Spark
+ever sees a path.
+
+Checkpoints (`NNNN.checkpoint.json`, written every
+`checkpoint_interval` commits by the catalog) snapshot the fully-applied
+state so resolution is O(commits since checkpoint) — the Delta-style
+answer to keeping metadata ops fast at 10^5 commits (SURVEY §7 hard
+part 5). Time travel to a version before the latest checkpoint falls
+back to full replay (the log keeps every commit).
 """
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass, field as dc_field
 from typing import Any
 
@@ -22,15 +30,10 @@ from deltacat_spark.storage.commit import Commit, CommitLog
 @dataclass
 class FileEntry:
     path: str  # relative to the table root
-
-    def abs_path(self, table_root: str) -> str:
-        import os
-
-        return os.path.join(table_root, self.path)
     records: int | None = None
     bytes: int | None = None
     partition_values: dict[str, Any] | None = None
-    stats: dict[str, dict[str, Any]] | None = None  # col -> {min,max,nulls}
+    stats: dict[str, dict[str, Any]] | None = None  # col -> {min,max}
     content_type: str | None = None  # None ⇒ parquet data file
     # Provenance for merge-on-read ordering (reference orders envelopes
     # by (stream_position, file_index) — `steps/merge.py:522-543`).
@@ -38,6 +41,16 @@ class FileEntry:
     stream_position: int | None = None
     file_index: int = 0
     delta_type: str | None = None
+
+    def abs_path(self, table_root: str) -> str:
+        return os.path.join(table_root, self.path)
+
+    def to_dict(self) -> dict:
+        return {k: v for k, v in self.__dict__.items() if v is not None}
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "FileEntry":
+        return cls(**d)
 
 
 @dataclass
@@ -50,8 +63,16 @@ class Snapshot:
     sort_scheme: list[dict] | None = None
     watermark: int | None = None
     files: list[FileEntry] = dc_field(default_factory=list)
+    # Commits available for inspection: the full replayed range, or the
+    # post-checkpoint tail when a checkpoint accelerated resolution.
     commits: list[Commit] = dc_field(default_factory=list)
+    # (version, schema_json) for every schema change — drives the
+    # per-generation read projection.
+    schema_history: list[tuple[int, str]] = dc_field(default_factory=list)
+    timestamp_ms: int = 0
+    _live: dict[str, FileEntry] = dc_field(default_factory=dict)
 
+    # -- construction --------------------------------------------------
     @classmethod
     def of(
         cls,
@@ -59,31 +80,55 @@ class Snapshot:
         version_as_of: int | None = None,
         timestamp_as_of: int | None = None,
     ) -> "Snapshot":
+        ckpt = log.latest_checkpoint()
+        if ckpt is not None:
+            ckpt_version, state = ckpt
+            usable = (
+                version_as_of is None or version_as_of >= ckpt_version
+            ) and (
+                timestamp_as_of is None
+                or state.get("timestamp_ms", 0) <= timestamp_as_of
+            )
+            if usable:
+                snap = cls.from_state(state, log.table_root)
+                tail = [
+                    c
+                    for c in log.replay(
+                        version_as_of, timestamp_as_of, start_after=ckpt_version
+                    )
+                ]
+                snap._apply(tail)
+                snap.commits = tail
+                snap._finish()
+                return snap
         commits = log.replay(version_as_of, timestamp_as_of)
         if not commits:
             raise FileNotFoundError(f"no commits in {log.log_dir}")
-        snap = cls(
-            version=commits[-1].version,
-            schema=None,
-            table_root=log.table_root,
-            commits=commits,
-        )
-        live: dict[str, FileEntry] = {}
+        snap = cls(version=0, schema=None, table_root=log.table_root)
+        snap._apply(commits)
+        snap.commits = commits
+        snap._finish()
+        return snap
+
+    def _apply(self, commits: list[Commit]) -> None:
         for c in commits:
+            self.version = c.version
+            self.timestamp_ms = max(self.timestamp_ms, c.timestamp_ms)
             if c.schema_json:
-                snap.schema = Schema.from_json(c.schema_json)
+                self.schema = Schema.from_json(c.schema_json)
+                self.schema_history.append((c.version, c.schema_json))
             if c.partition_scheme is not None:
-                snap.partition_scheme = c.partition_scheme
+                self.partition_scheme = c.partition_scheme
             if c.sort_scheme is not None:
-                snap.sort_scheme = c.sort_scheme
+                self.sort_scheme = c.sort_scheme
             if c.properties:
-                snap.properties.update(c.properties)
+                self.properties.update(c.properties)
             if c.watermark is not None:
-                snap.watermark = max(snap.watermark or 0, c.watermark)
+                self.watermark = max(self.watermark or 0, c.watermark)
             for p in c.removes:
-                live.pop(p, None)
+                self._live.pop(p, None)
             for idx, add in enumerate(c.adds):
-                live[add["path"]] = FileEntry(
+                self._live[add["path"]] = FileEntry(
                     path=add["path"],
                     records=add.get("records"),
                     bytes=add.get("bytes"),
@@ -95,10 +140,51 @@ class Snapshot:
                     file_index=idx,
                     delta_type=c.delta_type,
                 )
-        snap.files = sorted(
-            live.values(), key=lambda f: (f.version, f.file_index)
+
+    def _finish(self) -> None:
+        self.files = sorted(
+            self._live.values(), key=lambda f: (f.version, f.file_index)
         )
+
+    # -- checkpoint state ----------------------------------------------
+    def to_state(self) -> dict:
+        return {
+            "version": self.version,
+            "timestamp_ms": self.timestamp_ms,
+            "properties": self.properties,
+            "partition_scheme": self.partition_scheme,
+            "sort_scheme": self.sort_scheme,
+            "watermark": self.watermark,
+            "schema_history": list(self.schema_history),
+            "files": [f.to_dict() for f in self.files],
+        }
+
+    @classmethod
+    def from_state(cls, state: dict, table_root: str) -> "Snapshot":
+        snap = cls(
+            version=state["version"],
+            schema=None,
+            table_root=table_root,
+            properties=dict(state.get("properties") or {}),
+            partition_scheme=state.get("partition_scheme"),
+            sort_scheme=state.get("sort_scheme"),
+            watermark=state.get("watermark"),
+            schema_history=[tuple(t) for t in state.get("schema_history", [])],
+            timestamp_ms=state.get("timestamp_ms", 0),
+        )
+        if snap.schema_history:
+            snap.schema = Schema.from_json(snap.schema_history[-1][1])
+        for d in state.get("files", []):
+            snap._live[d["path"]] = FileEntry.from_dict(d)
         return snap
+
+    def schema_at(self, version: int) -> Schema | None:
+        sch_json = None
+        for v, sj in self.schema_history:
+            if v > version:
+                break
+            sch_json = sj
+        return Schema.from_json(sch_json) if sch_json else None
 
     # -- file pruning --------------------------------------------------
     def prune(
