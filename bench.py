@@ -28,6 +28,7 @@ BENCH_QUERIES = [
     "merge_upsert",
     "delete_equality",
     "dedupe_lww",
+    "dedupe_lww_agg",
     "hash_bucket_distribution",
     # LLM-pipeline surface
     "text_quality",
@@ -61,6 +62,46 @@ def main() -> None:
         timings[name] = round(dt, 3)
         total += dt
         print(f"# {name}: {dt:.2f}s", file=sys.stderr)
+
+    # Lakehouse write-path micro-bench: ingest lineitem into the table
+    # format with merge keys, upsert a 1% slice (copy-by-reference CoW),
+    # read back — the compaction dataflow the reference benchmarks.
+    import tempfile
+
+    from pyspark.sql import functions as F, types as T
+
+    from deltacat_spark.catalog import Catalog
+    from deltacat_spark.schema import Field, Schema
+
+    cat = Catalog(spark, tempfile.mkdtemp(prefix="dcs_bench_"))
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    schema = Schema(
+        [
+            Field("l_orderkey", T.LongType(), merge_key=True),
+            Field("l_linenumber", T.IntegerType(), merge_key=True),
+            Field("l_quantity", T.DoubleType()),
+            Field("l_extendedprice", T.DoubleType()),
+        ]
+    )
+    cols = [f.name for f in schema.fields]
+    cat.create_table("li", schema=schema)
+    t0 = time.time()
+    cat.write_to_table(li.select(*cols), "li", mode="merge")
+    timings["lakehouse_initial_merge"] = round(time.time() - t0, 3)
+    t0 = time.time()
+    upd = li.select(*cols).filter(F.col("l_orderkey") % 100 == 0).withColumn(
+        "l_quantity", F.col("l_quantity") + 1.0
+    )
+    cat.write_to_table(upd, "li", mode="merge")
+    timings["lakehouse_upsert_cow"] = round(time.time() - t0, 3)
+    t0 = time.time()
+    n = cat.read_table("li").count()
+    timings["lakehouse_read"] = round(time.time() - t0, 3)
+    total += sum(
+        timings[k]
+        for k in ("lakehouse_initial_merge", "lakehouse_upsert_cow", "lakehouse_read")
+    )
+    print(f"# lakehouse rows: {n}", file=sys.stderr)
 
     print(
         json.dumps(

@@ -255,13 +255,18 @@ class Catalog:
         partition_filter: dict[str, Any] | None = None,
         predicate: Expr | None = None,
         file_path_column: str | None = None,
-    ) -> DataFrame:
+        read_as: str = "spark",
+    ):
         """Snapshot read (reference `read_table`,
         `catalog/main/impl.py:1638-1722`).
 
         Driver-side: log replay + stats/partition file pruning. Executor
         side: one `spark.read.parquet(live_files)` (per schema
         generation), merge-on-read fold only if unresolved deltas exist.
+
+        `read_as`: 'spark' (distributed DataFrame — the default and the
+        only scale-safe choice), 'pandas', or 'arrow' (driver-collected
+        local tables — the reference's LocalTable variants, SURVEY §1.2).
         """
         snap = self.snapshot(table, namespace, version_as_of, timestamp_as_of)
         preds = predicate.skipping_predicates() if predicate is not None else None
@@ -272,6 +277,14 @@ class Catalog:
         if columns:
             extra = [file_path_column] if file_path_column else []
             df = df.select(*columns, *extra)
+        if read_as == "pandas":
+            return df.toPandas()
+        if read_as == "arrow":
+            if hasattr(df, "toArrow"):  # Spark 4
+                return df.toArrow()
+            import pyarrow as pa
+
+            return pa.Table.from_pandas(df.toPandas())
         return df
 
     def _empty(self, snap: Snapshot) -> DataFrame:
@@ -469,6 +482,10 @@ class Catalog:
         keys = snap.schema.merge_keys
         data_files = [f for f in files if f.delta_type in _DATA_DELTAS]
         del_files = [f for f in files if f.delta_type == DeltaType.DELETE]
+        if not data_files:
+            # Only delete deltas live (e.g. DELETE against an empty
+            # table) — nothing to resolve.
+            return self._empty(snap)
         rows = self._scan(snap, data_files, file_path_column, provenance=True)
         if del_files:
             dels = self._scan(snap, del_files, provenance=True)

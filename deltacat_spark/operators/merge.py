@@ -45,6 +45,44 @@ def dedupe_last_writer(
     )
 
 
+def dedupe_last_writer_agg(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_cols: Sequence[str],
+    descending: bool = True,
+) -> DataFrame:
+    """Skew-immune last-writer-wins dedupe via aggregation.
+
+    Same result as :func:`dedupe_last_writer` for an ordering on
+    `order_cols` (all same direction), but expressed as
+    ``max(struct(order_cols..., payload))`` — a hash aggregation with
+    map-side partial combine. At 100 TB this matters: a window
+    `row_number()` shuffles every row of a hot key to one task, while
+    the aggregate form combines before the shuffle, so a key with 1e9
+    duplicates sends O(partitions) rows, not O(1e9).
+    """
+    payload = [c for c in df.columns if c not in order_cols]
+    ord_exprs = [
+        (F.col(c) if descending else -F.col(c)).alias(f"o{i}")
+        for i, c in enumerate(order_cols)
+    ]
+    packed = F.struct(
+        *ord_exprs, F.struct(*[F.col(c) for c in payload]).alias("row")
+    )
+    agg = df.groupBy(*[F.col(k) for k in keys]).agg(F.max(packed).alias("w"))
+    out_cols = [F.col(k) for k in keys]
+    for i, c in enumerate(order_cols):
+        if c in keys:
+            continue
+        src = F.col(f"w.o{i}")
+        out_cols.append((src if descending else -src).alias(c))
+    for c in payload:
+        if c in keys:
+            continue
+        out_cols.append(F.col(f"w.row.{c}").alias(c))
+    return agg.select(*out_cols)
+
+
 def upsert(
     existing: DataFrame,
     updates: DataFrame,

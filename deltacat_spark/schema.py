@@ -66,6 +66,9 @@ class Field:
     future_default: Any = None
     consistency: str = "coerce"  # none | coerce | validate
     doc: str | None = None
+    # Named field group (reference subschemas, `schema.py:937-973` —
+    # multimodal column families sharing the merge keys).
+    subschema: str | None = None
 
     def __post_init__(self) -> None:
         if self.merge_key:
@@ -97,6 +100,8 @@ class Field:
             md[META_PREFIX + "consistency"] = self.consistency
         if self.doc:
             md[META_PREFIX + "doc"] = self.doc
+        if self.subschema:
+            md[META_PREFIX + "subschema"] = self.subschema
         return T.StructField(self.name, self.data_type, self.nullable, md)
 
     @classmethod
@@ -116,6 +121,7 @@ class Field:
             future_default=g("future_default"),
             consistency=g("consistency", "coerce"),
             doc=g("doc"),
+            subschema=g("subschema"),
         )
 
 
@@ -175,6 +181,21 @@ class Schema:
             if f.event_time:
                 return f.name
         return None
+
+    def subschema_names(self) -> list[str]:
+        """Named field groups (reference `schema.py:937-973,1499-1533`)."""
+        seen: list[str] = []
+        for f in self.fields:
+            if f.subschema and f.subschema not in seen:
+                seen.append(f.subschema)
+        return seen
+
+    def subschema_columns(self, name: str) -> list[str]:
+        """Merge keys + the group's own columns — the projection a
+        field-group writer owns."""
+        return self.merge_keys + [
+            f.name for f in self.fields if f.subschema == name
+        ]
 
     def merge_order_specs(self) -> list[tuple[str, str, str]]:
         """(field, asc|desc, first|last) winner-picking specs for MERGE

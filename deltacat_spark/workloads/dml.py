@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from deltacat_spark.operators.merge import (
     dedupe_last_writer,
+    dedupe_last_writer_agg,
     equality_delete,
     hash_bucket,
     partial_upsert,
@@ -169,7 +170,22 @@ GROUP BY 1
 """
 
 
+# --- last-writer-wins dedupe, aggregation form ------------------------------
+def dedupe_lww_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-immune dedupe via max(struct(...)) with map-side combine —
+    same answer as `dedupe_lww`, different (hot-key-safe) physical plan.
+    See `operators.merge.dedupe_last_writer_agg`."""
+    e = load(spark, sf_dir, "events").select(
+        "user_id", "event_type", "event_id", "ts_us", "value"
+    )
+    out = dedupe_last_writer_agg(
+        e, ["user_id", "event_type"], ["ts_us", "event_id"]
+    )
+    return out.select("user_id", "event_type", "event_id", "ts_us", "value")
+
+
 QUERIES = {
+    "dedupe_lww_agg": (dedupe_lww_agg, DEDUPE_LWW_SQL),
     "merge_upsert": (merge_upsert, MERGE_UPSERT_SQL),
     "delete_equality": (delete_equality, DELETE_SQL),
     "merge_partial_upsert": (merge_partial_upsert, PARTIAL_UPSERT_SQL),
