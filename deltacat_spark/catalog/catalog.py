@@ -836,6 +836,52 @@ class Catalog:
         order = order + [F.desc("__dcs_row")]
         return dedupe_last_writer(df, keys, order).drop("__dcs_row")
 
+    def register_view(
+        self,
+        table: str,
+        namespace: str = DEFAULT_NAMESPACE,
+        view_name: str | None = None,
+        **read_kwargs: Any,
+    ) -> str:
+        """Register a snapshot read as a temp view for `spark.sql`."""
+        name = view_name or table
+        self.read_table(table, namespace, **read_kwargs).createOrReplaceTempView(
+            name
+        )
+        return name
+
+    def sql(self, query: str, tables: "list[str] | None" = None) -> DataFrame:
+        """Run SQL over catalog tables (the surface the reference stubs
+        as NotImplemented `dc.query`, reference `api.py:480-481` —
+        inherited from Spark here).
+
+        `tables`: tables to (re-)register as views first; defaults to
+        every table in the default namespace.
+        """
+        for t in tables if tables is not None else self.list_tables():
+            self.register_view(t)
+        return self.spark.sql(query)
+
+    def table_stats(
+        self, table: str, namespace: str = DEFAULT_NAMESPACE
+    ) -> dict[str, Any]:
+        """Summary stats from the log alone — no data scan (reference
+        delta-stats / audit surface, SURVEY §2.9)."""
+        snap = self.snapshot(table, namespace)
+        return {
+            "version": snap.version,
+            "files": len(snap.files),
+            "records": sum(f.records or 0 for f in snap.files),
+            "bytes": sum(f.bytes or 0 for f in snap.files),
+            "unresolved_deltas": sum(
+                1
+                for f in snap.files
+                if f.delta_type in (DeltaType.UPSERT, DeltaType.DELETE)
+            ),
+            "watermark": snap.watermark,
+            "partition_scheme": snap.partition_scheme,
+        }
+
     def read_delta(
         self, table: str, version: int, namespace: str = DEFAULT_NAMESPACE
     ) -> DataFrame:
@@ -981,16 +1027,34 @@ class Catalog:
             )
         )
 
-    def vacuum(self, table: str, namespace: str = DEFAULT_NAMESPACE) -> int:
-        """Delete data files no longer referenced by ANY log version
-        (janitor equivalent, reference `compute/janitor.py:85-228`)."""
+    def vacuum(
+        self,
+        table: str,
+        namespace: str = DEFAULT_NAMESPACE,
+        retain_versions: int | None = None,
+    ) -> int:
+        """Delete unreferenced data files (janitor equivalent, reference
+        `compute/janitor.py:85-228`).
+
+        Default: only files referenced by NO log version (orphans from
+        failed writes / empty part files). With `retain_versions=N`,
+        files referenced only by versions older than `latest - N` are
+        also deleted — time travel beyond the retention window stops
+        resolving (Delta-style retention), the log itself stays intact.
+        """
         troot = self._table_root(table, namespace)
+        log = self._log(table, namespace)
+        latest = log.latest_version() or 0
+        horizon = latest - retain_versions if retain_versions is not None else 0
         referenced: set[str] = set()
         # Full log scan (not the checkpoint-truncated snapshot tail) —
-        # vacuum must see every version's adds.
-        for c in self._log(table, namespace).replay():
-            for a in c.adds:
-                referenced.add(a["path"])
+        # vacuum must see every retained version's adds.
+        live = {f.path for f in self.snapshot(table, namespace).files}
+        for c in log.replay():
+            if c.version >= horizon:
+                for a in c.adds:
+                    referenced.add(a["path"])
+        referenced |= live
         removed = 0
         data_dir = os.path.join(troot, "data")
         for dirpath, _d, fnames in os.walk(data_dir):

@@ -60,6 +60,44 @@ def session_window_agg(
     return df.groupBy(F.session_window(event_time, gap), *group_by).agg(*aggs)
 
 
+def stream_read_appends(
+    catalog,
+    table: str,
+    namespace: str = "default",
+) -> DataFrame:
+    """Streaming read of an append-only catalog table.
+
+    A parquet file stream over the table's data directory — each newly
+    committed file becomes stream input. Sound for APPEND/ADD/CHRONO
+    tables (files are immutable-once-committed); tables with CoW
+    rewrites (MERGE/DELETE/OPTIMIZE) would replay rewritten rows, so
+    this guards against them at call time.
+    """
+    snap = catalog.snapshot(table, namespace)
+    from deltacat_spark.storage.commit import DeltaType
+
+    bad = [
+        f.path
+        for f in snap.files
+        if f.delta_type
+        not in (DeltaType.APPEND, DeltaType.ADD, DeltaType.CHRONO)
+    ]
+    if bad:
+        raise ValueError(
+            f"{namespace}.{table} has non-append files (CoW rewrites or "
+            "MoR deltas); streaming reads support append-only tables"
+        )
+    assert snap.schema is not None, "streaming read requires a schema"
+    import os
+
+    data_glob = os.path.join(catalog._table_root(table, namespace), "data", "*")
+    return (
+        catalog.spark.readStream.schema(snap.schema.to_struct_type())
+        .option("recursiveFileLookup", "true")
+        .parquet(data_glob)
+    )
+
+
 def stream_write_to_table(
     stream_df: DataFrame,
     catalog,
