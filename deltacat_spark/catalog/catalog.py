@@ -961,6 +961,9 @@ class Catalog:
         """Compaction: fold any unresolved deltas + rewrite the live set
         (reference `compact_partition` v2 collapsed into one Spark job —
         SURVEY §2.9/§3.3)."""
+        import time as _time
+
+        t0 = _time.time()
         snap = self.snapshot(table, namespace)
         if not snap.files:
             return
@@ -988,6 +991,14 @@ class Catalog:
         commit = Commit(
             version=snap.version + 1,
             operation="OPTIMIZE",
+            # audit info (reference compaction_session_audit_info, §2.9)
+            metrics={
+                "input_files": len(snap.files),
+                "output_files": len(adds),
+                "output_records": sum(a["add"].get("records") or 0 for a in adds),
+                "output_bytes": sum(a["add"].get("bytes") or 0 for a in adds),
+                "duration_s": round(_time.time() - t0, 3),
+            },
             actions=adds + [{"remove": {"path": f.path}} for f in snap.files],
         )
         self._log(table, namespace).commit(commit)

@@ -62,6 +62,83 @@ def brute_force_topk(
     )
 
 
+def hyperplanes(dim: int, n_planes: int) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes for sign-LSH.
+
+    Components derive from md5(plane:i) so Spark, DuckDB oracles, and
+    any other engine can reproduce the exact same planes without a
+    shared RNG.
+    """
+    import hashlib
+
+    planes = []
+    for p in range(n_planes):
+        v = []
+        for i in range(dim):
+            h = hashlib.md5(f"{p}:{i}".encode()).hexdigest()
+            # uniform in [-1, 1) from the first 8 hex chars
+            v.append(round(int(h[:8], 16) / float(2**31) - 1.0, 6))
+        planes.append(v)
+    return planes
+
+
+def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
+    """Sign-LSH bucket id: bit b = (dot(vec, plane_b) >= 0)."""
+    bucket = F.lit(0)
+    for plane in planes:
+        d = dot(vec, F.array(*[F.lit(x) for x in plane]))
+        bucket = bucket * 2 + F.when(d >= 0, 1).otherwise(0)
+    return bucket
+
+
+def lsh_topk(
+    candidates: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_planes: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Bucketed ANN — the scale path past brute force.
+
+    Both sides bucket by sign-LSH; the similarity join only compares
+    pairs in the same bucket, an equi-join on the bucket id. With B
+    buckets the candidate set shrinks ~B×: at 100 TB this turns the
+    O(n·q) cross join into a shuffle-partitioned join keyed by bucket
+    (multi-probe = union of per-plane bit flips, not implemented here).
+    Returns (q_id, cand_id, cosine, rank) — approximate: neighbors in
+    other buckets are missed, by design.
+    """
+    dim = 64
+    planes = hyperplanes(dim, n_planes)
+    q = with_norm(queries, vec_col).select(
+        F.col(id_col).alias("q_id"),
+        F.col(vec_col).alias("q_vec"),
+        F.col("_norm").alias("q_norm"),
+        lsh_bucket(F.col(vec_col), planes).alias("bucket"),
+    )
+    c = with_norm(candidates, vec_col).select(
+        F.col(id_col).alias("cand_id"),
+        F.col(vec_col).alias("c_vec"),
+        F.col("_norm").alias("c_norm"),
+        lsh_bucket(F.col(vec_col), planes).alias("bucket"),
+    )
+    scored = c.join(F.broadcast(q), "bucket").select(
+        "q_id",
+        "cand_id",
+        (
+            dot(F.col("q_vec"), F.col("c_vec"))
+            / (F.col("q_norm") * F.col("c_norm"))
+        ).alias("cos_raw"),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos_raw"), F.asc("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "cand_id", F.round("cos_raw", 6).alias("cosine"), "rank")
+    )
+
+
 def knn_label_vote(
     topk: DataFrame,
     labels: DataFrame,

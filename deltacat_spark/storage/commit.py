@@ -67,6 +67,9 @@ class Commit:
     partition_scheme: list[dict] | None = None
     sort_scheme: list[dict] | None = None
     properties: dict[str, Any] | None = None
+    # Operational audit info (reference compaction audit, SURVEY §2.9) —
+    # carried on the commit, never merged into table properties.
+    metrics: dict[str, Any] | None = None
     actions: list[dict] = dc_field(default_factory=list)
 
     def to_json(self) -> str:

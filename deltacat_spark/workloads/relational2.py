@@ -184,8 +184,30 @@ WHERE p_retailprice = (
 """
 
 
+# --- grouping sets ----------------------------------------------------------
+def grouping_sets_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load(spark, sf_dir, "orders").createOrReplaceTempView("dcs_gs_orders")
+    return spark.sql(
+        f"""
+        SELECT o_orderstatus, o_orderpriority, {cnt_sql('n_orders')},
+               {dsum_sql('o_totalprice', 'total_price')}
+        FROM dcs_gs_orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+GROUPING_SETS_SQL = f"""
+SELECT o_orderstatus, o_orderpriority, {cnt_sql('n_orders')},
+       {dsum_sql('o_totalprice', 'total_price')}
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+"""
+
+
 QUERIES = {
     "cube_order_status": (cube_order_status, CUBE_SQL),
+    "grouping_sets_orders": (grouping_sets_orders, GROUPING_SETS_SQL),
     "set_intersect_active_buyers": (set_intersect_active_buyers, INTERSECT_SQL),
     "window_order_gaps": (window_order_gaps, LAG_LEAD_SQL),
     "percentile_prices": (percentile_prices, PERCENTILE_SQL),

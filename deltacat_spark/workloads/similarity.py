@@ -95,8 +95,56 @@ GROUP BY label
 """
 
 
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH bucketed ANN (the scale path — see
+    `operators.similarity.lsh_topk`): same-bucket candidates only."""
+    from deltacat_spark.operators.similarity import lsh_topk
+
+    e = load(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 10)
+    candidates = e.filter(F.col("vec_id") >= 10)
+    return lsh_topk(candidates, queries, k=5, n_planes=4)
+
+
+def _lsh_sql() -> str:
+    from deltacat_spark.operators.similarity import hyperplanes
+
+    planes = hyperplanes(64, 4)
+    dots = []
+    for p in planes:
+        arr = "[" + ", ".join(f"{x}::DOUBLE" for x in p) + "]"
+        dots.append(
+            "list_sum(list_transform(list_zip(embedding, "
+            + arr
+            + "), p -> p[1]::DOUBLE * p[2]::DOUBLE))"
+        )
+    bucket = "0"
+    for d in dots:
+        bucket = f"({bucket}) * 2 + (CASE WHEN {d} >= 0 THEN 1 ELSE 0 END)"
+    return f"""
+WITH v AS (
+  SELECT vec_id, embedding, {_NORM_SQL} AS nrm, {bucket} AS bucket
+  FROM embeddings),
+q AS (SELECT vec_id AS q_id, embedding AS q_vec, nrm AS q_nrm, bucket
+      FROM v WHERE vec_id < 10),
+c AS (SELECT vec_id AS cand_id, embedding AS c_vec, nrm AS c_nrm, bucket
+      FROM v WHERE vec_id >= 10),
+s AS (SELECT q_id, cand_id, {_DOT_SQL} / (q_nrm * c_nrm) AS cos_raw
+      FROM c JOIN q USING (bucket))
+SELECT q_id, cand_id, ROUND(cos_raw, 6) AS cosine, CAST(rn AS INT) AS rank
+FROM (SELECT *, row_number() OVER (PARTITION BY q_id
+                                   ORDER BY cos_raw DESC, cand_id ASC) AS rn
+      FROM s)
+WHERE rn <= 5
+"""
+
+
+ANN_LSH_SQL = _lsh_sql()
+
+
 QUERIES = {
     "ann_cosine_topk": (ann_cosine_topk, ANN_TOPK_SQL),
+    "ann_lsh_topk": (ann_lsh_topk, ANN_LSH_SQL),
     "knn_classify": (knn_classify, KNN_SQL),
     "embedding_norm_stats": (embedding_norm_stats, NORM_STATS_SQL),
 }
