@@ -52,26 +52,33 @@ def shingle_sets(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataF
     )
 
 
+def _rotation(h, i: int):
+    """Permutation i = rotate the 32-char md5 hex left by 4*i chars.
+
+    One md5 per shingle serves every permutation: each rotation induces
+    an independent-enough pseudo-random order, so the per-doc min is a
+    valid MinHash signature row. 8× fewer hashes and no perm explode vs
+    salting the input per permutation (measured the dominant cost).
+    """
+    k = (4 * i) % 32
+    if k == 0:
+        return h
+    return F.concat(F.substring(h, k + 1, 32 - k), F.substring(h, 1, k))
+
+
 def minhash_signatures(
     shingles: DataFrame, num_perms: int = 8
 ) -> DataFrame:
-    """(doc_id, perm, minhash): min over md5(perm || ':' || shingle).
-
-    Lexicographic min of md5 hex strings is a valid permutation MinHash
-    (each salt defines an independent pseudo-random order on shingles).
-    """
-    perms = F.explode(F.sequence(F.lit(0), F.lit(num_perms - 1))).alias("perm")
-    return (
-        shingles.select("doc_id", "shingle", perms)
-        .select(
-            "doc_id",
-            "perm",
-            F.md5(
-                F.concat_ws(":", F.col("perm").cast("string"), F.col("shingle"))
-            ).alias("h"),
-        )
-        .groupBy("doc_id", "perm")
-        .agg(F.min("h").alias("minhash"))
+    """(doc_id, perm, minhash): per-permutation minimum over rotated
+    shingle digests — computed wide (one aggregation, `num_perms` min
+    columns) then unpivoted."""
+    h = F.md5(F.col("shingle"))
+    wide = shingles.groupBy("doc_id").agg(
+        *[F.min(_rotation(h, i)).alias(f"m{i}") for i in range(num_perms)]
+    )
+    stack = ", ".join(f"{i}, m{i}" for i in range(num_perms))
+    return wide.selectExpr(
+        "doc_id", f"stack({num_perms}, {stack}) as (perm, minhash)"
     )
 
 

@@ -205,9 +205,93 @@ GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
 """
 
 
+# --- semi join (EXISTS) -----------------------------------------------------
+def semi_join_big_spenders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    return c.join(
+        o.select(F.col("o_custkey").alias("c_custkey")), "c_custkey", "left_semi"
+    ).select("c_custkey", "c_name")
+
+
+SEMI_SQL = """
+SELECT c_custkey, c_name FROM customer
+WHERE EXISTS (SELECT 1 FROM orders
+              WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+"""
+
+
+# --- anti join (NOT EXISTS) -------------------------------------------------
+def anti_join_unordered_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parts never ordered in bulk (quantity ≥ 48)."""
+    p = load(spark, sf_dir, "part")
+    l = (
+        load(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity") >= 48)
+        .select(F.col("l_partkey").alias("p_partkey"))
+    )
+    return (
+        p.join(l, "p_partkey", "left_anti")
+        .groupBy("p_brand")
+        .agg(cnt("never_bulk_ordered"))
+    )
+
+
+ANTI_SQL = f"""
+SELECT p_brand, {cnt_sql('never_bulk_ordered')}
+FROM part
+WHERE NOT EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_partkey = p_partkey AND l_quantity >= 48)
+GROUP BY p_brand
+"""
+
+
+# --- limit / offset pagination ----------------------------------------------
+def limit_offset_page(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.orderBy("o_orderkey")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .offset(40)
+        .limit(20)
+    )
+
+
+PAGE_SQL = """
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders ORDER BY o_orderkey LIMIT 20 OFFSET 40
+"""
+
+
+# --- scalar subquery threshold ----------------------------------------------
+def above_median_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    med = o.agg(
+        F.expr("percentile(o_totalprice, 0.5)").alias("med")
+    )
+    return (
+        o.crossJoin(F.broadcast(med))
+        .filter(F.col("o_totalprice") > F.col("med"))
+        .groupBy("o_orderpriority")
+        .agg(cnt("n_above_median"))
+    )
+
+
+ABOVE_MEDIAN_SQL = f"""
+SELECT o_orderpriority, {cnt_sql('n_above_median')}
+FROM orders
+WHERE o_totalprice > (SELECT quantile_cont(o_totalprice, 0.5) FROM orders)
+GROUP BY o_orderpriority
+"""
+
+
 QUERIES = {
     "cube_order_status": (cube_order_status, CUBE_SQL),
     "grouping_sets_orders": (grouping_sets_orders, GROUPING_SETS_SQL),
+    "semi_join_big_spenders": (semi_join_big_spenders, SEMI_SQL),
+    "anti_join_unordered_parts": (anti_join_unordered_parts, ANTI_SQL),
+    "limit_offset_page": (limit_offset_page, PAGE_SQL),
+    "above_median_orders": (above_median_orders, ABOVE_MEDIAN_SQL),
     "set_intersect_active_buyers": (set_intersect_active_buyers, INTERSECT_SQL),
     "window_order_gaps": (window_order_gaps, LAG_LEAD_SQL),
     "percentile_prices": (percentile_prices, PERCENTILE_SQL),

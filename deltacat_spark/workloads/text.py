@@ -174,8 +174,11 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 MINHASH_SQL = f"""
 WITH {_SH_SQL},
 mh AS (
+  -- permutation i = md5 hex rotated left by 4*i chars (one digest per
+  -- shingle serves all perms — mirrors operators.dedupe._rotation)
   SELECT doc_id, perm,
-         min(md5(concat(CAST(perm AS VARCHAR), ':', shingle))) AS minhash
+         min(concat(substr(md5(shingle), perm * 4 + 1),
+                    substr(md5(shingle), 1, perm * 4))) AS minhash
   FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS perm) p
   GROUP BY doc_id, perm),
 bands AS (
