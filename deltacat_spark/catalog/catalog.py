@@ -776,7 +776,14 @@ class Catalog:
             or files >= int(props.get("compaction.trigger.files", 1000))
             or records >= int(props.get("compaction.trigger.records", 64_000_000))
         ):
-            self.optimize_table(table, namespace)
+            try:
+                self.optimize_table(table, namespace)
+            except CommitConflictError:
+                # The triggering write already committed; compaction is
+                # best-effort and will re-trigger on a later write. Letting
+                # this propagate would make write_to_table's retry loop
+                # re-run (and duplicate) the append.
+                pass
 
     def _split_by_key_overlap(
         self,

@@ -112,3 +112,35 @@ def test_write_to_missing_table_errors(spark, catalog):
 def test_auto_creates(spark, catalog):
     catalog.write_to_table(users(spark, range(3)), "users", mode="auto")
     assert catalog.read_table("users").count() == 3
+
+
+def test_alter_table_schema_and_properties(spark, catalog):
+    from pyspark.sql import types as T
+
+    create_users(catalog)
+    catalog.write_to_table(users(spark, range(3)), "users", mode="append")
+    # add a column + change a property via ALTER (metadata-only commit)
+    new_schema = Schema(
+        [
+            Field("id", T.LongType()),
+            Field("name", T.StringType()),
+            Field("age", T.IntegerType()),
+            Field("city", T.StringType()),
+            Field("email", T.StringType(), past_default="n/a"),
+        ]
+    )
+    catalog.alter_table("users", schema=new_schema, properties={"owner": "me"})
+    snap = catalog.snapshot("users")
+    assert snap.properties["owner"] == "me"
+    assert snap.schema.names[-1] == "email"
+    # old rows read with the declared past_default
+    rows = catalog.read_table("users").collect()
+    assert all(r.email == "n/a" for r in rows)
+    # evolution guard: ALTER cannot narrow a type
+    import pytest as _pytest
+
+    with _pytest.raises(SchemaError):
+        catalog.alter_table(
+            "users",
+            schema=Schema([Field("age", T.StringType())]),
+        )
