@@ -843,6 +843,21 @@ class Catalog:
         order = order + [F.desc("__dcs_row")]
         return dedupe_last_writer(df, keys, order).drop("__dcs_row")
 
+    def export_table(
+        self,
+        table: str,
+        url: str,
+        namespace: str = DEFAULT_NAMESPACE,
+        fmt: str | None = None,
+        **read_kwargs: Any,
+    ) -> None:
+        """Export a snapshot to a plain directory in any supported format
+        (the `dc.copy(table → URL)` direction of the reference's
+        universal copy API, `api.py:97-480`)."""
+        from deltacat_spark.sources.formats import write_url
+
+        write_url(self.read_table(table, namespace, **read_kwargs), url, fmt)
+
     def register_view(
         self,
         table: str,
