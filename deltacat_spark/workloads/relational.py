@@ -329,8 +329,41 @@ SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders
 """
 
 
+# --- LIKE / IN / null-handling filter ---------------------------------------
+def filter_like_in(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expression-surface breadth: LIKE, IN, NOT, null-safe coalesce —
+    the reference's expression AST ops (`expression.py:17-657`) compiled
+    through `plans.expr` to Catalyst and pushed to the scan."""
+    from deltacat_spark.plans.expr import col
+
+    p = load(spark, sf_dir, "part")
+    e = (
+        col("p_name").like("%a%")
+        .and_(col("p_type").in_(["ECONOMY", "PROMO", "SMALL"]))
+        .and_(col("p_size").between(10, 40))
+        .and_(col("p_retailprice").is_null().not_())
+    )
+    return p.filter(e.to_column()).select(
+        "p_partkey",
+        "p_name",
+        "p_type",
+        F.coalesce(F.col("p_brand"), F.lit("?")).alias("brand"),
+    )
+
+
+LIKE_IN_SQL = """
+SELECT p_partkey, p_name, p_type, coalesce(p_brand, '?') AS brand
+FROM part
+WHERE p_name LIKE '%a%'
+  AND p_type IN ('ECONOMY', 'PROMO', 'SMALL')
+  AND p_size BETWEEN 10 AND 40
+  AND NOT (p_retailprice IS NULL)
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
+    "filter_like_in": (filter_like_in, LIKE_IN_SQL),
     "q6_forecast_revenue": (q6_forecast_revenue, Q6_SQL),
     "scan_filter_project": (scan_filter_project, SCAN_SQL),
     "q3_shipping_priority": (q3_shipping_priority, Q3_SQL),

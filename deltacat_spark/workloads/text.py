@@ -260,7 +260,76 @@ FROM votes GROUP BY doc_id
 """
 
 
+# --- BPE-ish regex tokenization ---------------------------------------------
+def text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex tokenizer (word pieces + standalone punctuation — the
+    'BPE-ish regex' pass of a pretraining tokenizer pipeline)."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.expr(r"regexp_extract_all(text, '[a-z0-9]+|[^a-z0-9 ]', 0)")
+    return d.select(
+        "doc_id",
+        F.size(toks).alias("n_bpe_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_unique_bpe"),
+    )
+
+
+BPE_SQL = """
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '[a-z0-9]+|[^a-z0-9 ]')) AS INT)
+         AS n_bpe_tokens,
+       CAST(len(list_distinct(regexp_extract_all(text, '[a-z0-9]+|[^a-z0-9 ]'))) AS INT)
+         AS n_unique_bpe
+FROM documents
+"""
+
+
+# --- TF-IDF top term --------------------------------------------------------
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Highest-TF-IDF token per document (classic corpus statistics:
+    tf × ln(N/df) over the whitespace tokens)."""
+    d = load(spark, sf_dir, "documents")
+    n_docs = d.count()
+    tok = d.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok")
+    )
+    tf = tok.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tok.distinct().groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    from pyspark.sql.window import Window
+
+    scored = tf.join(F.broadcast(df_), "tok").withColumn(
+        "tfidf",
+        F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6),
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("tfidf"), F.asc("tok")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", F.col("tok").alias("top_term"), "tfidf")
+    )
+
+
+TFIDF_SQL = """
+WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+tf AS (SELECT doc_id, tok, count(*) AS tf FROM tok GROUP BY doc_id, tok),
+docfreq AS (SELECT tok, count(*) AS df
+            FROM (SELECT DISTINCT doc_id, tok FROM tok) GROUP BY tok),
+n AS (SELECT count(*)::DOUBLE AS n_docs FROM documents),
+scored AS (
+  SELECT doc_id, tok, ROUND(tf * ln(n_docs / df), 6) AS tfidf
+  FROM tf JOIN docfreq USING (tok) CROSS JOIN n)
+SELECT doc_id, tok AS top_term, tfidf
+FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY tfidf DESC, tok ASC) AS rn
+      FROM scored)
+WHERE rn = 1
+"""
+
+
 QUERIES = {
+    "text_bpe_tokens": (text_bpe_tokens, BPE_SQL),
+    "tfidf_top_terms": (tfidf_top_terms, TFIDF_SQL),
     "text_token_count": (text_token_count, TOKEN_COUNT_SQL),
     "text_quality": (text_quality, QUALITY_SQL),
     "lang_id_heuristic": (lang_id_heuristic, LANG_ID_SQL),
