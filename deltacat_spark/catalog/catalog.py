@@ -98,11 +98,20 @@ class Catalog:
     def namespace_exists(self, namespace: str) -> bool:
         return os.path.isfile(os.path.join(self.root, namespace, "_namespace.json"))
 
-    def list_namespaces(self) -> list[str]:
+    def list_namespaces(
+        self, limit: int | None = None, start_after: str | None = None
+    ) -> list[str]:
+        """Paginated listing (reference ListResult,
+        `storage/model/list_result.py:1-85`): pass the last name of the
+        previous page as `start_after`."""
         out = []
         for name in sorted(os.listdir(self.root)):
+            if start_after is not None and name <= start_after:
+                continue
             if self.namespace_exists(name):
                 out.append(name)
+            if limit is not None and len(out) >= limit:
+                break
         return out
 
     def drop_namespace(self, namespace: str, purge: bool = False) -> None:
@@ -123,15 +132,24 @@ class Catalog:
     def table_exists(self, table: str, namespace: str = DEFAULT_NAMESPACE) -> bool:
         return self._log(table, namespace).latest_version() is not None
 
-    def list_tables(self, namespace: str = DEFAULT_NAMESPACE) -> list[str]:
+    def list_tables(
+        self,
+        namespace: str = DEFAULT_NAMESPACE,
+        limit: int | None = None,
+        start_after: str | None = None,
+    ) -> list[str]:
         ns_dir = os.path.join(self.root, namespace)
         if not os.path.isdir(ns_dir):
             return []
-        return sorted(
-            t
-            for t in os.listdir(ns_dir)
-            if os.path.isdir(os.path.join(ns_dir, t, CommitLog.LOG_DIR))
-        )
+        out = []
+        for t in sorted(os.listdir(ns_dir)):
+            if start_after is not None and t <= start_after:
+                continue
+            if os.path.isdir(os.path.join(ns_dir, t, CommitLog.LOG_DIR)):
+                out.append(t)
+            if limit is not None and len(out) >= limit:
+                break
+        return out
 
     def create_table(
         self,

@@ -144,3 +144,13 @@ def test_alter_table_schema_and_properties(spark, catalog):
             "users",
             schema=Schema([Field("age", T.StringType())]),
         )
+
+
+def test_listing_pagination(spark, catalog):
+    for name in ("alpha", "beta", "gamma", "delta"):
+        catalog.write_to_table(users(spark, range(1)), name, mode="auto")
+    page1 = catalog.list_tables(limit=2)
+    assert page1 == ["alpha", "beta"]
+    page2 = catalog.list_tables(limit=2, start_after=page1[-1])
+    assert page2 == ["delta", "gamma"]
+    assert catalog.list_tables(limit=2, start_after=page2[-1]) == []
