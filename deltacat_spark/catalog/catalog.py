@@ -322,11 +322,37 @@ class Catalog:
             # manifest (reference `_handle_schemaless_table_read`,
             # `catalog/main/impl.py:1408-1439`).
             return self._manifest_df(snap, files)
+        pos_files = [
+            f for f in files if f.delta_type == DeltaType.POSITIONAL_DELETE
+        ]
+        files = [
+            f for f in files if f.delta_type != DeltaType.POSITIONAL_DELETE
+        ]
         has_mor = any(f.delta_type in (DeltaType.UPSERT, DeltaType.DELETE) for f in files)
         if not has_mor:
-            df = self._scan(snap, [f for f in files], file_path_column)
+            df = self._scan(
+                snap, [f for f in files], file_path_column, with_pos=bool(pos_files)
+            )
+            return self._apply_pos_deletes(snap, df, pos_files)
+        return self._resolve_mor(snap, files, file_path_column, pos_files)
+
+    def _apply_pos_deletes(
+        self, snap: Snapshot, df: DataFrame, pos_files: list[FileEntry]
+    ) -> DataFrame:
+        """Anti-join rows against positional-delete entries on
+        (file basename, row index) — Iceberg-style MoR position deletes
+        (reference converter, `compute/converter/steps/convert.py`)."""
+        if not pos_files:
             return df
-        return self._resolve_mor(snap, files, file_path_column)
+        dels = self.spark.read.parquet(
+            *[f.abs_path(snap.table_root) for f in pos_files]
+        ).select("_file", "_pos").distinct()
+        out = df.join(
+            F.broadcast(dels),
+            (df["__dcs_file"] == dels["_file"]) & (df["__dcs_pos"] == dels["_pos"]),
+            "left_anti",
+        )
+        return out.drop("__dcs_file", "__dcs_pos")
 
     def _manifest_df(self, snap: Snapshot, files: list[FileEntry]) -> DataFrame:
         rows = [
@@ -409,6 +435,7 @@ class Catalog:
         files: list[FileEntry],
         file_path_column: str | None = None,
         provenance: bool = False,
+        with_pos: bool = False,
     ) -> DataFrame:
         """Read a file set, normalizing schema generations to the
         snapshot schema (zero-copy evolution: per-file-generation
@@ -441,6 +468,14 @@ class Catalog:
             df = reader.parquet(*[f.abs_path(snap.table_root) for f in fs])
             if file_path_column:
                 df = df.withColumn(file_path_column, F.input_file_name())
+            if with_pos:
+                # Stable per-row identity: (file basename, parquet row
+                # index) via the _metadata struct — the anchor for
+                # positional deletes.
+                df = df.withColumn(
+                    "__dcs_file",
+                    F.regexp_extract(F.col("_metadata.file_path"), r"([^/]+)$", 1),
+                ).withColumn("__dcs_pos", F.col("_metadata.row_index"))
             if provenance:
                 # (version, file_index) per row — the merge-on-read
                 # ordering key (reference envelopes ordered by
@@ -491,6 +526,7 @@ class Catalog:
         snap: Snapshot,
         files: list[FileEntry],
         file_path_column: str | None = None,
+        pos_files: "list[FileEntry] | None" = None,
     ) -> DataFrame:
         """Merge-on-read fold (reference merge semantics re-expressed as
         one declarative plan — SURVEY §3.3 final note): survivors of the
@@ -504,7 +540,17 @@ class Catalog:
             # Only delete deltas live (e.g. DELETE against an empty
             # table) — nothing to resolve.
             return self._empty(snap)
-        rows = self._scan(snap, data_files, file_path_column, provenance=True)
+        rows = self._scan(
+            snap,
+            data_files,
+            file_path_column,
+            provenance=True,
+            with_pos=bool(pos_files),
+        )
+        if pos_files:
+            # Positional deletes apply to physical rows before the
+            # logical merge fold.
+            rows = self._apply_pos_deletes(snap, rows, pos_files)
         if del_files:
             dels = self._scan(snap, del_files, provenance=True)
             last_del = (
@@ -861,6 +907,63 @@ class Catalog:
         order = order + [F.desc("__dcs_row")]
         return dedupe_last_writer(df, keys, order).drop("__dcs_row")
 
+    def delete_where(
+        self,
+        table: str,
+        predicate: Expr,
+        namespace: str = DEFAULT_NAMESPACE,
+    ) -> int:
+        """Predicate delete via POSITIONAL deletes (merge-on-read).
+
+        Matching rows are recorded as (file basename, row index) tuples
+        in a positional-delete file — no merge keys required, no data
+        rewrite (the reference's position-delete manifest entry type,
+        `manifest.py:36-70`, and its equality→position converter,
+        `compute/converter/steps/convert.py`). Resolution happens at
+        read; OPTIMIZE folds the deletes away. Returns the number of
+        rows marked deleted.
+        """
+        snap = self.snapshot(table, namespace)
+        data_files = [
+            f
+            for f in snap.files
+            if f.delta_type != DeltaType.POSITIONAL_DELETE and not f.content_type
+        ]
+        if not data_files:
+            return 0
+        rows = self._scan(snap, data_files, with_pos=True)
+        # apply existing positional deletes so re-deletes are no-ops
+        pos_existing = [
+            f for f in snap.files if f.delta_type == DeltaType.POSITIONAL_DELETE
+        ]
+        if pos_existing:
+            dels = self.spark.read.parquet(
+                *[f.abs_path(snap.table_root) for f in pos_existing]
+            ).select("_file", "_pos")
+            rows = rows.join(
+                F.broadcast(dels),
+                (rows["__dcs_file"] == dels["_file"])
+                & (rows["__dcs_pos"] == dels["_pos"]),
+                "left_anti",
+            )
+        matches = rows.filter(predicate.to_column()).select(
+            F.col("__dcs_file").alias("_file"),
+            F.col("__dcs_pos").alias("_pos"),
+        )
+        adds = write_data_files(matches, self._table_root(table, namespace))
+        n = sum(a["add"].get("records") or 0 for a in adds)
+        if n == 0:
+            return 0
+        self._log(table, namespace).commit(
+            Commit(
+                version=snap.version + 1,
+                operation="DELETE",
+                delta_type=DeltaType.POSITIONAL_DELETE,
+                actions=adds,
+            )
+        )
+        return n
+
     def export_table(
         self,
         table: str,
@@ -916,7 +1019,12 @@ class Catalog:
             "unresolved_deltas": sum(
                 1
                 for f in snap.files
-                if f.delta_type in (DeltaType.UPSERT, DeltaType.DELETE)
+                if f.delta_type
+                in (
+                    DeltaType.UPSERT,
+                    DeltaType.DELETE,
+                    DeltaType.POSITIONAL_DELETE,
+                )
             ),
             "watermark": snap.watermark,
             "partition_scheme": snap.partition_scheme,

@@ -35,13 +35,15 @@ from typing import Any
 
 
 class DeltaType:
-    """Reference `storage/model/types.py:41-46`."""
+    """Reference `storage/model/types.py:41-46` + the manifest
+    POSITIONAL_DELETE entry type (`manifest.py:36-70`)."""
 
     ADD = "ADD"
     CHRONO = "CHRONO"
     APPEND = "APPEND"
     UPSERT = "UPSERT"
     DELETE = "DELETE"
+    POSITIONAL_DELETE = "POSITIONAL_DELETE"
 
 
 # Operations that only ever add files at the end of the stream; they
