@@ -858,43 +858,54 @@ class Catalog:
         """Copy-by-reference planning (reference `merge.py:408-502`:
         untouched hash buckets reuse previous files without rewrite).
 
-        Spark-first equivalent: a file whose min/max range on the first
-        key column cannot contain any payload key is carried forward *by
-        reference* — not read, not rewritten, not removed. Returns
-        (touched, untouched). Conservative: files without usable stats,
-        or non-comparable stat types, count as touched.
+        Spark-first equivalent: a file is carried forward *by reference*
+        — not read, not rewritten, not removed — when its min/max range
+        on ANY key column is disjoint from the payload's range on that
+        column (a row matching on every key would have to fall inside
+        every per-column range). Conservative: files without usable
+        stats, or non-comparable stat types, count as touched.
         """
+        import datetime
+
         files = snap.files
         if not files or not cols:
             return files, []
-        key = cols[0]
-        row = payload.agg(
-            F.min(F.col(key)).alias("lo"), F.max(F.col(key)).alias("hi")
+        bounds: dict[str, tuple] = {}
+        agg_row = payload.agg(
+            *[F.min(F.col(c)).alias(f"lo_{i}") for i, c in enumerate(cols)],
+            *[F.max(F.col(c)).alias(f"hi_{i}") for i, c in enumerate(cols)],
         ).collect()[0]
-        lo, hi = row["lo"], row["hi"]
-        if lo is None or hi is None:
+        for i, c in enumerate(cols):
+            lo, hi = agg_row[f"lo_{i}"], agg_row[f"hi_{i}"]
+            if lo is None or hi is None:
+                continue
+            if isinstance(lo, (datetime.datetime, datetime.date)):
+                lo, hi = lo.isoformat(), hi.isoformat()
+            bounds[c] = (lo, hi)
+        if not bounds:
             return files, []
-        import datetime
-
-        if isinstance(lo, (datetime.datetime, datetime.date)):
-            lo, hi = lo.isoformat(), hi.isoformat()
         touched, untouched = [], []
         for f in files:
-            st = (f.stats or {}).get(key)
-            fmin = st.get("min") if st else None
-            fmax = st.get("max") if st else None
-            comparable = (
-                fmin is not None
-                and fmax is not None
-                and (
-                    (isinstance(fmin, (int, float)) and isinstance(lo, (int, float)))
-                    or (isinstance(fmin, str) and isinstance(lo, str))
+            disjoint = False
+            for c, (lo, hi) in bounds.items():
+                st = (f.stats or {}).get(c)
+                fmin = st.get("min") if st else None
+                fmax = st.get("max") if st else None
+                comparable = (
+                    fmin is not None
+                    and fmax is not None
+                    and (
+                        (
+                            isinstance(fmin, (int, float))
+                            and isinstance(lo, (int, float))
+                        )
+                        or (isinstance(fmin, str) and isinstance(lo, str))
+                    )
                 )
-            )
-            if comparable and (fmax < lo or fmin > hi):
-                untouched.append(f)
-            else:
-                touched.append(f)
+                if comparable and (fmax < lo or fmin > hi):
+                    disjoint = True
+                    break
+            (untouched if disjoint else touched).append(f)
         return touched, untouched
 
     def _normalize_merge_batch(self, df: DataFrame, schema: Schema) -> DataFrame:

@@ -98,6 +98,7 @@ def lsh_topk(
     n_planes: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    multiprobe: bool = False,
 ) -> DataFrame:
     """Bucketed ANN — the scale path past brute force.
 
@@ -117,6 +118,16 @@ def lsh_topk(
         F.col("_norm").alias("q_norm"),
         lsh_bucket(F.col(vec_col), planes).alias("bucket"),
     )
+    if multiprobe:
+        # Probe every bucket at Hamming distance ≤ 1 (flip each sign
+        # bit): recall recovers near-boundary neighbors at (n_planes+1)×
+        # query fan-out — still a bucket equi-join, never a cross join.
+        flips = F.array(
+            F.lit(0), *[F.lit(1 << b) for b in range(n_planes)]
+        )
+        q = q.withColumn("__flip", F.explode(flips)).withColumn(
+            "bucket", F.col("bucket").bitwiseXOR(F.col("__flip"))
+        ).drop("__flip")
     c = with_norm(candidates, vec_col).select(
         F.col(id_col).alias("cand_id"),
         F.col(vec_col).alias("c_vec"),

@@ -142,9 +142,36 @@ WHERE rn <= 5
 ANN_LSH_SQL = _lsh_sql()
 
 
+def ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe LSH ANN: probe all buckets at Hamming distance ≤ 1 —
+    recall recovery at bounded extra fan-out."""
+    from deltacat_spark.operators.similarity import lsh_topk
+
+    e = load(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 10)
+    candidates = e.filter(F.col("vec_id") >= 10)
+    return lsh_topk(candidates, queries, k=5, n_planes=4, multiprobe=True)
+
+
+def _lsh_multiprobe_sql() -> str:
+    base = _lsh_sql()
+    # queries probe xor-flipped buckets; candidates keep their own bucket
+    return base.replace(
+        "q AS (SELECT vec_id AS q_id, embedding AS q_vec, nrm AS q_nrm, bucket\n      FROM v WHERE vec_id < 10),",
+        """q AS (SELECT vec_id AS q_id, embedding AS q_vec, nrm AS q_nrm,
+             xor(bucket, flip) AS bucket
+      FROM v CROSS JOIN (SELECT unnest([0, 1, 2, 4, 8]) AS flip)
+      WHERE vec_id < 10),""",
+    )
+
+
+ANN_LSH_MULTIPROBE_SQL = _lsh_multiprobe_sql()
+
+
 QUERIES = {
     "ann_cosine_topk": (ann_cosine_topk, ANN_TOPK_SQL),
     "ann_lsh_topk": (ann_lsh_topk, ANN_LSH_SQL),
+    "ann_lsh_multiprobe": (ann_lsh_multiprobe, ANN_LSH_MULTIPROBE_SQL),
     "knn_classify": (knn_classify, KNN_SQL),
     "embedding_norm_stats": (embedding_norm_stats, NORM_STATS_SQL),
 }
