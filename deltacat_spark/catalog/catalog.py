@@ -663,8 +663,26 @@ class Catalog:
         troot = self._table_root(table, namespace)
         log = self._log(table, namespace)
 
+        salt = props.get("write.partition_salt")
+
         def _write(data: DataFrame) -> list[dict]:
-            return write_data_files(data, troot, part_scheme, srt_scheme, max_rpf)
+            return write_data_files(
+                data,
+                troot,
+                part_scheme,
+                srt_scheme,
+                max_rpf,
+                partition_salt=int(salt) if salt else None,
+            )
+
+        def _cdc_actions(change_df: DataFrame) -> list[dict]:
+            """Row-level change sidecars for CoW commits (property
+            `cdc.enabled`) — make `read_changes` exact for CoW tables."""
+            if not props.get("cdc.enabled"):
+                return []
+            return [
+                {"cdc": a["add"]} for a in write_data_files(change_df, troot)
+            ]
 
         schema_json = schema.to_json() if schema_changed else None
 
@@ -747,7 +765,8 @@ class Catalog:
                     operation="DELETE",
                     schema_json=schema_json,
                     actions=adds
-                    + [{"remove": {"path": f.path}} for f in touched],
+                    + [{"remove": {"path": f.path}} for f in touched]
+                    + _cdc_actions(df),
                 )
             else:
                 adds = _write(df)
@@ -803,7 +822,8 @@ class Catalog:
                 operation="MERGE",
                 schema_json=schema_json,
                 actions=adds
-                + [{"remove": {"path": f.path}} for f in work_snap_files],
+                + [{"remove": {"path": f.path}} for f in work_snap_files]
+                + _cdc_actions(batch),
             )
         else:
             adds = _write(schema.validate_and_coerce(batch))
@@ -1072,7 +1092,13 @@ class Catalog:
         log = self._log(table, namespace)
         parts = []
         for c in log.replay(to_version, start_after=from_version):
-            if c.delta_type is None or not c.adds:
+            if c.delta_type is not None and c.adds:
+                change_adds, change_type = c.adds, c.delta_type
+            elif c.cdc_files:
+                # CoW commit with row-level change sidecars
+                # (`cdc.enabled` tables) — exact CDC despite the rewrite.
+                change_adds, change_type = c.cdc_files, c.operation
+            else:
                 continue
             entries = [
                 FileEntry(
@@ -1083,12 +1109,12 @@ class Catalog:
                     file_index=i,
                     delta_type=c.delta_type,
                 )
-                for i, a in enumerate(c.adds)
+                for i, a in enumerate(change_adds)
             ]
             df = self._scan(snap, entries)
             parts.append(
                 df.withColumn("_commit_version", F.lit(c.version)).withColumn(
-                    "_change_type", F.lit(c.delta_type)
+                    "_change_type", F.lit(change_type)
                 )
             )
         if not parts:
@@ -1223,6 +1249,8 @@ class Catalog:
         for c in log.replay():
             if c.version >= horizon:
                 for a in c.adds:
+                    referenced.add(a["path"])
+                for a in c.cdc_files:
                     referenced.add(a["path"])
         referenced |= live
         removed = 0

@@ -53,19 +53,36 @@ def write_data_files(
     partition_scheme: list[PartitionKey] | None = None,
     sort_scheme: list[SortKey] | None = None,
     max_records_per_file: int = DEFAULT_MAX_RECORDS_PER_FILE,
+    partition_salt: int | None = None,
 ) -> list[dict[str, Any]]:
-    """Write a batch; return commit `add` action dicts."""
+    """Write a batch; return commit `add` action dicts.
+
+    `partition_salt=N`: shuffle on (partition values, salt) across N
+    explicit tasks instead of partition values alone — a low-cardinality
+    partition scheme (e.g. 3 regions on a 1000-executor cluster) then
+    uses N writers rather than one task per partition value. Salt is a
+    deterministic hash of the row, never written to the files.
+    """
     dest = os.path.join(table_root, "data", uuid.uuid4().hex)
     part_cols = partition_columns(partition_scheme, df.schema)
     out = df
     for name, col in part_cols.items():
         out = out.withColumn(name, col)
     if part_cols:
-        # Cluster rows of one partition into the same task so each
-        # partition gets few, large files. (At 1000-executor scale a
-        # low-cardinality scheme would underuse the cluster — AQE
-        # coalescing plus a salt column would be the refinement.)
-        out = out.repartition(*part_cols.keys())
+        if partition_salt and partition_salt > 1:
+            from pyspark.sql import functions as F
+
+            salt = F.pmod(
+                F.hash(*[F.col(c) for c in df.columns]), F.lit(partition_salt)
+            )
+            out = out.withColumn("__dcs_salt", salt)
+            out = out.repartition(
+                partition_salt, *part_cols.keys(), "__dcs_salt"
+            ).drop("__dcs_salt")
+        else:
+            # Cluster rows of one partition into the same task so each
+            # partition gets few, large files.
+            out = out.repartition(*part_cols.keys())
     if sort_scheme:
         out = out.sortWithinPartitions(*sort_columns(sort_scheme))
     writer = out.write.mode("overwrite").option(

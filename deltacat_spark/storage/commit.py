@@ -94,6 +94,12 @@ class Commit:
     def removes(self) -> list[str]:
         return [a["remove"]["path"] for a in self.actions if "remove" in a]
 
+    @property
+    def cdc_files(self) -> list[dict]:
+        """Change-data sidecar files: the commit's row-level changes for
+        CoW commits (never part of the live data set)."""
+        return [a["cdc"] for a in self.actions if "cdc" in a]
+
 
 class CommitLog:
     """The `_dcs_log/` directory of one table."""

@@ -94,3 +94,31 @@ def test_read_changes_mor_deltas(spark, catalog):
     ch = catalog.read_changes("m", from_version=v0).collect()
     types = {r._change_type for r in ch}
     assert types == {"UPSERT", "DELETE"}
+
+
+def test_cdc_sidecars_for_cow_commits(spark, catalog):
+    """With cdc.enabled, CoW MERGE/DELETE commits carry row-level change
+    files so read_changes is exact despite the rewrite."""
+    catalog.create_table(
+        "c",
+        schema=Schema(
+            [Field("id", T.LongType(), merge_key=True), Field("v", T.StringType())]
+        ),
+        properties={"cdc.enabled": True},
+    )
+    catalog.write_to_table(batch(spark, 0, 3), "c", mode="merge")
+    v0 = catalog.snapshot("c").version
+    catalog.write_to_table(batch(spark, 1, 2), "c", mode="merge")  # CoW upsert
+    catalog.write_to_table(
+        spark.createDataFrame([(0,)], "id long"), "c", mode="delete"
+    )
+    ch = catalog.read_changes("c", from_version=v0).collect()
+    by_type = {}
+    for r in ch:
+        by_type.setdefault(r._change_type, []).append(r.id)
+    assert by_type["MERGE"] == [1]      # only the changed row, not the rewrite
+    assert by_type["DELETE"] == [0]     # the delete payload
+    # live reads unaffected; vacuum keeps the sidecars
+    catalog.vacuum("c")
+    assert catalog.read_changes("c", from_version=v0).count() == 2
+    assert sorted(r.id for r in catalog.read_table("c").collect()) == [1, 2]

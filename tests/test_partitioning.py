@@ -112,3 +112,31 @@ def test_stats_file_skipping(spark, catalog):
     expr = col("x").ge(250)
     out = catalog.read_table("m", predicate=expr)
     assert out.count() == 50
+
+
+def test_partition_salt_spreads_writers(spark, catalog):
+    """write.partition_salt=N gives a low-cardinality partition scheme N
+    write tasks (files) instead of one — the 1000-executor fix for a
+    3-value partition column."""
+    from deltacat_spark.schema import Schema as S, Field as Fld
+
+    schema = S([Fld("region", T.StringType()), Fld("x", T.LongType())])
+    for salt, name in ((None, "plain"), (4, "salted")):
+        props = {"write.partition_salt": salt} if salt else {}
+        catalog.create_table(
+            name,
+            schema=schema,
+            partition_scheme=[PartitionKey("region")],
+            properties=props,
+        )
+        df = spark.range(2000).selectExpr("'EU' as region", "id as x")
+        catalog.write_to_table(df, name, mode="append")
+    plain = len(catalog.snapshot("plain").files)
+    salted = len(catalog.snapshot("salted").files)
+    assert salted > plain
+    assert catalog.read_table("salted").count() == 2000
+    # partition pruning still works on salted layout
+    assert (
+        len(catalog.snapshot("salted").prune(partition_filter={"region": "EU"}))
+        == salted
+    )
