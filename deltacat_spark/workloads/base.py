@@ -75,9 +75,11 @@ def dsum(col: Column | str, alias: str, scale: int = 2) -> Column:
 
 
 def dsum_sql(expr: str, alias: str, scale: int = 2) -> str:
+    # `/ 10000.0` would parse as a DECIMAL literal in Spark SQL (result
+    # column decimal(24,2), while DuckDB returns double) — cast explicitly.
     return (
         f"ROUND(CAST(SUM(CAST(FLOOR(({expr}) * {SUM_SCALE} + 0.5) AS BIGINT))"
-        f" AS BIGINT) / {SUM_SCALE}.0, {scale}) AS {alias}"
+        f" AS BIGINT) / CAST({SUM_SCALE} AS DOUBLE), {scale}) AS {alias}"
     )
 
 
@@ -93,7 +95,7 @@ def davg(col: Column | str, alias: str, scale: int = 6) -> Column:
 def davg_sql(expr: str, alias: str, scale: int = 6) -> str:
     return (
         f"ROUND(CAST(SUM(CAST(FLOOR(({expr}) * {SUM_SCALE} + 0.5) AS BIGINT)) AS DOUBLE)"
-        f" / {SUM_SCALE}.0 / COUNT({expr}), {scale}) AS {alias}"
+        f" / CAST({SUM_SCALE} AS DOUBLE) / COUNT({expr}), {scale}) AS {alias}"
     )
 
 

@@ -28,7 +28,10 @@ def norm_cell(v):
             return "nan"
         return repr(v)
     if isinstance(v, decimal.Decimal):
-        return repr(float(v))
+        # Type-strict: a Decimal must NOT hash like the equivalent float.
+        # The driver's gate distinguishes them (round-1 `grouping_sets_orders`
+        # failed there while this gate passed) — keep the distinction here.
+        return f"dec:{v}"
     if isinstance(v, datetime.datetime):
         return v.isoformat()
     if isinstance(v, datetime.date):
