@@ -44,6 +44,7 @@ from deltacat_spark.storage.commit import (
     CommitConflictError,
     CommitLog,
     DeltaType,
+    TxnMarkers,
 )
 from deltacat_spark.storage.snapshot import FileEntry, Snapshot
 
@@ -58,6 +59,11 @@ DEFAULT_PROPERTIES = {
     "compaction.trigger.records": 64_000_000,
     "max_records_per_file": DEFAULT_MAX_RECORDS_PER_FILE,
     "checkpoint.interval": 20,
+    # Delete/MoR sets at or below this many rows (per the commit log's
+    # record counts) broadcast in read-path joins; above it they shuffle.
+    # An unconditional broadcast of e.g. a 10^9-row delete set would OOM
+    # the driver at 100 TB scale.
+    "broadcast.row_limit": 10_000_000,
 }
 
 _DATA_DELTAS = {DeltaType.APPEND, DeltaType.ADD, DeltaType.CHRONO, DeltaType.UPSERT, None}
@@ -85,6 +91,11 @@ class Catalog:
         self.spark = spark
         self.root = root
         os.makedirs(root, exist_ok=True)
+        # Catalog-level transaction machinery: marker files decide the
+        # visibility of pending_txn-stamped commits across ALL tables
+        # (see `storage/commit.py:TxnMarkers`).
+        self._txn_markers = TxnMarkers(root)
+        self._txn_ctx: str | None = None
 
     # ------------------------------------------------------------------
     # namespaces
@@ -127,7 +138,11 @@ class Catalog:
         return os.path.join(self.root, namespace, table)
 
     def _log(self, table: str, namespace: str) -> CommitLog:
-        return CommitLog(self._table_root(table, namespace))
+        return CommitLog(
+            self._table_root(table, namespace),
+            txn_status=self._txn_markers.status,
+            current_txn=self._txn_ctx,
+        )
 
     def table_exists(self, table: str, namespace: str = DEFAULT_NAMESPACE) -> bool:
         return self._log(table, namespace).latest_version() is not None
@@ -216,11 +231,20 @@ class Catalog:
         table: str,
         namespace: str = DEFAULT_NAMESPACE,
         schema: Schema | None = None,
+        partition_scheme: list[PartitionKey] | None = None,
         sort_scheme: list[SortKey] | None = None,
         properties: dict[str, Any] | None = None,
     ) -> None:
         """Metadata-only commit (reference `alter_table`,
-        `catalog/main/impl.py:1725-1870`)."""
+        `catalog/main/impl.py:1725-1870`).
+
+        `partition_scheme`: partition evolution (Iceberg-style, in-place
+        like the reference's partition-scheme update): FUTURE writes lay
+        out by the new scheme; existing files keep their old layout and
+        recorded partition values, and pruning remains correct across
+        both generations (files without a value for a filtered partition
+        column are conservatively scanned). Pass `[]` to un-partition.
+        """
         snap = self.snapshot(table, namespace)
         if schema is not None and snap.schema is not None:
             # Alters must be compatible evolutions of the current schema.
@@ -229,6 +253,7 @@ class Catalog:
             version=snap.version + 1,
             operation="ALTER",
             schema_json=schema.to_json() if schema else None,
+            partition_scheme=scheme_to_json(partition_scheme),
             sort_scheme=scheme_to_json(sort_scheme),
             properties=properties,
         )
@@ -259,7 +284,16 @@ class Catalog:
             )
             cps = log.checkpoints()
             last_cp = cps[-1] if cps else 0
-            if snap.version - last_cp >= interval:
+            # Never checkpoint a provisional snapshot: an in-flight
+            # multi-table txn's skipped commit may still land, and a
+            # checkpoint past it would exclude its actions forever.
+            # (also: inside our own seal the snapshot contains our not-yet
+            # -final pending commits — equally unfit to persist)
+            if (
+                snap.version - last_cp >= interval
+                and not snap.has_unresolved_txn
+                and self._txn_ctx is None
+            ):
                 log.write_checkpoint(snap.version, snap.to_state())
         return snap
 
@@ -328,6 +362,9 @@ class Catalog:
         files = [
             f for f in files if f.delta_type != DeltaType.POSITIONAL_DELETE
         ]
+        if not files:
+            # Only delete sidecars live (every data row deleted).
+            return self._empty(snap)
         has_mor = any(f.delta_type in (DeltaType.UPSERT, DeltaType.DELETE) for f in files)
         if not has_mor:
             df = self._scan(
@@ -335,6 +372,24 @@ class Catalog:
             )
             return self._apply_pos_deletes(snap, df, pos_files)
         return self._resolve_mor(snap, files, file_path_column, pos_files)
+
+    def _hint_small(
+        self, snap: Snapshot, df: DataFrame, files: list[FileEntry]
+    ) -> DataFrame:
+        """Broadcast `df` only when the commit log's record counts prove
+        it small (`broadcast.row_limit`); otherwise leave the join
+        strategy to Catalyst/AQE (shuffle join). Unknown size counts as
+        large — a blind broadcast of an unbounded delete set is a driver
+        OOM at scale."""
+        limit = int(
+            {**DEFAULT_PROPERTIES, **snap.properties}.get(
+                "broadcast.row_limit", 10_000_000
+            )
+        )
+        if files and all(f.records is not None for f in files):
+            if sum(f.records for f in files) <= limit:
+                return F.broadcast(df)
+        return df
 
     def _apply_pos_deletes(
         self, snap: Snapshot, df: DataFrame, pos_files: list[FileEntry]
@@ -348,7 +403,7 @@ class Catalog:
             *[f.abs_path(snap.table_root) for f in pos_files]
         ).select("_file", "_pos").distinct()
         out = df.join(
-            F.broadcast(dels),
+            self._hint_small(snap, dels, pos_files),
             (df["__dcs_file"] == dels["_file"]) & (df["__dcs_pos"] == dels["_pos"]),
             "left_anti",
         )
@@ -559,7 +614,7 @@ class Catalog:
             )
             cond = [rows[k].eqNullSafe(last_del[f"__dk_{k}"]) for k in keys]
             rows = (
-                rows.join(F.broadcast(last_del), cond, "left")
+                rows.join(self._hint_small(snap, last_del, del_files), cond, "left")
                 .filter(
                     F.col("__del_v").isNull() | (F.col("__dcs_v") > F.col("__del_v"))
                 )
@@ -628,7 +683,9 @@ class Catalog:
         if schema is None:
             schema = Schema.from_dataframe(df)
             schema_changed = True
-        elif evolution == "auto":
+        elif evolution == "auto" and mode != TableWriteMode.DELETE:
+            # A DELETE payload is a filter, not data — its columns must
+            # match existing schema columns, never evolve the schema.
             evolved = schema.evolve(Schema.from_dataframe(df))
             if evolved.to_json() != schema.to_json():
                 schema, schema_changed = evolved, True
@@ -747,13 +804,25 @@ class Catalog:
 
         # MERGE / DELETE
         cow = props.get("read_optimization", "max") == "max"
+        pos_sidecars = [
+            f for f in snap.files if f.delta_type == DeltaType.POSITIONAL_DELETE
+        ]
         if mode == TableWriteMode.DELETE:
+            delete_cols = [c for c in df.columns if c in schema.names]
+            if not delete_cols:
+                # An empty condition list would plan as a cross anti-join
+                # and silently delete every row.
+                raise SchemaError(
+                    f"DELETE payload columns {df.columns} share no columns "
+                    f"with the table schema {schema.names}"
+                )
             if cow:
-                delete_cols = [c for c in df.columns if c in schema.names]
                 touched, _untouched = self._split_by_key_overlap(
                     snap, df, delete_cols
                 )
-                current = self._read_files(snap, touched)
+                current = self._read_files(
+                    snap, touched + (pos_sidecars if touched else [])
+                )
                 current = schema.read_projection(current)
                 result = equality_delete(current, df, delete_cols)
                 adds = _write(result)
@@ -787,7 +856,13 @@ class Catalog:
                 snap, batch, merge_keys
             )
             work_snap_files = touched
-            current = self._read_files(snap, work_snap_files)
+            # Read touched files WITH the positional-delete sidecars so
+            # the rewrite doesn't resurrect deleted rows; the sidecars
+            # themselves stay live (not in the remove list) to keep
+            # covering untouched-by-reference files.
+            current = self._read_files(
+                snap, work_snap_files + (pos_sidecars if work_snap_files else [])
+            )
             current = schema.read_projection(current)
             # Partial when the batch lacks some existing non-key column —
             # those fill from the matched old row (reference
@@ -887,7 +962,15 @@ class Catalog:
         """
         import datetime
 
-        files = snap.files
+        # Positional-delete sidecars are neither touched nor untouched —
+        # they carry no merge-key stats (so they'd always classify as
+        # "touched" and get removed by the rewrite commit, resurrecting
+        # deleted rows in files that stayed live by reference). Callers
+        # read them alongside the touched set and keep them live; stale
+        # entries pointing at rewritten files match nothing.
+        files = [
+            f for f in snap.files if f.delta_type != DeltaType.POSITIONAL_DELETE
+        ]
         if not files or not cols:
             return files, []
         bounds: dict[str, tuple] = {}
@@ -972,7 +1055,7 @@ class Catalog:
                 *[f.abs_path(snap.table_root) for f in pos_existing]
             ).select("_file", "_pos")
             rows = rows.join(
-                F.broadcast(dels),
+                self._hint_small(snap, dels, pos_existing),
                 (rows["__dcs_file"] == dels["_file"])
                 & (rows["__dcs_pos"] == dels["_pos"]),
                 "left_anti",
@@ -1092,6 +1175,45 @@ class Catalog:
         log = self._log(table, namespace)
         parts = []
         for c in log.replay(to_version, start_after=from_version):
+            if c.delta_type == DeltaType.POSITIONAL_DELETE and c.adds:
+                # The sidecar holds (_file, _pos) tuples, not table rows —
+                # scanning it with the table schema would emit all-null
+                # rows. Join the tuples back to the pre-delete snapshot to
+                # emit the actual deleted rows (CDC-exact; costs one scan
+                # of the prior live set per pos-delete commit).
+                prev = self.snapshot(table, namespace, version_as_of=c.version - 1)
+                prev_data = [
+                    f
+                    for f in prev.files
+                    if f.delta_type != DeltaType.POSITIONAL_DELETE
+                    and not f.content_type
+                ]
+                if not prev_data:
+                    continue
+                rows = self._scan(snap, prev_data, with_pos=True)
+                dels = self.spark.read.parquet(
+                    *[
+                        os.path.join(snap.table_root, a["path"])
+                        for a in c.adds
+                    ]
+                ).select("_file", "_pos").distinct()
+                deleted = (
+                    rows.join(
+                        dels,
+                        (rows["__dcs_file"] == dels["_file"])
+                        & (rows["__dcs_pos"] == dels["_pos"]),
+                        "left_semi",
+                    )
+                    .drop("__dcs_file", "__dcs_pos")
+                )
+                parts.append(
+                    deleted.withColumn(
+                        "_commit_version", F.lit(c.version)
+                    ).withColumn(
+                        "_change_type", F.lit(DeltaType.POSITIONAL_DELETE)
+                    )
+                )
+                continue
             if c.delta_type is not None and c.adds:
                 change_adds, change_type = c.adds, c.delta_type
             elif c.cdc_files:
@@ -1228,6 +1350,7 @@ class Catalog:
         table: str,
         namespace: str = DEFAULT_NAMESPACE,
         retain_versions: int | None = None,
+        min_age_seconds: float = 86_400.0,
     ) -> int:
         """Delete unreferenced data files (janitor equivalent, reference
         `compute/janitor.py:85-228`).
@@ -1237,7 +1360,14 @@ class Catalog:
         files referenced only by versions older than `latest - N` are
         also deleted — time travel beyond the retention window stops
         resolving (Delta-style retention), the log itself stays intact.
+
+        `min_age_seconds` (default 24h, Delta-style tombstone retention):
+        unreferenced files younger than this are kept — writers stage
+        data files BEFORE appending the commit, so a concurrent in-flight
+        write's files look orphaned until its commit lands. Pass 0 only
+        when no writer can be active.
         """
+        import time as _time
         troot = self._table_root(table, namespace)
         log = self._log(table, namespace)
         latest = log.latest_version() or 0
@@ -1255,10 +1385,15 @@ class Catalog:
         referenced |= live
         removed = 0
         data_dir = os.path.join(troot, "data")
+        cutoff = _time.time() - min_age_seconds
         for dirpath, _d, fnames in os.walk(data_dir):
             for fn in fnames:
                 p = os.path.join(dirpath, fn)
-                if fn.endswith(".parquet") and os.path.relpath(p, troot) not in referenced:
+                if (
+                    fn.endswith(".parquet")
+                    and os.path.relpath(p, troot) not in referenced
+                    and os.path.getmtime(p) <= cutoff
+                ):
                     os.unlink(p)
                     removed += 1
         return removed

@@ -13,13 +13,18 @@ Spark-first realization:
   same merge/delete/append operators the write path uses;
 * at seal, consecutive append-family writes to the same table coalesce
   into ONE commit (atomic for the dominant multi-batch-load case);
-  merge/delete seal through the normal CoW/MoR path. A failure during
-  seal stops the transaction with earlier tables committed — true
-  cross-table atomicity needs a catalog-level log (future work, noted).
+  merge/delete seal through the normal CoW/MoR path;
+* a seal spanning MULTIPLE tables is atomic via the catalog-level
+  two-phase marker protocol (`storage/commit.py:TxnMarkers`, mirroring
+  reference `storage/model/transaction.py:1432-1639`): every per-table
+  commit is stamped `pending_txn` (invisible to readers), and one atomic
+  marker rename makes them ALL visible — a crash or error mid-seal
+  leaves NO table changed.
 """
 
 from __future__ import annotations
 
+import uuid
 from dataclasses import dataclass, field as dc_field
 from typing import Any
 
@@ -105,6 +110,27 @@ class Transaction:
     def seal(self) -> None:
         assert not self.sealed
         self.sealed = True
+        tables = {(op.namespace, op.table) for op in self.ops}
+        if len(tables) > 1:
+            # Cross-table atomic seal: stamp every commit pending, flip
+            # one marker at the end. Abort (or crash — the marker stays
+            # "pending"/"aborted") leaves every table unchanged.
+            txn_id = uuid.uuid4().hex
+            markers = self.catalog._txn_markers
+            markers.begin(txn_id)
+            self.catalog._txn_ctx = txn_id
+            try:
+                self._seal_ops()
+            except BaseException:
+                self.catalog._txn_ctx = None
+                markers.abort(txn_id)
+                raise
+            self.catalog._txn_ctx = None
+            markers.finalize(txn_id)
+            return
+        self._seal_ops()
+
+    def _seal_ops(self) -> None:
         i = 0
         while i < len(self.ops):
             op = self.ops[i]

@@ -51,9 +51,68 @@ class DeltaType:
 _COMMUTING_OPS = {"APPEND", "ADD", "CHRONO"}
 
 
+def _commutes(c: "Commit") -> bool:
+    """Add-only commits commute — UNLESS they also change table metadata.
+
+    Two concurrent appends that each auto-evolve the schema (writer A
+    adds column X, writer B adds column Y) must not both rebase: replay
+    applies the later schema_json wholesale, silently dropping the other
+    writer's column. Same reasoning for partition/sort-scheme and
+    property changes riding on an append."""
+    return (
+        c.operation in _COMMUTING_OPS
+        and c.schema_json is None
+        and c.partition_scheme is None
+        and c.sort_scheme is None
+        and c.properties is None
+    )
+
+
 class CommitConflictError(RuntimeError):
     """A concurrent transaction took our commit version and does not
     commute — the caller must recompute against the new snapshot."""
+
+
+class TxnMarkers:
+    """Catalog-level two-phase transaction markers (`{root}/_dcs_txn`).
+
+    The reference seals many metafiles across tables in one atomic
+    transaction (`storage/model/transaction.py:768-932,1432-1639`). Here
+    the same guarantee comes from a marker-file protocol: per-table
+    commits carry ``pending_txn=<id>`` and are INVISIBLE to snapshot
+    resolution until ``{id}.committed`` exists. The atomic rename of
+    ``{id}.pending`` → ``{id}.committed`` is the all-tables commit point;
+    renaming to ``{id}.aborted`` (or a missing marker) hides every
+    participating commit forever. On an object store both renames map to
+    a conditional PUT of the status object.
+    """
+
+    DIR = "_dcs_txn"
+
+    def __init__(self, catalog_root: str):
+        self.dir = os.path.join(catalog_root, self.DIR)
+
+    def _p(self, txn_id: str, state: str) -> str:
+        return os.path.join(self.dir, f"{txn_id}.{state}")
+
+    def begin(self, txn_id: str) -> None:
+        os.makedirs(self.dir, exist_ok=True)
+        fd = os.open(self._p(txn_id, "pending"), os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        os.close(fd)
+
+    def finalize(self, txn_id: str) -> None:
+        os.replace(self._p(txn_id, "pending"), self._p(txn_id, "committed"))
+
+    def abort(self, txn_id: str) -> None:
+        if os.path.exists(self._p(txn_id, "pending")):
+            os.replace(self._p(txn_id, "pending"), self._p(txn_id, "aborted"))
+
+    def status(self, txn_id: str) -> str:
+        if os.path.exists(self._p(txn_id, "committed")):
+            return "committed"
+        if os.path.exists(self._p(txn_id, "pending")):
+            return "pending"
+        return "aborted"
 
 
 @dataclass
@@ -62,6 +121,9 @@ class Commit:
     operation: str  # CREATE/APPEND/ADD/CHRONO/REPLACE/MERGE/DELETE/ALTER/TRUNCATE/OPTIMIZE
     txn_id: str = dc_field(default_factory=lambda: uuid.uuid4().hex)
     timestamp_ms: int = dc_field(default_factory=lambda: int(time.time() * 1000))
+    # Set when this commit participates in a catalog-level multi-table
+    # transaction: invisible until TxnMarkers says "committed".
+    pending_txn: str | None = None
     delta_type: str | None = None
     stream_position: int | None = None
     watermark: int | None = None
@@ -106,9 +168,18 @@ class CommitLog:
 
     LOG_DIR = "_dcs_log"
 
-    def __init__(self, table_root: str):
+    def __init__(
+        self,
+        table_root: str,
+        txn_status=None,
+        current_txn: str | None = None,
+    ):
         self.table_root = table_root
         self.log_dir = os.path.join(table_root, self.LOG_DIR)
+        # Catalog-level transaction plumbing (None ⇒ no txn facility:
+        # any pending_txn commit is treated as committed).
+        self.txn_status = txn_status  # Callable[[str], str] | None
+        self.current_txn = current_txn  # stamp + see-own-writes id
 
     # -- read ----------------------------------------------------------
     def versions(self) -> list[int]:
@@ -212,6 +283,8 @@ class CommitLog:
             os.unlink(tmp)
 
     def try_commit(self, commit: Commit) -> bool:
+        if self.current_txn and commit.pending_txn is None:
+            commit.pending_txn = self.current_txn
         return self._put_if_absent(commit.to_json(), commit.version)
 
     def commit(
@@ -236,13 +309,18 @@ class CommitLog:
                 return commit
             latest = self.latest_version()
             assert latest is not None
-            if commit.operation not in _COMMUTING_OPS:
+            if not _commutes(commit):
                 raise CommitConflictError(
                     f"version {commit.version} taken by a concurrent writer "
                     f"(op={commit.operation} does not auto-rebase)"
                 )
             for v in range(commit.version, latest + 1):
                 inter = self.read_commit(v)
+                # Intervening add-only commits are fine to rebase past even
+                # when they evolved the schema: auto-evolution is strictly
+                # additive, so our (metadata-free) commit stays readable
+                # under the newer schema. Only the rebasing commit itself
+                # carrying metadata is dangerous (it would clobber).
                 if inter.operation not in _COMMUTING_OPS:
                     raise CommitConflictError(
                         f"concurrent non-commuting {inter.operation} at "

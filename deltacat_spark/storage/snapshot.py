@@ -70,7 +70,36 @@ class Snapshot:
     # per-generation read projection.
     schema_history: list[tuple[int, str]] = dc_field(default_factory=list)
     timestamp_ms: int = 0
+    # True when an IN-FLIGHT multi-table transaction's commit was skipped
+    # during resolution: this snapshot is provisional (the txn may still
+    # land), so it must not be persisted as a checkpoint.
+    has_unresolved_txn: bool = False
     _live: dict[str, FileEntry] = dc_field(default_factory=dict)
+
+    @staticmethod
+    def _txn_visible(log: CommitLog, commits: list[Commit]) -> tuple[list[Commit], bool]:
+        """Drop commits whose catalog-level transaction has not committed.
+
+        A commit stamped ``pending_txn`` becomes visible only when the
+        catalog's TxnMarkers report "committed" — the cross-table atomic
+        seal (reference `storage/model/transaction.py:1432-1639`). The
+        sealing transaction itself (``log.current_txn``) sees its own
+        pending commits (read-your-writes)."""
+        status = getattr(log, "txn_status", None)
+        cur = getattr(log, "current_txn", None)
+        out: list[Commit] = []
+        unresolved = False
+        for c in commits:
+            pt = getattr(c, "pending_txn", None)
+            if pt and pt != cur and status is not None:
+                st = status(pt)
+                if st == "pending":
+                    unresolved = True
+                    continue
+                if st != "committed":
+                    continue  # aborted / unknown: hidden forever
+            out.append(c)
+        return out, unresolved
 
     # -- construction --------------------------------------------------
     @classmethod
@@ -91,22 +120,27 @@ class Snapshot:
             )
             if usable:
                 snap = cls.from_state(state, log.table_root)
-                tail = [
-                    c
-                    for c in log.replay(
+                tail, unresolved = cls._txn_visible(
+                    log,
+                    log.replay(
                         version_as_of, timestamp_as_of, start_after=ckpt_version
-                    )
-                ]
+                    ),
+                )
                 snap._apply(tail)
                 snap.commits = tail
+                snap.has_unresolved_txn = unresolved
                 snap._finish()
                 return snap
         commits = log.replay(version_as_of, timestamp_as_of)
         if not commits:
             raise FileNotFoundError(f"no commits in {log.log_dir}")
+        commits, unresolved = cls._txn_visible(log, commits)
+        if not commits:
+            raise FileNotFoundError(f"no visible commits in {log.log_dir}")
         snap = cls(version=0, schema=None, table_root=log.table_root)
         snap._apply(commits)
         snap.commits = commits
+        snap.has_unresolved_txn = unresolved
         snap._finish()
         return snap
 
@@ -206,7 +240,12 @@ class Snapshot:
             if partition_filter and f.partition_values is not None:
                 ok = True
                 for k, v in partition_filter.items():
-                    pv = f.partition_values.get(k)
+                    if k not in f.partition_values:
+                        # Partition evolution: files written under an
+                        # older scheme carry no value for this column —
+                        # they can't be pruned on it, only scanned.
+                        continue
+                    pv = f.partition_values[k]
                     allowed = v if isinstance(v, (list, tuple, set)) else [v]
                     if pv not in [str(a) for a in allowed]:
                         ok = False

@@ -144,6 +144,6 @@ def test_mor_optimize_compacts_to_same_result(spark, tmp_path):
     assert all(f.delta_type is None for f in c.snapshot("um").files)
     # vacuum drops only unreferenced files (e.g. empty part files never
     # recorded in the log) — reads at current AND old versions survive
-    c.vacuum("um")
+    c.vacuum("um", min_age_seconds=0)
     assert sorted(tuple(r) for r in c.read_table("um").collect()) == after
     assert c.read_table("um", version_as_of=2).count() == 5

@@ -119,6 +119,6 @@ def test_cdc_sidecars_for_cow_commits(spark, catalog):
     assert by_type["MERGE"] == [1]      # only the changed row, not the rewrite
     assert by_type["DELETE"] == [0]     # the delete payload
     # live reads unaffected; vacuum keeps the sidecars
-    catalog.vacuum("c")
+    catalog.vacuum("c", min_age_seconds=0)
     assert catalog.read_changes("c", from_version=v0).count() == 2
     assert sorted(r.id for r in catalog.read_table("c").collect()) == [1, 2]

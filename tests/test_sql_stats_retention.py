@@ -43,7 +43,7 @@ def test_retention_vacuum_expires_old_versions(spark, catalog):
         )
     v_old = 2  # first data version
     assert catalog.read_table("t", version_as_of=v_old).count() == 1
-    removed = catalog.vacuum("t", retain_versions=1)
+    removed = catalog.vacuum("t", retain_versions=1, min_age_seconds=0)
     assert removed > 0
     # current read unaffected
     assert catalog.read_table("t").count() == 1
