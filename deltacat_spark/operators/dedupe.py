@@ -182,43 +182,32 @@ def jaccard_pairs(
 def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFrame:
     """Weighted-majority SimHash over whitespace tokens (md5-bit basis).
 
-    explode(tokens) × explode(bit positions) → per-(doc, bit) weighted
-    vote → packed integer. Two shuffles, both key-partitioned.
+    One shuffle: each of the `bits` positions is a conditional-sum
+    aggregate column over the exploded tokens (±1 per occurrence —
+    occurrence weighting falls out of the sum), then the per-bit votes
+    pack into one integer driver-free. No bit-position explode: the
+    previous revision blew rows up `bits`× before aggregating, a real
+    cost at 100 TB; this form aggregates the 1× token stream with
+    map-side partial aggregation.
     """
-    toks = (
-        df.select(
-            F.col(id_col).alias("doc_id"),
-            F.explode(F.split(F.col(text_col), " ")).alias("tok"),
-        )
-        .groupBy("doc_id", "tok")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .withColumn("h", F.md5(F.col("tok")))
-    )
-    j = F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("j")
-    nib = F.instr(
-        F.lit("0123456789abcdef"),
-        F.substring(F.col("h"), F.floor(F.col("j") / 4).cast("int") + 1, 1),
-    ) - F.lit(1)
-    # bit k of the nibble, k = 3 - j%4, via arithmetic (shiftright doesn't
-    # take a Column bit count, and this form is DuckDB-portable).
-    divisor = (
-        F.when(F.col("j") % 4 == 3, 1)
-        .when(F.col("j") % 4 == 2, 2)
-        .when(F.col("j") % 4 == 1, 4)
-        .otherwise(8)
-    )
-    bit = F.floor(nib / divisor).cast("int") % 2
-    votes = (
-        toks.select("doc_id", "cnt", "h", j)
-        .withColumn("contrib", (F.lit(2) * bit - F.lit(1)) * F.col("cnt"))
-        .groupBy("doc_id", "j")
-        .agg(F.sum("contrib").alias("vote"))
-    )
-    weight = F.pow(F.lit(2.0), F.lit(bits - 1) - F.col("j")).cast("long")
-    return (
-        votes.withColumn(
-            "bit_val", F.when(F.col("vote") >= 0, weight).otherwise(F.lit(0))
-        )
-        .groupBy("doc_id")
-        .agg(F.sum("bit_val").alias("simhash"))
-    )
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(F.col(text_col), " ")).alias("tok"),
+    ).withColumn("h", F.md5(F.col("tok")))
+    aggs = []
+    for j in range(bits):
+        nib = F.instr(
+            F.lit("0123456789abcdef"),
+            F.substring(F.col("h"), j // 4 + 1, 1),
+        ) - F.lit(1)
+        # bit k of the nibble, k = 3 - j%4, via arithmetic (shiftright
+        # doesn't take a Column bit count; this form is DuckDB-portable).
+        bit = F.floor(nib / F.lit(2 ** (3 - j % 4))).cast("int") % 2
+        aggs.append(F.sum(F.lit(2) * bit - F.lit(1)).alias(f"v{j}"))
+    votes = toks.groupBy("doc_id").agg(*aggs)
+    packed = F.lit(0)
+    for j in range(bits):
+        packed = packed + F.when(
+            F.col(f"v{j}") >= 0, F.lit(1 << (bits - 1 - j))
+        ).otherwise(F.lit(0))
+    return votes.select("doc_id", packed.cast("long").alias("simhash"))
