@@ -46,6 +46,7 @@ from deltacat_spark.storage.commit import (
     DeltaType,
     TxnMarkers,
 )
+from deltacat_spark.storage.fs import LOCAL_FS
 from deltacat_spark.storage.snapshot import FileEntry, Snapshot
 
 DEFAULT_NAMESPACE = "default"
@@ -87,14 +88,19 @@ class TableWriteMode:
 
 
 class Catalog:
-    def __init__(self, spark: SparkSession, root: str):
+    def __init__(self, spark: SparkSession, root: str, fs=LOCAL_FS):
         self.spark = spark
         self.root = root
-        os.makedirs(root, exist_ok=True)
+        # Control-plane filesystem seam (`storage/fs.py`): LocalFS by
+        # default; pass an ArrowFS to run the catalog against any
+        # PyArrow filesystem (matching the reference's any-filesystem
+        # stance, `deltacat/catalog/model/properties.py`).
+        self.fs = fs
+        fs.makedirs(root)
         # Catalog-level transaction machinery: marker files decide the
         # visibility of pending_txn-stamped commits across ALL tables
         # (see `storage/commit.py:TxnMarkers`).
-        self._txn_markers = TxnMarkers(root)
+        self._txn_markers = TxnMarkers(root, fs=fs)
         self._txn_ctx: str | None = None
 
     # ------------------------------------------------------------------
@@ -142,6 +148,7 @@ class Catalog:
             self._table_root(table, namespace),
             txn_status=self._txn_markers.status,
             current_txn=self._txn_ctx,
+            fs=self.fs,
         )
 
     def table_exists(self, table: str, namespace: str = DEFAULT_NAMESPACE) -> bool:
@@ -442,7 +449,6 @@ class Catalog:
         """Ingest opaque files into a schemaless table (reference
         schemaless write path; payloads copied under the table root,
         committed as an unordered ADD)."""
-        import shutil as _sh
         import uuid as _uuid
 
         if not self.table_exists(table, namespace):
@@ -456,18 +462,17 @@ class Catalog:
                 "cannot be written to it"
             )
         troot = self._table_root(table, namespace)
-        dest = os.path.join(troot, "data", _uuid.uuid4().hex)
-        os.makedirs(dest, exist_ok=True)
+        dest = self.fs.join(troot, "data", _uuid.uuid4().hex)
         adds = []
         for p in sorted(paths):
-            tgt = os.path.join(dest, os.path.basename(p))
-            _sh.copyfile(p, tgt)
+            tgt = self.fs.join(dest, os.path.basename(p))
+            self.fs.copy_in(p, tgt)
             adds.append(
                 {
                     "add": {
-                        "path": os.path.relpath(tgt, troot),
+                        "path": self.fs.relpath(tgt, troot),
                         "records": 1,
-                        "bytes": os.path.getsize(tgt),
+                        "bytes": self.fs.size(tgt),
                         "content_type": content_type,
                     }
                 }
@@ -1113,9 +1118,20 @@ class Catalog:
         inherited from Spark here).
 
         `tables`: tables to (re-)register as views first; defaults to
-        every table in the default namespace.
+        the catalog tables the query text references. Each registration
+        costs a snapshot resolution, so registering the whole namespace
+        per query (10³ tables ⇒ 10³ log replays) is the wrong shape —
+        only referenced names are resolved.
         """
-        for t in tables if tables is not None else self.list_tables():
+        import re
+
+        if tables is None:
+            tables = [
+                t
+                for t in self.list_tables()
+                if re.search(rf"\b{re.escape(t)}\b", query, re.IGNORECASE)
+            ]
+        for t in tables:
             self.register_view(t)
         return self.spark.sql(query)
 
@@ -1384,16 +1400,14 @@ class Catalog:
                     referenced.add(a["path"])
         referenced |= live
         removed = 0
-        data_dir = os.path.join(troot, "data")
+        data_dir = self.fs.join(troot, "data")
         cutoff = _time.time() - min_age_seconds
-        for dirpath, _d, fnames in os.walk(data_dir):
-            for fn in fnames:
-                p = os.path.join(dirpath, fn)
-                if (
-                    fn.endswith(".parquet")
-                    and os.path.relpath(p, troot) not in referenced
-                    and os.path.getmtime(p) <= cutoff
-                ):
-                    os.unlink(p)
-                    removed += 1
+        for p in self.fs.walk_files(data_dir):
+            if (
+                p.endswith(".parquet")
+                and self.fs.relpath(p, troot) not in referenced
+                and self.fs.mtime(p) <= cutoff
+            ):
+                self.fs.delete(p)
+                removed += 1
         return removed

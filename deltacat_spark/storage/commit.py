@@ -6,11 +6,12 @@ use the same idea one level up: each table mutation is a numbered commit
 file ``_dcs_log/{version:020d}.json`` created with a put-if-absent
 primitive; a version collision IS the conflict signal.
 
-On a POSIX filesystem the put-if-absent is ``os.link`` (hard-link from a
-temp file — atomic, fails with EEXIST). On an object store this slot
-would be a conditional-PUT / commit-service call (Delta-style); the
-``CommitLog`` class isolates that primitive in ``_put_if_absent`` so
-swapping the backend touches one method.
+All control-plane IO goes through the filesystem seam in
+``storage/fs.py``: on POSIX the put-if-absent is a hard-link from a temp
+file (atomic, fails with EEXIST); on an object store the slot maps to a
+conditional PUT / commit-service call (Delta-style). Swapping the
+backend means passing a different ``fs`` — see `fs.py` for per-backend
+``put_if_absent`` semantics.
 
 Commit schema (one JSON object per file):
   version, txn_id, timestamp_ms, operation, delta_type, stream_position,
@@ -27,11 +28,12 @@ absent for unordered ADD (reference `storage/main/impl.py:2695-2699`).
 from __future__ import annotations
 
 import json
-import os
 import time
 import uuid
 from dataclasses import dataclass, field as dc_field
 from typing import Any
+
+from deltacat_spark.storage.fs import LOCAL_FS
 
 
 class DeltaType:
@@ -89,28 +91,28 @@ class TxnMarkers:
 
     DIR = "_dcs_txn"
 
-    def __init__(self, catalog_root: str):
-        self.dir = os.path.join(catalog_root, self.DIR)
+    def __init__(self, catalog_root: str, fs=LOCAL_FS):
+        self.fs = fs
+        self.dir = fs.join(catalog_root, self.DIR)
 
     def _p(self, txn_id: str, state: str) -> str:
-        return os.path.join(self.dir, f"{txn_id}.{state}")
+        return self.fs.join(self.dir, f"{txn_id}.{state}")
 
     def begin(self, txn_id: str) -> None:
-        os.makedirs(self.dir, exist_ok=True)
-        fd = os.open(self._p(txn_id, "pending"), os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-        os.close(fd)
+        if not self.fs.create_exclusive(self._p(txn_id, "pending")):
+            raise FileExistsError(self._p(txn_id, "pending"))
 
     def finalize(self, txn_id: str) -> None:
-        os.replace(self._p(txn_id, "pending"), self._p(txn_id, "committed"))
+        self.fs.rename(self._p(txn_id, "pending"), self._p(txn_id, "committed"))
 
     def abort(self, txn_id: str) -> None:
-        if os.path.exists(self._p(txn_id, "pending")):
-            os.replace(self._p(txn_id, "pending"), self._p(txn_id, "aborted"))
+        if self.fs.exists(self._p(txn_id, "pending")):
+            self.fs.rename(self._p(txn_id, "pending"), self._p(txn_id, "aborted"))
 
     def status(self, txn_id: str) -> str:
-        if os.path.exists(self._p(txn_id, "committed")):
+        if self.fs.exists(self._p(txn_id, "committed")):
             return "committed"
-        if os.path.exists(self._p(txn_id, "pending")):
+        if self.fs.exists(self._p(txn_id, "pending")):
             return "pending"
         return "aborted"
 
@@ -173,9 +175,11 @@ class CommitLog:
         table_root: str,
         txn_status=None,
         current_txn: str | None = None,
+        fs=LOCAL_FS,
     ):
         self.table_root = table_root
-        self.log_dir = os.path.join(table_root, self.LOG_DIR)
+        self.fs = fs
+        self.log_dir = fs.join(table_root, self.LOG_DIR)
         # Catalog-level transaction plumbing (None ⇒ no txn facility:
         # any pending_txn commit is treated as committed).
         self.txn_status = txn_status  # Callable[[str], str] | None
@@ -183,10 +187,8 @@ class CommitLog:
 
     # -- read ----------------------------------------------------------
     def versions(self) -> list[int]:
-        if not os.path.isdir(self.log_dir):
-            return []
         out = []
-        for name in os.listdir(self.log_dir):
+        for name in self.fs.list_dir(self.log_dir):
             if name.endswith(".json") and name[:-5].isdigit():
                 out.append(int(name[:-5]))
         return sorted(out)
@@ -196,9 +198,8 @@ class CommitLog:
         return vs[-1] if vs else None
 
     def read_commit(self, version: int) -> Commit:
-        path = os.path.join(self.log_dir, f"{version:020d}.json")
-        with open(path, encoding="utf-8") as fh:
-            return Commit.from_json(fh.read())
+        path = self.fs.join(self.log_dir, f"{version:020d}.json")
+        return Commit.from_json(self.fs.read_text(path))
 
     def replay(
         self,
@@ -232,10 +233,8 @@ class CommitLog:
 
     # -- checkpoints ----------------------------------------------------
     def checkpoints(self) -> list[int]:
-        if not os.path.isdir(self.log_dir):
-            return []
         out = []
-        for name in os.listdir(self.log_dir):
+        for name in self.fs.list_dir(self.log_dir):
             if name.endswith(".checkpoint.json"):
                 v = name.split(".")[0]
                 if v.isdigit():
@@ -243,44 +242,29 @@ class CommitLog:
         return sorted(out)
 
     def write_checkpoint(self, version: int, state: dict) -> None:
-        path = os.path.join(self.log_dir, f"{version:020d}.checkpoint.json")
-        tmp = path + ".tmp"
-        with open(tmp, "w", encoding="utf-8") as fh:
-            json.dump(state, fh, separators=(",", ":"))
-        os.replace(tmp, path)
+        path = self.fs.join(self.log_dir, f"{version:020d}.checkpoint.json")
+        self.fs.write_text_atomic(path, json.dumps(state, separators=(",", ":")))
 
     def latest_checkpoint(self) -> "tuple[int, dict] | None":
         cps = self.checkpoints()
         if not cps:
             return None
         v = cps[-1]
-        with open(
-            os.path.join(self.log_dir, f"{v:020d}.checkpoint.json"),
-            encoding="utf-8",
-        ) as fh:
-            return v, json.load(fh)
+        return v, json.loads(
+            self.fs.read_text(
+                self.fs.join(self.log_dir, f"{v:020d}.checkpoint.json")
+            )
+        )
 
     # -- write ---------------------------------------------------------
     def _put_if_absent(self, payload: str, version: int) -> bool:
         """Atomically create commit file `version`; False if taken.
 
-        POSIX: write temp + hard-link (atomic, EEXIST on collision).
-        Object-store backends replace this one method with a
-        conditional PUT."""
-        os.makedirs(self.log_dir, exist_ok=True)
-        final = os.path.join(self.log_dir, f"{version:020d}.json")
-        tmp = os.path.join(self.log_dir, f".tmp-{uuid.uuid4().hex}")
-        with open(tmp, "w", encoding="utf-8") as fh:
-            fh.write(payload)
-            fh.flush()
-            os.fsync(fh.fileno())
-        try:
-            os.link(tmp, final)
-            return True
-        except FileExistsError:
-            return False
-        finally:
-            os.unlink(tmp)
+        The conditional-create primitive is the whole MVCC story; its
+        per-backend realization (POSIX hard-link / S3 conditional PUT /
+        GCS generation-match) lives in `storage/fs.py`."""
+        final = self.fs.join(self.log_dir, f"{version:020d}.json")
+        return self.fs.put_if_absent(final, payload)
 
     def try_commit(self, commit: Commit) -> bool:
         if self.current_txn and commit.pending_txn is None:
