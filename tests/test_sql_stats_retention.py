@@ -24,6 +24,25 @@ def test_sql_over_catalog_tables(spark, catalog):
     assert [(r.id, r.v, r.x) for r in rows] == [(1, "a", 10.0), (2, "b", 20.0)]
 
 
+def test_sql_registers_only_referenced_tables(spark, catalog, monkeypatch):
+    for name in ("t1", "t2", "t3"):
+        catalog.write_to_table(
+            spark.createDataFrame([(1,)], "id long"), name, mode="auto"
+        )
+    resolved = []
+    orig = catalog.snapshot
+
+    def counting(table, *a, **kw):
+        resolved.append(table)
+        return orig(table, *a, **kw)
+
+    monkeypatch.setattr(catalog, "snapshot", counting)
+    out = catalog.sql("SELECT count(*) AS n FROM t2")
+    assert out.collect()[0].n == 1
+    # Only the referenced table paid a snapshot resolution.
+    assert set(resolved) == {"t2"}
+
+
 def test_table_stats(spark, catalog):
     catalog.write_to_table(
         spark.createDataFrame([(i,) for i in range(10)], "id long"), "t", mode="auto"
