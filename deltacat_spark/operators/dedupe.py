@@ -83,11 +83,22 @@ def minhash_signatures(
 
 
 def lsh_candidates(
-    signatures: DataFrame, rows_per_band: int = 2
+    signatures: DataFrame,
+    rows_per_band: int = 2,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Banded LSH: docs agreeing on all minhashes of any band → candidate
     pair (doc_a < doc_b). Band signature built by conditional aggregation
-    (perm order inside the band) so it is engine-portable."""
+    (perm order inside the band) so it is engine-portable.
+
+    `max_bucket` is the hot-bucket guard: a (band, band_sig) bucket with
+    B members yields B²/2 pairs from the self-join — mass-duplicated
+    content (a boilerplate page duplicated 10⁶×) makes one bucket
+    quadratic. Buckets larger than `max_bucket` emit STAR pairs instead
+    (every member against the bucket's min doc_id): O(B) pairs that keep
+    the bucket connected for clustering, while each member still gets
+    Jaccard-verified against a representative. None = uncapped
+    (exact parity with the all-pairs oracle)."""
     banded = signatures.withColumn(
         "band", (F.col("perm") / F.lit(rows_per_band)).cast("int")
     ).withColumn("slot", F.col("perm") % F.lit(rows_per_band))
@@ -100,9 +111,26 @@ def lsh_candidates(
             ],
         ).alias("band_sig")
     )
+    if max_bucket is not None:
+        w = Window.partitionBy("band", "band_sig")
+        sig = sig.withColumn("__bn", F.count(F.lit(1)).over(w)).withColumn(
+            "__bmin", F.min("doc_id").over(w)
+        )
+        hot_star = (
+            sig.filter(
+                (F.col("__bn") > max_bucket)
+                & (F.col("doc_id") != F.col("__bmin"))
+            )
+            .select(
+                F.col("__bmin").alias("doc_a"),
+                F.col("doc_id").alias("doc_b"),
+            )
+            .distinct()
+        )
+        sig = sig.filter(F.col("__bn") <= max_bucket).drop("__bn", "__bmin")
     a = sig.alias("a")
     b = sig.alias("b")
-    return (
+    pairs = (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
@@ -114,6 +142,9 @@ def lsh_candidates(
         )
         .distinct()
     )
+    if max_bucket is not None:
+        pairs = pairs.unionByName(hot_star).distinct()
+    return pairs
 
 
 def jaccard_pairs(
@@ -176,6 +207,57 @@ def jaccard_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Duplicate-cluster formation: (doc_id, cluster_id) where cluster_id
+    is the minimum doc_id reachable through the pair graph.
+
+    Min-label propagation: each round every node takes the min of its
+    own label and its neighbors' labels — one shuffle-aggregate and one
+    join per round, converging in O(graph diameter) rounds. Near-dup
+    graphs from LSH buckets are star/clique-shaped (diameter ≈ 2-3), so
+    this beats the O(log n)-round large-star/small-star scheme on
+    constant factors while staying linear per round. `localCheckpoint`
+    truncates the growing lineage each round (plan size, not data,
+    would otherwise be the scale limit).
+    """
+    fwd = pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
+    edges = fwd.union(
+        pairs.select(F.col(b_col).alias("u"), F.col(a_col).alias("v"))
+    )
+    labels = edges.select("u").distinct().withColumn("label", F.col("u"))
+    for _ in range(max_iter):
+        nbr = (
+            edges.join(
+                labels.select(
+                    F.col("u").alias("v"), F.col("label").alias("nlabel")
+                ),
+                "v",
+            )
+            .select("u", F.col("nlabel").alias("label"))
+        )
+        new_labels = (
+            labels.union(nbr).groupBy("u").agg(F.min("label").alias("label"))
+        ).localCheckpoint(eager=True)
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "u")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("u").alias("doc_id"), F.col("label").alias("cluster_id")
     )
 
 

@@ -18,6 +18,7 @@ from deltacat_spark.functions.text import (
     tokens,
 )
 from deltacat_spark.operators.dedupe import (
+    connected_components,
     exact_dedupe,
     jaccard_pairs,
     lsh_candidates,
@@ -171,8 +172,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jaccard_pairs(sh, candidates=cands, df_cap=None, threshold=0.7)
 
 
-MINHASH_SQL = f"""
-WITH {_SH_SQL},
+_MINHASH_CTES = f"""{_SH_SQL},
 mh AS (
   -- permutation i = md5 hex rotated left by 4*i chars (one digest per
   -- shingle serves all perms — mirrors operators.dedupe._rotation)
@@ -195,14 +195,46 @@ sizes AS (SELECT doc_id, count(*) AS set_size FROM sh GROUP BY doc_id),
 inter AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
   FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-  GROUP BY 1, 2)
-SELECT c.doc_a, c.doc_b,
-       ROUND(CAST(i.n_inter AS DOUBLE) / (sa.set_size + sb.set_size - i.n_inter), 6)
-         AS jaccard
-FROM cand c JOIN inter i ON c.doc_a = i.doc_a AND c.doc_b = i.doc_b
-JOIN sizes sa ON sa.doc_id = c.doc_a
-JOIN sizes sb ON sb.doc_id = c.doc_b
-WHERE ROUND(CAST(i.n_inter AS DOUBLE) / (sa.set_size + sb.set_size - i.n_inter), 6) >= 0.7
+  GROUP BY 1, 2),
+verified AS (
+  SELECT c.doc_a, c.doc_b,
+         ROUND(CAST(i.n_inter AS DOUBLE) / (sa.set_size + sb.set_size - i.n_inter), 6)
+           AS jaccard
+  FROM cand c JOIN inter i ON c.doc_a = i.doc_a AND c.doc_b = i.doc_b
+  JOIN sizes sa ON sa.doc_id = c.doc_a
+  JOIN sizes sb ON sb.doc_id = c.doc_b
+  WHERE ROUND(CAST(i.n_inter AS DOUBLE) / (sa.set_size + sb.set_size - i.n_inter), 6) >= 0.7)"""
+
+MINHASH_SQL = f"""
+WITH {_MINHASH_CTES}
+SELECT doc_a, doc_b, jaccard FROM verified
+"""
+
+
+# --- duplicate clusters (connected components over verified pairs) ----------
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH pairs → Jaccard verify → connected components: each
+    near-dup doc labeled with its cluster representative (min doc_id
+    reachable through the verified-pair graph)."""
+    d = load(spark, sf_dir, "documents")
+    sh = shingle_sets(d, "doc_id", "text", n=3)
+    sigs = minhash_signatures(sh, num_perms=8)
+    cands = lsh_candidates(sigs, rows_per_band=2)
+    pairs = jaccard_pairs(sh, candidates=cands, df_cap=None, threshold=0.7)
+    return connected_components(pairs)
+
+
+DEDUP_CLUSTERS_SQL = f"""
+WITH RECURSIVE {_MINHASH_CTES},
+edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM verified
+  UNION
+  SELECT doc_b AS u, doc_a AS v FROM verified),
+walk(u, label) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM edges) n
+  UNION
+  SELECT e.u, w.label FROM edges e JOIN walk w ON e.v = w.u)
+SELECT u AS doc_id, min(label) AS cluster_id FROM walk GROUP BY u
 """
 
 
@@ -336,6 +368,7 @@ QUERIES = {
     "doc_fingerprints": (doc_fingerprints, FINGERPRINT_SQL),
     "dedup_exact": (dedup_exact, DEDUP_EXACT_SQL),
     "dedup_minhash_lsh": (dedup_minhash_lsh, MINHASH_SQL),
+    "dedup_clusters": (dedup_clusters, DEDUP_CLUSTERS_SQL),
     "dedup_ngram_jaccard": (dedup_ngram_jaccard, NGRAM_JACCARD_SQL),
     "simhash_fingerprint": (simhash_fingerprint, SIMHASH_SQL),
 }

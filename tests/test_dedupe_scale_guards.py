@@ -1,0 +1,61 @@
+"""Scale guards in the dedup operators: hot-bucket star capping and
+duplicate-cluster connected components."""
+
+from pyspark.sql import functions as F
+
+from deltacat_spark.operators.dedupe import (
+    connected_components,
+    lsh_candidates,
+    minhash_signatures,
+    shingle_sets,
+)
+
+
+def _identical_docs(spark, n):
+    text = "the same boilerplate sentence repeated across many documents"
+    return spark.createDataFrame(
+        [(i, text) for i in range(n)], "doc_id long, text string"
+    )
+
+
+def test_hot_bucket_star_cap_bounds_candidates(spark):
+    n = 1000
+    docs = _identical_docs(spark, n)
+    sh = shingle_sets(docs, "doc_id", "text", n=3)
+    sigs = minhash_signatures(sh, num_perms=8)
+    capped = lsh_candidates(sigs, rows_per_band=2, max_bucket=50)
+    got = capped.count()
+    # Identical docs land in ONE bucket per band: uncapped would emit
+    # n*(n-1)/2 ≈ 500k pairs; the star cap emits n-1 per hot bucket.
+    assert got == n - 1
+    # Connectivity is preserved: every doc still reaches doc 0.
+    cc = connected_components(capped)
+    assert cc.count() == n
+    assert cc.agg(F.countDistinct("cluster_id")).collect()[0][0] == 1
+
+
+def test_star_cap_parity_below_threshold(spark):
+    # Small buckets (≤ max_bucket) are bit-for-bit the uncapped result.
+    docs = _identical_docs(spark, 10)
+    sh = shingle_sets(docs, "doc_id", "text", n=3)
+    sigs = minhash_signatures(sh, num_perms=8)
+    uncapped = {tuple(r) for r in lsh_candidates(sigs).collect()}
+    capped = {
+        tuple(r) for r in lsh_candidates(sigs, max_bucket=50).collect()
+    }
+    assert capped == uncapped and len(capped) == 45
+
+
+def test_connected_components_chain_and_islands(spark):
+    # chain 1-2-3-4, island pair 10-11, singleton edge 20-21
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21)],
+        "doc_a long, doc_b long",
+    )
+    cc = connected_components(pairs)
+    got = {(r.doc_id, r.cluster_id) for r in cc.collect()}
+    assert got == {
+        (1, 1), (2, 1), (3, 1), (4, 1),
+        (10, 10), (11, 10),
+        (20, 20), (21, 20),
+    }
