@@ -150,6 +150,150 @@ def lsh_topk(
     )
 
 
+def _nearest_cid(
+    vecs: DataFrame, centroids: DataFrame, keep: int = 1
+) -> DataFrame:
+    """Assign each (id, vec) row its `keep` nearest centroids by cosine
+    (ties → smaller cid). Centroids are tiny (k rows) and broadcast, so
+    assignment is a map-side cross of n×k — never a shuffle of the
+    candidate set."""
+    cents = centroids.select(
+        "cid",
+        F.col("c_vec").alias("__cv"),
+        l2_norm(F.col("c_vec")).alias("__cn"),
+    )
+    scored = (
+        vecs.withColumn("__vn", l2_norm(F.col("vec")))
+        .crossJoin(F.broadcast(cents))
+        .withColumn(
+            "__cos",
+            dot(F.col("vec"), F.col("__cv"))
+            / (F.col("__vn") * F.col("__cn")),
+        )
+    )
+    w = Window.partitionBy("id").orderBy(F.desc("__cos"), F.asc("cid"))
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= keep)
+        .drop("__cv", "__cn", "__vn", "__cos", "__rn")
+    )
+
+
+def ivf_centroids(
+    candidates: DataFrame,
+    n_centroids: int = 8,
+    iters: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """K-means-lite centroids, engine-reproducible: seeds are the
+    `n_centroids` vectors with the smallest md5(vec_id) (any engine can
+    re-derive them — no shared RNG), refined by `iters` Lloyd rounds.
+
+    Per-position centroid means go through scaled-long sums
+    (floor(x·10⁶ + 0.5) summed as BIGINT) so the result is independent
+    of Spark's partial-aggregation order — double summation order would
+    otherwise make centroids (and every downstream cosine) run-to-run
+    nondeterministic. Each round is one n×k map-side assignment plus one
+    (cid, position) shuffle-aggregate: linear in n, no iteration-count
+    blowup at 100 TB (iters is a small constant).
+    """
+    c = candidates.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("vec")
+    )
+    seeds = (
+        c.withColumn("__h", F.md5(F.col("id").cast("string")))
+        .orderBy("__h", "id")
+        .limit(n_centroids)
+    )
+    w = Window.orderBy("__h", "id")
+    centroids = seeds.withColumn(
+        "cid", F.row_number().over(w) - F.lit(1)
+    ).select("cid", F.col("vec").alias("c_vec"))
+    for _ in range(iters):
+        assigned = _nearest_cid(c, centroids)
+        comp = (
+            assigned.select("cid", F.posexplode("vec").alias("pos", "val"))
+            .groupBy("cid", "pos")
+            .agg(
+                F.round(
+                    F.sum(
+                        F.floor(F.col("val") * 1e6 + F.lit(0.5)).cast("long")
+                    ).cast("double")
+                    / F.lit(1e6)
+                    / F.count(F.lit(1)),
+                    6,
+                ).alias("cval")
+            )
+        )
+        centroids = comp.groupBy("cid").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "cval"))),
+                lambda s: s["cval"],
+            ).alias("c_vec")
+        )
+    return centroids
+
+
+def ivf_topk(
+    candidates: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 8,
+    nprobe: int = 2,
+    iters: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF ANN: the second scale path next to sign-LSH (`lsh_topk`).
+
+    Candidates partition into `n_centroids` Voronoi cells (data-adaptive,
+    unlike LSH's data-oblivious hyperplanes — better recall at higher
+    dimensionality); each query probes its `nprobe` nearest cells. The
+    similarity join is an equi-join on cid — with k cells the candidate
+    set shrinks ~k/nprobe ×, and the join is shuffle-partitioned by cid,
+    never a cross join. Returns (q_id, cand_id, cosine, rank).
+    """
+    # Materialize the k centroids (k tiny rows — a model parameter, not
+    # data): their lineage contains a full candidate scan per Lloyd
+    # round, and three consumers below would otherwise recompute it.
+    centroids = ivf_centroids(
+        candidates, n_centroids, iters, id_col, vec_col
+    ).localCheckpoint(eager=True)
+    c = candidates.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("vec")
+    )
+    q = queries.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("vec")
+    )
+    c_assigned = _nearest_cid(c, centroids).select(
+        F.col("id").alias("cand_id"),
+        F.col("vec").alias("c_vec"),
+        "cid",
+    )
+    probes = _nearest_cid(q, centroids, keep=nprobe).select(
+        F.col("id").alias("q_id"), F.col("vec").alias("q_vec"), "cid"
+    )
+    c_n = c_assigned.withColumn("c_norm", l2_norm(F.col("c_vec")))
+    q_n = probes.withColumn("q_norm", l2_norm(F.col("q_vec")))
+    scored = c_n.join(F.broadcast(q_n), "cid").select(
+        "q_id",
+        "cand_id",
+        (
+            dot(F.col("q_vec"), F.col("c_vec"))
+            / (F.col("q_norm") * F.col("c_norm"))
+        ).alias("cos_raw"),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos_raw"), F.asc("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "q_id", "cand_id", F.round("cos_raw", 6).alias("cosine"), "rank"
+        )
+    )
+
+
 def knn_label_vote(
     topk: DataFrame,
     labels: DataFrame,

@@ -168,10 +168,93 @@ def _lsh_multiprobe_sql() -> str:
 ANN_LSH_MULTIPROBE_SQL = _lsh_multiprobe_sql()
 
 
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN (second scale path, data-adaptive cells — see
+    `operators.similarity.ivf_topk`): md5-seeded k-means-lite centroids,
+    two Lloyd rounds, nprobe=3 (measured recall 0.74 vs LSH multiprobe's
+    0.58 on this testdata, `tests/test_ann_recall.py`)."""
+    from deltacat_spark.operators.similarity import ivf_topk
+
+    e = load(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 10)
+    candidates = e.filter(F.col("vec_id") >= 10)
+    return ivf_topk(
+        candidates, queries, k=5, n_centroids=8, nprobe=3, iters=2
+    )
+
+
+def _cos_sql(a: str, b: str) -> str:
+    return (
+        f"(list_sum(list_transform(list_zip({a}, {b}),"
+        " p -> p[1]::DOUBLE * p[2]::DOUBLE))"
+        f" / (sqrt(list_sum(list_transform({a}, x -> x::DOUBLE * x::DOUBLE)))"
+        f" * sqrt(list_sum(list_transform({b}, x -> x::DOUBLE * x::DOUBLE)))))"
+    )
+
+
+def _lloyd_round_sql(src_cents: str, n: int) -> str:
+    # One Lloyd round: cosine-assign every candidate to its nearest
+    # centroid from `src_cents`, then per-position scaled-long means.
+    return f"""assign{n} AS (
+  SELECT id, vec, cid FROM (
+    SELECT c0.id, c0.vec, s.cid,
+           row_number() OVER (PARTITION BY c0.id
+             ORDER BY {_cos_sql('c0.vec', 's.c_vec')} DESC, s.cid ASC) AS rn
+    FROM c0 CROSS JOIN {src_cents} s) t WHERE rn = 1),
+comp{n} AS (
+  SELECT cid, i,
+         ROUND(CAST(SUM(CAST(FLOOR(CAST(vec[i] AS DOUBLE) * CAST(1000000 AS DOUBLE)
+                                   + CAST(0.5 AS DOUBLE)) AS BIGINT)) AS DOUBLE)
+               / CAST(1000000 AS DOUBLE) / COUNT(*), 6) AS cval
+  FROM assign{n} CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) g
+  GROUP BY cid, i),
+cents{n} AS (SELECT cid, list(cval ORDER BY i) AS c_vec FROM comp{n} GROUP BY cid)"""
+
+
+def _ivf_sql() -> str:
+    # Mirrors operators.similarity.ivf_centroids/ivf_topk exactly:
+    # md5-ordered seeds, cosine assignment (ties -> smaller cid), two
+    # Lloyd rounds with scaled-long per-position means, nprobe=3, top-5.
+    return f"""
+WITH c0 AS (SELECT vec_id AS id, embedding AS vec FROM embeddings WHERE vec_id >= 10),
+q0 AS (SELECT vec_id AS id, embedding AS vec FROM embeddings WHERE vec_id < 10),
+seeds AS (
+  SELECT row_number() OVER (ORDER BY md5(CAST(id AS VARCHAR)), id) - 1 AS cid,
+         vec AS c_vec
+  FROM c0 ORDER BY md5(CAST(id AS VARCHAR)), id LIMIT 8),
+{_lloyd_round_sql('seeds', 0)},
+{_lloyd_round_sql('cents0', 1)},
+cents AS (SELECT * FROM cents1),
+cassign AS (
+  SELECT id AS cand_id, vec AS c_vec2, cid FROM (
+    SELECT c0.id, c0.vec, s.cid,
+           row_number() OVER (PARTITION BY c0.id
+             ORDER BY {_cos_sql('c0.vec', 's.c_vec')} DESC, s.cid ASC) AS rn
+    FROM c0 CROSS JOIN cents s) t WHERE rn = 1),
+probes AS (
+  SELECT id AS q_id, vec AS q_vec2, cid FROM (
+    SELECT q0.id, q0.vec, s.cid,
+           row_number() OVER (PARTITION BY q0.id
+             ORDER BY {_cos_sql('q0.vec', 's.c_vec')} DESC, s.cid ASC) AS rn
+    FROM q0 CROSS JOIN cents s) t WHERE rn <= 3),
+s AS (SELECT q_id, cand_id, {_cos_sql('q_vec2', 'c_vec2')} AS cos_raw
+      FROM cassign JOIN probes USING (cid))
+SELECT q_id, cand_id, ROUND(cos_raw, 6) AS cosine, CAST(rn AS INT) AS rank
+FROM (SELECT *, row_number() OVER (PARTITION BY q_id
+                                   ORDER BY cos_raw DESC, cand_id ASC) AS rn
+      FROM s)
+WHERE rn <= 5
+"""
+
+
+ANN_IVF_SQL = _ivf_sql()
+
+
 QUERIES = {
     "ann_cosine_topk": (ann_cosine_topk, ANN_TOPK_SQL),
     "ann_lsh_topk": (ann_lsh_topk, ANN_LSH_SQL),
     "ann_lsh_multiprobe": (ann_lsh_multiprobe, ANN_LSH_MULTIPROBE_SQL),
+    "ann_ivf_topk": (ann_ivf_topk, ANN_IVF_SQL),
     "knn_classify": (knn_classify, KNN_SQL),
     "embedding_norm_stats": (embedding_norm_stats, NORM_STATS_SQL),
 }
