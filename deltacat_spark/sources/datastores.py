@@ -1,0 +1,276 @@
+"""Pluggable datastore registry for the universal copy API.
+
+Reference surface: `dc.get/put/copy/list` dispatch on a DatastoreType
+parsed from the URL (`api.py:97-480`; the ~30 types in
+`types/media.py:353-420`). Spark realization: every connector-backed
+datastore IS a Spark datasource — resolving a datastore means resolving
+`spark.read.format(<fmt>)` plus the option mapping from the URL. The
+registry holds that mapping; exotic backends work as soon as their
+connector jar is on the Spark classpath (`--packages`), and fail with
+an actionable error naming the package when it is not. File formats
+(csv/parquet/orc/json/avro/binary/text/feather) keep their fast path in
+`sources/formats.py`.
+
+Extension point: `register(Datastore(...))` — a user datastore only
+needs a name, its URL schemes, and read/write callables.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Callable
+from urllib.parse import parse_qsl, urlparse
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class DatastoreUnavailableError(RuntimeError):
+    """The datastore's Spark connector is not on the classpath (or its
+    client library is not installed)."""
+
+
+@dataclass
+class Datastore:
+    """One datastore type: how to turn a URL into a Spark read/write."""
+
+    name: str
+    schemes: list[str]
+    # spark datasource short name, e.g. "bigquery", "mongodb", "jdbc"
+    spark_format: str | None = None
+    # connector coordinate to name in errors, e.g.
+    # "com.google.cloud.spark:spark-bigquery-with-dependencies_2.13"
+    package_hint: str | None = None
+    # URL → reader/writer options (default: query params + path option)
+    url_options: Callable[[str], dict[str, str]] | None = None
+    reader: Callable[..., DataFrame] | None = None
+    writer: Callable[..., None] | None = None
+    extra_options: dict[str, Any] = field(default_factory=dict)
+
+    def _options(self, url: str) -> dict[str, str]:
+        if self.url_options is not None:
+            return self.url_options(url)
+        parsed = urlparse(url)
+        opts = dict(parse_qsl(parsed.query))
+        opts.setdefault("path", url.split("?", 1)[0])
+        return opts
+
+    def read(
+        self, spark: SparkSession, url: str, **options: Any
+    ) -> DataFrame:
+        if self.reader is not None:
+            return self.reader(spark, url, **options)
+        assert self.spark_format is not None
+        reader = spark.read.format(self.spark_format)
+        for k, v in {
+            **self.extra_options,
+            **self._options(url),
+            **options,
+        }.items():
+            reader = reader.option(k, v)
+        try:
+            return reader.load()
+        except Exception as exc:  # connector missing on the classpath
+            self._raise_if_unavailable(exc)
+            raise
+
+    def write(
+        self,
+        df: DataFrame,
+        url: str,
+        mode: str = "append",
+        **options: Any,
+    ) -> None:
+        if self.writer is not None:
+            self.writer(df, url, mode=mode, **options)
+            return
+        assert self.spark_format is not None
+        writer = df.write.format(self.spark_format).mode(mode)
+        for k, v in {
+            **self.extra_options,
+            **self._options(url),
+            **options,
+        }.items():
+            writer = writer.option(k, v)
+        try:
+            writer.save()
+        except Exception as exc:
+            self._raise_if_unavailable(exc)
+            raise
+
+    def _raise_if_unavailable(self, exc: Exception) -> None:
+        msg = str(exc)
+        if (
+            "Failed to find data source" in msg
+            or "ClassNotFoundException" in msg
+            or "DATA_SOURCE_NOT_FOUND" in msg
+        ):
+            hint = (
+                f" (launch Spark with --packages {self.package_hint})"
+                if self.package_hint
+                else ""
+            )
+            raise DatastoreUnavailableError(
+                f"datastore {self.name!r} needs the "
+                f"{self.spark_format!r} Spark connector on the "
+                f"classpath{hint}"
+            ) from exc
+
+
+_REGISTRY: dict[str, Datastore] = {}
+_SCHEME_TO_NAME: dict[str, str] = {}
+
+
+def register(ds: Datastore) -> None:
+    _REGISTRY[ds.name] = ds
+    for s in ds.schemes:
+        _SCHEME_TO_NAME[s] = ds.name
+
+
+def registered() -> dict[str, Datastore]:
+    return dict(_REGISTRY)
+
+
+def resolve(url: str, datastore: str | None = None) -> Datastore | None:
+    """Datastore for a URL (explicit name > scheme), None = file path.
+
+    URLs may use the reference's `<type>+<url>` convention
+    (e.g. `iceberg+thrift://...`) or a registered scheme directly."""
+    if datastore is not None:
+        if datastore not in _REGISTRY:
+            raise KeyError(
+                f"unknown datastore {datastore!r}; registered: "
+                f"{sorted(_REGISTRY)}"
+            )
+        return _REGISTRY[datastore]
+    scheme = urlparse(url).scheme.lower()
+    if "+" in scheme:  # reference convention: <DatastoreType>+<URL>
+        prefix = scheme.split("+", 1)[0]
+        if prefix in _REGISTRY:
+            return _REGISTRY[prefix]
+    return _REGISTRY.get(_SCHEME_TO_NAME.get(scheme, ""))
+
+
+def _mongo_options(url: str) -> dict[str, str]:
+    parsed = urlparse(url)
+    opts = dict(parse_qsl(parsed.query))
+    opts["connection.uri"] = url.split("?", 1)[0]
+    return opts
+
+
+def _bigquery_options(url: str) -> dict[str, str]:
+    # bigquery://<project>/<dataset>[?table=...] (reference convention)
+    parsed = urlparse(url)
+    opts = dict(parse_qsl(parsed.query))
+    dataset = parsed.path.strip("/")
+    if parsed.hostname:
+        opts.setdefault("parentProject", parsed.hostname)
+    if dataset:
+        opts.setdefault("dataset", dataset)
+    if "table" in opts:
+        opts["table"] = opts["table"]
+    return opts
+
+
+def _jdbc_options(url: str) -> dict[str, str]:
+    opts = dict(parse_qsl(urlparse(url).query))
+    opts["url"] = url.split("?", 1)[0]
+    return opts
+
+
+def _table_path_options(url: str) -> dict[str, str]:
+    # <type>+<path>: strip the type prefix, pass the rest as path
+    scheme = urlparse(url).scheme
+    path = url.split("+", 1)[1] if "+" in scheme else url
+    opts = dict(parse_qsl(urlparse(path).query))
+    opts["path"] = path.split("?", 1)[0]
+    return opts
+
+
+# Connector-backed datastores (reference DatastoreType parity; each is a
+# standard Spark datasource — available when its jar is on the classpath).
+for _ds in [
+    Datastore(
+        "bigquery",
+        ["bigquery"],
+        spark_format="bigquery",
+        package_hint="com.google.cloud.spark:spark-bigquery-with-dependencies_2.13",
+        url_options=_bigquery_options,
+    ),
+    Datastore(
+        "mongodb",
+        ["mongodb", "mongodb+srv"],
+        spark_format="mongodb",
+        package_hint="org.mongodb.spark:mongo-spark-connector_2.13",
+        url_options=_mongo_options,
+    ),
+    Datastore(
+        "clickhouse",
+        ["clickhouse"],
+        spark_format="jdbc",
+        package_hint="com.clickhouse:clickhouse-jdbc",
+        url_options=_jdbc_options,
+        extra_options={"driver": "com.clickhouse.jdbc.ClickHouseDriver"},
+    ),
+    Datastore(
+        "jdbc",
+        ["jdbc"],
+        spark_format="jdbc",
+        url_options=_jdbc_options,
+    ),
+    Datastore(
+        "deltalake",
+        ["deltalake"],
+        spark_format="delta",
+        package_hint="io.delta:delta-spark_2.13",
+        url_options=_table_path_options,
+    ),
+    Datastore(
+        "deltasharing",
+        ["deltasharing"],
+        spark_format="deltaSharing",
+        package_hint="io.delta:delta-sharing-spark_2.13",
+        url_options=_table_path_options,
+    ),
+    Datastore(
+        "iceberg",
+        ["iceberg"],
+        spark_format="iceberg",
+        package_hint="org.apache.iceberg:iceberg-spark-runtime-4.0_2.13",
+        url_options=_table_path_options,
+    ),
+    Datastore(
+        "hudi",
+        ["hudi"],
+        spark_format="hudi",
+        package_hint="org.apache.hudi:hudi-spark4-bundle_2.13",
+        url_options=_table_path_options,
+    ),
+    Datastore(
+        "databricks",
+        ["databricks"],
+        spark_format="databricks",
+        package_hint="databricks-jdbc",
+        url_options=_jdbc_options,
+    ),
+    Datastore(
+        "lance",
+        ["lance"],
+        spark_format="lance",
+        package_hint="com.lancedb:lance-spark-bundle_2.13",
+        url_options=_table_path_options,
+    ),
+    Datastore(
+        "tfrecords",
+        ["tfrecords"],
+        spark_format="tfrecord",
+        package_hint="com.linkedin.sparktfrecord:spark-tfrecord_2.13",
+        url_options=_table_path_options,
+    ),
+    Datastore(
+        "xml",
+        ["xml"],
+        spark_format="xml",
+        url_options=_table_path_options,
+    ),
+]:
+    register(_ds)

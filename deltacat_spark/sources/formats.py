@@ -66,8 +66,18 @@ def read_url(
     url: str,
     fmt: str | None = None,
     options: dict[str, Any] | None = None,
+    datastore: str | None = None,
 ) -> DataFrame:
-    """`dc.get` equivalent: URL → DataFrame (reference `api.py:97+`)."""
+    """`dc.get` equivalent: URL → DataFrame (reference `api.py:97+`).
+
+    Non-file datastores (bigquery/mongodb/clickhouse/iceberg/…) resolve
+    through the pluggable registry (`sources/datastores.py`) by URL
+    scheme or explicit `datastore=` name."""
+    from deltacat_spark.sources.datastores import resolve
+
+    ds = resolve(url, datastore)
+    if ds is not None:
+        return ds.read(spark, url, **(options or {}))
     fmt = fmt or infer_format(url)
     if fmt == "feather":
         return read_feather(spark, url)
@@ -84,8 +94,14 @@ def write_url(
     fmt: str | None = None,
     mode: str = "overwrite",
     options: dict[str, Any] | None = None,
+    datastore: str | None = None,
 ) -> None:
     """`dc.put` equivalent: DataFrame → URL."""
+    from deltacat_spark.sources.datastores import resolve
+
+    ds = resolve(url, datastore)
+    if ds is not None:
+        return ds.write(df, url, mode=mode, **(options or {}))
     fmt = fmt or infer_format(url)
     if fmt == "feather":
         return write_feather(df, url)
