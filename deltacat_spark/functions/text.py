@@ -75,3 +75,30 @@ def quality_score(text: Column, stopwords: tuple[str, ...] = ("the", "a")) -> Co
         + F.lit(0.2) * F.least(F.lit(1.0), avg_tok_len / F.lit(5.0)),
         6,
     )
+
+
+# -- PII / pattern scrubbing --------------------------------------------------
+# ASCII-only regexes chosen to parse identically under Java regex (Spark)
+# and RE2 (DuckDB) so scrub output is engine-reproducible.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+URL_RE = r"https?://[^ ]+"
+IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+
+def scrub_pii(text: Column) -> Column:
+    """Redact URLs, then emails, then IPv4 addresses (order matters:
+    URLs may contain '@' or dotted quads; after <URL> replacement the
+    remaining text is scanned for bare emails/IPs). Pure
+    `regexp_replace` — JVM-side, streaming-safe, no UDF."""
+    out = F.regexp_replace(text, URL_RE, "<URL>")
+    out = F.regexp_replace(out, EMAIL_RE, "<EMAIL>")
+    return F.regexp_replace(out, IPV4_RE, "<IP>")
+
+
+def pii_counts(text: Column) -> "tuple[Column, Column, Column]":
+    """(n_urls, n_emails, n_ips) found in the raw text."""
+    return (
+        F.regexp_count(text, F.lit(URL_RE)),
+        F.regexp_count(text, F.lit(EMAIL_RE)),
+        F.regexp_count(text, F.lit(IPV4_RE)),
+    )

@@ -60,6 +60,31 @@ def session_window_agg(
     return df.groupBy(F.session_window(event_time, gap), *group_by).agg(*aggs)
 
 
+def dedupe_stream(
+    df: DataFrame,
+    keys: list[str],
+    event_time: str | None = None,
+    watermark_delay: str | None = None,
+) -> DataFrame:
+    """Key dedupe for streams (ingestion-side exact dedup).
+
+    With `event_time` + `watermark_delay` on a stream, uses
+    `dropDuplicatesWithinWatermark`: per-key state is EVICTED once the
+    watermark passes, so state stays bounded by the delay window — the
+    only shape that survives an unbounded stream. Duplicates arriving
+    farther apart than the delay are treated as distinct, which is the
+    documented contract (same tradeoff as the reference's stream
+    watermark, SURVEY §2.6). Without an event time, falls back to exact
+    `dropDuplicates` — unbounded state, only for bounded key spaces.
+    Works identically on batch DataFrames (no-op watermark).
+    """
+    if event_time and watermark_delay and df.isStreaming:
+        return df.withWatermark(
+            event_time, watermark_delay
+        ).dropDuplicatesWithinWatermark(keys)
+    return df.dropDuplicates(keys)
+
+
 def stream_read_appends(
     catalog,
     table: str,

@@ -264,6 +264,87 @@ WHERE ROUND(CAST(i.n_inter AS DOUBLE) / (sa.set_size + sb.set_size - i.n_inter),
 """
 
 
+# --- PII scrubbing -----------------------------------------------------------
+def text_scrub_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Redaction pass for training data: count + scrub URLs/emails/IPs.
+
+    The synthetic corpus contains no PII, so the query first injects
+    deterministic patterns (same expression on both engines) — the point
+    under test is the scrub/count logic, exercised on non-trivial data.
+    The md5 of the scrubbed text makes ANY regex-semantics divergence
+    between engines a hash mismatch."""
+    from deltacat_spark.functions.text import pii_counts, scrub_pii
+
+    d = load(spark, sf_dir, "documents")
+    doc_id = F.col("doc_id")
+    aug = F.concat(
+        F.col("text"),
+        F.when(
+            doc_id % 3 == 0,
+            F.concat(
+                F.lit(" contact user"),
+                doc_id.cast("string"),
+                F.lit("@example.com now"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            doc_id % 4 == 0,
+            F.concat(
+                F.lit(" see https://site"),
+                doc_id.cast("string"),
+                F.lit(".example/p?x=1 ok"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            doc_id % 5 == 0,
+            F.concat(
+                F.lit(" from 10.0."),
+                (doc_id % 256).cast("string"),
+                F.lit(".7 node"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    d = d.select("doc_id", aug.alias("aug"))
+    n_urls, n_emails, n_ips = pii_counts(F.col("aug"))
+    return d.select(
+        "doc_id",
+        n_urls.cast("int").alias("n_urls"),
+        n_emails.cast("int").alias("n_emails"),
+        n_ips.cast("int").alias("n_ips"),
+        F.md5(scrub_pii(F.col("aug"))).alias("scrub_digest"),
+    )
+
+
+_PII_URL = "https?://[^ ]+"
+_PII_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+_PII_IP = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+SCRUB_PII_SQL = f"""
+WITH aug AS (
+  SELECT doc_id,
+         concat(text,
+           CASE WHEN doc_id % 3 = 0
+                THEN concat(' contact user', CAST(doc_id AS VARCHAR), '@example.com now')
+                ELSE '' END,
+           CASE WHEN doc_id % 4 = 0
+                THEN concat(' see https://site', CAST(doc_id AS VARCHAR), '.example/p?x=1 ok')
+                ELSE '' END,
+           CASE WHEN doc_id % 5 = 0
+                THEN concat(' from 10.0.', CAST(doc_id % 256 AS VARCHAR), '.7 node')
+                ELSE '' END) AS aug
+  FROM documents)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(aug, '{_PII_URL}')) AS INT) AS n_urls,
+       CAST(len(regexp_extract_all(aug, '{_PII_EMAIL}')) AS INT) AS n_emails,
+       CAST(len(regexp_extract_all(aug, '{_PII_IP}')) AS INT) AS n_ips,
+       md5(regexp_replace(regexp_replace(regexp_replace(aug,
+           '{_PII_URL}', '<URL>', 'g'),
+           '{_PII_EMAIL}', '<EMAIL>', 'g'),
+           '{_PII_IP}', '<IP>', 'g')) AS scrub_digest
+FROM aug
+"""
+
+
 # --- SimHash ----------------------------------------------------------------
 def simhash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
@@ -371,4 +452,5 @@ QUERIES = {
     "dedup_clusters": (dedup_clusters, DEDUP_CLUSTERS_SQL),
     "dedup_ngram_jaccard": (dedup_ngram_jaccard, NGRAM_JACCARD_SQL),
     "simhash_fingerprint": (simhash_fingerprint, SIMHASH_SQL),
+    "text_scrub_pii": (text_scrub_pii, SCRUB_PII_SQL),
 }
