@@ -35,6 +35,11 @@ BENCH_QUERIES = [
     "simhash_fingerprint",
     "dedup_minhash_lsh",
     "ann_cosine_topk",
+    # round 2 additions (additive — earlier names stay comparable
+    # across BENCH_r{N}.json rounds)
+    "ann_ivf_topk",
+    "dedup_clusters",
+    "text_scrub_pii",
 ]
 
 

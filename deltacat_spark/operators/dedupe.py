@@ -229,9 +229,13 @@ def connected_components(
     would otherwise be the scale limit).
     """
     fwd = pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
+    # Materialize the edge list ONCE: its lineage may embed an expensive
+    # upstream pipeline (LSH + Jaccard verification), and every
+    # propagation round joins against it — without this cut the whole
+    # pipeline re-executes per round (measured 36s -> ~9s at sf0.1).
     edges = fwd.union(
         pairs.select(F.col(b_col).alias("u"), F.col(a_col).alias("v"))
-    )
+    ).localCheckpoint(eager=True)
     labels = edges.select("u").distinct().withColumn("label", F.col("u"))
     for _ in range(max_iter):
         nbr = (
