@@ -62,20 +62,20 @@ def dedupe_last_writer_agg(
     duplicates sends O(partitions) rows, not O(1e9).
     """
     payload = [c for c in df.columns if c not in order_cols]
-    ord_exprs = [
-        (F.col(c) if descending else -F.col(c)).alias(f"o{i}")
-        for i, c in enumerate(order_cols)
-    ]
+    ord_exprs = [F.col(c).alias(f"o{i}") for i, c in enumerate(order_cols)]
     packed = F.struct(
         *ord_exprs, F.struct(*[F.col(c) for c in payload]).alias("row")
     )
-    agg = df.groupBy(*[F.col(k) for k in keys]).agg(F.max(packed).alias("w"))
+    # Ascending winner = min(struct) — NOT max over negated columns,
+    # which only works for numeric order columns (a string/timestamp
+    # order column would fail at analysis).
+    agg_fn = F.max if descending else F.min
+    agg = df.groupBy(*[F.col(k) for k in keys]).agg(agg_fn(packed).alias("w"))
     out_cols = [F.col(k) for k in keys]
     for i, c in enumerate(order_cols):
         if c in keys:
             continue
-        src = F.col(f"w.o{i}")
-        out_cols.append((src if descending else -src).alias(c))
+        out_cols.append(F.col(f"w.o{i}").alias(c))
     for c in payload:
         if c in keys:
             continue

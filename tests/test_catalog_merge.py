@@ -147,3 +147,27 @@ def test_mor_optimize_compacts_to_same_result(spark, tmp_path):
     c.vacuum("um", min_age_seconds=0)
     assert sorted(tuple(r) for r in c.read_table("um").collect()) == after
     assert c.read_table("um", version_as_of=2).count() == 5
+
+
+def test_dedupe_agg_ascending_string_order(spark):
+    from deltacat_spark.operators.merge import (
+        dedupe_last_writer,
+        dedupe_last_writer_agg,
+    )
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, "b", 10.0), (1, "a", 20.0), (2, "z", 5.0), (2, "z", 5.0)],
+        "id long, tag string, x double",
+    )
+    # ascending on a STRING order column (the negation trick would fail
+    # at analysis); winner = lexicographically smallest tag
+    got = dedupe_last_writer_agg(
+        df, ["id"], ["tag"], descending=False
+    ).orderBy("id")
+    want = dedupe_last_writer(
+        df, ["id"], [F.asc("tag"), F.asc("x")]
+    ).orderBy("id")
+    assert [tuple(r) for r in got.collect()] == [
+        tuple(r) for r in want.collect()
+    ]
