@@ -46,6 +46,10 @@ BENCH_QUERIES = [
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+    # Optional subset run for iteration: `python bench.py q1 simhash...`
+    # (lakehouse micro-bench runs only on full runs or when requested
+    # via the pseudo-name "lakehouse").
+    only = set(sys.argv[1:])
 
     from deltacat_spark.session import build_session
     from deltacat_spark.workloads import REGISTRY
@@ -59,6 +63,8 @@ def main() -> None:
     timings: dict[str, float] = {}
     total = 0.0
     for name in BENCH_QUERIES:
+        if only and name not in only:
+            continue
         fn, _sql = REGISTRY[name]
         t0 = time.time()
         df = fn(spark, sf_dir)
@@ -67,6 +73,14 @@ def main() -> None:
         timings[name] = round(dt, 3)
         total += dt
         print(f"# {name}: {dt:.2f}s", file=sys.stderr)
+        # Session-state isolation so round-over-round per-query deltas
+        # stay attributable (queries never share cached state anyway —
+        # this clears accidental carryover, not a measured dependency).
+        spark.catalog.clearCache()
+    if only and "lakehouse" not in only:
+        print(json.dumps({"metric": "subset", "queries": timings, "sf": sf}))
+        spark.stop()
+        return
 
     # Lakehouse write-path micro-bench: ingest lineitem into the table
     # format with merge keys, upsert a 1% slice (copy-by-reference CoW),

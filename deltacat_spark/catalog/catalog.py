@@ -407,7 +407,7 @@ class Catalog:
         if not pos_files:
             return df
         dels = self.spark.read.parquet(
-            *[f.abs_path(snap.table_root) for f in pos_files]
+            *[self.fs.spark_path(f.abs_path(snap.table_root)) for f in pos_files]
         ).select("_file", "_pos").distinct()
         out = df.join(
             self._hint_small(snap, dels, pos_files),
@@ -419,7 +419,7 @@ class Catalog:
     def _manifest_df(self, snap: Snapshot, files: list[FileEntry]) -> DataFrame:
         rows = [
             (
-                f.abs_path(snap.table_root),
+                self.fs.spark_path(f.abs_path(snap.table_root)),
                 f.records,
                 f.bytes,
                 f.content_type or "application/parquet",
@@ -525,7 +525,9 @@ class Catalog:
             file_schema = self._schema_at(snap, gv)
             if file_schema is not None:
                 reader = reader.schema(file_schema.to_struct_type())
-            df = reader.parquet(*[f.abs_path(snap.table_root) for f in fs])
+            df = reader.parquet(
+                *[self.fs.spark_path(f.abs_path(snap.table_root)) for f in fs]
+            )
             if file_path_column:
                 df = df.withColumn(file_path_column, F.input_file_name())
             if with_pos:
@@ -735,6 +737,7 @@ class Catalog:
                 srt_scheme,
                 max_rpf,
                 partition_salt=int(salt) if salt else None,
+                fs=self.fs,
             )
 
         def _cdc_actions(change_df: DataFrame) -> list[dict]:
@@ -743,7 +746,8 @@ class Catalog:
             if not props.get("cdc.enabled"):
                 return []
             return [
-                {"cdc": a["add"]} for a in write_data_files(change_df, troot)
+                {"cdc": a["add"]}
+                for a in write_data_files(change_df, troot, fs=self.fs)
             ]
 
         schema_json = schema.to_json() if schema_changed else None
@@ -1057,7 +1061,10 @@ class Catalog:
         ]
         if pos_existing:
             dels = self.spark.read.parquet(
-                *[f.abs_path(snap.table_root) for f in pos_existing]
+                *[
+                    self.fs.spark_path(f.abs_path(snap.table_root))
+                    for f in pos_existing
+                ]
             ).select("_file", "_pos")
             rows = rows.join(
                 self._hint_small(snap, dels, pos_existing),
@@ -1069,7 +1076,9 @@ class Catalog:
             F.col("__dcs_file").alias("_file"),
             F.col("__dcs_pos").alias("_pos"),
         )
-        adds = write_data_files(matches, self._table_root(table, namespace))
+        adds = write_data_files(
+            matches, self._table_root(table, namespace), fs=self.fs
+        )
         n = sum(a["add"].get("records") or 0 for a in adds)
         if n == 0:
             return 0
@@ -1189,8 +1198,15 @@ class Catalog:
         """
         snap = self.snapshot(table, namespace, version_as_of=to_version)
         log = self._log(table, namespace)
+        # CDC must agree with snapshot reads: commits from an aborted or
+        # still-pending multi-table transaction are invisible to
+        # Snapshot.of, so they must not surface as change rows either
+        # (same _txn_visible rule; read-your-writes for the sealing txn).
+        visible, _ = Snapshot._txn_visible(
+            log, log.replay(to_version, start_after=from_version)
+        )
         parts = []
-        for c in log.replay(to_version, start_after=from_version):
+        for c in visible:
             if c.delta_type == DeltaType.POSITIONAL_DELETE and c.adds:
                 # The sidecar holds (_file, _pos) tuples, not table rows —
                 # scanning it with the table schema would emit all-null
@@ -1209,7 +1225,9 @@ class Catalog:
                 rows = self._scan(snap, prev_data, with_pos=True)
                 dels = self.spark.read.parquet(
                     *[
-                        os.path.join(snap.table_root, a["path"])
+                        self.fs.spark_path(
+                            self.fs.join(snap.table_root, a["path"])
+                        )
                         for a in c.adds
                     ]
                 ).select("_file", "_pos").distinct()
@@ -1310,6 +1328,7 @@ class Catalog:
             part_scheme,
             srt,
             int(props.get("max_records_per_file", DEFAULT_MAX_RECORDS_PER_FILE)),
+            fs=self.fs,
         )
         commit = Commit(
             version=snap.version + 1,
@@ -1352,6 +1371,7 @@ class Catalog:
             None,
             None,
             int(props.get("max_records_per_file", DEFAULT_MAX_RECORDS_PER_FILE)),
+            fs=self.fs,
         )
         self._log(table, namespace).commit(
             Commit(
@@ -1367,6 +1387,7 @@ class Catalog:
         namespace: str = DEFAULT_NAMESPACE,
         retain_versions: int | None = None,
         min_age_seconds: float = 86_400.0,
+        txn_timeout_seconds: float = 86_400.0,
     ) -> int:
         """Delete unreferenced data files (janitor equivalent, reference
         `compute/janitor.py:85-228`).
@@ -1382,10 +1403,21 @@ class Catalog:
         data files BEFORE appending the commit, so a concurrent in-flight
         write's files look orphaned until its commit lands. Pass 0 only
         when no writer can be active.
+
+        Also acts as the stale-transaction janitor (reference
+        `compute/janitor.py:85-228`): pending cross-table transaction
+        markers older than `txn_timeout_seconds` (a separate knob from
+        the file grace period — a live in-flight txn inside the timeout
+        is never touched) are aborted first, so a writer that crashed
+        between `begin` and seal stops pinning provisional snapshots,
+        and its never-visible files become reclaimable below.
+        Aborted-txn commits' adds are excluded from the referenced set
+        (they can never become visible).
         """
         import time as _time
         troot = self._table_root(table, namespace)
         log = self._log(table, namespace)
+        self._txn_markers.abort_stale(txn_timeout_seconds)
         latest = log.latest_version() or 0
         horizon = latest - retain_versions if retain_versions is not None else 0
         referenced: set[str] = set()
@@ -1393,6 +1425,9 @@ class Catalog:
         # vacuum must see every retained version's adds.
         live = {f.path for f in self.snapshot(table, namespace).files}
         for c in log.replay():
+            pt = c.pending_txn
+            if pt and pt != self._txn_ctx and self._txn_markers.status(pt) == "aborted":
+                continue  # hidden forever — files are dead
             if c.version >= horizon:
                 for a in c.adds:
                     referenced.add(a["path"])

@@ -24,6 +24,7 @@ from urllib.parse import unquote
 import pyarrow.parquet as pq
 from pyspark.sql import DataFrame
 
+from deltacat_spark.storage.fs import LOCAL_FS
 from deltacat_spark.plans.transforms import (
     PART_PREFIX,
     PartitionKey,
@@ -54,6 +55,7 @@ def write_data_files(
     sort_scheme: list[SortKey] | None = None,
     max_records_per_file: int = DEFAULT_MAX_RECORDS_PER_FILE,
     partition_salt: int | None = None,
+    fs=LOCAL_FS,
 ) -> list[dict[str, Any]]:
     """Write a batch; return commit `add` action dicts.
 
@@ -62,8 +64,13 @@ def write_data_files(
     partition scheme (e.g. 3 regions on a 1000-executor cluster) then
     uses N writers rather than one task per partition value. Salt is a
     deterministic hash of the row, never written to the files.
+
+    `fs` (`storage/fs.py` seam): Spark writes to ``fs.spark_path(dest)``
+    (the URI its Hadoop layer resolves) and the driver-side footer-stats
+    pass reads back through the seam — so tables on object stores use
+    one consistent path mapping for data and control plane.
     """
-    dest = os.path.join(table_root, "data", uuid.uuid4().hex)
+    dest = fs.join(table_root, "data", uuid.uuid4().hex)
     part_cols = partition_columns(partition_scheme, df.schema)
     out = df
     for name, col in part_cols.items():
@@ -90,30 +97,32 @@ def write_data_files(
     )
     if part_cols:
         writer = writer.partitionBy(*part_cols.keys())
-    writer.parquet(dest)
-    return collect_add_actions(dest, table_root)
+    writer.parquet(fs.spark_path(dest))
+    return collect_add_actions(dest, table_root, fs=fs)
 
 
-def collect_add_actions(dest: str, table_root: str) -> list[dict[str, Any]]:
+def collect_add_actions(
+    dest: str, table_root: str, fs=LOCAL_FS
+) -> list[dict[str, Any]]:
     """Paths are recorded *relative to the table root* so the table stays
     relocatable (rename_table is an O(1) directory move)."""
     adds = []
-    for dirpath, _dirs, files in os.walk(dest):
-        for fname in sorted(files):
-            if not fname.endswith(".parquet"):
-                continue
-            path = os.path.join(dirpath, fname)
-            rel_dir = os.path.relpath(dirpath, dest)
-            pvals = _partition_values_from_relpath(rel_dir)
-            adds.append(
-                {
-                    "add": {
-                        "path": os.path.relpath(path, table_root),
-                        "partition_values": pvals or None,
-                        **_footer_stats(path),
-                    }
+    for path in sorted(fs.walk_files(dest)):
+        fname = path.rsplit("/", 1)[-1]
+        if not fname.endswith(".parquet"):
+            continue
+        rel = fs.relpath(path, dest)
+        rel_dir = rel[: -(len(fname) + 1)] if "/" in rel else ""
+        pvals = _partition_values_from_relpath(rel_dir)
+        adds.append(
+            {
+                "add": {
+                    "path": fs.relpath(path, table_root),
+                    "partition_values": pvals or None,
+                    **_footer_stats(path, fs=fs),
                 }
-            )
+            }
+        )
     adds = [a for a in adds if a["add"].get("records", 0) > 0]
     return adds
 
@@ -122,7 +131,7 @@ def _partition_values_from_relpath(rel: str) -> dict[str, str]:
     out: dict[str, str] = {}
     if rel in (".", ""):
         return out
-    for seg in rel.split(os.sep):
+    for seg in rel.split("/"):
         if "=" in seg:
             k, v = seg.split("=", 1)
             if k.startswith(PART_PREFIX):
@@ -131,8 +140,9 @@ def _partition_values_from_relpath(rel: str) -> dict[str, str]:
     return out
 
 
-def _footer_stats(path: str) -> dict[str, Any]:
-    md = pq.read_metadata(path)
+def _footer_stats(path: str, fs=LOCAL_FS) -> dict[str, Any]:
+    with fs.open_binary(path) as fh:
+        md = pq.read_metadata(fh)
     stats: dict[str, dict[str, Any]] = {}
     ncols = min(md.num_columns, _STATS_MAX_COLS)
     for rg in range(md.num_row_groups):
@@ -161,7 +171,7 @@ def _footer_stats(path: str) -> dict[str, Any]:
                 cur["max"] = max(cur["max"], mx)
     out: dict[str, Any] = {
         "records": md.num_rows,
-        "bytes": os.path.getsize(path),
+        "bytes": fs.size(path),
     }
     if stats:
         out["stats"] = _jsonable(stats)

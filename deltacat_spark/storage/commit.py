@@ -99,6 +99,11 @@ class TxnMarkers:
         return self.fs.join(self.dir, f"{txn_id}.{state}")
 
     def begin(self, txn_id: str) -> None:
+        # NOTE: exclusivity inherits the backend's ``create_exclusive``
+        # semantics (see `storage/fs.py`): atomic on POSIX/HDFS;
+        # check-then-write on ArrowFS object stores, where true
+        # cross-table atomicity additionally needs a conditional-PUT
+        # shim — the same caveat as the commit-log version slot.
         if not self.fs.create_exclusive(self._p(txn_id, "pending")):
             raise FileExistsError(self._p(txn_id, "pending"))
 
@@ -110,11 +115,53 @@ class TxnMarkers:
             self.fs.rename(self._p(txn_id, "pending"), self._p(txn_id, "aborted"))
 
     def status(self, txn_id: str) -> str:
-        if self.fs.exists(self._p(txn_id, "committed")):
-            return "committed"
+        # Pending is checked FIRST: a reader racing the finalize() rename
+        # otherwise sees neither file for an instant and misclassifies a
+        # committed transaction as aborted — and a resolved snapshot
+        # could checkpoint state that permanently excludes its commits.
+        # Order pending → committed makes the race window resolve to the
+        # conservative "pending" (snapshot stays provisional, no
+        # checkpoint) or the correct "committed".
         if self.fs.exists(self._p(txn_id, "pending")):
             return "pending"
+        if self.fs.exists(self._p(txn_id, "committed")):
+            return "committed"
         return "aborted"
+
+    def pending_ids(self) -> list[str]:
+        """Transaction ids with a live ``.pending`` marker."""
+        return [
+            n[: -len(".pending")]
+            for n in self.fs.list_dir(self.dir)
+            if n.endswith(".pending")
+        ]
+
+    def abort_stale(self, max_age_seconds: float) -> list[str]:
+        """Janitor: abort pending transactions older than
+        `max_age_seconds` (marker mtime), reference
+        `compute/janitor.py:85-228`.
+
+        A writer that crashed between ``begin`` and ``finalize``/``abort``
+        otherwise leaves its marker forever — every participating table's
+        snapshots stay provisional (``has_unresolved_txn``) and its
+        staged files are unreclaimable. Returns the aborted txn ids.
+        Live in-flight transactions younger than the age are untouched.
+        """
+        now = time.time()
+        out = []
+        for txn_id in self.pending_ids():
+            p = self._p(txn_id, "pending")
+            try:
+                age = now - self.fs.mtime(p)
+            except (FileNotFoundError, OSError):
+                continue  # raced a concurrent finalize/abort
+            if age >= max_age_seconds:
+                try:
+                    self.abort(txn_id)
+                    out.append(txn_id)
+                except (FileNotFoundError, OSError):
+                    continue
+        return out
 
 
 @dataclass

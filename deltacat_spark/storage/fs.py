@@ -70,6 +70,10 @@ class LocalFS:
         with open(path, encoding="utf-8") as fh:
             return fh.read()
 
+    def open_binary(self, path: str):
+        """Binary file-like for footer reads (pyarrow-compatible)."""
+        return open(path, "rb")
+
     def walk_files(self, root: str) -> Iterator[str]:
         for dirpath, _d, fnames in os.walk(root):
             for fn in fnames:
@@ -194,6 +198,9 @@ class ArrowFS:
         with self.fs.open_input_stream(path) as fh:
             return fh.read().decode("utf-8")
 
+    def open_binary(self, path: str):
+        return self.fs.open_input_file(path)
+
     def walk_files(self, root: str) -> Iterator[str]:
         from pyarrow.fs import FileSelector, FileType
 
@@ -226,6 +233,12 @@ class ArrowFS:
     def put_if_absent(self, path: str, payload: str) -> bool:
         # Best-effort conditional create (see module docstring): atomic
         # on backends with exclusive-create; check-then-write elsewhere.
+        # NOTE this weakness is inherited by EVERYTHING built on the
+        # conditional-create primitive: the commit log's version-slot
+        # MVCC *and* TxnMarkers.begin (cross-table atomic seal). On a
+        # multi-writer object store, front both with a backend
+        # conditional-PUT shim (S3 If-None-Match / GCS
+        # if-generation-match) by overriding this one method.
         if self.exists(path):
             return False
         self.write_text_atomic(path, payload)

@@ -37,10 +37,30 @@ def _late_modules() -> list:
 for _m in _late_modules():
     REGISTRY.update(_m.QUERIES)
 
+# The driver checks a rotating ~50-query subset per round, taken from the
+# head of the dict. Queries that have never had a driver CORRECTNESS row
+# (or were rotated out before getting one) are ordered FIRST so every
+# operator accumulates at least one driver-checked row across rounds.
+_CHECK_FIRST = [
+    "min_cost_part",
+    "count_distinct_parts",
+    "q7_trade_flow",
+    "window_order_gaps",
+    "percentile_prices",
+    "set_intersect_active_buyers",
+]
+
+
+def _ordered() -> "dict[str, Entry]":
+    head = {n: REGISTRY[n] for n in _CHECK_FIRST if n in REGISTRY}
+    return {**head, **{n: e for n, e in REGISTRY.items() if n not in head}}
+
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {name: fn for name, (fn, _sql) in REGISTRY.items()}
+    return {name: fn for name, (fn, _sql) in _ordered().items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    return {name: sql for name, (_fn, sql) in REGISTRY.items() if sql is not None}
+    return {
+        name: sql for name, (_fn, sql) in _ordered().items() if sql is not None
+    }
