@@ -85,7 +85,7 @@ def minhash_signatures(
 def lsh_candidates(
     signatures: DataFrame,
     rows_per_band: int = 2,
-    max_bucket: int | None = None,
+    max_bucket: int | None = 64,
 ) -> DataFrame:
     """Banded LSH: docs agreeing on all minhashes of any band → candidate
     pair (doc_a < doc_b). Band signature built by conditional aggregation
@@ -97,8 +97,11 @@ def lsh_candidates(
     quadratic. Buckets larger than `max_bucket` emit STAR pairs instead
     (every member against the bucket's min doc_id): O(B) pairs that keep
     the bucket connected for clustering, while each member still gets
-    Jaccard-verified against a representative. None = uncapped
-    (exact parity with the all-pairs oracle)."""
+    Jaccard-verified against a representative. The guard is ON by
+    default (64) so callers are 100 TB-safe without knowing the flag
+    exists; results are bit-identical to uncapped whenever no bucket
+    exceeds the cap. Pass None for uncapped (exact parity with an
+    all-pairs oracle even on hot buckets)."""
     banded = signatures.withColumn(
         "band", (F.col("perm") / F.lit(rows_per_band)).cast("int")
     ).withColumn("slot", F.col("perm") % F.lit(rows_per_band))

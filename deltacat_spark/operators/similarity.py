@@ -91,6 +91,15 @@ def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
     return bucket
 
 
+def vec_dim(df: DataFrame, vec_col: str = "embedding") -> int:
+    """Embedding dimensionality from the data (one-row control-plane
+    lookup, not a data collect)."""
+    row = df.select(F.size(F.col(vec_col)).alias("d")).first()
+    if row is None or row.d is None:
+        raise ValueError(f"cannot derive vector dim from empty {vec_col!r}")
+    return int(row.d)
+
+
 def lsh_topk(
     candidates: DataFrame,
     queries: DataFrame,
@@ -99,6 +108,7 @@ def lsh_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     multiprobe: bool = False,
+    dim: int | None = None,
 ) -> DataFrame:
     """Bucketed ANN — the scale path past brute force.
 
@@ -110,7 +120,8 @@ def lsh_topk(
     Returns (q_id, cand_id, cosine, rank) — approximate: neighbors in
     other buckets are missed, by design.
     """
-    dim = 64
+    if dim is None:
+        dim = vec_dim(candidates, vec_col)
     planes = hyperplanes(dim, n_planes)
     q = with_norm(queries, vec_col).select(
         F.col(id_col).alias("q_id"),
@@ -147,6 +158,85 @@ def lsh_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("q_id", "cand_id", F.round("cos_raw", 6).alias("cosine"), "rank")
+    )
+
+
+def cosine_dedup_pairs(
+    vectors: DataFrame,
+    threshold: float,
+    n_bands: int = 16,
+    band_planes: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+) -> DataFrame:
+    """Embedding near-dup pairs (id_a < id_b, cosine ≥ threshold) via
+    banded sign-LSH candidates + exact cosine verification.
+
+    The scale path for all-pairs similarity over dense embeddings: an
+    all-pairs comparison is a broadcast nested-loop join (O(n²) work and
+    a driver-bounded broadcast — the r2 workload's shape); here each of
+    the `n_bands` bands buckets every vector by `band_planes` sign bits,
+    candidates come from a (band, bucket) self-equi-join (shuffle-
+    partitioned, linear in bucket occupancy), and every candidate is
+    verified with the exact cosine so precision is 1.0. Recall follows
+    the OR-amplified sign-LSH bound 1-(1-(1-θ/π)^p)^L — tune
+    (n_bands, band_planes) to the threshold; dense exact sub-quadratic
+    APSS does not exist, so a recall knob is the honest contract.
+    Hyperplanes are md5-derived (`hyperplanes`) — engine-reproducible.
+    """
+    if dim is None:
+        dim = vec_dim(vectors, vec_col)
+    planes = hyperplanes(dim, n_bands * band_planes)
+    v = with_norm(vectors, vec_col).select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        F.col("_norm").alias("nrm"),
+    )
+    band_cols = [
+        lsh_bucket(
+            F.col("vec"), planes[b * band_planes : (b + 1) * band_planes]
+        ).alias(f"__b{b}")
+        for b in range(n_bands)
+    ]
+    stack = ", ".join(f"{b}, __b{b}" for b in range(n_bands))
+    buckets = (
+        v.select("id", *band_cols)
+        .selectExpr("id", f"stack({n_bands}, {stack}) as (band, bucket)")
+    )
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    va = v.select(
+        F.col("id").alias("id_a"),
+        F.col("vec").alias("va"),
+        F.col("nrm").alias("na"),
+    )
+    vb = v.select(
+        F.col("id").alias("id_b"),
+        F.col("vec").alias("vb"),
+        F.col("nrm").alias("nb"),
+    )
+    return (
+        cands.join(va, "id_a")
+        .join(vb, "id_b")
+        .withColumn(
+            "cosine",
+            F.round(
+                dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6
+            ),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
     )
 
 

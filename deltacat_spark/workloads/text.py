@@ -168,7 +168,11 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # MEMORY_AND_DISK persistence.
     sh = shingle_sets(d, "doc_id", "text", n=3)
     sigs = minhash_signatures(sh, num_perms=8)
-    cands = lsh_candidates(sigs, rows_per_band=2)
+    # Pinned uncapped: this query IS the oracle-parity form (the DuckDB
+    # SQL computes all-pairs candidates). Library defaults are capped;
+    # capped-vs-uncapped parity on this corpus is asserted in
+    # tests/test_dedupe_scale_guards.py.
+    cands = lsh_candidates(sigs, rows_per_band=2, max_bucket=None)
     return jaccard_pairs(sh, candidates=cands, df_cap=None, threshold=0.7)
 
 
@@ -219,7 +223,8 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     sh = shingle_sets(d, "doc_id", "text", n=3)
     sigs = minhash_signatures(sh, num_perms=8)
-    cands = lsh_candidates(sigs, rows_per_band=2)
+    # Pinned uncapped for oracle parity (see dedup_minhash_lsh note).
+    cands = lsh_candidates(sigs, rows_per_band=2, max_bucket=None)
     pairs = jaccard_pairs(sh, candidates=cands, df_cap=None, threshold=0.7)
     return connected_components(pairs)
 

@@ -226,29 +226,19 @@ GROUP BY band
 
 # --- embedding-cosine near-dup ----------------------------------------------
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-dup pairs above a cosine threshold (brute force on
-    a bounded id range — the LSH/IVF bucketing in `operators.similarity`
-    is the scale path)."""
-    from deltacat_spark.functions.vectors import dot, l2_norm
+    """Embedding near-dup pairs above a cosine threshold, generated the
+    100 TB way: banded sign-LSH bucket equi-join candidates + exact
+    cosine verify (`operators.similarity.cosine_dedup_pairs`) — never an
+    all-pairs BroadcastNestedLoopJoin. The DuckDB oracle stays the
+    brute-force form, so the driver's hash-match doubles as a recall
+    check of the bucketed path ((16 bands × 2 planes) ⇒ per-pair miss
+    probability ~1.6e-4 at cosine exactly 0.45; verified 0 misses at
+    sf0.001/0.01/0.1)."""
+    from deltacat_spark.operators.similarity import cosine_dedup_pairs
 
     e = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 500)
-    v = e.select("vec_id", "embedding", l2_norm(F.col("embedding")).alias("nrm"))
-    a = v.select(
-        F.col("vec_id").alias("id_a"),
-        F.col("embedding").alias("va"),
-        F.col("nrm").alias("na"),
-    )
-    b = v.select(
-        F.col("vec_id").alias("id_b"),
-        F.col("embedding").alias("vb"),
-        F.col("nrm").alias("nb"),
-    )
-    pairs = a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
-    cos = dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
-    return (
-        pairs.withColumn("cosine", F.round(cos, 6))
-        .filter(F.col("cosine") >= 0.45)
-        .select("id_a", "id_b", "cosine")
+    return cosine_dedup_pairs(
+        e, threshold=0.45, n_bands=16, band_planes=2
     )
 
 

@@ -39,11 +39,36 @@ def test_star_cap_parity_below_threshold(spark):
     docs = _identical_docs(spark, 10)
     sh = shingle_sets(docs, "doc_id", "text", n=3)
     sigs = minhash_signatures(sh, num_perms=8)
-    uncapped = {tuple(r) for r in lsh_candidates(sigs).collect()}
+    uncapped = {
+        tuple(r) for r in lsh_candidates(sigs, max_bucket=None).collect()
+    }
     capped = {
         tuple(r) for r in lsh_candidates(sigs, max_bucket=50).collect()
     }
     assert capped == uncapped and len(capped) == 45
+
+
+def test_defaults_are_scale_guarded_and_parity_on_real_corpus(spark):
+    """Library defaults (max_bucket=64, df_cap=50) must agree with the
+    uncapped form on the sf0.01 documents corpus (no hot buckets there),
+    so safe-by-default costs nothing in fidelity."""
+    from deltacat_spark.operators.dedupe import jaccard_pairs
+    from deltacat_spark.workloads.base import load
+
+    d = load(spark, "/root/testdata/sf0.01", "documents")
+    sh = shingle_sets(d, "doc_id", "text", n=3)
+    sigs = minhash_signatures(sh, num_perms=8)
+    capped_c = lsh_candidates(sigs, rows_per_band=2)  # default cap
+    uncapped_c = lsh_candidates(sigs, rows_per_band=2, max_bucket=None)
+    assert {tuple(r) for r in capped_c.collect()} == {
+        tuple(r) for r in uncapped_c.collect()
+    }
+    capped = jaccard_pairs(sh, candidates=capped_c)  # default df_cap
+    uncapped = jaccard_pairs(sh, candidates=uncapped_c, df_cap=None)
+    got_c = {tuple(r) for r in capped.collect()}
+    got_u = {tuple(r) for r in uncapped.collect()}
+    assert got_c == got_u
+    assert got_c  # non-vacuous
 
 
 def test_connected_components_chain_and_islands(spark):
