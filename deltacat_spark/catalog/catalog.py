@@ -445,10 +445,20 @@ class Catalog:
         table: str,
         namespace: str = DEFAULT_NAMESPACE,
         content_type: str = "application/octet-stream",
+        distributed_threshold: int = 64,
     ) -> None:
         """Ingest opaque files into a schemaless table (reference
         schemaless write path; payloads copied under the table root,
-        committed as an unordered ADD)."""
+        committed as an unordered ADD).
+
+        Batches larger than `distributed_threshold` copy on EXECUTORS
+        (one Spark job over the path list; the driver only commits the
+        returned metadata) — the bulk-media-ingest path for TB-scale
+        corpora, where a serial driver loop is the bottleneck. Source
+        paths must then be executor-visible (shared fs / object store).
+        Small batches keep the driver loop (no job-scheduling overhead
+        for control-plane payloads).
+        """
         import uuid as _uuid
 
         if not self.table_exists(table, namespace):
@@ -463,20 +473,39 @@ class Catalog:
             )
         troot = self._table_root(table, namespace)
         dest = self.fs.join(troot, "data", _uuid.uuid4().hex)
-        adds = []
-        for p in sorted(paths):
-            tgt = self.fs.join(dest, os.path.basename(p))
-            self.fs.copy_in(p, tgt)
-            adds.append(
-                {
-                    "add": {
-                        "path": self.fs.relpath(tgt, troot),
-                        "records": 1,
-                        "bytes": self.fs.size(tgt),
-                        "content_type": content_type,
-                    }
+        pairs = [
+            (p, self.fs.join(dest, os.path.basename(p))) for p in sorted(paths)
+        ]
+        if len(pairs) > distributed_threshold:
+            fs = self.fs  # picklable seam object; closure must not bind self
+
+            def _copy(pair: "tuple[str, str]") -> "tuple[str, int]":
+                src, tgt = pair
+                fs.copy_in(src, tgt)
+                return tgt, fs.size(tgt)
+
+            n_slices = min(len(pairs), 64)
+            sized = (
+                self.spark.sparkContext.parallelize(pairs, n_slices)
+                .map(_copy)
+                .collect()
+            )  # metadata-only collect: (path, bytes) per file
+        else:
+            sized = []
+            for src, tgt in pairs:
+                self.fs.copy_in(src, tgt)
+                sized.append((tgt, self.fs.size(tgt)))
+        adds = [
+            {
+                "add": {
+                    "path": self.fs.relpath(tgt, troot),
+                    "records": 1,
+                    "bytes": nbytes,
+                    "content_type": content_type,
                 }
-            )
+            }
+            for tgt, nbytes in sorted(sized)
+        ]
         self._log(table, namespace).commit(
             Commit(
                 version=snap.version + 1,

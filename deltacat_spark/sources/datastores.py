@@ -13,6 +13,20 @@ an actionable error naming the package when it is not. File formats
 
 Extension point: `register(Datastore(...))` — a user datastore only
 needs a name, its URL schemes, and read/write callables.
+
+Environment note (round-3 audit): this build environment ships NO
+lakehouse-connector jars (verified: pyspark's `jars/` contains no
+iceberg/delta/hudi artifacts, and there is no network for `--packages`
+resolution), so the Iceberg converter-session round-trip — read an
+external Iceberg table through this registry, MERGE in-engine, commit
+position deletes back as an Iceberg snapshot (reference
+`compute/converter/converter_session.py:46-429`) — cannot be exercised
+here. The in-engine half (positional `delete_where` + OPTIMIZE fold)
+is implemented and tested; the external-commit half needs
+`org.apache.iceberg:iceberg-spark-runtime` on the classpath and is
+deliberately NOT stubbed: on a cluster with the jar, `read_url` on an
+`iceberg+<path>` URL resolves through this registry and writes commit
+through the connector's own SQL surface.
 """
 
 from __future__ import annotations

@@ -10,6 +10,7 @@ stateful ops as the new surface we add.
 from deltacat_spark.streaming.api import (
     session_window_agg,
     sliding_window_agg,
+    stream_read_changes,
     stream_write_to_table,
     tumbling_window_agg,
 )
@@ -17,6 +18,7 @@ from deltacat_spark.streaming.api import (
 __all__ = [
     "session_window_agg",
     "sliding_window_agg",
+    "stream_read_changes",
     "stream_write_to_table",
     "tumbling_window_agg",
 ]

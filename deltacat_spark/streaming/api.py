@@ -123,6 +123,37 @@ def stream_read_appends(
     )
 
 
+def stream_read_changes(
+    catalog,
+    table: str,
+    namespace: str = "default",
+    from_version: int = 0,
+    on_positional_delete: str = "fail",
+) -> DataFrame:
+    """Streaming CDC read: the table's commit log as a micro-batch
+    source. Each commit's change rows (delta files or `cdc.enabled`
+    sidecars) arrive exactly once, stamped `_commit_version` /
+    `_change_type` — offsets are commit versions checkpointed by Spark,
+    so recovery replays a deterministic range of an immutable log
+    (see `streaming/cdc_source.py` for the full semantics, including
+    multi-table-txn gating and the positional-delete policy)."""
+    from deltacat_spark.streaming.cdc_source import (
+        FORMAT_NAME,
+        TableChangesDataSource,
+    )
+
+    catalog.spark.dataSource.register(TableChangesDataSource)
+    return (
+        catalog.spark.readStream.format(FORMAT_NAME)
+        .option("root", catalog.root)
+        .option("table", table)
+        .option("namespace", namespace)
+        .option("from_version", str(from_version))
+        .option("on_positional_delete", on_positional_delete)
+        .load()
+    )
+
+
 def stream_write_to_table(
     stream_df: DataFrame,
     catalog,

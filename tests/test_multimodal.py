@@ -86,3 +86,30 @@ def test_frame_sample(spark, media_dir):
     for r in frames:
         per.setdefault(os.path.basename(r.path), []).append(r.frame_no)
     assert all(sorted(v) == list(range(len(v))) for v in per.values())
+
+
+def test_put_files_distributed_path(spark, catalog, tmp_path):
+    """Bulk media ingest: above the threshold the copies run as one
+    Spark job on executors; the commit metadata must be identical to the
+    serial path (names, sizes, byte-exact payloads)."""
+    d = tmp_path / "bulk"
+    d.mkdir()
+    want = {}
+    for i in range(100):
+        p = d / f"blob_{i:03d}.bin"
+        body = bytes((i + j) % 256 for j in range(64 + i))
+        p.write_bytes(body)
+        want[p.name] = body
+    catalog.put_files(
+        sorted(str(p) for p in d.iterdir()),
+        "bulk_media",
+        content_type="application/fake",
+        distributed_threshold=10,  # force the executor path
+    )
+    manifest = catalog.read_table("bulk_media")
+    rows = manifest.collect()
+    assert len(rows) == 100
+    assert all(r.content_length == len(want[os.path.basename(r.path)]) for r in rows)
+    blobs = catalog.from_manifest_table(manifest).collect()
+    got = {os.path.basename(r.path): bytes(r.content) for r in blobs}
+    assert got == want
