@@ -41,15 +41,22 @@ def exact_dedupe(
     )
 
 
-def shingle_sets(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
-    """(doc_id, shingle) distinct pairs — the inverted-index base."""
-    return (
-        df.select(
-            F.col(id_col).alias("doc_id"),
-            F.explode(word_shingles(F.col(text_col), n)).alias("shingle"),
-        )
-        .distinct()
+def shingle_sets(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, distinct: bool = True
+) -> DataFrame:
+    """(doc_id, shingle) pairs — the inverted-index base.
+
+    `distinct=True` (the set semantics Jaccard needs) costs a full
+    (doc_id, shingle) shuffle. Pass `distinct=False` for consumers that
+    are duplicate-insensitive — MinHash's per-doc MIN aggregate gives
+    identical signatures on the raw explode stream and skips that
+    shuffle entirely (the partial min combines map-side, so the only
+    shuffled data is num_perms values per doc)."""
+    out = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(word_shingles(F.col(text_col), n)).alias("shingle"),
     )
+    return out.distinct() if distinct else out
 
 
 def _rotation(h, i: int):

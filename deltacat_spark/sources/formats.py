@@ -61,29 +61,76 @@ def infer_format(url: str) -> str:
     return _EXT_TO_FORMAT.get(ext.lower(), "parquet")
 
 
+# ---------------------------------------------------------------------------
+# Pluggable per-content-type callbacks (reference ReadKwargsProvider /
+# TableWriterFn, `utils/common.py:ReadKwargsProvider`,
+# `utils/pyarrow.py:801-888`): a kwargs provider rewrites the option dict
+# per format before the read/write; reader_fn/writer_fn replace the whole
+# IO call for a format (the reference's pluggable table writer).
+# ---------------------------------------------------------------------------
+# (fmt, merged_options) -> final options
+KwargsProvider = Any  # Callable[[str, dict[str, Any]], dict[str, Any]]
+
+
+class ContentTypeKwargsProvider:
+    """Per-content-type option overrides, the reference's
+    `ContentTypeKwargsProvider` shape: `{fmt: {option: value}}` applied
+    only when the read/write is for that format."""
+
+    def __init__(self, kwargs_by_fmt: dict[str, dict[str, Any]]):
+        self.kwargs_by_fmt = kwargs_by_fmt
+
+    def __call__(self, fmt: str, options: dict[str, Any]) -> dict[str, Any]:
+        return {**options, **self.kwargs_by_fmt.get(fmt, {})}
+
+
+_READER_FNS: dict[str, Any] = {}
+_WRITER_FNS: dict[str, Any] = {}
+
+
+def register_reader_fn(fmt: str, fn) -> None:
+    """Override the reader for `fmt`:
+    fn(spark, url, options) -> DataFrame."""
+    _READER_FNS[fmt] = fn
+
+
+def register_writer_fn(fmt: str, fn) -> None:
+    """Override the writer for `fmt` (reference TableWriterFn):
+    fn(df, url, mode, options) -> None."""
+    _WRITER_FNS[fmt] = fn
+
+
 def read_url(
     spark: SparkSession,
     url: str,
     fmt: str | None = None,
     options: dict[str, Any] | None = None,
     datastore: str | None = None,
+    kwargs_provider: KwargsProvider | None = None,
 ) -> DataFrame:
     """`dc.get` equivalent: URL → DataFrame (reference `api.py:97+`).
 
     Non-file datastores (bigquery/mongodb/clickhouse/iceberg/…) resolve
     through the pluggable registry (`sources/datastores.py`) by URL
-    scheme or explicit `datastore=` name."""
+    scheme or explicit `datastore=` name. `kwargs_provider` customizes
+    options per content type; a registered reader_fn replaces the read
+    entirely."""
     from deltacat_spark.sources.datastores import resolve
 
     ds = resolve(url, datastore)
     if ds is not None:
         return ds.read(spark, url, **(options or {}))
     fmt = fmt or infer_format(url)
+    opts = dict(options or {})
+    if kwargs_provider is not None:
+        opts = kwargs_provider(fmt, opts)
+    if fmt in _READER_FNS:
+        return _READER_FNS[fmt](spark, url, opts)
     if fmt == "feather":
         return read_feather(spark, url)
     sfmt, defaults = FORMATS[fmt]
     reader = spark.read.format(sfmt)
-    for k, v in {**defaults, **(options or {})}.items():
+    for k, v in {**defaults, **opts}.items():
         reader = reader.option(k, v)
     return reader.load(url)
 
@@ -95,6 +142,7 @@ def write_url(
     mode: str = "overwrite",
     options: dict[str, Any] | None = None,
     datastore: str | None = None,
+    kwargs_provider: KwargsProvider | None = None,
 ) -> None:
     """`dc.put` equivalent: DataFrame → URL."""
     from deltacat_spark.sources.datastores import resolve
@@ -103,13 +151,18 @@ def write_url(
     if ds is not None:
         return ds.write(df, url, mode=mode, **(options or {}))
     fmt = fmt or infer_format(url)
+    opts = dict(options or {})
+    if kwargs_provider is not None:
+        opts = kwargs_provider(fmt, opts)
+    if fmt in _WRITER_FNS:
+        return _WRITER_FNS[fmt](df, url, mode, opts)
     if fmt == "feather":
         return write_feather(df, url)
     if fmt == "binary":
         raise ValueError("binary is a read-only format (use put_files)")
     sfmt, defaults = FORMATS[fmt]
     writer = df.write.format(sfmt).mode(mode)
-    for k, v in {**defaults, **(options or {})}.items():
+    for k, v in {**defaults, **opts}.items():
         writer = writer.option(k, v)
     writer.save(url)
 

@@ -167,7 +167,12 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # At cluster scale with much larger documents, revisit with
     # MEMORY_AND_DISK persistence.
     sh = shingle_sets(d, "doc_id", "text", n=3)
-    sigs = minhash_signatures(sh, num_perms=8)
+    # Signatures read the RAW explode stream (min is duplicate-
+    # insensitive) — skips the (doc_id, shingle) distinct shuffle on the
+    # signature branch; Jaccard keeps the distinct set semantics.
+    sigs = minhash_signatures(
+        shingle_sets(d, "doc_id", "text", n=3, distinct=False), num_perms=8
+    )
     # Pinned uncapped: this query IS the oracle-parity form (the DuckDB
     # SQL computes all-pairs candidates). Library defaults are capped;
     # capped-vs-uncapped parity on this corpus is asserted in
@@ -222,7 +227,9 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     reachable through the verified-pair graph)."""
     d = load(spark, sf_dir, "documents")
     sh = shingle_sets(d, "doc_id", "text", n=3)
-    sigs = minhash_signatures(sh, num_perms=8)
+    sigs = minhash_signatures(
+        shingle_sets(d, "doc_id", "text", n=3, distinct=False), num_perms=8
+    )
     # Pinned uncapped for oracle parity (see dedup_minhash_lsh note).
     cands = lsh_candidates(sigs, rows_per_band=2, max_bucket=None)
     pairs = jaccard_pairs(sh, candidates=cands, df_cap=None, threshold=0.7)

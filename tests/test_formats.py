@@ -60,3 +60,45 @@ def test_compressed_json(spark, tmp_path, sample):
     write_url(sample, url, "json", options={"compression": "gzip"})
     back = read_url(spark, url, "json")
     assert back.count() == 3
+
+
+def test_kwargs_provider_and_pluggable_io_fns(spark, tmp_path):
+    """Reference ReadKwargsProvider / TableWriterFn parity
+    (`utils/common.py`, `utils/pyarrow.py:801-888`): per-content-type
+    option rewriting + whole-call reader/writer overrides."""
+    from deltacat_spark.sources.formats import (
+        ContentTypeKwargsProvider,
+        read_url,
+        register_reader_fn,
+        register_writer_fn,
+        write_url,
+    )
+
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    p = str(tmp_path / "out_csv")
+    # provider flips the delimiter for csv only
+    prov = ContentTypeKwargsProvider({"csv": {"sep": ";", "header": "true"}})
+    write_url(df, p, fmt="csv", kwargs_provider=prov)
+    raw = spark.read.text(p).collect()
+    assert any(";" in r.value for r in raw)
+    back = read_url(spark, p, fmt="csv", kwargs_provider=prov)
+    assert sorted((r.id, r.v) for r in back.collect()) == [("1", "a"), ("2", "b")] or \
+        sorted((int(r.id), r.v) for r in back.collect()) == [(1, "a"), (2, "b")]
+    # pluggable writer/reader fns take over the whole call
+    calls = {}
+
+    def my_writer(df_, url, mode, opts):
+        calls["w"] = (url, mode, opts)
+        df_.write.mode(mode).parquet(url)
+
+    def my_reader(spark_, url, opts):
+        calls["r"] = (url, opts)
+        return spark_.read.parquet(url)
+
+    register_writer_fn("myfmt", my_writer)
+    register_reader_fn("myfmt", my_reader)
+    p2 = str(tmp_path / "custom")
+    write_url(df, p2, fmt="myfmt", options={"x": 1})
+    got = read_url(spark, p2, fmt="myfmt")
+    assert sorted((r.id, r.v) for r in got.collect()) == [(1, "a"), (2, "b")]
+    assert calls["w"][2] == {"x": 1} and calls["r"][0] == p2
