@@ -296,6 +296,10 @@ def ivf_centroids(
         .orderBy("__h", "id")
         .limit(n_centroids)
     )
+    # Global (unpartitioned) window — intentionally: it runs over the
+    # limit(n_centroids) rows only (k tiny seed rows, a model parameter),
+    # never the candidate set. This is the source of Spark's "No
+    # Partition Defined" WindowExec warning in bench logs; it is benign.
     w = Window.orderBy("__h", "id")
     centroids = seeds.withColumn(
         "cid", F.row_number().over(w) - F.lit(1)
