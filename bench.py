@@ -40,6 +40,9 @@ BENCH_QUERIES = [
     "ann_ivf_topk",
     "dedup_clusters",
     "text_scrub_pii",
+    # round 3 additions (additive)
+    "dedup_incremental",
+    "decontaminate_overlap",
 ]
 
 

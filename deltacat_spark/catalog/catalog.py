@@ -107,13 +107,17 @@ class Catalog:
     # namespaces
     # ------------------------------------------------------------------
     def create_namespace(self, namespace: str, properties: dict | None = None) -> None:
-        ns_dir = os.path.join(self.root, namespace)
-        os.makedirs(ns_dir, exist_ok=True)
-        with open(os.path.join(ns_dir, "_namespace.json"), "w") as fh:
-            json.dump({"name": namespace, "properties": properties or {}}, fh)
+        ns_dir = self.fs.join(self.root, namespace)
+        self.fs.makedirs(ns_dir)
+        self.fs.write_text_atomic(
+            self.fs.join(ns_dir, "_namespace.json"),
+            json.dumps({"name": namespace, "properties": properties or {}}),
+        )
 
     def namespace_exists(self, namespace: str) -> bool:
-        return os.path.isfile(os.path.join(self.root, namespace, "_namespace.json"))
+        return self.fs.exists(
+            self.fs.join(self.root, namespace, "_namespace.json")
+        )
 
     def list_namespaces(
         self, limit: int | None = None, start_after: str | None = None
@@ -122,7 +126,7 @@ class Catalog:
         `storage/model/list_result.py:1-85`): pass the last name of the
         previous page as `start_after`."""
         out = []
-        for name in sorted(os.listdir(self.root)):
+        for name in sorted(self.fs.list_dir(self.root)):
             if start_after is not None and name <= start_after:
                 continue
             if self.namespace_exists(name):
@@ -132,16 +136,16 @@ class Catalog:
         return out
 
     def drop_namespace(self, namespace: str, purge: bool = False) -> None:
-        ns_dir = os.path.join(self.root, namespace)
+        ns_dir = self.fs.join(self.root, namespace)
         if not purge and self.list_tables(namespace):
             raise ValueError(f"namespace {namespace!r} not empty (use purge)")
-        shutil.rmtree(ns_dir, ignore_errors=True)
+        self.fs.delete_dir(ns_dir)
 
     # ------------------------------------------------------------------
     # tables
     # ------------------------------------------------------------------
     def _table_root(self, table: str, namespace: str) -> str:
-        return os.path.join(self.root, namespace, table)
+        return self.fs.join(self.root, namespace, table)
 
     def _log(self, table: str, namespace: str) -> CommitLog:
         return CommitLog(
@@ -160,14 +164,14 @@ class Catalog:
         limit: int | None = None,
         start_after: str | None = None,
     ) -> list[str]:
-        ns_dir = os.path.join(self.root, namespace)
-        if not os.path.isdir(ns_dir):
+        ns_dir = self.fs.join(self.root, namespace)
+        if not self.fs.isdir(ns_dir):
             return []
         out = []
-        for t in sorted(os.listdir(ns_dir)):
+        for t in sorted(self.fs.list_dir(ns_dir)):
             if start_after is not None and t <= start_after:
                 continue
-            if os.path.isdir(os.path.join(ns_dir, t, CommitLog.LOG_DIR)):
+            if self.fs.isdir(self.fs.join(ns_dir, t, CommitLog.LOG_DIR)):
                 out.append(t)
             if limit is not None and len(out) >= limit:
                 break
@@ -207,10 +211,10 @@ class Catalog:
         self, table: str, namespace: str = DEFAULT_NAMESPACE, purge: bool = True
     ) -> None:
         root = self._table_root(table, namespace)
-        if not os.path.isdir(root):
+        if not self.fs.isdir(root):
             raise TableNotFoundError(f"{namespace}.{table}")
-        shutil.rmtree(root) if purge else shutil.rmtree(
-            os.path.join(root, CommitLog.LOG_DIR)
+        self.fs.delete_dir(
+            root if purge else self.fs.join(root, CommitLog.LOG_DIR)
         )
 
     def rename_table(
@@ -218,11 +222,13 @@ class Catalog:
     ) -> None:
         src = self._table_root(table, namespace)
         dst = self._table_root(new_name, namespace)
-        if not os.path.isdir(src):
+        if not self.fs.isdir(src):
             raise TableNotFoundError(f"{namespace}.{table}")
-        if os.path.isdir(dst):
+        if self.fs.isdir(dst):
             raise ValueError(f"table {namespace}.{new_name} already exists")
-        os.rename(src, dst)
+        # O(1) on directory stores; object stores without native rename
+        # do a per-object move inside ArrowFS.rename.
+        self.fs.rename(src, dst)
 
     def truncate_table(self, table: str, namespace: str = DEFAULT_NAMESPACE) -> None:
         snap = self.snapshot(table, namespace)

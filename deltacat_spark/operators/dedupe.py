@@ -220,6 +220,87 @@ def jaccard_pairs(
     )
 
 
+def jaccard_pairs_across(
+    sh_corpus: DataFrame,
+    sh_new: DataFrame,
+    df_cap: int | None = 50,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Incremental dedupe: Jaccard pairs BETWEEN two shingle sets only
+    (corpus × new), never within either side.
+
+    The ingestion-time shape: a new batch arriving into a 100 TB corpus
+    must not recompute corpus×corpus — this joins the new batch's
+    inverted index against the corpus index (shuffle keyed by shingle,
+    work ∝ new-batch size × avg df), with the same `df_cap` stop-shingle
+    guard as `jaccard_pairs`. Returns (doc_id, dup_of, jaccard): the new
+    doc and the corpus doc it duplicates.
+    """
+    both = sh_corpus.unionByName(sh_new)
+    sizes = both.groupBy("doc_id").agg(F.count(F.lit(1)).alias("set_size"))
+    if df_cap is not None:
+        rare = (
+            both.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") <= df_cap)
+            .select("shingle")
+        )
+        sh_corpus = sh_corpus.join(rare, "shingle")
+        sh_new = sh_new.join(rare, "shingle")
+    a = sh_corpus.alias("a")
+    b = sh_new.alias("b")
+    inter = (
+        a.join(b, F.col("a.shingle") == F.col("b.shingle"))
+        .groupBy(
+            F.col("b.doc_id").alias("doc_id"),
+            F.col("a.doc_id").alias("dup_of"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(
+        F.col("doc_id").alias("dup_of"), F.col("set_size").alias("size_a")
+    )
+    sb = sizes.select("doc_id", F.col("set_size").alias("size_b"))
+    return (
+        inter.join(sa, "dup_of")
+        .join(sb, "doc_id")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_inter")
+                / (F.col("size_a") + F.col("size_b") - F.col("n_inter")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_id", "dup_of", "jaccard")
+    )
+
+
+def contamination_overlap(
+    sh_docs: DataFrame,
+    sh_probes: DataFrame,
+    min_shared: int = 3,
+) -> DataFrame:
+    """Benchmark decontamination: corpus docs sharing ≥ `min_shared`
+    shingles with any probe (benchmark) document.
+
+    The probe side is a benchmark suite — thousands of documents at
+    most — so it BROADCASTS and the corpus never shuffles: one map-side
+    hash join per corpus partition plus a (doc, probe) count aggregate.
+    Returns (doc_id, probe_id, n_shared).
+    """
+    p = sh_probes.select(
+        F.col("doc_id").alias("probe_id"), "shingle"
+    )
+    return (
+        sh_docs.join(F.broadcast(p), "shingle")
+        .groupBy("doc_id", "probe_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+
+
 def connected_components(
     pairs: DataFrame,
     a_col: str = "doc_a",

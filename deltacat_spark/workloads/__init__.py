@@ -48,6 +48,9 @@ _CHECK_FIRST = [
     "window_order_gaps",
     "percentile_prices",
     "set_intersect_active_buyers",
+    # new in round 3 — need their first driver row
+    "dedup_incremental",
+    "decontaminate_overlap",
 ]
 
 

@@ -19,8 +19,10 @@ from deltacat_spark.functions.text import (
 )
 from deltacat_spark.operators.dedupe import (
     connected_components,
+    contamination_overlap,
     exact_dedupe,
     jaccard_pairs,
+    jaccard_pairs_across,
     lsh_candidates,
     minhash_signatures,
     shingle_sets,
@@ -357,6 +359,59 @@ FROM aug
 """
 
 
+# --- incremental dedupe (new batch vs existing corpus) ----------------------
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingestion-time dedupe: docs arriving as a 'new batch'
+    (doc_id ≥ 250) checked for near-duplication against the existing
+    corpus (doc_id < 250) WITHOUT recomputing corpus×corpus — the
+    inverted-index join touches only corpus×new shingle matches
+    (`operators/dedupe.py:jaccard_pairs_across`)."""
+    d = load(spark, sf_dir, "documents")
+    sh_corpus = shingle_sets(d.filter(F.col("doc_id") < 250), "doc_id", "text", n=3)
+    sh_new = shingle_sets(d.filter(F.col("doc_id") >= 250), "doc_id", "text", n=3)
+    return jaccard_pairs_across(sh_corpus, sh_new, df_cap=None, threshold=0.7)
+
+
+DEDUP_INCREMENTAL_SQL = f"""
+WITH {_SH_SQL},
+sizes AS (SELECT doc_id, count(*) AS set_size FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT b.doc_id AS doc_id, a.doc_id AS dup_of, count(*) AS n_inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle
+  WHERE a.doc_id < 250 AND b.doc_id >= 250
+  GROUP BY 1, 2)
+SELECT i.doc_id, i.dup_of,
+       ROUND(CAST(i.n_inter AS DOUBLE)
+             / (sa.set_size + sb.set_size - i.n_inter), 6) AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.dup_of
+JOIN sizes sb ON sb.doc_id = i.doc_id
+WHERE ROUND(CAST(i.n_inter AS DOUBLE)
+            / (sa.set_size + sb.set_size - i.n_inter), 6) >= 0.7
+"""
+
+
+# --- benchmark decontamination ----------------------------------------------
+def decontaminate_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: corpus docs (doc_id ≥ 50) sharing ≥ 3
+    word-3-gram shingles with any 'benchmark' probe doc (doc_id < 50).
+    The probe side broadcasts — the corpus never shuffles
+    (`operators/dedupe.py:contamination_overlap`)."""
+    d = load(spark, sf_dir, "documents")
+    sh_docs = shingle_sets(d.filter(F.col("doc_id") >= 50), "doc_id", "text", n=3)
+    sh_probes = shingle_sets(d.filter(F.col("doc_id") < 50), "doc_id", "text", n=3)
+    return contamination_overlap(sh_docs, sh_probes, min_shared=3)
+
+
+DECONTAMINATE_SQL = f"""
+WITH {_SH_SQL}
+SELECT d.doc_id, p.doc_id AS probe_id, CAST(count(*) AS BIGINT) AS n_shared
+FROM sh d JOIN sh p ON d.shingle = p.shingle
+WHERE p.doc_id < 50 AND d.doc_id >= 50
+GROUP BY 1, 2 HAVING count(*) >= 3
+"""
+
+
 # --- SimHash ----------------------------------------------------------------
 def simhash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
@@ -463,6 +518,8 @@ QUERIES = {
     "dedup_minhash_lsh": (dedup_minhash_lsh, MINHASH_SQL),
     "dedup_clusters": (dedup_clusters, DEDUP_CLUSTERS_SQL),
     "dedup_ngram_jaccard": (dedup_ngram_jaccard, NGRAM_JACCARD_SQL),
+    "dedup_incremental": (dedup_incremental, DEDUP_INCREMENTAL_SQL),
+    "decontaminate_overlap": (decontaminate_overlap, DECONTAMINATE_SQL),
     "simhash_fingerprint": (simhash_fingerprint, SIMHASH_SQL),
     "text_scrub_pii": (text_scrub_pii, SCRUB_PII_SQL),
 }

@@ -121,11 +121,11 @@ def test_vacuum_spares_live_txn_within_timeout(spark, catalog):
 # ---------------------------------------------------------------------------
 # 4. ArrowFS spark_path wiring (SubTreeFileSystem round-trip)
 # ---------------------------------------------------------------------------
-def test_arrowfs_subtree_spark_prefix_roundtrip(spark, tmp_path, monkeypatch):
+def test_arrowfs_subtree_spark_prefix_roundtrip(spark, tmp_path):
     """SubTreeFileSystem paths are base-relative ('cat/ns/t/...') —
     Spark cannot resolve them without the spark_prefix mapping, so this
     passes only if every data-plane read AND write goes through
-    fs.spark_path."""
+    fs.spark_path (and all control-plane CRUD through the seam)."""
     from pyarrow.fs import LocalFileSystem, SubTreeFileSystem
 
     base = str(tmp_path)
@@ -133,10 +133,10 @@ def test_arrowfs_subtree_spark_prefix_roundtrip(spark, tmp_path, monkeypatch):
         SubTreeFileSystem(base, LocalFileSystem()),
         spark_prefix=f"file://{base}/",
     )
-    # Control-plane os.* calls (namespace json) are CWD-relative under a
-    # relative root; pin CWD to the subtree base so they coincide.
-    monkeypatch.chdir(tmp_path)
     cat = Catalog(spark, "cat", fs=afs)
+    cat.create_namespace("nsx")
+    assert cat.namespace_exists("nsx")
+    assert "nsx" in cat.list_namespaces()
     df = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
     cat.write_to_table(df, "t", mode="auto")
     cat.write_to_table(
@@ -147,3 +147,10 @@ def test_arrowfs_subtree_spark_prefix_roundtrip(spark, tmp_path, monkeypatch):
     # CDC read path also resolves through spark_path.
     ch = cat.read_changes("t", from_version=cat.snapshot("t").version - 1).collect()
     assert sorted(r.id for r in ch) == [3]
+    # Table CRUD through the seam.
+    assert cat.list_tables() == ["t"]
+    cat.rename_table("t", "t2")
+    assert cat.list_tables() == ["t2"]
+    assert [r.id for r in cat.read_table("t2").orderBy("id").collect()] == [1, 2, 3]
+    cat.drop_table("t2")
+    assert cat.list_tables() == []

@@ -84,3 +84,29 @@ def test_connected_components_chain_and_islands(spark):
         (10, 10), (11, 10),
         (20, 20), (21, 20),
     }
+
+
+def test_incremental_dedupe_never_pairs_within_a_side(spark):
+    from deltacat_spark.operators.dedupe import jaccard_pairs_across
+    from deltacat_spark.workloads.base import load
+
+    d = load(spark, "/root/testdata/sf0.01", "documents")
+    sh_c = shingle_sets(d.filter(F.col("doc_id") < 250), "doc_id", "text")
+    sh_n = shingle_sets(d.filter(F.col("doc_id") >= 250), "doc_id", "text")
+    out = jaccard_pairs_across(sh_c, sh_n, df_cap=None, threshold=0.7).collect()
+    assert out  # non-vacuous (13 cross-split pairs at sf0.01)
+    assert all(r.doc_id >= 250 and r.dup_of < 250 for r in out)
+
+
+def test_contamination_probe_side_broadcasts(spark):
+    from deltacat_spark.operators.dedupe import contamination_overlap
+    from deltacat_spark.workloads.base import load
+
+    d = load(spark, "/root/testdata/sf0.01", "documents")
+    sh_docs = shingle_sets(d.filter(F.col("doc_id") >= 50), "doc_id", "text")
+    sh_probes = shingle_sets(d.filter(F.col("doc_id") < 50), "doc_id", "text")
+    df = contamination_overlap(sh_docs, sh_probes, min_shared=3)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan  # corpus side never shuffles
+    rows = df.collect()
+    assert rows and all(r.n_shared >= 3 for r in rows)
