@@ -58,6 +58,11 @@ DEFAULT_PROPERTIES = {
     "compaction.trigger.deltas": 100,
     "compaction.trigger.files": 1000,
     "compaction.trigger.records": 64_000_000,
+    # Auto-compaction is INCREMENTAL: only files below this record count
+    # are bin-packed; at-size files stay live by reference (cost scales
+    # with small-file bytes, never table size). "full" forces the old
+    # whole-table rewrite.
+    "compaction.small_file_records": DEFAULT_MAX_RECORDS_PER_FILE,
     "max_records_per_file": DEFAULT_MAX_RECORDS_PER_FILE,
     "checkpoint.interval": 20,
     # Delete/MoR sets at or below this many rows (per the commit log's
@@ -979,8 +984,15 @@ class Catalog:
             or files >= int(props.get("compaction.trigger.files", 1000))
             or records >= int(props.get("compaction.trigger.records", 64_000_000))
         ):
+            sfr = props.get(
+                "compaction.small_file_records", DEFAULT_MAX_RECORDS_PER_FILE
+            )
             try:
-                self.optimize_table(table, namespace)
+                self.optimize_table(
+                    table,
+                    namespace,
+                    small_file_records=None if sfr == "full" else int(sfr),
+                )
             except CommitConflictError:
                 # The triggering write already committed; compaction is
                 # best-effort and will re-trigger on a later write. Letting
@@ -1332,20 +1344,63 @@ class Catalog:
     # maintenance
     # ------------------------------------------------------------------
     def optimize_table(
-        self, table: str, namespace: str = DEFAULT_NAMESPACE
+        self,
+        table: str,
+        namespace: str = DEFAULT_NAMESPACE,
+        small_file_records: int | None = None,
     ) -> None:
         """Compaction: fold any unresolved deltas + rewrite the live set
         (reference `compact_partition` v2 collapsed into one Spark job —
-        SURVEY §2.9/§3.3)."""
+        SURVEY §2.9/§3.3).
+
+        `small_file_records`: INCREMENTAL bin-packing — only files below
+        the record threshold are read and rewritten; files already at
+        target size stay live BY REFERENCE (the reference's incremental
+        compaction rounds, `compactor_v2` round bounding). Cost scales
+        with small-file bytes, not table size — the only OPTIMIZE shape
+        that survives a 100 TB table accreting small appends. Falls back
+        to a full rewrite when unresolved MoR deltas exist (folding a
+        delete/upsert requires the whole key space), recorded in the
+        commit metrics as mode=full.
+        """
         import time as _time
 
         t0 = _time.time()
         snap = self.snapshot(table, namespace)
         if not snap.files:
             return
-        resolved = self._read_files(snap, snap.files)
+        unresolved = any(
+            f.delta_type
+            in (DeltaType.UPSERT, DeltaType.DELETE, DeltaType.POSITIONAL_DELETE)
+            for f in snap.files
+        )
+        mode = "full"
+        rewrite, keep = snap.files, []
+        if small_file_records is not None and not unresolved:
+            mode = "incremental"
+            rewrite = [
+                f
+                for f in snap.files
+                if (f.records or 0) < small_file_records and not f.content_type
+            ]
+            small = {f.path for f in rewrite}
+            keep = [f for f in snap.files if f.path not in small]
+            if len(rewrite) < 2:
+                return  # nothing to bin-pack
+        resolved = self._read_files(snap, rewrite) if mode == "incremental" else (
+            self._read_files(snap, snap.files)
+        )
         if snap.schema is not None:
             resolved = snap.schema.read_projection(resolved)
+        props = {**DEFAULT_PROPERTIES, **snap.properties}
+        max_rpf = int(
+            props.get("max_records_per_file", DEFAULT_MAX_RECORDS_PER_FILE)
+        )
+        if mode == "incremental":
+            # Bin-pack: N small input splits must not become N small
+            # output files — coalesce (no shuffle) to the target count.
+            total = sum(f.records or 0 for f in rewrite)
+            resolved = resolved.coalesce(max(1, -(-total // max_rpf)))
         part_scheme = (
             [PartitionKey.from_dict(d) for d in snap.partition_scheme]
             if snap.partition_scheme
@@ -1356,13 +1411,12 @@ class Catalog:
             if snap.sort_scheme
             else None
         )
-        props = {**DEFAULT_PROPERTIES, **snap.properties}
         adds = write_data_files(
             resolved,
             self._table_root(table, namespace),
             part_scheme,
             srt,
-            int(props.get("max_records_per_file", DEFAULT_MAX_RECORDS_PER_FILE)),
+            max_rpf,
             fs=self.fs,
         )
         commit = Commit(
@@ -1370,13 +1424,15 @@ class Catalog:
             operation="OPTIMIZE",
             # audit info (reference compaction_session_audit_info, §2.9)
             metrics={
-                "input_files": len(snap.files),
+                "mode": mode,
+                "input_files": len(rewrite),
+                "kept_by_reference": len(keep),
                 "output_files": len(adds),
                 "output_records": sum(a["add"].get("records") or 0 for a in adds),
                 "output_bytes": sum(a["add"].get("bytes") or 0 for a in adds),
                 "duration_s": round(_time.time() - t0, 3),
             },
-            actions=adds + [{"remove": {"path": f.path}} for f in snap.files],
+            actions=adds + [{"remove": {"path": f.path}} for f in rewrite],
         )
         self._log(table, namespace).commit(commit)
 

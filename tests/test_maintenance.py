@@ -85,3 +85,56 @@ def test_repartition_by_range(spark, catalog):
     for (a_lo, a_hi), (b_lo, b_hi) in zip(ranges, ranges[1:]):
         assert a_hi <= b_lo
     assert catalog.read_table("t").count() == 1000
+
+
+def test_incremental_optimize_bin_packs_small_files_only(spark, catalog):
+    """Incremental OPTIMIZE: files at target size stay live BY REFERENCE
+    (same physical path); only small files are read and rewritten —
+    compaction cost scales with small-file bytes, not table size."""
+    big = spark.createDataFrame([(i, f"v{i}") for i in range(1000)], "id long, v string")
+    catalog.write_to_table(big.coalesce(1), "t", mode="auto")
+    for k in range(3):
+        catalog.write_to_table(
+            spark.createDataFrame([(1000 + k, "s")], "id long, v string"),
+            "t",
+            mode="append",
+        )
+    before = catalog.snapshot("t")
+    big_paths = {f.path for f in before.files if (f.records or 0) >= 500}
+    assert len(big_paths) == 1 and len(before.files) >= 4
+    catalog.optimize_table("t", small_file_records=500)
+    after = catalog.snapshot("t")
+    # the big file survives untouched, small ones packed into one
+    assert big_paths <= {f.path for f in after.files}
+    assert len(after.files) == 2
+    assert catalog.read_table("t").count() == 1003
+    last = after.commits[-1] if after.commits else None
+    ops = {c.operation: c for c in after.commits}
+    m = ops["OPTIMIZE"].metrics
+    assert m["mode"] == "incremental" and m["kept_by_reference"] == 1
+    # idempotent: a second pass finds < 2 small files and no-ops
+    v = after.version
+    catalog.optimize_table("t", small_file_records=500)
+    assert catalog.snapshot("t").version == v
+
+
+def test_incremental_optimize_falls_back_full_on_mor_deltas(spark, catalog):
+    from deltacat_spark.schema import Field, Schema
+    from pyspark.sql import types as T
+
+    schema = Schema(
+        [Field("id", T.LongType(), merge_key=True), Field("v", T.StringType())]
+    )
+    catalog.create_table("m", schema=schema, properties={"read_optimization": "none"})
+    catalog.write_to_table(
+        spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string"), "m", mode="merge"
+    )
+    catalog.write_to_table(
+        spark.createDataFrame([(1, "a2")], "id long, v string"), "m", mode="merge"
+    )
+    catalog.optimize_table("m", small_file_records=10_000)
+    snap = catalog.snapshot("m")
+    m = [c for c in snap.commits if c.operation == "OPTIMIZE"][-1].metrics
+    assert m["mode"] == "full"  # unresolved deltas force the full fold
+    got = {(r.id, r.v) for r in catalog.read_table("m").collect()}
+    assert got == {(1, "a2"), (2, "b")}
