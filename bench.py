@@ -43,6 +43,8 @@ BENCH_QUERIES = [
     # round 3 additions (additive)
     "dedup_incremental",
     "decontaminate_overlap",
+    "corpus_sample_mix",
+    "pack_context_windows",
 ]
 
 

@@ -1,0 +1,73 @@
+"""Corpus sampling / mixing / sequence-packing operators.
+
+Training-data pipeline surface past dedup: deciding WHAT of the corpus
+to train on (per-stratum mixing rates), and HOW rows become model inputs
+(packing documents into fixed-token context windows). Both are
+deterministic-by-construction — md5-hash gates and order-defined
+windows — so a 100 TB pipeline re-run (or a different engine) selects
+byte-identical training sets; no RNG state anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.window import Window
+
+from deltacat_spark.workloads.base import md5_prefix_int
+
+# md5 6-hex-char prefix space: rates map to integer thresholds in [0, 16^6].
+_HASH_SPACE = 16 ** 6
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    id_col: str,
+    rates: dict[str, float],
+) -> DataFrame:
+    """Deterministic per-stratum sampling (data-mixing weights).
+
+    A row survives iff md5(id) mod-space falls under its stratum's rate
+    threshold — reproducible across runs and engines, unlike
+    `df.sample`'s RNG. The rate table is a handful of rows and
+    BROADCASTS; the corpus is filtered map-side with no shuffle at all
+    (the right shape for "resample 100 TB with new mixing weights").
+    Strata absent from `rates` are dropped (rate 0).
+    """
+    spark = df.sparkSession
+    rate_rows = [(k, int(v * _HASH_SPACE)) for k, v in sorted(rates.items())]
+    dim = spark.createDataFrame(rate_rows, f"{strata_col} string, __thr long")
+    return (
+        df.join(F.broadcast(dim), strata_col)
+        .filter(
+            md5_prefix_int(F.col(id_col).cast("string"), 6) < F.col("__thr")
+        )
+        .drop("__thr")
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    tokens_col: str,
+    max_tokens: int = 2048,
+    partition_col: str | None = None,
+) -> DataFrame:
+    """Greedy sequence packing: assign each document the context-window
+    index its preceding cumulative token count falls into.
+
+    ``seq_id = floor(tokens_before / max_tokens)`` over an id-ordered
+    running sum — the streaming-packing assignment, fully declarative
+    (one window, no UDFs). With `partition_col` the window partitions
+    (packing happens within each shard — the scale form: a global
+    ordered window would funnel 100 TB through one task; per-shard
+    packing is embarrassingly parallel and is how packing actually runs,
+    one stream per input shard). Returns the input plus `seq_id`.
+    """
+    w = (
+        Window.partitionBy(partition_col) if partition_col else Window.partitionBy()
+    ).orderBy(id_col).rowsBetween(Window.unboundedPreceding, -1)
+    before = F.coalesce(F.sum(F.col(tokens_col)).over(w), F.lit(0))
+    return df.withColumn(
+        "seq_id", F.floor(before / F.lit(float(max_tokens))).cast("long")
+    )

@@ -51,6 +51,8 @@ _CHECK_FIRST = [
     # new in round 3 — need their first driver row
     "dedup_incremental",
     "decontaminate_overlap",
+    "corpus_sample_mix",
+    "pack_context_windows",
 ]
 
 

@@ -28,7 +28,7 @@ from deltacat_spark.operators.dedupe import (
     shingle_sets,
     simhash,
 )
-from deltacat_spark.workloads.base import load
+from deltacat_spark.workloads.base import load, md5_prefix_int_sql
 
 # DuckDB fragment: distinct (doc_id, shingle) pairs for word 3-grams.
 _SH_SQL = """
@@ -412,6 +412,62 @@ GROUP BY 1, 2 HAVING count(*) >= 3
 """
 
 
+# --- corpus mixing / packing -------------------------------------------------
+_MIX_RATES = {"en": 0.5, "de": 1.0, "es": 1.0, "fr": 1.0, "zh": 0.25}
+
+
+def corpus_sample_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic data-mixing sample: per-language keep rates applied
+    through an md5 gate (`operators/sampling.py:stratified_sample`) —
+    downsample the dominant language, keep the rest. No RNG: the same
+    corpus + rates select the same training set on any engine."""
+    from deltacat_spark.operators.sampling import stratified_sample
+
+    d = load(spark, sf_dir, "documents")
+    return stratified_sample(d, "lang", "doc_id", _MIX_RATES).select(
+        "doc_id", "lang", "source"
+    )
+
+
+_MIX_VALUES = ", ".join(
+    f"('{k}', {int(v * 16**6)})" for k, v in sorted(_MIX_RATES.items())
+)
+SAMPLE_MIX_SQL = f"""
+SELECT doc_id, lang, source
+FROM documents
+JOIN (VALUES {_MIX_VALUES}) AS rates(lang_r, thr) ON lang = lang_r
+WHERE {md5_prefix_int_sql("CAST(doc_id AS VARCHAR)", 6)} < thr
+"""
+
+
+def pack_context_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: documents → 2048-token context windows, packed
+    per language shard (`operators/sampling.py:pack_sequences` — the
+    per-shard ordered window, never a global sort)."""
+    from deltacat_spark.operators.sampling import pack_sequences
+
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", "lang", token_count(F.col("text")).alias("n_tokens")
+    )
+    return pack_sequences(
+        d, "doc_id", "n_tokens", max_tokens=2048, partition_col="lang"
+    )
+
+
+PACK_SQL = """
+WITH t AS (
+  SELECT doc_id, lang,
+         CAST(len(string_split(text, ' ')) AS INT) AS n_tokens
+  FROM documents)
+SELECT doc_id, lang, n_tokens,
+  CAST(FLOOR(COALESCE(SUM(n_tokens) OVER (
+    PARTITION BY lang ORDER BY doc_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+    / CAST(2048 AS DOUBLE)) AS BIGINT) AS seq_id
+FROM t
+"""
+
+
 # --- SimHash ----------------------------------------------------------------
 def simhash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
@@ -520,6 +576,8 @@ QUERIES = {
     "dedup_ngram_jaccard": (dedup_ngram_jaccard, NGRAM_JACCARD_SQL),
     "dedup_incremental": (dedup_incremental, DEDUP_INCREMENTAL_SQL),
     "decontaminate_overlap": (decontaminate_overlap, DECONTAMINATE_SQL),
+    "corpus_sample_mix": (corpus_sample_mix, SAMPLE_MIX_SQL),
+    "pack_context_windows": (pack_context_windows, PACK_SQL),
     "simhash_fingerprint": (simhash_fingerprint, SIMHASH_SQL),
     "text_scrub_pii": (text_scrub_pii, SCRUB_PII_SQL),
 }

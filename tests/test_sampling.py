@@ -1,0 +1,57 @@
+"""Corpus sampling / sequence packing operators: determinism, rate
+behavior, and the no-shuffle plan shape."""
+
+from pyspark.sql import functions as F
+
+from deltacat_spark.operators.sampling import pack_sequences, stratified_sample
+from deltacat_spark.workloads.base import load
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+def test_stratified_sample_deterministic_and_rate_shaped(spark):
+    d = load(spark, SF_DIR, "documents")
+    rates = {"en": 0.5, "de": 1.0, "zh": 0.25}
+    a = {r.doc_id for r in stratified_sample(d, "lang", "doc_id", rates).collect()}
+    b = {r.doc_id for r in stratified_sample(d, "lang", "doc_id", rates).collect()}
+    assert a == b and a  # byte-identical re-runs, non-vacuous
+    by_lang = (
+        stratified_sample(d, "lang", "doc_id", rates)
+        .groupBy("lang")
+        .count()
+        .collect()
+    )
+    got = {r.lang: r["count"] for r in by_lang}
+    totals = {r.lang: r["count"] for r in d.groupBy("lang").count().collect()}
+    assert set(got) <= {"en", "de", "zh"}  # unlisted strata dropped
+    assert got["de"] == totals["de"]  # rate 1.0 keeps everything
+    assert 0 < got["en"] < totals["en"]  # rate 0.5 strictly downsamples
+
+
+def test_stratified_sample_plan_has_no_corpus_shuffle(spark):
+    d = load(spark, SF_DIR, "documents")
+    df = stratified_sample(d, "lang", "doc_id", {"en": 0.5})
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "Exchange hashpartitioning" not in plan  # corpus never shuffles
+
+
+def test_pack_sequences_windows_are_contiguous_per_shard(spark):
+    d = load(spark, SF_DIR, "documents").select(
+        "doc_id",
+        "lang",
+        F.size(F.split(F.col("text"), " ")).alias("n_tokens"),
+    )
+    out = pack_sequences(
+        d, "doc_id", "n_tokens", max_tokens=2048, partition_col="lang"
+    ).collect()
+    by_lang: dict = {}
+    for r in sorted(out, key=lambda r: (r.lang, r.doc_id)):
+        by_lang.setdefault(r.lang, []).append(r)
+    for lang, rows in by_lang.items():
+        assert rows[0].seq_id == 0  # first doc starts window 0
+        # seq ids are non-decreasing in doc order and match the running sum
+        cum = 0
+        for r in rows:
+            assert r.seq_id == cum // 2048
+            cum += r.n_tokens
