@@ -45,6 +45,8 @@ BENCH_QUERIES = [
     "decontaminate_overlap",
     "corpus_sample_mix",
     "pack_context_windows",
+    "simhash_near_dup",
+    "text_repetition_filter",
 ]
 
 

@@ -22,8 +22,9 @@ def token_count(text: Column) -> Column:
     return F.size(tokens(text))
 
 
-def word_shingles(text: Column, n: int = 3) -> Column:
-    """Distinct word n-gram shingles, the MinHash/Jaccard unit.
+def word_ngrams(text: Column, n: int = 3) -> Column:
+    """All word n-grams WITH multiplicity (repetition counting needs
+    occurrences; `word_shingles` is the distinct-set variant).
 
     Array of `concat_ws(' ', t[i..i+n-1])` for i in 1..len-n+1 (1-based),
     built with sequence+transform so it stays vectorized.
@@ -36,7 +37,7 @@ def word_shingles(text: Column, n: int = 3) -> Column:
     at sf0.1 on the shingle explode).
     """
 
-    def _shingles(t: Column) -> Column:
+    def _ngrams(t: Column) -> Column:
         idx = F.sequence(
             F.lit(1), F.greatest(F.lit(1), F.size(t) - F.lit(n - 1))
         )
@@ -44,11 +45,14 @@ def word_shingles(text: Column, n: int = 3) -> Column:
         # under ANSI mode (Spark 4 default); concat_ws then skips the
         # trailing nulls, matching DuckDB's t[i] out-of-range semantics.
         parts = lambda i: [F.get(t, i + j - 1) for j in range(n)]  # noqa: E731
-        return F.array_distinct(
-            F.transform(idx, lambda i: F.concat_ws(" ", *parts(i)))
-        )
+        return F.transform(idx, lambda i: F.concat_ws(" ", *parts(i)))
 
-    return F.get(F.transform(F.array(tokens(text)), _shingles), 0)
+    return F.get(F.transform(F.array(tokens(text)), _ngrams), 0)
+
+
+def word_shingles(text: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles, the MinHash/Jaccard unit."""
+    return F.array_distinct(word_ngrams(text, n))
 
 
 def char_shingles(text: Column, width: int = 8, stride: int = 4) -> Column:

@@ -393,3 +393,107 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFr
             F.col(f"v{j}") >= 0, F.lit(1 << (bits - 1 - j))
         ).otherwise(F.lit(0))
     return votes.select("doc_id", packed.cast("long").alias("simhash"))
+
+
+def simhash_near_dup(
+    sims: DataFrame,
+    bits: int = 32,
+    bands: int = 4,
+    max_hamming: int = 3,
+    id_col: str = "doc_id",
+    sim_col: str = "simhash",
+    materialize: bool = True,
+    max_bucket: int | None = 1024,
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance, banded for scale
+    (the index-table scheme of Manku et al., WWW'07).
+
+    Pigeonhole exactness: slice the `bits`-bit fingerprint into `bands`
+    disjoint equal slices — any pair at Hamming distance ≤ bands−1
+    agrees on at least one slice, so with `max_hamming < bands` the
+    banded equi-join is a LOSSLESS candidate generator and the exact
+    `bit_count(xor)` verify makes the result identical to the all-pairs
+    form. Cost: n×bands index rows + per-bucket equi-joins — never an
+    all-pairs join.
+
+    Returns (doc_a, doc_b, hamming) with doc_a < doc_b.
+
+    `materialize=True` (default) localCheckpoints the banded index
+    before the self-join: both join branches would otherwise re-run the
+    fingerprint lineage (the 32-column simhash aggregate), and at scale
+    the fingerprint table is exactly what you'd persist.
+
+    `max_bucket` is the hot-bucket guard (same scheme as
+    `lsh_candidates`): a band slice is only `bits/bands` wide, so the
+    bucket count is bounded (256 buckets per band at 32/4) and bucket
+    size grows LINEARLY with corpus size — the equi-join goes quadratic
+    without a fence. Buckets above the cap emit STAR candidates (every
+    member vs the bucket's min doc) instead of all pairs: O(B) rows,
+    still Hamming-verified, still connects the bucket for clustering,
+    but star pairs whose distance exceeds `max_hamming` are dropped —
+    so capped results can miss pairs only inside pathological buckets.
+    For production corpora also widen the fingerprint (bits=60,
+    bands=4 → 32k-value slices). Pass None for exact parity with the
+    all-pairs form on any input.
+    """
+    assert bits % bands == 0 and max_hamming < bands
+    width = bits // bands
+    mask = (1 << width) - 1
+    slices = F.array(
+        *[
+            F.shiftright(F.col(sim_col), j * width).bitwiseAND(F.lit(mask))
+            for j in range(bands)
+        ]
+    )
+    b = sims.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(sim_col).alias("sh"),
+        F.posexplode(slices).alias("band", "slice"),
+    )
+    if materialize:
+        b = b.localCheckpoint(eager=True)
+    hot_star = None
+    if max_bucket is not None:
+        w = Window.partitionBy("band", "slice")
+        sized = b.withColumn("__bn", F.count(F.lit(1)).over(w)).withColumn(
+            "__bmin", F.min(F.struct("doc_id", "sh")).over(w)
+        )
+        hot_star = (
+            sized.filter(
+                (F.col("__bn") > max_bucket)
+                & (F.col("doc_id") != F.col("__bmin.doc_id"))
+            )
+            .select(
+                F.col("__bmin.doc_id").alias("doc_a"),
+                F.col("doc_id").alias("doc_b"),
+                F.bit_count(
+                    F.col("__bmin.sh").bitwiseXOR(F.col("sh"))
+                )
+                .cast("int")
+                .alias("hamming"),
+            )
+            .filter(F.col("hamming") <= max_hamming)
+            .distinct()
+        )
+        b = sized.filter(F.col("__bn") <= max_bucket).drop("__bn", "__bmin")
+    pairs = (
+        b.alias("a")
+        .join(
+            b.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.slice") == F.col("b.slice"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(F.col("a.sh").bitwiseXOR(F.col("b.sh")))
+            .cast("int")
+            .alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+    if hot_star is not None:
+        pairs = pairs.unionByName(hot_star).distinct()
+    return pairs

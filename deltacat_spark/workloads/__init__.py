@@ -53,6 +53,8 @@ _CHECK_FIRST = [
     "decontaminate_overlap",
     "corpus_sample_mix",
     "pack_context_windows",
+    "simhash_near_dup",
+    "text_repetition_filter",
 ]
 
 

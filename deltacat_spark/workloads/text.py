@@ -27,7 +27,9 @@ from deltacat_spark.operators.dedupe import (
     minhash_signatures,
     shingle_sets,
     simhash,
+    simhash_near_dup,
 )
+from deltacat_spark.operators.quality import repetition_stats
 from deltacat_spark.workloads.base import load, md5_prefix_int_sql
 
 # DuckDB fragment: distinct (doc_id, shingle) pairs for word 3-grams.
@@ -474,8 +476,7 @@ def simhash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash(d, "doc_id", "text", bits=32)
 
 
-SIMHASH_SQL = """
-WITH toks AS (
+_SIMHASH_CTES = """toks AS (
   SELECT doc_id, tok, count(*) AS cnt, md5(tok) AS h
   FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
   GROUP BY doc_id, tok),
@@ -488,11 +489,83 @@ votes AS (
         (strpos('0123456789abcdef', substr(h, CAST(FLOOR(j / 4) AS INT) + 1, 1)) - 1)
         / (CASE WHEN j % 4 = 3 THEN 1 WHEN j % 4 = 2 THEN 2
                 WHEN j % 4 = 1 THEN 4 ELSE 8 END)) AS INT) % 2) - 1) * cnt) AS vote
-  FROM bitsrc GROUP BY doc_id, j)
-SELECT doc_id,
-  CAST(SUM(CASE WHEN vote >= 0 THEN CAST(POWER(2, 31 - j) AS BIGINT) ELSE 0 END)
-    AS BIGINT) AS simhash
-FROM votes GROUP BY doc_id
+  FROM bitsrc GROUP BY doc_id, j),
+sims AS (
+  SELECT doc_id,
+    CAST(SUM(CASE WHEN vote >= 0 THEN CAST(POWER(2, 31 - j) AS BIGINT) ELSE 0 END)
+      AS BIGINT) AS simhash
+  FROM votes GROUP BY doc_id)"""
+
+SIMHASH_SQL = f"""
+WITH {_SIMHASH_CTES}
+SELECT doc_id, simhash FROM sims
+"""
+
+
+# --- SimHash Hamming near-dup ------------------------------------------------
+def simhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash fingerprints → Hamming-banded candidate join → exact
+    bit_count(xor) verify (`operators/dedupe.py:simhash_near_dup`):
+    all pairs within Hamming distance 3, found without an all-pairs
+    join (pigeonhole over 4 disjoint 8-bit bands)."""
+    d = load(spark, sf_dir, "documents")
+    # Pinned uncapped: this query IS the oracle-parity form (the DuckDB
+    # SQL is all-pairs). The library default caps hot buckets.
+    return simhash_near_dup(
+        simhash(d, "doc_id", "text", bits=32),
+        bits=32,
+        bands=4,
+        max_hamming=3,
+        max_bucket=None,
+    )
+
+
+SIMHASH_NEAR_DUP_SQL = f"""
+WITH {_SIMHASH_CTES}
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+FROM sims a JOIN sims b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+"""
+
+
+# --- repetition filter (Gopher-style) ---------------------------------------
+def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document repetition concentration signals + keep flag
+    (`operators/quality.py:repetition_stats`): top-word fraction,
+    duplicate-word fraction, top-2-gram fraction — the repetition
+    rules of published corpus-curation pipelines."""
+    d = load(spark, sf_dir, "documents")
+    return repetition_stats(
+        d, "doc_id", "text", top_word_max=0.2, top_2gram_max=0.2
+    )
+
+
+REPETITION_SQL = """
+WITH w AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS u FROM documents),
+wc AS (SELECT doc_id, u, count(*) AS c FROM w GROUP BY doc_id, u),
+ws AS (
+  SELECT doc_id, max(c) AS top_n, CAST(sum(c) AS BIGINT) AS n,
+         count(*) AS nd
+  FROM wc GROUP BY doc_id),
+t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+g AS (
+  SELECT doc_id, unnest(list_transform(
+    generate_series(1, greatest(1, len(tk) - 1)),
+    i -> concat_ws(' ', tk[i], tk[i+1]))) AS u
+  FROM t),
+gc AS (SELECT doc_id, u, count(*) AS c FROM g GROUP BY doc_id, u),
+gs AS (
+  SELECT doc_id, max(c) AS top_n, CAST(sum(c) AS BIGINT) AS n
+  FROM gc GROUP BY doc_id)
+SELECT ws.doc_id, ws.n AS n_words,
+  ROUND(CAST(ws.top_n AS DOUBLE) / ws.n, 6) AS top_word_frac,
+  ROUND(1 - CAST(ws.nd AS DOUBLE) / ws.n, 6) AS dup_word_frac,
+  ROUND(CAST(gs.top_n AS DOUBLE) / gs.n, 6) AS top_2gram_frac,
+  (ROUND(CAST(ws.top_n AS DOUBLE) / ws.n, 6) <= 0.2
+   AND ROUND(CAST(gs.top_n AS DOUBLE) / gs.n, 6) <= 0.2) AS keep
+FROM ws JOIN gs ON ws.doc_id = gs.doc_id
 """
 
 
@@ -579,5 +652,7 @@ QUERIES = {
     "corpus_sample_mix": (corpus_sample_mix, SAMPLE_MIX_SQL),
     "pack_context_windows": (pack_context_windows, PACK_SQL),
     "simhash_fingerprint": (simhash_fingerprint, SIMHASH_SQL),
+    "simhash_near_dup": (simhash_near_dup_pairs, SIMHASH_NEAR_DUP_SQL),
+    "text_repetition_filter": (text_repetition_filter, REPETITION_SQL),
     "text_scrub_pii": (text_scrub_pii, SCRUB_PII_SQL),
 }
