@@ -213,7 +213,86 @@ def read_feather(spark: SparkSession, url: str) -> DataFrame:
 
 
 def write_feather(df: DataFrame, url: str) -> None:
+    """Single-file Feather via the driver — control-plane payloads only
+    (model params, dimension tables). Data-plane scale path:
+    `write_feather_dir`."""
     import pyarrow as pa
     import pyarrow.feather as feather
 
     feather.write_feather(pa.Table.from_pandas(df.toPandas()), url)
+
+
+def write_feather_dir(df: DataFrame, url: str) -> DataFrame:
+    """Executor-distributed Feather: one Arrow-IPC part-file per
+    partition (Spark's part-file layout), written by the executors via
+    `mapInPandas` — the driver never materializes data, so the path
+    scales with partition count like the parquet writer. Returns the
+    part manifest (path, n_rows)."""
+    import uuid
+
+    os.makedirs(url, exist_ok=True)
+    run = uuid.uuid4().hex[:12]
+    arrow_schema = _arrow_schema_for(df)
+
+    def _write_partition(batches):
+        import pandas as pd
+        import pyarrow as pa
+        import pyarrow.feather as feather
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        tables = [
+            pa.Table.from_pandas(b, schema=arrow_schema, preserve_index=False)
+            for b in batches
+        ]
+        if not tables:
+            return
+        table = pa.concat_tables(tables)
+        path = os.path.join(url, f"part-{pid:05d}-{run}.feather")
+        feather.write_feather(table, path)
+        yield pd.DataFrame({"path": [path], "n_rows": [table.num_rows]})
+
+    return df.mapInPandas(_write_partition, "path string, n_rows long")
+
+
+def read_feather_dir(spark: SparkSession, url: str) -> DataFrame:
+    """Distributed Feather read: `binaryFile` scan of the part-files +
+    Arrow-IPC decode per file inside `mapInPandas` (Arrow-batched, no
+    driver materialization). Schema comes from one file's footer — a
+    control-plane read."""
+    import pyarrow.feather as feather
+
+    sample = sorted(
+        f for f in os.listdir(url) if f.endswith(".feather")
+    )
+    if not sample:
+        raise FileNotFoundError(f"no .feather part files under {url}")
+    arrow_schema = feather.read_table(
+        os.path.join(url, sample[0])
+    ).schema
+    from pyspark.sql.pandas.types import from_arrow_schema
+
+    spark_schema = from_arrow_schema(arrow_schema)
+    bins = spark.read.format("binaryFile").load(
+        os.path.join(url, "*.feather")
+    )
+
+    def _decode(batches):
+        import pyarrow as pa
+        import pyarrow.feather as feather
+
+        for b in batches:
+            for content in b["content"]:
+                yield feather.read_table(
+                    pa.BufferReader(content)
+                ).to_pandas()
+
+    return bins.select("content").mapInPandas(_decode, spark_schema)
+
+
+def _arrow_schema_for(df: DataFrame):
+    """Arrow schema equivalent of the DataFrame schema (drives the
+    executor-side IPC writers so every part-file agrees)."""
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    return to_arrow_schema(df.schema)

@@ -102,3 +102,24 @@ def test_kwargs_provider_and_pluggable_io_fns(spark, tmp_path):
     got = read_url(spark, p2, fmt="myfmt")
     assert sorted((r.id, r.v) for r in got.collect()) == [(1, "a"), (2, "b")]
     assert calls["w"][2] == {"x": 1} and calls["r"][0] == p2
+
+
+def test_feather_dir_roundtrip_distributed(spark, tmp_path):
+    from deltacat_spark.sources.formats import (
+        read_feather_dir,
+        write_feather_dir,
+    )
+
+    df = spark.range(0, 1000, 1, 4).selectExpr(
+        "id", "cast(id * 2 as double) AS dbl", "concat('s', id) AS s"
+    )
+    out = str(tmp_path / "fdir")
+    manifest = write_feather_dir(df, out).collect()
+    assert sum(r.n_rows for r in manifest) == 1000
+    assert len(manifest) == 4  # one part per partition
+    back = read_feather_dir(spark, out)
+    assert back.schema == df.schema
+    assert sorted(r.id for r in back.collect()) == list(range(1000))
+    # executor-side decode, not a driver loop
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan
