@@ -47,6 +47,8 @@ BENCH_QUERIES = [
     "pack_context_windows",
     "simhash_near_dup",
     "text_repetition_filter",
+    "dedup_containment",
+    "embedding_dedup_clusters",
 ]
 
 

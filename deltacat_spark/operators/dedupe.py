@@ -220,6 +220,66 @@ def jaccard_pairs(
     )
 
 
+def containment_pairs(
+    shingles: DataFrame,
+    candidates: DataFrame | None = None,
+    df_cap: int | None = 50,
+    threshold: float = 0.9,
+) -> DataFrame:
+    """Asymmetric near-dup: shingle containment |A∩B| / |A| ≥ threshold.
+
+    Catches excerpts/quotes — a short document embedded in a long host
+    keeps Jaccard low (the union is dominated by the host) but its
+    containment stays ~1. Same inverted-index shuffle structure and
+    `df_cap` stop-shingle guard as `jaccard_pairs`; each unordered
+    intersection emits up to two DIRECTED rows (doc_id contained in
+    host_id), so the extra cost over Jaccard is one cheap projection.
+    """
+    sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("set_size"))
+    sh = shingles
+    if df_cap is not None:
+        rare = (
+            shingles.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") <= df_cap)
+            .select("shingle")
+        )
+        sh = shingles.join(rare, "shingle")
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    if candidates is not None:
+        inter = inter.join(candidates, ["doc_a", "doc_b"])
+    sa = sizes.select(
+        F.col("doc_id").alias("doc_a"), F.col("set_size").alias("size_a")
+    )
+    sb = sizes.select(
+        F.col("doc_id").alias("doc_b"), F.col("set_size").alias("size_b")
+    )
+    joined = inter.join(sa, "doc_a").join(sb, "doc_b")
+    fwd = joined.select(
+        F.col("doc_a").alias("doc_id"),
+        F.col("doc_b").alias("host_id"),
+        F.round(F.col("n_inter") / F.col("size_a"), 6).alias("containment"),
+    )
+    rev = joined.select(
+        F.col("doc_b").alias("doc_id"),
+        F.col("doc_a").alias("host_id"),
+        F.round(F.col("n_inter") / F.col("size_b"), 6).alias("containment"),
+    )
+    return fwd.unionByName(rev).filter(F.col("containment") >= threshold)
+
+
 def jaccard_pairs_across(
     sh_corpus: DataFrame,
     sh_new: DataFrame,

@@ -55,6 +55,8 @@ _CHECK_FIRST = [
     "pack_context_windows",
     "simhash_near_dup",
     "text_repetition_filter",
+    "dedup_containment",
+    "embedding_dedup_clusters",
 ]
 
 

@@ -19,6 +19,7 @@ from deltacat_spark.functions.text import (
 )
 from deltacat_spark.operators.dedupe import (
     connected_components,
+    containment_pairs,
     contamination_overlap,
     exact_dedupe,
     jaccard_pairs,
@@ -393,6 +394,41 @@ WHERE ROUND(CAST(i.n_inter AS DOUBLE)
 """
 
 
+# --- containment (asymmetric excerpt detection) -----------------------------
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed shingle-containment pairs |A∩B|/|A| ≥ 0.9
+    (`operators/dedupe.py:containment_pairs`): excerpt/quote detection
+    where Jaccard under-scores short-in-long duplication."""
+    d = load(spark, sf_dir, "documents")
+    sh = shingle_sets(d, "doc_id", "text", n=3)
+    return containment_pairs(sh, df_cap=None, threshold=0.9)
+
+
+CONTAINMENT_SQL = f"""
+WITH {_SH_SQL},
+sizes AS (SELECT doc_id, count(*) AS set_size FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+joined AS (
+  SELECT i.doc_a, i.doc_b, i.n_inter, sa.set_size AS size_a,
+         sb.set_size AS size_b
+  FROM inter i
+  JOIN sizes sa ON sa.doc_id = i.doc_a
+  JOIN sizes sb ON sb.doc_id = i.doc_b),
+directed AS (
+  SELECT doc_a AS doc_id, doc_b AS host_id,
+         ROUND(CAST(n_inter AS DOUBLE) / size_a, 6) AS containment
+  FROM joined
+  UNION ALL
+  SELECT doc_b AS doc_id, doc_a AS host_id,
+         ROUND(CAST(n_inter AS DOUBLE) / size_b, 6) AS containment
+  FROM joined)
+SELECT doc_id, host_id, containment FROM directed WHERE containment >= 0.9
+"""
+
+
 # --- benchmark decontamination ----------------------------------------------
 def decontaminate_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: corpus docs (doc_id ≥ 50) sharing ≥ 3
@@ -648,6 +684,7 @@ QUERIES = {
     "dedup_clusters": (dedup_clusters, DEDUP_CLUSTERS_SQL),
     "dedup_ngram_jaccard": (dedup_ngram_jaccard, NGRAM_JACCARD_SQL),
     "dedup_incremental": (dedup_incremental, DEDUP_INCREMENTAL_SQL),
+    "dedup_containment": (dedup_containment, CONTAINMENT_SQL),
     "decontaminate_overlap": (decontaminate_overlap, DECONTAMINATE_SQL),
     "corpus_sample_mix": (corpus_sample_mix, SAMPLE_MIX_SQL),
     "pack_context_windows": (pack_context_windows, PACK_SQL),

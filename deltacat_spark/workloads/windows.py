@@ -258,6 +258,46 @@ WHERE ROUND(list_sum(list_transform(list_zip(a.embedding, b.embedding),
 """
 
 
+def embedding_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic-dedup clusters: bucketed-cosine near-dup pairs →
+    connected components, each vector labeled with its cluster
+    representative (min vec_id reachable through the ≥-threshold
+    graph) — the SemDeDup-style keep-one-per-cluster pipeline, with
+    pair generation on the sign-LSH scale path (never all-pairs)."""
+    from deltacat_spark.operators.dedupe import connected_components
+    from deltacat_spark.operators.similarity import cosine_dedup_pairs
+
+    e = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 500)
+    pairs = cosine_dedup_pairs(e, threshold=0.45, n_bands=16, band_planes=2)
+    return connected_components(pairs, a_col="id_a", b_col="id_b").select(
+        F.col("doc_id").alias("vec_id"), "cluster_id"
+    )
+
+
+EMB_CLUSTERS_SQL = """
+WITH RECURSIVE v AS (
+  SELECT vec_id, embedding,
+         sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS nrm
+  FROM embeddings WHERE vec_id < 500),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM v a JOIN v b ON a.vec_id < b.vec_id
+  WHERE ROUND(list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                                      p -> p[1]::DOUBLE * p[2]::DOUBLE))
+              / (a.nrm * b.nrm), 6) >= 0.45),
+edges AS (
+  SELECT id_a AS u, id_b AS w FROM pairs
+  UNION
+  SELECT id_b AS u, id_a AS w FROM pairs),
+walk(u, label) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM edges) n
+  UNION
+  SELECT e.u, w2.label FROM edges e JOIN walk w2 ON e.w = w2.u)
+SELECT u AS vec_id, CAST(min(label) AS BIGINT) AS cluster_id
+FROM walk GROUP BY u
+"""
+
+
 QUERIES = {
     "tumbling_window_events": (tumbling_window_events, TUMBLING_SQL),
     "sliding_window_events": (sliding_window_events, SLIDING_SQL),
@@ -265,4 +305,5 @@ QUERIES = {
     "asof_join_purchase_signup": (asof_join_purchase_signup, ASOF_SQL),
     "range_join_price_bands": (range_join_price_bands, RANGE_JOIN_SQL),
     "dedup_embedding_cosine": (dedup_embedding_cosine, EMB_DEDUP_SQL),
+    "embedding_dedup_clusters": (embedding_dedup_clusters, EMB_CLUSTERS_SQL),
 }

@@ -112,3 +112,25 @@ def test_simhash_near_dup_hot_bucket_star_cap(spark):
     assert sorted(map(tuple, simhash_near_dup(small, max_bucket=8).collect())) == sorted(
         map(tuple, simhash_near_dup(small, max_bucket=None).collect())
     )
+
+
+def test_containment_asymmetric_excerpt(spark):
+    """A short doc fully contained in a long host: containment ≈ 1 in
+    the short→host direction only; Jaccard stays below threshold."""
+    from deltacat_spark.operators.dedupe import (
+        containment_pairs,
+        jaccard_pairs,
+        shingle_sets,
+    )
+
+    host_words = " ".join(f"w{i}" for i in range(60))
+    excerpt = " ".join(f"w{i}" for i in range(10, 18))
+    df = spark.createDataFrame(
+        [(1, host_words), (2, excerpt), (3, "unrelated text entirely here")],
+        ["doc_id", "text"],
+    )
+    sh = shingle_sets(df, "doc_id", "text", n=3)
+    got = containment_pairs(sh, df_cap=None, threshold=0.9).collect()
+    assert [(r.doc_id, r.host_id, r.containment) for r in got] == [(2, 1, 1.0)]
+    # the same pair is invisible to Jaccard at any usable threshold
+    assert not jaccard_pairs(sh, df_cap=None, threshold=0.3).collect()
