@@ -24,7 +24,7 @@ def _late_modules() -> list:
     """Modules that may not exist yet in early rounds; imported lazily so a
     partial checkout still exposes the core inventory."""
     mods = []
-    for name in ("text", "similarity", "windows", "relational2"):
+    for name in ("text", "similarity", "windows", "relational2", "relational3"):
         try:
             mods.append(
                 __import__(f"deltacat_spark.workloads.{name}", fromlist=["QUERIES"])
@@ -57,6 +57,10 @@ _CHECK_FIRST = [
     "text_repetition_filter",
     "dedup_containment",
     "embedding_dedup_clusters",
+    "q4_order_exists",
+    "q12_priority_shipping",
+    "q14_promo_share",
+    "q19_bracket_revenue",
 ]
 
 
