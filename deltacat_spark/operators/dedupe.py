@@ -416,6 +416,85 @@ def connected_components(
     )
 
 
+def connected_components_star(
+    pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Connected components by alternating large-star / small-star
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC'14): converges in O(log² n) rounds regardless of graph
+    diameter — the scale fallback for adversarial shapes (long chains,
+    deep trees) where `connected_components`' min-label propagation
+    needs O(diameter) rounds. Near-dup graphs from LSH buckets are
+    star/clique-shaped, so the propagation form usually wins on
+    constant factors; pick this one when the diameter is unknown.
+
+    large-star: every node's strictly-larger neighbors re-attach to the
+    minimum of its closed neighborhood; small-star: the ≤-neighbors do.
+    Both are one groupBy-min + one join per round; per-round
+    `localCheckpoint` truncates lineage exactly as in
+    `connected_components`. Returns (doc_id, cluster_id) with
+    cluster_id = the component's minimum doc_id.
+    """
+    e = pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
+    edges = e.filter(F.col("u") != F.col("v")).distinct().localCheckpoint(
+        eager=True
+    )
+    members = (
+        edges.select("u")
+        .union(edges.select(F.col("v").alias("u")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        # large-star over the bidirected view: every strictly-larger
+        # neighbor of u re-attaches to min(Γ(u) ∪ {u}). All output
+        # edges point big → small.
+        bi = edges.union(
+            edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        mins = bi.groupBy("u").agg(
+            F.least(F.min("v"), F.first("u")).alias("m")
+        )
+        ls = (
+            bi.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        # small-star on the now-directed (u > v) graph: u's smaller
+        # neighborhood collapses onto its minimum m — (v, m) for every
+        # other neighbor plus (u, m).
+        smins = ls.groupBy("u").agg(F.min("v").alias("m"))
+        withm = ls.join(smins, "u")
+        new_edges = (
+            withm.filter(F.col("v") != F.col("m"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .union(smins.select("u", F.col("m").alias("v")))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_edges.exceptAll(edges).limit(1).count()
+            + edges.exceptAll(new_edges).limit(1).count()
+        )
+        edges = new_edges
+        if changed == 0:
+            break
+    # Fixed point is a star forest: each non-root points at its
+    # component minimum; roots get themselves back via the left join.
+    labels = edges.groupBy("u").agg(F.min("v").alias("label"))
+    return members.join(labels, "u", "left").select(
+        F.col("u").alias("doc_id"),
+        F.coalesce(F.col("label"), F.col("u")).alias("cluster_id"),
+    )
+
+
 def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFrame:
     """Weighted-majority SimHash over whitespace tokens (md5-bit basis).
 
