@@ -1348,6 +1348,8 @@ class Catalog:
         table: str,
         namespace: str = DEFAULT_NAMESPACE,
         small_file_records: int | None = None,
+        zorder_by: list[str] | None = None,
+        zorder_bits: int = 4,
     ) -> None:
         """Compaction: fold any unresolved deltas + rewrite the live set
         (reference `compact_partition` v2 collapsed into one Spark job —
@@ -1362,6 +1364,15 @@ class Catalog:
         to a full rewrite when unresolved MoR deltas exist (folding a
         delete/upsert requires the whole key space), recorded in the
         commit metrics as mode=full.
+
+        `zorder_by`: multi-dimensional clustering rewrite — the live set
+        is laid out along a Morton curve over the named columns
+        (`plans/transforms.py:zorder_column`), one `repartitionByRange`
+        shuffle on the z-value, so every output file gets a tight
+        min/max envelope on EVERY z-ordered column and
+        `Snapshot.prune` skips files for predicates on any of them (a
+        linear sort scheme only serves its leading column). Always a
+        full rewrite; overrides `small_file_records`.
         """
         import time as _time
 
@@ -1376,6 +1387,8 @@ class Catalog:
         )
         mode = "full"
         rewrite, keep = snap.files, []
+        if zorder_by:
+            small_file_records = None  # zorder is always a full rewrite
         if small_file_records is not None and not unresolved:
             mode = "incremental"
             rewrite = [
@@ -1411,6 +1424,20 @@ class Catalog:
             if snap.sort_scheme
             else None
         )
+        if zorder_by:
+            mode = "zorder"
+            from deltacat_spark.plans.transforms import zorder_column
+
+            resolved, zname = zorder_column(resolved, zorder_by, zorder_bits)
+            total = sum(f.records or 0 for f in snap.files)
+            nfiles = max(1, -(-total // max_rpf))
+            resolved = (
+                resolved.repartitionByRange(nfiles, F.col(zname))
+                .sortWithinPartitions(zname)
+                .drop(zname)
+            )
+            # The z-layout IS the sort; a linear sort scheme would undo it.
+            srt = None
         adds = write_data_files(
             resolved,
             self._table_root(table, namespace),
@@ -1425,6 +1452,7 @@ class Catalog:
             # audit info (reference compaction_session_audit_info, §2.9)
             metrics={
                 "mode": mode,
+                **({"zorder_by": list(zorder_by)} if zorder_by else {}),
                 "input_files": len(rewrite),
                 "kept_by_reference": len(keep),
                 "output_files": len(adds),

@@ -126,3 +126,74 @@ def scheme_to_json(scheme: "list[PartitionKey] | list[SortKey] | None") -> "list
     if scheme is None:
         return None
     return [k.to_dict() for k in scheme]
+
+
+def zorder_column(
+    df,
+    columns: "list[str]",
+    bits: int = 4,
+    relative_error: float = 0.01,
+):
+    """Morton (Z-order) interleave column over rank-bucketed dimensions.
+
+    Multi-dimensional clustering for data skipping: each input column is
+    bucketed into ``2**bits`` quantile ranks (boundaries from one
+    ``approxQuantile`` pass — a driver-side list of ≤2**bits scalars,
+    never data), and the per-column bucket ids are bit-interleaved into
+    one long. Sorting the table by that long gives every output file a
+    tight min/max envelope on EVERY z-ordered column at once — the
+    property linear sort orders only give their leading column. This is
+    the OPTIMIZE ZORDER layout strategy of Delta/Iceberg-style
+    lakehouses, feeding the same footer-stats pruning as
+    `Snapshot.prune` (reference delta stats / rivulet SST min-max
+    planning, SURVEY §4).
+
+    Quantile bucketing (not linear min/max scaling) makes the curve
+    skew-immune: each bucket holds ~1/2**bits of the rows regardless of
+    the value distribution. Everything after the one quantile action is
+    pure integer arithmetic inside whole-stage codegen — ``bits×k``
+    shift/mask terms, no UDFs, no extra shuffle (the caller's
+    ``repartitionByRange`` on the z-value is the single layout shuffle).
+
+    Returns ``(df_with_z, zcol_name)``; caller sorts/partitions by the
+    z column and drops it before writing.
+    """
+    if not columns:
+        raise ValueError("zorder_column needs at least one column")
+    n_buckets = 1 << bits
+    k = len(columns)
+    numeric = df
+    src_cols = []
+    for j, c in enumerate(columns):
+        dt = dict(df.dtypes).get(c)
+        if dt is None:
+            raise ValueError(f"zorder column {c!r} not in schema")
+        if dt in ("string", "binary") or dt.startswith(("array", "map", "struct")):
+            raise ValueError(
+                f"zorder column {c!r} has non-orderable-numeric type {dt}; "
+                "z-order v1 supports numeric/date/timestamp/boolean columns"
+            )
+        name = f"_z_src_{j}"
+        numeric = numeric.withColumn(name, F.col(c).cast("double"))
+        src_cols.append(name)
+    qs = [i / n_buckets for i in range(1, n_buckets)]
+    z = F.lit(0).cast("long")
+    for j, name in enumerate(src_cols):
+        bounds = numeric.approxQuantile(name, qs, relative_error)
+        # Strictly increasing boundary list (skewed data repeats
+        # quantiles; duplicates would double-count the same threshold).
+        uniq = []
+        for b in bounds:
+            if not uniq or b > uniq[-1]:
+                uniq.append(b)
+        col = F.col(name)
+        bucket = F.lit(0)
+        for b in uniq:
+            bucket = bucket + F.when(col >= F.lit(b), 1).otherwise(0)
+        # NULLs sort into bucket 0 (min/max stats ignore them anyway).
+        for i in range(bits):
+            bit = F.shiftright(bucket, i).bitwiseAND(F.lit(1))
+            z = z + F.shiftleft(bit.cast("long"), i * k + j)
+    zname = "_z_order_key"
+    out = numeric.withColumn(zname, z).drop(*src_cols)
+    return out, zname
