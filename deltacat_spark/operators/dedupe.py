@@ -636,3 +636,52 @@ def simhash_near_dup(
     if hot_star is not None:
         pairs = pairs.unionByName(hot_star).distinct()
     return pairs
+
+
+def keep_best(
+    docs: DataFrame,
+    labels: DataFrame,
+    id_col: str = "doc_id",
+    quality_col: "str | None" = None,
+) -> DataFrame:
+    """Materialize the deduplicated corpus: one survivor per near-dup
+    cluster, everything unclustered kept as-is — the end-to-end "apply
+    the dedup" step after `connected_components`/`connected_components_star`
+    labels (reference dedupe keeps the latest record per key,
+    `compactor_v2/utils/dedupe.py:30-70`; for near-dup corpora the keep
+    rule is quality-based instead).
+
+    ``labels``: (doc_id, cluster_id) — only clustered docs appear.
+    Survivor = max ``quality_col`` in the cluster, ties broken by min
+    id (deterministic). With no quality column, min id wins outright.
+
+    Plan shape: one equi-join (broadcastable when the dup set is small
+    relative to the corpus — the common case) + one per-cluster
+    aggregate built as max(struct(quality, -id)) so it map-side
+    combines; the surviving ids then semi-join back to the corpus. No
+    windows over the full corpus: unclustered docs never enter a
+    shuffle keyed on cluster_id.
+    """
+    lab = labels.select(
+        F.col("doc_id").alias(id_col), F.col("cluster_id").alias("_cluster")
+    )
+    clustered = docs.join(lab, id_col)
+    q = (
+        F.col(quality_col).cast("double")
+        if quality_col
+        else F.lit(0.0)
+    )
+    best = (
+        clustered.groupBy("_cluster")
+        .agg(
+            F.max(
+                F.struct(
+                    q.alias("q"), (-F.col(id_col)).cast("long").alias("neg_id")
+                )
+            ).alias("best")
+        )
+        .select((-F.col("best.neg_id")).alias(id_col))
+    )
+    winners = docs.join(best, id_col, "left_semi")
+    singletons = docs.join(lab.select(id_col), id_col, "left_anti")
+    return singletons.unionByName(winners)

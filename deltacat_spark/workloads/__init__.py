@@ -57,6 +57,7 @@ _CHECK_FIRST = [
     "text_repetition_filter",
     "dedup_containment",
     "embedding_dedup_clusters",
+    "dedup_survivors",
     "q4_order_exists",
     "q12_priority_shipping",
     "q14_promo_share",

@@ -24,6 +24,7 @@ from deltacat_spark.operators.dedupe import (
     exact_dedupe,
     jaccard_pairs,
     jaccard_pairs_across,
+    keep_best,
     lsh_candidates,
     minhash_signatures,
     shingle_sets,
@@ -252,6 +253,57 @@ walk(u, label) AS (
   UNION
   SELECT e.u, w.label FROM edges e JOIN walk w ON e.v = w.u)
 SELECT u AS doc_id, min(label) AS cluster_id FROM walk GROUP BY u
+"""
+
+
+# --- dedup survivors (apply the dedup: keep best doc per cluster) -----------
+def dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end dedup application: cluster near-dups, then keep the
+    highest-quality (longest, tie → min doc_id) doc per cluster via
+    `operators.dedupe.keep_best`. Reports each cluster's survivor and
+    size — the rows a `write_to_table` of the cleaned corpus would keep."""
+    d = load(spark, sf_dir, "documents")
+    sh = shingle_sets(d, "doc_id", "text", n=3)
+    sigs = minhash_signatures(
+        shingle_sets(d, "doc_id", "text", n=3, distinct=False), num_perms=8
+    )
+    cands = lsh_candidates(sigs, rows_per_band=2, max_bucket=None)
+    pairs = jaccard_pairs(sh, candidates=cands, df_cap=None, threshold=0.7)
+    cc = connected_components(pairs)
+    docs = d.select("doc_id", F.length("text").alias("q"))
+    kept = keep_best(docs, cc, "doc_id", "q")
+    sizes = cc.groupBy("cluster_id").agg(F.count("*").alias("cluster_size"))
+    return (
+        kept.join(cc, "doc_id")
+        .join(sizes, "cluster_id")
+        .select(
+            F.col("cluster_id"),
+            F.col("doc_id").alias("survivor_id"),
+            F.col("cluster_size"),
+        )
+    )
+
+
+DEDUP_SURVIVORS_SQL = f"""
+WITH RECURSIVE {_MINHASH_CTES},
+edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM verified
+  UNION
+  SELECT doc_b AS u, doc_a AS v FROM verified),
+walk(u, label) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM edges) n
+  UNION
+  SELECT e.u, w.label FROM edges e JOIN walk w ON e.v = w.u),
+clusters AS (
+  SELECT u AS doc_id, min(label) AS cluster_id FROM walk GROUP BY u),
+ranked AS (
+  SELECT c.cluster_id, c.doc_id,
+         row_number() OVER (PARTITION BY c.cluster_id
+                            ORDER BY length(d.text) DESC, c.doc_id) AS rn,
+         count(*) OVER (PARTITION BY c.cluster_id) AS csize
+  FROM clusters c JOIN documents d ON d.doc_id = c.doc_id)
+SELECT cluster_id, doc_id AS survivor_id, CAST(csize AS BIGINT) AS cluster_size
+FROM ranked WHERE rn = 1
 """
 
 
@@ -682,6 +734,7 @@ QUERIES = {
     "dedup_exact": (dedup_exact, DEDUP_EXACT_SQL),
     "dedup_minhash_lsh": (dedup_minhash_lsh, MINHASH_SQL),
     "dedup_clusters": (dedup_clusters, DEDUP_CLUSTERS_SQL),
+    "dedup_survivors": (dedup_survivors, DEDUP_SURVIVORS_SQL),
     "dedup_ngram_jaccard": (dedup_ngram_jaccard, NGRAM_JACCARD_SQL),
     "dedup_incremental": (dedup_incremental, DEDUP_INCREMENTAL_SQL),
     "dedup_containment": (dedup_containment, CONTAINMENT_SQL),
