@@ -24,7 +24,14 @@ def _late_modules() -> list:
     """Modules that may not exist yet in early rounds; imported lazily so a
     partial checkout still exposes the core inventory."""
     mods = []
-    for name in ("text", "similarity", "windows", "relational2", "relational3"):
+    for name in (
+        "text",
+        "similarity",
+        "windows",
+        "relational2",
+        "relational3",
+        "relational4",
+    ):
         try:
             mods.append(
                 __import__(f"deltacat_spark.workloads.{name}", fromlist=["QUERIES"])
@@ -62,6 +69,10 @@ _CHECK_FIRST = [
     "q12_priority_shipping",
     "q14_promo_share",
     "q19_bracket_revenue",
+    "q13_order_distribution",
+    "q17_small_quantity_revenue",
+    "q18_large_volume_customers",
+    "q22_idle_balances",
 ]
 
 
