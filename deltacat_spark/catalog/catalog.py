@@ -1214,7 +1214,68 @@ class Catalog:
             ),
             "watermark": snap.watermark,
             "partition_scheme": snap.partition_scheme,
+            # Latest ANALYZE, if any (column NDV/null counts ride the
+            # property channel so they survive checkpoints + time travel).
+            "column_stats": (
+                json.loads(snap.properties["column_stats"])
+                if "column_stats" in snap.properties
+                else None
+            ),
         }
+
+    def analyze_table(
+        self,
+        table: str,
+        namespace: str = DEFAULT_NAMESPACE,
+        columns: list[str] | None = None,
+        rsd: float = 0.05,
+    ) -> dict[str, Any]:
+        """ANALYZE: column-level NDV + null-count statistics in ONE
+        aggregate pass over the resolved table, committed as a table
+        property so every later session plans from metadata alone
+        (reference stats collection, `compute/stats/` — SURVEY §2.9 —
+        reborn as ANALYZE TABLE ... FOR COLUMNS).
+
+        NDV is HyperLogLog++ (`approx_count_distinct`, relative error
+        ``rsd``) — the only one-pass NDV that holds at 100 TB; null
+        counts and row count are exact. All columns aggregate in a
+        single job (one scan, map-side partials), and the result is a
+        1-row driver collect — control-plane scalars, never data.
+        Returns the stats dict; `table_stats` surfaces the last ANALYZE
+        under ``column_stats``.
+        """
+        import json as _json
+
+        snap = self.snapshot(table, namespace)
+        df = self._read_files(snap, snap.files)
+        if snap.schema is not None:
+            df = snap.schema.read_projection(df)
+        cols = columns or [f.name for f in df.schema.fields]
+        aggs = [F.count(F.lit(1)).alias("__rows")]
+        for c in cols:
+            aggs.append(
+                F.approx_count_distinct(c, rsd=rsd).alias(f"__ndv__{c}")
+            )
+            aggs.append(
+                F.sum(F.col(c).isNull().cast("long")).alias(f"__nulls__{c}")
+            )
+        row = df.agg(*aggs).collect()[0].asDict()
+        stats = {
+            "rows": row["__rows"],
+            "columns": {
+                c: {"ndv": row[f"__ndv__{c}"], "nulls": row[f"__nulls__{c}"]}
+                for c in cols
+            },
+        }
+        self._log(table, namespace).commit(
+            Commit(
+                version=snap.version + 1,
+                operation="ANALYZE",
+                properties={"column_stats": _json.dumps(stats)},
+                metrics={"analyzed_columns": len(cols)},
+            )
+        )
+        return stats
 
     def read_delta(
         self, table: str, version: int, namespace: str = DEFAULT_NAMESPACE

@@ -2,6 +2,7 @@
 reads."""
 
 import pytest
+from pyspark.sql import functions as F
 
 from deltacat_spark.streaming.api import stream_read_appends
 
@@ -114,3 +115,34 @@ def test_stream_read_rejects_cow_tables(spark, catalog):
     )
     with pytest.raises(ValueError):
         stream_read_appends(catalog, "m")
+
+
+def test_analyze_table_column_stats(spark, catalog):
+    from deltacat_spark.schema import Field, Schema
+    from pyspark.sql import types as T
+
+    catalog.create_table(
+        "an",
+        schema=Schema(
+            [Field("id", T.LongType()), Field("grp", T.StringType())]
+        ),
+    )
+    df = spark.range(1000).select(
+        "id",
+        F.when(F.col("id") % 10 < 9, (F.col("id") % 7).cast("string")).alias(
+            "grp"
+        ),
+    )
+    catalog.write_to_table(df, "an", mode="append")
+    stats = catalog.analyze_table("an")
+    assert stats["rows"] == 1000
+    assert stats["columns"]["grp"]["nulls"] == 100
+    # HLL++ at rsd=0.05: exact NDVs are 1000 and 7
+    assert abs(stats["columns"]["id"]["ndv"] - 1000) <= 100
+    assert stats["columns"]["grp"]["ndv"] == 7
+    # surfaced from the log alone (new snapshot, no data scan)
+    ts = catalog.table_stats("an")
+    assert ts["column_stats"]["rows"] == 1000
+    assert ts["column_stats"]["columns"]["grp"]["nulls"] == 100
+    # an ANALYZE commit must not disturb the live file set
+    assert catalog.read_table("an").count() == 1000
