@@ -49,6 +49,9 @@ BENCH_QUERIES = [
     "text_repetition_filter",
     "dedup_containment",
     "embedding_dedup_clusters",
+    "dedup_survivors",
+    "q13_order_distribution",
+    "q18_large_volume_customers",
 ]
 
 

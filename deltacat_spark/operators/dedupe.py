@@ -388,6 +388,7 @@ def connected_components(
         pairs.select(F.col(b_col).alias("u"), F.col(a_col).alias("v"))
     ).localCheckpoint(eager=True)
     labels = edges.select("u").distinct().withColumn("label", F.col("u"))
+    prev_sum = None
     for _ in range(max_iter):
         nbr = (
             edges.join(
@@ -401,16 +402,20 @@ def connected_components(
         new_labels = (
             labels.union(nbr).groupBy("u").agg(F.min("label").alias("label"))
         ).localCheckpoint(eager=True)
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "u")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
+        # Convergence probe: labels only ever DECREASE under min-label
+        # propagation over a fixed node set, so an unchanged label sum
+        # is exactly "no label changed" — one aggregate on the already-
+        # checkpointed frame, no join (decimal(38,0): sums of 2^63-range
+        # ids over huge node sets must not wrap).
+        cur_sum = (
+            new_labels.agg(
+                F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
+            ).collect()[0].s
         )
         labels = new_labels
-        if changed == 0:
+        if cur_sum == prev_sum:
             break
+        prev_sum = cur_sum
     return labels.select(
         F.col("u").alias("doc_id"), F.col("label").alias("cluster_id")
     )
