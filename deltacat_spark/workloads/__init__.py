@@ -73,6 +73,8 @@ _CHECK_FIRST = [
     "q17_small_quantity_revenue",
     "q18_large_volume_customers",
     "q22_idle_balances",
+    "token_histogram",
+    "top_df_terms",
 ]
 
 

@@ -32,7 +32,7 @@ from deltacat_spark.operators.dedupe import (
     simhash_near_dup,
 )
 from deltacat_spark.operators.quality import repetition_stats
-from deltacat_spark.workloads.base import load, md5_prefix_int_sql
+from deltacat_spark.workloads.base import cnt, cnt_sql, load, md5_prefix_int_sql
 
 # DuckDB fragment: distinct (doc_id, shingle) pairs for word 3-grams.
 _SH_SQL = """
@@ -61,6 +61,51 @@ SELECT doc_id, n_chars,
        CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
        CAST(len(list_distinct(string_split(text, ' '))) AS INT) AS n_unique_tokens
 FROM documents
+"""
+
+
+# --- corpus statistics: token-length histogram + DF top terms ---------------
+def token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus length profile: docs and tokens per 32-token bucket (the
+    pre-training length-distribution check; one map-side-combinable
+    aggregate, no shuffle wider than the bucket count)."""
+    d = load(spark, sf_dir, "documents")
+    n = token_count(F.col("text"))
+    return (
+        d.select((F.floor(n / 32) * 32).cast("long").alias("bucket_lo"), n.alias("n"))
+        .groupBy("bucket_lo")
+        .agg(cnt("n_docs"), F.sum(F.col("n").cast("long")).alias("n_tokens"))
+        .orderBy("bucket_lo")
+    )
+
+
+TOKEN_HIST_SQL = f"""
+SELECT CAST(FLOOR(len(string_split(text, ' ')) / 32) * 32 AS BIGINT) AS bucket_lo,
+       {cnt_sql('n_docs')},
+       SUM(CAST(len(string_split(text, ' ')) AS BIGINT)) AS n_tokens
+FROM documents GROUP BY 1 ORDER BY bucket_lo
+"""
+
+
+def top_df_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-25 terms by document frequency (distinct doc containment) —
+    the stop-shingle / vocabulary-head report. Explode → distinct →
+    count, one global top-k; ties broken lexically so the cut is
+    deterministic on both engines."""
+    d = load(spark, sf_dir, "documents")
+    df_counts = (
+        d.select("doc_id", F.explode(F.array_distinct(tokens(F.col("text")))).alias("term"))
+        .groupBy("term")
+        .agg(cnt("df"))
+    )
+    return df_counts.orderBy(F.desc("df"), "term").limit(25)
+
+
+TOP_DF_SQL = f"""
+SELECT term, {cnt_sql('df')} FROM (
+  SELECT DISTINCT doc_id, unnest(list_distinct(string_split(text, ' '))) AS term
+  FROM documents) t
+GROUP BY term ORDER BY df DESC, term LIMIT 25
 """
 
 
@@ -728,6 +773,8 @@ QUERIES = {
     "text_bpe_tokens": (text_bpe_tokens, BPE_SQL),
     "tfidf_top_terms": (tfidf_top_terms, TFIDF_SQL),
     "text_token_count": (text_token_count, TOKEN_COUNT_SQL),
+    "token_histogram": (token_histogram, TOKEN_HIST_SQL),
+    "top_df_terms": (top_df_terms, TOP_DF_SQL),
     "text_quality": (text_quality, QUALITY_SQL),
     "lang_id_heuristic": (lang_id_heuristic, LANG_ID_SQL),
     "doc_fingerprints": (doc_fingerprints, FINGERPRINT_SQL),
