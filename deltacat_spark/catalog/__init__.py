@@ -11,5 +11,11 @@ from deltacat_spark.catalog.catalog import (
     TableNotFoundError,
     TableWriteMode,
 )
+from deltacat_spark.catalog.materialize import refresh_incremental
 
-__all__ = ["Catalog", "TableNotFoundError", "TableWriteMode"]
+__all__ = [
+    "Catalog",
+    "TableNotFoundError",
+    "TableWriteMode",
+    "refresh_incremental",
+]

@@ -686,10 +686,16 @@ class Catalog:
         sort_scheme: list[SortKey] | None = None,
         properties: dict[str, Any] | None = None,
         max_commit_retries: int = 10,
+        commit_properties: dict[str, str] | None = None,
     ) -> None:
         """Transactional multi-mode write (reference
         `catalog/main/impl.py:226-650`). Retries the whole program on
-        non-commuting commit conflicts (optimistic MVCC)."""
+        non-commuting commit conflicts (optimistic MVCC).
+
+        ``commit_properties``: table properties stamped ON THE SAME
+        COMMIT as the data (atomic watermark channel — e.g. incremental
+        materialization records its source high-water version with the
+        rows it derived, so a crash can never split the two)."""
         exists = self.table_exists(table, namespace)
         if mode == TableWriteMode.CREATE and exists:
             raise ValueError(f"table {namespace}.{table} already exists")
@@ -707,13 +713,20 @@ class Catalog:
             )
         for attempt in range(max_commit_retries):
             try:
-                return self._write_once(df, table, namespace, mode)
+                return self._write_once(
+                    df, table, namespace, mode, commit_properties
+                )
             except CommitConflictError:
                 if attempt == max_commit_retries - 1:
                     raise
 
     def _write_once(
-        self, df: DataFrame, table: str, namespace: str, mode: str
+        self,
+        df: DataFrame,
+        table: str,
+        namespace: str,
+        mode: str,
+        commit_properties: dict[str, str] | None = None,
     ) -> None:
         snap = self.snapshot(table, namespace)
         if any(f.content_type for f in snap.files):
@@ -800,6 +813,7 @@ class Catalog:
                 operation=mode.upper(),
                 delta_type=DeltaType.APPEND if mode == "append" else DeltaType.ADD,
                 schema_json=schema_json,
+                properties=commit_properties,
                 actions=adds,
             )
             log.commit(commit)

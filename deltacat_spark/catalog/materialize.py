@@ -1,0 +1,98 @@
+"""Incremental materialized-view maintenance over the change feed.
+
+`refresh_incremental(catalog, src, dst, transform)` keeps ``dst`` equal
+to ``transform(read_table(src))`` by applying ``transform`` to ONLY the
+commits that landed since the last refresh (`Catalog.read_changes`) and
+appending the derived rows — O(new data) per refresh, never O(table).
+The source high-water version rides the SAME commit as the derived rows
+(`write_to_table(commit_properties=...)`), so a crash between "data
+written" and "watermark recorded" is impossible by construction: either
+both are visible or neither is (the reference has no view maintenance;
+this is the lakehouse-native derived-table pattern the CDC surface in
+SURVEY §2.1/§2.6 exists to enable).
+
+Scope: ``transform`` must be record-wise (projections/filters/derived
+columns — distributive over unions). When the since-last-refresh window
+contains non-append commits (MERGE/DELETE CDC rows) or the watermark is
+missing/corrupt, the refresh falls back to a full REPLACE rebuild —
+exact for any transform, idempotent on crash-retry. Aggregating views
+should materialize from the full table or use Structured Streaming
+(`streaming/api.py:stream_read_changes`) with stateful operators.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable
+
+from pyspark.sql import DataFrame
+
+MV_SRC_VERSION = "mv.src_version"
+
+
+def refresh_incremental(
+    catalog: Any,
+    src: str,
+    dst: str,
+    transform: "Callable[[DataFrame], DataFrame]",
+    namespace: str = "default",
+) -> dict[str, Any]:
+    """Refresh ``dst`` from ``src``; returns a small audit dict."""
+    src_snap = catalog.snapshot(src, namespace)
+    last: int | None = None
+    if catalog.table_exists(dst, namespace):
+        dst_props = catalog.snapshot(dst, namespace).properties
+        raw = dst_props.get(MV_SRC_VERSION)
+        if raw is not None:
+            try:
+                last = int(raw)
+            except ValueError:
+                last = None
+    if last is not None and last >= src_snap.version:
+        return {"mode": "noop", "src_version": src_snap.version}
+
+    if last is not None:
+        # Soundness check on the COMMIT LOG, not the change rows: a CoW
+        # MERGE without CDC sidecars produces no read_changes rows at
+        # all, so "every change row is an insert" would silently miss
+        # updates. Insert-family deltas and content-neutral maintenance
+        # commits (ALTER/ANALYZE/OPTIMIZE) are safe; anything else
+        # (MERGE/DELETE/REPLACE/TRUNCATE) forces a rebuild.
+        benign_ops = {"ALTER", "ANALYZE", "OPTIMIZE"}
+        insert_deltas = {"APPEND", "ADD", "CHRONO"}
+        window = catalog._log(src, namespace).replay(
+            src_snap.version, start_after=last
+        )
+        if all(
+            c.operation in benign_ops or c.delta_type in insert_deltas
+            for c in window
+        ):
+            changes = catalog.read_changes(
+                src, from_version=last, to_version=src_snap.version,
+                namespace=namespace,
+            )
+            batch = changes.drop("_commit_version", "_change_type")
+            out = transform(batch)
+            catalog.write_to_table(
+                out,
+                dst,
+                namespace,
+                mode="add",
+                commit_properties={MV_SRC_VERSION: str(src_snap.version)},
+            )
+            return {
+                "mode": "incremental",
+                "src_version": src_snap.version,
+                "since": last,
+            }
+
+    # Bootstrap / fallback: full rebuild. REPLACE then stamp the
+    # watermark; a crash in between re-runs the (idempotent) rebuild.
+    out = transform(catalog.read_table(src, namespace))
+    if catalog.table_exists(dst, namespace):
+        catalog.write_to_table(out, dst, namespace, mode="replace")
+    else:
+        catalog.write_to_table(out, dst, namespace, mode="auto")
+    catalog.alter_table(
+        dst, namespace, properties={MV_SRC_VERSION: str(src_snap.version)}
+    )
+    return {"mode": "full", "src_version": src_snap.version}
