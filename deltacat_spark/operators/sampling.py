@@ -71,3 +71,36 @@ def pack_sequences(
     return df.withColumn(
         "seq_id", F.floor(before / F.lit(float(max_tokens))).cast("long")
     )
+
+
+def split_assign(
+    df: DataFrame,
+    id_col: str,
+    splits: "dict[str, float] | None" = None,
+    nchars: int = 6,
+) -> DataFrame:
+    """Deterministic train/val/test assignment: the md5 prefix of the id
+    (an integer uniform on [0, 16^nchars)) is partitioned by cumulative
+    split fractions — every engine, run, and shard assigns the same doc
+    to the same split with no RNG and no shuffle (pure projection, fully
+    whole-stage-codegen). Same digest family as `stratified_sample`'s
+    keep gate; disjoint + exhaustive by construction.
+
+    Returns the input with a `split` column; fractions must sum to ≤ 1
+    (any remainder falls into the LAST split, keeping it exhaustive).
+    """
+    splits = splits or {"train": 0.98, "val": 0.01, "test": 0.01}
+    if not splits:
+        raise ValueError("need at least one split")
+    total = 16 ** nchars
+    h = md5_prefix_int(F.col(id_col).cast("string"), nchars)
+    names = list(splits)
+    expr = None
+    cum = 0.0
+    for name in names[:-1]:
+        cum += splits[name]
+        cond = h < F.lit(int(cum * total))
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    last = F.lit(names[-1])
+    out = last if expr is None else expr.otherwise(last)
+    return df.withColumn("split", out)

@@ -75,6 +75,7 @@ _CHECK_FIRST = [
     "q22_idle_balances",
     "token_histogram",
     "top_df_terms",
+    "corpus_split",
 ]
 
 

@@ -109,6 +109,37 @@ GROUP BY term ORDER BY df DESC, term LIMIT 25
 """
 
 
+# --- deterministic train/val/test split -------------------------------------
+def corpus_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """98/1/1 train/val/test assignment via the md5-prefix gate
+    (`operators/sampling.py:split_assign`) — no RNG, same doc → same
+    split on any engine/run/shard; reported as per-split doc and token
+    totals."""
+    from deltacat_spark.operators.sampling import split_assign
+
+    d = load(spark, sf_dir, "documents")
+    return (
+        split_assign(d, "doc_id")
+        .groupBy("split")
+        .agg(
+            cnt("n_docs"),
+            F.sum(token_count(F.col("text")).cast("long")).alias("n_tokens"),
+        )
+        .orderBy("split")
+    )
+
+
+_SPLIT_H = md5_prefix_int_sql("CAST(doc_id AS VARCHAR)", 6)
+CORPUS_SPLIT_SQL = f"""
+SELECT CASE WHEN {_SPLIT_H} < {int(0.98 * 16**6)} THEN 'train'
+            WHEN {_SPLIT_H} < {int(0.99 * 16**6)} THEN 'val'
+            ELSE 'test' END AS split,
+       {cnt_sql('n_docs')},
+       SUM(CAST(len(string_split(text, ' ')) AS BIGINT)) AS n_tokens
+FROM documents GROUP BY 1 ORDER BY split
+"""
+
+
 # --- quality scoring --------------------------------------------------------
 def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
@@ -774,6 +805,7 @@ QUERIES = {
     "tfidf_top_terms": (tfidf_top_terms, TFIDF_SQL),
     "text_token_count": (text_token_count, TOKEN_COUNT_SQL),
     "token_histogram": (token_histogram, TOKEN_HIST_SQL),
+    "corpus_split": (corpus_split, CORPUS_SPLIT_SQL),
     "top_df_terms": (top_df_terms, TOP_DF_SQL),
     "text_quality": (text_quality, QUALITY_SQL),
     "lang_id_heuristic": (lang_id_heuristic, LANG_ID_SQL),

@@ -55,3 +55,18 @@ def test_pack_sequences_windows_are_contiguous_per_shard(spark):
         for r in rows:
             assert r.seq_id == cum // 2048
             cum += r.n_tokens
+
+
+def test_split_assign_disjoint_exhaustive_deterministic(spark):
+    from deltacat_spark.operators.sampling import split_assign
+
+    df = spark.range(2000).select(F.col("id").alias("doc_id"))
+    out = split_assign(df, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+    counts = {r.split: r.n for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert sum(counts.values()) == 2000  # exhaustive, disjoint
+    assert counts["train"] > counts["val"] and counts["train"] > counts["test"]
+    assert abs(counts["train"] - 1600) < 200  # md5 gate ≈ uniform
+    # determinism: same ids → identical assignment on re-run
+    again = {r.doc_id: r.split for r in split_assign(df, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}).collect()}
+    first = {r.doc_id: r.split for r in out.collect()}
+    assert first == again
