@@ -76,6 +76,8 @@ _CHECK_FIRST = [
     "token_histogram",
     "top_df_terms",
     "corpus_split",
+    "q15_top_supplier",
+    "q21_sole_late_supplier",
 ]
 
 

@@ -1,7 +1,8 @@
-"""Fourth batch of relational inventory: TPC-H q13/q17/q18/q22 families
-adapted to the synthetic schema — outer-join distribution, decorrelated
-per-group scalar subquery, HAVING-gated self-aggregation join-back, and
-global-scalar + anti-join. All Spark-inherited surface (the reference's
+"""Fourth batch of relational inventory: TPC-H q13/q15/q17/q18/q21/q22
+families adapted to the synthetic schema — outer-join distribution,
+scalar-max view join, decorrelated per-group scalar subquery,
+HAVING-gated self-aggregation join-back, double-correlated
+EXISTS/NOT EXISTS, and global-scalar + anti-join. All Spark-inherited surface (the reference's
 `dc.query` is NotImplemented — `api.py:560`); each query has an exact
 DuckDB oracle.
 
@@ -210,9 +211,117 @@ GROUP BY c_mktsegment ORDER BY c_mktsegment
 """
 
 
+# --- q15 family: top-revenue suppliers (scalar-max view join) ---------------
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suppliers whose 1998 discounted revenue equals the maximum (the
+    revenue-view + scalar-subquery family). The per-supplier revenue
+    aggregates once; the 1-row max broadcasts back onto it; equality is
+    exact because both sides compare the same scaled-long integer."""
+    li = load(spark, sf_dir, "lineitem").filter(F.year("l_shipdate") == 1998)
+    s = load(spark, sf_dir, "supplier")
+    rev = li.groupBy("l_suppkey").agg(
+        F.sum(
+            _scaled(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+        ).alias("rev_scaled")
+    )
+    mx = rev.agg(F.max("rev_scaled").alias("max_scaled"))
+    top = rev.join(F.broadcast(mx), rev["rev_scaled"] == mx["max_scaled"])
+    return (
+        top.join(s, top["l_suppkey"] == s["s_suppkey"])
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.round(
+                F.col("rev_scaled").cast("double") / F.lit(float(SUM_SCALE)), 2
+            ).alias("total_revenue"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+Q15_SQL = f"""
+WITH rev AS (
+  SELECT l_suppkey,
+         SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * {SUM_SCALE} + 0.5)
+             AS BIGINT)) AS rev_scaled
+  FROM lineitem WHERE year(l_shipdate) = 1998 GROUP BY l_suppkey)
+SELECT s_suppkey, s_name,
+       ROUND(CAST(rev_scaled AS DOUBLE) / CAST({SUM_SCALE} AS DOUBLE), 2)
+         AS total_revenue
+FROM rev JOIN supplier ON l_suppkey = s_suppkey
+WHERE rev_scaled = (SELECT MAX(rev_scaled) FROM rev)
+ORDER BY s_suppkey
+"""
+
+
+# --- q21 family: sole late supplier on multi-supplier orders ----------------
+def q21_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suppliers who were the ONLY late shipper (> 60 days after the
+    order date) on an order that involved other suppliers — the
+    double-correlated EXISTS / NOT EXISTS family. Both correlations
+    decorrelate to self-joins of the lineitem-orders view on orderkey:
+    one LEFT SEMI (another supplier shipped on the order) and one LEFT
+    ANTI (no OTHER supplier shipped late), so every join shuffles on
+    the same l_orderkey key and Catalyst reuses the partitioning."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    s = load(spark, sf_dir, "supplier")
+    lo = li.join(o, li["l_orderkey"] == o["o_orderkey"]).select(
+        "l_orderkey",
+        "l_suppkey",
+        (F.datediff(F.col("l_shipdate"), F.col("o_orderdate")) > 60).alias(
+            "late"
+        ),
+    )
+    late = lo.filter("late").select("l_orderkey", "l_suppkey").distinct()
+    others = lo.select("l_orderkey", "l_suppkey").distinct()
+    # EXISTS: some line on the order from a different supplier
+    has_other = late.alias("l1").join(
+        others.alias("l2"),
+        (F.col("l1.l_orderkey") == F.col("l2.l_orderkey"))
+        & (F.col("l1.l_suppkey") != F.col("l2.l_suppkey")),
+        "left_semi",
+    )
+    # NOT EXISTS: no OTHER supplier was late on the same order
+    sole = has_other.alias("l1").join(
+        late.alias("l3"),
+        (F.col("l1.l_orderkey") == F.col("l3.l_orderkey"))
+        & (F.col("l1.l_suppkey") != F.col("l3.l_suppkey")),
+        "left_anti",
+    )
+    return (
+        sole.join(s, sole["l_suppkey"] == s["s_suppkey"])
+        .groupBy("s_suppkey", "s_name")
+        .agg(cnt("numwait"))
+        .orderBy(F.desc("numwait"), "s_suppkey")
+    )
+
+
+Q21_SQL = f"""
+WITH lo AS (
+  SELECT l_orderkey, l_suppkey,
+         l_shipdate > o_orderdate + INTERVAL 60 DAY AS late
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+late AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lo WHERE late),
+others AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lo)
+SELECT s_suppkey, s_name, {cnt_sql('numwait')}
+FROM late l1 JOIN supplier ON l1.l_suppkey = s_suppkey
+WHERE EXISTS (
+    SELECT 1 FROM others l2
+    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (
+    SELECT 1 FROM late l3
+    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey)
+GROUP BY s_suppkey, s_name
+ORDER BY numwait DESC, s_suppkey
+"""
+
+
 QUERIES = {
     "q13_order_distribution": (q13_order_distribution, Q13_SQL),
     "q17_small_quantity_revenue": (q17_small_quantity_revenue, Q17_SQL),
     "q18_large_volume_customers": (q18_large_volume_customers, Q18_SQL),
     "q22_idle_balances": (q22_idle_balances, Q22_SQL),
+    "q15_top_supplier": (q15_top_supplier, Q15_SQL),
+    "q21_sole_late_supplier": (q21_sole_late_supplier, Q21_SQL),
 }
