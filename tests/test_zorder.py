@@ -100,3 +100,25 @@ def test_zorder_rejects_strings(spark, catalog):
     df = spark.createDataFrame([(1, "a")], "id long, s string")
     with pytest.raises(ValueError, match="non-orderable-numeric"):
         zorder_column(df, ["s"])
+
+
+def test_zorder_respects_partition_scheme(spark, catalog):
+    """Z-order on a partitioned table keeps the partition layout (dirs)
+    and clusters within partitions; partition pruning still works."""
+    from deltacat_spark.plans.transforms import PartitionKey
+
+    catalog.create_table(
+        "pt",
+        schema=SCHEMA,
+        partition_scheme=[
+            PartitionKey(source="x", transform="bucket", num_buckets=2)
+        ],
+        properties={"max_records_per_file": "256"},
+    )
+    catalog.write_to_table(grid(spark, 32).coalesce(1), "pt", mode="append")
+    catalog.optimize_table("pt", zorder_by=["x", "y"])
+    snap = catalog.snapshot("pt")
+    # partition values survived the rewrite
+    assert all(f.partition_values for f in snap.files)
+    before = sorted((r.id, r.x, r.y) for r in catalog.read_table("pt").collect())
+    assert len(before) == 32 * 32
