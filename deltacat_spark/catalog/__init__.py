@@ -11,11 +11,15 @@ from deltacat_spark.catalog.catalog import (
     TableNotFoundError,
     TableWriteMode,
 )
-from deltacat_spark.catalog.materialize import refresh_incremental
+from deltacat_spark.catalog.materialize import (
+    refresh_incremental,
+    stream_refresh_incremental,
+)
 
 __all__ = [
     "Catalog",
     "TableNotFoundError",
     "TableWriteMode",
     "refresh_incremental",
+    "stream_refresh_incremental",
 ]

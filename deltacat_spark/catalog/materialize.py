@@ -96,3 +96,81 @@ def refresh_incremental(
         dst, namespace, properties={MV_SRC_VERSION: str(src_snap.version)}
     )
     return {"mode": "full", "src_version": src_snap.version}
+
+
+def stream_refresh_incremental(
+    catalog: Any,
+    src: str,
+    dst: str,
+    transform: "Callable[[DataFrame], DataFrame]",
+    checkpoint_dir: str,
+    namespace: str = "default",
+    trigger_once: bool = True,
+):
+    """Streaming materialized view: `refresh_incremental`'s contract
+    driven by the change-feed source (`streaming/api.py:
+    stream_read_changes`). Each micro-batch (a deterministic range of
+    commit versions, checkpointed by Spark) transforms and appends in
+    ONE commit that also records the batch's high-water source version —
+    so although foreachBatch is at-least-once, a replayed batch sees its
+    own watermark already recorded and skips: exactly-once end to end.
+    (The guard is whole-batch: it also absorbs a LOST checkpoint as
+    long as no new source commits landed since; a lost checkpoint plus
+    new commits re-reads from version 0 into one overlapping batch —
+    restart from the batch `refresh_incremental` watermark instead.)
+
+    Insert-family commits only (APPEND/ADD/CHRONO): a MERGE/DELETE
+    change in the feed raises and stops the query — rebuild with the
+    batch `refresh_incremental` (record-wise streaming IVM over updates
+    would need retraction semantics the sink doesn't have).
+    Returns the StreamingQuery.
+    """
+    from pyspark.sql import functions as F
+    from deltacat_spark.streaming.api import stream_read_changes
+
+    changes = stream_read_changes(catalog, src, namespace)
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        kinds = {
+            r.k
+            for r in batch_df.select(
+                F.col("_change_type").alias("k")
+            ).distinct().collect()
+        }
+        if not kinds <= {"APPEND", "ADD", "CHRONO"}:
+            raise ValueError(
+                f"stream_refresh_incremental: non-insert changes {kinds} in "
+                "the feed; run the batch refresh_incremental (it rebuilds)"
+            )
+        hi = batch_df.agg(F.max("_commit_version").alias("h")).collect()[0].h
+        if catalog.table_exists(dst, namespace):
+            raw = catalog.snapshot(dst, namespace).properties.get(
+                MV_SRC_VERSION
+            )
+            if raw is not None and int(raw) >= int(hi):
+                return  # replayed batch — already applied atomically
+        out = transform(batch_df.drop("_commit_version", "_change_type"))
+        if not catalog.table_exists(dst, namespace):
+            catalog.write_to_table(out, dst, namespace, mode="auto")
+            catalog.alter_table(
+                dst, namespace, properties={MV_SRC_VERSION: str(hi)}
+            )
+        else:
+            catalog.write_to_table(
+                out,
+                dst,
+                namespace,
+                mode="add",
+                commit_properties={MV_SRC_VERSION: str(hi)},
+            )
+
+    writer = (
+        changes.writeStream.foreachBatch(_sink)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
