@@ -73,14 +73,23 @@ def main() -> None:
     spark.read.parquet(f"{sf_dir}/region.parquet").count()
 
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     total = 0.0
     for name in BENCH_QUERIES:
         if only and name not in only:
             continue
         fn, _sql = REGISTRY[name]
         t0 = time.time()
-        df = fn(spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
+        # Per-query isolation: one broken query must not zero out the whole
+        # round's bench record (round 3's BENCH crashed rc=1 at its 9th
+        # query and lost every number). Record the error and keep going.
+        try:
+            df = fn(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+        except Exception as e:
+            errors[name] = f"{type(e).__name__}: {e}"[:500]
+            print(f"# {name}: ERROR {type(e).__name__}", file=sys.stderr)
+            continue
         dt = time.time() - t0
         timings[name] = round(dt, 3)
         total += dt
@@ -90,7 +99,10 @@ def main() -> None:
         # this clears accidental carryover, not a measured dependency).
         spark.catalog.clearCache()
     if only and "lakehouse" not in only:
-        print(json.dumps({"metric": "subset", "queries": timings, "sf": sf}))
+        out = {"metric": "subset", "queries": timings, "sf": sf}
+        if errors:
+            out["errors"] = errors
+        print(json.dumps(out))
         spark.stop()
         return
 
@@ -104,47 +116,54 @@ def main() -> None:
     from deltacat_spark.catalog import Catalog
     from deltacat_spark.schema import Field, Schema
 
-    cat = Catalog(spark, tempfile.mkdtemp(prefix="dcs_bench_"))
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-    schema = Schema(
-        [
-            Field("l_orderkey", T.LongType(), merge_key=True),
-            Field("l_linenumber", T.IntegerType(), merge_key=True),
-            Field("l_quantity", T.DoubleType()),
-            Field("l_extendedprice", T.DoubleType()),
-        ]
-    )
-    cols = [f.name for f in schema.fields]
-    cat.create_table("li", schema=schema)
-    t0 = time.time()
-    cat.write_to_table(li.select(*cols), "li", mode="merge")
-    timings["lakehouse_initial_merge"] = round(time.time() - t0, 3)
-    t0 = time.time()
-    upd = li.select(*cols).filter(F.col("l_orderkey") % 100 == 0).withColumn(
-        "l_quantity", F.col("l_quantity") + 1.0
-    )
-    cat.write_to_table(upd, "li", mode="merge")
-    timings["lakehouse_upsert_cow"] = round(time.time() - t0, 3)
-    t0 = time.time()
-    n = cat.read_table("li").count()
-    timings["lakehouse_read"] = round(time.time() - t0, 3)
-    total += sum(
-        timings[k]
-        for k in ("lakehouse_initial_merge", "lakehouse_upsert_cow", "lakehouse_read")
-    )
-    print(f"# lakehouse rows: {n}", file=sys.stderr)
-
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": round(total, 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
+    try:
+        cat = Catalog(spark, tempfile.mkdtemp(prefix="dcs_bench_"))
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        schema = Schema(
+            [
+                Field("l_orderkey", T.LongType(), merge_key=True),
+                Field("l_linenumber", T.IntegerType(), merge_key=True),
+                Field("l_quantity", T.DoubleType()),
+                Field("l_extendedprice", T.DoubleType()),
+            ]
         )
-    )
+        cols = [f.name for f in schema.fields]
+        cat.create_table("li", schema=schema)
+        t0 = time.time()
+        cat.write_to_table(li.select(*cols), "li", mode="merge")
+        timings["lakehouse_initial_merge"] = round(time.time() - t0, 3)
+        t0 = time.time()
+        upd = li.select(*cols).filter(F.col("l_orderkey") % 100 == 0).withColumn(
+            "l_quantity", F.col("l_quantity") + 1.0
+        )
+        cat.write_to_table(upd, "li", mode="merge")
+        timings["lakehouse_upsert_cow"] = round(time.time() - t0, 3)
+        t0 = time.time()
+        n = cat.read_table("li").count()
+        timings["lakehouse_read"] = round(time.time() - t0, 3)
+        total += sum(
+            timings[k]
+            for k in (
+                "lakehouse_initial_merge",
+                "lakehouse_upsert_cow",
+                "lakehouse_read",
+            )
+        )
+        print(f"# lakehouse rows: {n}", file=sys.stderr)
+    except Exception as e:
+        errors["lakehouse"] = f"{type(e).__name__}: {e}"[:500]
+        print(f"# lakehouse: ERROR {type(e).__name__}", file=sys.stderr)
+
+    out = {
+        "metric": "headline_queries_total_wall",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
     spark.stop()
 
 

@@ -14,21 +14,31 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from deltacat_spark.functions.text import tokens, word_ngrams
+from deltacat_spark.functions.text import tokens
 
 
-def _unit_stats(units: DataFrame, prefix: str, distinct_count: bool) -> DataFrame:
-    """(doc_id, {prefix}_top_n, {prefix}_n[, {prefix}_distinct]) from a
-    (doc_id, u) occurrence stream: two stacked aggregates, both with
-    map-side partials — the (doc_id, u) shuffle is the only wide one."""
-    per = units.groupBy("doc_id", "u").agg(F.count(F.lit(1)).alias("c"))
-    aggs = [
-        F.max("c").alias(f"{prefix}_top_n"),
-        F.sum("c").alias(f"{prefix}_n"),
-    ]
-    if distinct_count:
-        aggs.append(F.count(F.lit(1)).alias(f"{prefix}_distinct"))
-    return per.groupBy("doc_id").agg(*aggs)
+def _tagged_units(t, n: int = 2):
+    """All repetition units of a BOUND token array `t` as one tagged
+    stream: every word as ('w', word) plus every word n-gram WITH
+    multiplicity as ('g', gram) — the same gram construction as
+    `functions.text.word_ngrams` (1-based sequence, null-safe `get`,
+    `concat_ws` skipping trailing nulls, so a doc shorter than n yields
+    one truncated gram). Emitting both unit kinds from one array means
+    one tokenize, one scan, and one (doc_id, kind, unit) shuffle instead
+    of two tokenize+shuffle branches joined back per doc (the round-3
+    plan)."""
+    words = F.transform(
+        t, lambda w: F.struct(F.lit("w").alias("k"), w.alias("u"))
+    )
+    idx = F.sequence(F.lit(1), F.greatest(F.lit(1), F.size(t) - F.lit(n - 1)))
+    grams = F.transform(
+        idx,
+        lambda i: F.struct(
+            F.lit("g").alias("k"),
+            F.concat_ws(" ", *[F.get(t, i + j - 1) for j in range(n)]).alias("u"),
+        ),
+    )
+    return F.concat(words, grams)
 
 
 def repetition_stats(
@@ -55,21 +65,36 @@ def repetition_stats(
     The keep decision compares the ROUNDED fractions so any engine
     computing the same rounded values makes the same decision.
     """
-    words = df.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(tokens(F.col(text_col))).alias("u"),
+    # Bind the token array ONCE as a lambda variable (outer single-element
+    # transform) — Spark does not CSE inside higher-order-function lambdas,
+    # so indexing the raw split() from the gram lambda would re-split the
+    # text per element access (see `word_ngrams` docstring).
+    # (single-arg lambda: F.transform would otherwise bind the element
+    # index to _tagged_units' second parameter)
+    units_arr = F.get(
+        F.transform(F.array(tokens(F.col(text_col))), lambda t: _tagged_units(t)), 0
     )
-    grams = df.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(word_ngrams(F.col(text_col), 2)).alias("u"),
+    units = df.select(
+        F.col(id_col).alias("doc_id"), F.explode(units_arr).alias("x")
+    ).select("doc_id", "x.k", "x.u")
+    per = units.groupBy("doc_id", "k", "u").agg(F.count(F.lit(1)).alias("c"))
+    w = F.col("k") == "w"
+    g = F.col("k") == "g"
+    stats = per.groupBy("doc_id").agg(
+        F.max(F.when(w, F.col("c"))).alias("w_top_n"),
+        F.sum(F.when(w, F.col("c"))).alias("w_n"),
+        F.count(F.when(w, F.lit(1))).alias("w_distinct"),
+        F.max(F.when(g, F.col("c"))).alias("g_top_n"),
+        F.sum(F.when(g, F.col("c"))).alias("g_n"),
     )
-    ws = _unit_stats(words, "w", distinct_count=True)
-    gs = _unit_stats(grams, "g", distinct_count=False)
     top_word = F.round(F.col("w_top_n") / F.col("w_n"), 6)
     dup_word = F.round(F.lit(1) - F.col("w_distinct") / F.col("w_n"), 6)
     top_2gram = F.round(F.col("g_top_n") / F.col("g_n"), 6)
     return (
-        ws.join(gs, "doc_id")
+        # Both unit kinds exist for every doc (an empty/1-token doc still
+        # yields one word and one truncated gram); the filter mirrors the
+        # previous two-branch inner join's drop semantics exactly.
+        stats.filter(F.col("w_n").isNotNull() & F.col("g_n").isNotNull())
         .select(
             "doc_id",
             F.col("w_n").alias("n_words"),

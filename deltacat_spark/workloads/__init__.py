@@ -49,35 +49,44 @@ for _m in _late_modules():
 # (or were rotated out before getting one) are ordered FIRST so every
 # operator accumulates at least one driver-checked row across rounds.
 _CHECK_FIRST = [
-    "min_cost_part",
-    "count_distinct_parts",
-    "q7_trade_flow",
-    "window_order_gaps",
-    "percentile_prices",
-    "set_intersect_active_buyers",
-    # new in round 3 — need their first driver row
-    "dedup_incremental",
-    "decontaminate_overlap",
-    "corpus_sample_mix",
-    "pack_context_windows",
-    "simhash_near_dup",
-    "text_repetition_filter",
-    "dedup_containment",
-    "embedding_dedup_clusters",
-    "dedup_survivors",
-    "q4_order_exists",
+    # Rotated out of round 3's 50-query window (latest driver row is
+    # r1/r2) — rotate back in so no query's row goes >2 rounds stale.
+    "text_token_count",
+    "text_quality",
+    "lang_id_heuristic",
+    "doc_fingerprints",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_clusters",
+    "dedup_ngram_jaccard",
+    "simhash_fingerprint",
+    "text_scrub_pii",
+    "ann_cosine_topk",
+    "ann_lsh_topk",
+    "ann_lsh_multiprobe",
+    "ann_ivf_topk",
+    "knn_classify",
+    "embedding_norm_stats",
+    "tumbling_window_events",
+    "sliding_window_events",
+    "session_window_events",
+    "asof_join_purchase_signup",
+    "range_join_price_bands",
+    "dedup_embedding_cosine",
+    "cube_order_status",
+    "grouping_sets_orders",
+    "semi_join_big_spenders",
+    "anti_join_unordered_parts",
+    "limit_offset_page",
+    "above_median_orders",
+    # red in round 3 (events.ts drift / HUGEINT oracles) — fixed this
+    # round; need a green driver row.
+    "dedupe_lww",
+    "dedupe_lww_agg",
+    "chrono_stream_positions",
     "q12_priority_shipping",
-    "q14_promo_share",
-    "q19_bracket_revenue",
-    "q13_order_distribution",
-    "q17_small_quantity_revenue",
-    "q18_large_volume_customers",
-    "q22_idle_balances",
     "token_histogram",
-    "top_df_terms",
     "corpus_split",
-    "q15_top_supplier",
-    "q21_sole_late_supplier",
 ]
 
 

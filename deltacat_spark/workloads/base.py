@@ -7,16 +7,22 @@ order-insensitive value-hash at sf=0.01):
   order is not deterministic across runs. Every SUM over a double column
   therefore casts to ``DECIMAL(38,10)`` first (exact, associative), rounds,
   and casts back to double — bit-identical on Spark and DuckDB.
-* **events.ts is parquet timestamp[ns]** — Spark reads it as int64 nanos
-  (``spark.sql.legacy.parquet.nanosAsLong``), DuckDB as naive TIMESTAMP.
-  Both sides normalize to *epoch microseconds* (``ts_us``).
+* **events.ts type varies by testdata generation** — older drops wrote
+  parquet timestamp[ns] (Spark reads int64 nanos under
+  ``spark.sql.legacy.parquet.nanosAsLong``), current drops write
+  timestamp[us] (Spark reads TIMESTAMP_NTZ). :func:`load` dispatches on
+  the schema Spark actually sees and normalizes both to *epoch
+  microseconds* (``ts_us``); DuckDB oracles use ``epoch_us(ts)``. The
+  TIMESTAMP_NTZ→epoch conversion relies on the session timezone being
+  pinned to UTC (``session.py``) so it matches DuckDB's UTC-naive
+  ``epoch_us``.
 * DuckDB 1.0 has no ``sha1``/``conv``; portable hashing uses ``md5`` hex
   plus explicit nibble decoding (see ``md5_bucket_sql``).
 """
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession, functions as F
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F, types as T
 
 DEC = "decimal(38,10)"
 
@@ -38,15 +44,27 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one synthetic table; normalizes the events timestamp column.
 
     The returned events DataFrame carries ``ts_us`` (epoch microseconds,
-    bigint) instead of raw nanos so queries match DuckDB's
-    ``epoch_us(ts)`` exactly.
+    bigint) instead of the raw ``ts`` so queries match DuckDB's
+    ``epoch_us(ts)`` exactly — regardless of whether this testdata
+    generation stores ``ts`` as parquet timestamp[ns] (read as int64
+    nanos) or timestamp[us] (read as TIMESTAMP_NTZ).
     """
     if name == "events":
-        # Runtime-settable; required to scan INT64(TIMESTAMP(NANOS)).
+        # No-op for timestamp[us]/[ms] data; required to scan the older
+        # INT64(TIMESTAMP(NANOS)) generation without an error. Runtime-settable.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/events.parquet")
-        # Integer division — double division loses precision at 1e18 nanos.
-        return df.withColumn("ts_us", F.expr("ts div 1000")).drop("ts")
+        ts_type = df.schema["ts"].dataType
+        if isinstance(ts_type, T.LongType):
+            # nanos-as-long generation. Integer division — double division
+            # loses precision at 1e18 nanos.
+            return df.withColumn("ts_us", F.expr("ts div 1000")).drop("ts")
+        # timestamp[us] generation: TIMESTAMP_NTZ (or TIMESTAMP). unix_micros
+        # requires TIMESTAMP, so cast first; with the session timezone pinned
+        # to UTC the NTZ→TIMESTAMP cast is the identity mapping DuckDB uses.
+        return df.withColumn(
+            "ts_us", F.unix_micros(F.col("ts").cast("timestamp"))
+        ).drop("ts")
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

@@ -64,10 +64,10 @@ def q12_priority_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q12_SQL = """
 SELECT CAST(year(l_shipdate) AS BIGINT) AS ship_year,
-  SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-      THEN 1 ELSE 0 END) AS high_line_count,
-  SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-      THEN 1 ELSE 0 END) AS low_line_count
+  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+      THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+  CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+      THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 GROUP BY year(l_shipdate) ORDER BY ship_year
 """

@@ -82,7 +82,7 @@ def token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 TOKEN_HIST_SQL = f"""
 SELECT CAST(FLOOR(len(string_split(text, ' ')) / 32) * 32 AS BIGINT) AS bucket_lo,
        {cnt_sql('n_docs')},
-       SUM(CAST(len(string_split(text, ' ')) AS BIGINT)) AS n_tokens
+       CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
 FROM documents GROUP BY 1 ORDER BY bucket_lo
 """
 
@@ -135,7 +135,7 @@ SELECT CASE WHEN {_SPLIT_H} < {int(0.98 * 16**6)} THEN 'train'
             WHEN {_SPLIT_H} < {int(0.99 * 16**6)} THEN 'val'
             ELSE 'test' END AS split,
        {cnt_sql('n_docs')},
-       SUM(CAST(len(string_split(text, ' ')) AS BIGINT)) AS n_tokens
+       CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
 FROM documents GROUP BY 1 ORDER BY split
 """
 

@@ -91,9 +91,17 @@ def main():
             print(f"OK?   {name}: rows={len(srows)} (no oracle, rows-only)")
             continue
         try:
-            res = con.sql(oracles[name])
-            dcols = [d[0] for d in res.description]
-            drows = res.fetchall()
+            # Fetch via Arrow, NOT fetchall(): fetchall() coerces DuckDB
+            # HUGEINT (the type of a bare SUM over integers) to Python int,
+            # silently masking the decimal128-vs-bigint drift that the
+            # driver's Arrow-based hash catches (round-3 shipped 3 red hash
+            # rows this gate had passed). to_pylist() keeps decimal128 as
+            # decimal.Decimal, which norm_cell hashes type-strictly.
+            atbl = con.sql(oracles[name]).arrow()
+            dcols = atbl.column_names
+            drows = [
+                tuple(d[c] for c in dcols) for d in atbl.to_pylist()
+            ]
         except Exception as e:
             print(f"FAIL  {name}: duckdb error: {e}")
             failures.append(name)
