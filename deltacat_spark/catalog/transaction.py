@@ -19,18 +19,30 @@ Spark-first realization:
   reference `storage/model/transaction.py:1432-1639`): every per-table
   commit is stamped `pending_txn` (invisible to readers), and one atomic
   marker rename makes them ALL visible — a crash or error mid-seal
-  leaves NO table changed.
+  leaves NO table changed;
+* `pause()`/`Transaction.resume()` mirror the reference's paused-txn
+  lifecycle (`transaction.py:1582-1639`, status `PAUSED` at
+  `types.py:85-104`): pause spills every buffered op's rows to parquet
+  under `{root}/_dcs_txn/paused/{txn_id}/` plus a JSON manifest (pins,
+  op modes, pause time) — the Spark-first analogue of the reference's
+  msgpack state file, since DataFrame *lineage* cannot outlive a
+  SparkSession but spilled plans can. Resume (on ANY catalog instance /
+  session over the same root) reloads the manifest, re-reads the spills,
+  and seals atomically; nothing is visible to readers until that seal.
 """
 
 from __future__ import annotations
 
+import json
+import time
 import uuid
 from dataclasses import dataclass, field as dc_field
 from typing import Any
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, types as T
 
 from deltacat_spark.operators.merge import equality_delete, upsert
+from deltacat_spark.storage.commit import TxnMarkers
 
 
 @dataclass
@@ -45,9 +57,13 @@ class _Op:
 class Transaction:
     def __init__(self, catalog):
         self.catalog = catalog
+        self.txn_id = uuid.uuid4().hex
         self.ops: list[_Op] = []
         self._pins: dict[tuple[str, str], int] = {}
         self.sealed = False
+        self.paused = False
+        # Set on resume: spill dir to clean up after a successful seal.
+        self._paused_dir: str | None = None
 
     # -- buffered writes ----------------------------------------------
     def write(
@@ -59,6 +75,7 @@ class Transaction:
         **kwargs: Any,
     ) -> None:
         assert not self.sealed, "transaction already sealed"
+        assert not self.paused, "transaction is paused — resume() it first"
         self.ops.append(_Op(df, table, namespace, mode, kwargs))
 
     # -- reads: pinned snapshot + overlay of buffered writes ----------
@@ -106,9 +123,98 @@ class Transaction:
             raise FileNotFoundError(f"{namespace}.{table}")
         return base
 
+    # -- pause / resume ------------------------------------------------
+    def pause(self) -> str:
+        """Suspend this transaction durably; returns the txn id to
+        ``resume()`` with (reference `transaction.py:1582-1601`).
+
+        Every buffered op's ROWS are spilled to parquet under
+        ``{root}/_dcs_txn/paused/{txn_id}/`` and a JSON manifest records
+        pins + op metadata; the atomic manifest write is the publish
+        point (a crash mid-pause leaves an un-resumable partial dir,
+        never a half-restored txn). The spill also severs the plans from
+        this SparkSession, so the txn survives session/process death —
+        nothing becomes visible to readers until the resumed txn seals.
+        """
+        assert not self.sealed, "transaction already sealed"
+        assert not self.paused, "transaction already paused"
+        cat = self.catalog
+        fs = cat.fs
+        for op in self.ops:
+            try:
+                json.dumps(op.kwargs)
+            except TypeError as e:
+                raise ValueError(
+                    "pause() requires JSON-serializable write kwargs; "
+                    f"got {op.kwargs!r} for table {op.namespace}.{op.table}"
+                ) from e
+        pdir = fs.join(cat.root, TxnMarkers.DIR, "paused", self.txn_id)
+        fs.makedirs(pdir)
+        ops_meta = []
+        for i, op in enumerate(self.ops):
+            rel = f"op_{i:04d}"
+            op.df.write.mode("overwrite").parquet(fs.spark_path(fs.join(pdir, rel)))
+            ops_meta.append(
+                {
+                    "table": op.table,
+                    "namespace": op.namespace,
+                    "mode": op.mode,
+                    "kwargs": op.kwargs,
+                    "path": rel,
+                    # Explicit schema: an empty spill has no part files
+                    # to infer from.
+                    "schema": op.df.schema.json(),
+                }
+            )
+        manifest = {
+            "txn_id": self.txn_id,
+            "pause_time_ms": int(time.time() * 1000),
+            "pins": [[ns, t, v] for (ns, t), v in self._pins.items()],
+            "ops": ops_meta,
+        }
+        fs.write_text_atomic(fs.join(pdir, "manifest.json"), json.dumps(manifest))
+        self.paused = True
+        return self.txn_id
+
+    @classmethod
+    def resume(cls, catalog, txn_id: str) -> "Transaction":
+        """Restore a paused transaction on ANY catalog instance over the
+        same root (reference `transaction.py:1603-1639`): reload the
+        manifest, re-read the spilled ops, and continue buffering /
+        seal atomically. The spill dir is removed on successful seal.
+        """
+        fs = catalog.fs
+        pdir = fs.join(catalog.root, TxnMarkers.DIR, "paused", txn_id)
+        mpath = fs.join(pdir, "manifest.json")
+        if not fs.exists(mpath):
+            raise FileNotFoundError(f"no paused transaction {txn_id}")
+        m = json.loads(fs.read_text(mpath))
+        # Reference parity: refuse to resume under a regressed clock —
+        # commit timestamps must stay monotone across the pause.
+        if int(time.time() * 1000) < m["pause_time_ms"]:
+            raise RuntimeError(
+                f"system clock is behind paused transaction {txn_id} "
+                f"(pause_time_ms={m['pause_time_ms']})"
+            )
+        txn = cls(catalog)
+        txn.txn_id = txn_id
+        txn._pins = {(ns, t): v for ns, t, v in m["pins"]}
+        for om in m["ops"]:
+            schema = T.StructType.fromJson(json.loads(om["schema"]))
+            df = (
+                catalog.spark.read.schema(schema)
+                .parquet(fs.spark_path(fs.join(pdir, om["path"])))
+            )
+            txn.ops.append(
+                _Op(df, om["table"], om["namespace"], om["mode"], dict(om["kwargs"]))
+            )
+        txn._paused_dir = pdir
+        return txn
+
     # -- seal ----------------------------------------------------------
     def seal(self) -> None:
         assert not self.sealed
+        assert not self.paused, "paused transaction — seal via resume()"
         self.sealed = True
         tables = {(op.namespace, op.table) for op in self.ops}
         if len(tables) > 1:
@@ -127,8 +233,17 @@ class Transaction:
                 raise
             self.catalog._txn_ctx = None
             markers.finalize(txn_id)
+            self._cleanup_spill()
             return
         self._seal_ops()
+        self._cleanup_spill()
+
+    def _cleanup_spill(self) -> None:
+        # A resumed txn's ops read from the paused spill dir; every seal
+        # path has materialized them into table data files by now.
+        if self._paused_dir is not None:
+            self.catalog.fs.delete_dir(self._paused_dir)
+            self._paused_dir = None
 
     def _seal_ops(self) -> None:
         i = 0

@@ -76,3 +76,92 @@ def test_transaction_snapshot_pinning(spark, catalog):
     # pinned read unaffected by the concurrent commit
     assert txn.read("t").count() == 1
     assert catalog.read_table("t").count() == 2
+
+
+# --- pause / resume (reference transaction.py:1582-1639) --------------------
+def test_pause_resume_survives_new_catalog(spark, catalog, tmp_path):
+    from deltacat_spark.catalog import Catalog
+    from deltacat_spark.catalog.transaction import Transaction
+
+    catalog.create_table(
+        "p", schema=Schema([Field("id", T.LongType()), Field("v", T.StringType())])
+    )
+    catalog.write_to_table(
+        spark.createDataFrame([(1, "a")], "id long, v string"), "p", mode="append"
+    )
+    txn = catalog.transaction()
+    txn.write(
+        spark.createDataFrame([(2, "b")], "id long, v string"), "p", mode="append"
+    )
+    txn_id = txn.pause()
+    # paused: nothing visible, and the paused object refuses further ops
+    assert catalog.read_table("p").count() == 1
+    with pytest.raises(AssertionError):
+        txn.write(spark.createDataFrame([(9, "x")], "id long, v string"), "p")
+    with pytest.raises(AssertionError):
+        txn.seal()
+
+    # brand-new Catalog instance over the same root
+    cat2 = Catalog(spark, catalog.root)
+    resumed = Transaction.resume(cat2, txn_id)
+    # resumed txn keeps read-your-writes over its restored buffer
+    assert resumed.read("p").count() == 2
+    resumed.write(
+        spark.createDataFrame([(3, "c")], "id long, v string"), "p", mode="append"
+    )
+    resumed.seal()
+    assert {r.id for r in cat2.read_table("p").collect()} == {1, 2, 3}
+    # spill dir cleaned up after seal
+    assert not cat2.fs.exists(
+        cat2.fs.join(cat2.root, "_dcs_txn", "paused", txn_id)
+    )
+
+
+def test_pause_resume_cross_table_atomic_seal(spark, catalog):
+    from deltacat_spark.catalog import Catalog
+    from deltacat_spark.catalog.transaction import Transaction
+
+    catalog.write_to_table(
+        spark.createDataFrame([(1,)], "a long"), "t1", mode="auto"
+    )
+    catalog.write_to_table(
+        spark.createDataFrame([(10,)], "b long"), "t2", mode="auto"
+    )
+    txn = catalog.transaction()
+    txn.write(spark.createDataFrame([(2,)], "a long"), "t1", mode="append")
+    txn.write(spark.createDataFrame([(20,)], "b long"), "t2", mode="append")
+    txn_id = txn.pause()
+    assert catalog.read_table("t1").count() == 1
+    assert catalog.read_table("t2").count() == 1
+
+    cat2 = Catalog(spark, catalog.root)
+    Transaction.resume(cat2, txn_id).seal()
+    assert cat2.read_table("t1").count() == 2
+    assert cat2.read_table("t2").count() == 2
+
+
+def test_resume_unknown_txn_raises(spark, catalog):
+    from deltacat_spark.catalog.transaction import Transaction
+
+    with pytest.raises(FileNotFoundError):
+        Transaction.resume(catalog, "nope")
+
+
+def test_pause_preserves_snapshot_pins(spark, catalog):
+    """A read pinned before pause stays pinned after resume — writes that
+    land DURING the pause are invisible to the resumed txn's reads."""
+    from deltacat_spark.catalog import Catalog
+    from deltacat_spark.catalog.transaction import Transaction
+
+    catalog.write_to_table(
+        spark.createDataFrame([(1,)], "id long"), "s", mode="auto"
+    )
+    txn = catalog.transaction()
+    assert txn.read("s").count() == 1  # pins version
+    txn_id = txn.pause()
+    # concurrent writer commits while txn is paused
+    catalog.write_to_table(
+        spark.createDataFrame([(2,)], "id long"), "s", mode="append"
+    )
+    resumed = Transaction.resume(Catalog(spark, catalog.root), txn_id)
+    assert resumed.read("s").count() == 1  # still the pinned snapshot
