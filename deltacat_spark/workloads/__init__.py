@@ -31,6 +31,7 @@ def _late_modules() -> list:
         "relational2",
         "relational3",
         "relational4",
+        "relational5",
     ):
         try:
             mods.append(
@@ -87,6 +88,10 @@ _CHECK_FIRST = [
     "q12_priority_shipping",
     "token_histogram",
     "corpus_split",
+    # new in round 4 — need their first driver row
+    "q8_market_share",
+    "q9_nation_profit",
+    "q10_returned_items",
 ]
 
 
