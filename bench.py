@@ -52,6 +52,13 @@ BENCH_QUERIES = [
     "dedup_survivors",
     "q13_order_distribution",
     "q18_large_volume_customers",
+    # round 4 additions (additive)
+    "q8_market_share",
+    "q10_returned_items",
+    "domain_cap_sample",
+    "length_outliers",
+    "inverted_index",
+    "bm25_search",
 ]
 
 

@@ -104,3 +104,31 @@ def split_assign(
     last = F.lit(names[-1])
     out = last if expr is None else expr.otherwise(last)
     return df.withColumn("split", out)
+
+
+def domain_cap(
+    df: DataFrame,
+    key_col: str = "source",
+    id_col: str = "doc_id",
+    cap: int = 50,
+) -> DataFrame:
+    """Keep at most `cap` documents per domain/source (the Common-Crawl
+    per-host cap that stops one boilerplate-heavy domain from dominating
+    a mixture). Selection is deterministic: rows rank by md5(id) within
+    their domain, so every engine/run keeps the same winners — no RNG.
+
+    Scale shape: ONE shuffle on `key_col`. `row_number` streams each
+    domain's partition, so memory is O(1) per task, but a single
+    mega-domain still lands on one task (sort-spill, not OOM). For a
+    100 TB corpus with pathological hosts, pre-gate with
+    `stratified_sample` at an approximate per-domain rate (map-side,
+    zero shuffle) so the exact windowed cap only sees ~cap×constant
+    rows per domain.
+    """
+    order = md5_prefix_int(F.col(id_col).cast("string"), 6)
+    w = Window.partitionBy(key_col).orderBy(order.asc(), F.col(id_col).asc())
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= cap)
+        .drop("__rn")
+    )

@@ -32,6 +32,8 @@ def _late_modules() -> list:
         "relational3",
         "relational4",
         "relational5",
+        "composition",
+        "search",
     ):
         try:
             mods.append(
@@ -92,6 +94,11 @@ _CHECK_FIRST = [
     "q8_market_share",
     "q9_nation_profit",
     "q10_returned_items",
+    "domain_cap_sample",
+    "lang_source_matrix",
+    "length_outliers",
+    "inverted_index",
+    "bm25_search",
 ]
 
 
