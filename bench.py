@@ -59,6 +59,8 @@ BENCH_QUERIES = [
     "length_outliers",
     "inverted_index",
     "bm25_search",
+    "event_transitions",
+    "weekly_retention",
 ]
 
 

@@ -34,6 +34,7 @@ def _late_modules() -> list:
         "relational5",
         "composition",
         "search",
+        "behavior",
     ):
         try:
             mods.append(
@@ -99,6 +100,9 @@ _CHECK_FIRST = [
     "length_outliers",
     "inverted_index",
     "bm25_search",
+    "event_transitions",
+    "funnel_view_click_purchase",
+    "weekly_retention",
 ]
 
 

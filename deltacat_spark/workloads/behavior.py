@@ -1,0 +1,137 @@
+"""Event-behavior analytics over the CHRONO events table: transition
+matrices, ordered funnels, and weekly retention cohorts — the product-
+analytics queries an event-time lakehouse (reference CHRONO writes,
+`catalog/main/impl.py:603-624`) exists to serve. Exact DuckDB oracles;
+all keys are integers (epoch-microsecond / integer-div week buckets), so
+no float crosses an engine boundary.
+
+Scale shape: transitions are one user-partitioned window pass; the
+funnel is three same-keyed aggregations (stage filters cut each round's
+input, and user_id partitioning is reused); retention is two integer
+aggregations. Nothing is wider than a user_id shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.window import Window
+
+from deltacat_spark.workloads.base import EVENTS_US, cnt, cnt_sql, load
+
+_WEEK_US = 7 * 86_400 * 1_000_000
+
+
+# --- transition matrix ------------------------------------------------------
+def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Counts of consecutive (event_type → next event_type) pairs per
+    user timeline (the Markov/Sankey input). One window pass ordered by
+    (ts_us, event_id) — the event_id tiebreak makes simultaneous events
+    deterministic on any engine."""
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    return (
+        e.withColumn("next_type", F.lead("event_type").over(w))
+        .filter(F.col("next_type").isNotNull())
+        .groupBy("event_type", "next_type")
+        .agg(cnt("n"))
+        .orderBy("event_type", "next_type")
+    )
+
+
+TRANSITIONS_SQL = f"""
+SELECT event_type, next_type, {cnt_sql('n')} FROM (
+  SELECT event_type,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts_us, event_id)
+           AS next_type
+  FROM {EVENTS_US}) t
+WHERE next_type IS NOT NULL
+GROUP BY event_type, next_type ORDER BY event_type, next_type
+"""
+
+
+# --- ordered funnel ---------------------------------------------------------
+def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strictly-ordered funnel: users with a view, then a click AFTER
+    their first view, then a purchase AFTER that first qualifying click.
+    Each stage is a min-aggregate keyed on user_id joined to the next
+    stage's filtered events — the stage predicate shrinks every round's
+    input, and all three shuffles share the user_id key."""
+    e = load(spark, sf_dir, "events")
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("t_v"))
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts_us") > F.col("t_v"))
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("t_c"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts_us") > F.col("t_c"))
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("t_p"))
+    )
+    return (
+        v.agg(cnt("n_view"))
+        .crossJoin(F.broadcast(c.agg(cnt("n_click_after"))))
+        .crossJoin(F.broadcast(p.agg(cnt("n_purchase_after"))))
+    )
+
+
+FUNNEL_SQL = f"""
+WITH ev AS (SELECT * FROM {EVENTS_US}),
+v AS (SELECT user_id, MIN(ts_us) AS t_v FROM ev
+      WHERE event_type = 'view' GROUP BY user_id),
+c AS (SELECT ev.user_id, MIN(ts_us) AS t_c FROM ev JOIN v USING (user_id)
+      WHERE event_type = 'click' AND ts_us > t_v GROUP BY ev.user_id),
+p AS (SELECT ev.user_id, MIN(ts_us) AS t_p FROM ev JOIN c USING (user_id)
+      WHERE event_type = 'purchase' AND ts_us > t_c GROUP BY ev.user_id)
+SELECT (SELECT {cnt_sql('x')} FROM v) AS n_view,
+       (SELECT {cnt_sql('x')} FROM c) AS n_click_after,
+       (SELECT {cnt_sql('x')} FROM p) AS n_purchase_after
+"""
+
+
+# --- weekly retention cohorts -----------------------------------------------
+def weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic retention triangle: users bucketed by first-activity week
+    (integer-div epoch weeks — exact on every engine), counted per
+    (cohort_week, weeks_since) they were active. Two integer
+    aggregations; the distinct (user, week) set is the only wide state."""
+    e = load(spark, sf_dir, "events")
+    base = e.select(
+        "user_id", F.expr(f"ts_us div {_WEEK_US}").alias("wk")
+    ).distinct()
+    cohort = base.groupBy("user_id").agg(F.min("wk").alias("cohort_wk"))
+    return (
+        base.join(cohort, "user_id")
+        .groupBy(
+            "cohort_wk", (F.col("wk") - F.col("cohort_wk")).alias("weeks_since")
+        )
+        .agg(cnt("n_users"))
+        .orderBy("cohort_wk", "weeks_since")
+    )
+
+
+RETENTION_SQL = f"""
+WITH base AS (
+  SELECT DISTINCT user_id, ts_us // {_WEEK_US} AS wk FROM {EVENTS_US}),
+cohort AS (
+  SELECT user_id, MIN(wk) AS cohort_wk FROM base GROUP BY user_id)
+SELECT cohort_wk, wk - cohort_wk AS weeks_since, {cnt_sql('n_users')}
+FROM base JOIN cohort USING (user_id)
+GROUP BY cohort_wk, wk - cohort_wk
+ORDER BY cohort_wk, weeks_since
+"""
+
+
+QUERIES = {
+    "event_transitions": (event_transitions, TRANSITIONS_SQL),
+    "funnel_view_click_purchase": (funnel_view_click_purchase, FUNNEL_SQL),
+    "weekly_retention": (weekly_retention, RETENTION_SQL),
+}

@@ -70,3 +70,29 @@ def test_split_assign_disjoint_exhaustive_deterministic(spark):
     again = {r.doc_id: r.split for r in split_assign(df, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}).collect()}
     first = {r.doc_id: r.split for r in out.collect()}
     assert first == again
+
+
+def test_domain_cap_limits_and_determinism(spark):
+    from deltacat_spark.operators.sampling import domain_cap
+
+    # 3 domains with 100/30/5 docs
+    df = spark.range(135).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") < 100, "big")
+        .when(F.col("id") < 130, "mid")
+        .otherwise("tiny")
+        .alias("source"),
+    )
+    out = domain_cap(df, "source", "doc_id", cap=10)
+    counts = {
+        r.source: r.n
+        for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    # capped at 10; under-cap domains keep everything
+    assert counts == {"big": 10, "mid": 10, "tiny": 5}
+    # deterministic winners on re-run
+    a = sorted(r.doc_id for r in out.collect())
+    b = sorted(r.doc_id for r in domain_cap(df, "source", "doc_id", cap=10).collect())
+    assert a == b
+    # kept rows are a subset of the input rows (no mutation)
+    assert set(a) <= set(range(135))
