@@ -61,6 +61,7 @@ BENCH_QUERIES = [
     "bm25_search",
     "event_transitions",
     "weekly_retention",
+    "embedding_quantize",
 ]
 
 

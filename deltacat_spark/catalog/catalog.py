@@ -244,6 +244,75 @@ class Catalog:
         )
         self._log(table, namespace).commit(commit)
 
+    def restore_table(
+        self,
+        table: str,
+        namespace: str = DEFAULT_NAMESPACE,
+        version: int | None = None,
+        timestamp: int | None = None,
+    ) -> int:
+        """Roll the table back to an earlier snapshot as a NEW commit
+        (Delta-style RESTORE; history stays intact, so the rollback is
+        itself time-travelable and vacuum retention governs file life).
+
+        Copy-by-reference when the target snapshot holds only resolved
+        data files: one RESTORE commit re-adds the target's files in
+        their original global merge order — zero data movement at any
+        table size. When the target still carries merge-on-read deltas
+        (UPSERT/DELETE/positional-delete sidecars, whose per-file
+        delta_type a single commit cannot re-stamp), the restore
+        materializes the resolved target instead (one read + REPLACE
+        write of the restored state; schema evolution after the target
+        version follows the REPLACE path's rules).
+
+        Returns the new log version.
+        """
+        cur = self.snapshot(table, namespace)
+        target = self.snapshot(
+            table, namespace, version_as_of=version, timestamp_as_of=timestamp
+        )
+        mor_types = {
+            DeltaType.UPSERT,
+            DeltaType.DELETE,
+            DeltaType.POSITIONAL_DELETE,
+        }
+        if any(f.delta_type in mor_types for f in target.files):
+            resolved = self.read_table(
+                table, namespace, version_as_of=version, timestamp_as_of=timestamp
+            )
+            self.write_to_table(resolved, table, namespace, mode="replace")
+            return self.snapshot(table, namespace).version
+        adds = [
+            {
+                "add": {
+                    k: v
+                    for k, v in f.to_dict().items()
+                    if k
+                    in (
+                        "path",
+                        "records",
+                        "bytes",
+                        "partition_values",
+                        "stats",
+                        "content_type",
+                    )
+                }
+            }
+            # Snapshot.files is already (version, file_index)-sorted; the
+            # re-add preserves that total order via the new file_index.
+            for f in target.files
+        ]
+        commit = Commit(
+            version=cur.version + 1,
+            operation="RESTORE",
+            schema_json=target.schema.to_json() if target.schema else None,
+            partition_scheme=target.partition_scheme,
+            sort_scheme=target.sort_scheme,
+            actions=[{"remove": {"path": f.path}} for f in cur.files] + adds,
+        )
+        self._log(table, namespace).commit(commit)
+        return commit.version
+
     def alter_table(
         self,
         table: str,

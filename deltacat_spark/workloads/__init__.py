@@ -103,6 +103,7 @@ _CHECK_FIRST = [
     "event_transitions",
     "funnel_view_click_purchase",
     "weekly_retention",
+    "embedding_quantize",
 ]
 
 

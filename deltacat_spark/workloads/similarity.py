@@ -250,6 +250,41 @@ WHERE rn <= 5
 ANN_IVF_SQL = _ivf_sql()
 
 
+def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector int8 scalar quantization (the storage/serving shrink
+    step before ANN at scale): codes = floor(x * 127/max|x| + 0.5),
+    emitted with the scale factor for dequantization. Pure projection —
+    map-side only, zero shuffle at any corpus size. Codes are exact
+    integers on both engines; the scale double is one IEEE division of
+    identical operands. Zero vectors (scale undefined) are excluded by
+    the max|x| > 0 guard on BOTH engines."""
+    e = load(spark, sf_dir, "embeddings")
+    maxabs = F.array_max(
+        F.transform(F.col("embedding"), lambda x: F.abs(x))
+    ).cast("double")
+    d = e.select("vec_id", "embedding", maxabs.alias("m")).filter(F.col("m") > 0)
+    scale = F.lit(127.0) / F.col("m")
+    codes = F.transform(
+        F.col("embedding"),
+        lambda x: F.floor(x.cast("double") * scale + F.lit(0.5)).cast("int"),
+    )
+    return d.select(
+        "vec_id", scale.alias("scale"), codes.alias("codes")
+    ).orderBy("vec_id")
+
+
+QUANTIZE_SQL = """
+WITH m AS (
+  SELECT vec_id, embedding,
+         CAST(list_max(list_transform(embedding, x -> abs(x))) AS DOUBLE) AS m
+  FROM embeddings)
+SELECT vec_id, 127.0 / m AS scale,
+       list_transform(embedding,
+         x -> CAST(FLOOR(CAST(x AS DOUBLE) * (127.0 / m) + 0.5) AS INT)) AS codes
+FROM m WHERE m > 0 ORDER BY vec_id
+"""
+
+
 QUERIES = {
     "ann_cosine_topk": (ann_cosine_topk, ANN_TOPK_SQL),
     "ann_lsh_topk": (ann_lsh_topk, ANN_LSH_SQL),
@@ -257,4 +292,5 @@ QUERIES = {
     "ann_ivf_topk": (ann_ivf_topk, ANN_IVF_SQL),
     "knn_classify": (knn_classify, KNN_SQL),
     "embedding_norm_stats": (embedding_norm_stats, NORM_STATS_SQL),
+    "embedding_quantize": (embedding_quantize, QUANTIZE_SQL),
 }

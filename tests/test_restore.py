@@ -1,0 +1,68 @@
+"""RESTORE: roll back to an earlier snapshot as a new commit."""
+
+from pyspark.sql import functions as F, types as T
+
+from deltacat_spark.schema import Field, Schema
+
+
+def test_restore_copy_by_reference(spark, catalog):
+    catalog.write_to_table(
+        spark.createDataFrame([(1,), (2,)], "id long"), "t", mode="auto"
+    )
+    v1 = catalog.snapshot("t").version
+    catalog.write_to_table(
+        spark.createDataFrame([(3,), (4,)], "id long"), "t", mode="append"
+    )
+    catalog.write_to_table(
+        spark.createDataFrame([(5,)], "id long"), "t", mode="append"
+    )
+    assert catalog.read_table("t").count() == 5
+
+    v1_files = {f.path for f in catalog.snapshot("t", version_as_of=v1).files}
+    new_v = catalog.restore_table("t", version=v1)
+    # restored state == v1 state, via the ORIGINAL files (no rewrite)
+    assert {r.id for r in catalog.read_table("t").collect()} == {1, 2}
+    now = catalog.snapshot("t")
+    assert now.version == new_v
+    assert {f.path for f in now.files} == v1_files
+    # history intact: the pre-restore state is still time-travelable
+    assert catalog.read_table("t", version_as_of=new_v - 1).count() == 5
+
+
+def test_restore_materializes_mor_deltas(spark, catalog):
+    schema = Schema(
+        [Field("id", T.LongType(), merge_key=True), Field("v", T.StringType())]
+    )
+    catalog.create_table("m", schema=schema, properties={"read_optimization": "mor"})
+    catalog.write_to_table(
+        spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string"),
+        "m",
+        mode="merge",
+    )
+    v1 = catalog.snapshot("m").version
+    catalog.write_to_table(
+        spark.createDataFrame([(2, "B2"), (3, "c")], "id long, v string"),
+        "m",
+        mode="merge",
+    )
+    assert {r.v for r in catalog.read_table("m").collect()} == {"a", "B2", "c"}
+    catalog.restore_table("m", version=v1)
+    assert {(r.id, r.v) for r in catalog.read_table("m").collect()} == {
+        (1, "a"),
+        (2, "b"),
+    }
+
+
+def test_restore_then_write_continues_history(spark, catalog):
+    catalog.write_to_table(
+        spark.createDataFrame([(1,)], "id long"), "t2", mode="auto"
+    )
+    v1 = catalog.snapshot("t2").version
+    catalog.write_to_table(
+        spark.createDataFrame([(2,)], "id long"), "t2", mode="append"
+    )
+    catalog.restore_table("t2", version=v1)
+    catalog.write_to_table(
+        spark.createDataFrame([(7,)], "id long"), "t2", mode="append"
+    )
+    assert {r.id for r in catalog.read_table("t2").collect()} == {1, 7}
