@@ -1274,6 +1274,38 @@ class Catalog:
             self.register_view(t)
         return self.spark.sql(query)
 
+    def history(
+        self, table: str, namespace: str = DEFAULT_NAMESPACE, limit: int | None = None
+    ) -> list[dict[str, Any]]:
+        """Commit history, newest first (Delta-style DESCRIBE HISTORY):
+        one dict per commit with version / timestamp / operation /
+        delta_type / add-remove counts / records added / stream position
+        / txn visibility. Pure log replay — no data scan at any size."""
+        log = self._log(table, namespace)
+        out = []
+        for c in log.replay():
+            out.append(
+                {
+                    "version": c.version,
+                    "timestamp_ms": c.timestamp_ms,
+                    "operation": c.operation,
+                    "delta_type": c.delta_type,
+                    "n_adds": len(c.adds),
+                    "n_removes": len(c.removes),
+                    "records_added": sum(a.get("records") or 0 for a in c.adds),
+                    "stream_position": c.stream_position,
+                    "watermark": c.watermark,
+                    "pending_txn": c.pending_txn,
+                    "txn_status": (
+                        self._txn_markers.status(c.pending_txn)
+                        if c.pending_txn
+                        else None
+                    ),
+                }
+            )
+        out.sort(key=lambda d: d["version"], reverse=True)
+        return out[:limit] if limit is not None else out
+
     def table_stats(
         self, table: str, namespace: str = DEFAULT_NAMESPACE
     ) -> dict[str, Any]:

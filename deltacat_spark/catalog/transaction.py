@@ -216,6 +216,35 @@ class Transaction:
         assert not self.sealed
         assert not self.paused, "paused transaction — seal via resume()"
         self.sealed = True
+        claim = None
+        if self._paused_dir is not None:
+            # Claim the paused txn before committing anything: the atomic
+            # manifest rename makes concurrent resume()+seal() of the same
+            # txn id a race exactly one sealer wins — the loser (or a
+            # resume after this seal) sees no manifest and fails instead
+            # of double-committing the buffered ops.
+            fs = self.catalog.fs
+            src = fs.join(self._paused_dir, "manifest.json")
+            claim = fs.join(self._paused_dir, "manifest.sealing")
+            try:
+                fs.rename(src, claim)
+            except (FileNotFoundError, OSError) as e:
+                raise RuntimeError(
+                    f"paused transaction {self.txn_id} was already sealed "
+                    "by a concurrent resume"
+                ) from e
+        try:
+            self._seal_with_markers()
+        except BaseException:
+            if claim is not None:
+                # Un-claim so the spill stays resumable after a failed seal.
+                self.catalog.fs.rename(
+                    claim, self.catalog.fs.join(self._paused_dir, "manifest.json")
+                )
+                self.sealed = False
+            raise
+
+    def _seal_with_markers(self) -> None:
         tables = {(op.namespace, op.table) for op in self.ops}
         if len(tables) > 1:
             # Cross-table atomic seal: stamp every commit pending, flip

@@ -32,23 +32,31 @@ _POSTINGS_CAP = 100
 def inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Term → document-frequency + first-100 postings (sorted doc_ids).
 
-    One explode → distinct (term, doc) shuffle → per-term aggregate.
-    The cap keeps a posting row bounded; at 100 TB a full index shards
-    postings as (term, bucket) pages instead of one giant array row —
-    same plan shape, the aggregate key gains a `doc_id div page_size`
-    component."""
+    The document-frequency branch is a map-side-combinable count; the
+    postings branch row_number-caps BEFORE `collect_list`, so no
+    executor ever materializes a stop-term's full postings (collecting
+    then slicing would buffer billions of doc_ids for a hot term at
+    100 TB). The smallest-`cap` doc_ids sorted equal slice-of-full-sort,
+    so the cheap form is also the exact one. A complete index would
+    page postings as (term, doc_id div page_size) group keys — same
+    plan, compound key."""
+    from pyspark.sql.window import Window
+
     d = load(spark, sf_dir, "documents")
     pairs = d.select(
         "doc_id", F.explode(F.array_distinct(tokens(F.col("text")))).alias("term")
     )
+    dfreq = pairs.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("term").orderBy("doc_id")
+    capped = (
+        pairs.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= _POSTINGS_CAP)
+        .groupBy("term")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("postings"))
+    )
     return (
-        pairs.groupBy("term")
-        .agg(
-            F.count(F.lit(1)).alias("df"),
-            F.slice(
-                F.array_sort(F.collect_list("doc_id")), 1, _POSTINGS_CAP
-            ).alias("postings"),
-        )
+        dfreq.join(capped, "term")
+        .select("term", "df", "postings")
         .orderBy("term")
     )
 

@@ -66,3 +66,22 @@ def test_restore_then_write_continues_history(spark, catalog):
         spark.createDataFrame([(7,)], "id long"), "t2", mode="append"
     )
     assert {r.id for r in catalog.read_table("t2").collect()} == {1, 7}
+
+
+def test_history_lists_commits_newest_first(spark, catalog):
+    catalog.write_to_table(
+        spark.createDataFrame([(1,)], "id long"), "h", mode="auto"
+    )
+    catalog.write_to_table(
+        spark.createDataFrame([(2,)], "id long"), "h", mode="append"
+    )
+    catalog.restore_table("h", version=1)
+    hist = catalog.history("h")
+    assert [h["version"] for h in hist] == sorted(
+        (h["version"] for h in hist), reverse=True
+    )
+    assert hist[0]["operation"] == "RESTORE"
+    ops = {h["operation"] for h in hist}
+    assert "APPEND" in ops or "CREATE" in ops
+    assert all("records_added" in h for h in hist)
+    assert catalog.history("h", limit=2) == hist[:2]

@@ -165,3 +165,25 @@ def test_pause_preserves_snapshot_pins(spark, catalog):
     )
     resumed = Transaction.resume(Catalog(spark, catalog.root), txn_id)
     assert resumed.read("s").count() == 1  # still the pinned snapshot
+
+
+def test_double_resume_single_seal(spark, catalog):
+    """Two resumes of one paused txn: exactly one seal wins; the loser
+    raises instead of double-committing the buffered ops."""
+    from deltacat_spark.catalog import Catalog
+    from deltacat_spark.catalog.transaction import Transaction
+
+    catalog.write_to_table(
+        spark.createDataFrame([(1,)], "id long"), "d", mode="auto"
+    )
+    txn = catalog.transaction()
+    txn.write(spark.createDataFrame([(2,)], "id long"), "d", mode="append")
+    txn_id = txn.pause()
+
+    r1 = Transaction.resume(Catalog(spark, catalog.root), txn_id)
+    r2 = Transaction.resume(Catalog(spark, catalog.root), txn_id)
+    r1.seal()
+    with pytest.raises(RuntimeError, match="already sealed"):
+        r2.seal()
+    # committed exactly once
+    assert catalog.read_table("d").count() == 2
