@@ -104,6 +104,8 @@ _CHECK_FIRST = [
     "funnel_view_click_purchase",
     "weekly_retention",
     "embedding_quantize",
+    "lm_quality_score",
+    "events_hourly_gapfill",
 ]
 
 

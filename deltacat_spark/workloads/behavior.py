@@ -130,8 +130,51 @@ ORDER BY cohort_wk, weeks_since
 """
 
 
+# --- time-series gap-fill ---------------------------------------------------
+_HOUR_US = 3_600 * 1_000_000
+
+
+def events_hourly_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly event counts with missing hours ZERO-FILLED over the full
+    [min, max] hour grid — the resample step before any time-series
+    model. The grid generates from ONE scalar row (sequence + explode,
+    driver never materializes it) and left-joins the hourly aggregate;
+    hour buckets are integer-div epoch hours, so the grid keys are exact
+    on every engine. Grid size = hours in range (bounded by wall time,
+    not data volume), the hourly agg is map-side combinable."""
+    e = load(spark, sf_dir, "events")
+    hours = e.select(F.expr(f"ts_us div {_HOUR_US}").alias("h"))
+    hourly = hours.groupBy("h").agg(cnt("n_events"))
+    bounds = hours.agg(F.min("h").alias("lo"), F.max("h").alias("hi"))
+    grid = bounds.select(
+        F.explode(F.sequence(F.col("lo"), F.col("hi"))).alias("h")
+    )
+    return (
+        grid.join(hourly, "h", "left")
+        .select(
+            F.col("h").alias("hour_bucket"),
+            F.coalesce(F.col("n_events"), F.lit(0)).cast("long").alias("n_events"),
+        )
+        .orderBy("hour_bucket")
+    )
+
+
+GAPFILL_SQL = f"""
+WITH hours AS (SELECT ts_us // {_HOUR_US} AS h FROM {EVENTS_US}),
+hourly AS (SELECT h, {cnt_sql('n_events')} FROM hours GROUP BY h),
+grid AS (
+  SELECT unnest(generate_series((SELECT MIN(h) FROM hours),
+                                (SELECT MAX(h) FROM hours))) AS h)
+SELECT grid.h AS hour_bucket,
+       CAST(COALESCE(n_events, 0) AS BIGINT) AS n_events
+FROM grid LEFT JOIN hourly ON grid.h = hourly.h
+ORDER BY hour_bucket
+"""
+
+
 QUERIES = {
     "event_transitions": (event_transitions, TRANSITIONS_SQL),
     "funnel_view_click_purchase": (funnel_view_click_purchase, FUNNEL_SQL),
     "weekly_retention": (weekly_retention, RETENTION_SQL),
+    "events_hourly_gapfill": (events_hourly_gapfill, GAPFILL_SQL),
 }

@@ -800,6 +800,69 @@ WHERE rn = 1
 """
 
 
+# --- unigram-LM quality (CCNet-style perplexity proxy) ----------------------
+def lm_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean unigram log-probability per document — the CCNet/KenLM
+    corpus-quality filter with the LM proxied by the corpus's own
+    unigram distribution (low score = rare-token-heavy / noise).
+
+    Engine-exact despite the logs: ln(term_prob) is computed ONCE PER
+    VOCABULARY TERM and immediately floored to a 1e-6-scaled BIGINT, so
+    the per-document reduction is an integer dot product (Σ tf·scaled_ln
+    — associative, order-free); only ~|vocab| floats ever cross an
+    engine boundary, not one per token. Plan: corpus term counts
+    (map-side combinable) broadcast onto a per-doc term-count aggregate;
+    nothing shuffles wider than (doc_id, term)."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("term")
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    corpus = toks.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+    total = toks.agg(F.count(F.lit(1)).alias("t"))
+    scaled_ln = F.floor(
+        F.log(F.col("c").cast("double") / F.col("t")) * F.lit(1_000_000)
+        + F.lit(0.5)
+    ).cast("long")
+    lm = corpus.crossJoin(F.broadcast(total)).select(
+        "term", scaled_ln.alias("sln")
+    )
+    return (
+        tf.join(F.broadcast(lm), "term")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").cast("long").alias("n_tokens"),
+            F.round(
+                F.sum(F.col("tf") * F.col("sln")).cast("double")
+                / F.lit(1_000_000.0)
+                / F.sum("tf"),
+                6,
+            ).alias("avg_logprob"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+LM_QUALITY_SQL = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+tf AS (
+  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM toks GROUP BY doc_id, term),
+total AS (SELECT CAST(COUNT(*) AS BIGINT) AS t FROM toks),
+lm AS (
+  SELECT term,
+         CAST(FLOOR(ln(CAST(COUNT(*) AS DOUBLE) / t) * 1000000 + 0.5)
+              AS BIGINT) AS sln
+  FROM toks, total GROUP BY term, t)
+SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tokens,
+       ROUND(CAST(SUM(tf * sln) AS DOUBLE) / 1000000.0 / SUM(tf), 6)
+         AS avg_logprob
+FROM tf JOIN lm USING (term)
+GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "text_bpe_tokens": (text_bpe_tokens, BPE_SQL),
     "tfidf_top_terms": (tfidf_top_terms, TFIDF_SQL),
@@ -824,4 +887,5 @@ QUERIES = {
     "simhash_near_dup": (simhash_near_dup_pairs, SIMHASH_NEAR_DUP_SQL),
     "text_repetition_filter": (text_repetition_filter, REPETITION_SQL),
     "text_scrub_pii": (text_scrub_pii, SCRUB_PII_SQL),
+    "lm_quality_score": (lm_quality_score, LM_QUALITY_SQL),
 }
