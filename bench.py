@@ -62,6 +62,9 @@ BENCH_QUERIES = [
     "event_transitions",
     "weekly_retention",
     "embedding_quantize",
+    "lm_quality_score",
+    "events_hourly_gapfill",
+    "funnel_view_click_purchase",
 ]
 
 

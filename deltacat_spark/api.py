@@ -68,6 +68,19 @@ def truncate_table(table: str, **kwargs: Any) -> None:
     catalog().truncate_table(table, **kwargs)
 
 
+def restore_table(table: str, **kwargs: Any) -> int:
+    return catalog().restore_table(table, **kwargs)
+
+
+def history(table: str, **kwargs: Any) -> "list[dict]":
+    return catalog().history(table, **kwargs)
+
+
+def transaction():
+    """Interactive multi-op transaction (supports pause()/resume)."""
+    return catalog().transaction()
+
+
 def create_namespace(namespace: str, **kwargs: Any) -> None:
     catalog().create_namespace(namespace, **kwargs)
 

@@ -267,6 +267,23 @@ class Catalog:
 
         Returns the new log version.
         """
+        # RESTORE does not commute with concurrent writes: recompute the
+        # current live set and retry on version collision, same contract
+        # as write_to_table.
+        for attempt in range(10):
+            try:
+                return self._restore_once(table, namespace, version, timestamp)
+            except CommitConflictError:
+                if attempt == 9:
+                    raise
+
+    def _restore_once(
+        self,
+        table: str,
+        namespace: str,
+        version: int | None,
+        timestamp: int | None,
+    ) -> int:
         cur = self.snapshot(table, namespace)
         target = self.snapshot(
             table, namespace, version_as_of=version, timestamp_as_of=timestamp

@@ -24,3 +24,18 @@ def test_dc_surface(spark, tmp_path):
     dc.copy(url, str(tmp_path / "d_csv"), dst_fmt="csv")
     assert dc.get(str(tmp_path / "d_csv"), fmt="csv").count() == 2
     assert any(e["path"].endswith("d.parquet") for e in dc.list(str(tmp_path)))
+
+
+def test_dc_restore_history_transaction(spark, tmp_path):
+    dc.init(str(tmp_path / "cat2"), spark)
+    df1 = spark.createDataFrame([(1,)], "id long")
+    dc.write(df1, "r")
+    v1 = dc.catalog().snapshot("r").version
+    dc.write(spark.createDataFrame([(2,)], "id long"), "r", mode="append")
+    v = dc.restore_table("r", version=v1)
+    assert dc.read("r").count() == 1
+    hist = dc.history("r")
+    assert hist[0]["version"] == v and hist[0]["operation"] == "RESTORE"
+    with dc.transaction() as txn:
+        txn.write(spark.createDataFrame([(9,)], "id long"), "r", mode="append")
+    assert dc.read("r").count() == 2
