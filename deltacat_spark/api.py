@@ -72,6 +72,10 @@ def restore_table(table: str, **kwargs: Any) -> int:
     return catalog().restore_table(table, **kwargs)
 
 
+def clone_table(src: str, dst: str, **kwargs: Any) -> None:
+    catalog().clone_table(src, dst, **kwargs)
+
+
 def history(table: str, **kwargs: Any) -> "list[dict]":
     return catalog().history(table, **kwargs)
 

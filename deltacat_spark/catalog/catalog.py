@@ -244,6 +244,86 @@ class Catalog:
         )
         self._log(table, namespace).commit(commit)
 
+    def clone_table(
+        self,
+        src: str,
+        dst: str,
+        src_namespace: str = DEFAULT_NAMESPACE,
+        namespace: str = DEFAULT_NAMESPACE,
+        version: int | None = None,
+        timestamp: int | None = None,
+    ) -> None:
+        """Zero-copy SHALLOW clone (Delta-style): `dst` is a new table
+        whose first data commit references the source snapshot's files
+        by ABSOLUTE path — no data movement at any size; the clone then
+        evolves independently (its own log, schema, writes, time
+        travel).
+
+        Caveats shared with every shallow-clone design: (a) `vacuum` on
+        the SOURCE can delete files the clone still references — deep-
+        copy (read + write) before vacuuming the source, or never vacuum
+        cloned-from tables; (b) a source snapshot still carrying
+        merge-on-read deltas is materialized instead (same per-file
+        delta_type limit as RESTORE).
+        """
+        snap = self.snapshot(
+            src, src_namespace, version_as_of=version, timestamp_as_of=timestamp
+        )
+        mor_types = {
+            DeltaType.UPSERT,
+            DeltaType.DELETE,
+            DeltaType.POSITIONAL_DELETE,
+        }
+        self.create_table(
+            dst,
+            namespace,
+            schema=snap.schema,
+            properties=dict(snap.properties),
+        )
+        if any(f.delta_type in mor_types for f in snap.files):
+            resolved = self.read_table(
+                src,
+                src_namespace,
+                version_as_of=version,
+                timestamp_as_of=timestamp,
+            )
+            self.write_to_table(resolved, dst, namespace, mode="replace")
+            return
+        src_root = self._table_root(src, src_namespace)
+        adds = [
+            {
+                "add": {
+                    **{
+                        k: v
+                        for k, v in f.to_dict().items()
+                        if k
+                        in (
+                            "records",
+                            "bytes",
+                            "partition_values",
+                            "stats",
+                            "content_type",
+                        )
+                    },
+                    # Absolute path: FileEntry.abs_path() passes it through
+                    # untouched (posix join semantics), so every read path
+                    # resolves it without special-casing clones.
+                    "path": f.abs_path(src_root),
+                }
+            }
+            for f in snap.files
+        ]
+        if adds:
+            commit = Commit(
+                version=2,
+                operation="CLONE",
+                schema_json=snap.schema.to_json() if snap.schema else None,
+                partition_scheme=snap.partition_scheme,
+                sort_scheme=snap.sort_scheme,
+                actions=adds,
+            )
+            self._log(dst, namespace).commit(commit)
+
     def restore_table(
         self,
         table: str,

@@ -85,3 +85,63 @@ def test_history_lists_commits_newest_first(spark, catalog):
     assert "APPEND" in ops or "CREATE" in ops
     assert all("records_added" in h for h in hist)
     assert catalog.history("h", limit=2) == hist[:2]
+
+
+def test_shallow_clone_zero_copy_and_independent(spark, catalog):
+    catalog.write_to_table(
+        spark.createDataFrame([(1, "a"), (2, "b")], "id long, s string"),
+        "src",
+        mode="auto",
+    )
+    catalog.clone_table("src", "dup")
+    assert {r.id for r in catalog.read_table("dup").collect()} == {1, 2}
+    # zero-copy: the clone's data dir has no files of its own yet
+    dup_data = catalog.fs.join(catalog._table_root("dup", "default"), "data")
+    assert not catalog.fs.isdir(dup_data) or not list(
+        catalog.fs.walk_files(dup_data)
+    )
+    # independent evolution: writes to the clone don't touch the source
+    catalog.write_to_table(
+        spark.createDataFrame([(3, "c")], "id long, s string"), "dup", mode="append"
+    )
+    assert catalog.read_table("dup").count() == 3
+    assert catalog.read_table("src").count() == 2
+    # and vice versa
+    catalog.write_to_table(
+        spark.createDataFrame([(9, "z")], "id long, s string"), "src", mode="append"
+    )
+    assert catalog.read_table("dup").count() == 3
+
+
+def test_clone_of_version_pins_history(spark, catalog):
+    catalog.write_to_table(
+        spark.createDataFrame([(1,)], "id long"), "s2", mode="auto"
+    )
+    v1 = catalog.snapshot("s2").version
+    catalog.write_to_table(
+        spark.createDataFrame([(2,)], "id long"), "s2", mode="append"
+    )
+    catalog.clone_table("s2", "s2_at_v1", version=v1)
+    assert {r.id for r in catalog.read_table("s2_at_v1").collect()} == {1}
+
+
+def test_clone_materializes_mor_source(spark, catalog):
+    from pyspark.sql import types as T
+
+    schema = Schema(
+        [Field("id", T.LongType(), merge_key=True), Field("v", T.StringType())]
+    )
+    catalog.create_table("ms", schema=schema, properties={"read_optimization": "mor"})
+    catalog.write_to_table(
+        spark.createDataFrame([(1, "a")], "id long, v string"), "ms", mode="merge"
+    )
+    catalog.write_to_table(
+        spark.createDataFrame([(1, "A2"), (2, "b")], "id long, v string"),
+        "ms",
+        mode="merge",
+    )
+    catalog.clone_table("ms", "ms_clone")
+    assert {(r.id, r.v) for r in catalog.read_table("ms_clone").collect()} == {
+        (1, "A2"),
+        (2, "b"),
+    }
