@@ -252,6 +252,7 @@ class Catalog:
         namespace: str = DEFAULT_NAMESPACE,
         version: int | None = None,
         timestamp: int | None = None,
+        deep: bool = False,
     ) -> None:
         """Zero-copy SHALLOW clone (Delta-style): `dst` is a new table
         whose first data commit references the source snapshot's files
@@ -264,7 +265,9 @@ class Catalog:
         copy (read + write) before vacuuming the source, or never vacuum
         cloned-from tables; (b) a source snapshot still carrying
         merge-on-read deltas is materialized instead (same per-file
-        delta_type limit as RESTORE).
+        delta_type limit as RESTORE). `deep=True` always materializes —
+        a self-contained copy that survives source vacuum/drop, at the
+        cost of rewriting the data once.
         """
         snap = self.snapshot(
             src, src_namespace, version_as_of=version, timestamp_as_of=timestamp
@@ -280,7 +283,7 @@ class Catalog:
             schema=snap.schema,
             properties=dict(snap.properties),
         )
-        if any(f.delta_type in mor_types for f in snap.files):
+        if deep or any(f.delta_type in mor_types for f in snap.files):
             resolved = self.read_table(
                 src,
                 src_namespace,

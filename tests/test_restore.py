@@ -145,3 +145,13 @@ def test_clone_materializes_mor_source(spark, catalog):
         (1, "A2"),
         (2, "b"),
     }
+
+
+def test_deep_clone_survives_source_drop(spark, catalog):
+    catalog.write_to_table(
+        spark.createDataFrame([(1,), (2,)], "id long"), "dsrc", mode="auto"
+    )
+    catalog.clone_table("dsrc", "dcopy", deep=True)
+    # self-contained: dropping (purging) the source leaves the copy whole
+    catalog.drop_table("dsrc", purge=True)
+    assert {r.id for r in catalog.read_table("dcopy").collect()} == {1, 2}
