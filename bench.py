@@ -65,6 +65,8 @@ BENCH_QUERIES = [
     "lm_quality_score",
     "events_hourly_gapfill",
     "funnel_view_click_purchase",
+    "rfm_segments",
+    "order_reconciliation",
 ]
 
 

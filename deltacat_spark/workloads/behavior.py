@@ -172,9 +172,78 @@ ORDER BY hour_bucket
 """
 
 
+# --- RFM segmentation -------------------------------------------------------
+_DAY_US = 86_400 * 1_000_000
+
+
+def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recency/frequency/monetary segmentation of purchasers — the
+    marketing-analytics cube over the events stream. All three axes
+    derive from exact integers (epoch-us recency vs the GLOBAL max
+    event time, purchase counts, 1e-4-scaled value sums) bucketed by
+    fixed thresholds, so segment membership is engine-exact. One
+    user-keyed aggregation + a broadcast scalar; the segment rollup is
+    tiny."""
+    e = load(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    per_user = e.groupBy("user_id").agg(
+        F.max("ts_us").alias("last_us"),
+        cnt("freq"),
+        F.sum(F.floor(F.col("value") * 10_000 + F.lit(0.5)).cast("long")).alias(
+            "mon_scaled"
+        ),
+    )
+    gmax = e.agg(F.max("ts_us").alias("gmax"))
+    days = (F.col("gmax") - F.col("last_us")) / F.lit(_DAY_US)
+    r_b = (
+        F.when(days <= 3, "r0_3d").when(days <= 10, "r1_10d").otherwise("r2_older")
+    )
+    f_b = (
+        F.when(F.col("freq") >= 20, "f0_20plus")
+        .when(F.col("freq") >= 10, "f1_10_19")
+        .otherwise("f2_low")
+    )
+    m_b = (
+        F.when(F.col("mon_scaled") >= 10_000 * 1_000, "m0_1kplus")
+        .when(F.col("mon_scaled") >= 10_000 * 300, "m1_300plus")
+        .otherwise("m2_low")
+    )
+    return (
+        per_user.crossJoin(F.broadcast(gmax))
+        .select(r_b.alias("r"), f_b.alias("f"), m_b.alias("m"))
+        .groupBy("r", "f", "m")
+        .agg(cnt("n_users"))
+        .orderBy("r", "f", "m")
+    )
+
+
+RFM_SQL = f"""
+WITH p AS (SELECT * FROM {EVENTS_US} WHERE event_type = 'purchase'),
+per_user AS (
+  SELECT user_id, MAX(ts_us) AS last_us, {cnt_sql('freq')},
+         CAST(SUM(CAST(FLOOR(value * 10000 + 0.5) AS BIGINT)) AS BIGINT)
+           AS mon_scaled
+  FROM p GROUP BY user_id),
+gmax AS (SELECT MAX(ts_us) AS gmax FROM p)
+SELECT
+  CASE WHEN (gmax - last_us) / {_DAY_US} <= 3 THEN 'r0_3d'
+       WHEN (gmax - last_us) / {_DAY_US} <= 10 THEN 'r1_10d'
+       ELSE 'r2_older' END AS r,
+  CASE WHEN freq >= 20 THEN 'f0_20plus'
+       WHEN freq >= 10 THEN 'f1_10_19'
+       ELSE 'f2_low' END AS f,
+  CASE WHEN mon_scaled >= {10_000 * 1_000} THEN 'm0_1kplus'
+       WHEN mon_scaled >= {10_000 * 300} THEN 'm1_300plus'
+       ELSE 'm2_low' END AS m,
+  {cnt_sql('n_users')}
+FROM per_user, gmax
+GROUP BY 1, 2, 3 ORDER BY r, f, m
+"""
+
+
 QUERIES = {
     "event_transitions": (event_transitions, TRANSITIONS_SQL),
     "funnel_view_click_purchase": (funnel_view_click_purchase, FUNNEL_SQL),
     "weekly_retention": (weekly_retention, RETENTION_SQL),
     "events_hourly_gapfill": (events_hourly_gapfill, GAPFILL_SQL),
+    "rfm_segments": (rfm_segments, RFM_SQL),
 }

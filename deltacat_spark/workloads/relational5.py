@@ -191,8 +191,55 @@ LIMIT 20
 """
 
 
+# --- order/lineitem reconciliation audit ------------------------------------
+def order_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality audit: top-25 orders whose header total diverges
+    most from the sum of their line items (both sides as exact
+    1e-4-scaled longs, so the diff is an integer — no float crosses the
+    comparison). The reconciliation join shuffles once on orderkey;
+    severity ranking is a bounded global top-k."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    li_sum = li.groupBy("l_orderkey").agg(
+        F.sum(_scaled(F.col("l_extendedprice"))).alias("li_scaled")
+    )
+    o_side = o.select(
+        "o_orderkey", _scaled(F.col("o_totalprice")).alias("o_scaled")
+    )
+    diff = F.abs(F.col("o_scaled") - F.col("li_scaled"))
+    return (
+        o_side.join(li_sum, F.col("o_orderkey") == F.col("l_orderkey"))
+        .select(
+            "o_orderkey",
+            (F.col("o_scaled").cast("double") / SUM_SCALE).alias("header_total"),
+            (F.col("li_scaled").cast("double") / SUM_SCALE).alias("lines_total"),
+            (diff.cast("double") / SUM_SCALE).alias("abs_diff"),
+        )
+        .orderBy(F.desc("abs_diff"), "o_orderkey")
+        .limit(25)
+    )
+
+
+RECON_SQL = f"""
+WITH li_sum AS (
+  SELECT l_orderkey,
+         SUM(CAST(FLOOR(l_extendedprice * {SUM_SCALE} + 0.5) AS BIGINT))
+           AS li_scaled
+  FROM lineitem GROUP BY l_orderkey)
+SELECT o_orderkey,
+  CAST(CAST(FLOOR(o_totalprice * {SUM_SCALE} + 0.5) AS BIGINT) AS DOUBLE)
+    / {SUM_SCALE} AS header_total,
+  CAST(li_scaled AS DOUBLE) / {SUM_SCALE} AS lines_total,
+  CAST(abs(CAST(FLOOR(o_totalprice * {SUM_SCALE} + 0.5) AS BIGINT) - li_scaled)
+       AS DOUBLE) / {SUM_SCALE} AS abs_diff
+FROM orders JOIN li_sum ON o_orderkey = l_orderkey
+ORDER BY abs_diff DESC, o_orderkey LIMIT 25
+"""
+
+
 QUERIES = {
     "q8_market_share": (q8_market_share, Q8_SQL),
     "q9_nation_profit": (q9_nation_profit, Q9_SQL),
     "q10_returned_items": (q10_returned_items, Q10_SQL),
+    "order_reconciliation": (order_reconciliation, RECON_SQL),
 }
