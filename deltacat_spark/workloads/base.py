@@ -53,6 +53,11 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # No-op for timestamp[us]/[ms] data; required to scan the older
         # INT64(TIMESTAMP(NANOS)) generation without an error. Runtime-settable.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # The NTZ→TIMESTAMP cast below must be the identity mapping that
+        # DuckDB's UTC-naive epoch_us uses. Our build_session pins this
+        # already; setting it here too makes the inventory correct under
+        # ANY caller-provided session (the driver builds its own).
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
         df = spark.read.parquet(f"{sf_dir}/events.parquet")
         ts_type = df.schema["ts"].dataType
         if isinstance(ts_type, T.LongType):
