@@ -94,3 +94,22 @@ def test_stream_refresh_incremental(spark, catalog, tmp_path):
     )
     q.awaitTermination(120)
     assert sorted((r.id, r.v, r.vv) for r in catalog.read_table("dst").collect()) == _expected(catalog)
+
+
+def test_restore_in_window_forces_rebuild(spark, catalog):
+    """RESTORE rolls rows back without emitting CDC deletes — the
+    soundness gate must treat it like MERGE/DELETE and rebuild, never
+    incrementally append over a rolled-back window."""
+    catalog.create_table(
+        "src", schema=Schema([Field("id", T.LongType()), Field("v", T.LongType())])
+    )
+    catalog.write_to_table(_rows(spark, 0, 10), "src", mode="append")
+    v1 = catalog.snapshot("src").version
+    refresh_incremental(catalog, "src", "dst", _transform)
+    catalog.write_to_table(_rows(spark, 10, 20), "src", mode="append")
+    catalog.restore_table("src", version=v1)
+    info = refresh_incremental(catalog, "src", "dst", _transform)
+    assert info["mode"] == "full"
+    assert sorted(
+        (r.id, r.v, r.vv) for r in catalog.read_table("dst").collect()
+    ) == _expected(catalog)
