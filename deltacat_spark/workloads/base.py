@@ -18,6 +18,14 @@ order-insensitive value-hash at sf=0.01):
   ``epoch_us``.
 * DuckDB 1.0 has no ``sha1``/``conv``; portable hashing uses ``md5`` hex
   plus explicit nibble decoding (see ``md5_bucket_sql``).
+* **No array/struct/map columns in query output.** The driver's
+  canonicalizer sorts a pandas frame by *all* columns before hashing;
+  list/dict cells raise ``TypeError: unhashable type`` there (round-4:
+  ``embedding_quantize``, ``inverted_index``). Serialize nested values
+  to canonical comma-joined strings — Spark
+  ``F.array_join(F.transform(a, x -> x.cast("string")), ",")``, DuckDB
+  ``array_to_string(a, ',')`` — in BOTH engines. Enforced by
+  ``tests/test_output_contract.py`` and ``tools/verify_queries.py``.
 """
 
 from __future__ import annotations

@@ -39,7 +39,9 @@ def inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB). The smallest-`cap` doc_ids sorted equal slice-of-full-sort,
     so the cheap form is also the exact one. A complete index would
     page postings as (term, doc_id div page_size) group keys — same
-    plan, compound key."""
+    plan, compound key. `postings` is emitted as a canonical
+    comma-joined string (driver output contract: no array/struct/map
+    columns in query results — see workloads/base.py)."""
     from pyspark.sql.window import Window
 
     d = load(spark, sf_dir, "documents")
@@ -52,18 +54,21 @@ def inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= _POSTINGS_CAP)
         .groupBy("term")
-        .agg(F.array_sort(F.collect_list("doc_id")).alias("postings"))
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("postings_arr"))
+    )
+    postings_str = F.array_join(
+        F.transform(F.col("postings_arr"), lambda d_: d_.cast("string")), ","
     )
     return (
         dfreq.join(capped, "term")
-        .select("term", "df", "postings")
+        .select("term", "df", postings_str.alias("postings"))
         .orderBy("term")
     )
 
 
 INVERTED_INDEX_SQL = f"""
 SELECT term, CAST(COUNT(*) AS BIGINT) AS df,
-       (list_sort(list(doc_id)))[1:{_POSTINGS_CAP}] AS postings
+       array_to_string((list_sort(list(doc_id)))[1:{_POSTINGS_CAP}], ',') AS postings
 FROM (
   SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS term
   FROM documents)

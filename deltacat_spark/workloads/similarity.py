@@ -257,7 +257,9 @@ def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side only, zero shuffle at any corpus size. Codes are exact
     integers on both engines; the scale double is one IEEE division of
     identical operands. Zero vectors (scale undefined) are excluded by
-    the max|x| > 0 guard on BOTH engines."""
+    the max|x| > 0 guard on BOTH engines. `codes` is emitted as a
+    canonical comma-joined string (driver output contract: no
+    array/struct/map columns in query results — see workloads/base.py)."""
     e = load(spark, sf_dir, "embeddings")
     maxabs = F.array_max(
         F.transform(F.col("embedding"), lambda x: F.abs(x))
@@ -268,8 +270,11 @@ def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding"),
         lambda x: F.floor(x.cast("double") * scale + F.lit(0.5)).cast("int"),
     )
+    codes_str = F.array_join(
+        F.transform(codes, lambda c: c.cast("string")), ","
+    )
     return d.select(
-        "vec_id", scale.alias("scale"), codes.alias("codes")
+        "vec_id", scale.alias("scale"), codes_str.alias("codes")
     ).orderBy("vec_id")
 
 
@@ -279,8 +284,8 @@ WITH m AS (
          CAST(list_max(list_transform(embedding, x -> abs(x))) AS DOUBLE) AS m
   FROM embeddings)
 SELECT vec_id, 127.0 / m AS scale,
-       list_transform(embedding,
-         x -> CAST(FLOOR(CAST(x AS DOUBLE) * (127.0 / m) + 0.5) AS INT)) AS codes
+       array_to_string(list_transform(embedding,
+         x -> CAST(FLOOR(CAST(x AS DOUBLE) * (127.0 / m) + 0.5) AS INT)), ',') AS codes
 FROM m WHERE m > 0 ORDER BY vec_id
 """
 

@@ -87,6 +87,24 @@ def main():
             print(f"FAIL  {name}: spark error: {e}")
             failures.append(name)
             continue
+        # Driver output contract: the driver's canonicalizer sorts a pandas
+        # frame by ALL columns, which throws `unhashable type` on list/dict
+        # cells (round-4: embedding_quantize, inverted_index). norm_cell
+        # below stringifies them, so without this check the local gate
+        # passes what the driver rejects. Fail fast instead.
+        bad = [
+            f.name
+            for f in sdf.schema.fields
+            if f.dataType.typeName() in ("array", "map", "struct")
+        ]
+        if bad:
+            print(
+                f"FAIL  {name}: non-scalar output columns {bad} "
+                "(driver canonicalizer cannot sort/hash them — serialize "
+                "to canonical strings)"
+            )
+            failures.append(name)
+            continue
         if name not in oracles:
             print(f"OK?   {name}: rows={len(srows)} (no oracle, rows-only)")
             continue
