@@ -277,13 +277,37 @@ class Catalog:
             DeltaType.DELETE,
             DeltaType.POSITIONAL_DELETE,
         }
+        # The deep/materialize path re-WRITES the data, so the clone's
+        # layout metadata must be carried explicitly or write_to_table
+        # lays the copy out unpartitioned/unsorted (the shallow commit
+        # below carries both fields natively).
         self.create_table(
             dst,
             namespace,
             schema=snap.schema,
+            partition_scheme=(
+                [PartitionKey.from_dict(d) for d in snap.partition_scheme]
+                if snap.partition_scheme
+                else None
+            ),
+            sort_scheme=(
+                [SortKey.from_dict(d) for d in snap.sort_scheme]
+                if snap.sort_scheme
+                else None
+            ),
             properties=dict(snap.properties),
         )
-        if deep or any(f.delta_type in mor_types for f in snap.files):
+        # Shallow clone stores ABSOLUTE file references; only valid where
+        # join(clone_root, abs) passes them through (POSIX). Object-store
+        # backends use bucket-relative paths with no absolute marker, so
+        # the reference would silently re-root under the clone — deep-copy
+        # there instead.
+        shallow_ok = getattr(self.fs, "supports_absolute_refs", False)
+        if (
+            deep
+            or not shallow_ok
+            or any(f.delta_type in mor_types for f in snap.files)
+        ):
             resolved = self.read_table(
                 src,
                 src_namespace,

@@ -245,17 +245,26 @@ class Transaction:
             raise
 
     def _seal_with_markers(self) -> None:
-        tables = {(op.namespace, op.table) for op in self.ops}
-        if len(tables) > 1:
-            # Cross-table atomic seal: stamp every commit pending, flip
+        plans = self._planned_commits()
+        if len(plans) > 1:
+            # Atomic multi-commit seal: stamp every commit pending, flip
             # one marker at the end. Abort (or crash — the marker stays
-            # "pending"/"aborted") leaves every table unchanged.
+            # "pending"/"aborted") leaves every table unchanged. Applies
+            # to ANY seal producing more than one commit, not just
+            # cross-table ones: a single-table seal with multiple
+            # non-coalescible ops that failed midway would otherwise
+            # leave a prefix of its ops committed — and for a RESUMED
+            # txn the un-claim rename then makes a second resume+seal
+            # re-apply that prefix (double-write). Pending commits are
+            # visible to this txn itself (read-your-writes in
+            # Snapshot._txn_visible), so chained same-table commits
+            # resolve correctly before the marker flips.
             txn_id = uuid.uuid4().hex
             markers = self.catalog._txn_markers
             markers.begin(txn_id)
             self.catalog._txn_ctx = txn_id
             try:
-                self._seal_ops()
+                self._run_plans(plans)
             except BaseException:
                 self.catalog._txn_ctx = None
                 markers.abort(txn_id)
@@ -264,7 +273,7 @@ class Transaction:
             markers.finalize(txn_id)
             self._cleanup_spill()
             return
-        self._seal_ops()
+        self._run_plans(plans)
         self._cleanup_spill()
 
     def _cleanup_spill(self) -> None:
@@ -274,13 +283,32 @@ class Transaction:
             self.catalog.fs.delete_dir(self._paused_dir)
             self._paused_dir = None
 
-    def _seal_ops(self) -> None:
+    def _auto_appends(self, op: _Op) -> bool:
+        """True when an ``auto`` op will resolve to an append (no merge
+        keys anywhere in sight) — those coalesce exactly like explicit
+        appends. Autos that resolve to merge must NOT coalesce: a
+        unioned batch loses the op-order LWW semantics between them."""
+        if op.mode != "auto":
+            return False
+        sch = op.kwargs.get("schema")
+        if sch is not None:
+            return not getattr(sch, "merge_keys", [])
+        try:
+            snap_schema = self.catalog.snapshot(op.table, op.namespace).schema
+        except FileNotFoundError:
+            return True  # auto-create from the DataFrame: no merge keys
+        return not (snap_schema and snap_schema.merge_keys)
+
+    def _planned_commits(self) -> list[tuple[DataFrame, _Op]]:
+        """The commit plan: ops with consecutive append-family writes to
+        one table coalesced into single batches. ``len()`` of the result
+        is the number of commits the seal will make — >1 means the seal
+        needs the marker protocol to stay all-or-nothing."""
+        plans: list[tuple[DataFrame, _Op]] = []
         i = 0
         while i < len(self.ops):
             op = self.ops[i]
-            # Coalesce consecutive append-family writes to one table into
-            # a single atomic commit.
-            if op.mode in ("append", "add"):
+            if op.mode in ("append", "add") or self._auto_appends(op):
                 j = i
                 batch = op.df
                 while (
@@ -293,15 +321,18 @@ class Transaction:
                     batch = batch.unionByName(
                         self.ops[j].df, allowMissingColumns=True
                     )
-                self.catalog.write_to_table(
-                    batch, op.table, op.namespace, mode=op.mode, **op.kwargs
-                )
+                plans.append((batch, op))
                 i = j + 1
             else:
-                self.catalog.write_to_table(
-                    op.df, op.table, op.namespace, mode=op.mode, **op.kwargs
-                )
+                plans.append((op.df, op))
                 i += 1
+        return plans
+
+    def _run_plans(self, plans: list[tuple[DataFrame, _Op]]) -> None:
+        for batch, op in plans:
+            self.catalog.write_to_table(
+                batch, op.table, op.namespace, mode=op.mode, **op.kwargs
+            )
 
     def __enter__(self) -> "Transaction":
         return self

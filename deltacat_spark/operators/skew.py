@@ -87,7 +87,21 @@ def salted_join(
     sub-partitions; the small side replicates `salt`-fold via an
     explode (rows × salt — only viable when `small` is genuinely the
     small side, just too big or too skew-correlated to broadcast).
+
+    Only big-side-preserving join types are supported: the small side
+    exists `salt` times, so any type that emits UNMATCHED small-side
+    rows (right/full outer) would emit each one once per salt value.
+    For those, swap the sides (right outer → left outer with the big
+    side preserved) or use AQE's skew-join split instead.
     """
+    how_l = how.lower().replace("_", "").replace("outer", "")
+    if how_l not in ("inner", "left", "leftsemi", "semi", "leftanti", "anti"):
+        raise ValueError(
+            f"salted_join does not support how={how!r}: the salt-fold "
+            "replication of the small side would duplicate its unmatched "
+            "rows salt times under right/full outer joins. Swap the sides "
+            "so the preserved side is the big one, or rely on AQE skew-join."
+        )
     # Salt from the FULL row, not the join key — rows sharing the hot key
     # must scatter across salt values (a key-derived salt would keep them
     # on one task). Exact-duplicate rows share a salt value; that only

@@ -340,22 +340,42 @@ class CommitLog:
                 return commit
             latest = self.latest_version()
             assert latest is not None
-            if not _commutes(commit):
-                raise CommitConflictError(
-                    f"version {commit.version} taken by a concurrent writer "
-                    f"(op={commit.operation} does not auto-rebase)"
-                )
+            # Classify the occupying/intervening commits. A commit whose
+            # catalog-level transaction ABORTED is invisible to every
+            # snapshot — it merely occupies a version slot (e.g. the
+            # pending prefix of a failed multi-commit seal). Rebasing
+            # past it changes nothing the current commit was computed
+            # against, so it commutes with everything; only LIVE
+            # intervening commits constrain the rebase.
+            live = []
             for v in range(commit.version, latest + 1):
                 inter = self.read_commit(v)
-                # Intervening add-only commits are fine to rebase past even
-                # when they evolved the schema: auto-evolution is strictly
-                # additive, so our (metadata-free) commit stays readable
-                # under the newer schema. Only the rebasing commit itself
-                # carrying metadata is dangerous (it would clobber).
-                if inter.operation not in _COMMUTING_OPS:
+                pt = inter.pending_txn
+                if (
+                    pt
+                    and pt != self.current_txn
+                    and self.txn_status is not None
+                    and self.txn_status(pt) == "aborted"
+                ):
+                    continue
+                live.append(inter)
+            if live:
+                if not _commutes(commit):
                     raise CommitConflictError(
-                        f"concurrent non-commuting {inter.operation} at "
-                        f"version {v}"
+                        f"version {commit.version} taken by a concurrent "
+                        f"writer (op={commit.operation} does not auto-rebase)"
                     )
+                for inter in live:
+                    # Intervening add-only commits are fine to rebase past
+                    # even when they evolved the schema: auto-evolution is
+                    # strictly additive, so our (metadata-free) commit stays
+                    # readable under the newer schema. Only the rebasing
+                    # commit itself carrying metadata is dangerous (it
+                    # would clobber).
+                    if inter.operation not in _COMMUTING_OPS:
+                        raise CommitConflictError(
+                            f"concurrent non-commuting {inter.operation} at "
+                            f"version {inter.version}"
+                        )
             commit.version = latest + 1
         raise CommitConflictError("too many commit retries")

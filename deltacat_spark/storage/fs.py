@@ -46,6 +46,14 @@ from typing import Iterator
 class LocalFS:
     """POSIX implementation — the default backend."""
 
+    # Shallow CLONE stores file references as ABSOLUTE paths and relies
+    # on `join(clone_root, abs_path)` passing the absolute path through
+    # untouched — true for os.path.join on POSIX, false for the
+    # bucket-relative paths of object-store backends (no absolute
+    # marker exists there, so ArrowFS sets this False and clone_table
+    # falls back to a deep copy).
+    supports_absolute_refs = True
+
     # -- layout --------------------------------------------------------
     def join(self, *parts: str) -> str:
         return os.path.join(*parts)
@@ -151,6 +159,11 @@ class LocalFS:
 class ArrowFS:
     """Adapter over a ``pyarrow.fs.FileSystem`` (see module docstring for
     per-backend ``put_if_absent`` semantics)."""
+
+    # Bucket-relative paths ('bucket/key') carry no absolute marker:
+    # `join(clone_root, path)` would re-root a cloned reference under the
+    # clone and break every read. clone_table deep-copies instead.
+    supports_absolute_refs = False
 
     def __init__(self, fs, spark_prefix: str = ""):
         # `spark_prefix` maps the pyarrow-relative path onto the URI
