@@ -528,8 +528,13 @@ class Catalog:
         generation), merge-on-read fold only if unresolved deltas exist.
 
         `read_as`: 'spark' (distributed DataFrame — the default and the
-        only scale-safe choice), 'pandas', or 'arrow' (driver-collected
-        local tables — the reference's LocalTable variants, SURVEY §1.2).
+        only scale-safe choice), or a driver-collected local variant
+        mirroring the reference's LocalTable types
+        (`types/media.py:123-158`, SURVEY §1.2): 'pandas', 'arrow',
+        'polars' (via `pl.from_arrow`; requires polars), or 'numpy'
+        (dict of column -> ndarray — the reference's NUMPY dataset type
+        is column-major arrays, and a single 2-D matrix would force one
+        dtype on heterogeneous tables).
         """
         snap = self.snapshot(table, namespace, version_as_of, timestamp_as_of)
         preds = predicate.skipping_predicates() if predicate is not None else None
@@ -542,12 +547,29 @@ class Catalog:
             df = df.select(*columns, *extra)
         if read_as == "pandas":
             return df.toPandas()
-        if read_as == "arrow":
+        if read_as in ("arrow", "polars", "numpy"):
             if hasattr(df, "toArrow"):  # Spark 4
-                return df.toArrow()
-            import pyarrow as pa
+                tbl = df.toArrow()
+            else:
+                import pyarrow as pa
 
-            return pa.Table.from_pandas(df.toPandas())
+                tbl = pa.Table.from_pandas(df.toPandas())
+            if read_as == "arrow":
+                return tbl
+            if read_as == "polars":
+                try:
+                    import polars as pl
+                except ImportError as e:  # pragma: no cover - env-dependent
+                    raise ImportError(
+                        "read_as='polars' requires the polars package"
+                    ) from e
+                return pl.from_arrow(tbl)
+            return {
+                name: tbl.column(name).to_numpy(zero_copy_only=False)
+                for name in tbl.column_names
+            }
+        if read_as != "spark":
+            raise ValueError(f"unknown read_as {read_as!r}")
         return df
 
     def _empty(self, snap: Snapshot) -> DataFrame:
@@ -637,11 +659,37 @@ class Catalog:
             " content_type string, commit_version long",
         )
 
-    def from_manifest_table(self, manifest_df: DataFrame) -> DataFrame:
+    def from_manifest_table(
+        self, manifest_df: DataFrame, batch_size: int = 10_000
+    ) -> DataFrame:
         """Download manifest payloads (reference `from_manifest_table`,
-        `catalog/interface.py:516-540`) as a binaryFile DataFrame."""
-        paths = [r.path for r in manifest_df.select("path").collect()]
-        return self.spark.read.format("binaryFile").load(paths)
+        `catalog/interface.py:516-540`) as a binaryFile DataFrame.
+
+        The path list is collected driver-side (it is manifest metadata,
+        not data) but streamed in `batch_size` chunks via toLocalIterator
+        and unioned, so a 10⁸-entry manifest never materializes one giant
+        Python list or a single over-long load() call."""
+        batches: list[DataFrame] = []
+        chunk: list[str] = []
+        for r in manifest_df.select("path").toLocalIterator():
+            chunk.append(r.path)
+            if len(chunk) >= batch_size:
+                batches.append(
+                    self.spark.read.format("binaryFile").load(chunk)
+                )
+                chunk = []
+        if chunk:
+            batches.append(self.spark.read.format("binaryFile").load(chunk))
+        if not batches:
+            return self.spark.createDataFrame(
+                [],
+                "path string, modificationTime timestamp, length long,"
+                " content binary",
+            )
+        out = batches[0]
+        for b in batches[1:]:
+            out = out.unionByName(b)
+        return out
 
     def put_files(
         self,

@@ -71,6 +71,16 @@ def write_data_files(
     one consistent path mapping for data and control plane.
     """
     dest = fs.join(table_root, "data", uuid.uuid4().hex)
+    # A delta payload need not carry every table column: a DELETE delta
+    # is a key filter, a partial-upsert delta a column subset. Partition
+    # and sort keys whose source column is absent are skipped — the
+    # delta file lands unpartitioned and the read path's pruning stays
+    # conservative for files without recorded partition values.
+    names = set(df.columns)
+    if partition_scheme:
+        partition_scheme = [pk for pk in partition_scheme if pk.source in names]
+    if sort_scheme:
+        sort_scheme = [sk for sk in sort_scheme if sk.column in names]
     part_cols = partition_columns(partition_scheme, df.schema)
     out = df
     for name, col in part_cols.items():
@@ -105,12 +115,33 @@ def collect_add_actions(
     dest: str, table_root: str, fs=LOCAL_FS
 ) -> list[dict[str, Any]]:
     """Paths are recorded *relative to the table root* so the table stays
-    relocatable (rename_table is an O(1) directory move)."""
-    adds = []
-    for path in sorted(fs.walk_files(dest)):
+    relocatable (rename_table is an O(1) directory move).
+
+    File BASENAMES are made unique within the commit: Spark's
+    partitionBy writer reuses one task filename (part-00000-<task uuid>)
+    across every partition directory that task writes, but basenames are
+    the table-wide row-identity anchor (MoR provenance map + positional
+    deletes key on them because `input_file_name()` URI-prefixes full
+    paths). Only colliding files are renamed, so the unpartitioned fast
+    path stays rename-free (matters on object stores where a move is a
+    server-side copy)."""
+    paths = [
+        p for p in sorted(fs.walk_files(dest)) if p.endswith(".parquet")
+    ]
+    from collections import Counter
+
+    counts = Counter(p.rsplit("/", 1)[-1] for p in paths)
+    deduped = []
+    for i, path in enumerate(paths):
         fname = path.rsplit("/", 1)[-1]
-        if not fname.endswith(".parquet"):
-            continue
+        if counts[fname] > 1:
+            new = path[: -len(fname)] + f"d{i:05d}-{fname}"
+            fs.rename(path, new)
+            path = new
+        deduped.append(path)
+    adds = []
+    for path in deduped:
+        fname = path.rsplit("/", 1)[-1]
         rel = fs.relpath(path, dest)
         rel_dir = rel[: -(len(fname) + 1)] if "/" in rel else ""
         pvals = _partition_values_from_relpath(rel_dir)
