@@ -952,7 +952,11 @@ class Catalog:
                 properties=properties,
                 fail_if_exists=False,
             )
+        import random
+        import time
+
         for attempt in range(max_commit_retries):
+            t0 = time.monotonic()
             try:
                 return self._write_once(
                     df, table, namespace, mode, commit_properties
@@ -960,6 +964,17 @@ class Catalog:
             except CommitConflictError:
                 if attempt == max_commit_retries - 1:
                     raise
+                # Full-jitter backoff scaled by the MEASURED attempt
+                # cost: a CoW merge recompute is a whole Spark job, so a
+                # fixed few-hundred-ms backoff is noise against it and a
+                # thundering herd (N writers re-planning in lockstep)
+                # starves individual writers — one winner per round,
+                # everyone else re-collides until retries exhaust.
+                # Sleeping up to attempt_cost × min(attempt+1, 4)
+                # disperses the herd across multiples of the actual
+                # contention window at any scale.
+                cost = max(0.05, time.monotonic() - t0)
+                time.sleep(random.uniform(0, cost * min(attempt + 1, 4)))
 
     def _write_once(
         self,
@@ -1084,6 +1099,7 @@ class Catalog:
             commit = Commit(
                 version=snap.version + 1,
                 operation="CHRONO",
+                properties=commit_properties,
                 delta_type=DeltaType.CHRONO,
                 stream_position=pos,
                 watermark=pos,
@@ -1099,6 +1115,7 @@ class Catalog:
             commit = Commit(
                 version=snap.version + 1,
                 operation="REPLACE",
+                properties=commit_properties,
                 delta_type=DeltaType.APPEND,
                 schema_json=schema_json,
                 actions=adds + [{"remove": {"path": f.path}} for f in snap.files],
@@ -1136,6 +1153,7 @@ class Catalog:
                 commit = Commit(
                     version=snap.version + 1,
                     operation="DELETE",
+                    properties=commit_properties,
                     schema_json=schema_json,
                     actions=adds
                     + [{"remove": {"path": f.path}} for f in touched]
@@ -1146,6 +1164,7 @@ class Catalog:
                 commit = Commit(
                     version=snap.version + 1,
                     operation="DELETE",
+                    properties=commit_properties,
                     delta_type=DeltaType.DELETE,
                     schema_json=schema_json,
                     actions=adds,
@@ -1199,6 +1218,7 @@ class Catalog:
             commit = Commit(
                 version=snap.version + 1,
                 operation="MERGE",
+                properties=commit_properties,
                 schema_json=schema_json,
                 actions=adds
                 + [{"remove": {"path": f.path}} for f in work_snap_files]
@@ -1209,6 +1229,7 @@ class Catalog:
             commit = Commit(
                 version=snap.version + 1,
                 operation="MERGE",
+                properties=commit_properties,
                 delta_type=DeltaType.UPSERT,
                 schema_json=schema_json,
                 actions=adds,

@@ -70,6 +70,27 @@ def _commutes(c: "Commit") -> bool:
     )
 
 
+def _is_delta_add(c: "Commit") -> bool:
+    """Merge-on-read MERGE/DELETE deltas are pure ADDS whose replay
+    semantics are defined BY commit order ((version, file_index) picks
+    the last writer) — so rebasing one onto a newer version is not a
+    hazard, it IS the serialization. They commute with each other and
+    with the append family; like `_commutes`, any metadata riding on the
+    commit disables this (schema clobber / watermark monotonicity), and
+    a remove-carrying commit (CoW rewrite, REPLACE, OPTIMIZE) never
+    qualifies because its remove list was computed against a snapshot
+    the rebase would silently outdate."""
+    return (
+        c.operation in ("MERGE", "DELETE")
+        and c.delta_type in (DeltaType.UPSERT, DeltaType.DELETE)
+        and not c.removes
+        and c.schema_json is None
+        and c.partition_scheme is None
+        and c.sort_scheme is None
+        and c.properties is None
+    )
+
+
 class CommitConflictError(RuntimeError):
     """A concurrent transaction took our commit version and does not
     commute — the caller must recompute against the new snapshot."""
@@ -360,7 +381,7 @@ class CommitLog:
                     continue
                 live.append(inter)
             if live:
-                if not _commutes(commit):
+                if not (_commutes(commit) or _is_delta_add(commit)):
                     raise CommitConflictError(
                         f"version {commit.version} taken by a concurrent "
                         f"writer (op={commit.operation} does not auto-rebase)"
@@ -371,8 +392,12 @@ class CommitLog:
                     # strictly additive, so our (metadata-free) commit stays
                     # readable under the newer schema. Only the rebasing
                     # commit itself carrying metadata is dangerous (it
-                    # would clobber).
-                    if inter.operation not in _COMMUTING_OPS:
+                    # would clobber). MoR merge/delete deltas are add-only
+                    # too (their order-dependence is resolved by the very
+                    # version order the rebase establishes).
+                    if inter.operation not in _COMMUTING_OPS and not (
+                        _is_delta_add(inter)
+                    ):
                         raise CommitConflictError(
                             f"concurrent non-commuting {inter.operation} at "
                             f"version {inter.version}"
