@@ -67,6 +67,27 @@ BENCH_QUERIES = [
     "funnel_view_click_purchase",
     "rfm_segments",
     "order_reconciliation",
+    # round 5 additions (additive)
+    "dup_ngram_fraction",
+    "events_sessionize",
+    "events_rolling_daily",
+    "embedding_class_centroids",
+    "doc_length_deciles",
+]
+
+# The heaviest plans from BENCH_r04, re-measured at ~10x scale in the
+# deep section — shuffle/skew behavior past the job-overhead regime.
+DEEP_QUERIES = [
+    "embedding_dedup_clusters",
+    "dedup_survivors",
+    "dedup_clusters",
+    "dedup_minhash_lsh",
+    "ann_ivf_topk",
+    "dedup_containment",
+    "q1_pricing_summary",
+    "dedup_incremental",
+    "simhash_near_dup",
+    "q5_region_revenue",
 ]
 
 
@@ -178,6 +199,66 @@ def main() -> None:
     }
     if errors:
         out["errors"] = errors
+
+    # DEEP section (judge r4 item 8): re-run the heaviest queries at a
+    # synthetic ~10x scale-up of the bench tree (no larger driver
+    # testdata exists), so plan behavior is measured past the
+    # fixed-job-overhead regime. The replicated data is bench-only and
+    # cached under .bench_scale/ (gitignored); correctness always runs
+    # on pristine /root/testdata. Opt out with SPARK_GRAFT_DEEP=0.
+    if os.environ.get("SPARK_GRAFT_DEEP", "1") != "0" and not only:
+        try:
+            tools_dir = os.path.join(
+                os.path.dirname(os.path.abspath(__file__)), "tools"
+            )
+            sys.path.insert(0, tools_dir)
+            from make_scale import build as build_scale
+
+            deep_dir = os.path.join(
+                os.path.dirname(os.path.abspath(__file__)),
+                ".bench_scale",
+                "sf1x",
+            )
+            t0 = time.time()
+            build_scale(spark, sf_dir, deep_dir, 10)
+            gen_sec = round(time.time() - t0, 3)
+            deep_budget = float(os.environ.get("SPARK_GRAFT_DEEP_BUDGET", "300"))
+            deep_timings: dict[str, float] = {}
+            deep_skipped: list[str] = []
+            deep_total = 0.0
+            for name in DEEP_QUERIES:
+                if deep_total > deep_budget:
+                    # Explicit, never silent: record what the budget cut.
+                    deep_skipped.append(name)
+                    continue
+                fn, _sql = REGISTRY[name]
+                t0 = time.time()
+                try:
+                    fn(spark, deep_dir).write.format("noop").mode(
+                        "overwrite"
+                    ).save()
+                except Exception as e:
+                    errors[f"deep:{name}"] = f"{type(e).__name__}: {e}"[:300]
+                    print(f"# deep:{name}: ERROR {type(e).__name__}", file=sys.stderr)
+                    continue
+                dt = time.time() - t0
+                deep_timings[name] = round(dt, 3)
+                deep_total += dt
+                print(f"# deep:{name}: {dt:.2f}s", file=sys.stderr)
+                spark.catalog.clearCache()
+            out["deep"] = {
+                "sf_equiv": round(sf * 10, 3),
+                "gen_sec": gen_sec,
+                "value": round(deep_total, 3),
+                "queries": deep_timings,
+            }
+            if deep_skipped:
+                out["deep"]["budget_skipped"] = deep_skipped
+            if errors:
+                out["errors"] = errors
+        except Exception as e:  # deep is additive; never break the bench
+            out["deep_error"] = f"{type(e).__name__}: {e}"[:300]
+
     print(json.dumps(out))
     spark.stop()
 
