@@ -260,10 +260,11 @@ class Catalog:
         evolves independently (its own log, schema, writes, time
         travel).
 
-        Caveats shared with every shallow-clone design: (a) `vacuum` on
-        the SOURCE can delete files the clone still references — deep-
-        copy (read + write) before vacuuming the source, or never vacuum
-        cloned-from tables; (b) a source snapshot still carrying
+        Caveats: (a) `vacuum` on the SOURCE consults the clone registry
+        (`_dcs_clones/` marker written below) and keeps every file a
+        registered clone's log still references — dropping the clone
+        releases the pin at the source's next vacuum; (b) a source
+        snapshot still carrying
         merge-on-read deltas is materialized instead (same per-file
         delta_type limit as RESTORE). `deep=True` always materializes —
         a self-contained copy that survives source vacuum/drop, at the
@@ -350,6 +351,16 @@ class Catalog:
                 actions=adds,
             )
             self._log(dst, namespace).commit(commit)
+            # Register the clone in the SOURCE root so the source's
+            # vacuum can protect files the clone still references
+            # (Delta Lake documents this as an unprotected hazard; here
+            # it's a one-marker-file registry the janitor consults).
+            reg_dir = self.fs.join(src_root, "_dcs_clones")
+            self.fs.makedirs(reg_dir)
+            self.fs.write_text_atomic(
+                self.fs.join(reg_dir, f"{namespace}.{dst}.json"),
+                json.dumps({"root": self._table_root(dst, namespace)}),
+            )
 
     def restore_table(
         self,
@@ -1922,6 +1933,30 @@ class Catalog:
                 for a in c.cdc_files:
                     referenced.add(a["path"])
         referenced |= live
+        # Shallow-clone protection: every clone registered against this
+        # table pins the source files ANY of its log versions reference
+        # (conservative — the clone's own vacuum governs its retention).
+        # A registration whose table no longer exists is swept here.
+        clones_dir = self.fs.join(troot, "_dcs_clones")
+        if self.fs.isdir(clones_dir):
+            prefix = troot.rstrip("/") + "/"
+            for name in self.fs.list_dir(clones_dir):
+                if not name.endswith(".json"):
+                    continue
+                mpath = self.fs.join(clones_dir, name)
+                try:
+                    croot = json.loads(self.fs.read_text(mpath))["root"]
+                except (ValueError, KeyError):
+                    continue
+                clog = CommitLog(croot, fs=self.fs)
+                if clog.latest_version() is None:
+                    self.fs.delete(mpath)
+                    continue
+                for cc in clog.replay():
+                    for a in cc.adds:
+                        p = a["path"]
+                        if p.startswith(prefix):
+                            referenced.add(p[len(prefix):])
         removed = 0
         data_dir = self.fs.join(troot, "data")
         cutoff = _time.time() - min_age_seconds

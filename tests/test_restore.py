@@ -155,3 +155,49 @@ def test_deep_clone_survives_source_drop(spark, catalog):
     # self-contained: dropping (purging) the source leaves the copy whole
     catalog.drop_table("dsrc", purge=True)
     assert {r.id for r in catalog.read_table("dcopy").collect()} == {1, 2}
+
+
+def test_vacuum_protects_shallow_clone_references(spark, catalog):
+    """Source vacuum must keep files a registered shallow clone still
+    references; dropping the clone releases the pin and sweeps the
+    registration."""
+    catalog.write_to_table(
+        spark.createDataFrame([(1, "a"), (2, "b")], "id long, s string"),
+        "src",
+        mode="auto",
+    )
+    catalog.clone_table("src", "pinned")
+    # Source moves on: replace leaves the original files referenced
+    # only by an old version.
+    catalog.write_to_table(
+        spark.createDataFrame([(9, "z")], "id long, s string"),
+        "src",
+        mode="replace",
+    )
+    src_root = catalog._table_root("src", "default")
+    pinned_files = [
+        f.abs_path(catalog._table_root("pinned", "default"))
+        for f in catalog.snapshot("pinned").files
+    ]
+    assert pinned_files and all(catalog.fs.exists(p) for p in pinned_files)
+    catalog.vacuum("src", retain_versions=0, min_age_seconds=0)
+    # clone pin held: every file the clone references survives (orphaned
+    # empty part files may still be swept — that's fine)
+    assert all(catalog.fs.exists(p) for p in pinned_files)
+    assert {(r.id, r.s) for r in catalog.read_table("pinned").collect()} == {
+        (1, "a"),
+        (2, "b"),
+    }
+    # Drop the clone; the next source vacuum reclaims the old files and
+    # sweeps the dead registration marker.
+    catalog.drop_table("pinned")
+    catalog.vacuum("src", retain_versions=0, min_age_seconds=0)
+    assert not any(catalog.fs.exists(p) for p in pinned_files)
+    clones_dir = catalog.fs.join(
+        catalog._table_root("src", "default"), "_dcs_clones"
+    )
+    assert not any(
+        n.endswith(".json") for n in catalog.fs.list_dir(clones_dir)
+    )
+    # Source itself unaffected.
+    assert {r.id for r in catalog.read_table("src").collect()} == {9}
