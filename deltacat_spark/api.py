@@ -116,3 +116,81 @@ def copy(src: str, dst: str, **kwargs: Any) -> None:
 
 def list(url: str) -> "list[dict]":  # noqa: A001 — mirrors reference name
     return list_url(catalog().spark, url)
+
+
+# -- URL dataset utilities the reference DECLARES but stubs
+#    (`api.py:311-491` — concat/delete/move/touch/exists/query/tail/head
+#    are all `raise NotImplementedError` there). Implemented for real
+#    here, Spark-first.
+def concat(src: str, dst: str, **kwargs: Any) -> None:
+    """Append the source dataset's rows to the destination dataset
+    (both URLs; formats may differ — rows go through the DataFrame)."""
+    write_url(read_url(catalog().spark, src), dst, mode="append", **kwargs)
+
+
+def delete(url: str) -> None:
+    """Delete a dataset file or directory."""
+    import os as _os
+    import shutil as _shutil
+
+    if _os.path.isdir(url):
+        _shutil.rmtree(url)
+    else:
+        _os.unlink(url)
+
+
+def move(src: str, dst: str) -> None:
+    """Rename/move a dataset path (O(1) on directory stores)."""
+    import os as _os
+
+    _os.replace(src, dst)
+
+
+def touch(path: str) -> None:
+    """Create an empty marker file (parents created)."""
+    import os as _os
+
+    _os.makedirs(_os.path.dirname(path) or ".", exist_ok=True)
+    with open(path, "a", encoding="utf-8"):
+        _os.utime(path, None)
+
+
+def exists(path: str) -> bool:
+    import os as _os
+
+    return _os.path.exists(path)
+
+
+_FROM_PATH = None  # compiled lazily
+
+
+def query(expression: str) -> DataFrame:
+    """SQL over dataset URLs: quoted paths in FROM/JOIN clauses resolve
+    to temp views (DuckDB-style `SELECT * FROM '/data/x.parquet'`),
+    then the statement runs through Spark SQL — full Catalyst pushdown
+    into each referenced file."""
+    import re as _re
+
+    global _FROM_PATH
+    if _FROM_PATH is None:
+        _FROM_PATH = _re.compile(
+            r"(?i)\b(FROM|JOIN)\s+'([^']+)'"
+        )
+    spark = catalog().spark
+    sql = expression
+    for n, m in enumerate(_FROM_PATH.finditer(expression)):
+        path = m.group(2)
+        view = f"__dcs_q{n}"
+        read_url(spark, path).createOrReplaceTempView(view)
+        sql = sql.replace(f"'{path}'", view, 1)
+    return spark.sql(sql)
+
+
+def head(url: str, n: int = 5) -> "list":
+    """First n rows of a dataset URL."""
+    return read_url(catalog().spark, url).head(n)
+
+
+def tail(url: str, n: int = 5) -> "list":
+    """Last n rows of a dataset URL (file/row order)."""
+    return read_url(catalog().spark, url).tail(n)
