@@ -68,6 +68,10 @@ BENCH_QUERIES = [
     "rfm_segments",
     "order_reconciliation",
     # round 5 additions (additive)
+    "q2_min_cost_supplier",
+    "q11_important_stock",
+    "q16_part_supplier_relation",
+    "q20_part_promotion",
     "dup_ngram_fraction",
     "events_sessionize",
     "events_rolling_daily",
