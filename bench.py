@@ -77,6 +77,9 @@ BENCH_QUERIES = [
     "events_rolling_daily",
     "embedding_class_centroids",
     "doc_length_deciles",
+    "skew_profile_orders",
+    "completeness_profile",
+    "events_daily_anomalies",
 ]
 
 # The heaviest plans from BENCH_r04, re-measured at ~10x scale in the

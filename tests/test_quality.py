@@ -134,3 +134,22 @@ def test_containment_asymmetric_excerpt(spark):
     assert [(r.doc_id, r.host_id, r.containment) for r in got] == [(2, 1, 1.0)]
     # the same pair is invisible to Jaccard at any usable threshold
     assert not jaccard_pairs(sh, df_cap=None, threshold=0.3).collect()
+
+
+def test_daily_anomalies_chebyshev_bound(spark):
+    """No distribution can put more than 1/4 of its mass >= 2 sigma from
+    the mean (Chebyshev) - this bound caught a cross-multiplication bug
+    in the integer z-test, so it stays as a regression guard."""
+    from deltacat_spark.workloads.profiling import events_daily_anomalies
+    from deltacat_spark.workloads.base import load
+    import pyspark.sql.functions as F
+
+    sf = "/root/testdata/sf0.001"
+    n_days = (
+        load(spark, sf, "events")
+        .select(F.expr("ts_us div 86400000000").alias("d"))
+        .distinct()
+        .count()
+    )
+    n_anom = events_daily_anomalies(spark, sf).count()
+    assert n_anom <= max(1, n_days // 4)
