@@ -194,3 +194,27 @@ def head(url: str, n: int = 5) -> "list":
 def tail(url: str, n: int = 5) -> "list":
     """Last n rows of a dataset URL (file/row order)."""
     return read_url(catalog().spark, url).tail(n)
+
+
+# -- remaining interface parity (reference catalog/interface.py) -------------
+initialize = init  # reference `initialize` == create/attach a catalog
+
+
+def get_table(table: str, **kwargs: Any) -> "dict | None":
+    return catalog().get_table(table, **kwargs)
+
+
+def refresh_table(table: str, **kwargs: Any) -> None:
+    catalog().refresh_table(table, **kwargs)
+
+
+def get_namespace(namespace: str) -> "dict | None":
+    return catalog().get_namespace(namespace)
+
+
+def alter_namespace(namespace: str, **kwargs: Any) -> None:
+    catalog().alter_namespace(namespace, **kwargs)
+
+
+def default_namespace() -> str:
+    return catalog().default_namespace()

@@ -146,6 +146,46 @@ class Catalog:
             raise ValueError(f"namespace {namespace!r} not empty (use purge)")
         self.fs.delete_dir(ns_dir)
 
+    def get_namespace(self, namespace: str) -> "dict | None":
+        """Namespace metadata, or None if absent (reference
+        `catalog/interface.py:405-422`)."""
+        path = self.fs.join(self.root, namespace, "_namespace.json")
+        if not self.fs.exists(path):
+            return None
+        return json.loads(self.fs.read_text(path))
+
+    def alter_namespace(
+        self,
+        namespace: str,
+        properties: "dict | None" = None,
+        new_namespace: "str | None" = None,
+    ) -> None:
+        """Update namespace properties and/or rename it (reference
+        `catalog/interface.py:464-486`). Rename is the O(1) directory
+        move; properties merge key-wise."""
+        meta = self.get_namespace(namespace)
+        if meta is None:
+            raise ValueError(f"namespace {namespace!r} does not exist")
+        if properties:
+            meta["properties"] = {**meta.get("properties", {}), **properties}
+        if new_namespace and new_namespace != namespace:
+            if self.namespace_exists(new_namespace):
+                raise ValueError(f"namespace {new_namespace!r} already exists")
+            self.fs.rename(
+                self.fs.join(self.root, namespace),
+                self.fs.join(self.root, new_namespace),
+            )
+            namespace = new_namespace
+            meta["name"] = namespace
+        self.fs.write_text_atomic(
+            self.fs.join(self.root, namespace, "_namespace.json"),
+            json.dumps(meta),
+        )
+
+    def default_namespace(self) -> str:
+        """Reference `catalog/interface.py:507-515`."""
+        return DEFAULT_NAMESPACE
+
     # ------------------------------------------------------------------
     # tables
     # ------------------------------------------------------------------
@@ -484,6 +524,41 @@ class Catalog:
     # ------------------------------------------------------------------
     # snapshots / reads
     # ------------------------------------------------------------------
+    def get_table(
+        self, table: str, namespace: str = DEFAULT_NAMESPACE
+    ) -> "dict | None":
+        """Table-definition metadata, or None if absent (reference
+        `get_table`, `catalog/interface.py:291-316`): current version,
+        schema, layout schemes, properties, and stream state — resolved
+        from the log, no data touched."""
+        if not self.table_exists(table, namespace):
+            return None
+        snap = self.snapshot(table, namespace)
+        return {
+            "table": table,
+            "namespace": namespace,
+            "version": snap.version,
+            "schema": snap.schema.to_json() if snap.schema else None,
+            "partition_scheme": snap.partition_scheme,
+            "sort_scheme": snap.sort_scheme,
+            "properties": dict(snap.properties),
+            "watermark": snap.watermark,
+            "n_files": len(snap.files),
+            "n_records": sum(f.records or 0 for f in snap.files),
+        }
+
+    def refresh_table(
+        self, table: str, namespace: str = DEFAULT_NAMESPACE
+    ) -> None:
+        """Reference `refresh_table` invalidates metadata cached on the
+        Ray cluster (`catalog/interface.py:249-270`). Spark-side there
+        is no cluster-cached table metadata — every read resolves from
+        the commit log — so refreshing means re-resolving the snapshot
+        (which also advances the lazy checkpoint when due) and dropping
+        any Spark-cached plans over this table's data."""
+        self.snapshot(table, namespace)  # raises if missing; checkpoints
+        self.spark.catalog.clearCache()
+
     def snapshot(
         self,
         table: str,

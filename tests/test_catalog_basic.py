@@ -154,3 +154,42 @@ def test_listing_pagination(spark, catalog):
     page2 = catalog.list_tables(limit=2, start_after=page1[-1])
     assert page2 == ["delta", "gamma"]
     assert catalog.list_tables(limit=2, start_after=page2[-1]) == []
+
+
+def test_get_table_and_refresh(spark, catalog):
+    from deltacat_spark.schema import Field, Schema
+    from pyspark.sql import types as T
+
+    assert catalog.get_table("absent") is None
+    catalog.create_table(
+        "gt",
+        schema=Schema([Field("id", T.LongType(), merge_key=True)]),
+        properties={"read_optimization": "max"},
+    )
+    catalog.write_to_table(
+        spark.createDataFrame([(1,), (2,)], "id long"), "gt", mode="merge"
+    )
+    td = catalog.get_table("gt")
+    assert td["table"] == "gt" and td["version"] >= 2
+    assert td["n_records"] == 2 and td["schema"] is not None
+    assert td["properties"]["read_optimization"] == "max"
+    catalog.refresh_table("gt")  # no-op semantics; must not raise
+    import pytest
+    from deltacat_spark.catalog.catalog import TableNotFoundError
+
+    with pytest.raises(TableNotFoundError):
+        catalog.refresh_table("absent")
+
+
+def test_namespace_get_alter_default(spark, catalog):
+    assert catalog.default_namespace() == "default"
+    assert catalog.get_namespace("nope") is None
+    catalog.create_namespace("team_a", properties={"owner": "alice"})
+    meta = catalog.get_namespace("team_a")
+    assert meta["properties"]["owner"] == "alice"
+    catalog.alter_namespace("team_a", properties={"tier": "gold"})
+    meta = catalog.get_namespace("team_a")
+    assert meta["properties"] == {"owner": "alice", "tier": "gold"}
+    catalog.alter_namespace("team_a", new_namespace="team_b")
+    assert catalog.get_namespace("team_a") is None
+    assert catalog.get_namespace("team_b")["name"] == "team_b"
