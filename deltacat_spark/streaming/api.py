@@ -154,22 +154,28 @@ def stream_read_changes(
     )
 
 
-def stream_write_to_table(
-    stream_df: DataFrame,
+def make_stream_sink(
     catalog,
     table: str,
     namespace: str = "default",
     mode: str = "add",
-    checkpoint_dir: str | None = None,
-    trigger_once: bool = True,
+    txn_app_id: str | None = None,
 ):
-    """Write a streaming DataFrame into a catalog table.
+    """Build the idempotent foreachBatch sink used by
+    :func:`stream_write_to_table`.
 
-    Each micro-batch becomes one atomic commit (`mode` add|append|chrono
-    — chrono stamps the commit with the batch's max event time, giving
-    the reference's CHRONO/watermark semantics on a live stream).
-    Returns the StreamingQuery.
+    `foreachBatch` is at-least-once per batch_id: if the table commit
+    lands but the crash happens before Structured Streaming records the
+    checkpoint offset, the SAME batch re-runs on restart. The sink
+    therefore stamps every commit with (txn_app_id, batch_id) through
+    the atomic commit-properties channel (properties land on the SAME
+    commit as the data) and skips any batch_id ≤ the last recorded one
+    — the Delta Lake `txnAppId`/`txnVersion` idempotence scheme. Batch
+    ids are monotone per checkpoint, so one bigint per app id is the
+    entire dedup state.
     """
+    app = txn_app_id or f"{namespace}.{table}"
+    prop_key = f"stream.batch.{app}"
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
@@ -183,9 +189,42 @@ def stream_write_to_table(
                 schema=Schema.from_dataframe(batch_df),
                 fail_if_exists=False,
             )
-        catalog.write_to_table(batch_df, table, namespace, mode=mode)
+        else:
+            last = catalog.snapshot(table, namespace).properties.get(prop_key)
+            if last is not None and batch_id <= int(last):
+                return  # replayed batch — already committed atomically
+        catalog.write_to_table(
+            batch_df,
+            table,
+            namespace,
+            mode=mode,
+            commit_properties={prop_key: str(batch_id)},
+        )
 
-    writer = stream_df.writeStream.foreachBatch(_sink).outputMode("append")
+    return _sink
+
+
+def stream_write_to_table(
+    stream_df: DataFrame,
+    catalog,
+    table: str,
+    namespace: str = "default",
+    mode: str = "add",
+    checkpoint_dir: str | None = None,
+    trigger_once: bool = True,
+    txn_app_id: str | None = None,
+):
+    """Write a streaming DataFrame into a catalog table.
+
+    Each micro-batch becomes one atomic commit (`mode` add|append|chrono
+    — chrono stamps the commit with the batch's max event time, giving
+    the reference's CHRONO/watermark semantics on a live stream), made
+    EXACTLY-ONCE under foreachBatch replays via the (txn_app_id,
+    batch_id) stamp — see :func:`make_stream_sink`. Returns the
+    StreamingQuery.
+    """
+    sink = make_stream_sink(catalog, table, namespace, mode, txn_app_id)
+    writer = stream_df.writeStream.foreachBatch(sink).outputMode("append")
     if checkpoint_dir:
         writer = writer.option("checkpointLocation", checkpoint_dir)
     if trigger_once:

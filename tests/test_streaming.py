@@ -79,3 +79,20 @@ def test_streaming_window_agg_matches_batch(spark, catalog, tmp_path):
         ).collect()
     }
     assert got == expect
+
+
+def test_sink_batch_replay_is_idempotent(spark, catalog):
+    """foreachBatch is at-least-once: a replayed batch_id must not
+    double-append (exactly-once via the atomic (app, batch_id) stamp)."""
+    from deltacat_spark.streaming.api import make_stream_sink
+
+    sink = make_stream_sink(catalog, "eo", mode="add")
+    batch = spark.createDataFrame([(1, 1.0), (2, 2.0)], "id long, value double")
+    sink(batch, 0)
+    sink(batch, 0)  # crash-replay of the same batch
+    assert catalog.read_table("eo").count() == 2
+    sink(batch, 1)  # a NEW batch with identical rows must append
+    assert catalog.read_table("eo").count() == 4
+    # late replay of an OLD batch after newer ones committed: skipped
+    sink(batch, 0)
+    assert catalog.read_table("eo").count() == 4
