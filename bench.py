@@ -80,6 +80,7 @@ BENCH_QUERIES = [
     "skew_profile_orders",
     "completeness_profile",
     "events_daily_anomalies",
+    "term_collocations",
 ]
 
 # The heaviest plans from BENCH_r04, re-measured at ~10x scale in the

@@ -286,3 +286,87 @@ QUERIES = {
     "embedding_class_centroids": (embedding_class_centroids, CENTROID_SQL),
     "doc_length_deciles": (doc_length_deciles, DECILES_SQL),
 }
+
+
+# --- collocations (PMI ratio) ------------------------------------------------
+_PMI_MIN_COUNT = 5
+_PMI_TOPK = 50
+
+
+def term_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top adjacent-bigram collocations by pointwise-mutual-information
+    RATIO — ``P(ab) / (P(a)·P(b)) = c_ab·T² / (B·c_a·c_b)`` — over the
+    corpus. The ratio is monotone in PMI, and as a quotient of exact
+    small integers it is bit-identical on both engines (no ``ln``,
+    whose last-ulp libm differences could flip a rounded value).
+    Two token-keyed aggregations + one broadcastable unigram join;
+    min-count 5 bounds the candidate set before the join."""
+    d = load(spark, sf_dir, "documents")
+    tk = F.split(F.col("text"), " ")
+    toks = d.select(F.explode(tk).alias("w"))
+    uni = toks.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    tot = toks.agg(F.count(F.lit(1)).alias("t"))
+    bigrams = d.select(
+        F.explode(
+            F.transform(
+                F.sequence(
+                    F.lit(1), F.greatest(F.lit(1), F.size(tk) - F.lit(1))
+                ),
+                lambda i: F.struct(
+                    F.element_at(tk, i).alias("a"),
+                    F.element_at(tk, i + 1).alias("b"),
+                ),
+            )
+        ).alias("p")
+    ).select("p.a", "p.b")
+    big = (
+        bigrams.groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+        .filter(F.col("c_ab") >= _PMI_MIN_COUNT)
+    )
+    btot = bigrams.agg(F.count(F.lit(1)).alias("bt"))
+    ua = uni.select(F.col("w").alias("a"), F.col("c").alias("c_a"))
+    ub = uni.select(F.col("w").alias("b"), F.col("c").alias("c_b"))
+    return (
+        big.join(ua, "a")
+        .join(ub, "b")
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(btot))
+        .select(
+            "a",
+            "b",
+            "c_ab",
+            F.round(
+                (F.col("c_ab") * F.col("t") * F.col("t"))
+                / (F.col("bt") * F.col("c_a") * F.col("c_b")),
+                6,
+            ).alias("pmi_ratio"),
+        )
+        .orderBy(F.desc("pmi_ratio"), "a", "b")
+        .limit(_PMI_TOPK)
+    )
+
+
+COLLOCATIONS_SQL = f"""
+WITH t AS (SELECT string_split(text, ' ') AS tk FROM documents),
+toks AS (SELECT unnest(tk) AS w FROM t),
+uni AS (SELECT w, count(*) AS c FROM toks GROUP BY w),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS tt FROM toks),
+bigrams AS (
+  SELECT tk[i] AS a, tk[i+1] AS b
+  FROM t, LATERAL unnest(generate_series(1, greatest(1, len(tk) - 1))) u(i)),
+big AS (
+  SELECT a, b, count(*) AS c_ab FROM bigrams GROUP BY a, b
+  HAVING count(*) >= {_PMI_MIN_COUNT}),
+btot AS (SELECT CAST(count(*) AS BIGINT) AS bt FROM bigrams)
+SELECT a, b, CAST(c_ab AS BIGINT) AS c_ab,
+  ROUND((c_ab * tt * tt) / (bt * ua.c * ub.c), 6) AS pmi_ratio
+FROM big
+JOIN uni ua ON big.a = ua.w
+JOIN uni ub ON big.b = ub.w
+CROSS JOIN tot CROSS JOIN btot
+ORDER BY pmi_ratio DESC, a, b
+LIMIT {_PMI_TOPK}
+"""
+
+QUERIES["term_collocations"] = (term_collocations, COLLOCATIONS_SQL)
