@@ -1255,7 +1255,14 @@ class Catalog:
                     schema_json=schema_json,
                     actions=adds,
                 )
-            log.commit(commit)
+            if cow:
+                self._commit_cow(
+                    log,
+                    commit,
+                    lambda: self._payload_bounds(df, delete_cols),
+                )
+            else:
+                log.commit(commit)
             return
 
         # MERGE
@@ -1320,7 +1327,14 @@ class Catalog:
                 schema_json=schema_json,
                 actions=adds,
             )
-        log.commit(commit)
+        if cow:
+            self._commit_cow(
+                log,
+                commit,
+                lambda: self._payload_bounds(batch, merge_keys),
+            )
+        else:
+            log.commit(commit)
 
     def _maybe_autocompact(
         self, table: str, namespace: str, props: dict[str, Any]
@@ -1391,6 +1405,24 @@ class Catalog:
         ]
         if not files or not cols:
             return files, []
+        bounds = self._payload_bounds(payload, cols)
+        if not bounds:
+            return files, []
+        touched, untouched = [], []
+        for f in files:
+            if self._stats_overlap(f.stats, bounds):
+                touched.append(f)
+            else:
+                untouched.append(f)
+        return touched, untouched
+
+    @staticmethod
+    def _payload_bounds(payload: DataFrame, cols: list[str]) -> dict:
+        """Per-column (min, max) of the payload on `cols` — one tiny
+        aggregate job; dates normalized to ISO strings to match the
+        footer-stats encoding."""
+        import datetime
+
         bounds: dict[str, tuple] = {}
         agg_row = payload.agg(
             *[F.min(F.col(c)).alias(f"lo_{i}") for i, c in enumerate(cols)],
@@ -1403,31 +1435,96 @@ class Catalog:
             if isinstance(lo, (datetime.datetime, datetime.date)):
                 lo, hi = lo.isoformat(), hi.isoformat()
             bounds[c] = (lo, hi)
-        if not bounds:
-            return files, []
-        touched, untouched = [], []
-        for f in files:
-            disjoint = False
-            for c, (lo, hi) in bounds.items():
-                st = (f.stats or {}).get(c)
-                fmin = st.get("min") if st else None
-                fmax = st.get("max") if st else None
-                comparable = (
-                    fmin is not None
-                    and fmax is not None
-                    and (
-                        (
-                            isinstance(fmin, (int, float))
-                            and isinstance(lo, (int, float))
-                        )
-                        or (isinstance(fmin, str) and isinstance(lo, str))
+        return bounds
+
+    @staticmethod
+    def _stats_overlap(stats: "dict | None", bounds: dict) -> bool:
+        """True unless the file stats PROVE disjointness on some bound
+        column (conservative: missing/uncomparable stats = may overlap)."""
+        for c, (lo, hi) in bounds.items():
+            st = (stats or {}).get(c)
+            fmin = st.get("min") if st else None
+            fmax = st.get("max") if st else None
+            comparable = (
+                fmin is not None
+                and fmax is not None
+                and (
+                    (
+                        isinstance(fmin, (int, float))
+                        and isinstance(lo, (int, float))
                     )
+                    or (isinstance(fmin, str) and isinstance(lo, str))
                 )
-                if comparable and (fmax < lo or fmin > hi):
-                    disjoint = True
-                    break
-            (untouched if disjoint else touched).append(f)
-        return touched, untouched
+            )
+            if comparable and (fmax < lo or fmin > hi):
+                return False
+        return True
+
+    def _commit_cow(self, log: CommitLog, commit: Commit, bounds_fn) -> None:
+        """Commit a fully-resolved CoW rewrite with stats-based rebase.
+
+        A CoW MERGE/DELETE computed against snapshot S collides with any
+        commit that lands first. Recomputing is a whole Spark job, but
+        the collision is often with a DISJOINT writer (different key
+        range). Delta-style resolution: rebase (bump version, keep the
+        SAME actions) when every live intervening commit provably does
+        not interact with ours — no table-metadata change, no wholesale
+        op (REPLACE/TRUNCATE/RESTORE/OPTIMIZE), removes disjoint from
+        our removes, and its added files' key stats disjoint from our
+        payload's key bounds. On a resolved CoW table one key lives in
+        one file, so any cross-writer key interaction implies one of
+        those observable overlaps (conservative fallbacks — missing
+        stats count as overlap — force the recompute path instead).
+        Raises CommitConflictError when disjointness can't be proven;
+        the caller's retry loop then recomputes from a fresh snapshot.
+        """
+        bounds: "dict | None" = None
+        while True:
+            try:
+                log.commit(commit)
+                return
+            except CommitConflictError:
+                if bounds is None:
+                    # Lazy: the payload bounds aggregate only runs when a
+                    # conflict actually happens, never on the happy path.
+                    bounds = bounds_fn()
+                if not bounds:
+                    raise
+                latest = log.latest_version()
+                our_removes = set(commit.removes)
+                for v in range(commit.version, latest + 1):
+                    inter = log.read_commit(v)
+                    pt = inter.pending_txn
+                    if (
+                        pt
+                        and pt != self._txn_ctx
+                        and self._txn_markers.status(pt) == "aborted"
+                    ):
+                        continue  # invisible slot
+                    if (
+                        inter.schema_json
+                        or inter.partition_scheme
+                        or inter.sort_scheme
+                        or inter.properties
+                    ):
+                        raise
+                    if inter.operation in (
+                        "REPLACE",
+                        "TRUNCATE",
+                        "RESTORE",
+                        "OPTIMIZE",
+                        "CLONE",
+                    ):
+                        raise
+                    if our_removes & set(inter.removes):
+                        raise
+                    for a in inter.adds:
+                        if self._stats_overlap(a.get("stats"), bounds):
+                            raise CommitConflictError(
+                                f"concurrent {inter.operation} at version "
+                                f"{inter.version} overlaps payload key range"
+                            )
+                commit.version = latest + 1
 
     def _normalize_merge_batch(self, df: DataFrame, schema: Schema) -> DataFrame:
         """Dedupe the incoming batch per merge key (last row wins within

@@ -166,3 +166,81 @@ def test_mor_delta_commits_auto_rebase(tmp_path):
     log.commit(c1)
     with pytest.raises(CommitConflictError):
         log.commit(c2)
+
+
+def test_cow_commit_rebases_past_disjoint_writer(spark, tmp_path):
+    """A CoW rewrite colliding with a DISJOINT concurrent commit must
+    rebase (same actions, next version) instead of recomputing; an
+    overlapping or metadata-carrying intervener forces the recompute
+    path (CommitConflictError)."""
+    from deltacat_spark.catalog import Catalog
+    from deltacat_spark.storage.commit import (
+        Commit,
+        CommitConflictError,
+    )
+
+    c = Catalog(spark, str(tmp_path / "rb"))
+    c.create_table("t", schema=SCHEMA)
+    log = c._log("t", "default")
+
+    # Concurrent writer landed first at version 2 with keys 100-200.
+    log.commit(
+        Commit(
+            version=2,
+            operation="MERGE",
+            actions=[
+                {"add": {"path": "data/x.parquet", "records": 5,
+                         "stats": {"id": {"min": 100, "max": 200}}}}
+            ],
+        )
+    )
+    # Our rewrite was computed against version 1 (keys 1-4).
+    ours = Commit(
+        version=2,
+        operation="MERGE",
+        actions=[
+            {"add": {"path": "data/y.parquet", "records": 4,
+                     "stats": {"id": {"min": 1, "max": 4}}}}
+        ],
+    )
+    c._commit_cow(log, ours, lambda: {"id": (1, 4)})
+    assert ours.version == 3 and log.latest_version() == 3
+
+    # Overlapping key range -> no rebase.
+    log.commit(
+        Commit(
+            version=4,
+            operation="MERGE",
+            actions=[
+                {"add": {"path": "data/z.parquet", "records": 5,
+                         "stats": {"id": {"min": 3, "max": 10}}}}
+            ],
+        )
+    )
+    clash = Commit(
+        version=4,
+        operation="MERGE",
+        actions=[{"add": {"path": "data/w.parquet", "records": 1,
+                          "stats": {"id": {"min": 4, "max": 4}}}}],
+    )
+    with pytest.raises(CommitConflictError):
+        c._commit_cow(log, clash, lambda: {"id": (4, 4)})
+
+    # Metadata-carrying intervener -> no rebase even if stats disjoint.
+    log.commit(
+        Commit(
+            version=5,
+            operation="MERGE",
+            schema_json='{"fields": []}',
+            actions=[{"add": {"path": "data/m.parquet", "records": 1,
+                              "stats": {"id": {"min": 900, "max": 900}}}}],
+        )
+    )
+    meta_clash = Commit(
+        version=5,
+        operation="MERGE",
+        actions=[{"add": {"path": "data/n.parquet", "records": 1,
+                          "stats": {"id": {"min": 1, "max": 1}}}}],
+    )
+    with pytest.raises(CommitConflictError):
+        c._commit_cow(log, meta_clash, lambda: {"id": (1, 1)})
