@@ -244,3 +244,42 @@ def test_cow_commit_rebases_past_disjoint_writer(spark, tmp_path):
     )
     with pytest.raises(CommitConflictError):
         c._commit_cow(log, meta_clash, lambda: {"id": (1, 1)})
+
+
+def test_disjoint_cow_writers_all_land(spark, tmp_path):
+    """End-to-end through write_to_table: concurrent CoW merges over
+    DISJOINT key ranges (the case the stats rebase exists for) must all
+    land with the union of their rows."""
+    c = Catalog(spark, str(tmp_path / "disj"))
+    c.create_table("t", schema=SCHEMA)
+    errors = []
+
+    def writer(w: int):
+        try:
+            for j in range(2):
+                rows = [
+                    (w * 100 + k, f"w{w}", j) for k in range(4)
+                ]
+                c.write_to_table(
+                    spark.createDataFrame(
+                        rows, "id long, owner string, v int"
+                    ),
+                    "t",
+                    mode="merge",
+                )
+        except Exception as e:  # noqa: BLE001
+            errors.append((w, e))
+
+    threads = [
+        threading.Thread(target=writer, args=(w,)) for w in range(6)
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors, errors
+    got = {(r.id, r.owner, r.v) for r in c.read_table("t").collect()}
+    want = {
+        (w * 100 + k, f"w{w}", 1) for w in range(6) for k in range(4)
+    }
+    assert got == want
