@@ -96,6 +96,9 @@ DEEP_QUERIES = [
     "dedup_incremental",
     "simhash_near_dup",
     "q5_region_revenue",
+    # round 5: the two heaviest new operators join the deep tier
+    "dup_ngram_fraction",
+    "term_collocations",
 ]
 
 
