@@ -914,10 +914,11 @@ class Catalog:
                 # the path.
                 kv = []
                 for f in fs:
+                    cols_csv = ",".join(f.payload_cols or [])
                     kv.extend(
                         [
                             F.lit(os.path.basename(f.path)),
-                            F.lit(f"{f.version}:{f.file_index}"),
+                            F.lit(f"{f.version}:{f.file_index}:{cols_csv}"),
                         ]
                     )
                 prov = F.create_map(*kv)[
@@ -926,6 +927,9 @@ class Catalog:
                 df = (
                     df.withColumn("__dcs_v", F.split(prov, ":")[0].cast("long"))
                     .withColumn("__dcs_f", F.split(prov, ":")[1].cast("long"))
+                    # payload-column subset of the delta ("" ⇒ full) —
+                    # consumed by the partial-upsert stitcher.
+                    .withColumn("__dcs_cols", F.split(prov, ":", 3)[2])
                 )
             parts.append(df)
         out = parts[0]
@@ -981,23 +985,77 @@ class Catalog:
             # logical merge fold.
             rows = self._apply_pos_deletes(snap, rows, pos_files)
         if del_files:
-            dels = self._scan(snap, del_files, provenance=True)
-            last_del = (
-                dels.groupBy(*[F.col(k).alias(f"__dk_{k}") for k in keys])
-                .agg(F.max("__dcs_v").alias("__del_v"))
-            )
-            cond = [rows[k].eqNullSafe(last_del[f"__dk_{k}"]) for k in keys]
-            rows = (
-                rows.join(self._hint_small(snap, last_del, del_files), cond, "left")
-                .filter(
-                    F.col("__del_v").isNull() | (F.col("__dcs_v") > F.col("__del_v"))
+            # Delete deltas group by their CONDITION columns (recorded at
+            # write as payload_cols; legacy commits fall back to the
+            # merge keys) — non-key equality deletes resolve too.
+            del_groups: dict[tuple, list[FileEntry]] = {}
+            for f in del_files:
+                del_groups.setdefault(
+                    tuple(f.payload_cols or keys), []
+                ).append(f)
+            for cols_grp, dfiles in sorted(del_groups.items()):
+                gcols = list(cols_grp)
+                dels = self._scan(snap, dfiles, provenance=True)
+                last_del = (
+                    dels.groupBy(
+                        *[F.col(c).alias(f"__dk_{c}") for c in gcols]
+                    ).agg(F.max("__dcs_v").alias("__del_v"))
                 )
-                .drop("__del_v", *[f"__dk_{k}" for k in keys])
+                cond = [
+                    rows[c].eqNullSafe(last_del[f"__dk_{c}"]) for c in gcols
+                ]
+                rows = (
+                    rows.join(
+                        self._hint_small(snap, last_del, dfiles), cond, "left"
+                    )
+                    .filter(
+                        F.col("__del_v").isNull()
+                        | (F.col("__dcs_v") > F.col("__del_v"))
+                    )
+                    .drop("__del_v", *[f"__dk_{c}" for c in gcols])
+                )
+        partials = any(f.payload_cols for f in data_files)
+        if not partials:
+            order = snap.schema.merge_order_columns()
+            order = order + [F.desc("__dcs_v"), F.desc("__dcs_f")]
+            winners = dedupe_last_writer(rows, keys, order)
+            return winners.drop("__dcs_v", "__dcs_f", "__dcs_cols")
+        # Partial upserts present: per-column stitching. Each non-key
+        # column resolves to its value in the NEWEST delta whose payload
+        # INCLUDED that column (matching the CoW partial_upsert
+        # semantics; like CoW partials, arrival order — not merge_order
+        # — picks the winner). One hash aggregation keyed on the merge
+        # keys; (version, file_index) is unique per (key, file) so the
+        # struct max is total.
+        extras = [file_path_column] if file_path_column else []
+        aggs = []
+        out_names = [
+            f.name for f in snap.schema.fields if f.name not in keys
+        ] + extras
+        for c in out_names:
+            has = (F.col("__dcs_cols") == F.lit("")) | F.array_contains(
+                F.split(F.col("__dcs_cols"), ","), F.lit(c)
             )
-        order = snap.schema.merge_order_columns()
-        order = order + [F.desc("__dcs_v"), F.desc("__dcs_f")]
-        winners = dedupe_last_writer(rows, keys, order)
-        return winners.drop("__dcs_v", "__dcs_f")
+            if c == file_path_column:
+                has = F.lit(True)
+            aggs.append(
+                F.max(
+                    F.when(
+                        has,
+                        F.struct(
+                            F.col("__dcs_v").alias("v"),
+                            F.col("__dcs_f").alias("f"),
+                            F.col(c).alias("val"),
+                        ),
+                    )
+                ).alias(f"__w_{c}")
+            )
+        res = rows.groupBy(*[F.col(k) for k in keys]).agg(*aggs)
+        ordered = [
+            F.col(n) if n in keys else F.col(f"__w_{n}.val").alias(n)
+            for n in [f.name for f in snap.schema.fields] + extras
+        ]
+        return res.select(*ordered)
 
     # ------------------------------------------------------------------
     # writes
@@ -1246,7 +1304,11 @@ class Catalog:
                     + _cdc_actions(df),
                 )
             else:
-                adds = _write(df)
+                adds = _write(df.select(*delete_cols))
+                for a in adds:
+                    # Condition columns for the MoR resolver (an
+                    # equality delete may key on NON-merge-key columns).
+                    a["add"]["payload_cols"] = sorted(delete_cols)
                 commit = Commit(
                     version=snap.version + 1,
                     operation="DELETE",
@@ -1319,6 +1381,13 @@ class Catalog:
             )
         else:
             adds = _write(schema.validate_and_coerce(batch))
+            payload = sorted(c for c in batch.columns if c in schema.names)
+            if set(payload) != set(schema.names):
+                for a in adds:
+                    # Partial payload: the written file is schema-coerced
+                    # (absent columns null-filled), so the resolver needs
+                    # the original column subset to stitch winners.
+                    a["add"]["payload_cols"] = payload
             commit = Commit(
                 version=snap.version + 1,
                 operation="MERGE",

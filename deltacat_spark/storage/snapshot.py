@@ -41,6 +41,12 @@ class FileEntry:
     stream_position: int | None = None
     file_index: int = 0
     delta_type: str | None = None
+    # Column subset the delta's PAYLOAD carried (None ⇒ full schema).
+    # UPSERT deltas: a partial upsert's written file is schema-coerced
+    # (absent columns null-filled), so resolution needs the original
+    # payload columns to stitch per-column winners. DELETE deltas: the
+    # equality-delete condition columns.
+    payload_cols: "list[str] | None" = None
 
     def abs_path(self, table_root: str) -> str:
         return os.path.join(table_root, self.path)
@@ -173,6 +179,7 @@ class Snapshot:
                     stream_position=c.stream_position,
                     file_index=idx,
                     delta_type=c.delta_type,
+                    payload_cols=add.get("payload_cols"),
                 )
 
     def _finish(self) -> None:

@@ -464,6 +464,64 @@ CASES = [
         expect=((1, "a2", 2, 2), (2, "b2", 2, 2), (3, "c", 1, 1)),
         keys=("id",),
     ),
+    # ---- Group H: partial upserts / merge-order nulls -----------------
+    Case(
+        "partial_upsert_fills_from_old",
+        (
+            ("merge", B, [(1, "alice", 1, 1), (2, "bob", 2, 2)]),
+            ("merge", "id long, v int", [(1, 99)]),  # no cat/ts columns
+        ),
+        expect=((1, "alice", 99, 1), (2, "bob", 2, 2)),
+        keys=("id",),
+    ),
+    Case(
+        "partial_upsert_new_key_nulls",
+        (
+            ("merge", B, [(1, "a", 1, 1)]),
+            ("merge", "id long, v int", [(2, 22)]),
+        ),
+        expect=((1, "a", 1, 1), (2, None, 22, None)),
+        keys=("id",),
+    ),
+    Case(
+        "partial_then_full_upsert",
+        (
+            ("merge", B, [(1, "a", 1, 1)]),
+            ("merge", "id long, v int", [(1, 50)]),
+            ("merge", B, [(1, "z", 9, 9)]),
+        ),
+        expect=((1, "z", 9, 9),),
+        keys=("id",),
+    ),
+    Case(
+        "merge_order_null_ts_loses",
+        (
+            ("merge", B, [(1, "stamped", 1, 500)]),
+            ("merge", B, [(1, "unstamped", 2, None)]),  # nulls last: loses
+        ),
+        expect=((1, "stamped", 1, 500),),
+        keys=("id",),
+        merge_order=("ts", "desc"),
+    ),
+    Case(
+        "merge_order_null_ts_loses_reversed_arrival",
+        (
+            ("merge", B, [(1, "unstamped", 2, None)]),
+            ("merge", B, [(1, "stamped", 1, 500)]),
+        ),
+        expect=((1, "stamped", 1, 500),),
+        keys=("id",),
+        merge_order=("ts", "desc"),
+    ),
+    Case(
+        "delete_by_non_key_column",
+        (
+            ("merge", B, [(1, "a", 7, 1), (2, "b", 7, 2), (3, "c", 9, 3)]),
+            ("delete", "v int", [(7,)]),
+        ),
+        expect=((3, "c", 9, 3),),
+        keys=("id",),
+    ),
     Case(
         "keyless_mixed_sequence",
         (
