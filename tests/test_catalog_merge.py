@@ -171,3 +171,83 @@ def test_dedupe_agg_ascending_string_order(spark):
     assert [tuple(r) for r in got.collect()] == [
         tuple(r) for r in want.collect()
     ]
+
+
+def test_mor_partial_upsert_survives_optimize(spark, tmp_path):
+    """OPTIMIZE folds MoR deltas through the same resolver — stitched
+    partial-upsert values must survive compaction, and the non-key
+    delete must stay applied."""
+    from deltacat_spark.catalog import Catalog
+
+    c = Catalog(spark, str(tmp_path / "mopt"))
+    c.create_table(
+        "t", schema=USERS_MERGE, properties={"read_optimization": "none"}
+    )
+    c.write_to_table(
+        rows(spark, [(1, "a", 10, "x"), (2, "b", 20, "y"), (3, "c", 30, "z")]),
+        "t",
+        mode="merge",
+    )
+    # partial: only age for id=1
+    c.write_to_table(
+        spark.createDataFrame([(1, 99)], "id long, age int"), "t", mode="merge"
+    )
+    # non-key delete: city == 'y'
+    c.write_to_table(
+        spark.createDataFrame([("y",)], "city string"), "t", mode="delete"
+    )
+    expect = {(1, "a", 99, "x"), (3, "c", 30, "z")}
+    got = {(r.id, r.name, r.age, r.city) for r in c.read_table("t").collect()}
+    assert got == expect
+    c.optimize_table("t")
+    got = {(r.id, r.name, r.age, r.city) for r in c.read_table("t").collect()}
+    assert got == expect
+    # post-compaction writes still behave
+    c.write_to_table(
+        spark.createDataFrame([(3, 31)], "id long, age int"), "t", mode="merge"
+    )
+    got = {(r.id, r.name, r.age, r.city) for r in c.read_table("t").collect()}
+    assert got == {(1, "a", 99, "x"), (3, "c", 31, "z")}
+
+
+def test_mor_nonkey_delete_then_reinsert(spark, tmp_path):
+    from deltacat_spark.catalog import Catalog
+
+    c = Catalog(spark, str(tmp_path / "mdel"))
+    c.create_table(
+        "t", schema=USERS_MERGE, properties={"read_optimization": "none"}
+    )
+    c.write_to_table(rows(spark, [(1, "a", 7, "x")]), "t", mode="merge")
+    c.write_to_table(
+        spark.createDataFrame([(7,)], "age int"), "t", mode="delete"
+    )
+    assert c.read_table("t").count() == 0
+    # re-insert with the SAME matching value at a later version: survives
+    c.write_to_table(rows(spark, [(1, "a2", 7, "x")]), "t", mode="merge")
+    got = {(r.id, r.name, r.age) for r in c.read_table("t").collect()}
+    assert got == {(1, "a2", 7)}
+
+
+def test_mor_partial_upsert_with_evolution(spark, tmp_path):
+    """A partial delta that also EVOLVES the schema (new column):
+    stitching must fill the new column for its key and leave other
+    keys' new column null."""
+    from deltacat_spark.catalog import Catalog
+
+    c = Catalog(spark, str(tmp_path / "mevo"))
+    c.create_table(
+        "t", schema=USERS_MERGE, properties={"read_optimization": "none"}
+    )
+    c.write_to_table(
+        rows(spark, [(1, "a", 10, "x"), (2, "b", 20, "y")]), "t", mode="merge"
+    )
+    c.write_to_table(
+        spark.createDataFrame([(1, "DE")], "id long, country string"),
+        "t",
+        mode="merge",
+    )
+    got = {
+        (r.id, r.name, r.age, r.city, r.country)
+        for r in c.read_table("t").collect()
+    }
+    assert got == {(1, "a", 10, "x", "DE"), (2, "b", 20, "y", None)}
