@@ -122,3 +122,39 @@ def test_event_time_is_default_merge_order(spark, tmp_path, ro):
     )
     rowsv = c.read_table("ev").collect()
     assert len(rowsv) == 1 and rowsv[0].value == 1.0
+
+
+def test_chrono_on_partitioned_table(spark, catalog):
+    """CHRONO stream positions + partitioned layout together: commits
+    stamp event-time positions while files land under partition dirs."""
+    from deltacat_spark.plans.transforms import PartitionKey
+    from pyspark.sql import types as T
+
+    schema = Schema(
+        [
+            Field("event_id", T.LongType()),
+            Field("ts", T.TimestampNTZType(), event_time=True),
+            Field("kind", T.StringType()),
+        ]
+    )
+    catalog.create_table(
+        "pev", schema=schema, partition_scheme=[PartitionKey("kind")]
+    )
+    catalog.write_to_table(
+        spark.createDataFrame(
+            [
+                (1, ts("2024-01-02T00:00:00"), "a"),
+                (2, ts("2024-01-02T01:00:00"), "b"),
+            ],
+            "event_id long, ts timestamp_ntz, kind string",
+        ),
+        "pev",
+        mode="chrono",
+    )
+    snap = catalog.snapshot("pev")
+    assert snap.commits[-1].stream_position is not None
+    assert any((f.partition_values or {}).get("kind") == "a" for f in snap.files)
+    assert catalog.read_table("pev").count() == 2
+    # partition pruning works on the chrono table
+    pruned = snap.prune({"kind": "a"}, None)
+    assert len(pruned) < len(snap.files)

@@ -251,3 +251,28 @@ def test_mor_partial_upsert_with_evolution(spark, tmp_path):
         for r in c.read_table("t").collect()
     }
     assert got == {(1, "a", 10, "x", "DE"), (2, "b", 20, "y", None)}
+
+
+def test_cow_partial_upsert_with_evolution(spark, tmp_path):
+    """CoW twin of the MoR evolution case: a partial batch that also
+    adds a new column fills it for its key, leaves others null, and
+    keeps the untouched columns."""
+    from deltacat_spark.catalog import Catalog
+
+    c = Catalog(spark, str(tmp_path / "cevo"))
+    c.create_table(
+        "t", schema=USERS_MERGE, properties={"read_optimization": "max"}
+    )
+    c.write_to_table(
+        rows(spark, [(1, "a", 10, "x"), (2, "b", 20, "y")]), "t", mode="merge"
+    )
+    c.write_to_table(
+        spark.createDataFrame([(1, "DE")], "id long, country string"),
+        "t",
+        mode="merge",
+    )
+    got = {
+        (r.id, r.name, r.age, r.city, r.country)
+        for r in c.read_table("t").collect()
+    }
+    assert got == {(1, "a", 10, "x", "DE"), (2, "b", 20, "y", None)}
