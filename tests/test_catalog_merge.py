@@ -276,3 +276,29 @@ def test_cow_partial_upsert_with_evolution(spark, tmp_path):
         for r in c.read_table("t").collect()
     }
     assert got == {(1, "a", 10, "x", "DE"), (2, "b", 20, "y", None)}
+
+
+def test_mor_partial_stitching_under_time_travel(spark, tmp_path):
+    """Each historical version resolves its OWN stitched state: the
+    partial-delta chain replays correctly at every as-of point."""
+    from deltacat_spark.catalog import Catalog
+
+    c = Catalog(spark, str(tmp_path / "tt"))
+    c.create_table(
+        "t", schema=USERS_MERGE, properties={"read_optimization": "none"}
+    )
+    c.write_to_table(rows(spark, [(1, "a", 10, "x")]), "t", mode="merge")
+    v_full = c.snapshot("t").version
+    c.write_to_table(
+        spark.createDataFrame([(1, 99)], "id long, age int"), "t", mode="merge"
+    )
+    v_partial = c.snapshot("t").version
+    c.write_to_table(
+        spark.createDataFrame([(1, "z")], "id long, name string"),
+        "t",
+        mode="merge",
+    )
+    pick = lambda df: [(r.id, r.name, r.age) for r in df.collect()]
+    assert pick(c.read_table("t")) == [(1, "z", 99)]
+    assert pick(c.read_table("t", version_as_of=v_partial)) == [(1, "a", 99)]
+    assert pick(c.read_table("t", version_as_of=v_full)) == [(1, "a", 10)]

@@ -201,3 +201,23 @@ def test_vacuum_protects_shallow_clone_references(spark, catalog):
     )
     # Source itself unaffected.
     assert {r.id for r in catalog.read_table("src").collect()} == {9}
+
+
+def test_restore_rolls_back_schema_evolution(spark, catalog):
+    """RESTORE to a pre-evolution version restores that version's
+    SCHEMA too, and time travel shows each version's own schema."""
+    catalog.write_to_table(
+        spark.createDataFrame([(1, "a")], "id long, s string"), "t2", mode="auto"
+    )
+    v1 = catalog.snapshot("t2").version
+    catalog.write_to_table(
+        spark.createDataFrame([(2, "b", 9)], "id long, s string, extra int"),
+        "t2",
+        mode="append",
+    )
+    assert "extra" in catalog.read_table("t2").columns
+    assert "extra" not in catalog.read_table("t2", version_as_of=v1).columns
+    catalog.restore_table("t2", version=v1)
+    df = catalog.read_table("t2")
+    assert df.columns == ["id", "s"]
+    assert [(r.id, r.s) for r in df.collect()] == [(1, "a")]
