@@ -10,6 +10,7 @@ from deltacat_spark.catalog.catalog import (
     Catalog,
     TableNotFoundError,
     TableWriteMode,
+    VacuumReport,
 )
 from deltacat_spark.catalog.materialize import (
     refresh_incremental,
@@ -19,6 +20,7 @@ from deltacat_spark.catalog.materialize import (
 __all__ = [
     "Catalog",
     "TableNotFoundError",
+    "VacuumReport",
     "TableWriteMode",
     "refresh_incremental",
     "stream_refresh_incremental",

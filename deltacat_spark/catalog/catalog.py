@@ -72,11 +72,47 @@ DEFAULT_PROPERTIES = {
     "broadcast.row_limit": 10_000_000,
 }
 
+# Property keys the ENGINE consults for write/read semantics. An
+# intervening commit changing one of these invalidates a computed CoW
+# rewrite (forces the recompute path); opaque user/audit keys commute —
+# replay merges properties additively, last committed writer wins per
+# key, exactly the serial-execution outcome.
+ENGINE_PROPERTY_KEYS = frozenset(DEFAULT_PROPERTIES) | {
+    "write.partition_salt",
+    "cdc.enabled",
+}
+
 _DATA_DELTAS = {DeltaType.APPEND, DeltaType.ADD, DeltaType.CHRONO, DeltaType.UPSERT, None}
 
 
 class TableNotFoundError(FileNotFoundError):
     pass
+
+
+class VacuumReport(int):
+    """Janitor metrics (reference `compute/janitor.py:85-228` reports
+    what it cleaned). Subclasses ``int`` as the removed-file count so
+    every existing ``vacuum() == n`` caller keeps working; under
+    ``dry_run`` the count is what WOULD be removed and nothing was."""
+
+    files: "list[str]"
+    bytes: int
+    aborted_txns: "list[str]"
+    dry_run: bool
+
+    def __new__(cls, files, nbytes, aborted_txns, dry_run):
+        self = super().__new__(cls, len(files))
+        self.files = list(files)
+        self.bytes = int(nbytes)
+        self.aborted_txns = list(aborted_txns)
+        self.dry_run = bool(dry_run)
+        return self
+
+    def __repr__(self) -> str:  # debugging aid
+        return (
+            f"VacuumReport(files={len(self.files)}, bytes={self.bytes}, "
+            f"aborted_txns={self.aborted_txns}, dry_run={self.dry_run})"
+        )
 
 
 class TableWriteMode:
@@ -107,6 +143,9 @@ class Catalog:
         # (see `storage/commit.py:TxnMarkers`).
         self._txn_markers = TxnMarkers(root, fs=fs)
         self._txn_ctx: str | None = None
+        # Audit stamp: while an interactive transaction seals, its id is
+        # written into every commit's txn_id (see CommitLog.txn_stamp).
+        self._txn_stamp: str | None = None
 
     # ------------------------------------------------------------------
     # namespaces
@@ -197,6 +236,7 @@ class Catalog:
             self._table_root(table, namespace),
             txn_status=self._txn_markers.status,
             current_txn=self._txn_ctx,
+            txn_stamp=self._txn_stamp,
             fs=self.fs,
         )
 
@@ -1574,7 +1614,7 @@ class Catalog:
                         inter.schema_json
                         or inter.partition_scheme
                         or inter.sort_scheme
-                        or inter.properties
+                        or set(inter.properties or ()) & ENGINE_PROPERTY_KEYS
                     ):
                         raise
                     if inter.operation in (
@@ -1961,9 +2001,132 @@ class Catalog:
 
         return Transaction(self)
 
+    def transaction_commits(
+        self, txn_id: str
+    ) -> "dict[tuple[str, str], list[Commit]]":
+        """The sealed transaction's op set: every commit stamped with
+        `txn_id`, grouped by ``(namespace, table)`` in version order
+        (reference `read_transaction`,
+        `storage/model/transaction.py:293` — the historic-replay half is
+        `read_transaction` below). Control-plane metadata scan over the
+        catalog's commit logs; raises KeyError for an unknown id and
+        RuntimeError for one whose seal never became visible."""
+        found: dict[tuple[str, str], list[Commit]] = {}
+        for ns in self.list_namespaces():
+            for t in self.list_tables(ns):
+                hits = [
+                    c
+                    for c in self._log(t, ns).replay()
+                    if c.txn_id == txn_id or c.pending_txn == txn_id
+                ]
+                if hits:
+                    found[(ns, t)] = hits
+        if not found:
+            raise KeyError(f"no sealed transaction {txn_id!r}")
+        status = self._txn_markers.status(txn_id)
+        if any(c.pending_txn == txn_id for cs in found.values() for c in cs):
+            if status != "committed":
+                raise RuntimeError(
+                    f"transaction {txn_id!r} is {status}, not sealed"
+                )
+        return found
+
+    def read_transaction(
+        self, txn_id: str
+    ) -> "dict[str, DataFrame]":
+        """Historic replay of a sealed transaction
+        (reference `TransactionHistoricTimeProvider`,
+        `storage/model/transaction.py:727-766`): each table the
+        transaction touched, read AS OF the transaction's LAST commit to
+        it — later overwrites are invisible, exactly the state the seal
+        produced. Returns ``{"namespace.table": DataFrame}``."""
+        found = self.transaction_commits(txn_id)
+        return {
+            f"{ns}.{t}": self.read_table(
+                t, ns, version_as_of=max(c.version for c in commits)
+            )
+            for (ns, t), commits in found.items()
+        }
+
     # ------------------------------------------------------------------
     # maintenance
     # ------------------------------------------------------------------
+    def _scope_optimize(
+        self,
+        snap: Snapshot,
+        partition_filter: "dict[str, Any]",
+    ) -> "tuple[list[FileEntry], list[FileEntry], str | None]":
+        """Classify the live set for partition-scoped OPTIMIZE.
+
+        Returns ``(in_scope, out_of_scope, fallback_reason)``;
+        ``fallback_reason`` non-None means scoping cannot be proven safe
+        and the caller must do a full rewrite. Safety argument (see
+        `optimize_table` docstring): every delta that can touch a
+        rewritten row must be IN the fold, because the rewrite bumps row
+        versions past every older delta's merge order. Files without
+        recorded partition values ("unknown") can hold rows of any
+        partition, so they join the fold — safe only while no
+        out-of-scope delta could address their rows. Out-of-scope
+        unresolved deltas are safe to leave live only when partition
+        membership is a function of the merge keys (then their keys are
+        provably disjoint from the scope) and they are not positional
+        (positional deletes address physical files)."""
+        unresolved_types = (
+            DeltaType.UPSERT,
+            DeltaType.DELETE,
+            DeltaType.POSITIONAL_DELETE,
+        )
+        scoped: list[FileEntry] = []
+        out: list[FileEntry] = []
+        unknown: list[FileEntry] = []
+        for f in snap.files:
+            pv = f.partition_values
+            if pv is None or any(k not in pv for k in partition_filter):
+                unknown.append(f)
+                continue
+            match = True
+            for k, v in partition_filter.items():
+                allowed = v if isinstance(v, (list, tuple, set)) else [v]
+                if pv[k] not in [str(a) for a in allowed]:
+                    match = False
+                    break
+            (scoped if match else out).append(f)
+        unknown_unres = [
+            f for f in unknown if f.delta_type in unresolved_types
+        ]
+        if unknown_unres and out:
+            # A delta with no recorded partition values may target rows in
+            # out-of-scope files; folding it into the scope and removing it
+            # would silently drop its effect on those rows.
+            return [], [], (
+                "unresolved deltas without partition values may target "
+                "out-of-scope rows"
+            )
+        out_unres = [f for f in out if f.delta_type in unresolved_types]
+        if out_unres:
+            if unknown:
+                return [], [], (
+                    "files without partition values alongside "
+                    "out-of-scope unresolved deltas"
+                )
+            if any(
+                f.delta_type == DeltaType.POSITIONAL_DELETE for f in out_unres
+            ):
+                return [], [], (
+                    "out-of-scope positional deletes address physical files"
+                )
+            sources = {
+                PartitionKey.from_dict(d).source
+                for d in (snap.partition_scheme or [])
+            }
+            keys = set(snap.schema.merge_keys) if snap.schema else set()
+            if not sources or not sources <= keys:
+                return [], [], (
+                    "out-of-scope unresolved deltas and partition columns "
+                    "are not all merge keys"
+                )
+        return scoped + unknown, out, None
+
     def optimize_table(
         self,
         table: str,
@@ -1971,6 +2134,7 @@ class Catalog:
         small_file_records: int | None = None,
         zorder_by: list[str] | None = None,
         zorder_bits: int = 4,
+        partition_filter: "dict[str, Any] | None" = None,
     ) -> None:
         """Compaction: fold any unresolved deltas + rewrite the live set
         (reference `compact_partition` v2 collapsed into one Spark job —
@@ -1986,6 +2150,34 @@ class Catalog:
         delete/upsert requires the whole key space), recorded in the
         commit metrics as mode=full.
 
+        `partition_filter`: PARTITION-SCOPED compaction (reference
+        compacts one partition per session —
+        `compute/compactor_v2/compaction_session.py:68-216`;
+        `catalog/main/impl.py:986-1091` triggers per write target).
+        Same `{col: value | [values]}` shape as `read_table`'s filter.
+        Only files whose recorded partition values match are folded and
+        rewritten; everything else stays live BY REFERENCE — paths
+        untouched in the log. This kills the "any pending MoR delta ⇒
+        full-table rewrite" cliff: a 100 TB table with one hot partition
+        receiving upserts compacts at the cost of that partition.
+        Composes with `small_file_records` (bin-pack within the scope
+        when the scope holds no unresolved deltas). Falls back to a
+        full rewrite (recorded in the commit metrics as
+        `partition_fallback`) when scoping cannot be proven safe:
+        (a) a file in scope cannot be classified (no recorded partition
+        values for a filter column — pre-evolution files may hold rows
+        of ANY partition, so out-of-scope deltas could target rewritten
+        rows), or (b) out-of-scope unresolved deltas exist and the
+        partition source columns are not all merge keys (an upsert can
+        then MOVE a row across partitions; rewriting the target
+        partition would bump the old row past the delta's merge order
+        and undo the move), or (c) out-of-scope positional deletes
+        exist (they address physical files, not partitions).
+        Out-of-scope deltas that merely stay live re-apply on read as
+        no-ops against the rewritten scope: the rewrite's higher commit
+        version wins last-writer-wins, and folded-out deleted rows are
+        simply absent.
+
         `zorder_by`: multi-dimensional clustering rewrite — the live set
         is laid out along a Morton curve over the named columns
         (`plans/transforms.py:zorder_column`), one `repartitionByRange`
@@ -1997,40 +2189,53 @@ class Catalog:
         """
         import time as _time
 
+        if zorder_by and partition_filter:
+            raise ValueError(
+                "zorder_by is a whole-table clustering rewrite; "
+                "drop partition_filter"
+            )
         t0 = _time.time()
         snap = self.snapshot(table, namespace)
         if not snap.files:
             return
+        mode = "full"
+        rewrite, keep = snap.files, []
+        fallback: str | None = None
+        if partition_filter:
+            in_scope, out_scope, fallback = self._scope_optimize(
+                snap, partition_filter
+            )
+            if fallback is None:
+                if not in_scope:
+                    return  # nothing lives in this partition
+                rewrite, keep, mode = in_scope, out_scope, "partition"
         unresolved = any(
             f.delta_type
             in (DeltaType.UPSERT, DeltaType.DELETE, DeltaType.POSITIONAL_DELETE)
-            for f in snap.files
+            for f in rewrite
         )
-        mode = "full"
-        rewrite, keep = snap.files, []
         if zorder_by:
             small_file_records = None  # zorder is always a full rewrite
         if small_file_records is not None and not unresolved:
-            mode = "incremental"
-            rewrite = [
+            small_set = [
                 f
-                for f in snap.files
+                for f in rewrite
                 if (f.records or 0) < small_file_records and not f.content_type
             ]
-            small = {f.path for f in rewrite}
-            keep = [f for f in snap.files if f.path not in small]
-            if len(rewrite) < 2:
+            if len(small_set) < 2:
                 return  # nothing to bin-pack
-        resolved = self._read_files(snap, rewrite) if mode == "incremental" else (
-            self._read_files(snap, snap.files)
-        )
+            small = {f.path for f in small_set}
+            keep = keep + [f for f in rewrite if f.path not in small]
+            rewrite = small_set
+            mode = "partition-incremental" if mode == "partition" else "incremental"
+        resolved = self._read_files(snap, rewrite)
         if snap.schema is not None:
             resolved = snap.schema.read_projection(resolved)
         props = {**DEFAULT_PROPERTIES, **snap.properties}
         max_rpf = int(
             props.get("max_records_per_file", DEFAULT_MAX_RECORDS_PER_FILE)
         )
-        if mode == "incremental":
+        if mode.endswith("incremental"):
             # Bin-pack: N small input splits must not become N small
             # output files — coalesce (no shuffle) to the target count.
             total = sum(f.records or 0 for f in rewrite)
@@ -2074,6 +2279,12 @@ class Catalog:
             metrics={
                 "mode": mode,
                 **({"zorder_by": list(zorder_by)} if zorder_by else {}),
+                **(
+                    {"partition_filter": dict(partition_filter)}
+                    if partition_filter
+                    else {}
+                ),
+                **({"partition_fallback": fallback} if fallback else {}),
                 "input_files": len(rewrite),
                 "kept_by_reference": len(keep),
                 "output_files": len(adds),
@@ -2128,9 +2339,19 @@ class Catalog:
         retain_versions: int | None = None,
         min_age_seconds: float = 86_400.0,
         txn_timeout_seconds: float = 86_400.0,
-    ) -> int:
+        dry_run: bool = False,
+    ) -> "int | VacuumReport":
         """Delete unreferenced data files (janitor equivalent, reference
-        `compute/janitor.py:85-228`).
+        `compute/janitor.py:85-228`; the janitor reports what it
+        cleaned — `dry_run` and the report mirror that).
+
+        `dry_run=True`: delete NOTHING (stale-txn markers included) and
+        return a :class:`VacuumReport` listing exactly the files (and
+        bytes) the real run would remove plus the stale txn ids it would
+        abort — the operational preflight before pointing vacuum at a
+        real table. The real run returns the same report (``removed``
+        populated); ``int(report)`` keeps the old removed-count
+        contract.
 
         Default: only files referenced by NO log version (orphans from
         failed writes / empty part files). With `retain_versions=N`,
@@ -2157,7 +2378,13 @@ class Catalog:
         import time as _time
         troot = self._table_root(table, namespace)
         log = self._log(table, namespace)
-        self._txn_markers.abort_stale(txn_timeout_seconds)
+        aborted_txns = self._txn_markers.abort_stale(
+            txn_timeout_seconds, dry_run=dry_run
+        )
+        # Dry run leaves stale markers pending, but the report must
+        # predict the REAL run — treat would-abort txns as aborted when
+        # computing the referenced set.
+        would_abort = set(aborted_txns)
         latest = log.latest_version() or 0
         horizon = latest - retain_versions if retain_versions is not None else 0
         referenced: set[str] = set()
@@ -2166,7 +2393,10 @@ class Catalog:
         live = {f.path for f in self.snapshot(table, namespace).files}
         for c in log.replay():
             pt = c.pending_txn
-            if pt and pt != self._txn_ctx and self._txn_markers.status(pt) == "aborted":
+            if pt and pt != self._txn_ctx and (
+                pt in would_abort
+                or self._txn_markers.status(pt) == "aborted"
+            ):
                 continue  # hidden forever — files are dead
             if c.version >= horizon:
                 for a in c.adds:
@@ -2191,14 +2421,16 @@ class Catalog:
                     continue
                 clog = CommitLog(croot, fs=self.fs)
                 if clog.latest_version() is None:
-                    self.fs.delete(mpath)
+                    if not dry_run:
+                        self.fs.delete(mpath)
                     continue
                 for cc in clog.replay():
                     for a in cc.adds:
                         p = a["path"]
                         if p.startswith(prefix):
                             referenced.add(p[len(prefix):])
-        removed = 0
+        doomed: list[str] = []
+        nbytes = 0
         data_dir = self.fs.join(troot, "data")
         cutoff = _time.time() - min_age_seconds
         for p in self.fs.walk_files(data_dir):
@@ -2207,6 +2439,11 @@ class Catalog:
                 and self.fs.relpath(p, troot) not in referenced
                 and self.fs.mtime(p) <= cutoff
             ):
-                self.fs.delete(p)
-                removed += 1
-        return removed
+                try:
+                    nbytes += self.fs.size(p)
+                except (FileNotFoundError, OSError):
+                    pass
+                doomed.append(self.fs.relpath(p, troot))
+                if not dry_run:
+                    self.fs.delete(p)
+        return VacuumReport(doomed, nbytes, aborted_txns, dry_run)

@@ -259,9 +259,18 @@ class Transaction:
             # visible to this txn itself (read-your-writes in
             # Snapshot._txn_visible), so chained same-table commits
             # resolve correctly before the marker flips.
-            txn_id = uuid.uuid4().hex
+            # The marker id IS the transaction's id, so sealed commits
+            # are discoverable by it (`Catalog.read_transaction`).
+            txn_id = self.txn_id
             markers = self.catalog._txn_markers
-            markers.begin(txn_id)
+            try:
+                markers.begin(txn_id)
+            except FileExistsError:
+                # A previous crashed seal of THIS txn left a stale
+                # pending marker; its stamped commits never became
+                # visible — abort the stale attempt and re-begin.
+                markers.abort(txn_id)
+                markers.begin(txn_id)
             self.catalog._txn_ctx = txn_id
             try:
                 self._run_plans(plans)
@@ -329,10 +338,17 @@ class Transaction:
         return plans
 
     def _run_plans(self, plans: list[tuple[DataFrame, _Op]]) -> None:
-        for batch, op in plans:
-            self.catalog.write_to_table(
-                batch, op.table, op.namespace, mode=op.mode, **op.kwargs
-            )
+        # Stamp every commit with this transaction's id (audit-only;
+        # visibility is still pending_txn + markers) so the sealed op
+        # set replays via `Catalog.read_transaction(txn_id)`.
+        self.catalog._txn_stamp = self.txn_id
+        try:
+            for batch, op in plans:
+                self.catalog.write_to_table(
+                    batch, op.table, op.namespace, mode=op.mode, **op.kwargs
+                )
+        finally:
+            self.catalog._txn_stamp = None
 
     def __enter__(self) -> "Transaction":
         return self

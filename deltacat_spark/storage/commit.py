@@ -59,15 +59,23 @@ def _commutes(c: "Commit") -> bool:
     Two concurrent appends that each auto-evolve the schema (writer A
     adds column X, writer B adds column Y) must not both rebase: replay
     applies the later schema_json wholesale, silently dropping the other
-    writer's column. Same reasoning for partition/sort-scheme and
-    property changes riding on an append."""
+    writer's column. Same reasoning for partition/sort-scheme changes
+    riding on an append. Commit PROPERTIES never block a rebase: unlike
+    an evolved schema_json (derived from a possibly-stale snapshot, so
+    replaying it wholesale can drop a concurrent writer's column),
+    property payloads are absolute assignments that replay merges
+    additively (`Snapshot`: ``properties.update``) — last committed
+    writer wins per key, which is exactly the serial-execution outcome.
+    Audit tags (per-op stamps in `commit_properties`) therefore don't
+    disable auto-rebase."""
     return (
         c.operation in _COMMUTING_OPS
         and c.schema_json is None
         and c.partition_scheme is None
         and c.sort_scheme is None
-        and c.properties is None
     )
+
+
 
 
 def _is_delta_add(c: "Commit") -> bool:
@@ -87,7 +95,6 @@ def _is_delta_add(c: "Commit") -> bool:
         and c.schema_json is None
         and c.partition_scheme is None
         and c.sort_scheme is None
-        and c.properties is None
     )
 
 
@@ -157,7 +164,9 @@ class TxnMarkers:
             if n.endswith(".pending")
         ]
 
-    def abort_stale(self, max_age_seconds: float) -> list[str]:
+    def abort_stale(
+        self, max_age_seconds: float, dry_run: bool = False
+    ) -> list[str]:
         """Janitor: abort pending transactions older than
         `max_age_seconds` (marker mtime), reference
         `compute/janitor.py:85-228`.
@@ -177,6 +186,9 @@ class TxnMarkers:
             except (FileNotFoundError, OSError):
                 continue  # raced a concurrent finalize/abort
             if age >= max_age_seconds:
+                if dry_run:
+                    out.append(txn_id)
+                    continue
                 try:
                     self.abort(txn_id)
                     out.append(txn_id)
@@ -243,6 +255,7 @@ class CommitLog:
         table_root: str,
         txn_status=None,
         current_txn: str | None = None,
+        txn_stamp: str | None = None,
         fs=LOCAL_FS,
     ):
         self.table_root = table_root
@@ -252,6 +265,11 @@ class CommitLog:
         # any pending_txn commit is treated as committed).
         self.txn_status = txn_status  # Callable[[str], str] | None
         self.current_txn = current_txn  # stamp + see-own-writes id
+        # Audit-only: overrides the commit's auto-uuid txn_id so every
+        # commit a sealed interactive transaction makes is discoverable
+        # by the transaction's id (`Catalog.read_transaction`). Never
+        # affects visibility — that's pending_txn + markers.
+        self.txn_stamp = txn_stamp
 
     # -- read ----------------------------------------------------------
     def versions(self) -> list[int]:
@@ -337,6 +355,8 @@ class CommitLog:
     def try_commit(self, commit: Commit) -> bool:
         if self.current_txn and commit.pending_txn is None:
             commit.pending_txn = self.current_txn
+        if self.txn_stamp:
+            commit.txn_id = self.txn_stamp
         return self._put_if_absent(commit.to_json(), commit.version)
 
     def commit(

@@ -7,6 +7,14 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 os.environ.setdefault("SPARK_LOCAL_IP", "127.0.0.1")
 
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "slow: long-running stress/scale tests (minutes); run by default, "
+        "deselect with -m 'not slow' for a quick loop",
+    )
+
+
 @pytest.fixture(scope="session")
 def spark():
     from deltacat_spark.session import build_session

@@ -1,0 +1,244 @@
+"""Partition-scoped OPTIMIZE (reference compacts one partition per
+session — `compute/compactor_v2/compaction_session.py:68-216`,
+`catalog/main/impl.py:986-1091`). The 100 TB scenario: one hot
+partition receives upserts; compaction must fold ONLY that partition
+and leave every other file live by reference — byte-identical paths in
+the log — instead of rewriting the table."""
+
+import pytest
+from pyspark.sql import types as T
+
+from deltacat_spark.catalog import Catalog
+from deltacat_spark.plans.transforms import PartitionKey
+from deltacat_spark.schema import Field, Schema
+from deltacat_spark.storage.commit import DeltaType
+
+MOR = {"read_optimization": "none"}
+
+# Partition column IS a merge key — partition membership is a function
+# of the key, the clean scoping case.
+SCHEMA_KEYED = Schema(
+    [
+        Field("cat", T.StringType(), merge_key=True),
+        Field("k", T.LongType(), merge_key=True),
+        Field("v", T.IntegerType()),
+    ]
+)
+
+# Partition column is NOT a merge key — upserts may move rows across
+# partitions, so out-of-scope pending deltas force a full rewrite.
+SCHEMA_NONKEY = Schema(
+    [
+        Field("k", T.LongType(), merge_key=True),
+        Field("cat", T.StringType()),
+        Field("v", T.IntegerType()),
+    ]
+)
+
+ROWS = [("abc"[i % 3], i, i * 10) for i in range(30)]
+
+
+def _mk(spark, tmp_path, schema, name="t", props=MOR):
+    cat = Catalog(spark, str(tmp_path / "cat"))
+    cat.create_table(
+        name,
+        schema=schema,
+        partition_scheme=[PartitionKey("cat")],
+        properties=props,
+    )
+    cols = ", ".join(
+        f"{f.name} {'string' if f.name == 'cat' else ('long' if f.name == 'k' else 'int')}"
+        for f in schema.fields
+    )
+    cat.write_to_table(spark.createDataFrame(
+        [tuple(getattr_row(r, schema)) for r in ROWS], cols), name, mode="merge")
+    return cat
+
+
+def getattr_row(r, schema):
+    by_name = {"cat": r[0], "k": r[1], "v": r[2]}
+    return [by_name[f.name] for f in schema.fields]
+
+
+def _content(cat, name="t"):
+    return sorted(
+        (r.cat, r.k, r.v) for r in cat.read_table(name).select("cat", "k", "v").collect()
+    )
+
+
+def _paths(cat, name="t", part=None):
+    snap = cat.snapshot(name)
+    files = snap.prune({"cat": part}, None) if part else snap.files
+    return sorted(f.path for f in files)
+
+
+def _last_metrics(cat, name="t"):
+    log = cat._log(name, "default")
+    commits = log.replay()
+    return commits[-1].metrics or {}
+
+
+def test_scoped_optimize_keyed_partition(spark, tmp_path):
+    cat = _mk(spark, tmp_path, SCHEMA_KEYED)
+    # hot partition "a" receives an upsert (pending MoR delta)
+    upd = spark.createDataFrame(
+        [("a", 0, 999), ("a", 3, 998)], "cat string, k long, v int"
+    )
+    cat.write_to_table(upd, "t", mode="merge")
+    snap = cat.snapshot("t")
+    assert any(f.delta_type == DeltaType.UPSERT for f in snap.files)
+    before_b = _paths(cat, part="b")
+    before_c = _paths(cat, part="c")
+    expected = _content(cat)
+    pre_version = snap.version
+
+    cat.optimize_table("t", partition_filter={"cat": "a"})
+
+    m = _last_metrics(cat)
+    assert m["mode"] == "partition"
+    assert m["kept_by_reference"] > 0
+    assert "partition_fallback" not in m
+    # other partitions: byte-identical — same paths live in the log
+    assert _paths(cat, part="b") == before_b
+    assert _paths(cat, part="c") == before_c
+    # scope fully resolved: no unresolved delta remains IN partition a
+    # (b/c keep their initial-load upsert deltas — untouched by design)
+    snap2 = cat.snapshot("t")
+    a_files = snap2.prune({"cat": "a"}, None)
+    assert not any(
+        f.delta_type in (DeltaType.UPSERT, DeltaType.DELETE) for f in a_files
+    )
+    assert _content(cat) == expected
+    # time travel still reads the pre-optimize state
+    pre = sorted(
+        (r.cat, r.k, r.v)
+        for r in cat.read_table("t", version_as_of=pre_version)
+        .select("cat", "k", "v")
+        .collect()
+    )
+    assert pre == expected  # upsert was already applied pre-optimize
+
+
+def test_scoped_matches_full_rewrite(spark, tmp_path):
+    cat = _mk(spark, tmp_path, SCHEMA_KEYED)
+    upd = spark.createDataFrame([("a", 0, 777)], "cat string, k long, v int")
+    cat.write_to_table(upd, "t", mode="merge")
+    dele = spark.createDataFrame([("a", 6)], "cat string, k long")
+    cat.write_to_table(dele, "t", mode="delete")
+
+    cat2 = _mk(spark, tmp_path / "two", SCHEMA_KEYED)
+    cat2.write_to_table(upd, "t", mode="merge")
+    cat2.write_to_table(dele, "t", mode="delete")
+
+    cat.optimize_table("t", partition_filter={"cat": "a"})
+    cat2.optimize_table("t")
+    assert _content(cat) == _content(cat2)
+    assert _last_metrics(cat)["mode"] == "partition"
+    assert _last_metrics(cat2)["mode"] == "full"
+
+
+def test_fallback_nonkey_partition_with_out_of_scope_delta(spark, tmp_path):
+    cat = _mk(spark, tmp_path, SCHEMA_NONKEY)
+    # pending upserts in BOTH a and b; partition col not a merge key
+    cat.write_to_table(
+        spark.createDataFrame(
+            [(0, "a", 111), (1, "b", 222)], "k long, cat string, v int"
+        ),
+        "t",
+        mode="merge",
+    )
+    expected = _content(cat)
+    cat.optimize_table("t", partition_filter={"cat": "a"})
+    m = _last_metrics(cat)
+    assert m["mode"] == "full"
+    assert "not all merge keys" in m["partition_fallback"]
+    assert _content(cat) == expected
+
+
+def test_scoped_nonkey_partition_all_deltas_in_scope(spark, tmp_path):
+    cat = _mk(spark, tmp_path, SCHEMA_NONKEY)
+    cat.optimize_table("t")  # fold the initial-load delta everywhere
+    # the only pending delta lives in partition a → scoping is safe even
+    # though cat is not a merge key
+    cat.write_to_table(
+        spark.createDataFrame([(0, "a", 111)], "k long, cat string, v int"),
+        "t",
+        mode="merge",
+    )
+    before_b = _paths(cat, part="b")
+    expected = _content(cat)
+    cat.optimize_table("t", partition_filter={"cat": "a"})
+    m = _last_metrics(cat)
+    assert m["mode"] == "partition"
+    assert _paths(cat, part="b") == before_b
+    assert _content(cat) == expected
+
+
+def test_fallback_unscoped_delete_sidecar(spark, tmp_path):
+    cat = _mk(spark, tmp_path, SCHEMA_NONKEY)
+    cat.optimize_table("t")  # fold the initial-load delta everywhere
+    # equality delete whose payload lacks the partition column → the
+    # sidecar lands unpartitioned (no partition values) and may target
+    # any partition: scoping must refuse
+    cat.write_to_table(
+        spark.createDataFrame([(4,)], "k long"), "t", mode="delete"
+    )
+    expected = _content(cat)
+    cat.optimize_table("t", partition_filter={"cat": "a"})
+    m = _last_metrics(cat)
+    assert m["mode"] == "full"
+    assert "without partition values" in m["partition_fallback"]
+    assert _content(cat) == expected
+    assert 4 not in {k for _, k, _v in _content(cat)}
+
+
+SCHEMA_PLAIN = Schema(
+    [
+        Field("cat", T.StringType()),
+        Field("k", T.LongType()),
+        Field("v", T.IntegerType()),
+    ]
+)
+
+
+def test_partition_incremental_binpack(spark, tmp_path):
+    cat = Catalog(spark, str(tmp_path / "cat"))
+    cat.create_table(
+        "t", schema=SCHEMA_PLAIN, partition_scheme=[PartitionKey("cat")]
+    )
+    # many small appends → small files in every partition
+    for i in range(4):
+        cat.write_to_table(
+            spark.createDataFrame(
+                [("abc"[j % 3], i * 10 + j, j) for j in range(6)],
+                "cat string, k long, v int",
+            ),
+            "t",
+            mode="append",
+        )
+    before_b = _paths(cat, part="b")
+    n_a_before = len(_paths(cat, part="a"))
+    expected = _content(cat)
+    cat.optimize_table(
+        "t", partition_filter={"cat": "a"}, small_file_records=1000
+    )
+    m = _last_metrics(cat)
+    assert m["mode"] == "partition-incremental"
+    assert _paths(cat, part="b") == before_b
+    assert len(_paths(cat, part="a")) < n_a_before
+    assert _content(cat) == expected
+
+
+def test_scoped_empty_partition_is_noop(spark, tmp_path):
+    cat = _mk(spark, tmp_path, SCHEMA_KEYED)
+    v = cat.snapshot("t").version
+    cat.optimize_table("t", partition_filter={"cat": "zzz"})
+    assert cat.snapshot("t").version == v  # no commit written
+
+
+def test_zorder_with_partition_filter_rejected(spark, tmp_path):
+    cat = _mk(spark, tmp_path, SCHEMA_KEYED)
+    with pytest.raises(ValueError):
+        cat.optimize_table(
+            "t", partition_filter={"cat": "a"}, zorder_by=["k"]
+        )
