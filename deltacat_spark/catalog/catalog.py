@@ -1897,7 +1897,16 @@ class Catalog:
     ) -> DataFrame:
         """CDC-style incremental read: rows from delta commits in
         (from_version, to_version], stamped with `_commit_version` /
-        `_change_type`.
+        `_change_type` / `_change_cols`.
+
+        `_change_cols` (partial-payload CDC semantics, documented
+        decision): change rows always carry the delta's WRITTEN form —
+        for a partial upsert, columns absent from the payload are NULL,
+        not stitched post-images. `_change_cols` is the comma-joined
+        payload column list for such rows (NULL ⇒ full-row change), so a
+        consumer can distinguish "column set to NULL" from "column not
+        carried" and fetch post-images itself where it needs them
+        (`read_table(version_as_of=_commit_version)`).
 
         Exact for append-family and merge-on-read tables (their commits
         carry delta files). Copy-on-write MERGE/DELETE commits rewrite
@@ -1951,9 +1960,11 @@ class Catalog:
                 parts.append(
                     deleted.withColumn(
                         "_commit_version", F.lit(c.version)
-                    ).withColumn(
+                    )
+                    .withColumn(
                         "_change_type", F.lit(DeltaType.POSITIONAL_DELETE)
                     )
+                    .withColumn("_change_cols", F.lit(None).cast("string"))
                 )
                 continue
             if c.delta_type is not None and c.adds:
@@ -1972,19 +1983,35 @@ class Catalog:
                     version=c.version,
                     file_index=i,
                     delta_type=c.delta_type,
+                    payload_cols=a.get("payload_cols"),
                 )
                 for i, a in enumerate(change_adds)
             ]
             df = self._scan(snap, entries)
+            # Partial-payload semantics (DOCUMENTED DECISION): change
+            # rows carry the delta's WRITTEN form — columns absent from
+            # the payload are NULL, not stitched post-images (stitching
+            # would cost a prior-snapshot resolve per commit). The
+            # `_change_cols` stamp (comma-joined payload columns; NULL ⇒
+            # full row) lets consumers distinguish "set to NULL" from
+            # "not carried". Uniform across commits in one feed.
+            pcols = {e.payload_cols and ",".join(e.payload_cols) for e in entries}
+            change_cols = (
+                F.lit(next(iter(pcols)))
+                if len(pcols) == 1
+                else F.lit(None).cast("string")
+            )
             parts.append(
-                df.withColumn("_commit_version", F.lit(c.version)).withColumn(
-                    "_change_type", F.lit(change_type)
-                )
+                df.withColumn("_commit_version", F.lit(c.version))
+                .withColumn("_change_type", F.lit(change_type))
+                .withColumn("_change_cols", change_cols)
             )
         if not parts:
             base = self._empty(snap)
-            return base.withColumn("_commit_version", F.lit(None).cast("long")).withColumn(
-                "_change_type", F.lit(None).cast("string")
+            return (
+                base.withColumn("_commit_version", F.lit(None).cast("long"))
+                .withColumn("_change_type", F.lit(None).cast("string"))
+                .withColumn("_change_cols", F.lit(None).cast("string"))
             )
         out = parts[0]
         for p in parts[1:]:

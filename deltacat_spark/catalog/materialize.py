@@ -70,7 +70,7 @@ def refresh_incremental(
                 src, from_version=last, to_version=src_snap.version,
                 namespace=namespace,
             )
-            batch = changes.drop("_commit_version", "_change_type")
+            batch = changes.drop("_commit_version", "_change_type", "_change_cols")
             out = transform(batch)
             catalog.write_to_table(
                 out,
@@ -151,7 +151,7 @@ def stream_refresh_incremental(
             )
             if raw is not None and int(raw) >= int(hi):
                 return  # replayed batch — already applied atomically
-        out = transform(batch_df.drop("_commit_version", "_change_type"))
+        out = transform(batch_df.drop("_commit_version", "_change_type", "_change_cols"))
         if not catalog.table_exists(dst, namespace):
             catalog.write_to_table(out, dst, namespace, mode="auto")
             catalog.alter_table(

@@ -41,7 +41,13 @@ from typing import Any
 
 from pyspark.sql import DataFrame, types as T
 
-from deltacat_spark.operators.merge import equality_delete, upsert
+from pyspark.sql import functions as F
+
+from deltacat_spark.operators.merge import (
+    equality_delete,
+    partial_upsert,
+    upsert,
+)
 from deltacat_spark.storage.commit import TxnMarkers
 
 
@@ -113,7 +119,20 @@ class Transaction:
             if mode in ("append", "add", "chrono"):
                 base = base.unionByName(batch, allowMissingColumns=True)
             elif mode == "merge":
-                base = upsert(base, batch, keys)
+                # Mid-txn schema evolution: widen the composed base so a
+                # batch carrying a new column previews like the seal.
+                for c in batch.columns:
+                    if c not in base.columns:
+                        base = base.withColumn(
+                            c, F.lit(None).cast(batch.schema[c].dataType)
+                        )
+                if set(batch.columns) < set(base.columns):
+                    # Partial payload: per-column stitch, matching the
+                    # sealed CoW/MoR partial-upsert semantics — a plain
+                    # upsert would drop (or crash on) absent columns.
+                    base = partial_upsert(base, batch, keys)
+                else:
+                    base = upsert(base, batch, keys)
             elif mode == "delete":
                 cols = [c for c in batch.columns if c in base.columns]
                 base = equality_delete(base, batch, cols)

@@ -299,3 +299,83 @@ QUERIES = {
     "embedding_norm_stats": (embedding_norm_stats, NORM_STATS_SQL),
     "embedding_quantize": (embedding_quantize, QUANTIZE_SQL),
 }
+
+
+# --- k-means assignment step ------------------------------------------------
+# One full Lloyd iteration building block: centroids seeded from the
+# existing labels (integer-quantized, deterministic), then every vector
+# re-assigned to its nearest centroid by exact integer squared-L2.
+# Array-native on the Spark side: the 10 centroid arrays broadcast into
+# a zip_with/aggregate fold — no N x D x K explode, one map-side pass
+# plus a tiny argmin aggregation. The iterative loop is this same plan
+# re-run with the assignment as the new label column.
+_KM_SCALE = 10_000  # float -> scaled-long quantization (matches SUM_SCALE)
+_XQ_EXPR = (
+    f"transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * {_KM_SCALE}"
+    " + 0.5) AS BIGINT))"
+)
+
+
+def kmeans_assign_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    ex = e.select(
+        "vec_id", "label", F.posexplode(F.expr(_XQ_EXPR)).alias("dim", "xq")
+    )
+    # Quantized centroid coordinate: floor(sum/n) — sums stay < 2^53 so
+    # the double division is exact before the floor on BOTH engines.
+    cent = (
+        ex.groupBy("label", "dim")
+        .agg(F.sum("xq").alias("sx"), F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("label").alias("cl"),
+            "dim",
+            F.floor(F.col("sx") / F.col("n")).cast("long").alias("c"),
+        )
+    )
+    cent_arr = cent.groupBy("cl").agg(
+        F.expr("transform(array_sort(collect_list(struct(dim, c))), s -> s.c)")
+        .alias("c_arr")
+    )
+    q = e.select("vec_id", F.expr(_XQ_EXPR).alias("xq_arr"))
+    scored = q.crossJoin(F.broadcast(cent_arr)).select(
+        "vec_id",
+        "cl",
+        F.expr(
+            "aggregate(zip_with(xq_arr, c_arr, (a, b) -> (a - b) * (a - b)),"
+            " CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+        ).alias("dist"),
+    )
+    best = scored.groupBy("vec_id").agg(
+        F.min(F.struct("dist", "cl")).alias("b")
+    )
+    return best.select(
+        "vec_id",
+        F.col("b.cl").cast("int").alias("assigned_label"),
+        F.col("b.dist").alias("dist"),
+    ).orderBy("vec_id")
+
+
+KMEANS_ASSIGN_SQL = f"""
+WITH ex AS (
+  SELECT vec_id, label, u.dim AS dim,
+         CAST(FLOOR(CAST(u.x AS DOUBLE) * {_KM_SCALE} + 0.5) AS BIGINT) AS xq
+  FROM embeddings, LATERAL (
+    SELECT unnest(embedding) AS x,
+           generate_subscripts(embedding, 1) AS dim) u),
+cent AS (
+  SELECT label AS cl, dim,
+         CAST(FLOOR(CAST(SUM(xq) AS DOUBLE) / COUNT(*)) AS BIGINT) AS c
+  FROM ex GROUP BY label, dim),
+dist AS (
+  SELECT e.vec_id, c.cl, CAST(SUM((e.xq - c.c) * (e.xq - c.c)) AS BIGINT) AS dist
+  FROM ex e JOIN cent c ON e.dim = c.dim
+  GROUP BY e.vec_id, c.cl)
+SELECT vec_id, CAST(cl AS INT) AS assigned_label, dist
+FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                   ORDER BY dist, cl) AS rn
+      FROM dist)
+WHERE rn = 1
+ORDER BY vec_id
+"""
+
+QUERIES["kmeans_assign_step"] = (kmeans_assign_step, KMEANS_ASSIGN_SQL)

@@ -370,3 +370,81 @@ LIMIT {_PMI_TOPK}
 """
 
 QUERIES["term_collocations"] = (term_collocations, COLLOCATIONS_SQL)
+
+
+# --- boilerplate segment dedup ----------------------------------------------
+# RefinedWeb-style LINE-level dedup re-expressed for a corpus without
+# newlines: a "line" is a fixed-width token segment (W tokens, stride W).
+# A segment text seen in >= _BOILER_DF distinct documents is boilerplate
+# (navigation chrome / repeated headers in real crawls). One
+# segment-keyed wide aggregation — identical scale shape to the
+# inverted-index build; never doc x doc.
+_SEG_W = 4
+_BOILER_DF = 3
+
+
+def dedup_boilerplate_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc boilerplate profile: total W-token segments, segment
+    instances whose text appears in >= 3 distinct docs, and the exact
+    permille. Segments are built array-native (sequence + slice +
+    array_join — no explode until segments exist, no UDF)."""
+    d = load(spark, sf_dir, "documents")
+    segs = (
+        d.select(
+            "doc_id",
+            F.expr(
+                f"transform(sequence(0, (size(split(text, ' ')) - 1) div {_SEG_W}),"
+                f" i -> array_join(slice(split(text, ' '), i * {_SEG_W} + 1, {_SEG_W}), ' '))"
+            ).alias("seg_arr"),
+        )
+        .select("doc_id", F.explode("seg_arr").alias("seg_text"))
+    )
+    df_counts = segs.groupBy("seg_text").agg(
+        F.countDistinct("doc_id").alias("seg_df")
+    )
+    flagged = segs.join(df_counts, "seg_text", "left")
+    return (
+        flagged.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_segments"),
+            F.sum(
+                F.when(F.col("seg_df") >= _BOILER_DF, F.lit(1)).otherwise(0)
+            ).cast("long").alias("n_boilerplate"),
+        )
+        .select(
+            "doc_id",
+            "n_segments",
+            "n_boilerplate",
+            F.expr("n_boilerplate * 1000 div n_segments").alias(
+                "boiler_permille"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+BOILERPLATE_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+segs AS (
+  SELECT doc_id,
+         array_to_string(list_slice(t, i * {_SEG_W} + 1, i * {_SEG_W} + {_SEG_W}), ' ') AS seg_text
+  FROM toks, LATERAL (
+    SELECT unnest(generate_series(0, (len(t) - 1) // {_SEG_W})) AS i) g),
+dfc AS (
+  SELECT seg_text, count(DISTINCT doc_id) AS seg_df FROM segs GROUP BY seg_text)
+SELECT s.doc_id,
+       CAST(count(*) AS BIGINT) AS n_segments,
+       CAST(SUM(CASE WHEN d.seg_df >= {_BOILER_DF} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_boilerplate,
+       CAST(SUM(CASE WHEN d.seg_df >= {_BOILER_DF} THEN 1 ELSE 0 END) * 1000
+            // count(*) AS BIGINT) AS boiler_permille
+FROM segs s LEFT JOIN dfc d USING (seg_text)
+GROUP BY s.doc_id
+ORDER BY s.doc_id
+"""
+
+QUERIES["dedup_boilerplate_segments"] = (
+    dedup_boilerplate_segments,
+    BOILERPLATE_SQL,
+)
