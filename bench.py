@@ -291,26 +291,34 @@ def main() -> None:
             deep_timings: dict[str, float] = {}
             deep_skipped: list[str] = []
             deep_total = 0.0
+            deep_wall = 0.0  # actual seconds spent (incl. repeats) — the
+            # budget guards driver wall time, not the reported minima
             for name in DEEP_QUERIES:
-                if deep_total > deep_budget:
+                if deep_wall > deep_budget:
                     # Explicit, never silent: record what the budget cut.
                     deep_skipped.append(name)
                     continue
                 fn, _sql = REGISTRY[name]
-                t0 = time.time()
                 try:
-                    fn(spark, deep_dir).write.format("noop").mode(
-                        "overwrite"
-                    ).save()
+                    dt = _timed_run(spark, fn, deep_dir)
+                    deep_wall += dt
+                    _clear_session_state(spark)
+                    # Deep runs swing ~2x run-to-run (GC/page-cache
+                    # phase); a second run's MIN is the plan's cost with
+                    # the noise floor removed. Skip the repeat when the
+                    # budget is tight.
+                    if deep_wall + dt <= deep_budget:
+                        dt2 = _timed_run(spark, fn, deep_dir)
+                        deep_wall += dt2
+                        dt = min(dt, dt2)
+                        _clear_session_state(spark)
                 except Exception as e:
                     errors[f"deep:{name}"] = f"{type(e).__name__}: {e}"[:300]
                     print(f"# deep:{name}: ERROR {type(e).__name__}", file=sys.stderr)
                     continue
-                dt = time.time() - t0
                 deep_timings[name] = round(dt, 3)
                 deep_total += dt
                 print(f"# deep:{name}: {dt:.2f}s", file=sys.stderr)
-                _clear_session_state(spark)
             # Lakehouse write path at 10x (judge r5 item 4) — runs outside
             # the query budget so analytic skips never hide it.
             try:

@@ -390,25 +390,32 @@ def dedup_boilerplate_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     array_join — no explode until segments exist, no UDF)."""
     d = load(spark, sf_dir, "documents")
     segs = (
-        d.select(
+        d.select("doc_id", F.split("text", " ").alias("t"))
+        .select(
             "doc_id",
             F.expr(
-                f"transform(sequence(0, (size(split(text, ' ')) - 1) div {_SEG_W}),"
-                f" i -> array_join(slice(split(text, ' '), i * {_SEG_W} + 1, {_SEG_W}), ' '))"
+                f"transform(sequence(0, (size(t) - 1) div {_SEG_W}),"
+                f" i -> array_join(slice(t, i * {_SEG_W} + 1, {_SEG_W}), ' '))"
             ).alias("seg_arr"),
         )
         .select("doc_id", F.explode("seg_arr").alias("seg_text"))
     )
-    df_counts = segs.groupBy("seg_text").agg(
-        F.countDistinct("doc_id").alias("seg_df")
+    # Join only the FLAGGED subset back (segments with df >= threshold),
+    # not the full distinct-segment table: at 100 TB the latter is
+    # corpus-sized, the former is just the boilerplate tail.
+    boiler = (
+        segs.groupBy("seg_text")
+        .agg(F.countDistinct("doc_id").alias("seg_df"))
+        .filter(F.col("seg_df") >= _BOILER_DF)
+        .select("seg_text", F.lit(1).alias("is_boiler"))
     )
-    flagged = segs.join(df_counts, "seg_text", "left")
+    flagged = segs.join(boiler, "seg_text", "left")
     return (
         flagged.groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_segments"),
             F.sum(
-                F.when(F.col("seg_df") >= _BOILER_DF, F.lit(1)).otherwise(0)
+                F.when(F.col("is_boiler") == 1, F.lit(1)).otherwise(0)
             ).cast("long").alias("n_boilerplate"),
         )
         .select(
