@@ -85,6 +85,24 @@ def transaction():
     return catalog().transaction()
 
 
+def read_transaction(txn_id: str) -> "dict[str, DataFrame]":
+    """Sealed-transaction replay: each touched table read as-of the
+    txn's last commit (reference `read_transaction`)."""
+    return catalog().read_transaction(txn_id)
+
+
+def optimize_table(table: str, **kwargs: Any) -> None:
+    """Compaction (whole-table, incremental small-file, zorder, or
+    `partition_filter`-scoped)."""
+    catalog().optimize_table(table, **kwargs)
+
+
+def vacuum(table: str, **kwargs: Any):
+    """Janitor: delete unreferenced files; `dry_run=True` reports
+    without deleting. Returns an int-compatible VacuumReport."""
+    return catalog().vacuum(table, **kwargs)
+
+
 def create_namespace(namespace: str, **kwargs: Any) -> None:
     catalog().create_namespace(namespace, **kwargs)
 

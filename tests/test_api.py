@@ -39,3 +39,17 @@ def test_dc_restore_history_transaction(spark, tmp_path):
     with dc.transaction() as txn:
         txn.write(spark.createDataFrame([(9,)], "id long"), "r", mode="append")
     assert dc.read("r").count() == 2
+
+
+def test_dc_maintenance_and_txn_replay(spark, tmp_path):
+    dc.init(str(tmp_path / "cat3"), spark)
+    df = spark.createDataFrame([(i,) for i in range(6)], "id long")
+    dc.write(df, "m")
+    with dc.transaction() as txn:
+        txn.write(spark.createDataFrame([(99,)], "id long"), "m", mode="append")
+    states = dc.read_transaction(txn.txn_id)
+    assert states["default.m"].count() == 7
+    dc.optimize_table("m")
+    rep = dc.vacuum("m", min_age_seconds=0, retain_versions=0, dry_run=True)
+    assert rep.dry_run and rep == len(rep.files)
+    assert dc.read("m").count() == 7

@@ -242,3 +242,53 @@ def test_zorder_with_partition_filter_rejected(spark, tmp_path):
         cat.optimize_table(
             "t", partition_filter={"cat": "a"}, zorder_by=["k"]
         )
+
+
+def test_vacuum_after_scoped_optimize_spares_kept_partitions(spark, tmp_path):
+    """Cross-feature: a scoped OPTIMIZE removes partition a's old files
+    from the live set; vacuum with no retention must reclaim exactly
+    those (once aged) while every kept-by-reference file in b/c stays on
+    disk — the log still references them."""
+    import os
+
+    cat = _mk(spark, tmp_path, SCHEMA_KEYED)
+    cat.write_to_table(
+        spark.createDataFrame([("a", 0, 999)], "cat string, k long, v int"),
+        "t",
+        mode="merge",
+    )
+    troot = cat._table_root("t", "default")
+    snap = cat.snapshot("t")
+    a_before = {f.path for f in snap.prune({"cat": "a"}, None)}
+    b_files = [f.path for f in snap.prune({"cat": "b"}, None)]
+    cat.optimize_table("t", partition_filter={"cat": "a"})
+
+    rep = cat.vacuum("t", min_age_seconds=0, retain_versions=0, dry_run=True)
+    doomed = set(rep.files)
+    assert doomed and doomed <= a_before, (
+        "vacuum must only reclaim partition a's superseded files"
+    )
+    real = cat.vacuum("t", min_age_seconds=0, retain_versions=0)
+    assert set(real.files) == doomed
+    for p in b_files:
+        assert os.path.exists(os.path.join(troot, p)), "kept file deleted!"
+    # table still reads correctly after the reclaim
+    assert len(_content(cat)) == 30
+
+
+def test_cdc_skips_scoped_optimize_rewrite(spark, tmp_path):
+    """Cross-feature: an OPTIMIZE commit (scoped or not) is a physical
+    rewrite, not a logical change — read_changes must emit nothing for
+    it."""
+    cat = _mk(spark, tmp_path, SCHEMA_KEYED)
+    v0 = cat.snapshot("t").version
+    cat.write_to_table(
+        spark.createDataFrame([("a", 0, 999)], "cat string, k long, v int"),
+        "t",
+        mode="merge",
+    )
+    v1 = cat.snapshot("t").version
+    cat.optimize_table("t", partition_filter={"cat": "a"})
+    changes = cat.read_changes("t", from_version=v0).collect()
+    assert {r._commit_version for r in changes} == {v1}
+    assert all(r._change_type == DeltaType.UPSERT for r in changes)
