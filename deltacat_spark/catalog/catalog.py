@@ -1457,9 +1457,10 @@ class Catalog:
             return
         log = self._log(table, namespace)
         deltas = files = records = 0
-        for c in log.replay_reverse_until(
+        window = log.replay_reverse_until(
             {"OPTIMIZE", "REPLACE", "MERGE", "DELETE", "CREATE", "TRUNCATE"}
-        ):
+        )
+        for c in window:
             adds = c.adds
             deltas += 1
             files += len(adds)
@@ -1477,6 +1478,7 @@ class Catalog:
                     table,
                     namespace,
                     small_file_records=None if sfr == "full" else int(sfr),
+                    partition_filter=self._trigger_scope(window),
                 )
             except CommitConflictError:
                 # The triggering write already committed; compaction is
@@ -1484,6 +1486,29 @@ class Catalog:
                 # this propagate would make write_to_table's retry loop
                 # re-run (and duplicate) the append.
                 pass
+
+    @staticmethod
+    def _trigger_scope(window: "list[Commit]") -> "dict[str, Any] | None":
+        """Partition scope for an auto-compaction round (reference
+        triggers compaction per WRITE TARGET, `catalog/main/impl.py:
+        986-1091`): the union of partition values the trigger window's
+        adds touched. On a 100 TB table where appends land in one hot
+        partition, the triggered bin-pack then reads only that
+        partition's small files. None (= whole table) when any add
+        lacks partition values (unpartitioned table / pre-evolution
+        files) or the touched set is too wide to be worth scoping —
+        `optimize_table` re-verifies safety either way."""
+        touched: dict[str, set] = {}
+        for c in window:
+            for a in c.adds:
+                pv = a.get("partition_values")
+                if not pv:
+                    return None
+                for k, v in pv.items():
+                    touched.setdefault(k, set()).add(v)
+        if not touched or any(len(v) > 16 for v in touched.values()):
+            return None
+        return {k: sorted(v) for k, v in touched.items()}
 
     def _split_by_key_overlap(
         self,

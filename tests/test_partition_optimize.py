@@ -292,3 +292,44 @@ def test_cdc_skips_scoped_optimize_rewrite(spark, tmp_path):
     changes = cat.read_changes("t", from_version=v0).collect()
     assert {r._commit_version for r in changes} == {v1}
     assert all(r._change_type == DeltaType.UPSERT for r in changes)
+
+
+def test_autocompaction_scopes_to_touched_partition(spark, tmp_path):
+    """Reference parity: compaction triggers per WRITE TARGET — appends
+    landing only in partition a must auto-compact a alone, leaving b/c
+    files untouched by reference."""
+    cat = Catalog(spark, str(tmp_path / "cat"))
+    cat.create_table(
+        "t",
+        schema=SCHEMA_PLAIN,
+        partition_scheme=[PartitionKey("cat")],
+        properties={"compaction.trigger.deltas": 3},
+    )
+    # seed all three partitions, then compact so the trigger window resets
+    cat.write_to_table(
+        spark.createDataFrame(
+            [("abc"[j % 3], j, j) for j in range(9)],
+            "cat string, k long, v int",
+        ),
+        "t",
+        mode="append",
+    )
+    cat.optimize_table("t")
+    before_b = _paths(cat, part="b")
+    # hot partition: three appends to a trip the threshold
+    for i in range(3):
+        cat.write_to_table(
+            spark.createDataFrame(
+                [("a", 100 + i, i)], "cat string, k long, v int"
+            ),
+            "t",
+            mode="append",
+        )
+    snap = cat.snapshot("t")
+    last = snap.commits[-1]
+    assert last.operation == "OPTIMIZE"
+    m = last.metrics or {}
+    assert m["mode"] == "partition-incremental"
+    assert m["partition_filter"] == {"cat": ["a"]}
+    assert _paths(cat, part="b") == before_b
+    assert cat.read_table("t").count() == 12
