@@ -236,3 +236,8 @@ def alter_namespace(namespace: str, **kwargs: Any) -> None:
 
 def default_namespace() -> str:
     return catalog().default_namespace()
+
+
+def sql(query: str, **kwargs: Any) -> DataFrame:
+    """ANSI SQL over catalog tables (temp-view bridge to spark.sql)."""
+    return catalog().sql(query, **kwargs)

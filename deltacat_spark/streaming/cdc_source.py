@@ -55,6 +55,10 @@ class _ChangeFilePartition(InputPartition):
     path: str
     version: int
     change_type: str
+    # comma-joined payload column subset for partial deltas (None =>
+    # full-row change) — same `_change_cols` contract as the batch
+    # `read_changes` (see its docstring for the documented semantics)
+    change_cols: "str | None" = None
 
 
 def _table_root(options) -> str:
@@ -153,6 +157,11 @@ class TableChangesStreamReader(DataSourceStreamReader):
                         path=os.path.join(troot, a["path"]),
                         version=c.version,
                         change_type=change_type,
+                        change_cols=(
+                            ",".join(a["payload_cols"])
+                            if a.get("payload_cols")
+                            else None
+                        ),
                     )
                 )
         return out
@@ -180,6 +189,8 @@ class TableChangesStreamReader(DataSourceStreamReader):
         names.append("_commit_version")
         cols.append(pa.array([partition.change_type] * n, pa.string()))
         names.append("_change_type")
+        cols.append(pa.array([partition.change_cols] * n, pa.string()))
+        names.append("_change_cols")
         yield from pa.table(cols, names=names).to_batches()
 
     def commit(self, end: dict) -> None:
@@ -203,6 +214,7 @@ class TableChangesDataSource(DataSource):
             + [
                 StructField("_commit_version", LongType()),
                 StructField("_change_type", StringType()),
+                StructField("_change_cols", StringType()),
             ]
         )
 

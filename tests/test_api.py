@@ -53,3 +53,21 @@ def test_dc_maintenance_and_txn_replay(spark, tmp_path):
     rep = dc.vacuum("m", min_age_seconds=0, retain_versions=0, dry_run=True)
     assert rep.dry_run and rep == len(rep.files)
     assert dc.read("m").count() == 7
+
+
+def test_dc_sql_bridge(spark, tmp_path):
+    dc.init(str(tmp_path / "cat4"), spark)
+    dc.write(
+        spark.createDataFrame([(1, "a"), (2, "b"), (3, "a")], "id long, g string"),
+        "s1",
+    )
+    dc.write(spark.createDataFrame([(1, 10), (3, 30)], "id long, w int"), "s2")
+    out = dc.sql(
+        "SELECT g, SUM(w) AS tw FROM s1 JOIN s2 USING (id) GROUP BY g ORDER BY g"
+    ).collect()
+    assert [(r.g, r.tw) for r in out] == [("a", 40)]
+    # time-travelled view
+    v0 = dc.catalog().snapshot("s1").version
+    dc.write(spark.createDataFrame([(9, "z")], "id long, g string"), "s1", mode="append")
+    dc.catalog().create_temp_view("s1", view_name="s1_old", version_as_of=v0)
+    assert dc.catalog().spark.sql("SELECT count(*) c FROM s1_old").collect()[0].c == 3

@@ -333,3 +333,47 @@ def test_autocompaction_scopes_to_touched_partition(spark, tmp_path):
     assert m["partition_filter"] == {"cat": ["a"]}
     assert _paths(cat, part="b") == before_b
     assert cat.read_table("t").count() == 12
+
+
+def test_shallow_clone_survives_source_scoped_optimize(spark, tmp_path):
+    """A shallow clone references the source's files by path; a scoped
+    OPTIMIZE on the source must not change what the clone reads, and
+    source-side vacuum must keep the clone's pinned files."""
+    import os
+
+    cat = _mk(spark, tmp_path, SCHEMA_KEYED)
+    cat.write_to_table(
+        spark.createDataFrame([("a", 0, 999)], "cat string, k long, v int"),
+        "t",
+        mode="merge",
+    )
+    cat.clone_table("t", "snap_clone")
+    before = sorted(
+        (r.cat, r.k, r.v)
+        for r in cat.read_table("snap_clone").select("cat", "k", "v").collect()
+    )
+    cat.optimize_table("t", partition_filter={"cat": "a"})
+    cat.vacuum("t", min_age_seconds=0, retain_versions=0)
+    after = sorted(
+        (r.cat, r.k, r.v)
+        for r in cat.read_table("snap_clone").select("cat", "k", "v").collect()
+    )
+    assert after == before == _content(cat)
+
+
+def test_restore_across_scoped_optimize(spark, tmp_path):
+    """RESTORE to a pre-scoped-optimize version reads the exact old
+    state; a subsequent scoped optimize still works."""
+    cat = _mk(spark, tmp_path, SCHEMA_KEYED)
+    pre = cat.snapshot("t").version
+    before = _content(cat)
+    cat.write_to_table(
+        spark.createDataFrame([("a", 0, 999)], "cat string, k long, v int"),
+        "t",
+        mode="merge",
+    )
+    cat.optimize_table("t", partition_filter={"cat": "a"})
+    cat.restore_table("t", version=pre)
+    assert _content(cat) == before
+    cat.optimize_table("t", partition_filter={"cat": "b"})
+    assert _content(cat) == before

@@ -82,4 +82,10 @@ def test_changes_stream_schema_includes_stamps(spark, catalog):
     )
     df = stream_read_changes(catalog, "t")
     assert df.isStreaming
-    assert df.columns == ["id", "x", "_commit_version", "_change_type"]
+    assert df.columns == [
+        "id",
+        "x",
+        "_commit_version",
+        "_change_type",
+        "_change_cols",
+    ]
