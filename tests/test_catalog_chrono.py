@@ -158,3 +158,56 @@ def test_chrono_on_partitioned_table(spark, catalog):
     # partition pruning works on the chrono table
     pruned = snap.prune({"kind": "a"}, None)
     assert len(pruned) < len(snap.files)
+
+
+def test_chrono_optimize_preserves_watermark_and_content(spark, catalog):
+    """OPTIMIZE (full and partition-scoped) over a CHRONO table must
+    keep content and the monotone watermark — the fold rewrites files
+    but event-time semantics live in the column, not the file layout."""
+    from deltacat_spark.plans.transforms import PartitionKey
+
+    part_events = Schema(
+        [
+            Field("cat", T.StringType()),
+            Field("event_id", T.LongType()),
+            Field("ts", T.TimestampNTZType(), event_time=True),
+            Field("value", T.DoubleType()),
+        ]
+    )
+    catalog.create_table(
+        "evp", schema=part_events, partition_scheme=[PartitionKey("cat")]
+    )
+
+    def pbatch(rows):
+        return spark.createDataFrame(
+            rows, "cat string, event_id long, ts timestamp_ntz, value double"
+        )
+
+    catalog.write_to_table(
+        pbatch([("a", 1, ts("2024-01-02T00:00:00"), 1.0),
+                ("b", 2, ts("2024-01-03T00:00:00"), 2.0)]),
+        "evp",
+        mode="chrono",
+    )
+    catalog.write_to_table(
+        pbatch([("a", 3, ts("2024-01-01T00:00:00"), 3.0)]), "evp", mode="chrono"
+    )
+    wm = catalog.snapshot("evp").watermark
+    content = sorted(
+        (r.cat, r.event_id, r.value)
+        for r in catalog.read_table("evp").collect()
+    )
+    catalog.optimize_table("evp", partition_filter={"cat": "a"})
+    snap = catalog.snapshot("evp")
+    assert snap.watermark == wm
+    assert sorted(
+        (r.cat, r.event_id, r.value)
+        for r in catalog.read_table("evp").collect()
+    ) == content
+    catalog.optimize_table("evp")
+    snap2 = catalog.snapshot("evp")
+    assert snap2.watermark == wm
+    assert sorted(
+        (r.cat, r.event_id, r.value)
+        for r in catalog.read_table("evp").collect()
+    ) == content

@@ -377,3 +377,42 @@ def test_restore_across_scoped_optimize(spark, tmp_path):
     assert _content(cat) == before
     cat.optimize_table("t", partition_filter={"cat": "b"})
     assert _content(cat) == before
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("seed", [7, 19, 41])
+def test_random_programs_scoped_equals_full(spark, tmp_path, seed):
+    """Property: for random merge/delete programs on a partitioned keyed
+    MoR table, scoped-optimize(any partition) and full-optimize produce
+    identical table content."""
+    import random
+
+    rng = random.Random(seed)
+    ops = []
+    serial = 0
+    for _ in range(6):
+        if rng.random() < 0.7:
+            rows = []
+            for _ in range(rng.randint(1, 4)):
+                serial += 1
+                rows.append(("abc"[rng.randrange(3)], rng.randrange(12), serial))
+            ops.append(("merge", rows, "cat string, k long, v int"))
+        else:
+            ops.append(
+                (
+                    "delete",
+                    [("abc"[rng.randrange(3)], rng.randrange(12))],
+                    "cat string, k long",
+                )
+            )
+    cats = []
+    for tag in ("sc", "fu"):
+        c = _mk(spark, tmp_path / f"{tag}{seed}", SCHEMA_KEYED)
+        for mode, rows, ddl in ops:
+            c.write_to_table(spark.createDataFrame(rows, ddl), "t", mode=mode)
+        cats.append(c)
+    target = "abc"[seed % 3]
+    cats[0].optimize_table("t", partition_filter={"cat": target})
+    cats[1].optimize_table("t")
+    assert _content(cats[0]) == _content(cats[1])
+    assert _last_metrics(cats[0])["mode"] == "partition"
