@@ -2220,6 +2220,34 @@ class Catalog:
         zorder_by: list[str] | None = None,
         zorder_bits: int = 4,
         partition_filter: "dict[str, Any] | None" = None,
+        max_commit_retries: int = 3,
+    ) -> None:
+        """Compaction with concurrent-writer retry: an OPTIMIZE commit
+        carries removes so it never auto-rebases — if a writer lands
+        mid-compaction, recompute from the fresh snapshot (the orphaned
+        output files of the losing attempt are vacuum-reclaimable)."""
+        for attempt in range(max_commit_retries):
+            try:
+                return self._optimize_once(
+                    table,
+                    namespace,
+                    small_file_records,
+                    zorder_by,
+                    zorder_bits,
+                    partition_filter,
+                )
+            except CommitConflictError:
+                if attempt == max_commit_retries - 1:
+                    raise
+
+    def _optimize_once(
+        self,
+        table: str,
+        namespace: str = DEFAULT_NAMESPACE,
+        small_file_records: int | None = None,
+        zorder_by: list[str] | None = None,
+        zorder_bits: int = 4,
+        partition_filter: "dict[str, Any] | None" = None,
     ) -> None:
         """Compaction: fold any unresolved deltas + rewrite the live set
         (reference `compact_partition` v2 collapsed into one Spark job —
@@ -2287,6 +2315,11 @@ class Catalog:
         rewrite, keep = snap.files, []
         fallback: str | None = None
         if partition_filter:
+            if not snap.partition_scheme:
+                raise ValueError(
+                    "partition_filter requires a partitioned table "
+                    f"(no partition scheme on this table)"
+                )
             in_scope, out_scope, fallback = self._scope_optimize(
                 snap, partition_filter
             )

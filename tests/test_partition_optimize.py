@@ -416,3 +416,48 @@ def test_random_programs_scoped_equals_full(spark, tmp_path, seed):
     cats[1].optimize_table("t")
     assert _content(cats[0]) == _content(cats[1])
     assert _last_metrics(cats[0])["mode"] == "partition"
+
+
+def test_partition_filter_requires_partitioned_table(spark, tmp_path):
+    cat = Catalog(spark, str(tmp_path / "cat"))
+    cat.create_table("t", schema=SCHEMA_PLAIN)
+    cat.write_to_table(
+        spark.createDataFrame([("a", 1, 1)], "cat string, k long, v int"),
+        "t",
+        mode="append",
+    )
+    with pytest.raises(ValueError, match="partitioned"):
+        cat.optimize_table("t", partition_filter={"cat": "a"})
+
+
+def test_optimize_retries_after_commit_conflict(spark, tmp_path, monkeypatch):
+    """A concurrent writer landing mid-compaction surfaces as
+    CommitConflictError from the commit; optimize_table must recompute
+    from the fresh snapshot and succeed."""
+    from deltacat_spark.storage.commit import CommitConflictError
+
+    cat = _mk(spark, tmp_path, SCHEMA_KEYED)
+    real = Catalog._optimize_once
+    calls = {"n": 0}
+
+    def flaky(self, *a, **kw):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            # concurrent append lands, then the commit slot is taken
+            cat.write_to_table(
+                spark.createDataFrame(
+                    [("b", 500, 1)], "cat string, k long, v int"
+                ),
+                "t",
+                mode="merge",
+            )
+            raise CommitConflictError("version taken by a concurrent writer")
+        return real(self, *a, **kw)
+
+    monkeypatch.setattr(Catalog, "_optimize_once", flaky)
+    cat.optimize_table("t")
+    assert calls["n"] == 2
+    assert (b"", 500, 1) not in _content(cat)  # sanity: content resolved
+    assert ("b", 500, 1) in _content(cat)
+    snap = cat.snapshot("t")
+    assert snap.commits[-1].operation == "OPTIMIZE"
