@@ -135,3 +135,98 @@ def test_concurrent_random_dml_matches_model(spark, tmp_path, read_opt):
 
     got = {r.id: (r.name, r.v) for r in c.read_table("t").collect()}
     assert got == model, f"opt={read_opt} commit_order={tags[:20]}..."
+
+
+@pytest.mark.slow
+def test_concurrent_writers_with_maintenance_thread(spark, tmp_path):
+    """Writers + a compaction thread: OPTIMIZE (scoped and full) is
+    content-preserving, so the commit-order model must still equal the
+    table despite compactions interleaving with contended writes."""
+    from deltacat_spark.plans.transforms import PartitionKey
+
+    part_schema = Schema(
+        [
+            Field("grp", T.StringType(), merge_key=True),
+            Field("id", T.LongType(), merge_key=True),
+            Field("v", T.IntegerType()),
+        ]
+    )
+    c = Catalog(spark, str(tmp_path / "maint"))
+    c.create_table(
+        "t",
+        schema=part_schema,
+        partition_scheme=[PartitionKey("grp")],
+        properties={"read_optimization": "none"},
+    )
+    n_writers, ops_each = 3, 12
+    programs = {}
+    for w in range(n_writers):
+        rng = random.Random(500 + w)
+        ops = []
+        for j in range(ops_each):
+            rows = [
+                ("ab"[rng.randrange(2)], rng.randrange(8), w * 1000 + j)
+                for _ in range(rng.randint(1, 3))
+            ]
+            ops.append(("merge", rows))
+        programs[w] = ops
+    tags = {
+        f"w{w}.{j}": op
+        for w, ops in programs.items()
+        for j, op in enumerate(ops)
+    }
+    errors, stop = [], threading.Event()
+
+    def writer(w):
+        try:
+            for j, (mode, rows) in enumerate(programs[w]):
+                c.write_to_table(
+                    spark.createDataFrame(rows, "grp string, id long, v int"),
+                    "t",
+                    mode="merge",
+                    commit_properties={"fuzz.op": f"w{w}.{j}"},
+                    max_commit_retries=40,
+                )
+        except Exception as e:  # noqa: BLE001
+            errors.append((w, repr(e)))
+
+    def maintainer():
+        from deltacat_spark.storage.commit import CommitConflictError
+
+        while not stop.is_set():
+            try:
+                c.optimize_table(
+                    "t",
+                    partition_filter={"grp": "a"},
+                    max_commit_retries=1,
+                )
+            except (CommitConflictError, FileNotFoundError):
+                pass  # lost the race this round — that's the test
+            stop.wait(0.3)
+
+    threads = [
+        threading.Thread(target=writer, args=(w,)) for w in range(n_writers)
+    ]
+    mt = threading.Thread(target=maintainer)
+    for t in threads:
+        t.start()
+    mt.start()
+    for t in threads:
+        t.join()
+    stop.set()
+    mt.join()
+    assert not errors, errors
+
+    committed = [
+        (cm.properties or {}).get("fuzz.op")
+        for cm in c._log("t", "default").replay()
+        if (cm.properties or {}).get("fuzz.op")
+    ]
+    assert sorted(committed) == sorted(tags)
+    model = {}
+    for tag in committed:
+        _, rows = tags[tag]
+        for g, i, v in rows:
+            model[(g, i)] = v
+    got = {(r.grp, r.id): r.v for r in c.read_table("t").collect()}
+    assert got == model
