@@ -2046,38 +2046,10 @@ class Catalog:
     # ------------------------------------------------------------------
     # transactions
     # ------------------------------------------------------------------
-    def create_temp_view(
-        self,
-        table: str,
-        namespace: str = DEFAULT_NAMESPACE,
-        view_name: str | None = None,
-        **read_kwargs: Any,
-    ) -> str:
-        """Register the table's current (or time-travelled) resolved
-        read as a Spark temp view so `spark.sql` can query it — the
-        Spark-first SQL surface over the lakehouse format. The view is a
-        lazy PLAN over the snapshot taken now: later commits are not
-        visible until re-registered (call again to refresh)."""
-        name = view_name or table
-        self.read_table(table, namespace, **read_kwargs).createOrReplaceTempView(
-            name
-        )
-        return name
-
-    def sql(
-        self,
-        query: str,
-        tables: "list[str] | None" = None,
-        namespace: str = DEFAULT_NAMESPACE,
-    ) -> DataFrame:
-        """Run ANSI SQL over catalog tables: registers each named table
-        (default: every table in the namespace) as a temp view, then
-        `spark.sql(query)`. Catalyst sees the full plan — pushdown and
-        pruning apply through the view as if the query were built with
-        the DataFrame API."""
-        for t in tables if tables is not None else self.list_tables(namespace):
-            self.create_temp_view(t, namespace)
-        return self.spark.sql(query)
+    # NOTE: the SQL surface lives at `register_view` / `sql` (above,
+    # near `history`) — referenced-tables-only registration so a
+    # 10^3-table namespace never pays 10^3 snapshot resolutions per
+    # query.
 
     def transaction(self):
         """Interactive multi-op transaction (reference

@@ -69,5 +69,5 @@ def test_dc_sql_bridge(spark, tmp_path):
     # time-travelled view
     v0 = dc.catalog().snapshot("s1").version
     dc.write(spark.createDataFrame([(9, "z")], "id long, g string"), "s1", mode="append")
-    dc.catalog().create_temp_view("s1", view_name="s1_old", version_as_of=v0)
+    dc.catalog().register_view("s1", view_name="s1_old", version_as_of=v0)
     assert dc.catalog().spark.sql("SELECT count(*) c FROM s1_old").collect()[0].c == 3
