@@ -640,13 +640,16 @@ def simhash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash(d, "doc_id", "text", bits=32)
 
 
-_SIMHASH_CTES = """toks AS (
+def _simhash_ctes(bits: int) -> str:
+    """DuckDB CTEs mirroring `operators.dedupe.simhash(bits=...)`
+    bit-for-bit (md5-prefix bit basis, weighted majority vote)."""
+    return f"""toks AS (
   SELECT doc_id, tok, count(*) AS cnt, md5(tok) AS h
   FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
   GROUP BY doc_id, tok),
 bitsrc AS (
   SELECT doc_id, cnt, h, j
-  FROM toks CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS j) js),
+  FROM toks CROSS JOIN (SELECT unnest(generate_series(0, {bits - 1})) AS j) js),
 votes AS (
   SELECT doc_id, j,
     SUM((2 * (CAST(FLOOR(
@@ -656,9 +659,12 @@ votes AS (
   FROM bitsrc GROUP BY doc_id, j),
 sims AS (
   SELECT doc_id,
-    CAST(SUM(CASE WHEN vote >= 0 THEN CAST(POWER(2, 31 - j) AS BIGINT) ELSE 0 END)
+    CAST(SUM(CASE WHEN vote >= 0 THEN CAST(POWER(2, {bits - 1} - j) AS BIGINT) ELSE 0 END)
       AS BIGINT) AS simhash
   FROM votes GROUP BY doc_id)"""
+
+
+_SIMHASH_CTES = _simhash_ctes(32)
 
 SIMHASH_SQL = f"""
 WITH {_SIMHASH_CTES}
@@ -675,9 +681,14 @@ def simhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     # Pinned uncapped: this query IS the oracle-parity form (the DuckDB
     # SQL is all-pairs). The library default caps hot buckets.
+    # bits=60 (r6, was 32): a band slice is bits/bands wide, so 32-bit
+    # fingerprints give only 256 buckets/band and the banded self-join
+    # goes quadratic in corpus size (19M candidate pairs at the 10x
+    # deep tier). 15-bit slices (32k buckets/band) keep candidates
+    # ~linear — the production form the operator docstring prescribes.
     return simhash_near_dup(
-        simhash(d, "doc_id", "text", bits=32),
-        bits=32,
+        simhash(d, "doc_id", "text", bits=60),
+        bits=60,
         bands=4,
         max_hamming=3,
         max_bucket=None,
@@ -685,7 +696,7 @@ def simhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SIMHASH_NEAR_DUP_SQL = f"""
-WITH {_SIMHASH_CTES}
+WITH {_simhash_ctes(60)}
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
 FROM sims a JOIN sims b ON a.doc_id < b.doc_id

@@ -40,9 +40,15 @@ def test_repetition_stats_single_word_doc(spark):
     assert not r["keep"]
 
 
-def test_simhash_near_dup_matches_all_pairs(spark):
+import pytest
+
+
+@pytest.mark.parametrize("bits", [32, 60])
+def test_simhash_near_dup_matches_all_pairs(spark, bits):
     """Pigeonhole check: banded candidates + exact verify == brute-force
-    all-pairs Hamming filter (bands=4 > max_hamming=3)."""
+    all-pairs Hamming filter (bands=4 > max_hamming=3) — at both the
+    32-bit library default and the 60-bit production width the
+    `simhash_near_dup` workload query pins (r6)."""
     docs = spark.createDataFrame(
         [
             (i, f"term{i % 7} alpha beta gamma delta common words here "
@@ -51,8 +57,8 @@ def test_simhash_near_dup_matches_all_pairs(spark):
         ],
         ["doc_id", "text"],
     )
-    sims = simhash(docs, "doc_id", "text", bits=32).localCheckpoint()
-    banded = simhash_near_dup(sims, bits=32, bands=4, max_hamming=3)
+    sims = simhash(docs, "doc_id", "text", bits=bits).localCheckpoint()
+    banded = simhash_near_dup(sims, bits=bits, bands=4, max_hamming=3)
     a, b = sims.alias("a"), sims.alias("b")
     brute = (
         a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
