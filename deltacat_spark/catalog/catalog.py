@@ -80,7 +80,23 @@ DEFAULT_PROPERTIES = {
 ENGINE_PROPERTY_KEYS = frozenset(DEFAULT_PROPERTIES) | {
     "write.partition_salt",
     "cdc.enabled",
+    "bloom_filter_columns",
 }
+
+
+def _bloom_columns(props: dict) -> "list[str] | None":
+    """Parse the `bloom_filter_columns` table property ("a,b" or list).
+    Opt-in: per-file key blooms (`storage/bloom.py`) cost one narrow
+    column scan per write, so only tables that serve point lookups
+    should pay it."""
+    raw = props.get("bloom_filter_columns")
+    if not raw:
+        return None
+    if isinstance(raw, str):
+        cols = [c.strip() for c in raw.split(",") if c.strip()]
+    else:
+        cols = [str(c) for c in raw]
+    return cols or None
 
 _DATA_DELTAS = {DeltaType.APPEND, DeltaType.ADD, DeltaType.CHRONO, DeltaType.UPSERT, None}
 
@@ -664,7 +680,7 @@ class Catalog:
         """
         snap = self.snapshot(table, namespace, version_as_of, timestamp_as_of)
         preds = predicate.skipping_predicates() if predicate is not None else None
-        files = snap.prune(partition_filter, preds)
+        files = snap.prune(partition_filter, preds, fs=self.fs)
         df = self._read_files(snap, files, file_path_column)
         if predicate is not None:
             df = df.filter(predicate.to_column())
@@ -1221,6 +1237,7 @@ class Catalog:
         log = self._log(table, namespace)
 
         salt = props.get("write.partition_salt")
+        bloom_cols = _bloom_columns(props)
 
         def _write(data: DataFrame) -> list[dict]:
             return write_data_files(
@@ -1231,6 +1248,7 @@ class Catalog:
                 max_rpf,
                 partition_salt=int(salt) if salt else None,
                 fs=self.fs,
+                bloom_columns=bloom_cols,
             )
 
         def _cdc_actions(change_df: DataFrame) -> list[dict]:
@@ -2361,6 +2379,7 @@ class Catalog:
             srt,
             max_rpf,
             fs=self.fs,
+            bloom_columns=_bloom_columns(props),
         )
         commit = Commit(
             version=snap.version + 1,
@@ -2413,6 +2432,7 @@ class Catalog:
             None,
             int(props.get("max_records_per_file", DEFAULT_MAX_RECORDS_PER_FILE)),
             fs=self.fs,
+            bloom_columns=_bloom_columns(props),
         )
         self._log(table, namespace).commit(
             Commit(
@@ -2536,4 +2556,13 @@ class Catalog:
                 doomed.append(self.fs.relpath(p, troot))
                 if not dry_run:
                     self.fs.delete(p)
+                    # Reclaim the file's bloom sidecar with it (same
+                    # deterministic path mapping as the writer).
+                    from deltacat_spark.storage.bloom import sidecar_relpath
+
+                    sc = self.fs.join(
+                        troot, sidecar_relpath(self.fs.relpath(p, troot))
+                    )
+                    if self.fs.exists(sc):
+                        self.fs.delete(sc)
         return VacuumReport(doomed, nbytes, aborted_txns, dry_run)

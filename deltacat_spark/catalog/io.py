@@ -56,6 +56,7 @@ def write_data_files(
     max_records_per_file: int = DEFAULT_MAX_RECORDS_PER_FILE,
     partition_salt: int | None = None,
     fs=LOCAL_FS,
+    bloom_columns: list[str] | None = None,
 ) -> list[dict[str, Any]]:
     """Write a batch; return commit `add` action dicts.
 
@@ -108,7 +109,14 @@ def write_data_files(
     if part_cols:
         writer = writer.partitionBy(*part_cols.keys())
     writer.parquet(fs.spark_path(dest))
-    return collect_add_actions(dest, table_root, fs=fs)
+    adds = collect_add_actions(dest, table_root, fs=fs)
+    if bloom_columns:
+        from deltacat_spark.storage.bloom import attach_blooms, eligible_columns
+
+        cols = eligible_columns(df, [c for c in bloom_columns if c in names])
+        if cols:
+            attach_blooms(adds, table_root, cols, df.sparkSession, fs)
+    return adds
 
 
 def collect_add_actions(

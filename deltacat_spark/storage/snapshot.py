@@ -47,6 +47,10 @@ class FileEntry:
     # payload columns to stitch per-column winners. DELETE deltas: the
     # equality-delete condition columns.
     payload_cols: "list[str] | None" = None
+    # Sidecar path (relative to the table root) of this file's per-column
+    # bloom filters (`storage/bloom.py`) — point-lookup skipping on
+    # high-cardinality keys where min/max stats can't prune.
+    bloom_ref: "str | None" = None
 
     def abs_path(self, table_root: str) -> str:
         return os.path.join(table_root, self.path)
@@ -180,6 +184,7 @@ class Snapshot:
                     file_index=idx,
                     delta_type=c.delta_type,
                     payload_cols=add.get("payload_cols"),
+                    bloom_ref=add.get("bloom_ref"),
                 )
 
     def _finish(self) -> None:
@@ -232,6 +237,7 @@ class Snapshot:
         self,
         partition_filter: dict[str, Any] | None = None,
         predicates: list[tuple[str, str, Any]] | None = None,
+        fs=None,
     ) -> list[FileEntry]:
         """Driver-side file skipping.
 
@@ -241,6 +247,11 @@ class Snapshot:
         ``predicates``: [(col, op, value)] with op in <,<=,>,>=,=
         checked against per-file min/max stats (reference delta stats /
         rivulet SST min-max pruning, SURVEY §4).
+        ``fs``: filesystem seam; when given, `=` predicates additionally
+        probe per-file bloom sidecars (`storage/bloom.py` — the
+        reference's primary-key index reborn as point-lookup skipping).
+        A missing/corrupt sidecar keeps the file (never wrong, only
+        less pruned).
         """
         out = []
         for f in self.files:
@@ -283,5 +294,37 @@ class Snapshot:
                         break
                 if not ok:
                     continue
+            if (
+                predicates
+                and fs is not None
+                and f.bloom_ref
+                and not self._bloom_may_match(f, predicates, fs)
+            ):
+                continue
             out.append(f)
         return out
+
+    def _bloom_may_match(
+        self, f: FileEntry, predicates: list[tuple[str, str, Any]], fs
+    ) -> bool:
+        eq = [(c, v) for c, op, v in predicates if op == "="]
+        if not eq:
+            return True
+        from deltacat_spark.storage import bloom as _bloom
+
+        cache = getattr(self, "_bloom_cache", None)
+        if cache is None:
+            cache = {}
+            object.__setattr__(self, "_bloom_cache", cache)
+        sidecar = cache.get(f.bloom_ref)
+        if sidecar is None:
+            try:
+                import json as _json
+
+                sidecar = _json.loads(
+                    fs.read_text(fs.join(self.table_root, f.bloom_ref))
+                )
+            except Exception:
+                sidecar = {}  # degrade to "no skipping"
+            cache[f.bloom_ref] = sidecar
+        return all(_bloom.probe(sidecar, c, v) for c, v in eq)
