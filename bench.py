@@ -84,6 +84,10 @@ BENCH_QUERIES = [
     # round 6 additions (additive)
     "dedup_boilerplate_segments",
     "kmeans_assign_step",
+    "json_props_rollup",
+    "segment_dedup_keep_first",
+    "token_budget_select",
+    "source_keyness",
 ]
 
 # The heaviest plans from BENCH_r04, re-measured at ~10x scale in the
@@ -102,6 +106,9 @@ DEEP_QUERIES = [
     # round 5: the two heaviest new operators join the deep tier
     "dup_ngram_fraction",
     "term_collocations",
+    # round 6: global keep-first segment dedup (segment-keyed argmin +
+    # reassembly — the same wide shape as the inverted-index build)
+    "segment_dedup_keep_first",
 ]
 
 

@@ -680,7 +680,47 @@ class Catalog:
         """
         snap = self.snapshot(table, namespace, version_as_of, timestamp_as_of)
         preds = predicate.skipping_predicates() if predicate is not None else None
+        if preds and any(
+            f.delta_type in (DeltaType.UPSERT, DeltaType.DELETE)
+            for f in snap.files
+        ):
+            # Unresolved merge deltas: row-predicate skipping (stats or
+            # bloom) is only sound on MERGE-KEY columns. A key never
+            # changes across versions, so a file whose key stats/bloom
+            # exclude the predicate holds no version of any matching
+            # row; a NON-key column does change — pruning the upsert
+            # delta that rewrote `val` while keeping the base file
+            # would leak the stale base row through the fold.
+            mk = set(snap.schema.merge_keys) if snap.schema else set()
+            preds = [p for p in preds if p[0] in mk] or None
         files = snap.prune(partition_filter, preds, fs=self.fs)
+        if partition_filter and snap.partition_scheme:
+            # Cross-partition-capable upserts (partition source columns
+            # ⊄ merge keys — same hazard class the scoped-OPTIMIZE
+            # classifier guards): an unresolved delta may have MOVED a
+            # row out of the filtered partition, and pruning that delta
+            # would leak the superseded base row through the fold. Keep
+            # every unresolved merge delta; the fold then resolves each
+            # key to its current version — a conservative superset of
+            # CURRENT rows (the documented partition_filter contract
+            # under evolution), never a stale one.
+            mk = set(snap.schema.merge_keys) if snap.schema else set()
+            movable = any(
+                d.get("source") not in mk for d in snap.partition_scheme
+            )
+            if movable:
+                kept = {f.path for f in files}
+                extra = [
+                    f
+                    for f in snap.files
+                    if f.delta_type in (DeltaType.UPSERT, DeltaType.DELETE)
+                    and f.path not in kept
+                ]
+                if extra:
+                    files = sorted(
+                        files + extra,
+                        key=lambda f: (f.version, f.file_index),
+                    )
         df = self._read_files(snap, files, file_path_column)
         if predicate is not None:
             df = df.filter(predicate.to_column())

@@ -170,3 +170,139 @@ def test_sidecar_relpath_flattens():
         sidecar_relpath("data/abc/part-0.parquet")
         == "_bloom/data_abc_part-0.parquet.json"
     )
+
+
+def test_mor_deltas_carry_blooms_and_prune(spark, catalog):
+    """Cross-feature: MoR upsert deltas get blooms too (the `_write`
+    funnel covers every delta write), so a point lookup prunes base AND
+    delta files before the merge-on-read fold."""
+    catalog.create_table(
+        "pkm",
+        schema=Schema(
+            [
+                Field("id", T.LongType(), merge_key=True),
+                Field("val", T.StringType()),
+            ]
+        ),
+        properties={
+            "bloom_filter_columns": "id,val",
+            "max_records_per_file": 25,
+            "read_optimization": "none",  # MoR
+        },
+    )
+    base = spark.createDataFrame(
+        [(2 * i, _val(i)) for i in range(100)], "id long, val string"
+    )
+    catalog.write_to_table(base, "pkm", mode="merge")
+    for lo in (0, 50):  # two upsert deltas, unresolved under MoR
+        delta = spark.createDataFrame(
+            [(2 * i, f"n{i}") for i in range(lo, lo + 25)],
+            "id long, val string",
+        )
+        catalog.write_to_table(delta, "pkm", mode="merge")
+    snap = catalog.snapshot("pkm")
+    delta_files = [f for f in snap.files if f.delta_type == "UPSERT"]
+    assert delta_files and all(f.bloom_ref for f in delta_files)
+    # bloom mechanics: a MERGE-KEY point lookup prunes files under MoR
+    # (a key never moves between files' key sets), and the fold over
+    # the kept subset still resolves the newest version
+    kept = snap.prune(None, [("id", "=", 14)], fs=catalog.fs)
+    assert len(kept) < len(snap.files)
+    out2 = catalog.read_table("pkm", predicate=col("id").eq(14))
+    assert [r.val for r in out2.collect()] == ["n7"]
+    # non-key predicate + unresolved deltas: skipping is UNSOUND and
+    # read_table must not apply it — a val lookup still answers through
+    # the full fold
+    out = catalog.read_table("pkm", predicate=col("val").eq("n7"))
+    assert [(r.id, r.val) for r in out.collect()] == [(14, "n7")]
+
+
+def test_mor_nonkey_predicate_never_leaks_stale_rows(spark, catalog):
+    """Regression (pre-bloom bug): stats/bloom skipping on a NON-key
+    column under unresolved MoR deltas pruned the upsert delta that
+    rewrote the value while keeping the base file — leaking the stale
+    row through the fold. A lookup of the OLD value must return empty."""
+    catalog.create_table(
+        "pks",
+        schema=Schema(
+            [
+                Field("id", T.LongType(), merge_key=True),
+                Field("val", T.StringType()),
+            ]
+        ),
+        properties={
+            "bloom_filter_columns": "id,val",
+            "max_records_per_file": 10,
+            "read_optimization": "none",
+        },
+    )
+    base = spark.createDataFrame(
+        [(i, f"old{i}") for i in range(30)], "id long, val string"
+    )
+    catalog.write_to_table(base, "pks", mode="merge")
+    upd = spark.createDataFrame(
+        [(i, f"zz{i}") for i in range(30)], "id long, val string"
+    )
+    catalog.write_to_table(upd, "pks", mode="merge")
+    snap = catalog.snapshot("pks")
+    assert any(f.delta_type == "UPSERT" for f in snap.files)
+    # old values are gone — stats on the delta files ("zz...") exclude
+    # "old7", so naive pruning would keep only the base file and answer
+    # with the superseded row
+    out = catalog.read_table("pks", predicate=col("val").eq("old7"))
+    assert out.count() == 0
+    out2 = catalog.read_table("pks", predicate=col("val").eq("zz7"))
+    assert [(r.id, r.val) for r in out2.collect()] == [(7, "zz7")]
+    # after OPTIMIZE (deltas folded) non-key skipping is sound again
+    catalog.optimize_table("pks")
+    snap2 = catalog.snapshot("pks")
+    kept = snap2.prune(None, [("val", "=", "zz7")], fs=catalog.fs)
+    assert len(kept) <= len(snap2.files)
+    assert catalog.read_table(
+        "pks", predicate=col("val").eq("old7")
+    ).count() == 0
+
+
+def test_partition_filter_mor_move_no_stale_rows(spark, catalog):
+    """Cross-partition-capable upsert (partition col not a merge key)
+    under MoR: a partition_filter read must never surface the
+    superseded copy from the old partition. Conservative-extra CURRENT
+    rows are allowed (documented contract); stale ones are not."""
+    from deltacat_spark.plans.transforms import PartitionKey
+
+    catalog.create_table(
+        "pmove",
+        schema=Schema(
+            [
+                Field("id", T.LongType(), merge_key=True),
+                Field("part", T.StringType()),
+                Field("val", T.StringType()),
+            ]
+        ),
+        partition_scheme=[PartitionKey("part")],
+        properties={"read_optimization": "none"},
+    )
+    base = spark.createDataFrame(
+        [(i, "A" if i < 5 else "B", f"v{i}") for i in range(10)],
+        "id long, part string, val string",
+    )
+    catalog.write_to_table(base, "pmove", mode="merge")
+    # move id=3 from partition A to B (and change its value)
+    mv = spark.createDataFrame(
+        [(3, "B", "moved")], "id long, part string, val string"
+    )
+    catalog.write_to_table(mv, "pmove", mode="merge")
+    snap = catalog.snapshot("pmove")
+    assert any(f.delta_type == "UPSERT" for f in snap.files)
+    rows = {
+        r.id: (r.part, r.val)
+        for r in catalog.read_table(
+            "pmove", partition_filter={"part": "A"}
+        ).collect()
+    }
+    # the old (3, A, v3) row must NOT appear; its current version may
+    # (conservative superset), but only with the new values
+    assert rows.get(3) in (None, ("B", "moved")), f"stale row leaked: {rows.get(3)}"
+    for i in range(5):
+        if i != 3:
+            assert rows[i] == ("A", f"v{i}")
