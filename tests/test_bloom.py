@@ -306,3 +306,76 @@ def test_partition_filter_mor_move_no_stale_rows(spark, catalog):
     for i in range(5):
         if i != 3:
             assert rows[i] == ("A", f"v{i}")
+
+
+def test_randomized_point_lookups_match_model(spark, catalog):
+    """Model-based: a randomized mixed write program on a bloom table,
+    then every live and absent key's point lookup must match the dict
+    model — across CoW rewrites, MoR deltas, and OPTIMIZE."""
+    import random
+
+    rng = random.Random(0xB100)
+    for ro in ("max", "none"):
+        name = f"rpl_{ro}"
+        catalog.create_table(
+            name,
+            schema=Schema(
+                [
+                    Field("id", T.LongType(), merge_key=True),
+                    Field("val", T.StringType()),
+                ]
+            ),
+            properties={
+                "bloom_filter_columns": "id,val",
+                "max_records_per_file": 20,
+                "read_optimization": ro,
+            },
+        )
+        model: dict[int, str] = {}
+        for step in range(6):
+            op = rng.choice(["merge", "merge", "delete"])
+            ids = rng.sample(range(100), rng.randint(5, 30))
+            if op == "merge":
+                rows = [(i, f"s{step}_{i}") for i in ids]
+                catalog.write_to_table(
+                    spark.createDataFrame(rows, "id long, val string"),
+                    name,
+                    mode="merge",
+                )
+                model.update({i: v for i, v in rows})
+            else:
+                present = [i for i in ids if i in model]
+                if not present:
+                    continue
+                catalog.write_to_table(
+                    spark.createDataFrame(
+                        [(i,) for i in present], "id long"
+                    ),
+                    name,
+                    mode="delete",
+                )
+                for i in present:
+                    model.pop(i)
+            if step == 3:
+                catalog.optimize_table(name)
+        # point lookups on the sort key and the mutable column
+        probe_ids = rng.sample(range(120), 25)
+        for i in probe_ids:
+            got = [
+                r.val
+                for r in catalog.read_table(
+                    name, predicate=col("id").eq(i)
+                ).collect()
+            ]
+            want = [model[i]] if i in model else []
+            assert got == want, f"{ro}: id={i} got {got} want {want}"
+        # value lookups (non-key): full correctness incl. MoR guard
+        vals = rng.sample(sorted(model.items()), min(5, len(model)))
+        for i, v in vals:
+            got = [
+                (r.id, r.val)
+                for r in catalog.read_table(
+                    name, predicate=col("val").eq(v)
+                ).collect()
+            ]
+            assert got == [(i, v)], f"{ro}: val={v} got {got}"
