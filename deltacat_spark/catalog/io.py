@@ -115,7 +115,18 @@ def write_data_files(
 
         cols = eligible_columns(df, [c for c in bloom_columns if c in names])
         if cols:
-            attach_blooms(adds, table_root, cols, df.sparkSession, fs)
+            try:
+                attach_blooms(adds, table_root, cols, df.sparkSession, fs)
+            except Exception as e:  # pragma: no cover - exercised via test
+                # Blooms are a read optimization, never a durability
+                # dependency: a failed bloom pass must not fail the
+                # commit. Files without bloom_ref simply don't skip.
+                import warnings
+
+                warnings.warn(
+                    f"bloom filter pass failed, committing without "
+                    f"blooms: {type(e).__name__}: {e}"
+                )
     return adds
 
 

@@ -379,3 +379,69 @@ def test_randomized_point_lookups_match_model(spark, catalog):
                 ).collect()
             ]
             assert got == [(i, v)], f"{ro}: val={v} got {got}"
+
+
+def test_bloom_ref_survives_checkpoint(spark, catalog):
+    """Checkpoint-accelerated snapshots must carry bloom_ref (to_state/
+    from_state round-trip) — losing it silently disables skipping."""
+    catalog.create_table(
+        "pkc",
+        schema=Schema(
+            [
+                Field("id", T.LongType(), merge_key=True),
+                Field("val", T.StringType()),
+            ]
+        ),
+        properties={
+            "bloom_filter_columns": "id",
+            "checkpoint.interval": 3,
+            "compaction.trigger.deltas": 10**9,
+        },
+    )
+    for lo in range(0, 80, 20):
+        df = spark.createDataFrame(
+            [(i, f"v{i}") for i in range(lo, lo + 20)], "id long, val string"
+        )
+        catalog.write_to_table(df, "pkc", mode="merge")
+    from deltacat_spark.storage.commit import CommitLog
+
+    log = CommitLog(catalog._table_root("pkc", "default"), fs=catalog.fs)
+    snap = catalog.snapshot("pkc")  # checkpoint-accelerated path
+    assert log.checkpoints(), "expected a checkpoint after 4 commits"
+    with_bloom = [f for f in snap.files if f.bloom_ref]
+    assert with_bloom, "bloom_ref lost through checkpoint state"
+    kept = snap.prune(None, [("id", "=", 5)], fs=catalog.fs)
+    assert 0 < len(kept) < len(with_bloom) + 1
+
+
+def test_bloom_failure_does_not_fail_commit(spark, catalog, monkeypatch):
+    """Blooms are an optimization: if the bloom pass blows up, the write
+    must still commit (files just carry no bloom_ref)."""
+    import deltacat_spark.storage.bloom as bloom_mod
+
+    def boom(*a, **k):
+        raise RuntimeError("injected bloom failure")
+
+    monkeypatch.setattr(bloom_mod, "attach_blooms", boom)
+    catalog.create_table(
+        "pkf",
+        schema=Schema(
+            [
+                Field("id", T.LongType(), merge_key=True),
+                Field("val", T.StringType()),
+            ]
+        ),
+        properties={"bloom_filter_columns": "id"},
+    )
+    df = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(10)], "id long, val string"
+    )
+    import warnings
+
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        catalog.write_to_table(df, "pkf", mode="merge")
+    assert any("bloom filter pass failed" in str(x.message) for x in w)
+    snap = catalog.snapshot("pkf")
+    assert all(f.bloom_ref is None for f in snap.files)
+    assert catalog.read_table("pkf", predicate=col("id").eq(4)).count() == 1
