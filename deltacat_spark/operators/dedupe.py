@@ -366,18 +366,32 @@ def connected_components(
     a_col: str = "doc_a",
     b_col: str = "doc_b",
     max_iter: int = 20,
+    driver_max_edges: "int | None" = 1_000_000,
 ) -> DataFrame:
     """Duplicate-cluster formation: (doc_id, cluster_id) where cluster_id
     is the minimum doc_id reachable through the pair graph.
 
-    Min-label propagation: each round every node takes the min of its
-    own label and its neighbors' labels — one shuffle-aggregate and one
-    join per round, converging in O(graph diameter) rounds. Near-dup
-    graphs from LSH buckets are star/clique-shaped (diameter ≈ 2-3), so
-    this beats the O(log n)-round large-star/small-star scheme on
-    constant factors while staying linear per round. `localCheckpoint`
-    truncates the growing lineage each round (plan size, not data,
-    would otherwise be the scale limit).
+    **Adaptive strategy** (same result either way — min-id labeling):
+
+    * Edge count ≤ ``driver_max_edges`` (the common case even for large
+      corpora — dup EDGES are sparse relative to rows): collect the
+      deduplicated edge list and run union-find on the driver. One
+      Spark job + O(E α(E)) local work replaces O(diameter) shuffle
+      rounds, each of which costs a full job at cluster scale. 1M edges
+      ≈ tens of MB on the driver — bounded, like the other control-
+      plane collects.
+    * Above the bound: distributed min-label propagation — each round
+      every node takes the min of its own label and its neighbors'
+      labels, one shuffle-aggregate + one join per round, converging in
+      O(graph diameter) rounds. Near-dup graphs from LSH buckets are
+      star/clique-shaped (diameter ≈ 2-3), so this beats the
+      O(log n)-round large-star/small-star scheme on constant factors
+      while staying linear per round. `localCheckpoint` truncates the
+      growing lineage each round (plan size, not data, would otherwise
+      be the scale limit).
+
+    Pass ``driver_max_edges=0``/``None`` to force the distributed path
+    (tests do, and a cluster whose driver is tight on memory can).
     """
     fwd = pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
     # Materialize the edge list ONCE: its lineage may embed an expensive
@@ -387,6 +401,11 @@ def connected_components(
     edges = fwd.union(
         pairs.select(F.col(b_col).alias("u"), F.col(a_col).alias("v"))
     ).localCheckpoint(eager=True)
+    if driver_max_edges:
+        # count() on the checkpointed frame is one cheap metadata-ish
+        # job; the collect below only happens under the bound.
+        if edges.count() <= driver_max_edges:
+            return _cc_driver_union_find(edges)
     labels = edges.select("u").distinct().withColumn("label", F.col("u"))
     prev_sum = None
     for _ in range(max_iter):
@@ -418,6 +437,42 @@ def connected_components(
         prev_sum = cur_sum
     return labels.select(
         F.col("u").alias("doc_id"), F.col("label").alias("cluster_id")
+    )
+
+
+def _cc_driver_union_find(edges: DataFrame) -> DataFrame:
+    """Driver-side union-find over a BOUNDED collected edge list —
+    the small-graph fast path of :func:`connected_components`. Labels
+    every node with its component's minimum id (identical contract to
+    the distributed propagation)."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for row in edges.collect():
+        u, v = row[0], row[1]
+        if u not in parent:
+            parent[u] = u
+        if v not in parent:
+            parent[v] = v
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[ru] = rv
+    comp_min: dict[int, int] = {}
+    for node in parent:
+        r = find(node)
+        m = comp_min.get(r)
+        if m is None or node < m:
+            comp_min[r] = node
+    rows = [(node, comp_min[find(node)]) for node in parent]
+    return edges.sparkSession.createDataFrame(
+        rows, schema="doc_id long, cluster_id long"
     )
 
 

@@ -46,3 +46,30 @@ def test_star_cc_isolated_pair_and_clique(spark):
     )
     got = _labels(connected_components_star(pairs))
     assert got == {**{i: 0 for i in range(5)}, 10: 10, 11: 10}
+
+
+def test_adaptive_cc_driver_and_distributed_paths_agree(spark):
+    """connected_components picks driver union-find under the edge
+    bound and propagation above it — both must produce identical
+    min-id labelings (and agree with star CC)."""
+    rng = random.Random(13)
+    edges = set()
+    while len(edges) < 150:
+        a, b = rng.randrange(300), rng.randrange(300)
+        if a != b:
+            edges.add((min(a, b), max(a, b)))
+    pairs = spark.createDataFrame(sorted(edges), ["doc_a", "doc_b"])
+    driver = _labels(connected_components(pairs))  # under the bound
+    dist = _labels(connected_components(pairs, driver_max_edges=None))
+    star = _labels(connected_components_star(pairs))
+    assert driver == dist == star
+
+
+def test_adaptive_cc_chain_graph_driver_path(spark):
+    """Chains are the propagation form's worst case (O(diameter)
+    rounds); the driver path handles them in one pass."""
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(500)], ["doc_a", "doc_b"]
+    )
+    got = _labels(connected_components(pairs))
+    assert got == {i: 0 for i in range(501)}
