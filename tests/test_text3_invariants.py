@@ -10,14 +10,13 @@ SF = "/root/testdata/sf0.001"
 
 
 @pytest.fixture(scope="module")
-def sfspark():
-    from deltacat_spark.session import build_session
-
-    s = build_session(
-        "text3-invariants", master="local[4]", shuffle_partitions=4
-    )
-    yield s
-    s.stop()
+def sfspark(spark):
+    # REUSE the conftest session-scoped SparkSession. Building a second
+    # session here and stop()ping it would kill the process-wide
+    # SparkContext and take down every test file that runs after this
+    # one (observed: 15 late-suite failures with
+    # "'NoneType' object has no attribute 'sc'").
+    return spark
 
 
 def test_token_budget_greedy_maximality(sfspark):
