@@ -81,3 +81,41 @@ def test_random_program_matches_model(spark, tmp_path, seed, read_opt):
     _model_apply(model, ops)
     got = {r.id: (r.name, r.v) for r in c.read_table("t").collect()}
     assert got == model, f"seed={seed} opt={read_opt} ops={ops}"
+
+
+@pytest.mark.parametrize("read_opt", ["max", "none"], ids=["cow", "mor"])
+def test_random_program_matches_model_with_blooms(spark, tmp_path, read_opt):
+    """The same randomized program with per-file blooms enabled: the
+    write-path sidecar pass and prune-time probes must not perturb any
+    result — full-table reads AND point lookups both match the model."""
+    from deltacat_spark.plans.expr import col
+
+    seed = 71
+    ops = _random_program(seed)
+    c = Catalog(spark, str(tmp_path / f"mb{read_opt}"))
+    c.create_table(
+        "t",
+        schema=SCHEMA,
+        properties={
+            "read_optimization": read_opt,
+            "bloom_filter_columns": "id,name",
+            "max_records_per_file": 25,
+        },
+    )
+    for kind, rows in ops:
+        ddl = "id long" if kind == "delete" else "id long, name string, v int"
+        c.write_to_table(spark.createDataFrame(rows, ddl), "t", mode=kind)
+    model: dict = {}
+    _model_apply(model, ops)
+    got = {r.id: (r.name, r.v) for r in c.read_table("t").collect()}
+    assert got == model
+    import random
+
+    rng = random.Random(seed)
+    for i in rng.sample(range(120), 15):
+        got_pt = [
+            (r.name, r.v)
+            for r in c.read_table("t", predicate=col("id").eq(i)).collect()
+        ]
+        want = [model[i]] if i in model else []
+        assert got_pt == want, f"point lookup id={i}"
