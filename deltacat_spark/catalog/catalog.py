@@ -1824,6 +1824,21 @@ class Catalog:
         as NotImplemented `dc.query`, reference `api.py:480-481` —
         inherited from Spark here).
 
+        SELECT (and any other read statement) goes straight to Spark
+        over temp-view registrations. Three DML statement forms are
+        bridged to the catalog write path (each returns a one-row
+        DataFrame ``(operation, rows)``):
+
+        * ``INSERT INTO t [(cols)] SELECT ...`` / ``... VALUES (...)``
+          → ``write_to_table(mode="auto")`` (APPEND or MERGE per the
+          table's keys). A bare VALUES payload's ``colN`` names bind
+          positionally to the table schema.
+        * ``DELETE FROM t [WHERE cond]`` → positional ``delete_where``
+          (no WHERE ⇒ ``truncate_table``). The condition is parsed by
+          Spark itself (`plans/expr.py:raw`), not by this method.
+        * ``UPDATE t SET a = e, ... [WHERE cond]`` → read + column
+          rewrite of matching rows + MERGE upsert (requires merge keys).
+
         `tables`: tables to (re-)register as views first; defaults to
         the catalog tables the query text references. Each registration
         costs a snapshot resolution, so registering the whole namespace
@@ -1832,6 +1847,9 @@ class Catalog:
         """
         import re
 
+        dml = self._sql_dml(query)
+        if dml is not None:
+            return dml
         if tables is None:
             tables = [
                 t
@@ -1841,6 +1859,103 @@ class Catalog:
         for t in tables:
             self.register_view(t)
         return self.spark.sql(query)
+
+    def _dml_result(self, operation: str, rows: int) -> DataFrame:
+        return self.spark.createDataFrame(
+            [(operation, rows)], "operation string, rows long"
+        )
+
+    def _sql_dml(self, query: str) -> "DataFrame | None":
+        """Dispatch INSERT/DELETE/UPDATE statements; None for reads."""
+        import re
+
+        q = query.strip().rstrip(";")
+        m = re.match(
+            r"insert\s+into\s+(\w+)\s*(\(([^)]*)\))?\s*(select\b.*|values\b.*)",
+            q,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if m:
+            table, _, collist, payload = m.groups()
+            if payload.lower().startswith("select"):
+                # the SELECT may read catalog tables — register them
+                refs = [
+                    t
+                    for t in self.list_tables()
+                    if re.search(rf"\b{re.escape(t)}\b", payload, re.IGNORECASE)
+                ]
+                for t in refs:
+                    self.register_view(t)
+            df = self.spark.sql(payload)
+            names = None
+            if collist:
+                names = [c.strip() for c in collist.split(",") if c.strip()]
+            elif all(re.fullmatch(r"col\d+", c) for c in df.columns):
+                # bare VALUES: bind positionally to the table schema
+                snap = self.snapshot(table)
+                if snap.schema is not None:
+                    names = [f.name for f in snap.schema.fields][
+                        : len(df.columns)
+                    ]
+            if names:
+                if len(names) != len(df.columns):
+                    raise ValueError(
+                        f"INSERT column list has {len(names)} names for "
+                        f"{len(df.columns)} payload columns"
+                    )
+                df = df.toDF(*names)
+            n = df.count()
+            self.write_to_table(df, table, mode="auto")
+            return self._dml_result("INSERT", n)
+        m = re.match(
+            r"delete\s+from\s+(\w+)(\s+where\s+(.*))?$",
+            q,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if m:
+            table, _, cond = m.groups()
+            if cond is None:
+                n = self.read_table(table).count()
+                self.truncate_table(table)
+                return self._dml_result("DELETE", n)
+            from deltacat_spark.plans.expr import raw
+
+            n = self.delete_where(table, raw(cond))
+            return self._dml_result("DELETE", n)
+        m = re.match(
+            r"update\s+(\w+)\s+set\s+(.*?)(\s+where\s+(.*))?$",
+            q,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if m:
+            table, setlist, _, cond = m.groups()
+            assignments: list[tuple[str, str]] = []
+            # split on top-level commas only (function args stay intact)
+            depth, start = 0, 0
+            parts: list[str] = []
+            for i, ch in enumerate(setlist):
+                if ch == "(":
+                    depth += 1
+                elif ch == ")":
+                    depth -= 1
+                elif ch == "," and depth == 0:
+                    parts.append(setlist[start:i])
+                    start = i + 1
+            parts.append(setlist[start:])
+            for part in parts:
+                colname, _, expr_sql = part.partition("=")
+                if not _:
+                    raise ValueError(f"malformed SET clause: {part!r}")
+                assignments.append((colname.strip(), expr_sql.strip()))
+            base = self.read_table(table)
+            matched = base.filter(F.expr(cond)) if cond else base
+            for colname, expr_sql in assignments:
+                matched = matched.withColumn(colname, F.expr(expr_sql))
+            n = matched.count()
+            if n:
+                self.write_to_table(matched, table, mode="merge")
+            return self._dml_result("UPDATE", n)
+        return None
 
     def history(
         self, table: str, namespace: str = DEFAULT_NAMESPACE, limit: int | None = None

@@ -73,6 +73,11 @@ class Expr:
             return F.col(a[0])
         if self.op == "lit":
             return F.lit(a[0])
+        if self.op == "raw":
+            # Opaque Spark-SQL condition (the SQL-DML bridge's WHERE
+            # clause). Compiles via the engine parser; contributes NO
+            # skipping predicates (conservative — see `_collect`).
+            return F.expr(a[0])
         if self.op == "eq":
             return comp(a[0]) == comp(a[1])
         if self.op == "ne":
@@ -124,6 +129,8 @@ class Expr:
             return f"{a[0]!r} BETWEEN {a[1]!r} AND {a[2]!r}"
         if self.op == "is_null":
             return f"{a[0]!r} IS NULL"
+        if self.op == "raw":
+            return f"({a[0]})"
         sym = {"eq": "=", "ne": "<>", "gt": ">", "lt": "<", "ge": ">=", "le": "<="}
         return f"{a[0]!r} {sym.get(self.op, self.op)} {a[1]!r}"
 
@@ -164,3 +171,10 @@ def col(name: str) -> Expr:
 
 def lit(v) -> Expr:
     return Expr("lit", (v,))
+
+
+def raw(sql: str) -> Expr:
+    """Wrap a Spark-SQL boolean expression string as an Expr. Used by
+    the SQL-DML bridge (`Catalog.sql`); compiles through the engine
+    parser and never contributes file-skipping conjuncts."""
+    return Expr("raw", (sql,))
