@@ -1865,6 +1865,96 @@ class Catalog:
             [(operation, rows)], "operation string, rows long"
         )
 
+    def _sql_merge(
+        self, table, alias_a, alias_b, src, salias_a, salias_b, on, actions
+    ) -> DataFrame:
+        """Restricted `MERGE INTO` (the star-forms that map exactly onto
+        the engine's upsert/delete programs):
+
+            MERGE INTO t [AS a] USING (<select>)|src_table [AS s]
+            ON t.k = s.k [AND ...]
+            WHEN MATCHED THEN UPDATE SET * | WHEN MATCHED THEN DELETE
+            [WHEN NOT MATCHED THEN INSERT *]
+
+        The ON condition must be the conjunction of equality predicates
+        over EXACTLY the table's merge keys — that is the condition
+        under which MERGE ≡ the keyed upsert/delete the write path
+        implements (arbitrary ON conditions would need a general
+        target-rewrite MERGE; rejected with a clear error instead of
+        silently wrong results). Row-level WHEN predicates and
+        column-level SET lists are not supported — use the UPDATE
+        statement for those."""
+        import re
+
+        t_alias = (alias_a or alias_b or table).lower()
+        s_alias = (salias_a or salias_b or (src if not src.startswith("(") else "src")).lower()
+        if src.startswith("("):
+            inner = src[1:-1].strip()
+            refs = [
+                t
+                for t in self.list_tables()
+                if re.search(rf"\b{re.escape(t)}\b", inner, re.IGNORECASE)
+            ]
+            for t in refs:
+                self.register_view(t)
+            src_df = self.spark.sql(inner)
+        else:
+            src_df = self.read_table(src)
+        snap = self.snapshot(table)
+        mk = set(snap.schema.merge_keys) if snap.schema else set()
+        if not mk:
+            raise SchemaError("MERGE INTO requires a table with merge keys")
+        # ON must be key-equality conjuncts covering exactly the merge keys
+        on_cols: set[str] = set()
+        for conj in re.split(r"\s+and\s+", on.strip(), flags=re.IGNORECASE):
+            em = re.fullmatch(
+                r"\s*(\w+)\.(\w+)\s*=\s*(\w+)\.(\w+)\s*", conj
+            )
+            if not em:
+                raise ValueError(
+                    f"MERGE ON must be alias.col = alias.col conjuncts, got {conj!r}"
+                )
+            qa, ca, qb, cb = em.groups()
+            pair = {qa.lower(): ca, qb.lower(): cb}
+            if set(pair) != {t_alias, s_alias} or ca != cb:
+                raise ValueError(
+                    f"MERGE ON conjunct {conj!r} must equate the same column "
+                    f"of {t_alias!r} and {s_alias!r}"
+                )
+            on_cols.add(ca)
+        if on_cols != mk:
+            raise ValueError(
+                f"MERGE ON columns {sorted(on_cols)} must equal the table's "
+                f"merge keys {sorted(mk)}"
+            )
+        acts = actions.strip().rstrip(";").lower()
+        um = re.fullmatch(
+            r"when\s+matched\s+then\s+update\s+set\s+\*"
+            r"(\s+when\s+not\s+matched\s+then\s+insert\s+\*)?",
+            acts,
+        )
+        if um:
+            if not um.group(1):
+                # UPDATE-only MERGE: unmatched source rows are ignored,
+                # so restrict the payload to keys already in the table
+                # (a plain upsert would insert them).
+                existing = self.read_table(table, columns=sorted(mk))
+                src_df = src_df.join(existing, sorted(mk), "left_semi")
+            n = src_df.count()
+            if n:
+                self.write_to_table(src_df, table, mode="merge")
+            return self._dml_result("MERGE", n)
+        if re.fullmatch(r"when\s+matched\s+then\s+delete", acts):
+            keys = src_df.select(*sorted(mk)).distinct()
+            n = keys.count()
+            self.write_to_table(keys, table, mode="delete")
+            return self._dml_result("MERGE", n)
+        raise ValueError(
+            "unsupported MERGE actions (supported: WHEN MATCHED THEN UPDATE "
+            "SET * [WHEN NOT MATCHED THEN INSERT *] | WHEN MATCHED THEN "
+            f"DELETE): {actions!r}"
+        )
+
     def _sql_dml(self, query: str) -> "DataFrame | None":
         """Dispatch INSERT/DELETE/UPDATE statements; None for reads."""
         import re
@@ -1907,6 +1997,15 @@ class Catalog:
             n = df.count()
             self.write_to_table(df, table, mode="auto")
             return self._dml_result("INSERT", n)
+        m = re.match(
+            r"merge\s+into\s+(\w+)(?:\s+as\s+(\w+)|\s+(\w+))?\s+using\s+"
+            r"(\(.*\)|\w+)(?:\s+as\s+(\w+)|\s+(\w+))?\s+on\s+(.*?)\s+"
+            r"(when\s+.*)$",
+            q,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if m:
+            return self._sql_merge(*m.groups())
         m = re.match(
             r"delete\s+from\s+(\w+)(\s+where\s+(.*))?$",
             q,

@@ -89,3 +89,90 @@ def test_dml_is_versioned_like_api_writes(cat):
     assert snap.version > v0
     old = cat.read_table("users", version_as_of=v0)
     assert {r.age for r in old.collect()} == {30, 40, 50}  # time travel intact
+
+
+def test_merge_into_upsert_star(cat, spark):
+    src = spark.createDataFrame(
+        [(2, "bobby", 41), (7, "new", 70)], "id long, name string, age int"
+    )
+    src.createOrReplaceTempView("updates")
+    res = cat.sql(
+        "MERGE INTO users AS t USING (SELECT * FROM updates) AS s"
+        " ON t.id = s.id"
+        " WHEN MATCHED THEN UPDATE SET *"
+        " WHEN NOT MATCHED THEN INSERT *"
+    )
+    assert res.collect()[0].rows == 2
+    got = {r.id: (r.name, r.age) for r in cat.read_table("users").collect()}
+    assert got == {
+        1: ("ann", 30),
+        2: ("bobby", 41),
+        3: ("cy", 50),
+        7: ("new", 70),
+    }
+
+
+def test_merge_into_using_catalog_table(cat, spark):
+    cat.create_table(
+        "staged",
+        schema=Schema(
+            [
+                Field("id", T.LongType(), merge_key=True),
+                Field("name", T.StringType()),
+                Field("age", T.IntegerType()),
+            ]
+        ),
+    )
+    cat.sql("INSERT INTO staged VALUES (3, 'cyrus', 51)")
+    cat.sql(
+        "MERGE INTO users t USING staged s ON t.id = s.id"
+        " WHEN MATCHED THEN UPDATE SET *"
+    )
+    got = {r.id: r.name for r in cat.read_table("users").collect()}
+    assert got[3] == "cyrus"
+
+
+def test_merge_into_delete(cat, spark):
+    spark.createDataFrame([(1,), (3,)], "id long").createOrReplaceTempView(
+        "doomed"
+    )
+    res = cat.sql(
+        "MERGE INTO users t USING (SELECT id FROM doomed) s ON t.id = s.id"
+        " WHEN MATCHED THEN DELETE"
+    )
+    assert res.collect()[0].rows == 2
+    assert {r.id for r in cat.read_table("users").collect()} == {2}
+
+
+def test_merge_into_rejects_non_key_on(cat, spark):
+    spark.createDataFrame(
+        [(1, "x", 1)], "id long, name string, age int"
+    ).createOrReplaceTempView("u2")
+    with pytest.raises(ValueError, match="merge keys"):
+        cat.sql(
+            "MERGE INTO users t USING (SELECT * FROM u2) s ON t.name = s.name"
+            " WHEN MATCHED THEN UPDATE SET *"
+        )
+    with pytest.raises(ValueError, match="alias.col"):
+        cat.sql(
+            "MERGE INTO users t USING (SELECT * FROM u2) s ON t.id = s.id + 1"
+            " WHEN MATCHED THEN UPDATE SET *"
+        )
+    with pytest.raises(ValueError, match="unsupported MERGE actions"):
+        cat.sql(
+            "MERGE INTO users t USING (SELECT * FROM u2) s ON t.id = s.id"
+            " WHEN MATCHED THEN UPDATE SET age = 1"
+        )
+
+
+def test_merge_update_only_ignores_unmatched(cat, spark):
+    spark.createDataFrame(
+        [(2, "bobby", 41), (99, "ghost", 9)], "id long, name string, age int"
+    ).createOrReplaceTempView("u3")
+    res = cat.sql(
+        "MERGE INTO users t USING (SELECT * FROM u3) s ON t.id = s.id"
+        " WHEN MATCHED THEN UPDATE SET *"
+    )
+    assert res.collect()[0].rows == 1  # only the matched row
+    ids = {r.id for r in cat.read_table("users").collect()}
+    assert 99 not in ids and ids == {1, 2, 3}
