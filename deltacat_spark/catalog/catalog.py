@@ -84,6 +84,29 @@ ENGINE_PROPERTY_KEYS = frozenset(DEFAULT_PROPERTIES) | {
 }
 
 
+def _split_set_list(setlist: str) -> list[tuple[str, str]]:
+    """Parse an UPDATE SET clause into (column, sql_expr) pairs,
+    splitting on top-level commas only (function args stay intact)."""
+    depth, start = 0, 0
+    parts: list[str] = []
+    for i, ch in enumerate(setlist):
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            parts.append(setlist[start:i])
+            start = i + 1
+    parts.append(setlist[start:])
+    out: list[tuple[str, str]] = []
+    for part in parts:
+        colname, sep, expr_sql = part.partition("=")
+        if not sep:
+            raise ValueError(f"malformed SET clause: {part!r}")
+        out.append((colname.strip(), expr_sql.strip()))
+    return out
+
+
 def _bloom_columns(props: dict) -> "list[str] | None":
     """Parse the `bloom_filter_columns` table property ("a,b" or list).
     Opt-in: per-file key blooms (`storage/bloom.py`) cost one narrow
@@ -1865,6 +1888,40 @@ class Catalog:
             [(operation, rows)], "operation string, rows long"
         )
 
+    def _insert_payload(
+        self, table: str, payload: str, collist: "str | None"
+    ) -> DataFrame:
+        """Resolve an INSERT payload (SELECT or VALUES) to a DataFrame
+        with table-aligned column names."""
+        import re
+
+        if payload.lower().startswith("select"):
+            # the SELECT may read catalog tables — register them
+            refs = [
+                t
+                for t in self.list_tables()
+                if re.search(rf"\b{re.escape(t)}\b", payload, re.IGNORECASE)
+            ]
+            for t in refs:
+                self.register_view(t)
+        df = self.spark.sql(payload)
+        names = None
+        if collist:
+            names = [c.strip() for c in collist.split(",") if c.strip()]
+        elif all(re.fullmatch(r"col\d+", c) for c in df.columns):
+            # bare VALUES: bind positionally to the table schema
+            snap = self.snapshot(table)
+            if snap.schema is not None:
+                names = [f.name for f in snap.schema.fields][: len(df.columns)]
+        if names:
+            if len(names) != len(df.columns):
+                raise ValueError(
+                    f"INSERT column list has {len(names)} names for "
+                    f"{len(df.columns)} payload columns"
+                )
+            df = df.toDF(*names)
+        return df
+
     def _sql_merge(
         self, table, alias_a, alias_b, src, salias_a, salias_b, on, actions
     ) -> DataFrame:
@@ -1961,39 +2018,44 @@ class Catalog:
 
         q = query.strip().rstrip(";")
         m = re.match(
+            r"create\s+table\s+(\w+)\s+as\s+(select\b.*)",
+            q,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if m:
+            table, select = m.groups()
+            refs = [
+                t
+                for t in self.list_tables()
+                if re.search(rf"\b{re.escape(t)}\b", select, re.IGNORECASE)
+            ]
+            for t in refs:
+                self.register_view(t)
+            df = self.spark.sql(select)
+            self.create_table(table, schema=Schema.from_dataframe(df))
+            n = df.count()
+            self.write_to_table(df, table, mode="auto")
+            return self._dml_result("CREATE TABLE AS SELECT", n)
+        m = re.match(
+            r"insert\s+overwrite\s+(?:table\s+)?(\w+)\s*(\(([^)]*)\))?\s*"
+            r"(select\b.*|values\b.*)",
+            q,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if m:
+            table, _, collist, payload = m.groups()
+            df = self._insert_payload(table, payload, collist)
+            n = df.count()
+            self.write_to_table(df, table, mode="replace")
+            return self._dml_result("INSERT OVERWRITE", n)
+        m = re.match(
             r"insert\s+into\s+(\w+)\s*(\(([^)]*)\))?\s*(select\b.*|values\b.*)",
             q,
             re.IGNORECASE | re.DOTALL,
         )
         if m:
             table, _, collist, payload = m.groups()
-            if payload.lower().startswith("select"):
-                # the SELECT may read catalog tables — register them
-                refs = [
-                    t
-                    for t in self.list_tables()
-                    if re.search(rf"\b{re.escape(t)}\b", payload, re.IGNORECASE)
-                ]
-                for t in refs:
-                    self.register_view(t)
-            df = self.spark.sql(payload)
-            names = None
-            if collist:
-                names = [c.strip() for c in collist.split(",") if c.strip()]
-            elif all(re.fullmatch(r"col\d+", c) for c in df.columns):
-                # bare VALUES: bind positionally to the table schema
-                snap = self.snapshot(table)
-                if snap.schema is not None:
-                    names = [f.name for f in snap.schema.fields][
-                        : len(df.columns)
-                    ]
-            if names:
-                if len(names) != len(df.columns):
-                    raise ValueError(
-                        f"INSERT column list has {len(names)} names for "
-                        f"{len(df.columns)} payload columns"
-                    )
-                df = df.toDF(*names)
+            df = self._insert_payload(table, payload, collist)
             n = df.count()
             self.write_to_table(df, table, mode="auto")
             return self._dml_result("INSERT", n)
@@ -2028,24 +2090,7 @@ class Catalog:
         )
         if m:
             table, setlist, _, cond = m.groups()
-            assignments: list[tuple[str, str]] = []
-            # split on top-level commas only (function args stay intact)
-            depth, start = 0, 0
-            parts: list[str] = []
-            for i, ch in enumerate(setlist):
-                if ch == "(":
-                    depth += 1
-                elif ch == ")":
-                    depth -= 1
-                elif ch == "," and depth == 0:
-                    parts.append(setlist[start:i])
-                    start = i + 1
-            parts.append(setlist[start:])
-            for part in parts:
-                colname, _, expr_sql = part.partition("=")
-                if not _:
-                    raise ValueError(f"malformed SET clause: {part!r}")
-                assignments.append((colname.strip(), expr_sql.strip()))
+            assignments = _split_set_list(setlist)
             base = self.read_table(table)
             matched = base.filter(F.expr(cond)) if cond else base
             for colname, expr_sql in assignments:

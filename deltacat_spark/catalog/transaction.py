@@ -95,6 +95,100 @@ class Transaction:
         v = self._pins[key]
         return None if v < 0 else v
 
+    def sql(self, query: str) -> DataFrame:
+        """SQL with transaction semantics: SELECTs read the pinned
+        snapshots + buffered-writes overlay (read-your-writes), and
+        INSERT INTO / UPDATE / DELETE FROM buffer ops that land
+        atomically at seal — one multi-statement SQL transaction.
+
+        DELETE requires merge keys here (the positional-delete program
+        is a catalog-level commit and cannot be buffered); MERGE INTO
+        inside a transaction is not supported — use :meth:`write`.
+        """
+        import re
+
+        from pyspark.sql import functions as F
+
+        from deltacat_spark.catalog.catalog import _split_set_list
+
+        cat = self.catalog
+        q = query.strip().rstrip(";")
+
+        def overlay_views(text: str) -> None:
+            for t in cat.list_tables():
+                if re.search(rf"\b{re.escape(t)}\b", text, re.IGNORECASE):
+                    self.read(t).createOrReplaceTempView(t)
+
+        if re.match(r"merge\s+into\b", q, re.IGNORECASE):
+            raise ValueError(
+                "MERGE INTO inside a transaction is not supported — "
+                "buffer the source with txn.write(df, table, mode='merge')"
+            )
+        m = re.match(
+            r"insert\s+into\s+(\w+)\s*(\(([^)]*)\))?\s*(select\b.*|values\b.*)",
+            q,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if m:
+            table, _, collist, payload = m.groups()
+            if payload.lower().startswith("select"):
+                overlay_views(payload)
+            df = cat.spark.sql(payload)
+            names = None
+            if collist:
+                names = [c.strip() for c in collist.split(",") if c.strip()]
+            elif all(re.fullmatch(r"col\d+", c) for c in df.columns):
+                snap = cat.snapshot(table)
+                if snap.schema is not None:
+                    names = [f.name for f in snap.schema.fields][
+                        : len(df.columns)
+                    ]
+            if names:
+                df = df.toDF(*names)
+            n = df.count()
+            self.write(df, table, mode="auto")
+            return cat._dml_result("INSERT", n)
+        m = re.match(
+            r"delete\s+from\s+(\w+)(\s+where\s+(.*))?$",
+            q,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if m:
+            table, _, cond = m.groups()
+            snap = cat.snapshot(table)
+            mk = sorted(snap.schema.merge_keys) if snap.schema else []
+            if not mk:
+                raise ValueError(
+                    "DELETE inside a transaction requires merge keys "
+                    "(positional deletes commit immediately and cannot "
+                    "be buffered)"
+                )
+            rows = self.read(table)
+            if cond:
+                rows = rows.filter(F.expr(cond))
+            keys = rows.select(*mk).distinct()
+            n = keys.count()
+            if n:
+                self.write(keys, table, mode="delete")
+            return cat._dml_result("DELETE", n)
+        m = re.match(
+            r"update\s+(\w+)\s+set\s+(.*?)(\s+where\s+(.*))?$",
+            q,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if m:
+            table, setlist, _, cond = m.groups()
+            base = self.read(table)
+            matched = base.filter(F.expr(cond)) if cond else base
+            for colname, expr_sql in _split_set_list(setlist):
+                matched = matched.withColumn(colname, F.expr(expr_sql))
+            n = matched.count()
+            if n:
+                self.write(matched, table, mode="merge")
+            return cat._dml_result("UPDATE", n)
+        overlay_views(q)
+        return cat.spark.sql(q)
+
     def read(self, table: str, namespace: str = "default") -> DataFrame:
         pin = self._pin(table, namespace)
         base = None

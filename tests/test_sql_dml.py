@@ -176,3 +176,68 @@ def test_merge_update_only_ignores_unmatched(cat, spark):
     assert res.collect()[0].rows == 1  # only the matched row
     ids = {r.id for r in cat.read_table("users").collect()}
     assert 99 not in ids and ids == {1, 2, 3}
+
+
+def test_create_table_as_select(cat):
+    res = cat.sql(
+        "CREATE TABLE seniors AS SELECT id, name FROM users WHERE age >= 40"
+    )
+    assert res.collect()[0].rows == 2
+    got = {r.id: r.name for r in cat.read_table("seniors").collect()}
+    assert got == {2: "bob", 3: "cy"}
+    assert "seniors" in cat.list_tables()
+
+
+def test_insert_overwrite_replaces_and_time_travels(cat):
+    v0 = cat.snapshot("users").version
+    res = cat.sql("INSERT OVERWRITE users VALUES (8, 'only', 10)")
+    assert res.collect()[0].rows == 1
+    got = {(r.id, r.name) for r in cat.read_table("users").collect()}
+    assert got == {(8, "only")}
+    # REPLACE keeps history: the pre-overwrite generation still reads
+    old = cat.read_table("users", version_as_of=v0)
+    assert old.count() == 3
+
+
+def test_sql_dml_inside_transaction(cat, spark):
+    """txn.sql buffers DML with read-your-writes: statements see prior
+    statements through the overlay, other readers see nothing until
+    seal, and everything lands as one atomic transaction."""
+    observer = Catalog(spark, cat.root)
+    with cat.transaction() as txn:
+        txn.sql("INSERT INTO users VALUES (20, 'txn', 1)")
+        txn.sql("UPDATE users SET age = 99 WHERE id <= 1")
+        txn.sql("DELETE FROM users WHERE id = 3")
+        # read-your-writes inside the txn
+        seen = {
+            r.id: r.age
+            for r in txn.sql("SELECT id, age FROM users").collect()
+        }
+        assert seen == {1: 99, 2: 40, 20: 1}
+        # invisible outside until seal
+        assert observer.read_table("users").count() == 3
+        assert {
+            r.age for r in observer.read_table("users").collect()
+        } == {30, 40, 50}
+    got = {r.id: r.age for r in cat.read_table("users").collect()}
+    assert got == {1: 99, 2: 40, 20: 1}
+
+
+def test_txn_sql_update_sees_buffered_insert(cat):
+    with cat.transaction() as txn:
+        txn.sql("INSERT INTO users VALUES (30, 'late', 5)")
+        res = txn.sql("UPDATE users SET age = age * 10 WHERE id = 30")
+        assert res.collect()[0].rows == 1
+    got = {r.id: r.age for r in cat.read_table("users").collect()}
+    assert got[30] == 50
+
+
+def test_txn_sql_merge_rejected(cat):
+    with cat.transaction() as txn:
+        with pytest.raises(ValueError, match="MERGE INTO inside a transaction"):
+            txn.sql(
+                "MERGE INTO users t USING users s ON t.id = s.id"
+                " WHEN MATCHED THEN UPDATE SET *"
+            )
+        txn.sql("INSERT INTO users VALUES (40, 'ok', 1)")  # txn still usable
+    assert 40 in {r.id for r in cat.read_table("users").collect()}
