@@ -2079,6 +2079,23 @@ class Catalog:
                 n = self.read_table(table).count()
                 self.truncate_table(table)
                 return self._dml_result("DELETE", n)
+            snap = self.snapshot(table)
+            mk = sorted(snap.schema.merge_keys) if snap.schema else []
+            if mk:
+                # Keyed table: route through the native equality-DELETE
+                # write mode (CDC change rows, MoR delete deltas, and
+                # the concurrency machinery all see it as a first-class
+                # delete). Positional deletes stay the keyless path.
+                keys = (
+                    self.read_table(table)
+                    .filter(F.expr(cond))
+                    .select(*mk)
+                    .distinct()
+                )
+                n = keys.count()
+                if n:
+                    self.write_to_table(keys, table, mode="delete")
+                return self._dml_result("DELETE", n)
             from deltacat_spark.plans.expr import raw
 
             n = self.delete_where(table, raw(cond))

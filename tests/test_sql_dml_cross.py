@@ -89,3 +89,59 @@ def test_concurrent_sql_updates_disjoint_keys(spark, tmp_path):
     assert not errs
     got = {r.id: r.v for r in c0.read_table("k").collect()}
     assert got == {1: 10, 2: 20, 3: 30, 4: 40}
+
+
+def test_sql_dml_flows_through_cdc(spark, tmp_path):
+    """SQL UPDATE/DELETE commit through the normal write programs, so
+    read_changes sees exactly the changed rows (cdc.enabled sidecars)."""
+    c = Catalog(spark, str(tmp_path / "cdc"))
+    c.create_table(
+        "acct",
+        schema=Schema(
+            [
+                Field("id", T.LongType(), merge_key=True),
+                Field("v", T.IntegerType()),
+            ]
+        ),
+        properties={"cdc.enabled": True},
+    )
+    c.sql("INSERT INTO acct VALUES (1, 10), (2, 20), (3, 30)")
+    v0 = c.snapshot("acct").version
+    c.sql("UPDATE acct SET v = 99 WHERE id = 2")
+    c.sql("DELETE FROM acct WHERE id = 3")
+    ch = c.read_changes("acct", from_version=v0).collect()
+    by_type = {}
+    for r in ch:
+        by_type.setdefault(r._change_type, []).append(r.id)
+    assert by_type["MERGE"] == [2]
+    assert by_type["DELETE"] == [3]
+
+
+def test_sql_insert_attaches_blooms(spark, tmp_path):
+    """INSERT INTO on a bloom table attaches sidecars like API writes."""
+    c = Catalog(spark, str(tmp_path / "bl"))
+    c.create_table(
+        "pk",
+        schema=Schema(
+            [
+                Field("id", T.LongType(), merge_key=True),
+                Field("v", T.StringType()),
+            ]
+        ),
+        properties={"bloom_filter_columns": "id"},
+    )
+    c.sql("INSERT INTO pk VALUES (1, 'a'), (2, 'b')")
+    snap = c.snapshot("pk")
+    assert all(f.bloom_ref for f in snap.files)
+
+
+def test_sql_delete_keyless_table_uses_positional_path(spark, tmp_path):
+    c = Catalog(spark, str(tmp_path / "nk"))
+    c.create_table(
+        "logs",
+        schema=Schema([Field("id", T.LongType()), Field("v", T.IntegerType())]),
+    )
+    c.sql("INSERT INTO logs VALUES (1, 1), (2, 2), (3, 3)")
+    res = c.sql("DELETE FROM logs WHERE v >= 2")
+    assert res.collect()[0].rows == 2
+    assert {r.id for r in c.read_table("logs").collect()} == {1}
