@@ -124,6 +124,14 @@ class Transaction:
                 "MERGE INTO inside a transaction is not supported — "
                 "buffer the source with txn.write(df, table, mode='merge')"
             )
+        if re.match(
+            r"insert\s+overwrite\b|create\s+table\b", q, re.IGNORECASE
+        ):
+            raise ValueError(
+                "INSERT OVERWRITE / CREATE TABLE inside a transaction is "
+                "not supported — REPLACE generations and DDL commit "
+                "immediately; issue them outside the transaction"
+            )
         m = re.match(
             r"insert\s+into\s+(\w+)\s*(\(([^)]*)\))?\s*(select\b.*|values\b.*)",
             q,

@@ -241,3 +241,13 @@ def test_txn_sql_merge_rejected(cat):
             )
         txn.sql("INSERT INTO users VALUES (40, 'ok', 1)")  # txn still usable
     assert 40 in {r.id for r in cat.read_table("users").collect()}
+
+
+def test_txn_sql_rejects_ddl_and_overwrite(cat):
+    with cat.transaction() as txn:
+        with pytest.raises(ValueError, match="INSERT OVERWRITE / CREATE TABLE"):
+            txn.sql("INSERT OVERWRITE users VALUES (1, 'x', 1)")
+        with pytest.raises(ValueError, match="INSERT OVERWRITE / CREATE TABLE"):
+            txn.sql("CREATE TABLE t2 AS SELECT * FROM users")
+        txn.sql("INSERT INTO users VALUES (50, 'after', 2)")
+    assert 50 in {r.id for r in cat.read_table("users").collect()}
