@@ -2012,11 +2012,96 @@ class Catalog:
             f"DELETE): {actions!r}"
         )
 
+    def _sql_utility(self, q: str) -> "DataFrame | None":
+        """Delta-style utility statements: SHOW TABLES, DESCRIBE
+        HISTORY, OPTIMIZE [WHERE col = v [AND ...]] [ZORDER BY (cols)],
+        VACUUM [RETAIN n VERSIONS] [DRY RUN]."""
+        import json as _json
+        import re
+
+        if re.fullmatch(r"show\s+tables", q, re.IGNORECASE):
+            return self.spark.createDataFrame(
+                [(t,) for t in sorted(self.list_tables())] or [("",)],
+                "table string",
+            ).filter(F.col("table") != "")
+        m = re.fullmatch(
+            r"describe\s+history\s+(\w+)(?:\s+limit\s+(\d+))?",
+            q,
+            re.IGNORECASE,
+        )
+        if m:
+            table, limit = m.groups()
+            rows = self.history(table, limit=int(limit) if limit else None)
+            return self.spark.createDataFrame(
+                [
+                    (
+                        int(r["version"]),
+                        int(r.get("timestamp_ms") or 0),
+                        str(r.get("operation") or ""),
+                        _json.dumps(r, default=str),
+                    )
+                    for r in rows
+                ],
+                "version long, timestamp_ms long, operation string, detail string",
+            )
+        m = re.fullmatch(
+            r"optimize\s+(\w+)"
+            r"(?:\s+where\s+(.*?))?"
+            r"(?:\s+zorder\s+by\s+\(([^)]*)\))?",
+            q,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if m:
+            table, where, zcols = m.groups()
+            pf = None
+            if where:
+                pf = {}
+                for conj in re.split(r"\s+and\s+", where, flags=re.IGNORECASE):
+                    em = re.fullmatch(
+                        r"\s*(\w+)\s*=\s*(?:'([^']*)'|(\S+))\s*", conj
+                    )
+                    if not em:
+                        raise ValueError(
+                            "OPTIMIZE WHERE supports only col = value "
+                            f"conjuncts (partition pruning), got {conj!r}"
+                        )
+                    col_, vq, vb = em.groups()
+                    pf[col_] = vq if vq is not None else vb
+            zb = (
+                [c.strip() for c in zcols.split(",") if c.strip()]
+                if zcols
+                else None
+            )
+            self.optimize_table(table, partition_filter=pf, zorder_by=zb)
+            return self._dml_result("OPTIMIZE", 0)
+        m = re.fullmatch(
+            r"vacuum\s+(\w+)(?:\s+retain\s+(\d+)\s+versions)?"
+            r"(\s+dry\s+run)?",
+            q,
+            re.IGNORECASE,
+        )
+        if m:
+            table, retain, dry = m.groups()
+            # API-default 24h grace period stands — SQL must not be a
+            # back door past the in-flight-writer protection.
+            report = self.vacuum(
+                table,
+                retain_versions=int(retain) if retain else None,
+                dry_run=bool(dry),
+            )
+            return self._dml_result(
+                "VACUUM DRY RUN" if dry else "VACUUM", int(report)
+            )
+        return None
+
     def _sql_dml(self, query: str) -> "DataFrame | None":
         """Dispatch INSERT/DELETE/UPDATE statements; None for reads."""
         import re
 
         q = query.strip().rstrip(";")
+        util = self._sql_utility(q)
+        if util is not None:
+            return util
         m = re.match(
             r"create\s+table\s+(\w+)\s+as\s+(select\b.*)",
             q,

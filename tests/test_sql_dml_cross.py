@@ -145,3 +145,46 @@ def test_sql_delete_keyless_table_uses_positional_path(spark, tmp_path):
     res = c.sql("DELETE FROM logs WHERE v >= 2")
     assert res.collect()[0].rows == 2
     assert {r.id for r in c.read_table("logs").collect()} == {1}
+
+
+def test_sql_utility_statements(spark, tmp_path):
+    c = Catalog(spark, str(tmp_path / "util"))
+    c.create_table(
+        "t",
+        schema=Schema(
+            [
+                Field("id", T.LongType(), merge_key=True),
+                Field("region", T.StringType()),
+                Field("v", T.IntegerType()),
+            ]
+        ),
+        partition_scheme=[PartitionKey("region")],
+    )
+    c.sql("INSERT INTO t VALUES (1, 'EU', 1), (2, 'NA', 2)")
+    c.sql("INSERT INTO t VALUES (3, 'EU', 3)")
+    # SHOW TABLES
+    assert {r.table for r in c.sql("SHOW TABLES").collect()} == {"t"}
+    # DESCRIBE HISTORY: newest first, operations recorded
+    h = c.sql("DESCRIBE HISTORY t").collect()
+    assert [r.version for r in h] == sorted(
+        (r.version for r in h), reverse=True
+    )
+    assert h[-1].operation == "CREATE"
+    assert c.sql("DESCRIBE HISTORY t LIMIT 1").count() == 1
+    # OPTIMIZE scoped to one partition: NA files untouched
+    snap0 = c.snapshot("t")
+    na_before = {f.path for f in snap0.files if (f.partition_values or {}).get("region") == "NA"}
+    c.sql("OPTIMIZE t WHERE region = 'EU'")
+    snap1 = c.snapshot("t")
+    na_after = {f.path for f in snap1.files if (f.partition_values or {}).get("region") == "NA"}
+    assert na_before == na_after
+    assert {r.id for r in c.read_table("t").collect()} == {1, 2, 3}
+    # VACUUM DRY RUN deletes nothing
+    files_before = set(c.fs.walk_files(c.fs.join(c.root, "default", "t")))
+    assert files_before, "table root path guess wrong - test would be vacuous"
+    res = c.sql("VACUUM t DRY RUN")
+    assert res.collect()[0].operation == "VACUUM DRY RUN"
+    assert set(c.fs.walk_files(c.fs.join(c.root, "default", "t"))) == files_before
+    # real VACUUM honors the 24h grace: fresh superseded files survive
+    c.sql("VACUUM t RETAIN 0 VERSIONS")
+    assert {r.id for r in c.read_table("t").collect()} == {1, 2, 3}
