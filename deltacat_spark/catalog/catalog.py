@@ -86,17 +86,31 @@ ENGINE_PROPERTY_KEYS = frozenset(DEFAULT_PROPERTIES) | {
 
 def _split_set_list(setlist: str) -> list[tuple[str, str]]:
     """Parse an UPDATE SET clause into (column, sql_expr) pairs,
-    splitting on top-level commas only (function args stay intact)."""
+    splitting on top-level commas only — commas inside parens (function
+    args) AND inside single-quoted string literals ('a,b', with ''
+    escapes) stay intact."""
     depth, start = 0, 0
+    in_quote = False
     parts: list[str] = []
-    for i, ch in enumerate(setlist):
-        if ch == "(":
+    i = 0
+    while i < len(setlist):
+        ch = setlist[i]
+        if in_quote:
+            if ch == "'":
+                if i + 1 < len(setlist) and setlist[i + 1] == "'":
+                    i += 1  # escaped '' stays inside the literal
+                else:
+                    in_quote = False
+        elif ch == "'":
+            in_quote = True
+        elif ch == "(":
             depth += 1
         elif ch == ")":
             depth -= 1
         elif ch == "," and depth == 0:
             parts.append(setlist[start:i])
             start = i + 1
+        i += 1
     parts.append(setlist[start:])
     out: list[tuple[str, str]] = []
     for part in parts:
@@ -105,6 +119,30 @@ def _split_set_list(setlist: str) -> list[tuple[str, str]]:
             raise ValueError(f"malformed SET clause: {part!r}")
         out.append((colname.strip(), expr_sql.strip()))
     return out
+
+
+def _strip_literals(text: str) -> str:
+    """Blank out single-quoted string literals (keeping length) so a
+    table name INSIDE a literal doesn't register a needless temp view —
+    each false positive costs a full snapshot resolution."""
+    out = list(text)
+    in_quote = False
+    i = 0
+    while i < len(out):
+        ch = out[i]
+        if in_quote:
+            if ch == "'":
+                if i + 1 < len(out) and out[i + 1] == "'":
+                    out[i + 1] = " "
+                    i += 1
+                else:
+                    in_quote = False
+            else:
+                out[i] = " "
+        elif ch == "'":
+            in_quote = True
+        i += 1
+    return "".join(out)
 
 
 def _bloom_columns(props: dict) -> "list[str] | None":
@@ -1842,7 +1880,12 @@ class Catalog:
         )
         return name
 
-    def sql(self, query: str, tables: "list[str] | None" = None) -> DataFrame:
+    def sql(
+        self,
+        query: str,
+        tables: "list[str] | None" = None,
+        count_rows: bool = True,
+    ) -> DataFrame:
         """Run SQL over catalog tables (the surface the reference stubs
         as NotImplemented `dc.query`, reference `api.py:480-481` —
         inherited from Spark here).
@@ -1863,25 +1906,56 @@ class Catalog:
           rewrite of matching rows + MERGE upsert (requires merge keys).
 
         `tables`: tables to (re-)register as views first; defaults to
-        the catalog tables the query text references. Each registration
-        costs a snapshot resolution, so registering the whole namespace
-        per query (10³ tables ⇒ 10³ log replays) is the wrong shape —
-        only referenced names are resolved.
-        """
-        import re
+        the catalog tables the query text references (string literals
+        stripped first — a name inside a literal is not a reference).
+        Each registration costs a snapshot resolution, so registering
+        the whole namespace per query (10³ tables ⇒ 10³ log replays) is
+        the wrong shape — only referenced names are resolved.
 
-        dml = self._sql_dml(query)
+        ``count_rows=False`` skips the separate count job DML statements
+        run to report their ``rows`` (reported as -1) — the escape for
+        pipeline use where the payload is large and the count unused.
+        """
+        dml = self._sql_dml(query, count_rows=count_rows)
         if dml is not None:
             return dml
         if tables is None:
-            tables = [
-                t
-                for t in self.list_tables()
-                if re.search(rf"\b{re.escape(t)}\b", query, re.IGNORECASE)
-            ]
+            tables = self._referenced_tables(query)
         for t in tables:
             self.register_view(t)
         return self.spark.sql(query)
+
+    def _referenced_tables(self, text: str) -> list[str]:
+        """Catalog tables the SQL text references, literal-blind."""
+        import re
+
+        stripped = _strip_literals(text)
+        return [
+            t
+            for t in self.list_tables()
+            if re.search(rf"\b{re.escape(t)}\b", stripped, re.IGNORECASE)
+        ]
+
+    def _pin_count(
+        self, df: DataFrame, count_rows: bool
+    ) -> "tuple[DataFrame, int]":
+        """Pin a DML payload so the reported row count and the written
+        data come from ONE evaluation (a rand()/uuid() payload would
+        otherwise report one sample and write another) and the plan
+        isn't computed twice. Caller must ``_unpin`` after the write.
+        ``count_rows=False`` skips both the cache and the count job
+        (rows reported as -1)."""
+        if not count_rows:
+            return df, -1
+        df = df.cache()
+        return df, df.count()
+
+    @staticmethod
+    def _unpin(df: DataFrame) -> None:
+        try:
+            df.unpersist()
+        except Exception:
+            pass  # never let cache cleanup mask the DML result
 
     def _dml_result(self, operation: str, rows: int) -> DataFrame:
         return self.spark.createDataFrame(
@@ -1897,12 +1971,7 @@ class Catalog:
 
         if payload.lower().startswith("select"):
             # the SELECT may read catalog tables — register them
-            refs = [
-                t
-                for t in self.list_tables()
-                if re.search(rf"\b{re.escape(t)}\b", payload, re.IGNORECASE)
-            ]
-            for t in refs:
+            for t in self._referenced_tables(payload):
                 self.register_view(t)
         df = self.spark.sql(payload)
         names = None
@@ -1923,36 +1992,56 @@ class Catalog:
         return df
 
     def _sql_merge(
-        self, table, alias_a, alias_b, src, salias_a, salias_b, on, actions
+        self,
+        table,
+        alias_a,
+        alias_b,
+        src,
+        salias_a,
+        salias_b,
+        on,
+        actions,
+        count_rows: bool = True,
     ) -> DataFrame:
-        """Restricted `MERGE INTO` (the star-forms that map exactly onto
-        the engine's upsert/delete programs):
+        """`MERGE INTO` bridged onto the engine's keyed upsert/delete
+        programs:
 
             MERGE INTO t [AS a] USING (<select>)|src_table [AS s]
             ON t.k = s.k [AND ...]
-            WHEN MATCHED THEN UPDATE SET * | WHEN MATCHED THEN DELETE
-            [WHEN NOT MATCHED THEN INSERT *]
+            [WHEN MATCHED [AND <pred>] THEN
+                UPDATE SET * | UPDATE SET col = expr, ... | DELETE]
+            [WHEN NOT MATCHED [AND <pred>] THEN INSERT *]
 
         The ON condition must be the conjunction of equality predicates
         over EXACTLY the table's merge keys — that is the condition
         under which MERGE ≡ the keyed upsert/delete the write path
         implements (arbitrary ON conditions would need a general
         target-rewrite MERGE; rejected with a clear error instead of
-        silently wrong results). Row-level WHEN predicates and
-        column-level SET lists are not supported — use the UPDATE
-        statement for those."""
+        silently wrong results). Within that frame the general row
+        shapes all reduce to ONE keyed write (or, for the
+        DELETE+INSERT combination, one atomic two-commit transaction):
+
+        * ``WHEN MATCHED AND p`` / ``WHEN NOT MATCHED AND p``: the
+          source is split by a key semi/anti join against the target
+          and each half filtered by its predicate — predicates may
+          reference BOTH aliases (``t.col``/``s.col``) because the
+          matched half is evaluated on the key-equality join.
+        * ``UPDATE SET col = expr, …``: matched rows materialize as
+          full rows (assigned columns from the expressions, the rest
+          from the target) — the same per-column stitch
+          ``partial_upsert`` performs, but composed with inserts into
+          a single commit. Assigning a merge-key column is rejected
+          (the upsert would match on the NEW key and duplicate rows).
+        * star-forms without predicates keep the original no-join
+          fast paths (plain upsert / key delete).
+        """
         import re
 
         t_alias = (alias_a or alias_b or table).lower()
         s_alias = (salias_a or salias_b or (src if not src.startswith("(") else "src")).lower()
         if src.startswith("("):
             inner = src[1:-1].strip()
-            refs = [
-                t
-                for t in self.list_tables()
-                if re.search(rf"\b{re.escape(t)}\b", inner, re.IGNORECASE)
-            ]
-            for t in refs:
+            for t in self._referenced_tables(inner):
                 self.register_view(t)
             src_df = self.spark.sql(inner)
         else:
@@ -1984,33 +2073,196 @@ class Catalog:
                 f"MERGE ON columns {sorted(on_cols)} must equal the table's "
                 f"merge keys {sorted(mk)}"
             )
-        acts = actions.strip().rstrip(";").lower()
-        um = re.fullmatch(
-            r"when\s+matched\s+then\s+update\s+set\s+\*"
-            r"(\s+when\s+not\s+matched\s+then\s+insert\s+\*)?",
+        acts = actions.strip().rstrip(";")
+        clauses = re.findall(
+            r"when\s+(not\s+matched|matched)\s*(?:\s+and\s+(.*?))?\s*then\s+"
+            r"(update\s+set\s+.*?|delete|insert\s+\*)\s*"
+            r"(?=when\s+(?:not\s+)?matched\b|$)",
             acts,
+            re.IGNORECASE | re.DOTALL,
         )
-        if um:
-            if not um.group(1):
-                # UPDATE-only MERGE: unmatched source rows are ignored,
-                # so restrict the payload to keys already in the table
-                # (a plain upsert would insert them).
-                existing = self.read_table(table, columns=sorted(mk))
-                src_df = src_df.join(existing, sorted(mk), "left_semi")
-            n = src_df.count()
+        consumed = re.sub(
+            r"when\s+(not\s+matched|matched)\s*(?:\s+and\s+(.*?))?\s*then\s+"
+            r"(update\s+set\s+.*?|delete|insert\s+\*)\s*"
+            r"(?=when\s+(?:not\s+)?matched\b|$)",
+            "",
+            acts,
+            flags=re.IGNORECASE | re.DOTALL,
+        ).strip()
+        if not clauses or consumed:
+            raise ValueError(
+                "unsupported MERGE actions (supported: WHEN MATCHED "
+                "[AND pred] THEN UPDATE SET *|UPDATE SET col = expr, ..."
+                "|DELETE, WHEN NOT MATCHED [AND pred] THEN INSERT *): "
+                f"{actions!r}"
+            )
+        matched: "tuple[str | None, str] | None" = None  # (pred, action)
+        unmatched_pred: "str | None" = None
+        has_insert = False
+        for kind, pred, action in clauses:
+            pred = pred.strip() or None
+            if kind.lower().startswith("not"):
+                if has_insert:
+                    raise ValueError(
+                        "multiple WHEN NOT MATCHED clauses are not supported"
+                    )
+                if not re.fullmatch(r"insert\s+\*", action, re.IGNORECASE):
+                    raise ValueError(
+                        "WHEN NOT MATCHED supports only INSERT * "
+                        f"(got {action!r}) — explicit column/VALUES inserts "
+                        "must align the source SELECT instead"
+                    )
+                has_insert, unmatched_pred = True, pred
+            else:
+                if matched is not None:
+                    raise ValueError(
+                        "multiple WHEN MATCHED clauses are not supported"
+                    )
+                matched = (pred, action)
+
+        keys = sorted(mk)
+        m_pred, m_action = matched if matched else (None, None)
+        set_list: "list[tuple[str, str]] | None" = None
+        if m_action is not None and re.match(r"update", m_action, re.IGNORECASE):
+            setlist_sql = re.sub(
+                r"^update\s+set\s+", "", m_action, flags=re.IGNORECASE
+            ).strip()
+            if setlist_sql != "*":
+                set_list = _split_set_list(setlist_sql)
+                bad = sorted({c for c, _ in set_list} & mk)
+                if bad:
+                    raise ValueError(
+                        f"MERGE UPDATE SET on merge-key column(s) {bad} is "
+                        "not supported — the upsert matches on the NEW key "
+                        "values and would duplicate rows; DELETE + INSERT "
+                        "the new keys instead"
+                    )
+
+        is_delete = m_action is not None and re.fullmatch(
+            r"delete", m_action, re.IGNORECASE
+        )
+        # ---- no-join fast paths (star forms, no predicates) ----------
+        if (
+            m_action is not None
+            and m_pred is None
+            and unmatched_pred is None
+            and set_list is None
+        ):
+            if not is_delete and has_insert:
+                # plain upsert: update all matched, insert all unmatched
+                src_df, n = self._pin_count(src_df, count_rows)
+                try:
+                    if n:
+                        self.write_to_table(src_df, table, mode="merge")
+                finally:
+                    self._unpin(src_df)
+                return self._dml_result("MERGE", n)
+            if not is_delete:
+                # UPDATE-only: a plain upsert would insert unmatched
+                # source rows — restrict the payload to existing keys.
+                existing = self.read_table(table, columns=keys)
+                payload = src_df.join(existing, keys, "left_semi")
+                payload, n = self._pin_count(payload, count_rows)
+                try:
+                    if n:
+                        self.write_to_table(payload, table, mode="merge")
+                finally:
+                    self._unpin(payload)
+                return self._dml_result("MERGE", n)
+            if not has_insert:
+                del_keys = src_df.select(*keys).distinct()
+                del_keys, n = self._pin_count(del_keys, count_rows)
+                try:
+                    self.write_to_table(del_keys, table, mode="delete")
+                finally:
+                    self._unpin(del_keys)
+                return self._dml_result("MERGE", n)
+
+        # ---- general path: split source by key match, evaluate WHEN
+        # predicates, reduce to one keyed write (or one atomic txn) ----
+        tgt = self.read_table(table)
+        src_df = src_df.alias(s_alias)
+        join_cond = None
+        for k in keys:
+            c = F.col(f"{s_alias}.{k}") == F.col(f"{t_alias}.{k}")
+            join_cond = c if join_cond is None else (join_cond & c)
+
+        upd_payload = None
+        del_payload = None
+        if m_action is not None:
+            # Matched rows with BOTH aliases visible — WHEN predicates
+            # and SET expressions may reference t.col and s.col. The
+            # join is key-equality on the merge keys: one shuffle (or a
+            # broadcast when either side is small — AQE's call).
+            joined = src_df.join(tgt.alias(t_alias), join_cond, "inner")
+            if m_pred is not None:
+                joined = joined.filter(F.expr(m_pred))
+            if is_delete:
+                del_payload = joined.select(
+                    *[F.col(f"{s_alias}.{k}").alias(k) for k in keys]
+                ).distinct()
+            else:
+                # Full-row materialization: assigned columns from the
+                # SET expressions, source columns for SET *, target
+                # values for everything else (per-column stitch ≡
+                # partial_upsert, composed joinside so updates and
+                # inserts land in ONE commit).
+                assigned = dict(set_list) if set_list else None
+                src_cols = set(src_df.columns)
+                out_cols = []
+                for f_ in (snap.schema.fields if snap.schema else []):
+                    c = f_.name
+                    if assigned is not None and c in assigned:
+                        out_cols.append(F.expr(assigned[c]).alias(c))
+                    elif assigned is None and c in src_cols:
+                        out_cols.append(F.col(f"{s_alias}.{c}").alias(c))
+                    else:
+                        out_cols.append(F.col(f"{t_alias}.{c}").alias(c))
+                upd_payload = joined.select(*out_cols)
+
+        ins_payload = None
+        if has_insert:
+            anti = src_df.join(tgt.select(*keys), keys, "left_anti")
+            if unmatched_pred is not None:
+                anti = anti.filter(F.expr(unmatched_pred))
+            ins_payload = anti
+
+        if del_payload is not None and ins_payload is not None:
+            # DELETE + INSERT need two different write modes; a
+            # transaction's marker seal keeps the pair atomic.
+            del_payload, nd = self._pin_count(del_payload, count_rows)
+            ins_payload, ni = self._pin_count(ins_payload, count_rows)
+            try:
+                with self.transaction() as txn:
+                    txn.write(del_payload, table, mode="delete")
+                    txn.write(ins_payload, table, mode="merge")
+            finally:
+                self._unpin(del_payload)
+                self._unpin(ins_payload)
+            return self._dml_result(
+                "MERGE", -1 if not count_rows else nd + ni
+            )
+        if del_payload is not None:
+            del_payload, n = self._pin_count(del_payload, count_rows)
+            try:
+                self.write_to_table(del_payload, table, mode="delete")
+            finally:
+                self._unpin(del_payload)
+            return self._dml_result("MERGE", n)
+        payload = upd_payload
+        if payload is None:
+            payload = ins_payload
+        elif ins_payload is not None:
+            payload = payload.unionByName(
+                ins_payload, allowMissingColumns=True
+            )
+        payload, n = self._pin_count(payload, count_rows)
+        try:
             if n:
-                self.write_to_table(src_df, table, mode="merge")
-            return self._dml_result("MERGE", n)
-        if re.fullmatch(r"when\s+matched\s+then\s+delete", acts):
-            keys = src_df.select(*sorted(mk)).distinct()
-            n = keys.count()
-            self.write_to_table(keys, table, mode="delete")
-            return self._dml_result("MERGE", n)
-        raise ValueError(
-            "unsupported MERGE actions (supported: WHEN MATCHED THEN UPDATE "
-            "SET * [WHEN NOT MATCHED THEN INSERT *] | WHEN MATCHED THEN "
-            f"DELETE): {actions!r}"
-        )
+                self.write_to_table(payload, table, mode="merge")
+        finally:
+            self._unpin(payload)
+        return self._dml_result("MERGE", n)
 
     def _sql_utility(self, q: str) -> "DataFrame | None":
         """Delta-style utility statements: SHOW TABLES, DESCRIBE
@@ -2094,7 +2346,9 @@ class Catalog:
             )
         return None
 
-    def _sql_dml(self, query: str) -> "DataFrame | None":
+    def _sql_dml(
+        self, query: str, count_rows: bool = True
+    ) -> "DataFrame | None":
         """Dispatch INSERT/DELETE/UPDATE statements; None for reads."""
         import re
 
@@ -2109,17 +2363,15 @@ class Catalog:
         )
         if m:
             table, select = m.groups()
-            refs = [
-                t
-                for t in self.list_tables()
-                if re.search(rf"\b{re.escape(t)}\b", select, re.IGNORECASE)
-            ]
-            for t in refs:
+            for t in self._referenced_tables(select):
                 self.register_view(t)
             df = self.spark.sql(select)
             self.create_table(table, schema=Schema.from_dataframe(df))
-            n = df.count()
-            self.write_to_table(df, table, mode="auto")
+            df, n = self._pin_count(df, count_rows)
+            try:
+                self.write_to_table(df, table, mode="auto")
+            finally:
+                self._unpin(df)
             return self._dml_result("CREATE TABLE AS SELECT", n)
         m = re.match(
             r"insert\s+overwrite\s+(?:table\s+)?(\w+)\s*(\(([^)]*)\))?\s*"
@@ -2130,8 +2382,11 @@ class Catalog:
         if m:
             table, _, collist, payload = m.groups()
             df = self._insert_payload(table, payload, collist)
-            n = df.count()
-            self.write_to_table(df, table, mode="replace")
+            df, n = self._pin_count(df, count_rows)
+            try:
+                self.write_to_table(df, table, mode="replace")
+            finally:
+                self._unpin(df)
             return self._dml_result("INSERT OVERWRITE", n)
         m = re.match(
             r"insert\s+into\s+(\w+)\s*(\(([^)]*)\))?\s*(select\b.*|values\b.*)",
@@ -2141,8 +2396,11 @@ class Catalog:
         if m:
             table, _, collist, payload = m.groups()
             df = self._insert_payload(table, payload, collist)
-            n = df.count()
-            self.write_to_table(df, table, mode="auto")
+            df, n = self._pin_count(df, count_rows)
+            try:
+                self.write_to_table(df, table, mode="auto")
+            finally:
+                self._unpin(df)
             return self._dml_result("INSERT", n)
         m = re.match(
             r"merge\s+into\s+(\w+)(?:\s+as\s+(\w+)|\s+(\w+))?\s+using\s+"
@@ -2152,7 +2410,7 @@ class Catalog:
             re.IGNORECASE | re.DOTALL,
         )
         if m:
-            return self._sql_merge(*m.groups())
+            return self._sql_merge(*m.groups(), count_rows=count_rows)
         m = re.match(
             r"delete\s+from\s+(\w+)(\s+where\s+(.*))?$",
             q,
@@ -2161,7 +2419,7 @@ class Catalog:
         if m:
             table, _, cond = m.groups()
             if cond is None:
-                n = self.read_table(table).count()
+                n = self.read_table(table).count() if count_rows else -1
                 self.truncate_table(table)
                 return self._dml_result("DELETE", n)
             snap = self.snapshot(table)
@@ -2177,9 +2435,12 @@ class Catalog:
                     .select(*mk)
                     .distinct()
                 )
-                n = keys.count()
-                if n:
-                    self.write_to_table(keys, table, mode="delete")
+                keys, n = self._pin_count(keys, count_rows)
+                try:
+                    if n:
+                        self.write_to_table(keys, table, mode="delete")
+                finally:
+                    self._unpin(keys)
                 return self._dml_result("DELETE", n)
             from deltacat_spark.plans.expr import raw
 
@@ -2193,13 +2454,30 @@ class Catalog:
         if m:
             table, setlist, _, cond = m.groups()
             assignments = _split_set_list(setlist)
+            snap = self.snapshot(table)
+            mk = set(snap.schema.merge_keys) if snap.schema else set()
+            bad = sorted({c for c, _ in assignments} & mk)
+            if bad:
+                # The merge upsert anti-joins existing rows on the
+                # UPDATED key values — `SET k = k + 1` would keep every
+                # old-key row AND append the new-key rows (silent
+                # duplication). Reject rather than corrupt.
+                raise ValueError(
+                    f"UPDATE SET on merge-key column(s) {bad} is not "
+                    "supported — the upsert matches rows by the NEW key "
+                    "values and would duplicate rows; DELETE the old "
+                    "keys and INSERT the new rows instead"
+                )
             base = self.read_table(table)
             matched = base.filter(F.expr(cond)) if cond else base
             for colname, expr_sql in assignments:
                 matched = matched.withColumn(colname, F.expr(expr_sql))
-            n = matched.count()
-            if n:
-                self.write_to_table(matched, table, mode="merge")
+            matched, n = self._pin_count(matched, count_rows)
+            try:
+                if n:
+                    self.write_to_table(matched, table, mode="merge")
+            finally:
+                self._unpin(matched)
             return self._dml_result("UPDATE", n)
         return None
 

@@ -95,15 +95,19 @@ class Transaction:
         v = self._pins[key]
         return None if v < 0 else v
 
-    def sql(self, query: str) -> DataFrame:
+    def sql(self, query: str, count_rows: bool = True) -> DataFrame:
         """SQL with transaction semantics: SELECTs read the pinned
         snapshots + buffered-writes overlay (read-your-writes), and
-        INSERT INTO / UPDATE / DELETE FROM buffer ops that land
-        atomically at seal — one multi-statement SQL transaction.
+        INSERT INTO / INSERT OVERWRITE / UPDATE / DELETE FROM buffer
+        ops that land atomically at seal — one multi-statement SQL
+        transaction. INSERT OVERWRITE buffers a REPLACE: later reads in
+        this txn see the new generation, nothing outside until seal.
 
         DELETE requires merge keys here (the positional-delete program
         is a catalog-level commit and cannot be buffered); MERGE INTO
         inside a transaction is not supported — use :meth:`write`.
+        ``count_rows=False`` skips the per-statement count job
+        (``rows`` reported as -1) for pipeline use.
         """
         import re
 
@@ -115,30 +119,28 @@ class Transaction:
         q = query.strip().rstrip(";")
 
         def overlay_views(text: str) -> None:
-            for t in cat.list_tables():
-                if re.search(rf"\b{re.escape(t)}\b", text, re.IGNORECASE):
-                    self.read(t).createOrReplaceTempView(t)
+            for t in cat._referenced_tables(text):
+                self.read(t).createOrReplaceTempView(t)
 
         if re.match(r"merge\s+into\b", q, re.IGNORECASE):
             raise ValueError(
                 "MERGE INTO inside a transaction is not supported — "
                 "buffer the source with txn.write(df, table, mode='merge')"
             )
-        if re.match(
-            r"insert\s+overwrite\b|create\s+table\b", q, re.IGNORECASE
-        ):
+        if re.match(r"create\s+table\b", q, re.IGNORECASE):
             raise ValueError(
-                "INSERT OVERWRITE / CREATE TABLE inside a transaction is "
-                "not supported — REPLACE generations and DDL commit "
-                "immediately; issue them outside the transaction"
+                "CREATE TABLE inside a transaction is not supported — "
+                "DDL commits immediately; issue it outside the transaction"
             )
         m = re.match(
-            r"insert\s+into\s+(\w+)\s*(\(([^)]*)\))?\s*(select\b.*|values\b.*)",
+            r"insert\s+(into|overwrite)\s+(?:table\s+)?(\w+)\s*"
+            r"(\(([^)]*)\))?\s*(select\b.*|values\b.*)",
             q,
             re.IGNORECASE | re.DOTALL,
         )
         if m:
-            table, _, collist, payload = m.groups()
+            verb, table, _, collist, payload = m.groups()
+            overwrite = verb.lower() == "overwrite"
             if payload.lower().startswith("select"):
                 overlay_views(payload)
             df = cat.spark.sql(payload)
@@ -153,9 +155,11 @@ class Transaction:
                     ]
             if names:
                 df = df.toDF(*names)
-            n = df.count()
-            self.write(df, table, mode="auto")
-            return cat._dml_result("INSERT", n)
+            n = df.count() if count_rows else -1
+            self.write(df, table, mode="replace" if overwrite else "auto")
+            return cat._dml_result(
+                "INSERT OVERWRITE" if overwrite else "INSERT", n
+            )
         m = re.match(
             r"delete\s+from\s+(\w+)(\s+where\s+(.*))?$",
             q,
@@ -175,7 +179,7 @@ class Transaction:
             if cond:
                 rows = rows.filter(F.expr(cond))
             keys = rows.select(*mk).distinct()
-            n = keys.count()
+            n = keys.count() if count_rows else -1
             if n:
                 self.write(keys, table, mode="delete")
             return cat._dml_result("DELETE", n)
@@ -186,11 +190,25 @@ class Transaction:
         )
         if m:
             table, setlist, _, cond = m.groups()
+            assignments = _split_set_list(setlist)
+            snap = cat.snapshot(table)
+            mk = set(snap.schema.merge_keys) if snap.schema else set()
+            bad = sorted({c for c, _ in assignments} & mk)
+            if bad:
+                # Same hazard as Catalog.sql UPDATE: the seal's upsert
+                # matches on the NEW key values — old-key rows would
+                # survive alongside the appended new-key rows.
+                raise ValueError(
+                    f"UPDATE SET on merge-key column(s) {bad} is not "
+                    "supported — the upsert matches rows by the NEW key "
+                    "values and would duplicate rows; DELETE the old "
+                    "keys and INSERT the new rows instead"
+                )
             base = self.read(table)
             matched = base.filter(F.expr(cond)) if cond else base
-            for colname, expr_sql in _split_set_list(setlist):
+            for colname, expr_sql in assignments:
                 matched = matched.withColumn(colname, F.expr(expr_sql))
-            n = matched.count()
+            n = matched.count() if count_rows else -1
             if n:
                 self.write(matched, table, mode="merge")
             return cat._dml_result("UPDATE", n)

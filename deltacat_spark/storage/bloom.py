@@ -82,9 +82,51 @@ def _positions_py(value: Any, m: int) -> list[int]:
     return [int(h[8 * i : 8 * i + 8], 16) % m for i in range(BLOOM_K)]
 
 
+def _probe_candidates(value: Any, kind: "str | None") -> "list[str] | None":
+    """Canonical string(s) to probe for a predicate literal, normalized
+    to the column's recorded type kind ("int"/"str"). The stored bits
+    hashed Spark's `cast("string")` of the COLUMN value, so the probe
+    must hash the same canonical form: `5.0` against a bigint column
+    must probe "5", not "5.0" (a raw str() mismatch would fail every
+    probe and wrongly skip files min/max stats would keep). Returns
+    None when the literal can't be normalized (e.g. a non-integral
+    float against an integral column) → keep the file, never skip.
+    Legacy sidecars without a recorded kind probe every plausible form
+    and keep the file if ANY may be present."""
+    if kind == "int":
+        if isinstance(value, bool):
+            return None
+        if isinstance(value, int):
+            return [str(value)]
+        if isinstance(value, float):
+            return [str(int(value))] if value.is_integer() else None
+        if isinstance(value, str):
+            try:
+                return [str(int(value.strip()))]
+            except ValueError:
+                return None
+        return None
+    if kind == "str":
+        cands = [str(value)]
+        if isinstance(value, float) and value.is_integer():
+            cands.append(str(int(value)))
+        return cands
+    # unknown/legacy kind: union of both normalizations (conservative)
+    cands = [str(value)]
+    if isinstance(value, float) and value.is_integer():
+        cands.append(str(int(value)))
+    elif isinstance(value, str):
+        try:
+            cands.append(str(int(value.strip())))
+        except ValueError:
+            pass
+    return cands
+
+
 def probe(sidecar: dict, col: str, value: Any) -> bool:
     """True iff the value MAY be present in the file (bloom semantics).
-    Unknown column / malformed sidecar → True (no skipping)."""
+    Unknown column / malformed sidecar / un-normalizable literal → True
+    (no skipping)."""
     meta = sidecar.get(col)
     if not meta:
         return True
@@ -93,10 +135,16 @@ def probe(sidecar: dict, col: str, value: Any) -> bool:
         words = struct.unpack(
             f">{m // 64}Q", base64.b64decode(meta["b64"])
         )
-        for pos in _positions_py(value, m):
-            if not (words[pos // 64] >> (pos % 64)) & 1:
-                return False
-        return True
+        cands = _probe_candidates(value, meta.get("t"))
+        if cands is None:
+            return True
+        for cand in cands:
+            if all(
+                (words[pos // 64] >> (pos % 64)) & 1
+                for pos in _positions_py(cand, m)
+            ):
+                return True
+        return False
     except (KeyError, ValueError, struct.error):
         return True
 
@@ -137,7 +185,17 @@ def attach_blooms(
         m_by_base[base] = bloom_m(records)
         rel_by_base[base] = rel
     paths = [fs.spark_path(fs.join(table_root, rel)) for rel, _ in entries]
-    src = spark.read.parquet(*paths).select(
+    raw = spark.read.parquet(*paths)
+    # Record each column's type KIND so the read-side probe can
+    # normalize predicate literals to the same canonical string the
+    # cast("string") below produced ("int" vs "str" — see
+    # `_probe_candidates`).
+    kinds = {
+        f.name: ("str" if f.dataType.simpleString() == "string" else "int")
+        for f in raw.schema.fields
+        if f.name in cols
+    }
+    src = raw.select(
         F.element_at(F.split(F.input_file_name(), "/"), -1).alias("__base"),
         *[F.col(c).cast("string").alias(c) for c in cols],
     )
@@ -187,6 +245,7 @@ def attach_blooms(
             sidecar[c] = {
                 "m": m,
                 "k": BLOOM_K,
+                "t": kinds.get(c),
                 "b64": base64.b64encode(
                     struct.pack(f">{len(words)}Q", *words)
                 ).decode("ascii"),

@@ -280,16 +280,22 @@ class Snapshot:
                     if lo is None or hi is None:
                         continue
                     # Keep the file iff some row in [lo, hi] can match.
-                    if op == "<":
-                        ok = lo < v
-                    elif op == "<=":
-                        ok = lo <= v
-                    elif op == ">":
-                        ok = hi > v
-                    elif op == ">=":
-                        ok = hi >= v
-                    elif op == "=":
-                        ok = lo <= v <= hi
+                    try:
+                        if op == "<":
+                            ok = lo < v
+                        elif op == "<=":
+                            ok = lo <= v
+                        elif op == ">":
+                            ok = hi > v
+                        elif op == ">=":
+                            ok = hi >= v
+                        elif op == "=":
+                            ok = lo <= v <= hi
+                    except TypeError:
+                        # Literal type doesn't order against the stats
+                        # (e.g. a string literal on an int column):
+                        # keep the file — never wrong, only less pruned.
+                        ok = True
                     if not ok:
                         break
                 if not ok:

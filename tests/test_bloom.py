@@ -445,3 +445,49 @@ def test_bloom_failure_does_not_fail_commit(spark, catalog, monkeypatch):
     snap = catalog.snapshot("pkf")
     assert all(f.bloom_ref is None for f in snap.files)
     assert catalog.read_table("pkf", predicate=col("id").eq(4)).count() == 1
+
+
+def test_typed_literal_normalization(spark, catalog):
+    """ADVICE r6: a numerically-equal but differently-typed literal
+    (5.0 against a bigint column) must not fail every probe and skip
+    files min/max stats would keep."""
+    _mk(catalog, spark)
+    snap = catalog.snapshot("pk")
+    all_files = [f for f in snap.files if f.bloom_ref]
+    # float literal against the bigint key: same files as the int probe
+    for i in (0, 34, 170):
+        kept_int = snap.prune(None, [("id", "=", i)], fs=catalog.fs)
+        kept_float = snap.prune(None, [("id", "=", float(i))], fs=catalog.fs)
+        assert {f.path for f in kept_float} == {f.path for f in kept_int}
+        assert kept_float, f"typed-literal false negative for id={i}.0"
+    # string-typed integral literal too
+    kept_str = snap.prune(None, [("id", "=", "68")], fs=catalog.fs)
+    kept_ref = snap.prune(None, [("id", "=", 68)], fs=catalog.fs)
+    assert {f.path for f in kept_str} == {f.path for f in kept_ref}
+    # non-integral float: min/max stats prune numerically (valid), but
+    # the BLOOM must keep whatever stats kept — any file whose [lo, hi]
+    # straddles 68.5 survives (bloom returns "maybe", never a skip)
+    kept = snap.prune(None, [("id", "=", 68.5)], fs=catalog.fs)
+    stats_kept = {
+        f.path
+        for f in all_files
+        if f.stats
+        and f.stats.get("id")
+        and f.stats["id"]["min"] <= 68.5 <= f.stats["id"]["max"]
+    }
+    assert {f.path for f in kept} == stats_kept
+
+
+def test_probe_candidates_unit():
+    from deltacat_spark.storage.bloom import _probe_candidates
+
+    assert _probe_candidates(5, "int") == ["5"]
+    assert _probe_candidates(5.0, "int") == ["5"]
+    assert _probe_candidates(5.5, "int") is None
+    assert _probe_candidates(" 7 ", "int") == ["7"]
+    assert _probe_candidates("abc", "int") is None
+    assert _probe_candidates(True, "int") is None
+    assert _probe_candidates("abc", "str") == ["abc"]
+    assert "5" in _probe_candidates(5.0, "str")
+    # legacy sidecar (no recorded kind): both forms probed
+    assert set(_probe_candidates(5.0, None)) == {"5.0", "5"}

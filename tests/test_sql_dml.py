@@ -161,7 +161,18 @@ def test_merge_into_rejects_non_key_on(cat, spark):
     with pytest.raises(ValueError, match="unsupported MERGE actions"):
         cat.sql(
             "MERGE INTO users t USING (SELECT * FROM u2) s ON t.id = s.id"
-            " WHEN MATCHED THEN UPDATE SET age = 1"
+            " WHEN MATCHED THEN FROB"
+        )
+    with pytest.raises(ValueError, match="merge-key column"):
+        cat.sql(
+            "MERGE INTO users t USING (SELECT * FROM u2) s ON t.id = s.id"
+            " WHEN MATCHED THEN UPDATE SET id = s.id + 1"
+        )
+    with pytest.raises(ValueError, match="multiple WHEN MATCHED"):
+        cat.sql(
+            "MERGE INTO users t USING (SELECT * FROM u2) s ON t.id = s.id"
+            " WHEN MATCHED AND s.age > 1 THEN DELETE"
+            " WHEN MATCHED THEN UPDATE SET *"
         )
 
 
@@ -243,11 +254,183 @@ def test_txn_sql_merge_rejected(cat):
     assert 40 in {r.id for r in cat.read_table("users").collect()}
 
 
-def test_txn_sql_rejects_ddl_and_overwrite(cat):
+def test_txn_sql_rejects_ddl(cat):
     with cat.transaction() as txn:
-        with pytest.raises(ValueError, match="INSERT OVERWRITE / CREATE TABLE"):
-            txn.sql("INSERT OVERWRITE users VALUES (1, 'x', 1)")
-        with pytest.raises(ValueError, match="INSERT OVERWRITE / CREATE TABLE"):
+        with pytest.raises(ValueError, match="CREATE TABLE inside"):
             txn.sql("CREATE TABLE t2 AS SELECT * FROM users")
         txn.sql("INSERT INTO users VALUES (50, 'after', 2)")
     assert 50 in {r.id for r in cat.read_table("users").collect()}
+
+
+def test_txn_sql_insert_overwrite_buffers_replace(cat, spark):
+    """Directive: buffered REPLACE — overwrite + merge in ONE seal,
+    atomic under a concurrent reader."""
+    observer = Catalog(spark, cat.root)
+    with cat.transaction() as txn:
+        res = txn.sql("INSERT OVERWRITE users VALUES (8, 'only', 10)")
+        assert res.collect()[0].rows == 1
+        # read-your-writes sees the new generation...
+        assert {r.id for r in txn.sql("SELECT id FROM users").collect()} == {8}
+        # ...then a merge on top of the buffered replace
+        txn.sql("UPDATE users SET age = 11 WHERE id = 8")
+        txn.sql("INSERT INTO users VALUES (9, 'post', 1)")
+        # nothing visible outside until seal
+        assert observer.read_table("users").count() == 3
+    got = {r.id: (r.name, r.age) for r in cat.read_table("users").collect()}
+    assert got == {8: ("only", 11), 9: ("post", 1)}
+
+
+def test_txn_write_replace_mode_seals_atomically(cat, spark):
+    df = spark.createDataFrame([(100, "r", 1)], "id long, name string, age int")
+    with cat.transaction() as txn:
+        txn.write(df, "users", mode="replace")
+        assert {r.id for r in txn.read("users").collect()} == {100}
+    assert {r.id for r in cat.read_table("users").collect()} == {100}
+
+
+# ---- round-7: generalized MERGE INTO + ADVICE fixes --------------------
+
+
+def test_merge_matched_predicate(cat, spark):
+    spark.createDataFrame(
+        [(1, "a", 100), (2, "b", 1)], "id long, name string, age int"
+    ).createOrReplaceTempView("m7src")
+    res = cat.sql(
+        "MERGE INTO users t USING (SELECT * FROM m7src) s ON t.id = s.id"
+        " WHEN MATCHED AND t.age >= 40 THEN UPDATE SET *"
+    )
+    assert res.collect()[0].rows == 1  # only id=2 (age 40) passes the pred
+    got = {r.id: r.age for r in cat.read_table("users").collect()}
+    assert got == {1: 30, 2: 1, 3: 50}
+
+
+def test_merge_column_set_list(cat, spark):
+    spark.createDataFrame(
+        [(1, 7), (2, 8)], "id long, bump int"
+    ).createOrReplaceTempView("m7bump")
+    res = cat.sql(
+        "MERGE INTO users t USING (SELECT * FROM m7bump) s ON t.id = s.id"
+        " WHEN MATCHED THEN UPDATE SET age = t.age + s.bump,"
+        " name = upper(t.name)"
+    )
+    assert res.collect()[0].rows == 2
+    got = {r.id: (r.name, r.age) for r in cat.read_table("users").collect()}
+    assert got == {1: ("ANN", 37), 2: ("BOB", 48), 3: ("cy", 50)}
+
+
+def test_merge_predicated_update_plus_insert_one_commit(cat, spark):
+    spark.createDataFrame(
+        [(2, "bobby", 41), (7, "new", 70), (9, "teen", 12)],
+        "id long, name string, age int",
+    ).createOrReplaceTempView("m7mix")
+    v0 = cat.snapshot("users").version
+    res = cat.sql(
+        "MERGE INTO users t USING (SELECT * FROM m7mix) s ON t.id = s.id"
+        " WHEN MATCHED THEN UPDATE SET age = s.age"
+        " WHEN NOT MATCHED AND s.age >= 18 THEN INSERT *"
+    )
+    assert res.collect()[0].rows == 2  # update id=2, insert id=7; 9 filtered
+    got = {r.id: (r.name, r.age) for r in cat.read_table("users").collect()}
+    assert got == {
+        1: ("ann", 30),
+        2: ("bob", 41),  # SET list keeps the target name
+        3: ("cy", 50),
+        7: ("new", 70),
+    }
+    assert cat.snapshot("users").version == v0 + 1  # single commit
+
+
+def test_merge_delete_with_predicate(cat, spark):
+    spark.createDataFrame(
+        [(1,), (2,), (3,)], "id long"
+    ).createOrReplaceTempView("m7del")
+    res = cat.sql(
+        "MERGE INTO users t USING (SELECT id FROM m7del) s ON t.id = s.id"
+        " WHEN MATCHED AND t.age > 35 THEN DELETE"
+    )
+    assert res.collect()[0].rows == 2
+    assert {r.id for r in cat.read_table("users").collect()} == {1}
+
+
+def test_merge_insert_only(cat, spark):
+    spark.createDataFrame(
+        [(1, "dup", 1), (11, "fresh", 60)], "id long, name string, age int"
+    ).createOrReplaceTempView("m7ins")
+    res = cat.sql(
+        "MERGE INTO users t USING (SELECT * FROM m7ins) s ON t.id = s.id"
+        " WHEN NOT MATCHED THEN INSERT *"
+    )
+    assert res.collect()[0].rows == 1
+    got = {r.id: r.name for r in cat.read_table("users").collect()}
+    assert got[1] == "ann" and got[11] == "fresh"  # matched row untouched
+
+
+def test_merge_delete_plus_insert_atomic(cat, spark):
+    spark.createDataFrame(
+        [(1, "gone", 0), (12, "kept", 22)], "id long, name string, age int"
+    ).createOrReplaceTempView("m7di")
+    res = cat.sql(
+        "MERGE INTO users t USING (SELECT * FROM m7di) s ON t.id = s.id"
+        " WHEN MATCHED THEN DELETE"
+        " WHEN NOT MATCHED THEN INSERT *"
+    )
+    assert res.collect()[0].rows == 2
+    got = {r.id for r in cat.read_table("users").collect()}
+    assert got == {2, 3, 12}
+
+
+def test_update_set_merge_key_rejected(cat):
+    with pytest.raises(ValueError, match="merge-key column"):
+        cat.sql("UPDATE users SET id = id + 1")
+    # and inside a transaction
+    with cat.transaction() as txn:
+        with pytest.raises(ValueError, match="merge-key column"):
+            txn.sql("UPDATE users SET id = 99 WHERE id = 1")
+        txn.sql("INSERT INTO users VALUES (60, 'fine', 3)")
+    assert 60 in {r.id for r in cat.read_table("users").collect()}
+
+
+def test_update_set_string_literal_with_comma(cat):
+    res = cat.sql("UPDATE users SET name = 'a,b' WHERE id = 1")
+    assert res.collect()[0].rows == 1
+    got = {r.id: r.name for r in cat.read_table("users").collect()}
+    assert got[1] == "a,b"
+    # escaped quote ('') inside the literal
+    cat.sql("UPDATE users SET name = 'o''brien, jr' WHERE id = 2")
+    got = {r.id: r.name for r in cat.read_table("users").collect()}
+    assert got[2] == "o'brien, jr"
+
+
+def test_table_name_inside_literal_not_registered(cat):
+    # a table name INSIDE a string literal is not a reference — it must
+    # not cost a snapshot resolution / view registration
+    assert cat._referenced_tables("SELECT 'users are great' AS s") == []
+    assert cat._referenced_tables(
+        "SELECT * FROM users WHERE name != 'users'"
+    ) == ["users"]
+    # escaped '' inside a literal doesn't end the literal early
+    assert cat._referenced_tables("SELECT 'it''s users' AS s") == []
+
+
+def test_count_rows_false_skips_count(cat):
+    res = cat.sql(
+        "UPDATE users SET age = age + 1 WHERE id = 1", count_rows=False
+    )
+    row = res.collect()[0]
+    assert row.operation == "UPDATE" and row.rows == -1
+    got = {r.id: r.age for r in cat.read_table("users").collect()}
+    assert got[1] == 31  # the write still happened
+    res2 = cat.sql("INSERT INTO users VALUES (70, 'nc', 1)", count_rows=False)
+    assert res2.collect()[0].rows == -1
+    assert 70 in {r.id for r in cat.read_table("users").collect()}
+
+
+def test_nondeterministic_payload_single_evaluation(cat):
+    """The pinned payload means the reported count and the written rows
+    come from one evaluation of a rand()-dependent filter."""
+    res = cat.sql(
+        "INSERT INTO users SELECT id + 100 AS id, name, age FROM users"
+        " WHERE rand() >= 0"  # always true but non-deterministic plan
+    )
+    assert res.collect()[0].rows == 3
+    assert cat.read_table("users").count() == 6
