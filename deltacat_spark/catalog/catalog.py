@@ -1916,6 +1916,7 @@ class Catalog:
         run to report their ``rows`` (reported as -1) — the escape for
         pipeline use where the payload is large and the count unused.
         """
+        query = self._rewrite_time_travel(query)
         dml = self._sql_dml(query, count_rows=count_rows)
         if dml is not None:
             return dml
@@ -1924,6 +1925,61 @@ class Catalog:
         for t in tables:
             self.register_view(t)
         return self.spark.sql(query)
+
+    def _rewrite_time_travel(self, query: str) -> str:
+        """Bridge `FROM t VERSION AS OF n` / `TIMESTAMP AS OF 'ts'|ms`
+        (the standard lakehouse SQL idiom) onto the existing
+        `version_as_of`/`timestamp_as_of` read path: each occurrence
+        registers a pinned-snapshot temp view (`t__v3`, `t__tt<ms>`)
+        and the clause is rewritten to that view name, so a query can
+        freely join a table's current state against its own history.
+        A timestamp may be epoch millis or an ISO datetime string
+        (naive strings are UTC — commit timestamps are UTC epoch ms).
+        Works inside DML too (e.g. INSERT ... SELECT ... FROM t
+        VERSION AS OF 2): the rewrite runs before statement dispatch.
+        """
+        import re
+
+        pat = re.compile(
+            r"\b(\w+)\s+(?:version\s+as\s+of\s+(\d+)"
+            r"|timestamp\s+as\s+of\s+(?:'([^']+)'|(\d+)))",
+            re.IGNORECASE,
+        )
+        known = None
+
+        def sub(m: "re.Match") -> str:
+            nonlocal known
+            t, ver, ts_str, ts_ms = m.groups()
+            if known is None:
+                known = set(self.list_tables())
+            if t not in known:
+                return m.group(0)
+            if ver is not None:
+                view = f"{t}__v{ver}"
+                self.register_view(t, view_name=view, version_as_of=int(ver))
+                return view
+            if ts_ms is not None:
+                ms = int(ts_ms)
+            else:
+                from datetime import datetime, timezone
+
+                dt = datetime.fromisoformat(ts_str)
+                if dt.tzinfo is None:
+                    dt = dt.replace(tzinfo=timezone.utc)
+                ms = int(dt.timestamp() * 1000)
+            view = f"{t}__tt{ms}"
+            self.register_view(t, view_name=view, timestamp_as_of=ms)
+            return view
+
+        # literal-blind: a 'VERSION AS OF' inside a string stays text
+        stripped = _strip_literals(query)
+        out, last = [], 0
+        for m in pat.finditer(stripped):
+            out.append(query[last : m.start()])
+            out.append(sub(re.match(pat, query[m.start() : m.end()])))
+            last = m.end()
+        out.append(query[last:])
+        return "".join(out)
 
     def _referenced_tables(self, text: str) -> list[str]:
         """Catalog tables the SQL text references, literal-blind."""

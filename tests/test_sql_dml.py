@@ -434,3 +434,51 @@ def test_nondeterministic_payload_single_evaluation(cat):
     )
     assert res.collect()[0].rows == 3
     assert cat.read_table("users").count() == 6
+
+
+def test_sql_time_travel_version_as_of(cat):
+    v0 = cat.snapshot("users").version
+    cat.sql("UPDATE users SET age = age + 100")
+    # plain historical read
+    old = cat.sql(f"SELECT id, age FROM users VERSION AS OF {v0}")
+    assert {r.age for r in old.collect()} == {30, 40, 50}
+    # the directive's shape: current state joined against own history
+    diff = cat.sql(
+        f"SELECT c.id, c.age - o.age AS delta FROM users c"
+        f" JOIN users VERSION AS OF {v0} o ON c.id = o.id"
+    )
+    assert {r.delta for r in diff.collect()} == {100}
+
+
+def test_sql_time_travel_timestamp_as_of(cat):
+    hist = cat.history("users")
+    ts0 = hist[0]["timestamp_ms"]  # newest commit (the seed insert)
+    cat.sql("DELETE FROM users WHERE id = 3")
+    got = cat.sql(f"SELECT id FROM users TIMESTAMP AS OF {ts0}")
+    assert {r.id for r in got.collect()} == {1, 2, 3}
+    # ISO string form (naive = UTC)
+    from datetime import datetime, timezone
+
+    iso = datetime.fromtimestamp(ts0 / 1000, tz=timezone.utc).strftime(
+        "%Y-%m-%dT%H:%M:%S.%f"
+    )
+    got2 = cat.sql(f"SELECT id FROM users TIMESTAMP AS OF '{iso}'")
+    assert {r.id for r in got2.collect()} == {1, 2, 3}
+    assert {r.id for r in cat.sql("SELECT id FROM users").collect()} == {1, 2}
+
+
+def test_sql_time_travel_inside_dml_payload(cat):
+    v0 = cat.snapshot("users").version
+    cat.sql("DELETE FROM users WHERE id IN (2, 3)")
+    # re-insert the deleted rows from history through the DML payload
+    res = cat.sql(
+        f"INSERT INTO users SELECT * FROM users VERSION AS OF {v0}"
+        " WHERE id = 3"
+    )
+    assert res.collect()[0].rows == 1
+    assert {r.id for r in cat.read_table("users").collect()} == {1, 3}
+
+
+def test_sql_time_travel_literal_blind(cat):
+    df = cat.sql("SELECT 'VERSION AS OF 1' AS s FROM users")
+    assert df.collect()[0].s == "VERSION AS OF 1"
