@@ -145,6 +145,20 @@ def _strip_literals(text: str) -> str:
     return "".join(out)
 
 
+def _partition_scopes_disjoint(a: dict, b: dict) -> bool:
+    """True when two partition filters provably select disjoint
+    partition sets: some column constrained by BOTH filters has no
+    value in common (partition tuples then differ on that column).
+    Filters on different columns can't be proven disjoint → False."""
+    def _vals(v) -> set:
+        seq = v if isinstance(v, (list, tuple, set)) else [v]
+        return {str(x) for x in seq}
+
+    return any(
+        k in b and not (_vals(av) & _vals(b[k])) for k, av in a.items()
+    )
+
+
 def _bloom_columns(props: dict) -> "list[str] | None":
     """Parse the `bloom_filter_columns` table property ("a,b" or list).
     Opt-in: per-file key blooms (`storage/bloom.py`) cost one narrow
@@ -3138,7 +3152,60 @@ class Catalog:
             },
             actions=adds + [{"remove": {"path": f.path}} for f in rewrite],
         )
-        self._log(table, namespace).commit(commit)
+        log = self._log(table, namespace)
+        while True:
+            try:
+                log.commit(commit)
+                return
+            except CommitConflictError:
+                # Disjoint-scope rebase (same relaxation CoW writes got):
+                # when every intervening commit is ANOTHER partition-
+                # scoped OPTIMIZE on a provably disjoint scope, this
+                # commit's rewrite read nothing the winner touched —
+                # bump the version and keep the SAME actions instead of
+                # recomputing a whole compaction job. Anything else
+                # (data writes, metadata, wholesale ops, unprovable
+                # scopes) re-raises into the recompute retry loop.
+                if mode not in ("partition", "partition-incremental"):
+                    raise
+                latest = log.latest_version()
+                our_removes = set(commit.removes)
+                for v in range(commit.version, latest + 1):
+                    inter = log.read_commit(v)
+                    pt = inter.pending_txn
+                    if (
+                        pt
+                        and pt != self._txn_ctx
+                        and self._txn_markers.status(pt) == "aborted"
+                    ):
+                        continue  # invisible slot
+                    if (
+                        inter.schema_json
+                        or inter.partition_scheme
+                        or inter.sort_scheme
+                        or set(inter.properties or ()) & ENGINE_PROPERTY_KEYS
+                    ):
+                        raise
+                    if inter.operation != "OPTIMIZE":
+                        raise
+                    im = inter.metrics or {}
+                    if im.get("mode") not in (
+                        "partition",
+                        "partition-incremental",
+                    ) or im.get("partition_fallback"):
+                        raise
+                    if not _partition_scopes_disjoint(
+                        partition_filter, im.get("partition_filter") or {}
+                    ):
+                        raise
+                    if our_removes & set(inter.removes):
+                        # e.g. both scopes swallowed the same pre-
+                        # evolution "unknown partition" files
+                        raise CommitConflictError(
+                            f"concurrent scoped OPTIMIZE at version "
+                            f"{inter.version} removed overlapping files"
+                        )
+                commit.version = latest + 1
 
     def repartition_table_by_range(
         self,
@@ -3223,6 +3290,11 @@ class Catalog:
         import time as _time
         troot = self._table_root(table, namespace)
         log = self._log(table, namespace)
+        if not dry_run:
+            # Janitor backstop for checkpoint files written before
+            # write-time pruning existed (write_checkpoint now keeps
+            # the newest 3 by construction).
+            log.prune_checkpoints(keep=3)
         aborted_txns = self._txn_markers.abort_stale(
             txn_timeout_seconds, dry_run=dry_run
         )

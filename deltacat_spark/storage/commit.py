@@ -330,17 +330,47 @@ class CommitLog:
     def write_checkpoint(self, version: int, state: dict) -> None:
         path = self.fs.join(self.log_dir, f"{version:020d}.checkpoint.json")
         self.fs.write_text_atomic(path, json.dumps(state, separators=(",", ":")))
+        # Bounded checkpoint count BY CONSTRUCTION: whoever writes a new
+        # checkpoint sweeps the ones it obsoletes. Keeping the newest 3
+        # (not 1) shields a concurrent reader that listed the directory
+        # just before this write; `latest_checkpoint` additionally
+        # retries on a lost race. Only the newest checkpoint is ever
+        # used for resolution — older ones are pure dead weight, and at
+        # 10^4+ commits an unswept directory is itself a listing cost.
+        self.prune_checkpoints(keep=3)
+
+    def prune_checkpoints(self, keep: int = 3) -> list[int]:
+        """Delete all but the newest `keep` checkpoint files (vacuum's
+        janitor backstop for logs written by older engine versions).
+        Safe: time travel to pre-checkpoint versions replays the commit
+        files, which are never touched here."""
+        doomed = self.checkpoints()[:-keep] if keep > 0 else self.checkpoints()
+        for v in doomed:
+            try:
+                self.fs.delete(
+                    self.fs.join(self.log_dir, f"{v:020d}.checkpoint.json")
+                )
+            except (FileNotFoundError, OSError):
+                pass  # another pruner won the race — same outcome
+        return doomed
 
     def latest_checkpoint(self) -> "tuple[int, dict] | None":
-        cps = self.checkpoints()
-        if not cps:
-            return None
-        v = cps[-1]
-        return v, json.loads(
-            self.fs.read_text(
-                self.fs.join(self.log_dir, f"{v:020d}.checkpoint.json")
-            )
-        )
+        # Two attempts: a concurrent writer's prune may delete the file
+        # between our listing and our read — refresh and retry once.
+        for _ in range(2):
+            cps = self.checkpoints()
+            if not cps:
+                return None
+            v = cps[-1]
+            try:
+                return v, json.loads(
+                    self.fs.read_text(
+                        self.fs.join(self.log_dir, f"{v:020d}.checkpoint.json")
+                    )
+                )
+            except FileNotFoundError:
+                continue
+        return None
 
     # -- write ---------------------------------------------------------
     def _put_if_absent(self, payload: str, version: int) -> bool:

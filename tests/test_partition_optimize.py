@@ -461,3 +461,94 @@ def test_optimize_retries_after_commit_conflict(spark, tmp_path, monkeypatch):
     assert ("b", 500, 1) in _content(cat)
     snap = cat.snapshot("t")
     assert snap.commits[-1].operation == "OPTIMIZE"
+
+
+def test_concurrent_disjoint_scoped_optimize_rebases(spark, tmp_path, monkeypatch):
+    """Directive r6→r7: two scoped OPTIMIZEs on disjoint partitions must
+    both commit with the LOSER rebasing (same actions, bumped version)
+    instead of recomputing the whole compaction job."""
+    cat = _mk(spark, tmp_path, SCHEMA_KEYED)
+    # make both partitions hot so each scope has something to fold
+    upd = spark.createDataFrame(
+        [("a", 0, 999), ("b", 1, 888)], "cat string, k long, v int"
+    )
+    cat.write_to_table(upd, "t", mode="merge")
+    expected = _content(cat)
+    stale = cat.snapshot("t")
+
+    # A wins: scoped OPTIMIZE on partition "a"
+    cat.optimize_table("t", partition_filter={"cat": "a"})
+    v_after_a = cat.snapshot("t").version
+
+    # B computed against the STALE pre-A snapshot → version collision
+    orig_snapshot = Catalog.snapshot
+    state = {"served_stale": False}
+
+    def stale_once(self, table, namespace="default", *a, **kw):
+        if not state["served_stale"] and not a and not kw:
+            state["served_stale"] = True
+            return stale
+        return orig_snapshot(self, table, namespace, *a, **kw)
+
+    monkeypatch.setattr(Catalog, "snapshot", stale_once)
+    compute_calls = {"n": 0}
+    orig_once = Catalog._optimize_once
+
+    def counting_once(self, *a, **kw):
+        compute_calls["n"] += 1
+        return orig_once(self, *a, **kw)
+
+    monkeypatch.setattr(Catalog, "_optimize_once", counting_once)
+    cat.optimize_table("t", partition_filter={"cat": "b"})
+    assert compute_calls["n"] == 1, "disjoint scopes must rebase, not recompute"
+    snap = cat.snapshot("t")
+    assert snap.version == v_after_a + 1  # rebased past A's commit
+    assert _content(cat) == expected
+    m = _last_metrics(cat)
+    assert m["mode"] == "partition" and m["partition_filter"] == {"cat": "b"}
+
+
+def test_concurrent_overlapping_scoped_optimize_recomputes(
+    spark, tmp_path, monkeypatch
+):
+    """Same collision but on the SAME partition: the loser must take the
+    recompute path (correctness first), and content stays right."""
+    cat = _mk(spark, tmp_path, SCHEMA_KEYED)
+    upd = spark.createDataFrame([("a", 0, 999)], "cat string, k long, v int")
+    cat.write_to_table(upd, "t", mode="merge")
+    expected = _content(cat)
+    stale = cat.snapshot("t")
+    cat.optimize_table("t", partition_filter={"cat": "a"})
+
+    orig_snapshot = Catalog.snapshot
+    state = {"served_stale": False}
+
+    def stale_once(self, table, namespace="default", *a, **kw):
+        if not state["served_stale"] and not a and not kw:
+            state["served_stale"] = True
+            return stale
+        return orig_snapshot(self, table, namespace, *a, **kw)
+
+    monkeypatch.setattr(Catalog, "snapshot", stale_once)
+    compute_calls = {"n": 0}
+    orig_once = Catalog._optimize_once
+
+    def counting_once(self, *a, **kw):
+        compute_calls["n"] += 1
+        return orig_once(self, *a, **kw)
+
+    monkeypatch.setattr(Catalog, "_optimize_once", counting_once)
+    cat.optimize_table("t", partition_filter={"cat": "a"})
+    assert compute_calls["n"] == 2, "overlapping scopes must recompute"
+    assert _content(cat) == expected
+
+
+def test_scope_disjointness_predicate():
+    from deltacat_spark.catalog.catalog import _partition_scopes_disjoint as d
+
+    assert d({"cat": "a"}, {"cat": "b"})
+    assert d({"cat": ["a", "c"]}, {"cat": ["b"]})
+    assert not d({"cat": "a"}, {"cat": ["a", "b"]})
+    assert not d({"cat": "a"}, {"region": "x"})  # different columns: unprovable
+    assert d({"cat": "a", "day": "1"}, {"cat": "a", "day": "2"})  # one column suffices
+    assert not d({}, {"cat": "a"})
