@@ -42,7 +42,12 @@ def exact_dedupe(
 
 
 def shingle_sets(
-    df: DataFrame, id_col: str, text_col: str, n: int = 3, distinct: bool = True
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    distinct: bool = True,
+    hashed: bool = False,
 ) -> DataFrame:
     """(doc_id, shingle) pairs — the inverted-index base.
 
@@ -51,12 +56,29 @@ def shingle_sets(
     are duplicate-insensitive — MinHash's per-doc MIN aggregate gives
     identical signatures on the raw explode stream and skips that
     shuffle entirely (the partial min combines map-side, so the only
-    shuffled data is num_perms values per doc)."""
+    shuffled data is num_perms values per doc).
+
+    `hashed=True` replaces the n-gram string with its xxhash64 BEFORE
+    the distinct shuffle — right for consumers that only test shingle
+    EQUALITY (jaccard/containment/contamination): every downstream
+    shuffle then moves 8-byte keys instead of ~40-byte strings.
+    Keep strings for the MinHash path, whose md5 signature construction
+    (and its DuckDB oracle) is defined over the string shingle."""
     out = df.select(
         F.col(id_col).alias("doc_id"),
         F.explode(word_shingles(F.col(text_col), n)).alias("shingle"),
     )
+    if hashed:
+        out = out.withColumn("shingle", F.xxhash64("shingle"))
     return out.distinct() if distinct else out
+
+
+def _hash_shingles(shingles: DataFrame) -> DataFrame:
+    """Idempotent 64-bit shingle key: no-op when `shingle_sets(...,
+    hashed=True)` already produced bigints."""
+    if dict(shingles.dtypes).get("shingle") == "bigint":
+        return shingles
+    return shingles.withColumn("shingle", F.xxhash64("shingle"))
 
 
 def _rotation(h, i: int):
@@ -169,6 +191,13 @@ def jaccard_pairs(
     itself (docs sharing ≥1 surviving shingle), with `df_cap` dropping
     stop-shingles so the join stays near-linear.
     """
+    # Count-based operator: only shingle EQUALITY matters downstream, so
+    # hash the n-gram strings to 64-bit ints before the heavy shuffles —
+    # the df aggregation and the inverted-index self-join then move
+    # 8-byte keys instead of ~40-byte strings (the spill driver at the
+    # 30x bench point; collision odds ~n²/2^64 are noise next to the
+    # shingle model itself).
+    shingles = _hash_shingles(shingles)
     sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("set_size"))
     # NOTE: we deliberately do NOT pre-filter the shingle index down to
     # candidate docs — that re-evaluates the whole LSH lineage a second
@@ -235,6 +264,8 @@ def containment_pairs(
     intersection emits up to two DIRECTED rows (doc_id contained in
     host_id), so the extra cost over Jaccard is one cheap projection.
     """
+    # Same 64-bit shingle hashing as `jaccard_pairs` — equality-only use.
+    shingles = _hash_shingles(shingles)
     sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("set_size"))
     sh = shingles
     if df_cap is not None:
@@ -296,6 +327,10 @@ def jaccard_pairs_across(
     guard as `jaccard_pairs`. Returns (doc_id, dup_of, jaccard): the new
     doc and the corpus doc it duplicates.
     """
+    # Same 64-bit shingle hashing as `jaccard_pairs` — both sides, so
+    # the shingle-keyed corpus×new join moves 8-byte keys.
+    sh_corpus = _hash_shingles(sh_corpus)
+    sh_new = _hash_shingles(sh_new)
     both = sh_corpus.unionByName(sh_new)
     sizes = both.groupBy("doc_id").agg(F.count(F.lit(1)).alias("set_size"))
     if df_cap is not None:
@@ -350,7 +385,10 @@ def contamination_overlap(
     hash join per corpus partition plus a (doc, probe) count aggregate.
     Returns (doc_id, probe_id, n_shared).
     """
-    p = sh_probes.select(
+    # Hash both sides (idempotent): the broadcast probe index and the
+    # map-side join keys shrink to 8 bytes per shingle.
+    sh_docs = _hash_shingles(sh_docs)
+    p = _hash_shingles(sh_probes).select(
         F.col("doc_id").alias("probe_id"), "shingle"
     )
     return (

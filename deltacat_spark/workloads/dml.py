@@ -184,7 +184,117 @@ def dedupe_lww_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("user_id", "event_type", "event_id", "ts_us", "value")
 
 
+# --- SQL MERGE INTO surface (generalized forms, end-to-end) -----------------
+def _merge_fixture(spark: SparkSession, sf_dir: str, merge_sql: str) -> DataFrame:
+    """Run a MERGE statement through the REAL `Catalog.sql` path (temp
+    lakehouse root, customer loaded as a keyed table plus an `updates`
+    source table) and return the materialized post-merge state. The
+    result is collected so the temp root can be removed — these rows are
+    customer-sized (1.5k at sf0.01), never corpus-sized."""
+    import shutil
+    import tempfile
+
+    from deltacat_spark.catalog import Catalog
+    from deltacat_spark.schema import Schema
+
+    root = tempfile.mkdtemp(prefix="dcs_sqlmerge_")
+    try:
+        cat = Catalog(spark, root)
+        c = load(spark, sf_dir, "customer")
+        sch = Schema.from_dataframe(c)
+        for fld in sch.fields:
+            if fld.name == "c_custkey":
+                fld.merge_key = True
+        cat.write_to_table(c, "cust", schema=sch)
+        upd = (
+            c.filter(F.col("c_custkey") % 3 == 0)
+            .withColumn("c_acctbal", F.col("c_acctbal") + F.lit(100.0))
+            .unionByName(
+                c.filter(F.col("c_custkey") % 5 == 0).withColumn(
+                    "c_custkey", F.col("c_custkey") + F.lit(1_000_000)
+                )
+            )
+        )
+        cat.write_to_table(upd, "updates")  # keyless source table
+        cat.sql(merge_sql, count_rows=False)
+        out = cat.read_table("cust")
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def sql_merge_predicated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generalized MERGE (round-7 surface): WHEN MATCHED AND <pred> THEN
+    UPDATE SET * plus WHEN NOT MATCHED AND <pred> THEN INSERT *, reduced
+    to ONE keyed upsert commit (reference stubs SQL entirely,
+    `api.py:480-481`; this is the repo's Delta-style surface)."""
+    return _merge_fixture(
+        spark,
+        sf_dir,
+        "MERGE INTO cust t USING updates s ON t.c_custkey = s.c_custkey"
+        " WHEN MATCHED AND s.c_acctbal > 500.0 THEN UPDATE SET *"
+        " WHEN NOT MATCHED AND s.c_mktsegment = 'BUILDING' THEN INSERT *",
+    )
+
+
+SQL_MERGE_PREDICATED_SQL = """
+WITH upd AS (
+  SELECT c_custkey, c_name, c_nationkey, c_acctbal + 100.0 AS c_acctbal,
+         c_mktsegment
+  FROM customer WHERE c_custkey % 3 = 0
+  UNION ALL
+  SELECT c_custkey + 1000000 AS c_custkey, c_name, c_nationkey, c_acctbal,
+         c_mktsegment
+  FROM customer WHERE c_custkey % 5 = 0
+)
+SELECT c.c_custkey, c.c_name, c.c_nationkey,
+       CASE WHEN u.c_custkey IS NOT NULL AND u.c_acctbal > 500.0
+            THEN u.c_acctbal ELSE c.c_acctbal END AS c_acctbal,
+       c.c_mktsegment
+FROM customer c LEFT JOIN upd u ON c.c_custkey = u.c_custkey
+UNION ALL
+SELECT u.c_custkey, u.c_name, u.c_nationkey, u.c_acctbal, u.c_mktsegment
+FROM upd u
+WHERE u.c_mktsegment = 'BUILDING'
+  AND NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = u.c_custkey)
+"""
+
+
+def sql_merge_column_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generalized MERGE: column-level UPDATE SET with expressions over
+    BOTH aliases — full-row stitch (≡ partial_upsert) in one commit."""
+    return _merge_fixture(
+        spark,
+        sf_dir,
+        "MERGE INTO cust t USING updates s ON t.c_custkey = s.c_custkey"
+        " WHEN MATCHED THEN UPDATE SET"
+        " c_acctbal = t.c_acctbal + (s.c_acctbal - t.c_acctbal) / 2,"
+        " c_mktsegment = upper(t.c_mktsegment)",
+    )
+
+
+SQL_MERGE_COLUMN_SET_SQL = """
+WITH upd AS (
+  SELECT c_custkey, c_acctbal + 100.0 AS c_acctbal
+  FROM customer WHERE c_custkey % 3 = 0
+  UNION ALL
+  SELECT c_custkey + 1000000 AS c_custkey, c_acctbal
+  FROM customer WHERE c_custkey % 5 = 0
+)
+SELECT c.c_custkey, c.c_name, c.c_nationkey,
+       CASE WHEN u.c_custkey IS NOT NULL
+            THEN c.c_acctbal + (u.c_acctbal - c.c_acctbal) / 2
+            ELSE c.c_acctbal END AS c_acctbal,
+       CASE WHEN u.c_custkey IS NOT NULL THEN upper(c.c_mktsegment)
+            ELSE c.c_mktsegment END AS c_mktsegment
+FROM customer c LEFT JOIN upd u ON c.c_custkey = u.c_custkey
+"""
+
+
 QUERIES = {
+    "sql_merge_predicated": (sql_merge_predicated, SQL_MERGE_PREDICATED_SQL),
+    "sql_merge_column_set": (sql_merge_column_set, SQL_MERGE_COLUMN_SET_SQL),
     "dedupe_lww_agg": (dedupe_lww_agg, DEDUPE_LWW_SQL),
     "merge_upsert": (merge_upsert, MERGE_UPSERT_SQL),
     "delete_equality": (delete_equality, DELETE_SQL),

@@ -248,7 +248,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # tokenize+explode recompute is cheaper than cache materialization.
     # At cluster scale with much larger documents, revisit with
     # MEMORY_AND_DISK persistence.
-    sh = shingle_sets(d, "doc_id", "text", n=3)
+    sh = shingle_sets(d, "doc_id", "text", n=3, hashed=True)
     # Signatures read the RAW explode stream (min is duplicate-
     # insensitive) — skips the (doc_id, shingle) distinct shuffle on the
     # signature branch; Jaccard keeps the distinct set semantics.
@@ -308,7 +308,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     near-dup doc labeled with its cluster representative (min doc_id
     reachable through the verified-pair graph)."""
     d = load(spark, sf_dir, "documents")
-    sh = shingle_sets(d, "doc_id", "text", n=3)
+    sh = shingle_sets(d, "doc_id", "text", n=3, hashed=True)
     sigs = minhash_signatures(
         shingle_sets(d, "doc_id", "text", n=3, distinct=False), num_perms=8
     )
@@ -339,7 +339,7 @@ def dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     `operators.dedupe.keep_best`. Reports each cluster's survivor and
     size — the rows a `write_to_table` of the cleaned corpus would keep."""
     d = load(spark, sf_dir, "documents")
-    sh = shingle_sets(d, "doc_id", "text", n=3)
+    sh = shingle_sets(d, "doc_id", "text", n=3, hashed=True)
     sigs = minhash_signatures(
         shingle_sets(d, "doc_id", "text", n=3, distinct=False), num_perms=8
     )
@@ -386,7 +386,7 @@ FROM ranked WHERE rn = 1
 # --- exact n-gram Jaccard near-dup ------------------------------------------
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
-    sh = shingle_sets(d, "doc_id", "text", n=3)
+    sh = shingle_sets(d, "doc_id", "text", n=3, hashed=True)
     return jaccard_pairs(sh, candidates=None, df_cap=50, threshold=0.7)
 
 
@@ -498,8 +498,12 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     inverted-index join touches only corpus×new shingle matches
     (`operators/dedupe.py:jaccard_pairs_across`)."""
     d = load(spark, sf_dir, "documents")
-    sh_corpus = shingle_sets(d.filter(F.col("doc_id") < 250), "doc_id", "text", n=3)
-    sh_new = shingle_sets(d.filter(F.col("doc_id") >= 250), "doc_id", "text", n=3)
+    sh_corpus = shingle_sets(
+        d.filter(F.col("doc_id") < 250), "doc_id", "text", n=3, hashed=True
+    )
+    sh_new = shingle_sets(
+        d.filter(F.col("doc_id") >= 250), "doc_id", "text", n=3, hashed=True
+    )
     return jaccard_pairs_across(sh_corpus, sh_new, df_cap=None, threshold=0.7)
 
 
@@ -528,7 +532,7 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     (`operators/dedupe.py:containment_pairs`): excerpt/quote detection
     where Jaccard under-scores short-in-long duplication."""
     d = load(spark, sf_dir, "documents")
-    sh = shingle_sets(d, "doc_id", "text", n=3)
+    sh = shingle_sets(d, "doc_id", "text", n=3, hashed=True)
     return containment_pairs(sh, df_cap=None, threshold=0.9)
 
 
@@ -564,8 +568,12 @@ def decontaminate_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     The probe side broadcasts — the corpus never shuffles
     (`operators/dedupe.py:contamination_overlap`)."""
     d = load(spark, sf_dir, "documents")
-    sh_docs = shingle_sets(d.filter(F.col("doc_id") >= 50), "doc_id", "text", n=3)
-    sh_probes = shingle_sets(d.filter(F.col("doc_id") < 50), "doc_id", "text", n=3)
+    sh_docs = shingle_sets(
+        d.filter(F.col("doc_id") >= 50), "doc_id", "text", n=3, hashed=True
+    )
+    sh_probes = shingle_sets(
+        d.filter(F.col("doc_id") < 50), "doc_id", "text", n=3, hashed=True
+    )
     return contamination_overlap(sh_docs, sh_probes, min_shared=3)
 
 
