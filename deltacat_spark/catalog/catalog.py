@@ -38,7 +38,7 @@ from deltacat_spark.plans.transforms import (
     SortKey,
     scheme_to_json,
 )
-from deltacat_spark.schema import Schema, SchemaError
+from deltacat_spark.schema import Field, Schema, SchemaError
 from deltacat_spark.storage.commit import (
     Commit,
     CommitConflictError,
@@ -2396,6 +2396,106 @@ class Catalog:
             )
             self.optimize_table(table, partition_filter=pf, zorder_by=zb)
             return self._dml_result("OPTIMIZE", 0)
+        m = re.fullmatch(r"describe\s+(?:table\s+)?(\w+)", q, re.IGNORECASE)
+        if m and self.table_exists(m.group(1)):
+            snap = self.snapshot(m.group(1))
+            part_cols = {
+                PartitionKey.from_dict(d).source
+                for d in (snap.partition_scheme or [])
+            }
+            rows = [
+                (
+                    f.name,
+                    f.data_type.simpleString(),
+                    bool(f.merge_key),
+                    f.name in part_cols,
+                )
+                for f in (snap.schema.fields if snap.schema else [])
+            ] or [("", "", False, False)]
+            return self.spark.createDataFrame(
+                rows,
+                "col_name string, data_type string, merge_key boolean,"
+                " partition boolean",
+            ).filter(F.col("col_name") != "")
+        m = re.fullmatch(r"show\s+partitions\s+(\w+)", q, re.IGNORECASE)
+        if m:
+            snap = self.snapshot(m.group(1))
+            if not snap.partition_scheme:
+                raise ValueError(
+                    f"table {m.group(1)} is not partitioned"
+                )
+            cols = [
+                PartitionKey.from_dict(d).part_name()
+                for d in snap.partition_scheme
+            ]
+            seen = sorted(
+                {
+                    "/".join(
+                        f"{c}={f.partition_values.get(c)}" for c in cols
+                    )
+                    for f in snap.files
+                    if f.partition_values
+                    and all(c in f.partition_values for c in cols)
+                }
+            )
+            return self.spark.createDataFrame(
+                [(p,) for p in seen] or [("",)], "partition string"
+            ).filter(F.col("partition") != "")
+        m = re.fullmatch(
+            r"alter\s+table\s+(\w+)\s+rename\s+to\s+(\w+)", q, re.IGNORECASE
+        )
+        if m:
+            self.rename_table(m.group(1), m.group(2))
+            return self._dml_result("ALTER TABLE RENAME", 0)
+        m = re.fullmatch(
+            r"alter\s+table\s+(\w+)\s+set\s+tblproperties\s*\((.*)\)",
+            q,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if m:
+            table, props_sql = m.groups()
+            props = {}
+            for pm in re.finditer(
+                r"'([^']+)'\s*=\s*(?:'([^']*)'|([^,\s)]+))", props_sql
+            ):
+                k, vq, vb = pm.groups()
+                props[k] = vq if vq is not None else vb
+            if not props:
+                raise ValueError(
+                    f"no properties parsed from TBLPROPERTIES ({props_sql!r})"
+                )
+            self.alter_table(table, properties=props)
+            return self._dml_result("ALTER TABLE SET TBLPROPERTIES", len(props))
+        m = re.fullmatch(
+            r"alter\s+table\s+(\w+)\s+add\s+columns?\s*\(?\s*(.*?)\s*\)?",
+            q,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if m:
+            table, cols_sql = m.groups()
+            snap = self.snapshot(table)
+            if snap.schema is None:
+                raise SchemaError(f"table {table} has no schema")
+            fields = list(snap.schema.fields)
+            added = 0
+            for part in cols_sql.split(","):
+                toks = part.strip().split(None, 1)
+                if len(toks) != 2:
+                    raise ValueError(
+                        f"ADD COLUMN expects 'name type', got {part!r}"
+                    )
+                name, typ = toks
+                # Spark parses the type string (decimal(10,2), array<int>,
+                # ...) — same dialect as DDL, no bespoke parser.
+                dt = (
+                    self.spark.sql(f"SELECT CAST(NULL AS {typ}) AS c")
+                    .schema[0]
+                    .dataType
+                )
+                fields.append(Field(name, dt))
+                added += 1
+            self.alter_table(table, schema=Schema(fields))
+            return self._dml_result("ALTER TABLE ADD COLUMNS", added)
         m = re.fullmatch(
             r"vacuum\s+(\w+)(?:\s+retain\s+(\d+)\s+versions)?"
             r"(\s+dry\s+run)?",

@@ -198,7 +198,14 @@ def token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     exchange and broadcast back), and the corpus-sized work is a single
     n_chars-keyed shuffle for the within-score cumulative sum. keep =
     cum_before_score + within_score_cum <= budget reproduces the global
-    cumulative order exactly."""
+    cumulative order exactly.
+
+    Skew bound: the within-score window keys on n_chars, so a
+    degenerate corpus where most docs share ONE score value turns that
+    key hot (the window degrades toward the single-partition shape the
+    rewrite avoids). Real length distributions spread across thousands
+    of values; for a discrete score with few levels, pre-bucket the
+    tiebreak column into the key instead."""
     d = load(spark, sf_dir, "documents")
     t = d.select(
         "doc_id",

@@ -482,3 +482,58 @@ def test_sql_time_travel_inside_dml_payload(cat):
 def test_sql_time_travel_literal_blind(cat):
     df = cat.sql("SELECT 'VERSION AS OF 1' AS s FROM users")
     assert df.collect()[0].s == "VERSION AS OF 1"
+
+
+def test_describe_table_sql(cat):
+    rows = cat.sql("DESCRIBE TABLE users").collect()
+    by_name = {r.col_name: r for r in rows}
+    assert set(by_name) == {"id", "name", "age"}
+    assert by_name["id"].merge_key is True and by_name["id"].data_type == "bigint"
+    assert by_name["age"].merge_key is False
+    # bare DESCRIBE works too; non-catalog names still fall through
+    assert len(cat.sql("DESCRIBE users").collect()) == 3
+
+
+def test_show_partitions_sql(cat, spark):
+    from deltacat_spark.plans.transforms import PartitionKey
+
+    cat.create_table(
+        "pt",
+        schema=Schema(
+            [
+                Field("k", T.LongType(), merge_key=True),
+                Field("cat", T.StringType()),
+            ]
+        ),
+        partition_scheme=[PartitionKey("cat")],
+    )
+    cat.write_to_table(
+        spark.createDataFrame(
+            [(1, "a"), (2, "b"), (3, "a")], "k long, cat string"
+        ),
+        "pt",
+        mode="merge",
+    )
+    parts = {r.partition for r in cat.sql("SHOW PARTITIONS pt").collect()}
+    assert parts == {"cat=a", "cat=b"}
+    with pytest.raises(ValueError, match="not partitioned"):
+        cat.sql("SHOW PARTITIONS users")
+
+
+def test_alter_table_sql(cat):
+    cat.sql("ALTER TABLE users ADD COLUMN score double")
+    cols = {r.col_name: r.data_type for r in cat.sql("DESCRIBE users").collect()}
+    assert cols["score"] == "double"
+    cat.sql("ALTER TABLE users ADD COLUMNS (tags array<string>, note string)")
+    cols = {r.col_name: r.data_type for r in cat.sql("DESCRIBE users").collect()}
+    assert cols["tags"] == "array<string>" and "note" in cols
+    # old rows read with nulls in the new columns
+    assert {r.score for r in cat.read_table("users").collect()} == {None}
+
+    cat.sql("ALTER TABLE users SET TBLPROPERTIES ('owner'='ml-team', 'ttl'='30')")
+    props = cat.get_table("users")["properties"]
+    assert props["owner"] == "ml-team" and props["ttl"] == "30"
+
+    cat.sql("ALTER TABLE users RENAME TO people")
+    assert "people" in cat.list_tables() and "users" not in cat.list_tables()
+    assert cat.read_table("people").count() == 3
