@@ -88,6 +88,9 @@ BENCH_QUERIES = [
     "segment_dedup_keep_first",
     "token_budget_select",
     "source_keyness",
+    # round 7 additions (additive)
+    "gopher_quality_rules",
+    "dsir_importance",
 ]
 
 # The heaviest plans from BENCH_r04, re-measured at ~10x scale in the

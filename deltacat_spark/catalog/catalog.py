@@ -2027,6 +2027,103 @@ class Catalog:
         except Exception:
             pass  # never let cache cleanup mask the DML result
 
+    def _sql_create_table(
+        self,
+        q: str,
+        table: str,
+        cols_sql: str,
+        part_sql: "str | None",
+        props_sql: "str | None",
+    ) -> DataFrame:
+        """`CREATE TABLE t (col TYPE [PRIMARY KEY] [NOT NULL], ...,
+        [PRIMARY KEY (a, b)]) [PARTITIONED BY (col, ...)]
+        [TBLPROPERTIES ('k'='v', ...)]` — PRIMARY KEY maps onto the
+        engine's merge keys (the SQL spelling of the reference's
+        `merge_key` schema flag). Types are parsed by Spark's own DDL
+        dialect."""
+        import re
+
+        if_not_exists = bool(
+            re.match(r"create\s+table\s+if\s+not\s+exists\b", q, re.IGNORECASE)
+        )
+        if self.table_exists(table):
+            if if_not_exists:
+                return self._dml_result("CREATE TABLE", 0)
+            raise ValueError(f"table {table} already exists")
+        # split the column list on top-level commas (types like
+        # decimal(10,2) and table constraints keep their parens)
+        parts, depth, start = [], 0, 0
+        for i, ch in enumerate(cols_sql):
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            elif ch == "," and depth == 0:
+                parts.append(cols_sql[start:i])
+                start = i + 1
+        parts.append(cols_sql[start:])
+        fields: list[Field] = []
+        pk_cols: set[str] = set()
+        for part in (p.strip() for p in parts):
+            if not part:
+                continue
+            cm = re.fullmatch(
+                r"primary\s+key\s*\(([^)]*)\)", part, re.IGNORECASE
+            )
+            if cm:
+                pk_cols |= {c.strip() for c in cm.group(1).split(",") if c.strip()}
+                continue
+            cm = re.fullmatch(
+                r"(\w+)\s+(.*?)(\s+primary\s+key)?(\s+not\s+null)?",
+                part,
+                re.IGNORECASE | re.DOTALL,
+            )
+            if not cm:
+                raise ValueError(f"malformed column definition: {part!r}")
+            name, typ, pk, notnull = cm.groups()
+            dt = (
+                self.spark.sql(f"SELECT CAST(NULL AS {typ}) AS c")
+                .schema[0]
+                .dataType
+            )
+            fields.append(
+                Field(
+                    name,
+                    dt,
+                    nullable=not (notnull or pk),
+                    merge_key=bool(pk),
+                )
+            )
+        for f_ in fields:
+            if f_.name in pk_cols:
+                f_.merge_key, f_.nullable = True, False
+        unknown = pk_cols - {f_.name for f_ in fields}
+        if unknown:
+            raise ValueError(f"PRIMARY KEY references unknown columns {sorted(unknown)}")
+        scheme = None
+        if part_sql:
+            cols = {f_.name for f_ in fields}
+            scheme = []
+            for c in (c.strip() for c in part_sql.split(",") if c.strip()):
+                if c not in cols:
+                    raise ValueError(f"PARTITIONED BY references unknown column {c!r}")
+                scheme.append(PartitionKey(c))
+        props = None
+        if props_sql:
+            props = {}
+            for pm in re.finditer(
+                r"'([^']+)'\s*=\s*(?:'([^']*)'|([^,\s)]+))", props_sql
+            ):
+                k, vq, vb = pm.groups()
+                props[k] = vq if vq is not None else vb
+        self.create_table(
+            table,
+            schema=Schema(fields),
+            partition_scheme=scheme,
+            properties=props,
+        )
+        return self._dml_result("CREATE TABLE", 0)
+
     def _dml_result(self, operation: str, rows: int) -> DataFrame:
         return self.spark.createDataFrame(
             [(operation, rows)], "operation string, rows long"
@@ -2543,6 +2640,73 @@ class Catalog:
             finally:
                 self._unpin(df)
             return self._dml_result("CREATE TABLE AS SELECT", n)
+        m = re.match(
+            r"create\s+table\s+(?:if\s+not\s+exists\s+)?(\w+)\s*\(",
+            q,
+            re.IGNORECASE,
+        )
+        if m:
+            # balanced-paren scan: column types nest parens (decimal(10,2),
+            # map<...>), so a lazy regex can't find the closing paren
+            table = m.group(1)
+            depth, i = 1, m.end()
+            while i < len(q) and depth:
+                if q[i] == "(":
+                    depth += 1
+                elif q[i] == ")":
+                    depth -= 1
+                i += 1
+            if depth:
+                raise ValueError("unbalanced parens in CREATE TABLE")
+            cols_sql, rest = q[m.end() : i - 1], q[i:].strip()
+            pm = re.match(
+                r"(?:partitioned\s+by\s*\(([^)]*)\))?\s*"
+                r"(?:tblproperties\s*\((.*)\))?\s*$",
+                rest,
+                re.IGNORECASE | re.DOTALL,
+            )
+            if not pm:
+                raise ValueError(
+                    f"unsupported CREATE TABLE suffix: {rest!r}"
+                )
+            return self._sql_create_table(
+                q, table, cols_sql, pm.group(1), pm.group(2)
+            )
+        m = re.fullmatch(
+            r"drop\s+table\s+(if\s+exists\s+)?(\w+)", q, re.IGNORECASE
+        )
+        if m:
+            if_exists, table = m.groups()
+            if not self.table_exists(table):
+                if if_exists:
+                    return self._dml_result("DROP TABLE", 0)
+                raise TableNotFoundError(table)
+            self.drop_table(table)
+            return self._dml_result("DROP TABLE", 0)
+        m = re.fullmatch(r"truncate\s+table\s+(\w+)", q, re.IGNORECASE)
+        if m:
+            n = (
+                self.read_table(m.group(1)).count() if count_rows else -1
+            )
+            self.truncate_table(m.group(1))
+            return self._dml_result("TRUNCATE TABLE", n)
+        m = re.match(
+            r"copy\s+into\s+(\w+)\s+from\s+'([^']+)'"
+            r"(?:\s+fileformat\s*=\s*(\w+))?\s*$",
+            q,
+            re.IGNORECASE,
+        )
+        if m:
+            table, url, fmt = m.groups()
+            from deltacat_spark.sources.formats import read_url
+
+            df = read_url(self.spark, url, fmt.lower() if fmt else None)
+            df, n = self._pin_count(df, count_rows)
+            try:
+                self.write_to_table(df, table, mode="auto")
+            finally:
+                self._unpin(df)
+            return self._dml_result("COPY INTO", n)
         m = re.match(
             r"insert\s+overwrite\s+(?:table\s+)?(\w+)\s*(\(([^)]*)\))?\s*"
             r"(select\b.*|values\b.*)",

@@ -207,7 +207,13 @@ def _footer_stats(path: str, fs=LOCAL_FS) -> dict[str, Any]:
             name = col.path_in_schema
             if "." in name:  # nested — skip
                 continue
-            mn, mx = st.min, st.max
+            try:
+                mn, mx = st.min, st.max
+            except Exception:
+                # pyarrow can't cast stats for every logical type (e.g.
+                # decimals on some physical encodings) — no stats, no
+                # pruning for that column; never a failed commit.
+                continue
             if isinstance(mn, bytes):
                 try:
                     mn, mx = mn.decode(), mx.decode()

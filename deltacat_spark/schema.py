@@ -305,6 +305,19 @@ def _promote(old: T.DataType, new: T.DataType, name: str) -> T.DataType:
     if old == new:
         return old
     o, n = old.typeName(), new.typeName()
+    if isinstance(old, T.DecimalType) and isinstance(new, T.DecimalType):
+        # Decimal covering type: enough integer digits AND scale for
+        # both — an INSERT of decimal(3,2) literals into a decimal(10,2)
+        # column keeps the declared column type (write-side coercion),
+        # never narrows it.
+        scale = max(old.scale, new.scale)
+        ints = max(old.precision - old.scale, new.precision - new.scale)
+        prec = min(ints + scale, 38)
+        if (prec, scale) == (old.precision, old.scale):
+            return old
+        if (prec, scale) == (new.precision, new.scale):
+            return new
+        return T.DecimalType(prec, scale)
     if o in _NUMERIC_WIDTH and n in _NUMERIC_WIDTH:
         return old if _NUMERIC_WIDTH[o] >= _NUMERIC_WIDTH[n] else new
     if {o, n} == {"date", "timestamp"}:

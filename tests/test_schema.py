@@ -78,3 +78,15 @@ def test_validate_mode_raises(spark):
     df = spark.createDataFrame([(30,)], ["age"])  # long
     with pytest.raises(SchemaError):
         s.validate_and_coerce(df)
+
+
+def test_decimal_promotion_covers_both():
+    from pyspark.sql import types as T
+
+    from deltacat_spark.schema import _promote
+
+    d = T.DecimalType
+    assert _promote(d(10, 2), d(3, 2), "p") == d(10, 2)  # narrower payload
+    assert _promote(d(3, 2), d(10, 2), "p") == d(10, 2)  # widening evolve
+    assert _promote(d(10, 2), d(8, 4), "p") == d(12, 4)  # covering type
+    assert _promote(d(38, 0), d(10, 10), "p") == d(38, 10)  # precision cap

@@ -537,3 +537,57 @@ def test_alter_table_sql(cat):
     cat.sql("ALTER TABLE users RENAME TO people")
     assert "people" in cat.list_tables() and "users" not in cat.list_tables()
     assert cat.read_table("people").count() == 3
+
+
+def test_create_table_ddl(cat):
+    cat.sql(
+        "CREATE TABLE items (item_id BIGINT PRIMARY KEY, name STRING,"
+        " price DECIMAL(10,2), qty INT NOT NULL)"
+    )
+    rows = {r.col_name: r for r in cat.sql("DESCRIBE items").collect()}
+    assert rows["item_id"].merge_key and rows["item_id"].data_type == "bigint"
+    assert rows["price"].data_type == "decimal(10,2)"
+    cat.sql("INSERT INTO items VALUES (1, 'x', 9.99, 2)")
+    cat.sql("INSERT INTO items VALUES (1, 'x2', 8.88, 3)")  # upsert on PK
+    assert cat.read_table("items").count() == 1
+    with pytest.raises(ValueError, match="already exists"):
+        cat.sql("CREATE TABLE items (a INT)")
+    cat.sql("CREATE TABLE IF NOT EXISTS items (a INT)")  # no-op
+
+
+def test_create_table_composite_pk_partitioned(cat):
+    cat.sql(
+        "CREATE TABLE m (a BIGINT, b STRING, v INT, PRIMARY KEY (a, b))"
+        " PARTITIONED BY (b) TBLPROPERTIES ('owner'='x')"
+    )
+    rows = {r.col_name: r for r in cat.sql("DESCRIBE m").collect()}
+    assert rows["a"].merge_key and rows["b"].merge_key and rows["b"].partition
+    assert cat.get_table("m")["properties"]["owner"] == "x"
+    cat.sql("INSERT INTO m VALUES (1, 'p', 5), (1, 'q', 6)")
+    assert {r.partition for r in cat.sql("SHOW PARTITIONS m").collect()} == {
+        "b=p",
+        "b=q",
+    }
+
+
+def test_drop_and_truncate_table_sql(cat):
+    res = cat.sql("TRUNCATE TABLE users")
+    assert res.collect()[0].rows == 3
+    assert cat.read_table("users").count() == 0
+    cat.sql("DROP TABLE users")
+    assert "users" not in cat.list_tables()
+    cat.sql("DROP TABLE IF EXISTS users")  # no-op
+    from deltacat_spark.catalog.catalog import TableNotFoundError
+
+    with pytest.raises(TableNotFoundError):
+        cat.sql("DROP TABLE users")
+
+
+def test_copy_into_sql(cat, tmp_path, spark):
+    src = str(tmp_path / "ext.parquet")
+    spark.createDataFrame(
+        [(50, "ext", 9)], "id long, name string, age int"
+    ).write.parquet(src)
+    res = cat.sql(f"COPY INTO users FROM '{src}' FILEFORMAT = PARQUET")
+    assert res.collect()[0].rows == 1
+    assert 50 in {r.id for r in cat.read_table("users").collect()}
