@@ -627,6 +627,7 @@ class Catalog:
         partition_scheme: list[PartitionKey] | None = None,
         sort_scheme: list[SortKey] | None = None,
         properties: dict[str, Any] | None = None,
+        drop_columns: "list[str] | None" = None,
     ) -> None:
         """Metadata-only commit (reference `alter_table`,
         `catalog/main/impl.py:1725-1870`).
@@ -637,9 +638,40 @@ class Catalog:
         recorded partition values, and pruning remains correct across
         both generations (files without a value for a filtered partition
         column are conservatively scanned). Pass `[]` to un-partition.
+
+        `drop_columns`: metadata-only column drop — data files are never
+        rewritten; the read projection simply stops selecting the column
+        (and time travel to a pre-drop version still sees it). Merge-key
+        and partition-source columns are not droppable.
         """
         snap = self.snapshot(table, namespace)
-        if schema is not None and snap.schema is not None:
+        if drop_columns:
+            if schema is not None:
+                raise ValueError("pass either schema or drop_columns, not both")
+            if snap.schema is None:
+                raise SchemaError(f"table {table} has no schema")
+            names = {f.name for f in snap.schema.fields}
+            missing = [c for c in drop_columns if c not in names]
+            if missing:
+                raise ValueError(f"cannot drop unknown columns {missing}")
+            keys = set(snap.schema.merge_keys)
+            part_cols = {
+                PartitionKey.from_dict(d).source
+                for d in (snap.partition_scheme or [])
+            }
+            blocked = sorted((keys | part_cols) & set(drop_columns))
+            if blocked:
+                raise SchemaError(
+                    f"cannot drop merge-key/partition columns {blocked}"
+                )
+            schema = Schema(
+                [
+                    Field(**{**f.__dict__})
+                    for f in snap.schema.fields
+                    if f.name not in drop_columns
+                ]
+            )
+        elif schema is not None and snap.schema is not None:
             # Alters must be compatible evolutions of the current schema.
             schema = snap.schema.evolve(schema)
         commit = Commit(
@@ -2563,6 +2595,50 @@ class Catalog:
                 )
             self.alter_table(table, properties=props)
             return self._dml_result("ALTER TABLE SET TBLPROPERTIES", len(props))
+        m = re.fullmatch(
+            r"alter\s+table\s+(\w+)\s+drop\s+columns?\s+\(?\s*([\w\s,]+?)\s*\)?",
+            q,
+            re.IGNORECASE,
+        )
+        if m:
+            table, cols_sql = m.groups()
+            cols = [c.strip() for c in cols_sql.split(",") if c.strip()]
+            self.alter_table(table, drop_columns=cols)
+            return self._dml_result("ALTER TABLE DROP COLUMNS", len(cols))
+        m = re.fullmatch(
+            r"alter\s+table\s+(\w+)\s+alter\s+column\s+(\w+)\s+type\s+(.+)",
+            q,
+            re.IGNORECASE,
+        )
+        if m:
+            table, colname, typ = m.groups()
+            snap = self.snapshot(table)
+            if snap.schema is None or colname not in {
+                f.name for f in snap.schema.fields
+            }:
+                raise ValueError(f"no such column {colname!r} on {table}")
+            dt = (
+                self.spark.sql(f"SELECT CAST(NULL AS {typ}) AS c")
+                .schema[0]
+                .dataType
+            )
+            from deltacat_spark.schema import _promote
+
+            cur = next(
+                f for f in snap.schema.fields if f.name == colname
+            )
+            # evolve()'s permissive-unify would silently KEEP the wider
+            # current type on a narrowing write — right for ingest,
+            # wrong for an explicit ALTER, which must either take
+            # effect or fail loudly.
+            if _promote(cur.data_type, dt, colname) != dt:
+                raise SchemaError(
+                    f"ALTER COLUMN {colname} TYPE "
+                    f"{dt.simpleString()} is not a widening of "
+                    f"{cur.data_type.simpleString()}"
+                )
+            self.alter_table(table, schema=Schema([Field(colname, dt)]))
+            return self._dml_result("ALTER TABLE ALTER COLUMN", 1)
         m = re.fullmatch(
             r"alter\s+table\s+(\w+)\s+add\s+columns?\s*\(?\s*(.*?)\s*\)?",
             q,

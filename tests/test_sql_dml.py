@@ -591,3 +591,32 @@ def test_copy_into_sql(cat, tmp_path, spark):
     res = cat.sql(f"COPY INTO users FROM '{src}' FILEFORMAT = PARQUET")
     assert res.collect()[0].rows == 1
     assert 50 in {r.id for r in cat.read_table("users").collect()}
+
+
+def test_alter_drop_column_sql(cat):
+    v0 = cat.snapshot("users").version
+    cat.sql("ALTER TABLE users DROP COLUMN name")
+    assert {r.col_name for r in cat.sql("DESCRIBE users").collect()} == {
+        "id",
+        "age",
+    }
+    got = {r.id: r.age for r in cat.read_table("users").collect()}
+    assert got == {1: 30, 2: 40, 3: 50}  # data intact, column gone
+    # time travel still sees the dropped column (metadata-only drop)
+    old = cat.read_table("users", version_as_of=v0)
+    assert "name" in old.columns
+    with pytest.raises(Exception, match="merge-key|partition"):
+        cat.sql("ALTER TABLE users DROP COLUMN id")
+    with pytest.raises(ValueError, match="unknown columns"):
+        cat.sql("ALTER TABLE users DROP COLUMN ghost")
+
+
+def test_alter_column_type_widening_sql(cat):
+    cat.sql("ALTER TABLE users ALTER COLUMN age TYPE BIGINT")
+    rows = {r.col_name: r.data_type for r in cat.sql("DESCRIBE users").collect()}
+    assert rows["age"] == "bigint"
+    assert {r.age for r in cat.read_table("users").collect()} == {30, 40, 50}
+    from deltacat_spark.schema import SchemaError
+
+    with pytest.raises(SchemaError):  # narrowing rejected
+        cat.sql("ALTER TABLE users ALTER COLUMN age TYPE SMALLINT")
