@@ -1967,9 +1967,10 @@ class Catalog:
         if dml is not None:
             return dml
         if tables is None:
-            tables = self._referenced_tables(query)
-        for t in tables:
-            self.register_view(t)
+            self._register_referenced(query)
+        else:
+            for t in tables:
+                self.register_view(t)
         return self.spark.sql(query)
 
     def _rewrite_time_travel(self, query: str) -> str:
@@ -2037,6 +2038,84 @@ class Catalog:
             for t in self.list_tables()
             if re.search(rf"\b{re.escape(t)}\b", stripped, re.IGNORECASE)
         ]
+
+    # -- saved views ---------------------------------------------------
+    @property
+    def _views_dir(self) -> str:
+        return self.fs.join(self.root, "_dcs_views")
+
+    def create_saved_view(
+        self, name: str, view_sql: str, replace: bool = False
+    ) -> None:
+        """Persist a named SQL view (text, Delta/Hive-style virtual
+        view — no data materialized; `Catalog.sql` expands it on read).
+        The reference has no view surface; this completes the SQL-only
+        user story alongside DDL/DML."""
+        import time as _time
+
+        if name in self.list_tables():
+            raise ValueError(f"{name!r} is an existing table")
+        path = self.fs.join(self._views_dir, f"{name}.json")
+        if not replace and self.fs.exists(path):
+            raise ValueError(f"view {name!r} already exists")
+        self.fs.makedirs(self._views_dir)
+        self.fs.write_text_atomic(
+            path,
+            json.dumps(
+                {
+                    "name": name,
+                    "sql": view_sql,
+                    "created_ms": int(_time.time() * 1000),
+                }
+            ),
+        )
+
+    def drop_saved_view(self, name: str, if_exists: bool = False) -> None:
+        path = self.fs.join(self._views_dir, f"{name}.json")
+        if not self.fs.exists(path):
+            if if_exists:
+                return
+            raise FileNotFoundError(f"no view {name!r}")
+        self.fs.delete(path)
+
+    def list_saved_views(self) -> "dict[str, str]":
+        """name -> view SQL for every saved view."""
+        out: dict[str, str] = {}
+        if not self.fs.isdir(self._views_dir):
+            return out
+        for fname in self.fs.list_dir(self._views_dir):
+            if fname.endswith(".json"):
+                try:
+                    d = json.loads(
+                        self.fs.read_text(self.fs.join(self._views_dir, fname))
+                    )
+                    out[d["name"]] = d["sql"]
+                except (ValueError, KeyError):
+                    continue
+        return out
+
+    def _register_referenced(
+        self, text: str, _seen: "set[str] | None" = None
+    ) -> None:
+        """Register every catalog table AND saved view the SQL text
+        references as temp views — views expand recursively (a view
+        over a view over tables), with a seen-set cycle guard. Same
+        literal-blind matching as `_referenced_tables`."""
+        import re
+
+        seen = _seen if _seen is not None else set()
+        for t in self._referenced_tables(text):
+            if t not in seen:
+                seen.add(t)
+                self.register_view(t)
+        stripped = _strip_literals(text)
+        for name, vsql in self.list_saved_views().items():
+            if name in seen:
+                continue
+            if re.search(rf"\b{re.escape(name)}\b", stripped, re.IGNORECASE):
+                seen.add(name)
+                self._register_referenced(vsql, seen)
+                self.spark.sql(vsql).createOrReplaceTempView(name)
 
     def _pin_count(
         self, df: DataFrame, count_rows: bool
@@ -2169,9 +2248,8 @@ class Catalog:
         import re
 
         if payload.lower().startswith("select"):
-            # the SELECT may read catalog tables — register them
-            for t in self._referenced_tables(payload):
-                self.register_view(t)
+            # the SELECT may read catalog tables / saved views
+            self._register_referenced(payload)
         df = self.spark.sql(payload)
         names = None
         if collist:
@@ -2240,8 +2318,7 @@ class Catalog:
         s_alias = (salias_a or salias_b or (src if not src.startswith("(") else "src")).lower()
         if src.startswith("("):
             inner = src[1:-1].strip()
-            for t in self._referenced_tables(inner):
-                self.register_view(t)
+            self._register_referenced(inner)
             src_df = self.spark.sql(inner)
         else:
             src_df = self.read_table(src)
@@ -2470,6 +2547,11 @@ class Catalog:
         import json as _json
         import re
 
+        if re.fullmatch(r"show\s+views", q, re.IGNORECASE):
+            return self.spark.createDataFrame(
+                [(n,) for n in sorted(self.list_saved_views())] or [("",)],
+                "view string",
+            ).filter(F.col("view") != "")
         if re.fullmatch(r"show\s+tables", q, re.IGNORECASE):
             return self.spark.createDataFrame(
                 [(t,) for t in sorted(self.list_tables())] or [("",)],
@@ -2700,14 +2782,31 @@ class Catalog:
         if util is not None:
             return util
         m = re.match(
+            r"create\s+(or\s+replace\s+)?view\s+(\w+)\s+as\s+(select\b.*)",
+            q,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if m:
+            replace, name, vsql = m.groups()
+            # fail fast on an unparseable/unresolvable view body
+            self._register_referenced(vsql)
+            self.spark.sql(vsql).schema
+            self.create_saved_view(name, vsql, replace=bool(replace))
+            return self._dml_result("CREATE VIEW", 0)
+        m = re.fullmatch(
+            r"drop\s+view\s+(if\s+exists\s+)?(\w+)", q, re.IGNORECASE
+        )
+        if m:
+            self.drop_saved_view(m.group(2), if_exists=bool(m.group(1)))
+            return self._dml_result("DROP VIEW", 0)
+        m = re.match(
             r"create\s+table\s+(\w+)\s+as\s+(select\b.*)",
             q,
             re.IGNORECASE | re.DOTALL,
         )
         if m:
             table, select = m.groups()
-            for t in self._referenced_tables(select):
-                self.register_view(t)
+            self._register_referenced(select)
             df = self.spark.sql(select)
             self.create_table(table, schema=Schema.from_dataframe(df))
             df, n = self._pin_count(df, count_rows)
@@ -3376,16 +3475,15 @@ class Catalog:
         shuffle on the z-value, so every output file gets a tight
         min/max envelope on EVERY z-ordered column and
         `Snapshot.prune` skips files for predicates on any of them (a
-        linear sort scheme only serves its leading column). Always a
-        full rewrite; overrides `small_file_records`.
+        linear sort scheme only serves its leading column). Overrides
+        `small_file_records` (re-clusters everything it touches).
+        COMPOSES with `partition_filter`: only the scoped partition is
+        re-laid-out (Delta-style per-partition ZORDER — the only shape
+        that works on a 100 TB table with one hot partition), same
+        safety classifier and fallback as scoped compaction.
         """
         import time as _time
 
-        if zorder_by and partition_filter:
-            raise ValueError(
-                "zorder_by is a whole-table clustering rewrite; "
-                "drop partition_filter"
-            )
         t0 = _time.time()
         snap = self.snapshot(table, namespace)
         if not snap.files:
@@ -3448,11 +3546,13 @@ class Catalog:
             else None
         )
         if zorder_by:
-            mode = "zorder"
+            mode = "partition-zorder" if mode == "partition" else "zorder"
             from deltacat_spark.plans.transforms import zorder_column
 
             resolved, zname = zorder_column(resolved, zorder_by, zorder_bits)
-            total = sum(f.records or 0 for f in snap.files)
+            # Size output files from what is actually rewritten — the
+            # scope under a partition filter, not the whole table.
+            total = sum(f.records or 0 for f in rewrite)
             nfiles = max(1, -(-total // max_rpf))
             resolved = (
                 resolved.repartitionByRange(nfiles, F.col(zname))
@@ -3506,7 +3606,11 @@ class Catalog:
                 # recomputing a whole compaction job. Anything else
                 # (data writes, metadata, wholesale ops, unprovable
                 # scopes) re-raises into the recompute retry loop.
-                if mode not in ("partition", "partition-incremental"):
+                if mode not in (
+                    "partition",
+                    "partition-incremental",
+                    "partition-zorder",
+                ):
                     raise
                 latest = log.latest_version()
                 our_removes = set(commit.removes)
@@ -3532,6 +3636,7 @@ class Catalog:
                     if im.get("mode") not in (
                         "partition",
                         "partition-incremental",
+                        "partition-zorder",
                     ) or im.get("partition_fallback"):
                         raise
                     if not _partition_scopes_disjoint(

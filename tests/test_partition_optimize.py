@@ -236,12 +236,14 @@ def test_scoped_empty_partition_is_noop(spark, tmp_path):
     assert cat.snapshot("t").version == v  # no commit written
 
 
-def test_zorder_with_partition_filter_rejected(spark, tmp_path):
+def test_zorder_with_partition_filter_scopes(spark, tmp_path):
+    """r7: ZORDER now composes with a partition scope (was rejected);
+    an MoR table with only in-scope deltas scopes cleanly."""
     cat = _mk(spark, tmp_path, SCHEMA_KEYED)
-    with pytest.raises(ValueError):
-        cat.optimize_table(
-            "t", partition_filter={"cat": "a"}, zorder_by=["k"]
-        )
+    before_b = _paths(cat, part="b")
+    cat.optimize_table("t", partition_filter={"cat": "a"}, zorder_by=["k"])
+    assert _last_metrics(cat)["mode"] == "partition-zorder"
+    assert _paths(cat, part="b") == before_b
 
 
 def test_vacuum_after_scoped_optimize_spares_kept_partitions(spark, tmp_path):
@@ -552,3 +554,37 @@ def test_scope_disjointness_predicate():
     assert not d({"cat": "a"}, {"region": "x"})  # different columns: unprovable
     assert d({"cat": "a", "day": "1"}, {"cat": "a", "day": "2"})  # one column suffices
     assert not d({}, {"cat": "a"})
+
+
+def test_partition_scoped_zorder(spark, tmp_path):
+    """ZORDER composed with a partition scope: only the scoped
+    partition's files are re-laid-out; every other path stays
+    byte-identical in the log."""
+    cat = _mk(spark, tmp_path, SCHEMA_KEYED, props={})
+    # spread partition "a" over several files with two clusterable dims
+    extra = spark.createDataFrame(
+        [("a", 100 + i, (i * 37) % 50) for i in range(60)],
+        "cat string, k long, v int",
+    ).repartition(6)
+    cat.write_to_table(extra, "t", mode="merge")
+    before_b = _paths(cat, part="b")
+    before_content = _content(cat)
+    cat.optimize_table(
+        "t", partition_filter={"cat": "a"}, zorder_by=["k", "v"]
+    )
+    m = _last_metrics(cat)
+    assert m["mode"] == "partition-zorder"
+    assert m["zorder_by"] == ["k", "v"]
+    assert _paths(cat, part="b") == before_b  # out-of-scope untouched
+    assert _content(cat) == before_content
+    # z-layout serves BOTH columns: a v-predicate prunes files within
+    # the scoped partition even though v is not the leading sort key
+    snap = cat.snapshot("t")
+    a_files = [
+        f
+        for f in snap.files
+        if f.partition_values and f.partition_values.get("cat") == "a"
+    ]
+    if len(a_files) > 1:
+        kept = snap.prune({"cat": "a"}, [("v", "=", 3)])
+        assert len(kept) < len(a_files)

@@ -620,3 +620,40 @@ def test_alter_column_type_widening_sql(cat):
 
     with pytest.raises(SchemaError):  # narrowing rejected
         cat.sql("ALTER TABLE users ALTER COLUMN age TYPE SMALLINT")
+
+
+def test_saved_views(cat):
+    cat.sql("CREATE VIEW adults AS SELECT id, name FROM users WHERE age >= 40")
+    got = {r.id for r in cat.sql("SELECT * FROM adults").collect()}
+    assert got == {2, 3}
+    # a view is VIRTUAL: it tracks table mutations
+    cat.sql("UPDATE users SET age = 18 WHERE id = 3")
+    assert {r.id for r in cat.sql("SELECT * FROM adults").collect()} == {2}
+    # nested views expand recursively
+    cat.sql("CREATE VIEW adult_names AS SELECT name FROM adults")
+    assert {r.name for r in cat.sql("SELECT * FROM adult_names").collect()} == {
+        "bob"
+    }
+    assert {r.view for r in cat.sql("SHOW VIEWS").collect()} == {
+        "adults",
+        "adult_names",
+    }
+    with pytest.raises(ValueError, match="already exists"):
+        cat.sql("CREATE VIEW adults AS SELECT 1 AS x")
+    cat.sql("CREATE OR REPLACE VIEW adults AS SELECT id FROM users")
+    assert cat.sql("SELECT count(*) AS n FROM adults").collect()[0].n == 3
+    cat.sql("DROP VIEW adult_names")
+    with pytest.raises(FileNotFoundError):
+        cat.sql("DROP VIEW adult_names")
+    cat.sql("DROP VIEW IF EXISTS adult_names")  # no-op
+    with pytest.raises(ValueError, match="existing table"):
+        cat.sql("CREATE VIEW users AS SELECT 1 AS x")
+
+
+def test_view_in_dml_payload(cat):
+    cat.sql("CREATE VIEW seniors_v AS SELECT * FROM users WHERE age >= 50")
+    res = cat.sql(
+        "INSERT INTO users SELECT id + 100 AS id, name, age FROM seniors_v"
+    )
+    assert res.collect()[0].rows == 1
+    assert 103 in {r.id for r in cat.read_table("users").collect()}
