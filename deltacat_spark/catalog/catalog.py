@@ -2084,12 +2084,118 @@ class Catalog:
         if not self.fs.isdir(self._views_dir):
             return out
         for fname in self.fs.list_dir(self._views_dir):
-            if fname.endswith(".json"):
+            if fname.endswith(".json") and not fname.endswith(".mv.json"):
                 try:
                     d = json.loads(
                         self.fs.read_text(self.fs.join(self._views_dir, fname))
                     )
                     out[d["name"]] = d["sql"]
+                except (ValueError, KeyError):
+                    continue
+        return out
+
+    # -- materialized views --------------------------------------------
+    def _mv_path(self, name: str) -> str:
+        return self.fs.join(self._views_dir, f"{name}.mv.json")
+
+    @staticmethod
+    def _mv_record_wise(view_sql: str) -> bool:
+        """Conservative classification: only a plain
+        SELECT-project/filter over one table is distributive over
+        unions (safe for the incremental append path). Anything that
+        smells of aggregation/reordering forces full-rebuild refreshes."""
+        import re
+
+        stripped = _strip_literals(view_sql).lower()
+        return not re.search(
+            r"\b(group\s+by|distinct|join|union|order\s+by|limit|having)\b"
+            r"|\bover\s*\("
+            r"|\b(count|sum|avg|min|max|first|last|collect_\w+|approx_\w+)"
+            r"\s*\(",
+            stripped,
+        )
+
+    def create_materialized_view(
+        self, name: str, view_sql: str, replace: bool = False
+    ) -> dict:
+        """`CREATE MATERIALIZED VIEW` — a real derived TABLE kept equal
+        to the view SQL over ONE source table. Record-wise SELECTs
+        refresh incrementally (O(new data), watermark rides the data
+        commit — `materialize.py:refresh_incremental`); aggregating /
+        joining SELECTs refresh by exact full rebuild. Returns the
+        bootstrap refresh audit dict."""
+        refs = self._referenced_tables(view_sql)
+        if len(refs) != 1:
+            raise ValueError(
+                "materialized views must read exactly ONE catalog table "
+                f"(found {refs}); use a plain VIEW for multi-table SQL"
+            )
+        if self.table_exists(name) or self.fs.exists(self._mv_path(name)):
+            if not replace:
+                raise ValueError(f"{name!r} already exists")
+        self.fs.makedirs(self._views_dir)
+        self.fs.write_text_atomic(
+            self._mv_path(name),
+            json.dumps(
+                {
+                    "name": name,
+                    "sql": view_sql,
+                    "src": refs[0],
+                    "record_wise": self._mv_record_wise(view_sql),
+                }
+            ),
+        )
+        return self.refresh_materialized_view(name)
+
+    def refresh_materialized_view(self, name: str) -> dict:
+        from deltacat_spark.catalog.materialize import refresh_incremental
+
+        if not self.fs.exists(self._mv_path(name)):
+            raise FileNotFoundError(f"no materialized view {name!r}")
+        d = json.loads(self.fs.read_text(self._mv_path(name)))
+        src, vsql = d["src"], d["sql"]
+
+        def transform(df: DataFrame) -> DataFrame:
+            import re
+
+            tmp = f"__mv_src_{name}"
+            df.createOrReplaceTempView(tmp)
+            stripped = _strip_literals(vsql)
+            out, last = [], 0
+            for mm in re.finditer(
+                rf"\b{re.escape(src)}\b", stripped, re.IGNORECASE
+            ):
+                out.append(vsql[last : mm.start()])
+                out.append(tmp)
+                last = mm.end()
+            out.append(vsql[last:])
+            return self.spark.sql("".join(out))
+
+        return refresh_incremental(
+            self, src, name, transform, record_wise=bool(d["record_wise"])
+        )
+
+    def drop_materialized_view(self, name: str, if_exists: bool = False) -> None:
+        path = self._mv_path(name)
+        if not self.fs.exists(path):
+            if if_exists:
+                return
+            raise FileNotFoundError(f"no materialized view {name!r}")
+        self.fs.delete(path)
+        if self.table_exists(name):
+            self.drop_table(name)
+
+    def list_materialized_views(self) -> "dict[str, dict]":
+        out: dict[str, dict] = {}
+        if not self.fs.isdir(self._views_dir):
+            return out
+        for fname in self.fs.list_dir(self._views_dir):
+            if fname.endswith(".mv.json"):
+                try:
+                    d = json.loads(
+                        self.fs.read_text(self.fs.join(self._views_dir, fname))
+                    )
+                    out[d["name"]] = d
                 except (ValueError, KeyError):
                     continue
         return out
@@ -2781,6 +2887,36 @@ class Catalog:
         util = self._sql_utility(q)
         if util is not None:
             return util
+        m = re.match(
+            r"create\s+(or\s+replace\s+)?materialized\s+view\s+(\w+)\s+as\s+"
+            r"(select\b.*)",
+            q,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if m:
+            replace, name, vsql = m.groups()
+            audit = self.create_materialized_view(
+                name, vsql, replace=bool(replace)
+            )
+            return self._dml_result(
+                f"CREATE MATERIALIZED VIEW ({audit['mode']})", 0
+            )
+        m = re.fullmatch(
+            r"refresh\s+materialized\s+view\s+(\w+)", q, re.IGNORECASE
+        )
+        if m:
+            audit = self.refresh_materialized_view(m.group(1))
+            return self._dml_result(
+                f"REFRESH MATERIALIZED VIEW ({audit['mode']})", 0
+            )
+        m = re.fullmatch(
+            r"drop\s+materialized\s+view\s+(if\s+exists\s+)?(\w+)",
+            q,
+            re.IGNORECASE,
+        )
+        if m:
+            self.drop_materialized_view(m.group(2), if_exists=bool(m.group(1)))
+            return self._dml_result("DROP MATERIALIZED VIEW", 0)
         m = re.match(
             r"create\s+(or\s+replace\s+)?view\s+(\w+)\s+as\s+(select\b.*)",
             q,

@@ -35,8 +35,15 @@ def refresh_incremental(
     dst: str,
     transform: "Callable[[DataFrame], DataFrame]",
     namespace: str = "default",
+    record_wise: bool = True,
 ) -> dict[str, Any]:
-    """Refresh ``dst`` from ``src``; returns a small audit dict."""
+    """Refresh ``dst`` from ``src``; returns a small audit dict.
+
+    ``record_wise=False`` declares the transform NOT distributive over
+    unions (aggregates/joins/distinct): the incremental append path is
+    skipped entirely and every refresh is a full REPLACE rebuild —
+    exact for any transform. The watermark still short-circuits no-op
+    refreshes."""
     src_snap = catalog.snapshot(src, namespace)
     last: int | None = None
     if catalog.table_exists(dst, namespace):
@@ -50,7 +57,7 @@ def refresh_incremental(
     if last is not None and last >= src_snap.version:
         return {"mode": "noop", "src_version": src_snap.version}
 
-    if last is not None:
+    if last is not None and record_wise:
         # Soundness check on the COMMIT LOG, not the change rows: a CoW
         # MERGE without CDC sidecars produces no read_changes rows at
         # all, so "every change row is an insert" would silently miss

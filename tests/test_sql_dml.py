@@ -657,3 +657,58 @@ def test_view_in_dml_payload(cat):
     )
     assert res.collect()[0].rows == 1
     assert 103 in {r.id for r in cat.read_table("users").collect()}
+
+
+def test_materialized_view_record_wise_incremental(cat):
+    res = cat.sql(
+        "CREATE MATERIALIZED VIEW mv_adults AS"
+        " SELECT id, name FROM users WHERE age >= 40"
+    )
+    assert "full" in res.collect()[0].operation  # bootstrap rebuild
+    assert {r.id for r in cat.sql("SELECT * FROM mv_adults").collect()} == {2, 3}
+    # append-only source change → INCREMENTAL refresh
+    cat.write_to_table(
+        cat.spark.createDataFrame(
+            [(7, "new", 70)], "id long, name string, age int"
+        ),
+        "users",
+        mode="merge",
+    )
+    res2 = cat.sql("REFRESH MATERIALIZED VIEW mv_adults")
+    op = res2.collect()[0].operation
+    assert {r.id for r in cat.sql("SELECT * FROM mv_adults").collect()} == {
+        2,
+        3,
+        7,
+    }
+    # a MERGE into existing keys forces a rebuild; result stays exact
+    cat.sql("UPDATE users SET age = 10 WHERE id = 2")
+    res3 = cat.sql("REFRESH MATERIALIZED VIEW mv_adults")
+    assert "full" in res3.collect()[0].operation
+    assert {r.id for r in cat.sql("SELECT * FROM mv_adults").collect()} == {3, 7}
+    # no-op refresh short-circuits
+    res4 = cat.sql("REFRESH MATERIALIZED VIEW mv_adults")
+    assert "noop" in res4.collect()[0].operation
+    cat.sql("DROP MATERIALIZED VIEW mv_adults")
+    assert "mv_adults" not in cat.list_tables()
+
+
+def test_materialized_view_aggregate_rebuilds(cat):
+    cat.sql(
+        "CREATE MATERIALIZED VIEW mv_stats AS"
+        " SELECT count(*) AS n, sum(age) AS total_age FROM users"
+    )
+    row = cat.sql("SELECT * FROM mv_stats").collect()[0]
+    assert (row.n, row.total_age) == (3, 120)
+    cat.sql("INSERT INTO users VALUES (9, 'x', 10)")
+    res = cat.sql("REFRESH MATERIALIZED VIEW mv_stats")
+    # aggregates NEVER take the incremental append path
+    assert "full" in res.collect()[0].operation
+    row = cat.sql("SELECT * FROM mv_stats").collect()[0]
+    assert (row.n, row.total_age) == (4, 130)
+    cat.sql("CREATE TABLE others AS SELECT id FROM users WHERE id = 1")
+    with pytest.raises(ValueError, match="exactly ONE"):
+        cat.sql(
+            "CREATE MATERIALIZED VIEW mv_bad AS"
+            " SELECT u.id FROM users u JOIN others o ON u.id = o.id"
+        )
