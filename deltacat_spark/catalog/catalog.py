@@ -180,6 +180,10 @@ class TableNotFoundError(FileNotFoundError):
     pass
 
 
+class ConstraintViolationError(SchemaError):
+    """A write's payload falsified a declared CHECK constraint."""
+
+
 class VacuumReport(int):
     """Janitor metrics (reference `compute/janitor.py:85-228` reports
     what it cleaned). Subclasses ``int`` as the removed-file count so
@@ -1385,6 +1389,12 @@ class Catalog:
 
         salt = props.get("write.partition_salt")
         bloom_cols = _bloom_columns(props)
+        # CHECK constraints (Delta-style, `constraint.<name>` props):
+        # enforced on the incoming payload before any file is written —
+        # zero cost when none are declared. DELETE payloads are filters,
+        # not data.
+        if mode != TableWriteMode.DELETE:
+            self._enforce_constraints(df, props, table, namespace)
 
         def _write(data: DataFrame) -> list[dict]:
             return write_data_files(
@@ -1609,6 +1619,51 @@ class Catalog:
             )
         else:
             log.commit(commit)
+
+    @staticmethod
+    def _table_constraints(props: dict) -> "dict[str, str]":
+        """`constraint.<name>` properties → {name: check_expr}. An
+        empty value is a dropped constraint (property replay has no
+        delete — the tombstone IS the empty string)."""
+        pre = "constraint."
+        return {
+            k[len(pre):]: v
+            for k, v in props.items()
+            if k.startswith(pre) and v
+        }
+
+    def _enforce_constraints(
+        self, df: DataFrame, props: dict, table: str, namespace: str
+    ) -> None:
+        """Reject the write if any payload row FALSIFIES a CHECK
+        constraint (SQL semantics: TRUE and UNKNOWN pass, FALSE fails).
+        One short-circuit job over the payload, only when constraints
+        exist. A constraint referencing columns absent from a PARTIAL
+        payload is skipped for that write — the payload alone cannot
+        falsify it (the stitched row keeps its already-validated
+        values for the absent columns)."""
+        constraints = self._table_constraints(props)
+        if not constraints:
+            return
+        applicable = []
+        for name, expr in constraints.items():
+            try:
+                df.select(F.expr(expr))
+            except Exception:
+                continue  # references columns this payload doesn't carry
+            applicable.append((name, expr))
+        if not applicable:
+            return
+        combined = " OR ".join(f"(({e}) = false)" for _n, e in applicable)
+        if not df.filter(F.expr(combined)).take(1):
+            return
+        for name, expr in applicable:
+            n_bad = df.filter(F.expr(f"({expr}) = false")).count()
+            if n_bad:
+                raise ConstraintViolationError(
+                    f"CHECK constraint {name!r} ({expr}) violated by "
+                    f"{n_bad} row(s) written to {namespace}.{table}"
+                )
 
     def _maybe_autocompact(
         self, table: str, namespace: str, props: dict[str, Any]
@@ -2783,6 +2838,46 @@ class Catalog:
                 )
             self.alter_table(table, properties=props)
             return self._dml_result("ALTER TABLE SET TBLPROPERTIES", len(props))
+        m = re.fullmatch(
+            r"alter\s+table\s+(\w+)\s+add\s+constraint\s+(\w+)\s+"
+            r"check\s*\((.*)\)",
+            q,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if m:
+            table, cname, expr = m.groups()
+            snap = self.snapshot(table)
+            if self._table_constraints(snap.properties).get(cname):
+                raise ValueError(f"constraint {cname!r} already exists")
+            # Delta semantics: the EXISTING data must already satisfy a
+            # new constraint — one short-circuit scan at declaration.
+            existing = self.read_table(table)
+            try:
+                bad = existing.filter(F.expr(f"({expr}) = false")).take(1)
+            except Exception as e:
+                raise ValueError(
+                    f"CHECK expression does not resolve against "
+                    f"{table}: {expr!r}"
+                ) from e
+            if bad:
+                raise ConstraintViolationError(
+                    f"existing rows of {table} violate CHECK ({expr})"
+                )
+            self.alter_table(table, properties={f"constraint.{cname}": expr})
+            return self._dml_result("ALTER TABLE ADD CONSTRAINT", 0)
+        m = re.fullmatch(
+            r"alter\s+table\s+(\w+)\s+drop\s+constraint\s+(\w+)",
+            q,
+            re.IGNORECASE,
+        )
+        if m:
+            table, cname = m.groups()
+            snap = self.snapshot(table)
+            if not self._table_constraints(snap.properties).get(cname):
+                raise ValueError(f"no constraint {cname!r} on {table}")
+            # empty value = tombstone (property replay merges additively)
+            self.alter_table(table, properties={f"constraint.{cname}": ""})
+            return self._dml_result("ALTER TABLE DROP CONSTRAINT", 0)
         m = re.fullmatch(
             r"alter\s+table\s+(\w+)\s+drop\s+columns?\s+\(?\s*([\w\s,]+?)\s*\)?",
             q,

@@ -712,3 +712,45 @@ def test_materialized_view_aggregate_rebuilds(cat):
             "CREATE MATERIALIZED VIEW mv_bad AS"
             " SELECT u.id FROM users u JOIN others o ON u.id = o.id"
         )
+
+
+def test_check_constraints(cat):
+    from deltacat_spark.catalog.catalog import ConstraintViolationError
+
+    cat.sql("ALTER TABLE users ADD CONSTRAINT adult CHECK (age >= 18)")
+    # violating write rejected, nothing committed
+    v0 = cat.snapshot("users").version
+    with pytest.raises(ConstraintViolationError, match="adult"):
+        cat.sql("INSERT INTO users VALUES (10, 'kid', 7)")
+    assert cat.snapshot("users").version == v0
+    assert 10 not in {r.id for r in cat.read_table("users").collect()}
+    # passing write proceeds; NULL passes (SQL UNKNOWN semantics)
+    cat.sql("INSERT INTO users VALUES (11, 'ok', 21), (12, 'nullage', NULL)")
+    assert {11, 12} <= {r.id for r in cat.read_table("users").collect()}
+    # declaring a constraint existing rows violate is rejected
+    with pytest.raises(ConstraintViolationError, match="violate"):
+        cat.sql("ALTER TABLE users ADD CONSTRAINT young CHECK (age < 40)")
+    # duplicate name rejected; unknown expression rejected
+    with pytest.raises(ValueError, match="already exists"):
+        cat.sql("ALTER TABLE users ADD CONSTRAINT adult CHECK (age >= 21)")
+    with pytest.raises(ValueError, match="resolve"):
+        cat.sql("ALTER TABLE users ADD CONSTRAINT ghost CHECK (nope > 1)")
+    # UPDATE through the merge path is constrained too
+    with pytest.raises(ConstraintViolationError):
+        cat.sql("UPDATE users SET age = 2 WHERE id = 1")
+    # drop, then the violating write is allowed
+    cat.sql("ALTER TABLE users DROP CONSTRAINT adult")
+    cat.sql("INSERT INTO users VALUES (10, 'kid', 7)")
+    assert 10 in {r.id for r in cat.read_table("users").collect()}
+    with pytest.raises(ValueError, match="no constraint"):
+        cat.sql("ALTER TABLE users DROP CONSTRAINT adult")
+
+
+def test_check_constraint_partial_payload_skipped(cat, spark):
+    cat.sql("ALTER TABLE users ADD CONSTRAINT named CHECK (length(name) > 1)")
+    # partial payload without `name`: the constraint can't be falsified
+    # by this write — it must not block the partial upsert
+    part = spark.createDataFrame([(1, 33)], "id long, age int")
+    cat.write_to_table(part, "users", mode="merge")
+    got = {r.id: (r.name, r.age) for r in cat.read_table("users").collect()}
+    assert got[1] == ("ann", 33)
