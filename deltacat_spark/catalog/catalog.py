@@ -2789,6 +2789,39 @@ class Catalog:
                 "col_name string, data_type string, merge_key boolean,"
                 " partition boolean",
             ).filter(F.col("col_name") != "")
+        m = re.fullmatch(r"show\s+create\s+table\s+(\w+)", q, re.IGNORECASE)
+        if m:
+            table = m.group(1)
+            snap = self.snapshot(table)
+            if snap.schema is None:
+                raise SchemaError(f"table {table} has no schema")
+            keys = sorted(snap.schema.merge_keys)
+            col_lines = []
+            for f_ in snap.schema.fields:
+                line = f"  {f_.name} {f_.data_type.simpleString().upper()}"
+                if not f_.nullable and f_.name not in keys:
+                    line += " NOT NULL"
+                col_lines.append(line)
+            if keys:
+                col_lines.append(f"  PRIMARY KEY ({', '.join(keys)})")
+            ddl = f"CREATE TABLE {table} (\n" + ",\n".join(col_lines) + "\n)"
+            if snap.partition_scheme:
+                pcols = ", ".join(
+                    PartitionKey.from_dict(d).source
+                    for d in snap.partition_scheme
+                )
+                ddl += f"\nPARTITIONED BY ({pcols})"
+            # Only user-set properties (incl. constraint.*) — defaults
+            # are engine config, not table DDL.
+            props = {
+                k: v for k, v in sorted(snap.properties.items()) if v != ""
+            }
+            if props:
+                kv = ", ".join(f"'{k}'='{v}'" for k, v in props.items())
+                ddl += f"\nTBLPROPERTIES ({kv})"
+            return self.spark.createDataFrame(
+                [(ddl,)], "create_statement string"
+            )
         m = re.fullmatch(r"show\s+partitions\s+(\w+)", q, re.IGNORECASE)
         if m:
             snap = self.snapshot(m.group(1))

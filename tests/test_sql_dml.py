@@ -754,3 +754,51 @@ def test_check_constraint_partial_payload_skipped(cat, spark):
     cat.write_to_table(part, "users", mode="merge")
     got = {r.id: (r.name, r.age) for r in cat.read_table("users").collect()}
     assert got[1] == ("ann", 33)
+
+
+def test_show_create_table_round_trips(cat, spark):
+    from deltacat_spark.plans.transforms import PartitionKey
+
+    cat.create_table(
+        "rt",
+        schema=Schema(
+            [
+                Field("a", T.LongType(), merge_key=True),
+                Field("b", T.StringType()),
+                Field("v", T.IntegerType(), nullable=False),
+            ]
+        ),
+        partition_scheme=[PartitionKey("b")],
+        properties={"owner": "x"},
+    )
+    cat.sql("ALTER TABLE rt ADD CONSTRAINT pos CHECK (v > 0)")
+    ddl = cat.sql("SHOW CREATE TABLE rt").collect()[0].create_statement
+    assert "PRIMARY KEY (a)" in ddl and "PARTITIONED BY (b)" in ddl
+    assert "'constraint.pos'='v > 0'" in ddl and "'owner'='x'" in ddl
+    # the emitted DDL recreates an equivalent table in a fresh catalog
+    cat2 = Catalog(spark, cat.root + "_rt2")
+    cat2.sql(ddl)
+    d1 = {r.col_name: r for r in cat.sql("DESCRIBE rt").collect()}
+    d2 = {r.col_name: r for r in cat2.sql("DESCRIBE rt").collect()}
+    assert {k: (v.data_type, v.merge_key, v.partition) for k, v in d1.items()} == {
+        k: (v.data_type, v.merge_key, v.partition) for k, v in d2.items()
+    }
+    # and the constraint survives the round trip
+    from deltacat_spark.catalog.catalog import ConstraintViolationError
+
+    with pytest.raises(ConstraintViolationError):
+        cat2.sql("INSERT INTO rt VALUES (1, 'p', -5)")
+
+
+def test_merge_using_time_travel(cat, spark):
+    """MERGE whose USING subquery time-travels: re-apply a historical
+    state onto the current table through one statement."""
+    v0 = cat.snapshot("users").version
+    cat.sql("UPDATE users SET age = 0")
+    cat.sql(
+        f"MERGE INTO users t USING"
+        f" (SELECT * FROM users VERSION AS OF {v0}) s"
+        " ON t.id = s.id WHEN MATCHED THEN UPDATE SET age = s.age"
+    )
+    got = {r.id: r.age for r in cat.read_table("users").collect()}
+    assert got == {1: 30, 2: 40, 3: 50}
