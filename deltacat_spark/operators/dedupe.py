@@ -121,16 +121,28 @@ def lsh_candidates(
     (perm order inside the band) so it is engine-portable.
 
     `max_bucket` is the hot-bucket guard: a (band, band_sig) bucket with
-    B members yields B²/2 pairs from the self-join — mass-duplicated
-    content (a boilerplate page duplicated 10⁶×) makes one bucket
-    quadratic. Buckets larger than `max_bucket` emit STAR pairs instead
-    (every member against the bucket's min doc_id): O(B) pairs that keep
-    the bucket connected for clustering, while each member still gets
-    Jaccard-verified against a representative. The guard is ON by
-    default (64) so callers are 100 TB-safe without knowing the flag
-    exists; results are bit-identical to uncapped whenever no bucket
-    exceeds the cap. Pass None for uncapped (exact parity with an
-    all-pairs oracle even on hot buckets)."""
+    B members yields B²/2 pairs — mass-duplicated content (a boilerplate
+    page duplicated 10⁶×) makes one bucket quadratic. Buckets larger
+    than `max_bucket` emit STAR pairs instead (every member against the
+    bucket's min doc_id): O(B) pairs that keep the bucket connected for
+    clustering, while each member still gets Jaccard-verified against a
+    representative. The guard is ON by default (64) so callers are
+    100 TB-safe without knowing the flag exists; results are
+    bit-identical to uncapped whenever no bucket exceeds the cap. Pass
+    None for uncapped (exact parity with an all-pairs oracle even on
+    hot buckets).
+
+    Physical shape (r7): ONE aggregation per step — band signatures,
+    then bucket member-lists, then array-native pair expansion. The
+    former band-keyed SELF-JOIN evaluated the whole signature sub-plan
+    (the corpus-wide shingle explode + md5 + min aggregate) once PER
+    JOIN SIDE — Spark does not reuse the exchange across the aliased
+    sides here — so candidate generation paid the most expensive stage
+    of the pipeline twice and shuffled it three times. Collecting each
+    bucket's (bounded: `max_bucket`, or de-facto bounded by the band
+    width) sorted member list and expanding pairs with array transforms
+    computes the signatures once and shuffles once; emitted pairs are
+    identical, already doc_a < doc_b by the sort."""
     banded = signatures.withColumn(
         "band", (F.col("perm") / F.lit(rows_per_band)).cast("int")
     ).withColumn("slot", F.col("perm") % F.lit(rows_per_band))
@@ -143,40 +155,55 @@ def lsh_candidates(
             ],
         ).alias("band_sig")
     )
-    if max_bucket is not None:
-        w = Window.partitionBy("band", "band_sig")
-        sig = sig.withColumn("__bn", F.count(F.lit(1)).over(w)).withColumn(
-            "__bmin", F.min("doc_id").over(w)
+    buckets = (
+        sig.groupBy("band", "band_sig")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        .filter(F.size("ids") >= 2)
+    )
+    all_pairs = (
+        "flatten(transform(ids, (x, i) ->"
+        " transform(slice(ids, i + 2, size(ids) - i - 1),"
+        " y -> named_struct('doc_a', x, 'doc_b', y))))"
+    )
+    if max_bucket is None:
+        expr = all_pairs
+    else:
+        star = (
+            "transform(slice(ids, 2, size(ids) - 1),"
+            " y -> named_struct('doc_a', element_at(ids, 1), 'doc_b', y))"
         )
-        hot_star = (
-            sig.filter(
-                (F.col("__bn") > max_bucket)
-                & (F.col("doc_id") != F.col("__bmin"))
-            )
-            .select(
-                F.col("__bmin").alias("doc_a"),
-                F.col("doc_id").alias("doc_b"),
-            )
-            .distinct()
+        expr = (
+            f"CASE WHEN size(ids) > {int(max_bucket)} THEN {star}"
+            f" ELSE {all_pairs} END"
         )
-        sig = sig.filter(F.col("__bn") <= max_bucket).drop("__bn", "__bmin")
-    a = sig.alias("a")
-    b = sig.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.band_sig") == F.col("b.band_sig"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
+    return (
+        buckets.select(F.explode(F.expr(expr)).alias("p"))
+        .select(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
         .distinct()
     )
-    if max_bucket is not None:
-        pairs = pairs.unionByName(hot_star).distinct()
-    return pairs
+
+
+def _prefilter_to_candidates(
+    shingles: DataFrame, candidates: DataFrame
+) -> "tuple[DataFrame, DataFrame]":
+    """Restrict the shingle index to documents that appear in some
+    candidate pair — the shingle SELF-JOIN's cost is Σ df², and df
+    counts only candidate docs after the filter, so a corpus where 20%
+    of docs are near-dup candidates cuts the join ~25×. EXACT: the
+    semi-join keeps whole documents, so set sizes and intersections
+    among candidate pairs are untouched. The candidate list is
+    localCheckpoint'ed first (it is pair-sized, orders below the
+    corpus) so using it twice — as the doc filter and as the final
+    pair constraint — does not re-execute the LSH lineage that
+    produced it (the recompute that made prefiltering a 4× LOSS when
+    first measured)."""
+    candidates = candidates.localCheckpoint(eager=False)
+    cdocs = (
+        candidates.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(candidates.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    return shingles.join(cdocs, "doc_id", "left_semi"), candidates
 
 
 def jaccard_pairs(
@@ -184,12 +211,16 @@ def jaccard_pairs(
     candidates: DataFrame | None = None,
     df_cap: int | None = 50,
     threshold: float = 0.7,
+    prefilter: bool = True,
 ) -> DataFrame:
     """Exact Jaccard over shingle sets for candidate pairs.
 
     Without `candidates`, pairs come from the shingle inverted index
     itself (docs sharing ≥1 surviving shingle), with `df_cap` dropping
-    stop-shingles so the join stays near-linear.
+    stop-shingles so the join stays near-linear. With `candidates`,
+    `prefilter` (default on) semi-joins the index down to candidate
+    docs first — measured 3.3× on the 30× bench point, bit-identical
+    output (`_prefilter_to_candidates`).
     """
     # Count-based operator: only shingle EQUALITY matters downstream, so
     # hash the n-gram strings to 64-bit ints before the heavy shuffles —
@@ -198,6 +229,8 @@ def jaccard_pairs(
     # 30x bench point; collision odds ~n²/2^64 are noise next to the
     # shingle model itself).
     shingles = _hash_shingles(shingles)
+    if candidates is not None and prefilter:
+        shingles, candidates = _prefilter_to_candidates(shingles, candidates)
     sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("set_size"))
     # NOTE: we deliberately do NOT pre-filter the shingle index down to
     # candidate docs — that re-evaluates the whole LSH lineage a second
@@ -254,6 +287,7 @@ def containment_pairs(
     candidates: DataFrame | None = None,
     df_cap: int | None = 50,
     threshold: float = 0.9,
+    prefilter: bool = True,
 ) -> DataFrame:
     """Asymmetric near-dup: shingle containment |A∩B| / |A| ≥ threshold.
 
@@ -266,6 +300,8 @@ def containment_pairs(
     """
     # Same 64-bit shingle hashing as `jaccard_pairs` — equality-only use.
     shingles = _hash_shingles(shingles)
+    if candidates is not None and prefilter:
+        shingles, candidates = _prefilter_to_candidates(shingles, candidates)
     sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("set_size"))
     sh = shingles
     if df_cap is not None:
