@@ -282,6 +282,96 @@ def jaccard_pairs(
     )
 
 
+def _doc_shingle_arrays(
+    sh_capped: DataFrame, sizes: DataFrame | None
+) -> DataFrame:
+    """Per-doc shingle array sorted by GLOBAL rarity (ascending document
+    frequency, shingle hash tie-break) — the total order the prefix
+    principle needs, shared by every doc. One df aggregate + one per-doc
+    aggregate; array length is bounded by document size, never corpus
+    size. Carries the FULL set size (containment denominator) alongside
+    the capped array (what intersections count); pass `sizes=None` when
+    no df-cap dropped anything — the size is then `size(sh_arr)` and the
+    per-doc count shuffle disappears."""
+    df_tbl = sh_capped.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
+    arrays = (
+        sh_capped.join(df_tbl, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_df", "shingle"))),
+                lambda s: s["shingle"],
+            ).alias("sh_arr")
+        )
+    )
+    if sizes is None:
+        return arrays.withColumn("set_size", F.size("sh_arr"))
+    return arrays.join(sizes, "doc_id")
+
+
+def prefix_filter_candidates(
+    arrays: DataFrame,
+    threshold: float,
+    broadcast_prefix: bool = True,
+) -> DataFrame:
+    """LOSSLESS prefix+positional-filter candidates for directed
+    containment ≥ t (AllPairs/PPJoin, adapted to the rounded filter).
+
+    For `round(n_inter/|A|, 6) ≥ t` to hold, `n_inter ≥ m(A)` with
+    `m(A) = ceil((t − 5e-7)·|A|)` (the 5e-7 absorbs half-up rounding at
+    6 dp — conservative, so the candidate set is a superset). If host B
+    misses ALL of A's first `capped_A − m(A) + 1` globally-rarest
+    surviving shingles, B covers at most `m(A) − 1` of them — so every
+    qualifying pair shares a prefix(A) shingle. Joining prefix(A)
+    against the index makes candidate cost Σ df_prefix·df, not Σ df²,
+    with the prefix holding each doc's RAREST ~(1−t) fraction.
+
+    Positional tightening (lossless): all shared shingles of a
+    qualifying pair sit at-or-after the earliest shared prefix(A)
+    element in BOTH rarity-sorted arrays, so that match row satisfies
+    `capped_B − pos_B ≥ m(A)`; rows failing it can be dropped because
+    the qualifying pair is still generated by its earliest-match row.
+    Returns unordered distinct (doc_a < doc_b) pairs.
+    """
+    eps = 5e-7
+    m = F.ceil((F.lit(threshold) - F.lit(eps)) * F.col("set_size"))
+    plen = F.size("sh_arr") - m + F.lit(1)
+    p = (
+        arrays.withColumn("_m", m)
+        .filter(plen >= 1)
+        .select(
+            F.col("doc_id").alias("_doc_p"),
+            "_m",
+            F.explode(F.slice("sh_arr", 1, plen)).alias("shingle"),
+        )
+    )
+    s = arrays.select(
+        F.col("doc_id").alias("_doc_s"),
+        F.size("sh_arr").alias("_capped_s"),
+        F.posexplode("sh_arr").alias("_pos_s", "shingle"),
+    )
+    # Prefix keys are the corpus's RARE tail — orders smaller than the
+    # index. Broadcasting them turns the index side into a scan+filter
+    # (no index-wide shuffle); the residual join then moves only rows
+    # whose shingle occurs in some prefix. At corpus scales where the
+    # distinct prefix-key set outgrows a broadcast (~10⁸+), disable and
+    # the planner falls back to the co-partitioned shuffle join.
+    if broadcast_prefix:
+        s = s.join(F.broadcast(p.select("shingle").distinct()), "shingle")
+    return (
+        p.join(s, "shingle")
+        .filter(
+            (F.col("_doc_p") != F.col("_doc_s"))
+            & (F.col("_capped_s") - F.col("_pos_s") >= F.col("_m"))
+        )
+        .select(
+            F.least("_doc_p", "_doc_s").alias("doc_a"),
+            F.greatest("_doc_p", "_doc_s").alias("doc_b"),
+        )
+        .distinct()
+    )
+
+
 def containment_pairs(
     shingles: DataFrame,
     candidates: DataFrame | None = None,
@@ -293,18 +383,30 @@ def containment_pairs(
 
     Catches excerpts/quotes — a short document embedded in a long host
     keeps Jaccard low (the union is dominated by the host) but its
-    containment stays ~1. Same inverted-index shuffle structure and
-    `df_cap` stop-shingle guard as `jaccard_pairs`; each unordered
-    intersection emits up to two DIRECTED rows (doc_id contained in
-    host_id), so the extra cost over Jaccard is one cheap projection.
+    containment stays ~1. Each unordered intersection emits up to two
+    DIRECTED rows (doc_id contained in host_id).
+
+    With `prefilter` (default): candidates come from the lossless
+    prefix filter (`prefix_filter_candidates`) when not supplied, and
+    intersections are computed pair-oriented (`array_intersect` over the
+    candidate-joined rarity-sorted per-doc arrays) — output identical to
+    the raw index self-join, but both quadratic
+    terms (candidate generation Σ df² and verify Σ df²) are gone.
+    `prefilter=False` keeps the reference self-join shape.
     """
-    # Same 64-bit shingle hashing as `jaccard_pairs` — equality-only use.
+    # Same 64-bit shingle hashing as `jaccard_pairs` — equality-only
+    # use. The index feeds candidate generation AND verify (df table,
+    # array build, candidate join) — checkpoint it once so the
+    # parse→explode→distinct lineage is not re-executed per consumer.
     shingles = _hash_shingles(shingles)
-    if candidates is not None and prefilter:
-        shingles, candidates = _prefilter_to_candidates(shingles, candidates)
-    sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("set_size"))
+    if prefilter:
+        shingles = shingles.localCheckpoint(eager=False)
+    sizes = None
     sh = shingles
     if df_cap is not None:
+        sizes = shingles.groupBy("doc_id").agg(
+            F.count(F.lit(1)).alias("set_size")
+        )
         rare = (
             shingles.groupBy("shingle")
             .agg(F.count(F.lit(1)).alias("df"))
@@ -312,28 +414,68 @@ def containment_pairs(
             .select("shingle")
         )
         sh = shingles.join(rare, "shingle")
-    a = sh.alias("a")
-    b = sh.alias("b")
-    inter = (
-        a.join(
-            b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+    if prefilter:
+        # Rarity-sorted per-doc arrays drive candidates AND verify:
+        # intersections become in-row `array_intersect` over pair-sized
+        # joins (document-bounded work) instead of an index self-join
+        # whose Σ df² term is quadratic in replica-family size.
+        arrays = _doc_shingle_arrays(sh, sizes).localCheckpoint(eager=False)
+        if candidates is None:
+            candidates = prefix_filter_candidates(arrays, threshold)
+        else:
+            # Canonicalize an external pair list to doc_a < doc_b.
+            candidates = candidates.select(
+                F.least("doc_a", "doc_b").alias("doc_a"),
+                F.greatest("doc_a", "doc_b").alias("doc_b"),
+            ).distinct()
+        aa = arrays.select(
+            F.col("doc_id").alias("doc_a"),
+            F.col("sh_arr").alias("_arr_a"),
+            F.col("set_size").alias("size_a"),
         )
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        ab = arrays.select(
+            F.col("doc_id").alias("doc_b"),
+            F.col("sh_arr").alias("_arr_b"),
+            F.col("set_size").alias("size_b"),
         )
-        .agg(F.count(F.lit(1)).alias("n_inter"))
-    )
-    if candidates is not None:
-        inter = inter.join(candidates, ["doc_a", "doc_b"])
-    sa = sizes.select(
-        F.col("doc_id").alias("doc_a"), F.col("set_size").alias("size_a")
-    )
-    sb = sizes.select(
-        F.col("doc_id").alias("doc_b"), F.col("set_size").alias("size_b")
-    )
-    joined = inter.join(sa, "doc_a").join(sb, "doc_b")
+        joined = (
+            candidates.join(aa, "doc_a")
+            .join(ab, "doc_b")
+            .withColumn(
+                "n_inter", F.size(F.array_intersect("_arr_a", "_arr_b"))
+            )
+            .drop("_arr_a", "_arr_b")
+            # Self-join parity: only co-occurring pairs ever surfaced.
+            .filter(F.col("n_inter") >= 1)
+        )
+    else:
+        a = sh.alias("a")
+        b = sh.alias("b")
+        inter = (
+            a.join(
+                b,
+                (F.col("a.shingle") == F.col("b.shingle"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .groupBy(
+                F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"),
+            )
+            .agg(F.count(F.lit(1)).alias("n_inter"))
+        )
+        if candidates is not None:
+            inter = inter.join(candidates, ["doc_a", "doc_b"])
+        if sizes is None:
+            sizes = shingles.groupBy("doc_id").agg(
+                F.count(F.lit(1)).alias("set_size")
+            )
+        sa = sizes.select(
+            F.col("doc_id").alias("doc_a"), F.col("set_size").alias("size_a")
+        )
+        sb = sizes.select(
+            F.col("doc_id").alias("doc_b"), F.col("set_size").alias("size_b")
+        )
+        joined = inter.join(sa, "doc_a").join(sb, "doc_b")
     fwd = joined.select(
         F.col("doc_a").alias("doc_id"),
         F.col("doc_b").alias("host_id"),
