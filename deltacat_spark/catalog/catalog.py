@@ -2053,9 +2053,13 @@ class Catalog:
             nonlocal known
             t, ver, ts_str, ts_ms = m.groups()
             if known is None:
-                known = set(self.list_tables())
-            if t not in known:
+                # SQL identifiers are case-insensitive everywhere else in
+                # this surface; map lower → canonical so `FROM Events
+                # VERSION AS OF 2` pins the view on table `events`.
+                known = {n.lower(): n for n in self.list_tables()}
+            if t.lower() not in known:
                 return m.group(0)
+            t = known[t.lower()]
             if ver is not None:
                 view = f"{t}__v{ver}"
                 self.register_view(t, view_name=view, version_as_of=int(ver))
@@ -2158,12 +2162,20 @@ class Catalog:
         """Conservative classification: only a plain
         SELECT-project/filter over one table is distributive over
         unions (safe for the incremental append path). Anything that
-        smells of aggregation/reordering forces full-rebuild refreshes."""
+        smells of aggregation/reordering forces full-rebuild refreshes.
+        Subqueries (correlated, IN/EXISTS, scalar) are NOT distributive
+        over unions even when they reference the same single table —
+        `WHERE id NOT IN (SELECT id FROM t WHERE flag)` evaluated over
+        only the new slice is wrong — so any second SELECT forces
+        full-rebuild too."""
         import re
 
         stripped = _strip_literals(view_sql).lower()
+        if len(re.findall(r"\bselect\b", stripped)) != 1:
+            return False
         return not re.search(
-            r"\b(group\s+by|distinct|join|union|order\s+by|limit|having)\b"
+            r"\b(group\s+by|distinct|join|union|order\s+by|limit|having|"
+            r"exists)\b"
             r"|\bover\s*\("
             r"|\b(count|sum|avg|min|max|first|last|collect_\w+|approx_\w+)"
             r"\s*\(",
@@ -2812,9 +2824,18 @@ class Catalog:
                 )
                 ddl += f"\nPARTITIONED BY ({pcols})"
             # Only user-set properties (incl. constraint.*) — defaults
-            # are engine config, not table DDL.
+            # are engine config, not table DDL. create_table persists
+            # DEFAULT_PROPERTIES into the CREATE commit, so filter them
+            # back out here (keep a default key only when its value was
+            # overridden) — otherwise the round-tripped DDL pins engine
+            # defaults against future upgrades.
             props = {
-                k: v for k, v in sorted(snap.properties.items()) if v != ""
+                k: v
+                for k, v in sorted(snap.properties.items())
+                if v != ""
+                and not (
+                    k in DEFAULT_PROPERTIES and str(DEFAULT_PROPERTIES[k]) == str(v)
+                )
             }
             if props:
                 kv = ", ".join(f"'{k}'='{v}'" for k, v in props.items())

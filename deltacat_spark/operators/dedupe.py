@@ -229,17 +229,20 @@ def jaccard_pairs(
     # 30x bench point; collision odds ~n²/2^64 are noise next to the
     # shingle model itself).
     shingles = _hash_shingles(shingles)
+    # df_cap semantics are defined over the FULL corpus: capture the
+    # pre-prefilter index so the stop-shingle document frequencies (and
+    # therefore which shingles survive the cap) are identical whether or
+    # not the candidate prefilter runs. The df table is one linear
+    # hash-agg; the prefilter's payoff — the Σ df² self-join — still
+    # runs over the candidate-restricted index below.
+    full = shingles
     if candidates is not None and prefilter:
         shingles, candidates = _prefilter_to_candidates(shingles, candidates)
     sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("set_size"))
-    # NOTE: we deliberately do NOT pre-filter the shingle index down to
-    # candidate docs — that re-evaluates the whole LSH lineage a second
-    # time (measured 4× slower at sf0.1). The shingle self-join is already
-    # near-linear because shingle document-frequency is ~1.
     sh = shingles
     if df_cap is not None:
         rare = (
-            shingles.groupBy("shingle")
+            full.groupBy("shingle")
             .agg(F.count(F.lit(1)).alias("df"))
             .filter(F.col("df") <= df_cap)
             .select("shingle")

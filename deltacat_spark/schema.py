@@ -312,6 +312,13 @@ def _promote(old: T.DataType, new: T.DataType, name: str) -> T.DataType:
         # never narrows it.
         scale = max(old.scale, new.scale)
         ints = max(old.precision - old.scale, new.precision - new.scale)
+        if ints + scale > 38:
+            # Integer capacity is the "never narrows" contract — existing
+            # decimal(38,0) values must survive unification with
+            # decimal(10,10). Give up fractional digits instead (Spark's
+            # findWiderTypeForDecimal does the same): keep all `ints`
+            # integer digits and shrink scale to fit 38.
+            scale = 38 - ints
         prec = min(ints + scale, 38)
         if (prec, scale) == (old.precision, old.scale):
             return old

@@ -89,4 +89,6 @@ def test_decimal_promotion_covers_both():
     assert _promote(d(10, 2), d(3, 2), "p") == d(10, 2)  # narrower payload
     assert _promote(d(3, 2), d(10, 2), "p") == d(10, 2)  # widening evolve
     assert _promote(d(10, 2), d(8, 4), "p") == d(12, 4)  # covering type
-    assert _promote(d(38, 0), d(10, 10), "p") == d(38, 10)  # precision cap
+    # at the 38-digit boundary, integer capacity wins: existing
+    # decimal(38,0) values must stay representable, so scale gives way
+    assert _promote(d(38, 0), d(10, 10), "p") == d(38, 0)
