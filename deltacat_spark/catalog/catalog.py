@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import shutil
 from typing import Any
 
@@ -119,6 +120,20 @@ def _split_set_list(setlist: str) -> list[tuple[str, str]]:
             raise ValueError(f"malformed SET clause: {part!r}")
         out.append((colname.strip(), expr_sql.strip()))
     return out
+
+
+def _ts_to_ms(ts_str: "str | None", ts_ms: "str | None") -> int:
+    """TIMESTAMP AS OF operand → epoch millis: either raw millis or an
+    ISO datetime string (naive strings are UTC — commit timestamps are
+    UTC epoch ms)."""
+    if ts_ms is not None:
+        return int(ts_ms)
+    from datetime import datetime, timezone
+
+    dt = datetime.fromisoformat(ts_str)
+    if dt.tzinfo is None:
+        dt = dt.replace(tzinfo=timezone.utc)
+    return int(dt.timestamp() * 1000)
 
 
 def _strip_literals(text: str) -> str:
@@ -2017,7 +2032,17 @@ class Catalog:
         run to report their ``rows`` (reported as -1) — the escape for
         pipeline use where the payload is large and the count unused.
         """
-        query = self._rewrite_time_travel(query)
+        # RESTORE/CLONE own their VERSION/TIMESTAMP AS OF clause — the
+        # read-path rewrite would swap the source table for a pinned
+        # temp view and break the statement.
+        if not re.match(
+            r"\s*(?:restore\s+table\b"
+            r"|create\s+table\s+\w+\s+(?:shallow|deep)\s+clone\b)",
+            query,
+            re.IGNORECASE,
+        ):
+            query = self._rewrite_time_travel(query)
+        query = self._rewrite_table_changes(query)
         dml = self._sql_dml(query, count_rows=count_rows)
         if dml is not None:
             return dml
@@ -2064,15 +2089,7 @@ class Catalog:
                 view = f"{t}__v{ver}"
                 self.register_view(t, view_name=view, version_as_of=int(ver))
                 return view
-            if ts_ms is not None:
-                ms = int(ts_ms)
-            else:
-                from datetime import datetime, timezone
-
-                dt = datetime.fromisoformat(ts_str)
-                if dt.tzinfo is None:
-                    dt = dt.replace(tzinfo=timezone.utc)
-                ms = int(dt.timestamp() * 1000)
+            ms = _ts_to_ms(ts_str, ts_ms)
             view = f"{t}__tt{ms}"
             self.register_view(t, view_name=view, timestamp_as_of=ms)
             return view
@@ -2086,6 +2103,27 @@ class Catalog:
             last = m.end()
         out.append(query[last:])
         return "".join(out)
+
+    def _rewrite_table_changes(self, query: str) -> str:
+        """Bridge `table_changes('t', from_v[, to_v])` (the Delta-style
+        CDC table function) onto `read_changes`: each call site
+        registers a temp view of the change rows — `_commit_version`,
+        `_change_type`, `_change_cols` stamped — and the call is
+        rewritten to that view name, so changes compose with ordinary
+        SQL (joins, aggregation, WHERE on `_change_type`)."""
+        pat = re.compile(
+            r"table_changes\(\s*'(\w+)'\s*,\s*(\d+)\s*(?:,\s*(\d+)\s*)?\)",
+            re.IGNORECASE,
+        )
+
+        def sub(m: "re.Match") -> str:
+            t, fv, tv = m.groups()
+            view = f"{t}__changes_{fv}_{tv if tv else 'latest'}"
+            df = self.read_changes(t, int(fv), int(tv) if tv else None)
+            df.createOrReplaceTempView(view)
+            return view
+
+        return pat.sub(sub, query)
 
     def _referenced_tables(self, text: str) -> list[str]:
         """Catalog tables the SQL text references, literal-blind."""
@@ -3150,6 +3188,48 @@ class Catalog:
             )
             self.truncate_table(m.group(1))
             return self._dml_result("TRUNCATE TABLE", n)
+        m = re.fullmatch(
+            r"restore\s+table\s+(\w+)\s+to\s+"
+            r"(?:version\s+as\s+of\s+(\d+)"
+            r"|timestamp\s+as\s+of\s+(?:'([^']+)'|(\d+)))",
+            q,
+            re.IGNORECASE,
+        )
+        if m:
+            table, ver, ts_str, ts_ms = m.groups()
+            new_v = self.restore_table(
+                table,
+                version=int(ver) if ver is not None else None,
+                timestamp=(
+                    _ts_to_ms(ts_str, ts_ms) if ver is None else None
+                ),
+            )
+            # `rows` carries the NEW log version (the restore commit) —
+            # the number a caller needs for follow-up time travel.
+            return self._dml_result("RESTORE TABLE", new_v)
+        m = re.fullmatch(
+            r"create\s+table\s+(\w+)\s+(shallow|deep)\s+clone\s+(\w+)"
+            r"(?:\s+version\s+as\s+of\s+(\d+)"
+            r"|\s+timestamp\s+as\s+of\s+(?:'([^']+)'|(\d+)))?",
+            q,
+            re.IGNORECASE,
+        )
+        if m:
+            dst, kind, src, ver, ts_str, ts_ms = m.groups()
+            self.clone_table(
+                src,
+                dst,
+                version=int(ver) if ver is not None else None,
+                timestamp=(
+                    _ts_to_ms(ts_str, ts_ms)
+                    if ver is None and (ts_str is not None or ts_ms is not None)
+                    else None
+                ),
+                deep=kind.lower() == "deep",
+            )
+            return self._dml_result(
+                f"CREATE TABLE {kind.upper()} CLONE", 0
+            )
         m = re.match(
             r"copy\s+into\s+(\w+)\s+from\s+'([^']+)'"
             r"(?:\s+fileformat\s*=\s*(\w+))?\s*$",

@@ -1,0 +1,111 @@
+"""SQL statements for the maintenance/lineage surface added in round 8:
+
+* ``RESTORE TABLE t TO VERSION AS OF n`` / ``TO TIMESTAMP AS OF ...``
+  → `restore_table` (returns the new log version in the `rows` column)
+* ``CREATE TABLE dst SHALLOW|DEEP CLONE src [VERSION AS OF n]``
+  → `clone_table`
+* ``table_changes('t', from_v[, to_v])`` inside any SELECT
+  → `read_changes` registered as a temp view (Delta-style CDC table
+  function), composable with joins/filters/aggregation.
+"""
+
+import pytest
+from pyspark.sql import types as T
+
+from deltacat_spark.catalog import Catalog
+from deltacat_spark.schema import Field, Schema
+
+
+@pytest.fixture()
+def cat(spark, tmp_path):
+    c = Catalog(spark, str(tmp_path / "sqlmaint"))
+    c.create_table(
+        "t",
+        schema=Schema(
+            [
+                Field("id", T.LongType(), merge_key=True),
+                Field("v", T.IntegerType()),
+            ]
+        ),
+    )
+    c.sql("INSERT INTO t VALUES (1, 10), (2, 20)")
+    return c
+
+
+def test_sql_restore_to_version(cat):
+    v0 = cat.snapshot("t").version
+    cat.sql("INSERT INTO t VALUES (3, 30)")
+    cat.sql("UPDATE t SET v = 0 WHERE id = 1")
+    res = cat.sql(f"RESTORE TABLE t TO VERSION AS OF {v0}").collect()[0]
+    assert res.operation == "RESTORE TABLE"
+    assert res.rows == cat.snapshot("t").version  # the restore commit
+    got = {r.id: r.v for r in cat.read_table("t").collect()}
+    assert got == {1: 10, 2: 20}
+    # history is intact: the pre-restore state is still time-travelable
+    pre = {
+        r.id: r.v
+        for r in cat.read_table("t", version_as_of=res.rows - 1).collect()
+    }
+    assert pre[1] == 0 and pre[3] == 30
+
+
+def test_sql_restore_to_timestamp(cat):
+    snap0 = cat.snapshot("t")
+    ts0 = snap0.timestamp_ms
+    cat.sql("INSERT INTO t VALUES (9, 90)")
+    cat.sql(f"RESTORE TABLE t TO TIMESTAMP AS OF {ts0}")
+    assert {r.id for r in cat.read_table("t").collect()} == {1, 2}
+
+
+def test_sql_shallow_clone_and_version_pin(cat):
+    v0 = cat.snapshot("t").version
+    cat.sql("INSERT INTO t VALUES (3, 30)")
+    res = cat.sql(
+        f"CREATE TABLE t_old SHALLOW CLONE t VERSION AS OF {v0}"
+    ).collect()[0]
+    assert "SHALLOW CLONE" in res.operation
+    assert {r.id for r in cat.read_table("t_old").collect()} == {1, 2}
+    # the clone evolves independently of the source
+    cat.sql("INSERT INTO t_old VALUES (99, 0)")
+    assert {r.id for r in cat.read_table("t_old").collect()} == {1, 2, 99}
+    assert {r.id for r in cat.read_table("t").collect()} == {1, 2, 3}
+
+
+def test_sql_deep_clone(cat):
+    cat.sql("CREATE TABLE t_copy DEEP CLONE t")
+    assert {r.id: r.v for r in cat.read_table("t_copy").collect()} == {
+        1: 10,
+        2: 20,
+    }
+
+
+def test_sql_table_changes_function(cat):
+    # CDC is exact for append-family and merge-on-read tables; CoW
+    # merge commits rewrite resolved files and carry no delta rows.
+    cat.create_table(
+        "m",
+        schema=Schema(
+            [
+                Field("id", T.LongType(), merge_key=True),
+                Field("v", T.IntegerType()),
+            ]
+        ),
+        properties={"read_optimization": "none"},
+    )
+    v0 = cat.snapshot("m").version
+    cat.sql("INSERT INTO m VALUES (3, 30), (4, 40)")
+    cat.sql("INSERT INTO m VALUES (5, 50)")
+    rows = cat.sql(
+        f"SELECT id, v, _change_type, _commit_version"
+        f" FROM table_changes('m', {v0}) ORDER BY id"
+    ).collect()
+    assert [r.id for r in rows] == [3, 4, 5]
+    # change rows are stamped with the commit's DeltaType
+    assert all(r._change_type == "UPSERT" for r in rows)
+    assert rows[0]._commit_version < rows[2]._commit_version
+    # bounded range + composition with aggregation
+    v1 = rows[0]._commit_version
+    n = cat.sql(
+        f"SELECT count(*) AS n FROM table_changes('m', {v0}, {v1})"
+    ).collect()[0].n
+    assert n == 2
