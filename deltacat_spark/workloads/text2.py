@@ -54,14 +54,30 @@ def dup_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda i: F.concat_ws(" ", F.slice(tk, i, _NG)),
         )
     )
-    ds = d.select("doc_id", F.explode(shingles).alias("sh"))
-    df_counts = ds.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+    # Only shingle EQUALITY matters downstream — hash the 8-gram strings
+    # to 64-bit ints inside the explode projection, so both wide stages
+    # (the df aggregation and the join back) move 8-byte keys instead of
+    # ~50-byte strings (collision odds ~n²/2^64 are noise next to the
+    # shingle model; same rewrite as the dedup family's int64 keys).
+    hashed = F.array_distinct(
+        F.transform(shingles, lambda s: F.xxhash64(s))
+    )
+    ds = d.select("doc_id", F.explode(hashed).alias("h"))
+    # join back only the df>=2 TAIL (typically a small fraction of the
+    # vocabulary): docs count their total shingles in the same keyed
+    # aggregation, so non-dup shingles never carry a df column around.
+    dup_h = (
+        ds.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") >= 2)
+        .select("h", F.lit(1).alias("is_dup"))
+    )
     return (
-        ds.join(df_counts, "sh")
+        ds.join(dup_h, "h", "left")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_shingles"),
-            F.sum(F.when(F.col("df") >= 2, 1).otherwise(0)).alias("n_dup"),
+            F.count("is_dup").alias("n_dup"),
         )
         .select(
             "doc_id",
