@@ -91,6 +91,9 @@ BENCH_QUERIES = [
     # round 7 additions (additive)
     "gopher_quality_rules",
     "dsir_importance",
+    # round 8 additions (additive)
+    "semdedup_prune",
+    "embedding_covariance",
 ]
 
 # The heaviest plans from BENCH_r04, re-measured at ~10x scale in the
