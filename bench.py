@@ -94,6 +94,8 @@ BENCH_QUERIES = [
     # round 8 additions (additive)
     "semdedup_prune",
     "embedding_covariance",
+    "bpe_pair_counts",
+    "oov_rate",
 ]
 
 # The heaviest plans from BENCH_r04, re-measured at ~10x scale in the

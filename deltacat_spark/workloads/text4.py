@@ -181,7 +181,126 @@ GROUP BY doc_id
 """
 
 
+# --- BPE merge step ----------------------------------------------------------
+def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One BPE tokenizer-training merge step: corpus-wide adjacent
+    character-pair frequencies, top-20 merge candidates.
+
+    The scalable formulation (what real BPE trainers do at corpus
+    scale): aggregate the corpus to the WORD-FREQUENCY table first —
+    one map-side-combinable shuffle, output is vocabulary-sized — then
+    expand character pairs over the vocab weighted by word count. The
+    pair expansion therefore touches |vocab| rows, not |corpus| tokens,
+    and every later merge iteration would reuse the same vocab table.
+    """
+    d = load(spark, sf_dir, "documents")
+    words = d.select(F.explode(F.split(F.col("text"), " ")).alias("w")).filter(
+        F.col("w") != ""
+    )
+    wc = words.groupBy("w").agg(F.count(F.lit(1)).alias("cnt"))
+    pairs = (
+        wc.filter(F.length("w") >= 2)
+        .select(
+            "cnt",
+            F.explode(
+                F.expr("transform(sequence(1, length(w) - 1),"
+                       " i -> substring(w, i, 2))")
+            ).alias("pair"),
+        )
+        .groupBy("pair")
+        .agg(F.sum("cnt").alias("n"))
+    )
+    return pairs.orderBy(F.desc("n"), "pair").limit(20)
+
+
+BPE_PAIR_SQL = """
+WITH words AS (
+  SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+wc AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS cnt
+  FROM words WHERE w <> '' GROUP BY w),
+pairs AS (
+  SELECT substr(w, i, 2) AS pair, cnt
+  FROM wc, LATERAL (
+    SELECT unnest(generate_series(1, len(w) - 1)) AS i) u
+  WHERE len(w) >= 2)
+SELECT pair, CAST(SUM(cnt) AS BIGINT) AS n
+FROM pairs GROUP BY pair
+ORDER BY n DESC, pair LIMIT 20
+"""
+
+
+# --- vocabulary coverage / OOV rate -----------------------------------------
+_VOCAB_TOP = 1000
+
+
+def oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document out-of-vocabulary rate against the corpus's own
+    top-1000 vocabulary — the coverage report run before freezing a
+    tokenizer or choosing a vocab size.
+
+    Scale shape: the vocab build is one map-side-combinable token
+    shuffle whose OUTPUT is vocabulary-sized; the top-1000 cut
+    broadcasts; the per-doc pass is then one doc-keyed aggregation with
+    a broadcast hash join — no corpus-sized wide stage carries strings
+    twice. Deterministic: ties at the vocab boundary break on the word
+    itself."""
+    from pyspark.sql.window import Window
+
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("w")
+    ).filter(F.col("w") != "")
+    wc = toks.groupBy("w").agg(F.count(F.lit(1)).alias("cnt"))
+    vocab = (
+        wc.withColumn(
+            "rn",
+            F.row_number().over(Window.orderBy(F.desc("cnt"), "w")),
+        )
+        .filter(F.col("rn") <= _VOCAB_TOP)
+        .select("w", F.lit(1).alias("in_vocab"))
+    )
+    return (
+        toks.join(F.broadcast(vocab), "w", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            (F.count(F.lit(1)) - F.count("in_vocab")).alias("n_oov"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_oov",
+            F.expr("CAST((n_oov * 1000) DIV n_tokens AS BIGINT)").alias(
+                "oov_permille"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+OOV_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+t AS (SELECT doc_id, w FROM toks WHERE w <> ''),
+wc AS (SELECT w, count(*) AS cnt FROM t GROUP BY w),
+vocab AS (
+  SELECT w FROM (
+    SELECT w, row_number() OVER (ORDER BY cnt DESC, w) AS rn FROM wc)
+  WHERE rn <= {_VOCAB_TOP})
+SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(count(*) - count(v.w) AS BIGINT) AS n_oov,
+       CAST(((count(*) - count(v.w)) * 1000) // count(*) AS BIGINT)
+         AS oov_permille
+FROM t LEFT JOIN vocab v ON t.w = v.w
+GROUP BY t.doc_id
+ORDER BY t.doc_id
+"""
+
+
 QUERIES = {
     "gopher_quality_rules": (gopher_quality_rules, GOPHER_SQL),
     "dsir_importance": (dsir_importance, DSIR_SQL),
+    "bpe_pair_counts": (bpe_pair_counts, BPE_PAIR_SQL),
+    "oov_rate": (oov_rate, OOV_SQL),
 }
