@@ -593,6 +593,13 @@ class Catalog:
         timestamp: int | None,
     ) -> int:
         cur = self.snapshot(table, namespace)
+        # A target version past the head would silently "restore" to the
+        # current state — a user typo deserves a loud error instead.
+        if version is not None and version > cur.version:
+            raise ValueError(
+                f"cannot RESTORE {table} to version {version}: "
+                f"current head is {cur.version}"
+            )
         target = self.snapshot(
             table, namespace, version_as_of=version, timestamp_as_of=timestamp
         )

@@ -109,3 +109,19 @@ def test_sql_table_changes_function(cat):
         f"SELECT count(*) AS n FROM table_changes('m', {v0}, {v1})"
     ).collect()[0].n
     assert n == 2
+
+
+def test_sql_restore_bad_version_raises(cat):
+    with pytest.raises(Exception):
+        cat.sql("RESTORE TABLE t TO VERSION AS OF 9999")
+
+
+def test_sql_clone_existing_dst_raises(cat):
+    cat.sql("CREATE TABLE dst SHALLOW CLONE t")
+    with pytest.raises(Exception):
+        cat.sql("CREATE TABLE dst SHALLOW CLONE t")
+
+
+def test_sql_table_changes_unknown_table_raises(cat):
+    with pytest.raises(Exception):
+        cat.sql("SELECT * FROM table_changes('nope', 0)")
