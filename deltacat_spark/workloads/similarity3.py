@@ -114,6 +114,11 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("vec_id", "cl", "xq_arr", "nrm2", "cent_cos")
     )
+    # with_cos feeds BOTH self-join sides and the final label join —
+    # checkpoint it once so the assignment pipeline (two exploded aggs +
+    # broadcast argmin) is not re-executed per consumer (same lesson as
+    # the r7 lsh_candidates restructure).
+    with_cos = with_cos.localCheckpoint(eager=False)
     a, b = with_cos.alias("a"), with_cos.alias("b")
     pairs = (
         a.join(
