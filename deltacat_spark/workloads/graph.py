@@ -1,0 +1,216 @@
+"""Distributed graph analytics over derived relational graphs — round-8
+additions extending the graph family beyond connected components
+(`operators/dedupe.py:connected_components`).
+
+`pagerank_bipartite` runs fixed-iteration PageRank on the undirected
+part↔supplier co-occurrence graph from `lineitem` — the Pregel-on-
+DataFrame shape (per-iteration edge join + destination-keyed aggregate)
+that GraphX/GraphFrames lower to. All rank arithmetic is integer
+(parts-per-million scale, truncating division on both engines), so the
+DuckDB oracle hash-matches exactly; fixed-point integer PageRank is also
+what production web-graph systems run for determinism.
+
+`triangle_count_copurchase` counts triangles in the part co-purchase
+graph (parts appearing in the same order) with the degree-orientation
+algorithm: orient every edge from lower-(degree, id) to higher, then a
+triangle is a directed wedge (u→v, u→w) whose closing edge (v→w) exists.
+Orientation bounds the wedge count by O(E^1.5) regardless of skew — the
+textbook MapReduce triangle algorithm (Suri & Vassilvitskii, WWW'11).
+
+Reference parity: deltacat has no graph operators; these extend the
+training-data curation surface (SURVEY.md §2 LLM-pipeline addendum)
+alongside duplicate-cluster connected components — PageRank-style
+centrality is the standard quality prior for web-corpus filtering
+(e.g. harmonic-centrality thresholds in Common Crawl curation).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from deltacat_spark.workloads.base import load
+
+_PR_ITERS = 4
+_PR_SCALE = 1_000_000  # rank unit: parts-per-million
+_PR_DAMP_NUM = 850  # damping 0.85 as a permille ratio
+_PR_BASE = 150_000  # (1 - d) * SCALE
+
+
+def _bipartite_edges(li: DataFrame) -> DataFrame:
+    """Distinct part↔supplier co-occurrence edges, both directions.
+
+    Node ids disambiguate the two vertex classes without strings:
+    part → 2·partkey, supplier → 2·suppkey + 1.
+    """
+    e0 = li.select(
+        (F.col("l_partkey") * 2).alias("src"),
+        (F.col("l_suppkey") * 2 + 1).alias("dst"),
+    ).distinct()
+    return e0.unionByName(
+        e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+
+
+def pagerank_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-point integer PageRank (4 iterations, d=0.85) over the
+    part↔supplier graph; returns (node_type, node_key, rank_ppm).
+
+    Scale shape: the edge list is built once (one distinct over the
+    projected lineitem scan) and reused every iteration; each iteration
+    is one src-keyed broadcast-free equi-join plus one dst-keyed
+    hash-aggregate — the same shuffle key (node id) every round, so a
+    cluster run would pre-partition edges by src once and every
+    iteration's join co-locates. Ranks stay a node-sized table. Every
+    node of the undirected graph has degree ≥ 1, so there are no
+    dangling-mass corrections. Integer contributions (`r DIV outdeg`,
+    truncating) keep the per-iteration state exact on both engines;
+    headroom: Σ rank ≈ N·1e6, so the 850·Σ product stays < 2^63 past
+    1e12 nodes."""
+    li = load(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    edges = _bipartite_edges(li).localCheckpoint(eager=False)
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    ranks = deg.select("src", F.lit(_PR_SCALE).cast("long").alias("r"))
+    src_deg = deg  # (src, outdeg) — joined to ranks each round
+    for _ in range(_PR_ITERS):
+        contrib = (
+            ranks.join(src_deg, "src")
+            .join(edges, "src")
+            .select("dst", F.expr("r DIV outdeg").alias("c"))
+        )
+        ranks = (
+            contrib.groupBy("dst")
+            .agg(
+                (
+                    F.lit(_PR_BASE)
+                    + F.expr(f"({_PR_DAMP_NUM} * sum(c)) DIV 1000")
+                ).alias("r")
+            )
+            .select(F.col("dst").alias("src"), F.col("r").cast("long"))
+            .localCheckpoint(eager=False)
+        )
+    return ranks.select(
+        F.when(F.col("src") % 2 == 0, F.lit("part"))
+        .otherwise(F.lit("supplier"))
+        .alias("node_type"),
+        F.expr("src DIV 2").alias("node_key"),
+        F.col("r").alias("rank_ppm"),
+    ).orderBy("node_type", "node_key")
+
+
+def _pr_iter_sql(prev: str, out: str) -> str:
+    return f"""{out} AS (
+  SELECT e.dst AS src,
+         CAST({_PR_BASE} + ({_PR_DAMP_NUM} * SUM(r.r // d.outdeg)) // 1000
+              AS BIGINT) AS r
+  FROM edges e JOIN {prev} r ON e.src = r.src
+               JOIN deg d ON e.src = d.src
+  GROUP BY e.dst)"""
+
+
+PAGERANK_SQL = f"""
+WITH e0 AS (
+  SELECT DISTINCT l_partkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+  FROM lineitem),
+edges AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS outdeg FROM edges GROUP BY src),
+r0 AS (SELECT src, CAST({_PR_SCALE} AS BIGINT) AS r FROM deg),
+{_pr_iter_sql("r0", "r1")},
+{_pr_iter_sql("r1", "r2")},
+{_pr_iter_sql("r2", "r3")},
+{_pr_iter_sql("r3", "r4")}
+SELECT CASE WHEN src % 2 = 0 THEN 'part' ELSE 'supplier' END AS node_type,
+       CAST(src // 2 AS BIGINT) AS node_key,
+       r AS rank_ppm
+FROM r4
+ORDER BY node_type, node_key
+"""
+
+
+def triangle_count_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangles in the part co-purchase graph (two parts linked when
+    they appear in the same order): one row (n_nodes, n_edges,
+    n_triangles).
+
+    Scale shape: per-order pair expansion is bounded by order size
+    (TPC-H ≤ 7 lineitems → ≤ 21 pairs), so the edge build is linear in
+    lineitem. Degree orientation (lower (deg, id) → higher) makes every
+    triangle counted exactly once as a closed wedge and bounds the
+    wedge-join fan-out at O(E^1.5) even under degree skew — the hot
+    celebrity node never becomes a wedge hub because its edges orient
+    INTO it. Joins are all equi-joins on node ids; no state beyond the
+    edge and degree tables."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    both = edges.unionByName(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    deg = both.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+    du = deg.select(F.col("u"), F.col("deg").alias("du"))
+    dv = deg.select(F.col("u").alias("v"), F.col("deg").alias("dv"))
+    # orient: keep (u, v) when (deg_u, u) < (deg_v, v)
+    oriented = (
+        both.join(du, "u")
+        .join(dv, "v")
+        .filter(
+            (F.col("du") < F.col("dv"))
+            | ((F.col("du") == F.col("dv")) & (F.col("u") < F.col("v")))
+        )
+        .select("u", "v")
+        .localCheckpoint(eager=False)
+    )
+    w1 = oriented.select(F.col("u"), F.col("v").alias("w"))
+    wedges = oriented.join(w1, "u").filter(F.col("v") != F.col("w"))
+    closing = oriented.select(
+        F.col("u").alias("v"), F.col("v").alias("w")
+    )
+    tri = wedges.join(closing, ["v", "w"]).agg(
+        F.count(F.lit(1)).alias("n_triangles")
+    )
+    counts = edges.agg(
+        F.count(F.lit(1)).alias("n_edges"),
+    ).crossJoin(
+        deg.agg(F.count(F.lit(1)).alias("n_nodes"))
+    )
+    return counts.crossJoin(tri).select("n_nodes", "n_edges", "n_triangles")
+
+
+TRIANGLE_SQL = """
+WITH edges AS (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+both_dir AS (
+  SELECT u, v FROM edges UNION ALL SELECT v AS u, u AS v FROM edges),
+deg AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS deg FROM both_dir GROUP BY u),
+oriented AS (
+  SELECT b.u, b.v
+  FROM both_dir b JOIN deg du ON b.u = du.u JOIN deg dv ON b.v = dv.u
+  WHERE (du.deg < dv.deg) OR (du.deg = dv.deg AND b.u < b.v)),
+tri AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+  FROM oriented o1
+  JOIN oriented o2 ON o1.u = o2.u AND o1.v <> o2.v
+  JOIN oriented c ON c.u = o1.v AND c.v = o2.v)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM deg) AS n_nodes,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM edges) AS n_edges,
+       n_triangles
+FROM tri
+"""
+
+
+QUERIES = {
+    "pagerank_bipartite": (pagerank_bipartite, PAGERANK_SQL),
+    "triangle_count_copurchase": (triangle_count_copurchase, TRIANGLE_SQL),
+}

@@ -1,0 +1,202 @@
+"""Analytic sanity bounds for the round-8 graph / sketch / linear-algebra
+operators — the class of bug an oracle comparison cannot catch (same
+formula wrong on both engines)."""
+
+import math
+
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_pagerank_mass_and_bounds(spark):
+    """Rank mass stays ≈ N·1e6 (damped walk conserves mass up to the
+    truncating divisions), and every rank ≥ the (1-d) floor."""
+    from deltacat_spark.workloads.graph import pagerank_bipartite
+
+    out = pagerank_bipartite(spark, SF).collect()
+    n = len(out)
+    assert n > 0
+    total = sum(r["rank_ppm"] for r in out)
+    # Truncation loses < outdeg units per node per iteration — permille
+    # tolerance is orders of magnitude above that.
+    assert abs(total - n * 1_000_000) < 0.01 * n * 1_000_000
+    assert all(r["rank_ppm"] >= 150_000 for r in out)
+    assert {r["node_type"] for r in out} == {"part", "supplier"}
+
+
+def test_pagerank_degree_monotone_on_star(spark):
+    """On a hand-built star graph the hub must outrank every leaf."""
+    from deltacat_spark.workloads import graph as G
+
+    li = spark.createDataFrame(
+        [(1, 100, 7), (2, 101, 7), (3, 102, 7), (4, 103, 7)],
+        "l_orderkey int, l_partkey int, l_suppkey int",
+    )
+    edges = G._bipartite_edges(li).localCheckpoint(eager=False)
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    ranks = deg.select("src", F.lit(G._PR_SCALE).cast("long").alias("r"))
+    for _ in range(G._PR_ITERS):
+        contrib = (
+            ranks.join(deg, "src")
+            .join(edges, "src")
+            .select("dst", F.expr("r DIV outdeg").alias("c"))
+        )
+        ranks = (
+            contrib.groupBy("dst")
+            .agg(
+                (
+                    F.lit(G._PR_BASE)
+                    + F.expr(f"({G._PR_DAMP_NUM} * sum(c)) DIV 1000")
+                ).alias("r")
+            )
+            .select(F.col("dst").alias("src"), F.col("r").cast("long"))
+        )
+    rows = {r["src"]: r["r"] for r in ranks.collect()}
+    hub = rows[7 * 2 + 1]
+    leaves = [v for k, v in rows.items() if k != 7 * 2 + 1]
+    assert all(hub > leaf for leaf in leaves)
+
+
+def test_triangle_count_matches_bruteforce(spark):
+    """Degree-oriented count equals the brute-force combination count on
+    a small known graph (two triangles sharing an edge + a pendant)."""
+    from deltacat_spark.workloads.graph import triangle_count_copurchase
+    import itertools
+
+    # Build a fake lineitem whose co-purchase graph is known: orders
+    # {1,2,3}, {2,3,4}, {4,5} → triangles (1,2,3) and (2,3,4).
+    rows = []
+    for ok, parts in [(1, [1, 2, 3]), (2, [2, 3, 4]), (3, [4, 5])]:
+        rows += [(ok, p) for p in parts]
+    li = spark.createDataFrame(rows, "l_orderkey int, l_partkey int")
+    li.createOrReplaceTempView("_tri_li")
+
+    # Reuse the operator body by monkey-loading: call the internal logic
+    # through a temp parquet round-trip is overkill — instead compute
+    # brute force from the same frame and compare with the operator run
+    # on real data for shape, then the known-graph count by hand.
+    edges = set()
+    for ok, parts in [(1, [1, 2, 3]), (2, [2, 3, 4]), (3, [4, 5])]:
+        for a, b in itertools.combinations(sorted(parts), 2):
+            edges.add((a, b))
+    tri = sum(
+        1
+        for a, b, c in itertools.combinations(sorted({p for e in edges for p in e}), 3)
+        if (a, b) in edges and (b, c) in edges and (a, c) in edges
+    )
+    assert tri == 2
+
+    out = triangle_count_copurchase(spark, SF).collect()[0]
+    assert out["n_nodes"] > 0 and out["n_edges"] > 0
+    assert out["n_triangles"] >= 0
+    # Brute-force the real sf0.001 graph too (small enough): compare.
+    from deltacat_spark.workloads.base import load
+
+    li_real = load(spark, SF, "lineitem").select("l_orderkey", "l_partkey")
+    grouped = (
+        li_real.groupBy("l_orderkey")
+        .agg(F.collect_set("l_partkey").alias("ps"))
+        .collect()
+    )
+    real_edges = set()
+    for r in grouped:
+        for a, b in itertools.combinations(sorted(r["ps"]), 2):
+            real_edges.add((a, b))
+    adj = {}
+    for a, b in real_edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    brute = (
+        sum(
+            len(adj[a] & adj[b])
+            for a, b in real_edges
+        )
+        // 3
+    )
+    assert out["n_triangles"] == brute
+    assert out["n_edges"] == len(real_edges)
+
+
+def test_hll_estimate_within_error(spark):
+    """The harmonic-mean estimate from the 'ALL' registers lands within
+    the expected HLL(p=8) error band (~±1.04/√256 ≈ 6.5%; allow 3σ) of
+    the true distinct user count."""
+    from deltacat_spark.workloads.base import load
+    from deltacat_spark.workloads.sketch import hll_user_registers
+
+    regs = {
+        r["bucket"]: r["max_rho"]
+        for r in hll_user_registers(spark, SF).collect()
+        if r["grp"] == "ALL"
+    }
+    m = 256
+    alpha = 0.7213 / (1 + 1.079 / m)
+    s = sum(2.0 ** -regs.get(b, 0) for b in range(m))
+    est = alpha * m * m / s
+    zeros = sum(1 for b in range(m) if b not in regs)
+    if est <= 2.5 * m and zeros:
+        est = m * math.log(m / zeros)
+    true = (
+        load(spark, SF, "events").select("user_id").distinct().count()
+    )
+    assert abs(est - true) / true < 0.20
+
+
+def test_hll_merge_is_union_sketch(spark):
+    """'ALL' registers must equal the sketch built directly from all
+    rows — mergeability, the property that makes the sketch shardable."""
+    from deltacat_spark.workloads.sketch import hll_user_registers
+
+    out = hll_user_registers(spark, SF).collect()
+    merged = {r["bucket"]: r["max_rho"] for r in out if r["grp"] == "ALL"}
+    by_bucket = {}
+    for r in out:
+        if r["grp"] == "ALL":
+            continue
+        by_bucket[r["bucket"]] = max(
+            by_bucket.get(r["bucket"], 0), r["max_rho"]
+        )
+    assert merged == by_bucket
+
+
+def test_pca_rayleigh_quotient_improves(spark):
+    """Power iteration on a PSD matrix monotonically increases the
+    Rayleigh quotient; after 4 steps the returned iterate must score
+    strictly above the all-ones start. (Full convergence is NOT the
+    claim — the synthetic embeddings are near-isotropic, eigengap
+    ratio ≈ 0.93, so the operator documents itself as the per-step
+    kernel.)"""
+    from deltacat_spark.workloads.similarity3 import embedding_covariance
+    from deltacat_spark.workloads.similarity4 import (
+        _AQ_SCALE,
+        _half_up_ratio,
+        pca_power_iter,
+    )
+
+    v_rows = pca_power_iter(spark, SF).collect()
+    v = [r["loading"] for r in sorted(v_rows, key=lambda r: r["dim"])]
+    cov = embedding_covariance(spark, SF).collect()
+    d = max(r["j"] for r in cov) + 1
+    a = [[0] * d for _ in range(d)]
+    mx = max(abs(r["cov_num"]) for r in cov)
+    for r in cov:
+        q = _half_up_ratio(r["cov_num"], _AQ_SCALE, mx)
+        a[r["i"]][r["j"]] = q
+        a[r["j"]][r["i"]] = q
+    def rayleigh(x):
+        ax = [sum(a[i][j] * x[j] for j in range(d)) for i in range(d)]
+        return sum(xi * yi for xi, yi in zip(x, ax)) / sum(
+            xi * xi for xi in x
+        )
+
+    v0 = [1] * d
+    assert rayleigh(v) > rayleigh(v0) * 1.05
+    # and one more exact step improves it again (PSD monotonicity,
+    # modulo the fixed-point renormalization which preserves direction
+    # up to rounding)
+    w = [sum(a[i][j] * v[j] for j in range(d)) for i in range(d)]
+    assert rayleigh(w) >= rayleigh(v) * 0.999
+    # sign normalization: first nonzero loading positive
+    first = next(x for x in v if x != 0)
+    assert first > 0
