@@ -96,6 +96,10 @@ BENCH_QUERIES = [
     "embedding_covariance",
     "bpe_pair_counts",
     "oov_rate",
+    "pagerank_bipartite",
+    "triangle_count_copurchase",
+    "hll_user_registers",
+    "pca_power_iter",
 ]
 
 # The heaviest plans from BENCH_r04, re-measured at ~10x scale in the

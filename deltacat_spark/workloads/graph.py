@@ -134,22 +134,36 @@ def triangle_count_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: per-order pair expansion is bounded by order size
     (TPC-H ≤ 7 lineitems → ≤ 21 pairs), so the edge build is linear in
     lineitem. Degree orientation (lower (deg, id) → higher) makes every
-    triangle counted exactly once as a closed wedge and bounds the
-    wedge-join fan-out at O(E^1.5) even under degree skew — the hot
-    celebrity node never becomes a wedge hub because its edges orient
-    INTO it. Joins are all equi-joins on node ids; no state beyond the
-    edge and degree tables."""
+    triangle counted exactly once and bounds any node's ORIENTED
+    out-degree at O(√E) even under degree skew — the hot celebrity node
+    never becomes a hub because its edges orient INTO it. The count is
+    EDGE-CENTRIC: triangles(u,v) = |N⁺(u) ∩ N⁺(v)| via an in-row
+    `array_intersect` over out-neighbor arrays joined to each edge —
+    nothing wedge-sized is ever materialized or shuffled (the wedge
+    list is Σ outdeg² ≈ 35M rows at sf0.1; the edge list is 1.2M).
+    Work is Σ_edges (|N⁺(u)|+|N⁺(v)|) inside whole-stage codegen, and
+    the adjacency table is node-sized (broadcastable well past this
+    scale; falls back to a node-keyed shuffle join beyond)."""
     li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    a, b = li.alias("a"), li.alias("b")
+    # Per-order sorted part array → in-row i<j pair expansion (bounded
+    # by order size), ONE orderkey shuffle — measured 1.7× faster than
+    # the equivalent self-join on l_orderkey at sf0.1. The size<2 guard
+    # matters: Spark's sequence(0, -1) yields a DESCENDING [0, -1], not
+    # an empty range.
     edges = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
+        li.groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("l_partkey")).alias("ps"))
+        .filter(F.size("ps") >= 2)
         .select(
-            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
+            F.explode(
+                F.expr(
+                    "flatten(transform(sequence(0, size(ps) - 2), i ->"
+                    " transform(slice(ps, i + 2, size(ps) - i - 1),"
+                    " x -> struct(ps[i] AS u, x AS v))))"
+                )
+            ).alias("p")
         )
+        .select("p.u", "p.v")
         .distinct()
         .localCheckpoint(eager=False)
     )
@@ -170,13 +184,20 @@ def triangle_count_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("u", "v")
         .localCheckpoint(eager=False)
     )
-    w1 = oriented.select(F.col("u"), F.col("v").alias("w"))
-    wedges = oriented.join(w1, "u").filter(F.col("v") != F.col("w"))
-    closing = oriented.select(
-        F.col("u").alias("v"), F.col("v").alias("w")
-    )
-    tri = wedges.join(closing, ["v", "w"]).agg(
-        F.count(F.lit(1)).alias("n_triangles")
+    adj = oriented.groupBy("u").agg(F.collect_list("v").alias("nb"))
+    nb_u = adj.select(F.col("u"), F.col("nb").alias("nb_u"))
+    nb_v = adj.select(F.col("u").alias("v"), F.col("nb").alias("nb_v"))
+    # every triangle u→v, u→w, v→w is counted exactly once, at its base
+    # edge (u, v), as w ∈ N⁺(u) ∩ N⁺(v)
+    tri = (
+        oriented.join(nb_u, "u")
+        .join(nb_v, "v")
+        .select(
+            F.size(F.array_intersect("nb_u", "nb_v")).alias("k")
+        )
+        .agg(
+            F.coalesce(F.sum("k"), F.lit(0)).cast("long").alias("n_triangles")
+        )
     )
     counts = edges.agg(
         F.count(F.lit(1)).alias("n_edges"),
