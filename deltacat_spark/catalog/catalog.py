@@ -2888,6 +2888,57 @@ class Catalog:
             return self.spark.createDataFrame(
                 [(ddl,)], "create_statement string"
             )
+        m = re.fullmatch(r"describe\s+detail\s+(\w+)", q, re.IGNORECASE)
+        if m:
+            # Delta-style DESCRIBE DETAIL: one row of table-level
+            # metadata, all of it read from the resolved snapshot — no
+            # storage LISTing (the log is the source of truth for the
+            # live file set and its byte/record totals).
+            table = m.group(1)
+            snap = self.snapshot(table)
+            data_files = [f for f in snap.files if f.content_type is None]
+            pcols = [
+                PartitionKey.from_dict(d).source
+                for d in (snap.partition_scheme or [])
+            ]
+            return self.spark.createDataFrame(
+                [
+                    (
+                        table,
+                        snap.table_root,
+                        int(snap.version),
+                        int(snap.timestamp_ms),
+                        ",".join(pcols),
+                        len(data_files),
+                        sum(f.bytes or 0 for f in data_files),
+                        sum(f.records or 0 for f in data_files),
+                        _json.dumps(dict(sorted(snap.properties.items()))),
+                    )
+                ],
+                "name string, location string, version long,"
+                " last_modified_ms long, partition_columns string,"
+                " num_files long, size_bytes long, num_records long,"
+                " properties string",
+            )
+        m = re.fullmatch(
+            r"show\s+tblproperties\s+(\w+)(?:\s*\(\s*'?([\w.]+)'?\s*\))?",
+            q,
+            re.IGNORECASE,
+        )
+        if m:
+            table, key = m.groups()
+            props = self.snapshot(table).properties
+            if key is not None:
+                if key not in props:
+                    raise ValueError(
+                        f"property {key!r} not set on table {table!r}"
+                    )
+                rows = [(key, str(props[key]))]
+            else:
+                rows = [(k, str(v)) for k, v in sorted(props.items())]
+            return self.spark.createDataFrame(
+                rows or [("", "")], "key string, value string"
+            ).filter(F.col("key") != "")
         m = re.fullmatch(r"show\s+partitions\s+(\w+)", q, re.IGNORECASE)
         if m:
             snap = self.snapshot(m.group(1))

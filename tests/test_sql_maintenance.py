@@ -13,6 +13,7 @@ import pytest
 from pyspark.sql import types as T
 
 from deltacat_spark.catalog import Catalog
+from deltacat_spark.plans.transforms import PartitionKey
 from deltacat_spark.schema import Field, Schema
 
 
@@ -125,3 +126,53 @@ def test_sql_clone_existing_dst_raises(cat):
 def test_sql_table_changes_unknown_table_raises(cat):
     with pytest.raises(Exception):
         cat.sql("SELECT * FROM table_changes('nope', 0)")
+
+
+def test_sql_describe_detail(cat):
+    row = cat.sql("DESCRIBE DETAIL t").collect()[0]
+    assert row.name == "t"
+    assert row.version == cat.snapshot("t").version
+    assert row.num_files >= 1
+    assert row.num_records == 2
+    assert row.size_bytes > 0
+    assert row.partition_columns == ""
+    import json
+
+    props = json.loads(row.properties)
+    assert isinstance(props, dict)
+    # location is the real table root (log dir lives under it)
+    import os
+
+    assert os.path.isdir(row.location)
+
+
+def test_sql_describe_detail_partitioned_counts(spark, tmp_path):
+    c = Catalog(spark, str(tmp_path / "dd"))
+    df = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "a", 30)], "id long, p string, v int"
+    )
+    c.create_table(
+        "pt",
+        schema=Schema(
+            [
+                Field("id", T.LongType(), merge_key=True),
+                Field("p", T.StringType()),
+                Field("v", T.IntegerType()),
+            ]
+        ),
+        partition_scheme=[PartitionKey("p")],
+    )
+    c.write_to_table(df, "pt", mode="merge")
+    row = c.sql("DESCRIBE DETAIL pt").collect()[0]
+    assert row.partition_columns == "p"
+    assert row.num_records == 3
+
+
+def test_sql_show_tblproperties(cat):
+    cat.sql("ALTER TABLE t SET TBLPROPERTIES ('owner'='me', 'x.y'='1')")
+    rows = {r.key: r.value for r in cat.sql("SHOW TBLPROPERTIES t").collect()}
+    assert rows["owner"] == "me" and rows["x.y"] == "1"
+    one = cat.sql("SHOW TBLPROPERTIES t ('x.y')").collect()
+    assert len(one) == 1 and one[0].value == "1"
+    with pytest.raises(ValueError, match="not set"):
+        cat.sql("SHOW TBLPROPERTIES t ('nope')")
