@@ -234,7 +234,14 @@ def jaccard_pairs(
     # therefore which shingles survive the cap) are identical whether or
     # not the candidate prefilter runs. The df table is one linear
     # hash-agg; the prefilter's payoff — the Σ df² self-join — still
-    # runs over the candidate-restricted index below.
+    # runs over the candidate-restricted index below. When both
+    # consumers exist (full df table + prefiltered index), checkpoint
+    # the hashed index ONCE — otherwise the corpus-wide
+    # tokenize→explode→distinct lineage re-executes per consumer, the
+    # exact recompute this family keeps re-learning (r7 lsh_candidates;
+    # measured 2.8× on dedup_survivors at the 30× point this round).
+    if candidates is not None and prefilter and df_cap is not None:
+        shingles = shingles.localCheckpoint(eager=False)
     full = shingles
     if candidates is not None and prefilter:
         shingles, candidates = _prefilter_to_candidates(shingles, candidates)

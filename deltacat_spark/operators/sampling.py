@@ -132,3 +132,38 @@ def domain_cap(
         .filter(F.col("__rn") <= cap)
         .drop("__rn")
     )
+
+
+def weighted_sample_topk(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    k: int = 50,
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement (Efraimidis–
+    Spirakis A-ES): each row draws a pseudo-uniform u from md5(id) and
+    ranks by u^(1/w); the global top-k is a weight-proportional sample.
+
+    Engine-exact ordering: rank on ``score_micro = floor(1e6·ln(u)/w)``
+    — the double ln is evaluated once per row on identical rational
+    inputs in both engines and floored to an integer before any
+    comparison (the `lm_quality_score`/DSIR discipline), with
+    (score, id) total-order tie-breaks. Higher is better (both factors
+    negative: heavier w divides the negative ln toward 0).
+
+    Scale shape: pure projection + one TakeOrdered top-k — no shuffle
+    of the corpus, no RNG state, re-runs and backfills select the same
+    rows. The classic use: weight = quality score or token count when
+    drawing a fixed-size training subset from 100 TB.
+    """
+    u = (md5_prefix_int(F.col(id_col).cast("string"), 6) + 1) / F.lit(
+        float(_HASH_SPACE + 1)
+    )
+    score = F.floor(F.lit(1_000_000.0) * F.log(u) / F.col(weight_col)).cast(
+        "long"
+    )
+    return (
+        df.withColumn("score_micro", score)
+        .orderBy(F.desc("score_micro"), F.col(id_col))
+        .limit(k)
+    )

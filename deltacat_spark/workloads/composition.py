@@ -133,8 +133,36 @@ ORDER BY doc_id
 """
 
 
+
+
+def weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-proportional deterministic top-50 document sample
+    (`operators/sampling.py:weighted_sample_topk`, Efraimidis–Spirakis
+    A-ES with md5-derived uniforms), weighted by document length — the
+    fixed-size training-subset draw that favors long documents without
+    RNG state. See the operator docstring for the engine-exactness and
+    no-shuffle scale argument."""
+    from deltacat_spark.operators.sampling import weighted_sample_topk
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    return weighted_sample_topk(d, "doc_id", "n_chars", k=50)
+
+
+WEIGHTED_SAMPLE_SQL = f"""
+SELECT doc_id, source, n_chars,
+       CAST(FLOOR(1000000.0
+            * ln(({md5_prefix_int_sql("CAST(doc_id AS VARCHAR)")} + 1)
+                 / CAST({16 ** 6} + 1 AS DOUBLE))
+            / n_chars) AS BIGINT) AS score_micro
+FROM documents
+ORDER BY score_micro DESC, doc_id
+LIMIT 50
+"""
+
+
 QUERIES = {
     "domain_cap_sample": (domain_cap_sample, DOMAIN_CAP_SQL),
     "lang_source_matrix": (lang_source_matrix, LANG_SOURCE_SQL),
     "length_outliers": (length_outliers, LENGTH_OUTLIERS_SQL),
+    "weighted_sample_docs": (weighted_sample_docs, WEIGHTED_SAMPLE_SQL),
 }

@@ -57,6 +57,26 @@ def _hex_int_sql(expr: str, start: int, nchars: int) -> str:
     return "CAST(" + " + ".join(parts) + " AS BIGINT)"
 
 
+def hll_prep(df: DataFrame, key_col: str) -> DataFrame:
+    """Append (bucket, rho) HLL columns for `key_col` — the row-level
+    transform shared by the batch register build and STREAMING distinct
+    sketches: because registers are a (bucket)-keyed MAX, a structured
+    stream aggregates them incrementally with ordinary state (no custom
+    stateful operator), and the same registers merge across shards,
+    windows, or restarts."""
+    h = F.md5(F.col(key_col).cast("string"))
+    return df.select(
+        "*",
+        _hex_int(h, 1, 2).alias("bucket"),
+        _hex_int(h, 3, _HLL_WBITS // 4).alias("w"),
+    ).withColumn(
+        "rho",
+        F.when(F.col("w") == 0, F.lit(_HLL_WBITS + 1)).otherwise(
+            F.lit(_HLL_WBITS + 1) - F.length(F.expr("bin(w)"))
+        ),
+    ).drop("w")
+
+
 def hll_user_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HLL(p=8) registers of distinct user_id per event_type + the
     merged 'ALL' sketch: (grp, bucket, max_rho).
@@ -66,19 +86,8 @@ def hll_user_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same two-level motion a 1000-executor run uses (executors sketch
     their shard, the driver folds 256-int arrays)."""
     ev = load(spark, sf_dir, "events").select("event_type", "user_id")
-    h = F.md5(F.col("user_id").cast("string"))
-    hashed = ev.select(
-        "event_type",
-        _hex_int(h, 1, 2).alias("bucket"),
-        _hex_int(h, 3, _HLL_WBITS // 4).alias("w"),
-    )
     per_type = (
-        hashed.withColumn(
-            "rho",
-            F.when(F.col("w") == 0, F.lit(_HLL_WBITS + 1)).otherwise(
-                F.lit(_HLL_WBITS + 1) - F.length(F.expr("bin(w)"))
-            ),
-        )
+        hll_prep(ev, "user_id")
         .groupBy("event_type", "bucket")
         .agg(F.max("rho").cast("int").alias("max_rho"))
     )
