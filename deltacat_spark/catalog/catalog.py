@@ -2246,6 +2246,8 @@ class Catalog:
             if not replace:
                 raise ValueError(f"{name!r} already exists")
         self.fs.makedirs(self._views_dir)
+        from deltacat_spark.catalog.materialize import parse_agg_view
+
         self.fs.write_text_atomic(
             self._mv_path(name),
             json.dumps(
@@ -2254,6 +2256,12 @@ class Catalog:
                     "sql": view_sql,
                     "src": refs[0],
                     "record_wise": self._mv_record_wise(view_sql),
+                    # single-table GROUP BY with mergeable aggregates →
+                    # the incremental-aggregate refresh path (partials
+                    # merged group-by-group via the MV's merge keys)
+                    "agg_spec": parse_agg_view(
+                        view_sql, _strip_literals(view_sql)
+                    ),
                 }
             ),
         )
@@ -2284,7 +2292,12 @@ class Catalog:
             return self.spark.sql("".join(out))
 
         return refresh_incremental(
-            self, src, name, transform, record_wise=bool(d["record_wise"])
+            self,
+            src,
+            name,
+            transform,
+            record_wise=bool(d["record_wise"]),
+            agg_spec=d.get("agg_spec"),
         )
 
     def drop_materialized_view(self, name: str, if_exists: bool = False) -> None:

@@ -28,6 +28,122 @@ from pyspark.sql import DataFrame
 
 MV_SRC_VERSION = "mv.src_version"
 
+# Aggregates whose partials merge associatively under INSERT-only
+# change windows: COUNT/SUM combine by addition, MIN/MAX by least/
+# greatest. AVG is deliberately absent (it does not merge without
+# storing the SUM/COUNT decomposition — declare those two columns
+# instead); DISTINCT aggregates don't merge at all.
+_MERGEABLE = {"count", "sum", "min", "max"}
+
+
+def parse_agg_view(view_sql: str, stripped: "str | None" = None):
+    """Classify a single-table GROUP BY view as incrementally
+    maintainable; returns ``{"group_cols": [...], "aggs":
+    [{"func": ..., "alias": ...}]}`` or None.
+
+    Accepted shape — conservative on purpose (anything else returns
+    None and keeps the exact full-rebuild path):
+
+        SELECT g1, ..., AGG(expr) AS alias, ... FROM t [WHERE pred]
+        GROUP BY g1, ...
+
+    with AGG ∈ {COUNT, SUM, MIN, MAX}, every aggregate explicitly
+    aliased, group columns plain identifiers listed in both the SELECT
+    list and the GROUP BY, and no DISTINCT/HAVING/ORDER/LIMIT/JOIN/
+    window/subquery anywhere. The WHERE predicate is fine: it is
+    record-wise and distributes over union with the aggregation.
+    """
+    import re
+
+    s = stripped if stripped is not None else view_sql
+    low = s.lower()
+    if len(re.findall(r"\bselect\b", low)) != 1:
+        return None
+    if re.search(
+        r"\b(distinct|having|order\s+by|limit|join|union|exists)\b"
+        r"|\bover\s*\(",
+        low,
+    ):
+        return None
+    m = re.match(
+        r"\s*select\s+(.*?)\s+from\s+\w+"
+        r"(?:\s+where\s+.*?)?\s+group\s+by\s+([\w\s,]+?)\s*$",
+        s,
+        re.IGNORECASE | re.DOTALL,
+    )
+    if not m:
+        return None
+    select_list, group_by = m.groups()
+    group_cols = [g.strip().lower() for g in group_by.split(",") if g.strip()]
+    if not all(re.fullmatch(r"\w+", g) for g in group_cols):
+        return None
+    # split the SELECT list on top-level commas
+    items, depth, cur = [], 0, []
+    for ch in select_list:
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if ch == "," and depth == 0:
+            items.append("".join(cur).strip())
+            cur = []
+        else:
+            cur.append(ch)
+    items.append("".join(cur).strip())
+    seen_groups: list[str] = []
+    aggs: list[dict] = []
+    for item in items:
+        if re.fullmatch(r"\w+", item) and item.lower() in group_cols:
+            seen_groups.append(item.lower())
+            continue
+        am = re.fullmatch(
+            r"(count|sum|min|max)\s*\((.+)\)\s+as\s+(\w+)",
+            item,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if not am or re.search(r"\bdistinct\b", am.group(2), re.IGNORECASE):
+            return None
+        aggs.append(
+            {"func": am.group(1).lower(), "alias": am.group(3)}
+        )
+    if sorted(seen_groups) != sorted(group_cols) or not aggs:
+        return None
+    return {"group_cols": seen_groups, "aggs": aggs}
+
+
+def _combine_partials(old_col, new_col, func: str):
+    """Merge one aggregate column across refresh windows; null on one
+    side (group absent, or an all-null SUM slice) keeps the other."""
+    from pyspark.sql import functions as F
+
+    if func in ("count", "sum"):
+        op = old_col + new_col
+    elif func == "min":
+        op = F.least(old_col, new_col)
+    else:
+        op = F.greatest(old_col, new_col)
+    return F.when(old_col.isNotNull() & new_col.isNotNull(), op).otherwise(
+        F.coalesce(old_col, new_col)
+    )
+
+
+def _insert_only_window(catalog, src, namespace, src_version, last) -> bool:
+    """Soundness check on the COMMIT LOG, not the change rows: a CoW
+    MERGE without CDC sidecars produces no read_changes rows at all, so
+    "every change row is an insert" would silently miss updates.
+    Insert-family deltas and content-neutral maintenance commits
+    (ALTER/ANALYZE/OPTIMIZE) are safe; anything else (MERGE/DELETE/
+    REPLACE/TRUNCATE) forces a rebuild."""
+    benign_ops = {"ALTER", "ANALYZE", "OPTIMIZE"}
+    insert_deltas = {"APPEND", "ADD", "CHRONO"}
+    window = catalog._log(src, namespace).replay(
+        src_version, start_after=last
+    )
+    return all(
+        c.operation in benign_ops or c.delta_type in insert_deltas
+        for c in window
+    )
+
 
 def refresh_incremental(
     catalog: Any,
@@ -36,6 +152,7 @@ def refresh_incremental(
     transform: "Callable[[DataFrame], DataFrame]",
     namespace: str = "default",
     record_wise: bool = True,
+    agg_spec: "dict | None" = None,
 ) -> dict[str, Any]:
     """Refresh ``dst`` from ``src``; returns a small audit dict.
 
@@ -43,7 +160,18 @@ def refresh_incremental(
     unions (aggregates/joins/distinct): the incremental append path is
     skipped entirely and every refresh is a full REPLACE rebuild —
     exact for any transform. The watermark still short-circuits no-op
-    refreshes."""
+    refreshes.
+
+    ``agg_spec`` (from :func:`parse_agg_view`) switches a GROUP BY view
+    onto the incremental-AGGREGATE path: the new slice is aggregated
+    with the SAME SQL, then merged into the keyed MV table group by
+    group (COUNT/SUM add, MIN/MAX least/greatest) via the catalog's own
+    merge-upsert — refresh cost is O(new data + touched groups), and
+    untouched groups' files are never rewritten. Valid under
+    insert-only change windows only (MIN/MAX cannot retract); anything
+    else falls back to the exact rebuild."""
+    from pyspark.sql import functions as F
+
     src_snap = catalog.snapshot(src, namespace)
     last: int | None = None
     if catalog.table_exists(dst, namespace):
@@ -58,21 +186,7 @@ def refresh_incremental(
         return {"mode": "noop", "src_version": src_snap.version}
 
     if last is not None and record_wise:
-        # Soundness check on the COMMIT LOG, not the change rows: a CoW
-        # MERGE without CDC sidecars produces no read_changes rows at
-        # all, so "every change row is an insert" would silently miss
-        # updates. Insert-family deltas and content-neutral maintenance
-        # commits (ALTER/ANALYZE/OPTIMIZE) are safe; anything else
-        # (MERGE/DELETE/REPLACE/TRUNCATE) forces a rebuild.
-        benign_ops = {"ALTER", "ANALYZE", "OPTIMIZE"}
-        insert_deltas = {"APPEND", "ADD", "CHRONO"}
-        window = catalog._log(src, namespace).replay(
-            src_snap.version, start_after=last
-        )
-        if all(
-            c.operation in benign_ops or c.delta_type in insert_deltas
-            for c in window
-        ):
+        if _insert_only_window(catalog, src, namespace, src_snap.version, last):
             changes = catalog.read_changes(
                 src, from_version=last, to_version=src_snap.version,
                 namespace=namespace,
@@ -92,11 +206,87 @@ def refresh_incremental(
                 "since": last,
             }
 
+    if (
+        last is not None
+        and agg_spec is not None
+        and _insert_only_window(catalog, src, namespace, src_snap.version, last)
+    ):
+        changes = catalog.read_changes(
+            src, from_version=last, to_version=src_snap.version,
+            namespace=namespace,
+        )
+        batch = changes.drop("_commit_version", "_change_type", "_change_cols")
+        partial = transform(batch)  # GROUP BY over the new slice only
+        group_cols = list(agg_spec["group_cols"])
+        aggs = list(agg_spec["aggs"])
+        if partial.isEmpty():
+            catalog.alter_table(
+                dst, namespace,
+                properties={MV_SRC_VERSION: str(src_snap.version)},
+            )
+            return {
+                "mode": "incremental_agg",
+                "src_version": src_snap.version,
+                "since": last,
+                "touched_groups": 0,
+            }
+        # current values of ONLY the touched groups (merge-key point
+        # reads — stats/bloom-prunable on the MV table)
+        old = catalog.read_table(dst, namespace).select(
+            *group_cols,
+            *[
+                F.col(a["alias"]).alias(f"__old_{a['alias']}")
+                for a in aggs
+            ],
+        )
+        merged = partial.join(old, group_cols, "left").select(
+            *group_cols,
+            *[
+                _combine_partials(
+                    F.col(f"__old_{a['alias']}"),
+                    F.col(a["alias"]),
+                    a["func"],
+                ).alias(a["alias"])
+                for a in aggs
+            ],
+        )
+        n_touched = merged.count()
+        catalog.write_to_table(
+            merged,
+            dst,
+            namespace,
+            mode="merge",
+            commit_properties={MV_SRC_VERSION: str(src_snap.version)},
+        )
+        return {
+            "mode": "incremental_agg",
+            "src_version": src_snap.version,
+            "since": last,
+            "touched_groups": n_touched,
+        }
+
     # Bootstrap / fallback: full rebuild. REPLACE then stamp the
     # watermark; a crash in between re-runs the (idempotent) rebuild.
     out = transform(catalog.read_table(src, namespace))
     if catalog.table_exists(dst, namespace):
         catalog.write_to_table(out, dst, namespace, mode="replace")
+    elif agg_spec is not None:
+        # Create the MV keyed on its group columns so later refreshes
+        # merge group-by-group instead of rewriting the table.
+        from deltacat_spark.schema import Field, Schema
+
+        group = {g.lower() for g in agg_spec["group_cols"]}
+        fields = [
+            Field(
+                f.name,
+                f.dataType,
+                nullable=f.nullable and f.name.lower() not in group,
+                merge_key=f.name.lower() in group,
+            )
+            for f in out.schema.fields
+        ]
+        catalog.create_table(dst, namespace, schema=Schema(fields))
+        catalog.write_to_table(out, dst, namespace, mode="merge")
     else:
         catalog.write_to_table(out, dst, namespace, mode="auto")
     catalog.alter_table(
