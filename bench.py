@@ -401,6 +401,19 @@ def main() -> None:
                 fn, _sql = REGISTRY[name]
                 try:
                     dt = _timed_run(spark, fn, deep30_dir)
+                    wall30 += dt
+                    _clear_session_state(spark)
+                    # Same rationale as the deep tier: 30× runs swing
+                    # ~2× with GC/page-cache phase; a second run's MIN
+                    # removes the noise floor (the r8 record's first
+                    # pass showed 35s vs 24s for the same plan on
+                    # dedup_survivors). Skip the repeat when the budget
+                    # is tight — recorded, never silent.
+                    if wall30 + dt <= budget30:
+                        dt2 = _timed_run(spark, fn, deep30_dir)
+                        wall30 += dt2
+                        dt = min(dt, dt2)
+                        _clear_session_state(spark)
                 except Exception as e:
                     errors[f"deep30:{name}"] = f"{type(e).__name__}: {e}"[:300]
                     print(
@@ -408,10 +421,8 @@ def main() -> None:
                         file=sys.stderr,
                     )
                     continue
-                wall30 += dt
                 d30[name] = round(dt, 3)
                 print(f"# deep30:{name}: {dt:.2f}s", file=sys.stderr)
-                _clear_session_state(spark)
             out["deep30"] = {
                 "sf_equiv": round(sf * 30, 3),
                 "gen_sec": gen30,

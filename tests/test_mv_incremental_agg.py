@@ -153,3 +153,31 @@ def test_agg_mv_sql_statement_path(cat):
     res = cat.sql("REFRESH MATERIALIZED VIEW agg_mv").collect()[0]
     assert "incremental_agg" in res.operation
     assert _mv_rows(cat) == _expected(cat)
+
+
+def test_agg_mv_source_restore_forces_rebuild(cat):
+    """RESTORE rewrites history — the refresh window is no longer
+    insert-only, so the next refresh must be the exact rebuild."""
+    v0 = cat.snapshot("src").version
+    cat.create_materialized_view("agg_mv", MV_SQL)
+    cat.sql("INSERT INTO src VALUES (20, 'z', 1)")
+    cat.refresh_materialized_view("agg_mv")
+    cat.sql(f"RESTORE TABLE src TO VERSION AS OF {v0}")
+    audit = cat.refresh_materialized_view("agg_mv")
+    assert audit["mode"] == "full"
+    assert _mv_rows(cat) == _expected(cat)
+    assert not any(r[0] == "z" for r in _mv_rows(cat))
+
+
+def test_agg_mv_source_schema_evolution_is_benign(cat, spark):
+    """Adding a column the view doesn't read (ALTER + auto-evolved
+    appends) keeps the incremental path — the window stays
+    insert-family."""
+    cat.create_materialized_view("agg_mv", MV_SQL)
+    df = spark.createDataFrame(
+        [(30, "a", 4, "note")], "id long, grp string, v long, extra string"
+    )
+    cat.write_to_table(df, "src", mode="append")
+    audit = cat.refresh_materialized_view("agg_mv")
+    assert audit["mode"] == "incremental_agg"
+    assert _mv_rows(cat) == _expected(cat)
