@@ -711,6 +711,69 @@ class Catalog:
         self._log(table, namespace).commit(commit)
 
     # ------------------------------------------------------------------
+    # named version tags (Iceberg/Delta-style refs)
+    # ------------------------------------------------------------------
+    _TAG_PREFIX = "tag."
+
+    def create_tag(
+        self,
+        table: str,
+        tag: str,
+        namespace: str = DEFAULT_NAMESPACE,
+        version: "int | None" = None,
+        replace: bool = False,
+    ) -> int:
+        """Pin a name to a log version (head by default). Tags live in
+        table properties (one metadata commit — no data motion, no file
+        refs to maintain), so they replicate with clones and survive
+        OPTIMIZE/VACUUM like any property; vacuum retention does NOT
+        consult tags — retain enough versions for the tags you keep.
+        Returns the pinned version."""
+        import re as _re
+
+        if not _re.fullmatch(r"\w+", tag):
+            raise ValueError(f"tag name must be \\w+, got {tag!r}")
+        snap = self.snapshot(table, namespace)
+        if version is None:
+            version = snap.version
+        elif not 0 <= version <= snap.version:
+            raise ValueError(
+                f"version {version} out of range (head {snap.version})"
+            )
+        key = self._TAG_PREFIX + tag
+        if not replace and str(snap.properties.get(key, "")):
+            raise ValueError(f"tag {tag!r} already exists on {table!r}")
+        self.alter_table(table, namespace, properties={key: str(version)})
+        return int(version)
+
+    def drop_tag(
+        self, table: str, tag: str, namespace: str = DEFAULT_NAMESPACE
+    ) -> None:
+        key = self._TAG_PREFIX + tag
+        if not str(self.snapshot(table, namespace).properties.get(key, "")):
+            raise ValueError(f"no tag {tag!r} on table {table!r}")
+        # empty-value tombstone (same convention as constraint drops)
+        self.alter_table(table, namespace, properties={key: ""})
+
+    def list_tags(
+        self, table: str, namespace: str = DEFAULT_NAMESPACE
+    ) -> "dict[str, int]":
+        p = self._TAG_PREFIX
+        return {
+            k[len(p):]: int(v)
+            for k, v in self.snapshot(table, namespace).properties.items()
+            if k.startswith(p) and str(v)
+        }
+
+    def resolve_tag(
+        self, table: str, tag: str, namespace: str = DEFAULT_NAMESPACE
+    ) -> int:
+        tags = self.list_tags(table, namespace)
+        if tag not in tags:
+            raise ValueError(f"no tag {tag!r} on table {table!r}")
+        return tags[tag]
+
+    # ------------------------------------------------------------------
     # snapshots / reads
     # ------------------------------------------------------------------
     def get_table(
@@ -794,6 +857,7 @@ class Catalog:
         predicate: Expr | None = None,
         file_path_column: str | None = None,
         read_as: str = "spark",
+        tag: "str | None" = None,
     ):
         """Snapshot read (reference `read_table`,
         `catalog/main/impl.py:1638-1722`).
@@ -811,6 +875,12 @@ class Catalog:
         is column-major arrays, and a single 2-D matrix would force one
         dtype on heterogeneous tables).
         """
+        if tag is not None:
+            if version_as_of is not None or timestamp_as_of is not None:
+                raise ValueError(
+                    "pass at most one of tag / version_as_of / timestamp_as_of"
+                )
+            version_as_of = self.resolve_tag(table, tag, namespace)
         snap = self.snapshot(table, namespace, version_as_of, timestamp_as_of)
         preds = predicate.skipping_predicates() if predicate is not None else None
         if preds and any(
@@ -2075,7 +2145,11 @@ class Catalog:
         import re
 
         pat = re.compile(
-            r"\b(\w+)\s+(?:version\s+as\s+of\s+(\d+)"
+            # the tag alternative is '([^']+)' not '(\w+)': the
+            # literal-blind scan below matches against _strip_literals
+            # output where quoted CONTENT is blanked (the re-match on
+            # the original slice recovers the real tag name)
+            r"\b(\w+)\s+(?:version\s+as\s+of\s+(?:(\d+)|'([^']+)')"
             r"|timestamp\s+as\s+of\s+(?:'([^']+)'|(\d+)))",
             re.IGNORECASE,
         )
@@ -2083,7 +2157,7 @@ class Catalog:
 
         def sub(m: "re.Match") -> str:
             nonlocal known
-            t, ver, ts_str, ts_ms = m.groups()
+            t, ver, tag_name, ts_str, ts_ms = m.groups()
             if known is None:
                 # SQL identifiers are case-insensitive everywhere else in
                 # this surface; map lower → canonical so `FROM Events
@@ -2095,6 +2169,13 @@ class Catalog:
             if ver is not None:
                 view = f"{t}__v{ver}"
                 self.register_view(t, view_name=view, version_as_of=int(ver))
+                return view
+            if tag_name is not None:
+                # `VERSION AS OF 'name'` — a named tag (Iceberg-style
+                # ref); resolves through the same pinned-view path.
+                v = self.resolve_tag(t, tag_name)
+                view = f"{t}__tag_{tag_name}"
+                self.register_view(t, view_name=view, version_as_of=v)
                 return view
             ms = _ts_to_ms(ts_str, ts_ms)
             view = f"{t}__tt{ms}"
@@ -2982,6 +3063,37 @@ class Catalog:
         if m:
             self.rename_table(m.group(1), m.group(2))
             return self._dml_result("ALTER TABLE RENAME", 0)
+        m = re.fullmatch(
+            r"alter\s+table\s+(\w+)\s+create\s+(?:or\s+replace\s+)?tag\s+"
+            r"(\w+)(?:\s+as\s+of\s+version\s+(\d+))?",
+            q,
+            re.IGNORECASE,
+        )
+        if m:
+            table, tag, ver = m.groups()
+            replace = bool(
+                re.search(r"\bor\s+replace\b", q, re.IGNORECASE)
+            )
+            pinned = self.create_tag(
+                table,
+                tag,
+                version=int(ver) if ver else None,
+                replace=replace,
+            )
+            return self._dml_result("ALTER TABLE CREATE TAG", pinned)
+        m = re.fullmatch(
+            r"alter\s+table\s+(\w+)\s+drop\s+tag\s+(\w+)", q, re.IGNORECASE
+        )
+        if m:
+            self.drop_tag(m.group(1), m.group(2))
+            return self._dml_result("ALTER TABLE DROP TAG", 0)
+        m = re.fullmatch(r"show\s+tags\s+(\w+)", q, re.IGNORECASE)
+        if m:
+            tags = sorted(self.list_tags(m.group(1)).items())
+            return self.spark.createDataFrame(
+                [(k, int(v)) for k, v in tags] or [("", -1)],
+                "tag string, version long",
+            ).filter(F.col("tag") != "")
         m = re.fullmatch(
             r"alter\s+table\s+(\w+)\s+set\s+tblproperties\s*\((.*)\)",
             q,

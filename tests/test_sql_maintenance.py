@@ -176,3 +176,65 @@ def test_sql_show_tblproperties(cat):
     assert len(one) == 1 and one[0].value == "1"
     with pytest.raises(ValueError, match="not set"):
         cat.sql("SHOW TBLPROPERTIES t ('nope')")
+
+
+def test_tags_create_read_drop(cat):
+    v0 = cat.snapshot("t").version
+    pinned = cat.create_tag("t", "launch")
+    assert pinned == v0
+    cat.sql("INSERT INTO t VALUES (3, 30)")
+    # Python read path
+    assert {r.id for r in cat.read_table("t", tag="launch").collect()} == {1, 2}
+    assert {r.id for r in cat.read_table("t").collect()} == {1, 2, 3}
+    # SQL read path: VERSION AS OF 'tag'
+    got = cat.sql("SELECT id FROM t VERSION AS OF 'launch' ORDER BY id")
+    assert [r.id for r in got.collect()] == [1, 2]
+    # joins current-vs-tag
+    n = cat.sql(
+        "SELECT count(*) AS n FROM t a LEFT ANTI JOIN "
+        "t VERSION AS OF 'launch' b ON a.id = b.id"
+    ).collect()[0].n
+    assert n == 1
+    assert cat.list_tags("t") == {"launch": v0}
+    cat.drop_tag("t", "launch")
+    assert cat.list_tags("t") == {}
+    with pytest.raises(ValueError, match="no tag"):
+        cat.read_table("t", tag="launch")
+
+
+def test_tags_sql_statements(cat):
+    v0 = cat.snapshot("t").version
+    res = cat.sql("ALTER TABLE t CREATE TAG v1").collect()[0]
+    assert res.operation == "ALTER TABLE CREATE TAG" and res.rows == v0
+    cat.sql("INSERT INTO t VALUES (4, 40)")
+    cat.sql(f"ALTER TABLE t CREATE TAG pinned AS OF VERSION {v0}")
+    rows = {
+        r.tag: r.version for r in cat.sql("SHOW TAGS t").collect()
+    }
+    assert rows == {"v1": v0, "pinned": v0}
+    # duplicate rejected; OR REPLACE moves the tag
+    with pytest.raises(ValueError, match="already exists"):
+        cat.sql("ALTER TABLE t CREATE TAG v1")
+    head = cat.snapshot("t").version
+    res = cat.sql("ALTER TABLE t CREATE OR REPLACE TAG v1").collect()[0]
+    assert res.rows == head
+    cat.sql("ALTER TABLE t DROP TAG pinned")
+    rows = {r.tag: r.version for r in cat.sql("SHOW TAGS t").collect()}
+    assert rows == {"v1": head}
+
+
+def test_tag_version_validation(cat):
+    with pytest.raises(ValueError, match="out of range"):
+        cat.create_tag("t", "bad", version=9999)
+    with pytest.raises(ValueError, match="tag name"):
+        cat.create_tag("t", "not ok")
+    with pytest.raises(ValueError, match="at most one"):
+        cat.read_table("t", tag="x", version_as_of=1)
+
+
+def test_tag_inside_string_literal_untouched(cat):
+    cat.create_tag("t", "launch")
+    got = cat.sql(
+        "SELECT 'reads t VERSION AS OF ''launch'' later' AS s"
+    ).collect()[0].s
+    assert "VERSION AS OF" in got
