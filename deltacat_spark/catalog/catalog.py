@@ -1448,6 +1448,7 @@ class Catalog:
             evolved = schema.evolve(Schema.from_dataframe(df))
             if evolved.to_json() != schema.to_json():
                 schema, schema_changed = evolved, True
+        df = self._apply_generated_columns(df, schema, mode)
         merge_keys = schema.merge_keys
 
         if mode in (TableWriteMode.AUTO, TableWriteMode.CREATE):
@@ -1723,6 +1724,44 @@ class Catalog:
             for k, v in props.items()
             if k.startswith(pre) and v
         }
+
+    def _apply_generated_columns(
+        self, df: DataFrame, schema: "Schema", mode: str
+    ) -> DataFrame:
+        """Delta-style generated columns on the write path: compute each
+        `generated_expr` column the payload omits; VALIDATE (null-safe
+        equality) any the payload provides — a writer cannot desync the
+        column from its definition, so partition pruning on a generated
+        partition column stays truthful. Partial payloads that lack the
+        expression's source columns are left untouched (the partial-
+        upsert stitch keeps the stored value). DELETE payloads are
+        filters, not data."""
+        if mode == TableWriteMode.DELETE:
+            return df
+        from pyspark.errors import AnalysisException
+
+        for f in [f for f in schema.fields if f.generated_expr]:
+            expr = F.expr(f.generated_expr).cast(f.data_type)
+            if f.name not in df.columns:
+                try:
+                    df = df.withColumn(f.name, expr)
+                except AnalysisException:
+                    # Source columns absent from a partial payload — the
+                    # expression can't resolve; leave the column to the
+                    # stitch/coercion path.
+                    continue
+            else:
+                try:
+                    flt = df.filter(~F.col(f.name).eqNullSafe(expr))
+                except AnalysisException:
+                    continue
+                if flt.limit(1).count():
+                    raise SchemaError(
+                        f"generated column {f.name!r} payload values "
+                        f"differ from GENERATED ALWAYS AS "
+                        f"({f.generated_expr})"
+                    )
+        return df
 
     def _enforce_constraints(
         self, df: DataFrame, props: dict, table: str, namespace: str
@@ -2496,6 +2535,15 @@ class Catalog:
             if cm:
                 pk_cols |= {c.strip() for c in cm.group(1).split(",") if c.strip()}
                 continue
+            gen_expr = None
+            gm = re.search(
+                r"\s+generated\s+always\s+as\s*\((.*)\)\s*$",
+                part,
+                re.IGNORECASE | re.DOTALL,
+            )
+            if gm:
+                gen_expr = gm.group(1).strip()
+                part = part[: gm.start()]
             cm = re.fullmatch(
                 r"(\w+)\s+(.*?)(\s+primary\s+key)?(\s+not\s+null)?",
                 part,
@@ -2515,6 +2563,7 @@ class Catalog:
                     dt,
                     nullable=not (notnull or pk),
                     merge_key=bool(pk),
+                    generated_expr=gen_expr,
                 )
             )
         for f_ in fields:
@@ -2952,6 +3001,10 @@ class Catalog:
                 line = f"  {f_.name} {f_.data_type.simpleString().upper()}"
                 if not f_.nullable and f_.name not in keys:
                     line += " NOT NULL"
+                if f_.generated_expr:
+                    # after NOT NULL — the CREATE parser strips the
+                    # GENERATED clause from the end of the column def
+                    line += f" GENERATED ALWAYS AS ({f_.generated_expr})"
                 col_lines.append(line)
             if keys:
                 col_lines.append(f"  PRIMARY KEY ({', '.join(keys)})")

@@ -69,6 +69,12 @@ class Field:
     # Named field group (reference subschemas, `schema.py:937-973` —
     # multimodal column families sharing the merge keys).
     subschema: str | None = None
+    # Delta-style generated column: a SQL expression over sibling
+    # columns. The write path computes it when the payload omits the
+    # column and VALIDATES provided values against it (write-side
+    # determinism — partitioning on the generated column then prunes
+    # like any materialized column).
+    generated_expr: str | None = None
 
     def __post_init__(self) -> None:
         if self.merge_key:
@@ -102,6 +108,8 @@ class Field:
             md[META_PREFIX + "doc"] = self.doc
         if self.subschema:
             md[META_PREFIX + "subschema"] = self.subschema
+        if self.generated_expr:
+            md[META_PREFIX + "generated_expr"] = self.generated_expr
         return T.StructField(self.name, self.data_type, self.nullable, md)
 
     @classmethod
@@ -122,6 +130,7 @@ class Field:
             consistency=g("consistency", "coerce"),
             doc=g("doc"),
             subschema=g("subschema"),
+            generated_expr=g("generated_expr"),
         )
 
 
