@@ -140,3 +140,119 @@ ORDER BY dim
 QUERIES = {
     "pca_power_iter": (pca_power_iter, PCA_SQL),
 }
+
+
+def kmeans_lloyd_iters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two FULL Lloyd iterations (assign → recompute, twice), returning
+    the final centroid table (cluster, dim, c) — the iterative
+    counterpart of `kmeans_assign_step`, label-seeded and integer-exact
+    on both engines.
+
+    Scale shape per iteration: the ≤k centroid arrays broadcast into a
+    zip_with/aggregate fold (no N×D×K explode — the oracle's join form
+    is the shape this plan avoids), assignment is a per-vector argmin
+    hash-agg, and the centroid recompute is one (cluster, dim)-keyed
+    aggregation over the exploded quantized vectors. The driver loop
+    re-runs the same plan with the new labels; clusters emptied by an
+    assignment drop out in both engines identically. floor(sum/n)
+    double division is exact (< 2^53) before the floor."""
+    from pyspark.sql import functions as F
+
+    from deltacat_spark.workloads.base import load
+    from deltacat_spark.workloads.similarity import _XQ_EXPR
+
+    e = load(spark, sf_dir, "embeddings")
+    ex = e.select(
+        "vec_id", F.posexplode(F.expr(_XQ_EXPR)).alias("dim", "xq")
+    ).localCheckpoint(eager=False)
+    q = e.select("vec_id", F.expr(_XQ_EXPR).alias("xq_arr")).localCheckpoint(
+        eager=False
+    )
+    labels = e.select("vec_id", F.col("label").cast("long").alias("cl"))
+    cent_arr = None
+    for _ in range(2):
+        cent = (
+            ex.join(labels, "vec_id")
+            .groupBy("cl", "dim")
+            .agg(F.sum("xq").alias("sx"), F.count(F.lit(1)).alias("n"))
+            .select(
+                "cl",
+                "dim",
+                F.floor(F.col("sx") / F.col("n")).cast("long").alias("c"),
+            )
+        )
+        cent_arr = cent.groupBy("cl").agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(dim, c))), s -> s.c)"
+            ).alias("c_arr")
+        )
+        scored = q.crossJoin(F.broadcast(cent_arr)).select(
+            "vec_id",
+            "cl",
+            F.expr(
+                "aggregate(zip_with(xq_arr, c_arr, (a, b) -> (a - b) * (a - b)),"
+                " CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+            ).alias("dist"),
+        )
+        labels = (
+            scored.groupBy("vec_id")
+            .agg(F.min(F.struct("dist", "cl")).alias("b"))
+            .select("vec_id", F.col("b.cl").alias("cl"))
+        )
+    final = (
+        ex.join(labels, "vec_id")
+        .groupBy("cl", "dim")
+        .agg(F.sum("xq").alias("sx"), F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("cl").cast("int").alias("cluster"),
+            F.col("dim").cast("int").alias("dim"),
+            F.floor(F.col("sx") / F.col("n")).cast("long").alias("c"),
+        )
+    )
+    return final.orderBy("cluster", "dim")
+
+
+def _lloyd_sql_iter(labels: str, out_cent: str, out_assign: str) -> str:
+    return f"""{out_cent} AS (
+  SELECT l.cl, e.dim,
+         CAST(FLOOR(CAST(SUM(e.xq) AS DOUBLE) / COUNT(*)) AS BIGINT) AS c
+  FROM ex e JOIN {labels} l ON e.vec_id = l.vec_id
+  GROUP BY l.cl, e.dim),
+d_{out_assign} AS (
+  SELECT e.vec_id, c.cl,
+         CAST(SUM((e.xq - c.c) * (e.xq - c.c)) AS BIGINT) AS dist
+  FROM ex e JOIN {out_cent} c ON e.dim = c.dim
+  GROUP BY e.vec_id, c.cl),
+{out_assign} AS (
+  SELECT vec_id, cl FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY dist, cl) AS rn
+    FROM d_{out_assign}) WHERE rn = 1)"""
+
+
+def _kmeans_lloyd_sql() -> str:
+    from deltacat_spark.workloads.similarity import _KM_SCALE
+
+    return f"""
+WITH ex AS (
+  -- dim is an OUTPUT column here: 0-base it to match Spark posexplode
+  -- (generate_subscripts is 1-based)
+  SELECT vec_id, u.dim - 1 AS dim,
+         CAST(FLOOR(CAST(u.x AS DOUBLE) * {_KM_SCALE} + 0.5) AS BIGINT) AS xq
+  FROM embeddings, LATERAL (
+    SELECT unnest(embedding) AS x,
+           generate_subscripts(embedding, 1) AS dim) u),
+l0 AS (SELECT vec_id, CAST(label AS BIGINT) AS cl FROM embeddings),
+{_lloyd_sql_iter("l0", "cent1", "a1")},
+{_lloyd_sql_iter("a1", "cent2", "a2")}
+SELECT CAST(l.cl AS INT) AS cluster, CAST(e.dim AS INT) AS dim,
+       CAST(FLOOR(CAST(SUM(e.xq) AS DOUBLE) / COUNT(*)) AS BIGINT) AS c
+FROM ex e JOIN a2 l ON e.vec_id = l.vec_id
+GROUP BY l.cl, e.dim
+ORDER BY cluster, dim
+"""
+
+
+KMEANS_LLOYD_SQL = _kmeans_lloyd_sql()
+
+QUERIES["kmeans_lloyd_iters"] = (kmeans_lloyd_iters, KMEANS_LLOYD_SQL)

@@ -200,3 +200,50 @@ def test_pca_rayleigh_quotient_improves(spark):
     # sign normalization: first nonzero loading positive
     first = next(x for x in v if x != 0)
     assert first > 0
+
+
+def test_kmeans_lloyd_sse_non_increasing(spark):
+    """Lloyd monotonicity: the best-assignment SSE under the final
+    centroids is no worse than under the seed centroids (tiny tolerance
+    for the floor-quantized centroid means)."""
+    from deltacat_spark.workloads.base import load
+    from deltacat_spark.workloads.similarity import _KM_SCALE
+    from deltacat_spark.workloads.similarity4 import kmeans_lloyd_iters
+
+    rows = load(spark, SF, "embeddings").collect()
+    vecs = {
+        r["vec_id"]: [int(x * _KM_SCALE + (0.5 if x >= 0 else -0.5)) for x in r["embedding"]]
+        for r in rows
+    }
+    # seed centroids: label-mean floor (same as the operator)
+    by_label = {}
+    for r in rows:
+        by_label.setdefault(r["label"], []).append(vecs[r["vec_id"]])
+    import math
+
+    def centroid(members):
+        d = len(members[0])
+        return [
+            math.floor(sum(m[i] for m in members) / len(members))
+            for i in range(d)
+        ]
+
+    cent0 = [centroid(ms) for ms in by_label.values()]
+    final_rows = kmeans_lloyd_iters(spark, SF).collect()
+    cent2_map = {}
+    for r in final_rows:
+        cent2_map.setdefault(r["cluster"], {})[r["dim"]] = r["c"]
+    cent2 = [
+        [cm[i] for i in range(len(cm))] for cm in cent2_map.values()
+    ]
+
+    def sse(cents):
+        tot = 0
+        for v in vecs.values():
+            tot += min(
+                sum((a - b) * (a - b) for a, b in zip(v, c)) for c in cents
+            )
+        return tot
+
+    s0, s2 = sse(cent0), sse(cent2)
+    assert s2 <= s0 * 1.001
