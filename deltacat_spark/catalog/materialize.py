@@ -303,6 +303,7 @@ def stream_refresh_incremental(
     checkpoint_dir: str,
     namespace: str = "default",
     trigger_once: bool = True,
+    agg_spec: "dict | None" = None,
 ):
     """Streaming materialized view: `refresh_incremental`'s contract
     driven by the change-feed source (`streaming/api.py:
@@ -320,6 +321,12 @@ def stream_refresh_incremental(
     change in the feed raises and stops the query — rebuild with the
     batch `refresh_incremental` (record-wise streaming IVM over updates
     would need retraction semantics the sink doesn't have).
+
+    ``agg_spec`` (from :func:`parse_agg_view`) makes each micro-batch a
+    streaming AGGREGATE maintenance step: the batch aggregates alone,
+    then merges group-by-group into the keyed MV (the same combiner as
+    the batch path), all inside the one watermark-stamped commit — a
+    record-wise append would double-count aggregate partials.
     Returns the StreamingQuery.
     """
     from pyspark.sql import functions as F
@@ -350,9 +357,53 @@ def stream_refresh_incremental(
                 return  # replayed batch — already applied atomically
         out = transform(batch_df.drop("_commit_version", "_change_type", "_change_cols"))
         if not catalog.table_exists(dst, namespace):
-            catalog.write_to_table(out, dst, namespace, mode="auto")
+            if agg_spec is not None:
+                from deltacat_spark.schema import Field, Schema
+
+                group = {g.lower() for g in agg_spec["group_cols"]}
+                fields = [
+                    Field(
+                        f.name,
+                        f.dataType,
+                        nullable=f.nullable and f.name.lower() not in group,
+                        merge_key=f.name.lower() in group,
+                    )
+                    for f in out.schema.fields
+                ]
+                catalog.create_table(dst, namespace, schema=Schema(fields))
+                catalog.write_to_table(out, dst, namespace, mode="merge")
+            else:
+                catalog.write_to_table(out, dst, namespace, mode="auto")
             catalog.alter_table(
                 dst, namespace, properties={MV_SRC_VERSION: str(hi)}
+            )
+        elif agg_spec is not None:
+            group_cols = list(agg_spec["group_cols"])
+            aggs = list(agg_spec["aggs"])
+            old = catalog.read_table(dst, namespace).select(
+                *group_cols,
+                *[
+                    F.col(a["alias"]).alias(f"__old_{a['alias']}")
+                    for a in aggs
+                ],
+            )
+            merged = out.join(old, group_cols, "left").select(
+                *group_cols,
+                *[
+                    _combine_partials(
+                        F.col(f"__old_{a['alias']}"),
+                        F.col(a["alias"]),
+                        a["func"],
+                    ).alias(a["alias"])
+                    for a in aggs
+                ],
+            )
+            catalog.write_to_table(
+                merged,
+                dst,
+                namespace,
+                mode="merge",
+                commit_properties={MV_SRC_VERSION: str(hi)},
             )
         else:
             catalog.write_to_table(

@@ -181,3 +181,37 @@ def test_agg_mv_source_schema_evolution_is_benign(cat, spark):
     audit = cat.refresh_materialized_view("agg_mv")
     assert audit["mode"] == "incremental_agg"
     assert _mv_rows(cat) == _expected(cat)
+
+
+def test_streaming_agg_mv(cat, tmp_path):
+    """Streaming aggregate MV: each micro-batch merges its partials
+    group-by-group inside the watermark-stamped commit — stream result
+    equals the full recompute across restarts."""
+    from deltacat_spark.catalog.materialize import (
+        parse_agg_view,
+        stream_refresh_incremental,
+    )
+
+    spec = parse_agg_view(MV_SQL)
+    assert spec is not None
+
+    def transform(df):
+        df.createOrReplaceTempView("__sagg_src")
+        return df.sparkSession.sql(MV_SQL.replace("src", "__sagg_src"))
+
+    ck = str(tmp_path / "ck")
+    q = stream_refresh_incremental(
+        cat, "src", "agg_mv", transform, ck, agg_spec=spec
+    )
+    q.awaitTermination(120)
+    assert _mv_rows(cat) == _expected(cat)
+    # more inserts, restart the stream on the same checkpoint
+    cat.sql("INSERT INTO src VALUES (50, 'a', 99), (51, 'e', 1)")
+    cat.sql("INSERT INTO src VALUES (52, 'e', 2)")
+    q = stream_refresh_incremental(
+        cat, "src", "agg_mv", transform, ck, agg_spec=spec
+    )
+    q.awaitTermination(120)
+    assert _mv_rows(cat) == _expected(cat)
+    rows = {r.grp: r for r in cat.read_table("agg_mv").collect()}
+    assert rows["a"].hi == 99 and rows["e"].n == 2
