@@ -256,3 +256,72 @@ ORDER BY cluster, dim
 KMEANS_LLOYD_SQL = _kmeans_lloyd_sql()
 
 QUERIES["kmeans_lloyd_iters"] = (kmeans_lloyd_iters, KMEANS_LLOYD_SQL)
+
+
+def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of the sign-LSH index against the exact brute-force
+    answer, per query: (q_id, n_hits, recall_permille) — the evaluation
+    harness every approximate index needs before it replaces the exact
+    scan in production.
+
+    Scale shape: the expensive side (brute force) is already the
+    measured baseline operator; the comparison itself is a 50-row join.
+    At 100 TB the same query runs with a SAMPLED query set — recall is
+    a statistic, the sample bounds its error, and the harness shape
+    (two candidate pipelines joined on (q_id, cand_id)) is unchanged.
+    Integer output only: n_hits·200 permille, no float comparisons."""
+    from pyspark.sql import functions as F
+
+    from deltacat_spark.operators.similarity import brute_force_topk, lsh_topk
+    from deltacat_spark.workloads.base import load
+
+    e = load(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 10)
+    candidates = e.filter(F.col("vec_id") >= 10)
+    brute = brute_force_topk(candidates, queries, k=5).select(
+        "q_id", "cand_id"
+    )
+    approx = lsh_topk(candidates, queries, k=5, n_planes=4).select(
+        "q_id", "cand_id"
+    )
+    hits = (
+        brute.join(approx, ["q_id", "cand_id"])
+        .groupBy("q_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    qids = brute.select("q_id").distinct()
+    return (
+        qids.join(hits, "q_id", "left")
+        .select(
+            "q_id",
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("int").alias("n_hits"),
+            (F.coalesce(F.col("n_hits"), F.lit(0)) * 200)
+            .cast("int")
+            .alias("recall_permille"),
+        )
+        .orderBy("q_id")
+    )
+
+
+def _recall_sql() -> str:
+    from deltacat_spark.workloads.similarity import ANN_TOPK_SQL, ANN_LSH_SQL
+
+    brute = ANN_TOPK_SQL.strip().rstrip()
+    lsh = ANN_LSH_SQL.strip().rstrip()
+    return f"""
+WITH brute AS ({brute}),
+lsh AS ({lsh}),
+hits AS (
+  SELECT b.q_id, CAST(COUNT(*) AS INT) AS n_hits
+  FROM brute b JOIN lsh l ON b.q_id = l.q_id AND b.cand_id = l.cand_id
+  GROUP BY b.q_id)
+SELECT q.q_id, COALESCE(h.n_hits, 0) AS n_hits,
+       CAST(COALESCE(h.n_hits, 0) * 200 AS INT) AS recall_permille
+FROM (SELECT DISTINCT q_id FROM brute) q LEFT JOIN hits h ON q.q_id = h.q_id
+ORDER BY q.q_id
+"""
+
+
+ANN_RECALL_SQL = _recall_sql()
+
+QUERIES["ann_recall_eval"] = (ann_recall_eval, ANN_RECALL_SQL)
