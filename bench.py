@@ -100,6 +100,9 @@ BENCH_QUERIES = [
     "triangle_count_copurchase",
     "hll_user_registers",
     "pca_power_iter",
+    "weighted_sample_docs",
+    "kmeans_lloyd_iters",
+    "ann_recall_eval",
 ]
 
 # The heaviest plans from BENCH_r04, re-measured at ~10x scale in the
@@ -341,7 +344,13 @@ def main() -> None:
             # Lakehouse write path at 10x (judge r5 item 4) — runs outside
             # the query budget so analytic skips never hide it.
             try:
+                # min-of-2 like the query tiers: the write path is one
+                # run per op and swings with host-epoch noise (a 21.8s
+                # initial-merge outlier against 1.9-4.4s in sibling
+                # runs motivated this).
                 lk = _lakehouse_bench(spark, deep_dir)
+                lk2 = _lakehouse_bench(spark, deep_dir)
+                lk = {k: min(v, lk2[k]) for k, v in lk.items()}
                 deep_timings.update(lk)
                 deep_total += sum(lk.values())
             except Exception as e:
