@@ -126,6 +126,175 @@ ORDER BY grp, bucket
 """
 
 
+_CMS_D = 4  # hash rows
+_CMS_W = 512  # columns per row (3 md5 nibbles = 4096, mod 512 is exact)
+
+
+def cms_col(row: Column, key: Column) -> Column:
+    """Count-min column index for hash row `row` and key `key`."""
+    h = F.md5(F.concat(row.cast("string"), F.lit(":"), key.cast("string")))
+    return (_hex_int(h, 1, 3) % _CMS_W).cast("int")
+
+
+def _cms_col_sql(row_expr: str, key_expr: str) -> str:
+    h = f"md5(CAST({row_expr} AS VARCHAR) || ':' || CAST({key_expr} AS VARCHAR))"
+    return f"CAST({_hex_int_sql(h, 1, 3)} % {_CMS_W} AS INT)"
+
+
+def cms_prep(df: DataFrame, key_col: str) -> DataFrame:
+    """Explode each record into its `_CMS_D` (row, col) register cells —
+    the row-level transform shared by the batch build and STREAMING
+    frequency sketches: registers are a (row, col)-keyed SUM, so a
+    structured stream maintains them with ordinary aggregate state and
+    shards/windows merge by adding registers."""
+    rows = F.explode(F.array(*[F.lit(i) for i in range(_CMS_D)]))
+    df = df.select("*", rows.alias("r"))
+    return df.withColumn("c", cms_col(F.col("r"), F.col(key_col)))
+
+
+def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch (d=4, w=512) over lineitem part frequencies +
+    the heavy-hitter evaluation: top-30 exact keys with their CMS
+    estimate (min over the 4 registers) beside the true count.
+
+    The register build is the 100 TB operator: 4 cells per record,
+    map-side combine collapses every partition to ≤ 2048 partial
+    sums, and the final shuffle moves 2048 keys no matter the corpus
+    size — no per-key distinct table ever materializes. The exact
+    top-30 beside it is the evaluation harness (same pattern as
+    `ann_recall_eval`): at production scale the candidate set comes
+    from a sample or a prior sketch, and the CMS point-query is the
+    same 4-register min. CMS never underestimates — `cms_est ≥
+    exact_cnt` is asserted in tests."""
+    li = load(spark, sf_dir, "lineitem").select("l_partkey")
+    reg = (
+        cms_prep(li, "l_partkey")
+        .groupBy("r", "c")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    exact = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("exact_cnt"))
+    cand = exact.orderBy(F.desc("exact_cnt"), "l_partkey").limit(30)
+    # Point queries as an equi-join: expand each candidate into its 4
+    # (r, c) cells and hash-join the (tiny, broadcast) register table.
+    est = (
+        cms_prep(cand, "l_partkey")
+        .join(F.broadcast(reg), ["r", "c"])
+        .groupBy("l_partkey", "exact_cnt")
+        .agg(F.min("n").alias("cms_est"))
+    )
+    return est.select("l_partkey", "exact_cnt", "cms_est").orderBy(
+        F.desc("exact_cnt"), "l_partkey"
+    )
+
+
+CMS_SQL = f"""
+WITH reg AS (
+  SELECT r, {_cms_col_sql("r", "l_partkey")} AS c,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM lineitem, (SELECT unnest([0, 1, 2, 3]) AS r)
+  GROUP BY 1, 2),
+exact AS (
+  SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS exact_cnt
+  FROM lineitem GROUP BY 1),
+cand AS (
+  SELECT l_partkey, exact_cnt FROM exact
+  ORDER BY exact_cnt DESC, l_partkey LIMIT 30)
+SELECT cand.l_partkey, cand.exact_cnt,
+       CAST(MIN(reg.n) AS BIGINT) AS cms_est
+FROM cand JOIN reg ON reg.c = {_cms_col_sql("reg.r", "cand.l_partkey")}
+GROUP BY cand.l_partkey, cand.exact_cnt
+ORDER BY exact_cnt DESC, l_partkey
+"""
+
+
+def quantile_sketch_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable log-histogram quantile sketch over order prices:
+    per-priority power-of-two bucket registers, the merged 'ALL'
+    sketch re-aggregated FROM the per-group registers, and p50/p90/p99
+    answered from the registers — (grp, p, bucket, lo, hi).
+
+    The sketch is ~64 counters per group (one per bit-length), built
+    by one map-side-combinable hash-aggregate; merge is a counter
+    SUM, so shards/streams/windows combine without ever re-reading
+    rows — the property that replaces a global sort-based percentile
+    at 100 TB. Guaranteed ≤ 2× relative error on the value (a bucket
+    spans one doubling); everything stays in integer space (floor →
+    bit length via `bin()`, identical on both engines)."""
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderpriority", "o_totalprice"
+    )
+    base = orders.select(
+        F.col("o_orderpriority").alias("grp"),
+        F.length(F.bin(F.floor("o_totalprice").cast("long")))
+        .cast("int")
+        .alias("bucket"),
+    )
+    reg0 = base.groupBy("grp", "bucket").agg(F.count(F.lit(1)).alias("n"))
+    reg = reg0.unionByName(
+        reg0.groupBy("bucket").agg(F.sum("n").alias("n")).select(
+            F.lit("ALL").alias("grp"), "bucket", "n"
+        )
+    )
+    from pyspark.sql import Window
+
+    w_cum = Window.partitionBy("grp").orderBy("bucket")
+    w_tot = Window.partitionBy("grp")
+    cum = reg.select(
+        "grp",
+        "bucket",
+        F.sum("n").over(w_cum).alias("cum"),
+        F.sum("n").over(w_tot).alias("tot"),
+    )
+    ps = F.explode(F.array(F.lit(500), F.lit(900), F.lit(990)))
+    hits = (
+        cum.select("*", ps.alias("p"))
+        .filter(F.col("cum") * 1000 >= F.col("p") * F.col("tot"))
+        .groupBy("grp", "p")
+        .agg(F.min("bucket").alias("bucket"))
+    )
+    return hits.select(
+        "grp",
+        F.col("p").cast("int").alias("p"),
+        F.col("bucket").cast("int").alias("bucket"),
+        F.expr("shiftleft(CAST(1 AS BIGINT), bucket - 1)").alias("lo"),
+        (F.expr("shiftleft(CAST(1 AS BIGINT), bucket)") - 1).alias("hi"),
+    ).orderBy("grp", "p")
+
+
+QUANTILE_SQL = """
+WITH base AS (
+  SELECT o_orderpriority AS grp,
+         CAST(length(bin(CAST(FLOOR(o_totalprice) AS BIGINT))) AS INT)
+           AS bucket
+  FROM orders),
+reg0 AS (
+  SELECT grp, bucket, CAST(COUNT(*) AS BIGINT) AS n
+  FROM base GROUP BY 1, 2),
+reg AS (
+  SELECT * FROM reg0
+  UNION ALL
+  SELECT 'ALL' AS grp, bucket, CAST(SUM(n) AS BIGINT) AS n
+  FROM reg0 GROUP BY bucket),
+cum AS (
+  SELECT grp, bucket,
+         SUM(n) OVER (PARTITION BY grp ORDER BY bucket) AS cum,
+         SUM(n) OVER (PARTITION BY grp) AS tot
+  FROM reg),
+hits AS (
+  SELECT c.grp, ps.p, MIN(c.bucket) AS bucket
+  FROM cum c, (SELECT unnest([500, 900, 990]) AS p) ps
+  WHERE c.cum * 1000 >= ps.p * c.tot
+  GROUP BY 1, 2)
+SELECT grp, CAST(p AS INT) AS p, CAST(bucket AS INT) AS bucket,
+       CAST(CAST(1 AS BIGINT) << (bucket - 1) AS BIGINT) AS lo,
+       CAST((CAST(1 AS BIGINT) << bucket) - 1 AS BIGINT) AS hi
+FROM hits
+ORDER BY grp, p
+"""
+
+
 QUERIES = {
     "hll_user_registers": (hll_user_registers, HLL_SQL),
+    "cms_heavy_hitters": (cms_heavy_hitters, CMS_SQL),
+    "quantile_sketch_prices": (quantile_sketch_prices, QUANTILE_SQL),
 }
