@@ -34,23 +34,26 @@ def _sql_quote(s: str) -> str:
     return s.replace("\\", "\\\\").replace("'", "\\'")
 
 
-def learn_bpe_merges(
+def learn_bpe(
     df: DataFrame,
     text_col: str = "text",
     n_merges: int = 10,
-) -> "list[tuple[str, str, int]]":
-    """Learn `n_merges` BPE merge rules; returns [(left, right, count)]
-    in merge order.
+) -> "tuple[list[tuple[str, str, int]], DataFrame]":
+    """Learn `n_merges` BPE merge rules; returns ([(left, right, count)]
+    in merge order, the final symbol table (w, cnt, s)).
 
     Each iteration: one vocab-sized pair aggregation + a driver argmax
     (one row) + an in-array fold rewrite, localCheckpoint'ed so the
-    per-iteration lineage stays flat across merges."""
+    per-iteration lineage stays flat across merges. The returned symbol
+    table is the ENCODER: a word's token sequence under the learned
+    merges is its `s` array, so tokenizing a corpus is a vocab-sized
+    broadcast join — the corpus is never re-folded."""
     words = df.select(
         F.explode(F.split(F.col(text_col), " ")).alias("w")
     ).filter(F.col("w") != "")
     vocab = words.groupBy("w").agg(F.count(F.lit(1)).alias("cnt"))
     syms = vocab.select(
-        "cnt", F.split(F.col("w"), "").alias("s")
+        "w", "cnt", F.split(F.col("w"), "").alias("s")
     ).localCheckpoint(eager=False)
 
     merges: list[tuple[str, str, int]] = []
@@ -91,7 +94,16 @@ def learn_bpe_merges(
                 " ELSE concat(acc, array(x)) END)"
             ),
         ).localCheckpoint(eager=False)
-    return merges
+    return merges, syms
+
+
+def learn_bpe_merges(
+    df: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 10,
+) -> "list[tuple[str, str, int]]":
+    """Merge rules only — see :func:`learn_bpe`."""
+    return learn_bpe(df, text_col, n_merges)[0]
 
 
 def learn_bpe_merges_local(
