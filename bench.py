@@ -103,6 +103,11 @@ BENCH_QUERIES = [
     "weighted_sample_docs",
     "kmeans_lloyd_iters",
     "ann_recall_eval",
+    "cms_heavy_hitters",
+    "quantile_sketch_prices",
+    "er_fuzzy_match_parts",
+    "bpe_learn_merges",
+    "bpe_encode_tokens",
 ]
 
 # The heaviest plans from BENCH_r04, re-measured at ~10x scale in the

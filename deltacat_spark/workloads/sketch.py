@@ -130,26 +130,44 @@ _CMS_D = 4  # hash rows
 _CMS_W = 512  # columns per row (3 md5 nibbles = 4096, mod 512 is exact)
 
 
-def cms_col(row: Column, key: Column) -> Column:
-    """Count-min column index for hash row `row` and key `key`."""
-    h = F.md5(F.concat(row.cast("string"), F.lit(":"), key.cast("string")))
-    return (_hex_int(h, 1, 3) % _CMS_W).cast("int")
-
-
-def _cms_col_sql(row_expr: str, key_expr: str) -> str:
-    h = f"md5(CAST({row_expr} AS VARCHAR) || ':' || CAST({key_expr} AS VARCHAR))"
-    return f"CAST({_hex_int_sql(h, 1, 3)} % {_CMS_W} AS INT)"
-
-
 def cms_prep(df: DataFrame, key_col: str) -> DataFrame:
     """Explode each record into its `_CMS_D` (row, col) register cells —
     the row-level transform shared by the batch build and STREAMING
     frequency sketches: registers are a (row, col)-keyed SUM, so a
     structured stream maintains them with ordinary aggregate state and
-    shards/windows merge by adding registers."""
-    rows = F.explode(F.array(*[F.lit(i) for i in range(_CMS_D)]))
-    df = df.select("*", rows.alias("r"))
-    return df.withColumn("c", cms_col(F.col("r"), F.col(key_col)))
+    shards/windows merge by adding registers.
+
+    One md5 per record; hash row r reads its own 3-nibble slice
+    (chars 1+3r..3+3r) — the standard split-one-hash-into-d-sub-hashes
+    construction, 4× cheaper than d independent digests and uniform
+    per slice (4096 % 512 == 0, so the mod is unbiased)."""
+    hashed = df.select(
+        "*", F.md5(F.col(key_col).cast("string")).alias("_h")
+    )
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(r).alias("r"),
+                (_hex_int(F.col("_h"), 1 + 3 * r, 3) % _CMS_W)
+                .cast("int")
+                .alias("c"),
+            )
+            for r in range(_CMS_D)
+        ]
+    )
+    df = hashed.select("*", F.explode(cells).alias("_cell")).drop("_h")
+    return df.select("*", "_cell.r", "_cell.c").drop("_cell")
+
+
+def _cms_cells_sql(key_expr: str) -> str:
+    """SQL fragment: per-record list of `_CMS_D` {r, c} cell structs."""
+    h = f"md5(CAST({key_expr} AS VARCHAR))"
+    cells = ", ".join(
+        f"{{'r': {r}, 'c': CAST({_hex_int_sql(h, 1 + 3 * r, 3)}"
+        f" % {_CMS_W} AS INT)}}"
+        for r in range(_CMS_D)
+    )
+    return f"[{cells}]"
 
 
 def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -189,20 +207,22 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 CMS_SQL = f"""
 WITH reg AS (
-  SELECT r, {_cms_col_sql("r", "l_partkey")} AS c,
-         CAST(COUNT(*) AS BIGINT) AS n
-  FROM lineitem, (SELECT unnest([0, 1, 2, 3]) AS r)
+  SELECT u.cell.r AS r, u.cell.c AS c, CAST(COUNT(*) AS BIGINT) AS n
+  FROM lineitem, unnest({_cms_cells_sql("l_partkey")}) AS u(cell)
   GROUP BY 1, 2),
 exact AS (
   SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS exact_cnt
   FROM lineitem GROUP BY 1),
 cand AS (
   SELECT l_partkey, exact_cnt FROM exact
-  ORDER BY exact_cnt DESC, l_partkey LIMIT 30)
-SELECT cand.l_partkey, cand.exact_cnt,
+  ORDER BY exact_cnt DESC, l_partkey LIMIT 30),
+cells AS (
+  SELECT cand.l_partkey, cand.exact_cnt, u.cell.r AS r, u.cell.c AS c
+  FROM cand, unnest({_cms_cells_sql("cand.l_partkey")}) AS u(cell))
+SELECT cells.l_partkey, cells.exact_cnt,
        CAST(MIN(reg.n) AS BIGINT) AS cms_est
-FROM cand JOIN reg ON reg.c = {_cms_col_sql("reg.r", "cand.l_partkey")}
-GROUP BY cand.l_partkey, cand.exact_cnt
+FROM cells JOIN reg ON reg.r = cells.r AND reg.c = cells.c
+GROUP BY cells.l_partkey, cells.exact_cnt
 ORDER BY exact_cnt DESC, l_partkey
 """
 
