@@ -160,6 +160,50 @@ def _strip_literals(text: str) -> str:
     return "".join(out)
 
 
+def _normalize_sql(text: str) -> str:
+    """Whitespace/case-normalize SQL OUTSIDE string literals (literal
+    content is preserved byte-for-byte, including case): lowercased
+    keywords/identifiers, runs of whitespace collapsed to one space,
+    trailing semicolons dropped. Used for materialized-view query-
+    rewrite matching — conservative by construction (a formatting
+    difference inside `sum( x )` simply misses the rewrite; a miss is
+    always safe, a false match never happens because literals stay
+    exact)."""
+    out: list[str] = []
+    in_quote = False
+    pending_ws = False
+    i = 0
+    while i < len(text):
+        ch = text[i]
+        if in_quote:
+            out.append(ch)
+            if ch == "'":
+                if i + 1 < len(text) and text[i + 1] == "'":
+                    out.append("'")
+                    i += 2
+                    continue
+                in_quote = False
+            i += 1
+            continue
+        if ch.isspace():
+            pending_ws = True
+            i += 1
+            continue
+        if pending_ws and out:
+            out.append(" ")
+        pending_ws = False
+        if ch == "'":
+            in_quote = True
+            out.append(ch)
+        else:
+            out.append(ch.lower())
+        i += 1
+    s = "".join(out).strip()
+    while s.endswith(";"):
+        s = s[:-1].rstrip()
+    return s
+
+
 def _partition_scopes_disjoint(a: dict, b: dict) -> bool:
     """True when two partition filters provably select disjoint
     partition sets: some column constrained by BOTH filters has no
@@ -2117,6 +2161,7 @@ class Catalog:
         query: str,
         tables: "list[str] | None" = None,
         count_rows: bool = True,
+        mv_rewrite: bool = True,
     ) -> DataFrame:
         """Run SQL over catalog tables (the surface the reference stubs
         as NotImplemented `dc.query`, reference `api.py:480-481` —
@@ -2147,6 +2192,16 @@ class Catalog:
         ``count_rows=False`` skips the separate count job DML statements
         run to report their ``rows`` (reported as -1) — the escape for
         pipeline use where the payload is large and the count unused.
+
+        **Materialized-view query rewrite** (``mv_rewrite=True``): a
+        SELECT that is textually equivalent (whitespace/case-normalized
+        OUTSIDE literals — `_normalize_sql`) to a registered
+        materialized view's definition is answered by reading the MV
+        table instead of re-evaluating the SQL — but ONLY when the MV
+        is FRESH (its recorded source watermark equals the source
+        table's current version), so a rewrite can never serve stale
+        data. The routing decision is observable at
+        ``self.last_sql_rewrite`` (MV name, or None).
         """
         # RESTORE/CLONE own their VERSION/TIMESTAMP AS OF clause — the
         # read-path rewrite would swap the source table for a pinned
@@ -2159,9 +2214,15 @@ class Catalog:
         ):
             query = self._rewrite_time_travel(query)
         query = self._rewrite_table_changes(query)
+        self.last_sql_rewrite = None
         dml = self._sql_dml(query, count_rows=count_rows)
         if dml is not None:
             return dml
+        if mv_rewrite:
+            hit = self._mv_rewrite_target(query)
+            if hit is not None:
+                self.last_sql_rewrite = hit
+                return self.read_table(hit)
         if tables is None:
             self._register_referenced(query)
         else:
@@ -2419,6 +2480,39 @@ class Catalog:
             record_wise=bool(d["record_wise"]),
             agg_spec=d.get("agg_spec"),
         )
+
+    def _mv_rewrite_target(self, query: str) -> "str | None":
+        """The registered materialized view (if any) whose defining SQL
+        is textually equivalent to `query` AND whose recorded source
+        watermark (`mv.src_version` — stamped by every refresh) equals
+        the source table's CURRENT version. Equality, not ≥: versions
+        only grow, and a stale MV must never answer a query — the
+        caller falls through to direct evaluation instead. Matching is
+        `_normalize_sql` textual equivalence: conservative (formatting
+        differences miss the rewrite, which is always safe) and
+        literal-exact (a query differing only inside a string literal
+        never matches)."""
+        mvs = self.list_materialized_views()
+        if not mvs:
+            return None
+        from deltacat_spark.catalog.materialize import MV_SRC_VERSION
+
+        qn = _normalize_sql(query)
+        for name, d in mvs.items():
+            if _normalize_sql(d.get("sql", "")) != qn:
+                continue
+            if not self.table_exists(name):
+                continue
+            try:
+                raw = self.snapshot(name).properties.get(MV_SRC_VERSION)
+                if raw is None:
+                    continue
+                if int(raw) != self.snapshot(d["src"]).version:
+                    continue
+            except (FileNotFoundError, ValueError):
+                continue
+            return name
+        return None
 
     def drop_materialized_view(self, name: str, if_exists: bool = False) -> None:
         path = self._mv_path(name)
