@@ -2412,16 +2412,19 @@ class Catalog:
         self, name: str, view_sql: str, replace: bool = False
     ) -> dict:
         """`CREATE MATERIALIZED VIEW` — a real derived TABLE kept equal
-        to the view SQL over ONE source table. Record-wise SELECTs
-        refresh incrementally (O(new data), watermark rides the data
-        commit — `materialize.py:refresh_incremental`); aggregating /
-        joining SELECTs refresh by exact full rebuild. Returns the
-        bootstrap refresh audit dict."""
+        to the view SQL. Single-table record-wise SELECTs refresh
+        incrementally (O(new data), watermark rides the data commit —
+        `materialize.py:refresh_incremental`); single-table GROUP BY
+        views take the incremental-aggregate merge path; everything
+        else — including MULTI-TABLE views (joins/unions across
+        catalog tables) — refreshes by exact full rebuild over pinned
+        per-source snapshots with one watermark per source
+        (`_refresh_mv_multi`). Returns the bootstrap refresh audit
+        dict."""
         refs = self._referenced_tables(view_sql)
-        if len(refs) != 1:
+        if not refs:
             raise ValueError(
-                "materialized views must read exactly ONE catalog table "
-                f"(found {refs}); use a plain VIEW for multi-table SQL"
+                "materialized view SQL references no catalog table"
             )
         if self.table_exists(name) or self.fs.exists(self._mv_path(name)):
             if not replace:
@@ -2429,6 +2432,7 @@ class Catalog:
         self.fs.makedirs(self._views_dir)
         from deltacat_spark.catalog.materialize import parse_agg_view
 
+        single = len(refs) == 1
         self.fs.write_text_atomic(
             self._mv_path(name),
             json.dumps(
@@ -2436,12 +2440,19 @@ class Catalog:
                     "name": name,
                     "sql": view_sql,
                     "src": refs[0],
-                    "record_wise": self._mv_record_wise(view_sql),
+                    # multi-table MVs refresh by exact full rebuild over
+                    # PINNED per-source snapshots (version-consistent),
+                    # with one watermark per source
+                    "srcs": refs,
+                    "record_wise": single
+                    and self._mv_record_wise(view_sql),
                     # single-table GROUP BY with mergeable aggregates →
                     # the incremental-aggregate refresh path (partials
                     # merged group-by-group via the MV's merge keys)
-                    "agg_spec": parse_agg_view(
-                        view_sql, _strip_literals(view_sql)
+                    "agg_spec": (
+                        parse_agg_view(view_sql, _strip_literals(view_sql))
+                        if single
+                        else None
                     ),
                 }
             ),
@@ -2455,6 +2466,9 @@ class Catalog:
             raise FileNotFoundError(f"no materialized view {name!r}")
         d = json.loads(self.fs.read_text(self._mv_path(name)))
         src, vsql = d["src"], d["sql"]
+        srcs = d.get("srcs") or [src]
+        if len(srcs) > 1:
+            return self._refresh_mv_multi(name, vsql, srcs)
 
         def transform(df: DataFrame) -> DataFrame:
             import re
@@ -2481,6 +2495,36 @@ class Catalog:
             agg_spec=d.get("agg_spec"),
         )
 
+    def _refresh_mv_multi(self, name: str, vsql: str, srcs: list) -> dict:
+        """Multi-table MV refresh: exact full rebuild over PINNED
+        per-source snapshots. The source versions are captured first
+        and every source is registered `version_as_of` that capture, so
+        the rebuilt contents and the recorded watermarks describe the
+        same version vector even under concurrent writers. A refresh
+        where no source moved is a metadata-only noop."""
+        from deltacat_spark.catalog.materialize import MV_SRC_VERSION
+
+        cur = {t: self.snapshot(t).version for t in srcs}
+        if self.table_exists(name):
+            props = self.snapshot(name).properties
+            last = {t: props.get(f"{MV_SRC_VERSION}.{t}") for t in srcs}
+            if all(
+                last[t] is not None and int(last[t]) >= cur[t] for t in srcs
+            ):
+                return {"mode": "noop", "src_versions": cur}
+        for t in srcs:
+            self.register_view(t, version_as_of=cur[t])
+        out = self.spark.sql(vsql)
+        self.write_to_table(
+            out,
+            name,
+            mode="replace" if self.table_exists(name) else "create",
+            commit_properties={
+                f"{MV_SRC_VERSION}.{t}": str(v) for t, v in cur.items()
+            },
+        )
+        return {"mode": "rebuild", "src_versions": cur}
+
     def _mv_rewrite_target(self, query: str) -> "str | None":
         """The registered materialized view (if any) whose defining SQL
         is textually equivalent to `query` AND whose recorded source
@@ -2503,11 +2547,23 @@ class Catalog:
                 continue
             if not self.table_exists(name):
                 continue
+            srcs = d.get("srcs") or [d["src"]]
             try:
-                raw = self.snapshot(name).properties.get(MV_SRC_VERSION)
-                if raw is None:
-                    continue
-                if int(raw) != self.snapshot(d["src"]).version:
+                props = self.snapshot(name).properties
+                if len(srcs) == 1:
+                    raw = props.get(MV_SRC_VERSION)
+                    fresh = (
+                        raw is not None
+                        and int(raw) == self.snapshot(srcs[0]).version
+                    )
+                else:
+                    fresh = all(
+                        props.get(f"{MV_SRC_VERSION}.{t}") is not None
+                        and int(props[f"{MV_SRC_VERSION}.{t}"])
+                        == self.snapshot(t).version
+                        for t in srcs
+                    )
+                if not fresh:
                     continue
             except (FileNotFoundError, ValueError):
                 continue
@@ -3002,6 +3058,38 @@ class Catalog:
         import json as _json
         import re
 
+        m = re.fullmatch(
+            r"explain\s+((?:extended|formatted|cost|codegen)\s+)?(.+)",
+            q,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if m:
+            mode, inner = (m.group(1) or ""), m.group(2).strip().rstrip(";")
+            if not re.match(
+                r"(select|with|values|table)\b", inner, re.IGNORECASE
+            ):
+                raise ValueError(
+                    "EXPLAIN supports read statements "
+                    "(SELECT/WITH/VALUES/TABLE) only"
+                )
+            # Surface the MV routing decision: if the inner SELECT would
+            # be answered from a fresh materialized view, explain THAT
+            # read and say so — the plan a user actually gets.
+            hit = self._mv_rewrite_target(inner)
+            if hit is not None:
+                self.register_view(hit)
+                plan = self.spark.sql(
+                    f"EXPLAIN {mode}SELECT * FROM {hit}"
+                ).collect()[0][0]
+                note = (
+                    "== Materialized View Rewrite ==\n"
+                    f"answered from materialized view '{hit}'\n\n"
+                )
+                return self.spark.createDataFrame(
+                    [(note + plan,)], "plan string"
+                )
+            self._register_referenced(inner)
+            return self.spark.sql(f"EXPLAIN {mode}{inner}")
         if re.fullmatch(r"show\s+views", q, re.IGNORECASE):
             return self.spark.createDataFrame(
                 [(n,) for n in sorted(self.list_saved_views())] or [("",)],

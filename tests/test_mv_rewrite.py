@@ -77,3 +77,77 @@ def test_opt_out_and_non_matching_queries(cat):
     assert cat.last_sql_rewrite is None
     cat.sql("SELECT grp, count(*) AS n FROM src GROUP BY grp")
     assert cat.last_sql_rewrite is None
+
+
+JOIN_SQL = (
+    "SELECT s.grp, sum(s.v) AS total, max(d.label) AS label "
+    "FROM src s JOIN dim d ON s.grp = d.grp GROUP BY s.grp"
+)
+
+
+@pytest.fixture()
+def cat2(cat):
+    cat.create_table(
+        "dim",
+        schema=Schema(
+            [
+                Field("grp", T.StringType(), merge_key=True),
+                Field("label", T.StringType()),
+            ]
+        ),
+    )
+    cat.sql("INSERT INTO dim VALUES ('a', 'alpha'), ('b', 'beta')")
+    cat.create_materialized_view("mv_join", JOIN_SQL)
+    return cat
+
+
+def _jrows(df):
+    return {(r.grp, r.total, r.label) for r in df.collect()}
+
+
+def test_multi_table_mv_bootstrap_and_noop(cat2):
+    assert _jrows(cat2.read_table("mv_join")) == {
+        ("a", 30, "alpha"),
+        ("b", 5, "beta"),
+    }
+    assert cat2.refresh_materialized_view("mv_join")["mode"] == "noop"
+
+
+def test_multi_table_mv_rebuilds_when_either_source_moves(cat2):
+    cat2.sql("INSERT INTO src VALUES (4, 'b', 100)")
+    audit = cat2.refresh_materialized_view("mv_join")
+    assert audit["mode"] == "rebuild"
+    assert _jrows(cat2.read_table("mv_join")) == {
+        ("a", 30, "alpha"),
+        ("b", 105, "beta"),
+    }
+    cat2.sql("UPDATE dim SET label = 'BETA' WHERE grp = 'b'")
+    assert cat2.refresh_materialized_view("mv_join")["mode"] == "rebuild"
+    assert ("b", 105, "BETA") in _jrows(cat2.read_table("mv_join"))
+
+
+def test_multi_table_mv_rewrite_freshness_gates_on_all_sources(cat2):
+    got = cat2.sql(JOIN_SQL)
+    assert cat2.last_sql_rewrite == "mv_join"
+    assert _jrows(got) == {("a", 30, "alpha"), ("b", 5, "beta")}
+    # moving EITHER source invalidates the rewrite
+    cat2.sql("INSERT INTO dim VALUES ('c', 'gamma')")
+    got = cat2.sql(JOIN_SQL)
+    assert cat2.last_sql_rewrite is None
+    assert _jrows(got) == {("a", 30, "alpha"), ("b", 5, "beta")}
+    cat2.refresh_materialized_view("mv_join")
+    cat2.sql(JOIN_SQL)
+    assert cat2.last_sql_rewrite == "mv_join"
+
+
+def test_explain_statement(cat):
+    plan = cat.sql("EXPLAIN SELECT grp FROM src WHERE grp = 'a'").collect()
+    assert len(plan) == 1 and "Physical Plan" in plan[0]["plan"]
+    # EXPLAIN surfaces the MV routing decision
+    plan = cat.sql(f"EXPLAIN {MV_SQL}").collect()[0]["plan"]
+    assert "Materialized View Rewrite" in plan and "mv_totals" in plan
+    # formatted mode passes through; non-read statements are rejected
+    plan = cat.sql("EXPLAIN FORMATTED SELECT count(*) FROM src").collect()
+    assert "Physical Plan" in plan[0]["plan"]
+    with pytest.raises(ValueError, match="read statements"):
+        cat.sql("EXPLAIN INSERT INTO src VALUES (9, 'z', 1)")
