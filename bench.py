@@ -108,6 +108,7 @@ BENCH_QUERIES = [
     "er_fuzzy_match_parts",
     "bpe_learn_merges",
     "bpe_encode_tokens",
+    "repeated_substring_runs",
 ]
 
 # The heaviest plans from BENCH_r04, re-measured at ~10x scale in the
@@ -129,6 +130,9 @@ DEEP_QUERIES = [
     # round 6: global keep-first segment dedup (segment-keyed argmin +
     # reassembly — the same wide shape as the inverted-index build)
     "segment_dedup_keep_first",
+    # round 8: corpus-proportional register build + positional dedup
+    "cms_heavy_hitters",
+    "repeated_substring_runs",
 ]
 
 
