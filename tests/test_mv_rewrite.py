@@ -140,6 +140,23 @@ def test_multi_table_mv_rewrite_freshness_gates_on_all_sources(cat2):
     assert cat2.last_sql_rewrite == "mv_join"
 
 
+def test_mv_rewrite_never_applies_inside_transactions(cat):
+    """A transaction's SELECT must see its own buffered writes — the MV
+    rewrite (which reads committed MV contents) must not shadow the
+    read-your-writes overlay. txn.sql bypasses Catalog.sql entirely;
+    this pins that contract."""
+    with cat.transaction() as txn:
+        txn.sql("INSERT INTO src VALUES (9, 'a', 1000)")
+        got = _rows(txn.sql(MV_SQL))
+        assert got == {("a", 3, 1030), ("b", 1, 5)}, (
+            "txn SELECT served stale MV contents instead of the overlay"
+        )
+    # outside: committed now, MV stale, direct evaluation reflects it
+    got = cat.sql(MV_SQL)
+    assert cat.last_sql_rewrite is None
+    assert _rows(got) == {("a", 3, 1030), ("b", 1, 5)}
+
+
 def test_explain_statement(cat):
     plan = cat.sql("EXPLAIN SELECT grp FROM src WHERE grp = 'a'").collect()
     assert len(plan) == 1 and "Physical Plan" in plan[0]["plan"]
