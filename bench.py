@@ -160,9 +160,15 @@ def _median3(spark, fn, sf_dir: str, first: float) -> float:
     """Sub-4s timings are dominated by fixed job overhead and jitter
     (observed: a 0.8s query spiking to 3.3s run-to-run on an idle box);
     judge r5 asked for medians so round-over-round deltas mean
-    something. Heavier queries keep their single measured run."""
+    something. Heavy queries (≥4s) used to keep their single measured
+    run — which made the HEAVIEST rows the noisiest (r8: main-tier
+    dedup_clusters recorded 6.7s at 1× while the same plan ran 4.9s at
+    10× in the min-of-2 deep tier — a physical impossibility, so the
+    1× number was a one-sample outlier). They now get min-of-2, the
+    same policy as the deep tiers."""
     if first >= 4.0:
-        return first
+        _clear_session_state(spark)
+        return min(first, _timed_run(spark, fn, sf_dir))
     runs = [first]
     for _ in range(2):
         _clear_session_state(spark)
