@@ -3090,6 +3090,45 @@ class Catalog:
                 )
             self._register_referenced(inner)
             return self.spark.sql(f"EXPLAIN {mode}{inner}")
+        if re.fullmatch(r"show\s+materialized\s+views", q, re.IGNORECASE):
+            from deltacat_spark.catalog.materialize import MV_SRC_VERSION
+
+            rows = []
+            for name, d in sorted(self.list_materialized_views().items()):
+                srcs = d.get("srcs") or [d["src"]]
+                if d.get("record_wise"):
+                    mode = "incremental"
+                elif d.get("agg_spec"):
+                    mode = "incremental_agg"
+                elif len(srcs) > 1:
+                    mode = "rebuild_multi"
+                else:
+                    mode = "rebuild"
+                fresh = False
+                if self.table_exists(name):
+                    try:
+                        props = self.snapshot(name).properties
+                        if len(srcs) == 1:
+                            raw = props.get(MV_SRC_VERSION)
+                            fresh = raw is not None and int(raw) >= (
+                                self.snapshot(srcs[0]).version
+                            )
+                        else:
+                            fresh = all(
+                                props.get(f"{MV_SRC_VERSION}.{t}")
+                                is not None
+                                and int(props[f"{MV_SRC_VERSION}.{t}"])
+                                >= self.snapshot(t).version
+                                for t in srcs
+                            )
+                    except (FileNotFoundError, ValueError):
+                        fresh = False
+                rows.append((name, ",".join(srcs), mode, fresh))
+            return self.spark.createDataFrame(
+                rows or [("", "", "", False)],
+                "name string, sources string, refresh_mode string,"
+                " fresh boolean",
+            ).filter(F.col("name") != "")
         if re.fullmatch(r"show\s+views", q, re.IGNORECASE):
             return self.spark.createDataFrame(
                 [(n,) for n in sorted(self.list_saved_views())] or [("",)],

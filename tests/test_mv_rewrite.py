@@ -157,6 +157,28 @@ def test_mv_rewrite_never_applies_inside_transactions(cat):
     assert _rows(got) == {("a", 3, 1030), ("b", 1, 5)}
 
 
+def test_show_materialized_views_and_sql_create_multi(cat2):
+    # SQL-path CREATE of a multi-table MV
+    cat2.sql(
+        "CREATE MATERIALIZED VIEW mv_pairs AS "
+        "SELECT s.grp, count(*) AS n FROM src s "
+        "JOIN dim d ON s.grp = d.grp GROUP BY s.grp"
+    )
+    rows = {
+        r["name"]: (r["sources"], r["refresh_mode"], r["fresh"])
+        for r in cat2.sql("SHOW MATERIALIZED VIEWS").collect()
+    }
+    assert rows["mv_totals"] == ("src", "incremental_agg", True)
+    assert rows["mv_join"][1] == "rebuild_multi" and rows["mv_join"][2]
+    assert set(rows["mv_pairs"][0].split(",")) == {"src", "dim"}
+    cat2.sql("INSERT INTO src VALUES (7, 'c', 1)")
+    rows = {
+        r["name"]: r["fresh"]
+        for r in cat2.sql("SHOW MATERIALIZED VIEWS").collect()
+    }
+    assert not rows["mv_totals"] and not rows["mv_join"]
+
+
 def test_explain_statement(cat):
     plan = cat.sql("EXPLAIN SELECT grp FROM src WHERE grp = 'a'").collect()
     assert len(plan) == 1 and "Physical Plan" in plan[0]["plan"]
