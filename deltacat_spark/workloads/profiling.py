@@ -148,8 +148,78 @@ ORDER BY day
 """
 
 
+_BACKTEST_DAYS = 14
+_SEASON = 7
+
+
+def seasonal_naive_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast-quality backtest of the weekly seasonal-naive model
+    (ŷ(d) = y(d−7)) over each event_type's daily-volume series, last 14
+    days: (event_type, n_days, mae_milli) with MAE in exact integer
+    milli-events (Σ|y−ŷ|·1000 // n). The monitoring-pipeline shape: one
+    day-keyed aggregate (series is days×types-sized — tiny forever), a
+    self-join shifted by the season, and a bounded-window error
+    aggregate. At 100 TB only the first aggregation sees raw events and
+    it map-side combines to the series size."""
+    e = load(spark, sf_dir, "events")
+    daily = (
+        e.select("event_type", F.expr(f"ts_us div {_DAY_US}").alias("day"))
+        .groupBy("event_type", "day")
+        .agg(cnt("n"))
+        .localCheckpoint(eager=False)  # two consumers: actuals + lags
+    )
+    max_day = daily.agg(F.max("day").alias("max_day"))
+    lag = daily.select(
+        "event_type",
+        (F.col("day") + _SEASON).alias("day"),
+        F.col("n").alias("n_lag"),
+    )
+    err = (
+        daily.crossJoin(F.broadcast(max_day))
+        .filter(F.col("day") > F.col("max_day") - _BACKTEST_DAYS)
+        .join(lag, ["event_type", "day"], "left")
+        .select(
+            "event_type",
+            F.abs(
+                F.col("n") - F.coalesce(F.col("n_lag"), F.lit(0))
+            ).alias("ae"),
+        )
+    )
+    return (
+        err.groupBy("event_type")
+        .agg(
+            cnt("n_days"),
+            # integer division on both sides (Spark `div` truncates,
+            # DuckDB `//` floors — equal for non-negative sums)
+            F.expr("(sum(ae) * 1000) div count(*)")
+            .cast("long")
+            .alias("mae_milli"),
+        )
+        .orderBy("event_type")
+    )
+
+
+BACKTEST_SQL = f"""
+WITH daily AS (
+  SELECT event_type, ts_us // {_DAY_US} AS day, {cnt_sql('n')}
+  FROM (SELECT event_type, epoch_us(ts) AS ts_us FROM events)
+  GROUP BY 1, 2),
+mx AS (SELECT MAX(day) AS max_day FROM daily),
+err AS (
+  SELECT d.event_type, abs(d.n - COALESCE(l.n, 0)) AS ae
+  FROM daily d CROSS JOIN mx
+  LEFT JOIN daily l
+    ON l.event_type = d.event_type AND l.day = d.day - {_SEASON}
+  WHERE d.day > mx.max_day - {_BACKTEST_DAYS})
+SELECT event_type, {cnt_sql('n_days')},
+       CAST(SUM(ae) * 1000 // COUNT(*) AS BIGINT) AS mae_milli
+FROM err GROUP BY event_type ORDER BY event_type
+"""
+
+
 QUERIES = {
     "skew_profile_orders": (skew_profile_orders, SKEW_PROFILE_SQL),
+    "seasonal_naive_backtest": (seasonal_naive_backtest, BACKTEST_SQL),
     "completeness_profile": (completeness_profile, COMPLETENESS_SQL),
     "events_daily_anomalies": (events_daily_anomalies, ANOMALY_SQL),
 }
