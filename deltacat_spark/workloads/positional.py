@@ -24,6 +24,10 @@ At 100 TB: the gram index is corpus-sized but partitions by hash; the
 df table is gram-vocabulary-sized; the pairwise stage is linear in
 TRUE duplication (bounded by the df cap), and the islands window keys
 on (doc_a, doc_b, diagonal) — cardinality ~runs, never corpus-wide.
+The df cap bounds a gram's spread ACROSS documents; a gram repeated
+heavily WITHIN one document multiplies positions instead — that
+pathology is the repetition filter's job (`operators/quality.py`),
+which runs upstream of positional dedup in a real pipeline.
 
 Reference parity: deltacat has no positional dedup; this extends the
 dedup family (SURVEY.md §2 addendum) beyond `segment_dedup_keep_first`
