@@ -706,12 +706,17 @@ def test_materialized_view_aggregate_rebuilds(cat):
     assert "full" in res.collect()[0].operation
     row = cat.sql("SELECT * FROM mv_stats").collect()[0]
     assert (row.n, row.total_age) == (4, 130)
+    # multi-table MVs are supported since r8 (pinned-snapshot full
+    # rebuild, one watermark per source — tests/test_mv_rewrite.py);
+    # only table-free SQL is rejected here
     cat.sql("CREATE TABLE others AS SELECT id FROM users WHERE id = 1")
-    with pytest.raises(ValueError, match="exactly ONE"):
-        cat.sql(
-            "CREATE MATERIALIZED VIEW mv_bad AS"
-            " SELECT u.id FROM users u JOIN others o ON u.id = o.id"
-        )
+    cat.sql(
+        "CREATE MATERIALIZED VIEW mv_joined AS"
+        " SELECT u.id FROM users u JOIN others o ON u.id = o.id"
+    )
+    assert {r.id for r in cat.sql("SELECT * FROM mv_joined").collect()} == {1}
+    with pytest.raises(ValueError, match="no catalog table"):
+        cat.create_materialized_view("mv_bad", "SELECT 1 AS one")
 
 
 def test_check_constraints(cat):
