@@ -109,6 +109,7 @@ BENCH_QUERIES = [
     "bpe_learn_merges",
     "bpe_encode_tokens",
     "repeated_substring_runs",
+    "seasonal_naive_backtest",
 ]
 
 # The heaviest plans from BENCH_r04, re-measured at ~10x scale in the

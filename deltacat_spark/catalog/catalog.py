@@ -647,6 +647,19 @@ class Catalog:
         target = self.snapshot(
             table, namespace, version_as_of=version, timestamp_as_of=timestamp
         )
+        # Materialized-view watermarks are DATA-COUPLED properties: the
+        # restored contents are the target's, so the restore commit must
+        # re-stamp the watermark the target recorded — otherwise the
+        # head's (newer) watermark would describe reverted data and the
+        # MV query rewrite would serve stale rows as "fresh". Keys the
+        # head has but the target lacks reset to -1 (never fresh).
+        from deltacat_spark.catalog.materialize import MV_SRC_VERSION
+
+        wm_props = {
+            k: target.properties.get(k, "-1")
+            for k in cur.properties
+            if k == MV_SRC_VERSION or k.startswith(MV_SRC_VERSION + ".")
+        }
         mor_types = {
             DeltaType.UPSERT,
             DeltaType.DELETE,
@@ -656,7 +669,13 @@ class Catalog:
             resolved = self.read_table(
                 table, namespace, version_as_of=version, timestamp_as_of=timestamp
             )
-            self.write_to_table(resolved, table, namespace, mode="replace")
+            self.write_to_table(
+                resolved,
+                table,
+                namespace,
+                mode="replace",
+                commit_properties=wm_props or None,
+            )
             return self.snapshot(table, namespace).version
         adds = [
             {
@@ -685,6 +704,7 @@ class Catalog:
             partition_scheme=target.partition_scheme,
             sort_scheme=target.sort_scheme,
             actions=[{"remove": {"path": f.path}} for f in cur.files] + adds,
+            properties=wm_props or None,
         )
         self._log(table, namespace).commit(commit)
         return commit.version

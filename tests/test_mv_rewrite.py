@@ -179,6 +179,43 @@ def test_show_materialized_views_and_sql_create_multi(cat2):
     assert not rows["mv_totals"] and not rows["mv_join"]
 
 
+def test_mv_rewrite_respects_restore_on_either_side(cat):
+    """RESTORE moves a table's version FORWARD (a restore is a new
+    commit), so restoring the SOURCE strands the MV's watermark and
+    restoring the MV strands its recorded watermark — both must
+    disable the rewrite until an explicit refresh."""
+    cat.sql("INSERT INTO src VALUES (4, 'b', 100)")
+    cat.refresh_materialized_view("mv_totals")
+    cat.sql(MV_SQL)
+    assert cat.last_sql_rewrite == "mv_totals"
+    # restore the SOURCE back one version → src.version bumps, MV stale
+    v = cat.snapshot("src").version
+    cat.restore_table("src", version=v - 1)
+    got = cat.sql(MV_SQL)
+    assert cat.last_sql_rewrite is None
+    assert _rows(got) == {("a", 2, 30), ("b", 1, 5)}
+    cat.refresh_materialized_view("mv_totals")
+    cat.sql(MV_SQL)
+    assert cat.last_sql_rewrite == "mv_totals"
+    # restore the MV ITSELF to its bootstrap version → stale watermark
+    cat.restore_table("mv_totals", version=1)
+    cat.sql(MV_SQL)
+    assert cat.last_sql_rewrite is None
+
+
+def test_mv_rewrite_never_hits_time_travel_reads(cat):
+    """`FROM src VERSION AS OF n` is rewritten to a pinned view BEFORE
+    MV matching, so a time-travel read can never be served by the MV
+    (whose contents track the current version)."""
+    cat.sql("INSERT INTO src VALUES (4, 'b', 100)")
+    cat.refresh_materialized_view("mv_totals")
+    v = cat.snapshot("src").version
+    q = MV_SQL.replace("FROM src", f"FROM src VERSION AS OF {v - 1}")
+    got = _rows(cat.sql(q))
+    assert cat.last_sql_rewrite is None
+    assert got == {("a", 2, 30), ("b", 1, 5)}
+
+
 def test_explain_statement(cat):
     plan = cat.sql("EXPLAIN SELECT grp FROM src WHERE grp = 'a'").collect()
     assert len(plan) == 1 and "Physical Plan" in plan[0]["plan"]
