@@ -216,6 +216,39 @@ def test_mv_rewrite_never_hits_time_travel_reads(cat):
     assert got == {("a", 2, 30), ("b", 1, 5)}
 
 
+def test_normalize_sql_properties():
+    """The rewrite matcher's normalizer: idempotent, literal-preserving
+    (content AND case), whitespace/case-collapsing outside literals."""
+    from hypothesis import given, settings, strategies as st
+
+    from deltacat_spark.catalog.catalog import _normalize_sql
+
+    sql_chars = st.text(
+        alphabet="abcXYZ09_ ()*,=<>.\n\t;'", min_size=0, max_size=80
+    )
+
+    @given(sql_chars)
+    @settings(max_examples=300, deadline=None)
+    def run(q):
+        n1 = _normalize_sql(q)
+        assert _normalize_sql(n1) == n1, "not idempotent"
+        # balanced-quote inputs: literal contents survive byte-for-byte
+        if q.count("'") % 2 == 0:
+            import re
+
+            lits = re.findall(r"'[^']*'", q)
+            for lit in lits:
+                assert lit in n1 or lit.replace("''", "''") in n1
+
+    run()
+    # pinned cases
+    assert _normalize_sql("SELECT  A\nFROM t ;;") == "select a from t"
+    assert _normalize_sql("SELECT 'AbC' FROM t") == "select 'AbC' from t"
+    assert (
+        _normalize_sql("select 'it''s'  X") == "select 'it''s' x"
+    ), "escaped quote must stay inside the literal"
+
+
 def test_explain_statement(cat):
     plan = cat.sql("EXPLAIN SELECT grp FROM src WHERE grp = 'a'").collect()
     assert len(plan) == 1 and "Physical Plan" in plan[0]["plan"]
