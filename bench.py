@@ -110,6 +110,7 @@ BENCH_QUERIES = [
     "bpe_encode_tokens",
     "repeated_substring_runs",
     "seasonal_naive_backtest",
+    "scd2_state_census",
 ]
 
 # The heaviest plans from BENCH_r04, re-measured at ~10x scale in the
