@@ -64,3 +64,71 @@ def running_key_totals(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+_SCD_OUTPUT = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("state", StringType()),
+        StructField("from_us", LongType()),
+        StructField("to_us", LongType()),
+    ]
+)
+_SCD_STATE = StructType(
+    [
+        StructField("cur_state", StringType()),
+        StructField("cur_from", LongType()),
+    ]
+)
+
+
+def scd2_stream_intervals(
+    stream_df: DataFrame,
+    key_col: str = "user_id",
+    state_col: str = "state",
+    ts_col: str = "ts_us",
+) -> DataFrame:
+    """Streaming SCD2 interval-izer: per-key managed state holds the
+    OPEN interval (current state + its start); every arriving change
+    event closes it and opens the next. Emits exactly the CLOSED
+    intervals the batch build (`workloads/scd.py:_intervals`) produces
+    — per event, matching its semantics (a same-state refresh also
+    closes/reopens) — so stream ≡ batch is testable row-for-row.
+
+    Ordering contract: events must arrive in event-time order per key
+    ACROSS micro-batches (within a batch this operator sorts). That is
+    the watermark discipline any streaming interval-izer needs; out-of-
+    order arrivals belong upstream in a watermarked sort buffer."""
+
+    def fold(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        cur_state, cur_from = (
+            state.get if state.exists else (None, None)
+        )
+        out: list[tuple] = []
+        chunks = [p for p in pdfs if len(p)]
+        if chunks:
+            rows = pd.concat(chunks).sort_values(ts_col)
+            for s, t in zip(rows[state_col], rows[ts_col]):
+                t = int(t)
+                if cur_state is not None:
+                    out.append((int(key[0]), cur_state, cur_from, t))
+                cur_state, cur_from = str(s), t
+        state.update((cur_state, cur_from))
+        yield pd.DataFrame(
+            out, columns=["user_id", "state", "from_us", "to_us"]
+        )
+
+    grouped = stream_df.select(
+        stream_df[key_col].cast("long").alias(key_col),
+        stream_df[state_col].cast("string").alias(state_col),
+        stream_df[ts_col].cast("long").alias(ts_col),
+    ).groupBy(key_col)
+    return grouped.applyInPandasWithState(
+        fold,
+        outputStructType=_SCD_OUTPUT,
+        stateStructType=_SCD_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
