@@ -35,6 +35,8 @@ DECODE_SCHEMA = T.StructType(
 _MAGIC = {
     b"\x89PNG": "png",
     b"\xff\xd8\xff": "jpeg",
+    b"GIF8": "gif",
+    b"BM": "bmp",
     b"RIFF": "wav",
     b"\x00\x00\x00\x18": "mp4",
     b"\x00\x00\x00\x20": "mp4",
@@ -55,6 +57,36 @@ def _sniff_magic(payload: bytes) -> str:
         if payload[: len(sig)] == sig:
             return name
     return "unknown"
+
+
+def parse_header_dims(payload: bytes) -> "tuple[int, int] | None":
+    """REAL image dimensions from container headers by byte arithmetic
+    alone — no imaging library needed, so this part of the decode path
+    is NOT stubbed. Supports the fixed-offset header formats:
+
+    * PNG: IHDR width/height, big-endian u32 at bytes 16..23;
+    * GIF: logical-screen width/height, little-endian u16 at 6..9;
+    * BMP: BITMAPINFOHEADER width/height, little-endian i32 at 18..25
+      (height may be negative = top-down rows; abs() is the dimension).
+
+    Returns None for anything else (JPEG dimensions live in variable
+    SOF segments — that is the PIL integration point, `decode="real"`).
+    """
+    if payload[:4] == b"\x89PNG" and len(payload) >= 24:
+        return (
+            int.from_bytes(payload[16:20], "big"),
+            int.from_bytes(payload[20:24], "big"),
+        )
+    if payload[:4] in (b"GIF8",) and len(payload) >= 10:
+        return (
+            int.from_bytes(payload[6:8], "little"),
+            int.from_bytes(payload[8:10], "little"),
+        )
+    if payload[:2] == b"BM" and len(payload) >= 26:
+        w = int.from_bytes(payload[18:22], "little", signed=True)
+        h = int.from_bytes(payload[22:26], "little", signed=True)
+        return (abs(w), abs(h))
+    return None
 
 
 def fake_decode_images(df: DataFrame, decode: str = "fake") -> DataFrame:
@@ -82,14 +114,22 @@ def fake_decode_images(df: DataFrame, decode: str = "fake") -> DataFrame:
             for path, content in zip(pdf["path"], pdf["content"]):
                 payload = bytes(content)
                 digest = hashlib.md5(payload).hexdigest()
+                # fixed-offset headers (PNG/GIF/BMP) decode for REAL —
+                # byte arithmetic, no imaging lib; everything else gets
+                # deterministic pseudo-dimensions from the digest
+                dims = parse_header_dims(payload)
+                if dims is None:
+                    dims = (
+                        64 + int(digest[:4], 16) % 1024,
+                        64 + int(digest[4:8], 16) % 1024,
+                    )
                 rows.append(
                     {
                         "path": path,
                         "n_bytes": len(payload),
                         "magic": _sniff_magic(payload),
-                        # deterministic pseudo-dimensions from the digest
-                        "width": 64 + int(digest[:4], 16) % 1024,
-                        "height": 64 + int(digest[4:8], 16) % 1024,
+                        "width": dims[0],
+                        "height": dims[1],
                         "digest": digest,
                     }
                 )

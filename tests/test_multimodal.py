@@ -21,8 +21,19 @@ def media_dir(tmp_path):
     d.mkdir()
     payloads = {}
     for i in range(6):
-        magic = [b"\x89PNG", b"\xff\xd8\xff", b"RIFF"][i % 3]
-        body = magic + bytes((i * 37 + j) % 256 for j in range(400 + i * 100))
+        if i % 3 == 0:
+            # a VALID PNG header: signature + IHDR with planted dims —
+            # parse_header_dims decodes these for real
+            head = (
+                b"\x89PNG\r\n\x1a\n"
+                + (13).to_bytes(4, "big")
+                + b"IHDR"
+                + (320 + i).to_bytes(4, "big")
+                + (240 + i).to_bytes(4, "big")
+            )
+        else:
+            head = [b"", b"\xff\xd8\xff", b"RIFF"][i % 3]
+        body = head + bytes((i * 37 + j) % 256 for j in range(400 + i * 100))
         p = d / f"file_{i}.bin"
         p.write_bytes(body)
         payloads[str(p)] = body
@@ -65,8 +76,34 @@ def test_fake_decode_mapinpandas(spark, media_dir):
         r = by_name[os.path.basename(p)]
         assert r.n_bytes == len(body)
         assert r.digest == hashlib.md5(body).hexdigest()
-        assert r.magic in ("png", "jpeg", "wav")
-        assert 64 <= r.width < 64 + 1024
+        i = int(os.path.basename(p).split("_")[1].split(".")[0])
+        if i % 3 == 0:
+            # PNG header dims decode for REAL (byte arithmetic)
+            assert r.magic == "png"
+            assert (r.width, r.height) == (320 + i, 240 + i)
+        else:
+            assert r.magic in ("jpeg", "wav")
+            assert 64 <= r.width < 64 + 1024
+
+
+def test_parse_header_dims_unit():
+    from deltacat_spark.sources.multimodal import parse_header_dims
+
+    png = (
+        b"\x89PNG\r\n\x1a\n" + (13).to_bytes(4, "big") + b"IHDR"
+        + (1920).to_bytes(4, "big") + (1080).to_bytes(4, "big")
+    )
+    assert parse_header_dims(png) == (1920, 1080)
+    gif = b"GIF89a" + (640).to_bytes(2, "little") + (480).to_bytes(2, "little")
+    assert parse_header_dims(gif) == (640, 480)
+    bmp = (
+        b"BM" + bytes(16)
+        + (800).to_bytes(4, "little", signed=True)
+        + (-600).to_bytes(4, "little", signed=True)  # top-down rows
+    )
+    assert parse_header_dims(bmp) == (800, 600)
+    assert parse_header_dims(b"\xff\xd8\xffJPEG...") is None
+    assert parse_header_dims(b"\x89PNG") is None  # truncated header
 
 
 def test_real_decode_is_stubbed(spark, media_dir):
