@@ -88,6 +88,54 @@ def test_streaming_cms_registers_match_batch(spark, tmp_path):
     assert streamed == batch
 
 
+def test_streaming_quantile_registers_match_batch(spark, tmp_path):
+    """Log-histogram quantile registers are (grp,bucket)-keyed COUNTs —
+    a structured stream maintains them with plain aggregate state and
+    equals the batch registers over the union of chunks."""
+    src = str(tmp_path / "src")
+    a = spark.createDataFrame(
+        [(i % 3, 1 + i * 7) for i in range(200)], "g int, v long"
+    )
+    b = spark.createDataFrame(
+        [(i % 2, 1 + i * 13) for i in range(200)], "g int, v long"
+    )
+    a.write.parquet(src)
+    b.write.mode("append").parquet(src)
+
+    def regs(df):
+        return (
+            df.select(
+                "g", F.length(F.bin(F.col("v"))).cast("int").alias("bucket")
+            )
+            .groupBy("g", "bucket")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+
+    batch = {
+        (r["g"], r["bucket"], r["n"])
+        for r in regs(spark.read.parquet(src)).collect()
+    }
+    stream = (
+        spark.readStream.schema("g int, v long")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = (
+        regs(stream)
+        .writeStream.format("memory")
+        .queryName("q_regs")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = {
+        (r["g"], r["bucket"], r["n"])
+        for r in spark.sql("SELECT * FROM q_regs").collect()
+    }
+    assert streamed == batch
+
+
 def test_quantile_sketch_brackets_exact_quantiles(spark):
     """For every (grp, p) the sketch's bucket must be the bucket of the
     EXACT p-quantile (same cum >= p*tot/1000 definition), so the true
