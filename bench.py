@@ -399,6 +399,13 @@ def main() -> None:
             "dedup_minhash_lsh",
             "dedup_containment",
             "dup_ngram_fraction",
+            # round 8: register build (scan-bound — time tracks data
+            # size, output fixed at 2048 cells) and positional dedup
+            # (linear in true duplication: make_scale perturbs replicas,
+            # so runs grow exactly with the corpus — measured 256/2560/
+            # 7680 at 1x/10x/30x)
+            "cms_heavy_hitters",
+            "repeated_substring_runs",
         ]
         try:
             tools_dir = os.path.join(
