@@ -296,6 +296,9 @@ class Catalog:
         # visibility of pending_txn-stamped commits across ALL tables
         # (see `storage/commit.py:TxnMarkers`).
         self._txn_markers = TxnMarkers(root, fs=fs)
+        # Observability for the MV query rewrite: name of the MV that
+        # answered the last sql() read, or None (set on every read).
+        self.last_sql_rewrite: "str | None" = None
         self._txn_ctx: str | None = None
         # Audit stamp: while an interactive transaction seals, its id is
         # written into every commit's txn_id (see CommitLog.txn_stamp).
@@ -2449,6 +2452,13 @@ class Catalog:
         if self.table_exists(name) or self.fs.exists(self._mv_path(name)):
             if not replace:
                 raise ValueError(f"{name!r} already exists")
+            # CREATE OR REPLACE: the old MV table's watermark describes
+            # the OLD definition's contents — left in place, an unchanged
+            # source version would no-op the bootstrap refresh and the
+            # query rewrite would serve the old definition's rows as the
+            # new SQL's answer. REPLACE starts a fresh derived table.
+            if self.table_exists(name):
+                self.drop_table(name)
         self.fs.makedirs(self._views_dir)
         from deltacat_spark.catalog.materialize import parse_agg_view
 
@@ -2459,6 +2469,9 @@ class Catalog:
                 {
                     "name": name,
                     "sql": view_sql,
+                    # precomputed at create time so the per-SELECT
+                    # rewrite probe doesn't re-normalize every MV's SQL
+                    "sql_norm": _normalize_sql(view_sql),
                     "src": refs[0],
                     # multi-table MVs refresh by exact full rebuild over
                     # PINNED per-source snapshots (version-consistent),
@@ -2528,13 +2541,33 @@ class Catalog:
         if self.table_exists(name):
             props = self.snapshot(name).properties
             last = {t: props.get(f"{MV_SRC_VERSION}.{t}") for t in srcs}
+            # '==', not '>=': a watermark PAST a source's current
+            # version means the source was dropped/recreated — the MV
+            # contents describe a dead incarnation and must rebuild
             if all(
-                last[t] is not None and int(last[t]) >= cur[t] for t in srcs
+                last[t] is not None and int(last[t]) == cur[t] for t in srcs
             ):
                 return {"mode": "noop", "src_versions": cur}
+        # Pinned snapshots go under PRIVATE view names and the SQL's
+        # references are rewritten (literal-blind) — registering under
+        # the bare table names would leave version-pinned views
+        # shadowing the tables for any later raw spark.sql in this
+        # session (the single-table path avoids this the same way).
+        text = vsql
         for t in srcs:
-            self.register_view(t, version_as_of=cur[t])
-        out = self.spark.sql(vsql)
+            tmp = f"__mv_src_{name}_{t}"
+            self.register_view(t, view_name=tmp, version_as_of=cur[t])
+            stripped = _strip_literals(text)
+            out_parts, last = [], 0
+            for mm in re.finditer(
+                rf"\b{re.escape(t)}\b", stripped, re.IGNORECASE
+            ):
+                out_parts.append(text[last : mm.start()])
+                out_parts.append(tmp)
+                last = mm.end()
+            out_parts.append(text[last:])
+            text = "".join(out_parts)
+        out = self.spark.sql(text)
         self.write_to_table(
             out,
             name,
@@ -2562,8 +2595,13 @@ class Catalog:
         from deltacat_spark.catalog.materialize import MV_SRC_VERSION
 
         qn = _normalize_sql(query)
+        # An ORDER BY query's answer is ORDERED; a table read is not.
+        # Refuse the rewrite rather than silently drop the ordering —
+        # conservative (a miss is always safe).
+        if re.search(r"\border\s+by\b", _strip_literals(qn)):
+            return None
         for name, d in mvs.items():
-            if _normalize_sql(d.get("sql", "")) != qn:
+            if (d.get("sql_norm") or _normalize_sql(d.get("sql", ""))) != qn:
                 continue
             if not self.table_exists(name):
                 continue
@@ -3126,11 +3164,15 @@ class Catalog:
                     mode = "rebuild"
                 fresh = False
                 if self.table_exists(name):
+                    # same '==' gate as _mv_rewrite_target: a watermark
+                    # PAST the source's current version (e.g. the source
+                    # was dropped and recreated) is stale, not fresh —
+                    # the two freshness surfaces must agree
                     try:
                         props = self.snapshot(name).properties
                         if len(srcs) == 1:
                             raw = props.get(MV_SRC_VERSION)
-                            fresh = raw is not None and int(raw) >= (
+                            fresh = raw is not None and int(raw) == (
                                 self.snapshot(srcs[0]).version
                             )
                         else:
@@ -3138,7 +3180,7 @@ class Catalog:
                                 props.get(f"{MV_SRC_VERSION}.{t}")
                                 is not None
                                 and int(props[f"{MV_SRC_VERSION}.{t}"])
-                                >= self.snapshot(t).version
+                                == self.snapshot(t).version
                                 for t in srcs
                             )
                     except (FileNotFoundError, ValueError):

@@ -182,10 +182,17 @@ def refresh_incremental(
                 last = int(raw)
             except ValueError:
                 last = None
-    if last is not None and last >= src_snap.version:
+    # '==', not '>=': a watermark PAST the source's current version
+    # means the source was dropped and recreated — the MV contents
+    # describe a dead incarnation and must rebuild (same gate as the
+    # multi-table path and the query rewrite)
+    if last is not None and last == src_snap.version:
         return {"mode": "noop", "src_version": src_snap.version}
 
-    if last is not None and record_wise:
+    # incremental paths require a real forward window (last < current —
+    # a dead-incarnation watermark would replay an empty window and
+    # "incrementally" append nothing onto the dead contents)
+    if last is not None and last < src_snap.version and record_wise:
         if _insert_only_window(catalog, src, namespace, src_snap.version, last):
             changes = catalog.read_changes(
                 src, from_version=last, to_version=src_snap.version,
@@ -208,6 +215,7 @@ def refresh_incremental(
 
     if (
         last is not None
+        and last < src_snap.version
         and agg_spec is not None
         and _insert_only_window(catalog, src, namespace, src_snap.version, last)
     ):

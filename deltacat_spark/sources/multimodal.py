@@ -83,6 +83,12 @@ def parse_header_dims(payload: bytes) -> "tuple[int, int] | None":
             int.from_bytes(payload[8:10], "little"),
         )
     if payload[:2] == b"BM" and len(payload) >= 26:
+        # the DIB header size at offset 14 disambiguates layouts: only
+        # BITMAPINFOHEADER-and-later (>= 40) store i32 dims at 18/22 —
+        # an OS/2 BITMAPCOREHEADER (12) stores u16s, which read as two
+        # i32s would decode garbage
+        if int.from_bytes(payload[14:18], "little") < 40:
+            return None
         w = int.from_bytes(payload[18:22], "little", signed=True)
         h = int.from_bytes(payload[22:26], "little", signed=True)
         return (abs(w), abs(h))

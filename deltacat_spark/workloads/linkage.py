@@ -47,7 +47,13 @@ def er_fuzzy_match_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ent = (
         part.groupBy(F.col("p_name").alias("name"))
         .agg(F.count(F.lit(1)).alias("support"))
-        .withColumn("blk", F.element_at(F.split("name", " "), 2))
+        # coalesce to '' so a single-token name matches DuckDB's
+        # split_part semantics (empty string, not NULL — NULL would
+        # silently drop the entity from the self-join on Spark only)
+        .withColumn(
+            "blk",
+            F.coalesce(F.element_at(F.split("name", " "), 2), F.lit("")),
+        )
     )
     a = ent.select(
         F.col("name").alias("name_a"),

@@ -97,11 +97,15 @@ def test_parse_header_dims_unit():
     gif = b"GIF89a" + (640).to_bytes(2, "little") + (480).to_bytes(2, "little")
     assert parse_header_dims(gif) == (640, 480)
     bmp = (
-        b"BM" + bytes(16)
+        b"BM" + bytes(12)
+        + (40).to_bytes(4, "little")  # BITMAPINFOHEADER size
         + (800).to_bytes(4, "little", signed=True)
         + (-600).to_bytes(4, "little", signed=True)  # top-down rows
     )
     assert parse_header_dims(bmp) == (800, 600)
+    # OS/2 BITMAPCOREHEADER stores u16 dims — must NOT decode as i32s
+    core = b"BM" + bytes(12) + (12).to_bytes(4, "little") + bytes(8)
+    assert parse_header_dims(core) is None
     assert parse_header_dims(b"\xff\xd8\xffJPEG...") is None
     assert parse_header_dims(b"\x89PNG") is None  # truncated header
 
