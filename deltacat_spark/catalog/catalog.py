@@ -2588,7 +2588,14 @@ class Catalog:
         `_normalize_sql` textual equivalence: conservative (formatting
         differences miss the rewrite, which is always safe) and
         literal-exact (a query differing only inside a string literal
-        never matches)."""
+        never matches). ORDER BY queries are never rewritten (a table
+        read cannot honor the ordering).
+
+        Cost: one tiny-JSON read per registered MV per SELECT (the
+        freshness price — watermarks must be CURRENT, so they cannot be
+        cached across statements); definitions carry their normalized
+        SQL precomputed. `sql(..., mv_rewrite=False)` skips the probe
+        entirely for rewrite-indifferent pipelines."""
         mvs = self.list_materialized_views()
         if not mvs:
             return None
