@@ -160,6 +160,78 @@ def _strip_literals(text: str) -> str:
     return "".join(out)
 
 
+def _table_ref_spans(stripped: str, table: str) -> "list[tuple[int, int]]":
+    """(start, end) spans where `table` occurs in TABLE-REFERENCE
+    position — directly after FROM/JOIN (through join modifiers) or
+    after a comma inside a FROM list — in literal-stripped SQL.
+
+    A bare ``\\b``-token scan would also hit column names and aliases
+    (``SELECT o.orders FROM orders o`` names a column `orders`), so the
+    MV refresh rewrite would corrupt the query. This is a lexical state
+    machine, not a parser: qualified names (``a.b``) never match (the
+    catalog is single-namespace flat in SQL position), a missed exotic
+    position degrades to reading the live table (pins are a consistency
+    refinement), and a false replacement cannot happen outside table
+    position."""
+    import re
+
+    spans: list[tuple[int, int]] = []
+    stop = {
+        "where", "group", "order", "having", "limit", "on", "using",
+        "select", "union", "except", "intersect", "window", "qualify",
+        "pivot", "unpivot", "tablesample", "values", "lateral",
+    }
+    join_mods = {
+        "left", "right", "full", "inner", "outer", "cross", "semi",
+        "anti", "natural",
+    }
+    in_from = False  # inside a FROM list: a comma introduces a table
+    expect = False   # the next identifier is a table reference
+    for m in re.finditer(r"`[^`]*`|\w+|[(),.]", stripped):
+        tok = m.group(0)
+        low = tok.lower()
+        if low == "from":
+            in_from = expect = True
+            continue
+        if low == "join":
+            expect = True
+            continue
+        if low in join_mods:
+            continue
+        if low in stop:
+            in_from = expect = False
+            continue
+        if tok == ",":
+            expect = in_from
+            continue
+        if tok == ".":
+            # qualifier boundary — whatever follows is not a bare table
+            expect = False
+            continue
+        if tok in "()":
+            expect = False  # subquery/function — inner FROM re-triggers
+            continue
+        if expect:
+            if low == table.lower() or tok == f"`{table}`":
+                spans.append((m.start(), m.end()))
+            expect = False  # next identifier would be an alias
+    return spans
+
+
+def _substitute_table_refs(sql: str, table: str, replacement: str) -> str:
+    """Replace table-reference occurrences of `table` in `sql` with
+    `replacement`, using `_strip_literals` + `_table_ref_spans` so
+    string literals, column names, and aliases are never touched."""
+    spans = _table_ref_spans(_strip_literals(sql), table)
+    out, last = [], 0
+    for s, e in spans:
+        out.append(sql[last:s])
+        out.append(replacement)
+        last = e
+    out.append(sql[last:])
+    return "".join(out)
+
+
 def _normalize_sql(text: str) -> str:
     """Whitespace/case-normalize SQL OUTSIDE string literals (literal
     content is preserved byte-for-byte, including case): lowercased
@@ -1799,15 +1871,37 @@ class Catalog:
         `generated_expr` column the payload omits; VALIDATE (null-safe
         equality) any the payload provides — a writer cannot desync the
         column from its definition, so partition pruning on a generated
-        partition column stays truthful. Partial payloads that lack the
-        expression's source columns are left untouched (the partial-
-        upsert stitch keeps the stored value). DELETE payloads are
-        filters, not data."""
+        partition column stays truthful. Partial payloads that lack ALL
+        of the expression's source columns are left untouched (the
+        partial-upsert stitch keeps the stored value AND the stored
+        sources, so they stay in sync); a payload carrying a strict
+        SUBSET of the sources — or the generated column itself without
+        its full source set — is REJECTED (Delta's restriction on
+        updating generation source columns): the stitch would pair an
+        updated source with a stale stored value and desync the
+        invariant. DELETE payloads are filters, not data."""
         if mode == TableWriteMode.DELETE:
             return df
         from pyspark.errors import AnalysisException
 
+        df_cols = {c.lower() for c in df.columns}
         for f in [f for f in schema.fields if f.generated_expr]:
+            src = self._expr_source_cols(
+                f.generated_expr,
+                [n for n in schema.names if n.lower() != f.name.lower()],
+            )
+            carried = df_cols & src
+            provided = f.name.lower() in df_cols
+            if src and carried != src and (carried or provided):
+                raise SchemaError(
+                    f"partial payload touches generated column "
+                    f"{f.name!r} (GENERATED ALWAYS AS "
+                    f"({f.generated_expr})) without its full source "
+                    f"column set {sorted(src)}: carries "
+                    f"{sorted(carried) + ([f.name] if provided else [])}"
+                    " — include every source column (the value is then "
+                    "recomputed/validated) or none of them"
+                )
             expr = F.expr(f.generated_expr).cast(f.data_type)
             if f.name not in df.columns:
                 try:
@@ -1815,7 +1909,8 @@ class Catalog:
                 except AnalysisException:
                     # Source columns absent from a partial payload — the
                     # expression can't resolve; leave the column to the
-                    # stitch/coercion path.
+                    # stitch/coercion path (stored value + stored
+                    # sources both survive, still consistent).
                     continue
             else:
                 try:
@@ -1829,6 +1924,27 @@ class Catalog:
                         f"({f.generated_expr})"
                     )
         return df
+
+    @staticmethod
+    def _expr_source_cols(expr_sql: str, schema_names) -> set:
+        """Lower-cased schema columns referenced by a generated-column
+        expression — lexical scan (identifiers that are not function
+        calls, plus backquoted identifiers), intersected with the
+        schema so SQL keywords/literals never count. A column name
+        shadowed by a same-named function reads as a reference
+        (conservative: over-counting sources rejects a partial payload
+        loudly instead of silently desyncing)."""
+        import re
+
+        names = {n.lower() for n in schema_names}
+        src: set = set()
+        for m in re.finditer(r"`([^`]+)`|\b([A-Za-z_]\w*)\b", expr_sql):
+            ident = m.group(1) or m.group(2)
+            if not m.group(1) and expr_sql[m.end():].lstrip().startswith("("):
+                continue  # function call, not a column reference
+            if ident.lower() in names:
+                src.add(ident.lower())
+        return src
 
     def _enforce_constraints(
         self, df: DataFrame, props: dict, table: str, namespace: str
@@ -1972,17 +2088,27 @@ class Catalog:
     def _payload_bounds(payload: DataFrame, cols: list[str]) -> dict:
         """Per-column (min, max) of the payload on `cols` — one tiny
         aggregate job; dates normalized to ISO strings to match the
-        footer-stats encoding."""
+        footer-stats encoding.
+
+        A column where the payload carries ANY NULL key is excluded:
+        merge/delete key matching is null-safe (`<=>`), but parquet
+        footer min/max ignore nulls, so a file could prove range-
+        disjointness while still holding the NULL-key row the payload
+        must replace — that column can never prove a file untouched."""
         import datetime
 
         bounds: dict[str, tuple] = {}
         agg_row = payload.agg(
             *[F.min(F.col(c)).alias(f"lo_{i}") for i, c in enumerate(cols)],
             *[F.max(F.col(c)).alias(f"hi_{i}") for i, c in enumerate(cols)],
+            *[
+                F.max(F.col(c).isNull().cast("int")).alias(f"nn_{i}")
+                for i, c in enumerate(cols)
+            ],
         ).collect()[0]
         for i, c in enumerate(cols):
             lo, hi = agg_row[f"lo_{i}"], agg_row[f"hi_{i}"]
-            if lo is None or hi is None:
+            if lo is None or hi is None or agg_row[f"nn_{i}"] == 1:
                 continue
             if isinstance(lo, (datetime.datetime, datetime.date)):
                 lo, hi = lo.isoformat(), hi.isoformat()
@@ -2504,20 +2630,11 @@ class Catalog:
             return self._refresh_mv_multi(name, vsql, srcs)
 
         def transform(df: DataFrame) -> DataFrame:
-            import re
-
             tmp = f"__mv_src_{name}"
             df.createOrReplaceTempView(tmp)
-            stripped = _strip_literals(vsql)
-            out, last = [], 0
-            for mm in re.finditer(
-                rf"\b{re.escape(src)}\b", stripped, re.IGNORECASE
-            ):
-                out.append(vsql[last : mm.start()])
-                out.append(tmp)
-                last = mm.end()
-            out.append(vsql[last:])
-            return self.spark.sql("".join(out))
+            # table-reference-position substitution only — a column or
+            # alias spelled like the source table survives untouched
+            return self.spark.sql(_substitute_table_refs(vsql, src, tmp))
 
         return refresh_incremental(
             self,
@@ -2549,24 +2666,18 @@ class Catalog:
             ):
                 return {"mode": "noop", "src_versions": cur}
         # Pinned snapshots go under PRIVATE view names and the SQL's
-        # references are rewritten (literal-blind) — registering under
-        # the bare table names would leave version-pinned views
-        # shadowing the tables for any later raw spark.sql in this
-        # session (the single-table path avoids this the same way).
+        # table references are rewritten IN TABLE POSITION only
+        # (`_substitute_table_refs` — a column/alias spelled like a
+        # source table, e.g. `SELECT o.orders FROM orders o`, is never
+        # touched) — registering under the bare table names would leave
+        # version-pinned views shadowing the tables for any later raw
+        # spark.sql in this session (the single-table path avoids this
+        # the same way).
         text = vsql
         for t in srcs:
             tmp = f"__mv_src_{name}_{t}"
             self.register_view(t, view_name=tmp, version_as_of=cur[t])
-            stripped = _strip_literals(text)
-            out_parts, last = [], 0
-            for mm in re.finditer(
-                rf"\b{re.escape(t)}\b", stripped, re.IGNORECASE
-            ):
-                out_parts.append(text[last : mm.start()])
-                out_parts.append(tmp)
-                last = mm.end()
-            out_parts.append(text[last:])
-            text = "".join(out_parts)
+            text = _substitute_table_refs(text, t, tmp)
         out = self.spark.sql(text)
         self.write_to_table(
             out,

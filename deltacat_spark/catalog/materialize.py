@@ -127,6 +127,34 @@ def _combine_partials(old_col, new_col, func: str):
     )
 
 
+def _merge_partial_into_old(partial, old, group_cols, aggs):
+    """Join the new-slice partial to the MV's current values NULL-SAFELY
+    on the group columns (`<=>`): GROUP BY over a nullable column emits
+    a NULL group whose partial must still find its old row — a plain
+    list-join would drop it and the merge would then duplicate the
+    NULL-key row instead of combining. Returns the merged upsert batch
+    keyed by the partial's group columns."""
+    from pyspark.sql import functions as F
+
+    p = partial.alias("__mv_p")
+    o = old.alias("__mv_o")
+    cond = None
+    for g in group_cols:
+        c = F.col(f"__mv_p.{g}").eqNullSafe(F.col(f"__mv_o.{g}"))
+        cond = c if cond is None else cond & c
+    return p.join(o, cond, "left").select(
+        *[F.col(f"__mv_p.{g}").alias(g) for g in group_cols],
+        *[
+            _combine_partials(
+                F.col(f"__old_{a['alias']}"),
+                F.col(f"__mv_p.{a['alias']}"),
+                a["func"],
+            ).alias(a["alias"])
+            for a in aggs
+        ],
+    )
+
+
 def _insert_only_window(catalog, src, namespace, src_version, last) -> bool:
     """Soundness check on the COMMIT LOG, not the change rows: a CoW
     MERGE without CDC sidecars produces no read_changes rows at all, so
@@ -247,17 +275,7 @@ def refresh_incremental(
                 for a in aggs
             ],
         )
-        merged = partial.join(old, group_cols, "left").select(
-            *group_cols,
-            *[
-                _combine_partials(
-                    F.col(f"__old_{a['alias']}"),
-                    F.col(a["alias"]),
-                    a["func"],
-                ).alias(a["alias"])
-                for a in aggs
-            ],
-        )
+        merged = _merge_partial_into_old(partial, old, group_cols, aggs)
         n_touched = merged.count()
         catalog.write_to_table(
             merged,
@@ -379,12 +397,21 @@ def stream_refresh_incremental(
                     for f in out.schema.fields
                 ]
                 catalog.create_table(dst, namespace, schema=Schema(fields))
-                catalog.write_to_table(out, dst, namespace, mode="merge")
+                # Watermark rides the SAME commit as the bootstrap batch:
+                # a separate alter_table would leave a crash window where
+                # the batch replays (watermark absent) and double-applies
+                # — double-counting aggregates. A crash between create
+                # and this write is harmless: the replay finds an empty
+                # keyed table and the merge path re-applies cleanly.
+                catalog.write_to_table(
+                    out, dst, namespace, mode="merge",
+                    commit_properties={MV_SRC_VERSION: str(hi)},
+                )
             else:
-                catalog.write_to_table(out, dst, namespace, mode="auto")
-            catalog.alter_table(
-                dst, namespace, properties={MV_SRC_VERSION: str(hi)}
-            )
+                catalog.write_to_table(
+                    out, dst, namespace, mode="auto",
+                    commit_properties={MV_SRC_VERSION: str(hi)},
+                )
         elif agg_spec is not None:
             group_cols = list(agg_spec["group_cols"])
             aggs = list(agg_spec["aggs"])
@@ -395,17 +422,7 @@ def stream_refresh_incremental(
                     for a in aggs
                 ],
             )
-            merged = out.join(old, group_cols, "left").select(
-                *group_cols,
-                *[
-                    _combine_partials(
-                        F.col(f"__old_{a['alias']}"),
-                        F.col(a["alias"]),
-                        a["func"],
-                    ).alias(a["alias"])
-                    for a in aggs
-                ],
-            )
+            merged = _merge_partial_into_old(out, old, group_cols, aggs)
             catalog.write_to_table(
                 merged,
                 dst,

@@ -95,11 +95,22 @@ def upsert(
     `pc.is_in` + invert + concat ≡ Spark LEFT ANTI join + unionByName.
     The anti join broadcasts when the update batch is small
     (`broadcast_updates=True`) — zero shuffle of the big side.
+
+    NULL-safe on the keys (`<=>`): the reference digests key values, so
+    a NULL key hashes to a stable bucket and `null == null` replaces —
+    a plain-equality anti join would instead keep the old NULL-key row
+    AND insert the new one (duplicate). `<=>` is still a hash-joinable
+    equi-condition, so the physical plan is unchanged.
     """
-    upd_keys = updates.select(*keys).distinct()
+    upd_keys = updates.select(*keys).distinct().alias("__dcs_u")
     if broadcast_updates:
         upd_keys = F.broadcast(upd_keys)
-    survivors = existing.join(upd_keys, on=list(keys), how="left_anti")
+    e = existing.alias("__dcs_e")
+    cond = None
+    for k in keys:
+        c = F.col(f"__dcs_e.{k}").eqNullSafe(F.col(f"__dcs_u.{k}"))
+        cond = c if cond is None else cond & c
+    survivors = e.join(upd_keys, cond, "left_anti")
     return survivors.unionByName(updates.select(*existing.columns))
 
 

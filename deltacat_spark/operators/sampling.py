@@ -155,7 +155,24 @@ def weighted_sample_topk(
     of the corpus, no RNG state, re-runs and backfills select the same
     rows. The classic use: weight = quality score or token count when
     drawing a fixed-size training subset from 100 TB.
+
+    Precondition: weights must be strictly positive. A-ES is undefined
+    otherwise — ln(u)/w flips sign for w<0 (ranking garbage above every
+    valid row) and NULL/zero weights yield NULL/±inf scores that
+    silently vanish from or dominate the top-k — so invalid weights
+    fail loudly here (one cheap short-circuit probe, same discipline as
+    the CHECK-constraint path) instead of corrupting the sample.
     """
+    bad = df.filter(
+        F.col(weight_col).isNull() | (F.col(weight_col) <= 0)
+    )
+    if bad.take(1):
+        raise ValueError(
+            f"weighted_sample_topk: weight column {weight_col!r} must be "
+            "strictly positive and non-null for every row (Efraimidis-"
+            "Spirakis u^(1/w) is undefined otherwise); filter or fix the "
+            "weights before sampling"
+        )
     u = (md5_prefix_int(F.col(id_col).cast("string"), 6) + 1) / F.lit(
         float(_HASH_SPACE + 1)
     )

@@ -59,19 +59,70 @@ def _sniff_magic(payload: bytes) -> str:
     return "unknown"
 
 
+# Start-of-frame markers carrying dimensions (JPEG/ITU T.81 §B.2.2):
+# every 0xC0..0xCF frame header EXCEPT 0xC4 (DHT), 0xC8 (JPG ext) and
+# 0xCC (DAC), which are table/extension segments with other payloads.
+_JPEG_SOF_MARKERS = frozenset(
+    m for m in range(0xC0, 0xD0) if m not in (0xC4, 0xC8, 0xCC)
+)
+
+
+def _jpeg_dims(payload: bytes) -> "tuple[int, int] | None":
+    """Walk the JPEG segment stream to the first SOFn header and read
+    (width, height) — byte arithmetic only, no imaging library.
+
+    Segment grammar: 0xFF fill bytes, a marker code, then (for framed
+    markers) a big-endian u16 length that INCLUDES its own two bytes.
+    Standalone markers (SOI/EOI/TEM/RSTn) carry no length. The SOF
+    payload is [len:2][precision:1][height:2][width:2]... Stops at SOS
+    (entropy-coded data follows; a conforming stream's SOF precedes it)
+    or any malformed structure — None, never garbage."""
+    i, n = 2, len(payload)
+    while i + 1 < n:
+        if payload[i] != 0xFF:
+            return None  # lost sync — corrupt stream
+        while i < n and payload[i] == 0xFF:
+            i += 1  # fill bytes before the marker code
+        if i >= n:
+            return None
+        marker = payload[i]
+        i += 1
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            continue  # standalone: SOI / TEM / RSTn
+        if marker == 0xD9 or marker == 0xDA:
+            return None  # EOI / SOS before any SOF
+        if i + 2 > n:
+            return None
+        seg_len = int.from_bytes(payload[i : i + 2], "big")
+        if seg_len < 2:
+            return None
+        if marker in _JPEG_SOF_MARKERS:
+            if i + 7 > n:
+                return None
+            h = int.from_bytes(payload[i + 3 : i + 5], "big")
+            w = int.from_bytes(payload[i + 5 : i + 7], "big")
+            return (w, h) if w > 0 and h > 0 else None
+        i += seg_len
+    return None
+
+
 def parse_header_dims(payload: bytes) -> "tuple[int, int] | None":
     """REAL image dimensions from container headers by byte arithmetic
     alone — no imaging library needed, so this part of the decode path
-    is NOT stubbed. Supports the fixed-offset header formats:
+    is NOT stubbed. Supports:
 
     * PNG: IHDR width/height, big-endian u32 at bytes 16..23;
     * GIF: logical-screen width/height, little-endian u16 at 6..9;
     * BMP: BITMAPINFOHEADER width/height, little-endian i32 at 18..25
-      (height may be negative = top-down rows; abs() is the dimension).
+      (height may be negative = top-down rows; abs() is the dimension);
+    * JPEG: SOFn frame-header walk (`_jpeg_dims` — variable segment
+      stream, still pure byte arithmetic).
 
-    Returns None for anything else (JPEG dimensions live in variable
-    SOF segments — that is the PIL integration point, `decode="real"`).
+    Returns None for anything else (pixel decode remains the PIL
+    integration point, `decode="real"`).
     """
+    if payload[:2] == b"\xff\xd8":
+        return _jpeg_dims(payload)
     if payload[:4] == b"\x89PNG" and len(payload) >= 24:
         return (
             int.from_bytes(payload[16:20], "big"),
@@ -120,9 +171,10 @@ def fake_decode_images(df: DataFrame, decode: str = "fake") -> DataFrame:
             for path, content in zip(pdf["path"], pdf["content"]):
                 payload = bytes(content)
                 digest = hashlib.md5(payload).hexdigest()
-                # fixed-offset headers (PNG/GIF/BMP) decode for REAL —
-                # byte arithmetic, no imaging lib; everything else gets
-                # deterministic pseudo-dimensions from the digest
+                # container headers (PNG/GIF/BMP fixed-offset, JPEG SOF
+                # walk) decode for REAL — byte arithmetic, no imaging
+                # lib; everything else gets deterministic
+                # pseudo-dimensions from the digest
                 dims = parse_header_dims(payload)
                 if dims is None:
                     dims = (

@@ -110,6 +110,44 @@ def test_parse_header_dims_unit():
     assert parse_header_dims(b"\x89PNG") is None  # truncated header
 
 
+def _jpeg_seg(marker: int, payload: bytes) -> bytes:
+    return bytes([0xFF, marker]) + (len(payload) + 2).to_bytes(2, "big") + payload
+
+
+def test_parse_header_dims_jpeg_sof_walk():
+    """Hand-built JPEG fixtures: the SOF segment walk reads dimensions
+    through APP/COM/DQT segments, baseline and progressive, and refuses
+    malformed streams (`sources/multimodal.py:_jpeg_dims`)."""
+    from deltacat_spark.sources.multimodal import parse_header_dims
+
+    def sof(marker, w, h):
+        return _jpeg_seg(
+            marker,
+            bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big")
+            + bytes([3, 1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1]),
+        )
+
+    app0 = _jpeg_seg(0xE0, b"JFIF\x00\x01\x02\x00\x00\x01\x00\x01\x00\x00")
+    dqt = _jpeg_seg(0xDB, bytes(65))
+    # baseline (SOF0) behind APP0 + DQT
+    jpg = b"\xff\xd8" + app0 + dqt + sof(0xC0, 1024, 768)
+    assert parse_header_dims(jpg) == (1024, 768)
+    # progressive (SOF2), with a COM segment and padding fill bytes
+    com = _jpeg_seg(0xFE, b"a comment")
+    jpg2 = b"\xff\xd8\xff" + app0[1:] + com + b"\xff" + sof(0xC2, 333, 77)[1:]
+    assert parse_header_dims(jpg2) == (333, 77)
+    # DHT (0xC4) is a table, not a frame header — must be skipped
+    dht = _jpeg_seg(0xC4, bytes(19))
+    jpg3 = b"\xff\xd8" + dht + sof(0xC1, 55, 44)
+    assert parse_header_dims(jpg3) == (55, 44)
+    # SOS before any SOF, EOI-only, truncated SOF, lost sync → None
+    sos = _jpeg_seg(0xDA, bytes([1, 1, 0, 0, 0x3F, 0]))
+    assert parse_header_dims(b"\xff\xd8" + sos + b"entropy") is None
+    assert parse_header_dims(b"\xff\xd8\xff\xd9") is None
+    assert parse_header_dims(jpg[: len(jpg) - 12]) is None
+    assert parse_header_dims(b"\xff\xd8" + app0 + b"\x00garbage") is None
+
+
 def test_real_decode_is_stubbed(spark, media_dir):
     d, _ = media_dir
     bf = binary_file_table(spark, str(d))
