@@ -12,12 +12,14 @@ this is the lakehouse-native derived-table pattern the CDC surface in
 SURVEY §2.1/§2.6 exists to enable).
 
 Scope: ``transform`` must be record-wise (projections/filters/derived
-columns — distributive over unions). When the since-last-refresh window
-contains non-append commits (MERGE/DELETE CDC rows) or the watermark is
-missing/corrupt, the refresh falls back to a full REPLACE rebuild —
-exact for any transform, idempotent on crash-retry. Aggregating views
-should materialize from the full table or use Structured Streaming
-(`streaming/api.py:stream_read_changes`) with stateful operators.
+columns — distributive over unions) for the record-wise append path.
+GROUP BY views (``agg_spec``) refresh incrementally under insert-only
+windows (partials merged group-by-group) AND under MERGE/DELETE windows
+on merge-keyed sources (touched-key → touched-group exact recompute,
+`_touched_keys_for_window`). Wholesale ops (REPLACE/TRUNCATE/RESTORE),
+CDC-invisible CoW rewrites, or a missing/corrupt watermark fall back to
+a full REPLACE rebuild — exact for any transform, idempotent on
+crash-retry.
 """
 
 from __future__ import annotations
@@ -173,6 +175,102 @@ def _insert_only_window(catalog, src, namespace, src_version, last) -> bool:
     )
 
 
+def _touched_keys_for_window(catalog, src, namespace, hi, lo, merge_keys):
+    """Touched-merge-key DataFrame for the key-addressed (lo, hi]
+    window, or None when the window is ineligible for keyed incremental
+    maintenance (wholesale ops, CDC-invisible CoW rewrites, schema
+    drift → the caller full-rebuilds), or the string "empty" when only
+    benign maintenance commits landed.
+
+    Eligible windows contain only MERGE/DELETE commits whose row-level
+    changes surface in `read_changes` (MoR deltas, CDC sidecars, or
+    positional-delete joins) plus content-neutral maintenance — then
+    every changed row is addressed by its merge key, and the union of
+    the window's payload keys bounds everything that moved."""
+    from pyspark.sql import functions as F
+
+    benign = {"ALTER", "ANALYZE", "OPTIMIZE"}
+    window = list(catalog._log(src, namespace).replay(hi, start_after=lo))
+    for c in window:
+        if c.operation in benign:
+            continue
+        if c.schema_json or c.partition_scheme:
+            return None  # definition drift mid-window
+        if c.operation not in ("MERGE", "DELETE"):
+            return None  # REPLACE/TRUNCATE/RESTORE/... — wholesale
+        cdc_visible = (c.delta_type is not None and c.adds) or c.cdc_files
+        if not cdc_visible and (c.adds or c.removes):
+            # CoW rewrite without CDC sidecars: the commit's row-level
+            # changes are invisible to read_changes — keys unknowable
+            return None
+    ch = catalog.read_changes(
+        src, from_version=lo, to_version=hi, namespace=namespace
+    )
+    meta = (
+        ch.select("_commit_version", "_change_type", "_change_cols")
+        .distinct()
+        .collect()
+    )  # one row per commit — bounded by the window's commit count
+    if not meta:
+        return "empty"
+    mk_lower = {k.lower() for k in merge_keys}
+    parts = []
+    for m in meta:
+        carried = (
+            {c.strip().lower() for c in m._change_cols.split(",")}
+            if m._change_cols
+            else None
+        )
+        rows = ch.filter(
+            (F.col("_commit_version") == m._commit_version)
+            & (F.col("_change_type") == m._change_type)
+        )
+        if carried is None or mk_lower <= carried:
+            # full-row changes (upserts, positional-delete pre-images)
+            # or partial payloads that carry the keys
+            parts.append(rows.select(*merge_keys))
+            continue
+        if "DELETE" in str(m._change_type):
+            # equality-delete predicate on non-key columns: resolve the
+            # affected keys from the pre-delete snapshot (one prunable
+            # semi-join scan per such commit; payload broadcasts)
+            pay_cols = [c for c in rows.columns if c.lower() in carried]
+            payload = rows.select(*pay_cols).distinct().alias("__mvd_p")
+            pre = catalog.read_table(
+                src, namespace, version_as_of=int(m._commit_version) - 1
+            ).alias("__mvd_t")
+            cond = None
+            for c in pay_cols:
+                cc = F.col(f"__mvd_t.{c}").eqNullSafe(F.col(f"__mvd_p.{c}"))
+                cond = cc if cond is None else cond & cc
+            parts.append(
+                pre.join(F.broadcast(payload), cond, "left_semi").select(
+                    *merge_keys
+                )
+            )
+        else:
+            return None  # merge payload without its keys — malformed
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.distinct()
+
+
+def _null_safe_semi(df, probe, cols, anti: bool = False):
+    """Null-safe LEFT SEMI (or ANTI) join of `df` against the distinct
+    `cols` tuples of `probe` — group/key membership where NULL matches
+    NULL (GROUP BY treats NULL as a real group)."""
+    from pyspark.sql import functions as F
+
+    d = df.alias("__nss_d")
+    p = probe.select(*cols).distinct().alias("__nss_p")
+    cond = None
+    for c in cols:
+        cc = F.col(f"__nss_d.{c}").eqNullSafe(F.col(f"__nss_p.{c}"))
+        cond = cc if cond is None else cond & cc
+    return d.join(p, cond, "left_anti" if anti else "left_semi")
+
+
 def refresh_incremental(
     catalog: Any,
     src: str,
@@ -195,9 +293,10 @@ def refresh_incremental(
     with the SAME SQL, then merged into the keyed MV table group by
     group (COUNT/SUM add, MIN/MAX least/greatest) via the catalog's own
     merge-upsert — refresh cost is O(new data + touched groups), and
-    untouched groups' files are never rewritten. Valid under
-    insert-only change windows only (MIN/MAX cannot retract); anything
-    else falls back to the exact rebuild."""
+    untouched groups' files are never rewritten. Insert-only windows
+    merge partials; MERGE/DELETE windows on merge-keyed sources
+    recompute exactly the touched groups (see the keyed branch below);
+    wholesale/CDC-invisible windows fall back to the exact rebuild."""
     from pyspark.sql import functions as F
 
     src_snap = catalog.snapshot(src, namespace)
@@ -239,6 +338,104 @@ def refresh_incremental(
                 "mode": "incremental",
                 "src_version": src_snap.version,
                 "since": last,
+            }
+
+    if (
+        last is not None
+        and last < src_snap.version
+        and agg_spec is not None
+        and not _insert_only_window(
+            catalog, src, namespace, src_snap.version, last
+        )
+        and catalog.table_exists(dst, namespace)
+    ):
+        # MERGE/DELETE in the window: keyed incremental maintenance.
+        # Touched merge keys bound everything that moved; the touched
+        # GROUPS (group values of the pre/post key-slices) are then
+        # recomputed exactly from the current table and merge-upserted —
+        # groups whose rows all vanished are deleted from the MV. Exact
+        # for EVERY aggregate (including MIN/MAX, which pure retraction
+        # arithmetic cannot retract) at O(touched keys + touched
+        # groups' rows), never O(table). Ineligible windows (wholesale
+        # ops, CDC-invisible CoW rewrites) fall through to the exact
+        # full rebuild below.
+        mkeys = (
+            catalog.snapshot(src, namespace).schema.merge_keys
+            if catalog.snapshot(src, namespace).schema
+            else []
+        )
+        keys_df = (
+            _touched_keys_for_window(
+                catalog, src, namespace, src_snap.version, last, mkeys
+            )
+            if mkeys
+            else None
+        )
+        if isinstance(keys_df, str):  # "empty": benign-only window
+            catalog.alter_table(
+                dst, namespace,
+                properties={MV_SRC_VERSION: str(src_snap.version)},
+            )
+            return {
+                "mode": "incremental_agg_keyed",
+                "src_version": src_snap.version,
+                "since": last,
+                "touched_groups": 0,
+            }
+        if keys_df is not None:
+            group_cols = list(agg_spec["group_cols"])
+            pre = catalog.read_table(src, namespace, version_as_of=last)
+            cur = catalog.read_table(src, namespace)
+            touched_groups = (
+                _null_safe_semi(pre, keys_df, mkeys)
+                .select(*group_cols)
+                .unionByName(
+                    _null_safe_semi(cur, keys_df, mkeys).select(*group_cols)
+                )
+                .distinct()
+            )
+            recomputed = transform(
+                _null_safe_semi(cur, touched_groups, group_cols)
+            )
+            vanished = _null_safe_semi(
+                touched_groups, recomputed, group_cols, anti=True
+            )
+            n_new = recomputed.count()
+            n_gone = vanished.count()
+            # DELETE first, MERGE (with the watermark) last: a crash in
+            # between leaves the watermark at `last`, so the retry
+            # replays the whole (idempotent) recompute — the reverse
+            # order could stamp the watermark with stale rows undeleted.
+            if n_gone:
+                catalog.write_to_table(
+                    vanished,
+                    dst,
+                    namespace,
+                    mode="delete",
+                    commit_properties=(
+                        {MV_SRC_VERSION: str(src_snap.version)}
+                        if not n_new
+                        else None
+                    ),
+                )
+            if n_new:
+                catalog.write_to_table(
+                    recomputed,
+                    dst,
+                    namespace,
+                    mode="merge",
+                    commit_properties={MV_SRC_VERSION: str(src_snap.version)},
+                )
+            elif not n_gone:
+                catalog.alter_table(
+                    dst, namespace,
+                    properties={MV_SRC_VERSION: str(src_snap.version)},
+                )
+            return {
+                "mode": "incremental_agg_keyed",
+                "src_version": src_snap.version,
+                "since": last,
+                "touched_groups": n_new + n_gone,
             }
 
     if (

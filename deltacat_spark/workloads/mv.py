@@ -1,0 +1,168 @@
+"""Materialized-view maintenance + rewrite, driven end-to-end as
+oracle-checked registry queries.
+
+`mv_keyed_refresh` exercises the round-9 keyed incremental path
+(`catalog/materialize.py:_touched_keys_for_window`): a merge-keyed MoR
+table takes a MERGE-heavy commit window (upsert + inserts + predicate
+DELETE) after the MV bootstrap, and the refresh must take the
+`incremental_agg_keyed` mode — touched merge keys → touched groups →
+exact per-group recompute — never the full rebuild (the function RAISES
+if the audit says otherwise, so the driver row turns red on any path
+regression). The returned MV contents are oracle-checked against a pure
+SQL reconstruction of the final table state.
+
+`sql_mv_rewrite_route` exercises the automatic MV query rewrite through
+the REAL `Catalog.sql` path: the SELECT textually equal to a fresh MV's
+definition must be answered FROM THE MV TABLE — proven by
+`last_sql_rewrite` AND by `DataFrame.inputFiles()` pointing at the MV
+table's files, the plan-level evidence VERDICT r8 asked for.
+
+Reference parity: deltacat has no view surface (`api.py:480-481` stubs
+SQL); this is the repo's Delta-style extension (SURVEY §2 addendum).
+
+At 100 TB: refresh cost is O(touched keys + touched groups' rows) —
+the point-read discipline the keyed MV path exists for; the rewrite
+path turns a full aggregation into a tiny MV table scan.
+"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from deltacat_spark.workloads.base import load
+
+MV_KEYED_VIEW_SQL = (
+    "SELECT c_nationkey, COUNT(*) AS n_cust, "
+    "SUM(CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT)) AS bal_cents, "
+    "MIN(c_custkey) AS min_ck, MAX(c_custkey) AS max_ck "
+    "FROM cust GROUP BY c_nationkey"
+)
+
+
+def mv_keyed_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from deltacat_spark.catalog import Catalog
+    from deltacat_spark.schema import Schema
+
+    root = tempfile.mkdtemp(prefix="dcs_mvkeyed_")
+    try:
+        cat = Catalog(spark, root)
+        c = load(spark, sf_dir, "customer").select(
+            "c_custkey", "c_nationkey", "c_acctbal"
+        )
+        sch = Schema.from_dataframe(c)
+        for fld in sch.fields:
+            if fld.name == "c_custkey":
+                fld.merge_key = True
+                fld.nullable = False
+        # MoR so the MERGE/DELETE window surfaces row-level in
+        # read_changes — the eligibility the keyed path requires
+        cat.create_table(
+            "cust", schema=sch, properties={"read_optimization": "none"}
+        )
+        cat.write_to_table(c, "cust", mode="merge")
+        cat.create_materialized_view("nat_mv", MV_KEYED_VIEW_SQL)
+        # the MERGE-heavy window: field update, new-key inserts, then a
+        # predicate DELETE (positional delta — CDC emits pre-images)
+        cat.write_to_table(
+            c.filter(F.col("c_custkey") % 7 == 0).withColumn(
+                "c_acctbal", F.col("c_acctbal") + F.lit(100.0)
+            ),
+            "cust",
+            mode="merge",
+        )
+        cat.write_to_table(
+            c.filter(F.col("c_custkey") % 11 == 0).withColumn(
+                "c_custkey", F.col("c_custkey") + F.lit(1_000_000)
+            ),
+            "cust",
+            mode="merge",
+        )
+        cat.sql("DELETE FROM cust WHERE c_custkey % 13 = 0")
+        audit = cat.refresh_materialized_view("nat_mv")
+        if audit["mode"] != "incremental_agg_keyed":
+            raise RuntimeError(
+                f"MERGE-heavy window must refresh incrementally, got {audit}"
+            )
+        out = cat.read_table("nat_mv")
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+MV_KEYED_REFRESH_SQL = """
+WITH final AS (
+  SELECT c_custkey, c_nationkey,
+         CASE WHEN c_custkey % 7 = 0 THEN c_acctbal + 100.0
+              ELSE c_acctbal END AS bal
+  FROM customer
+  WHERE c_custkey % 13 <> 0
+  UNION ALL
+  SELECT c_custkey + 1000000 AS c_custkey, c_nationkey, c_acctbal AS bal
+  FROM customer
+  WHERE c_custkey % 11 = 0 AND (c_custkey + 1000000) % 13 <> 0
+)
+SELECT c_nationkey,
+       CAST(COUNT(*) AS BIGINT) AS n_cust,
+       CAST(SUM(CAST(FLOOR(bal * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS bal_cents,
+       MIN(c_custkey) AS min_ck,
+       MAX(c_custkey) AS max_ck
+FROM final
+GROUP BY c_nationkey
+"""
+
+
+MV_REWRITE_VIEW_SQL = (
+    "SELECT o_orderstatus, COUNT(*) AS n_orders, "
+    "SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS price_cents "
+    "FROM ord GROUP BY o_orderstatus"
+)
+
+
+def sql_mv_rewrite_route(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from deltacat_spark.catalog import Catalog
+
+    root = tempfile.mkdtemp(prefix="dcs_mvroute_")
+    try:
+        cat = Catalog(spark, root)
+        o = load(spark, sf_dir, "orders").select(
+            "o_custkey", "o_orderstatus", "o_totalprice"
+        )
+        cat.write_to_table(o, "ord")
+        cat.create_materialized_view("ord_mv", MV_REWRITE_VIEW_SQL)
+        df = cat.sql(MV_REWRITE_VIEW_SQL)
+        if cat.last_sql_rewrite != "ord_mv":
+            raise RuntimeError(
+                f"fresh-MV SELECT must route to the MV table, got "
+                f"last_sql_rewrite={cat.last_sql_rewrite!r}"
+            )
+        files = df.inputFiles()
+        if not files or not all("ord_mv" in f for f in files):
+            raise RuntimeError(
+                f"rewritten plan must scan ONLY the MV table's files, "
+                f"got {files[:3]}"
+            )
+        rows = df.collect()
+        return spark.createDataFrame(rows, df.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+SQL_MV_REWRITE_ROUTE_SQL = """
+SELECT o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS price_cents
+FROM orders
+GROUP BY o_orderstatus
+"""
+
+
+QUERIES = {
+    "mv_keyed_refresh": (mv_keyed_refresh, MV_KEYED_REFRESH_SQL),
+    "sql_mv_rewrite_route": (sql_mv_rewrite_route, SQL_MV_REWRITE_ROUTE_SQL),
+}

@@ -215,3 +215,171 @@ def test_streaming_agg_mv(cat, tmp_path):
     assert _mv_rows(cat) == _expected(cat)
     rows = {r.grp: r for r in cat.read_table("agg_mv").collect()}
     assert rows["a"].hi == 99 and rows["e"].n == 2
+
+
+# -- keyed (MERGE/DELETE) incremental maintenance ----------------------
+
+KMV_SQL = (
+    "SELECT grp, count(*) AS n, sum(v) AS total, "
+    "min(v) AS lo, max(v) AS hi FROM ksrc GROUP BY grp"
+)
+
+
+@pytest.fixture()
+def kcat(spark, tmp_path):
+    """Merge-keyed MoR source: MERGE/DELETE commits land as deltas that
+    `read_changes` surfaces row-level — the shape the keyed incremental
+    path (`_touched_keys_for_window`) admits."""
+    c = Catalog(spark, str(tmp_path / "mvaggk"))
+    c.create_table(
+        "ksrc",
+        schema=Schema(
+            [
+                Field("id", T.LongType(), merge_key=True),
+                Field("grp", T.StringType()),
+                Field("v", T.LongType()),
+            ]
+        ),
+        properties={"read_optimization": "none"},
+    )
+    c.sql(
+        "INSERT INTO ksrc VALUES "
+        "(1, 'a', 10), (2, 'a', 20), (3, 'b', 5), (4, 'c', 7)"
+    )
+    return c
+
+
+def _k_expected(cat):
+    return {
+        (r.grp, r.n, r.total, r.lo, r.hi)
+        for r in cat.sql(KMV_SQL).collect()
+    }
+
+
+def _k_mv_rows(cat):
+    return {
+        (r.grp, r.n, r.total, r.lo, r.hi)
+        for r in cat.read_table("kmv").collect()
+    }
+
+
+def test_keyed_mv_update_in_place(kcat):
+    kcat.create_materialized_view("kmv", KMV_SQL)
+    kcat.sql("INSERT INTO ksrc VALUES (2, 'a', 99)")  # upsert id=2
+    audit = kcat.refresh_materialized_view("kmv")
+    assert audit["mode"] == "incremental_agg_keyed"
+    assert _k_mv_rows(kcat) == _k_expected(kcat)
+    rows = {r.grp: r for r in kcat.read_table("kmv").collect()}
+    assert rows["a"].total == 109 and rows["a"].hi == 99 and rows["a"].n == 2
+
+
+def test_keyed_mv_min_max_exact_after_delete(kcat):
+    """Deleting the MAX row of a group — pure retraction arithmetic
+    cannot recover the new max; the touched-group recompute can."""
+    kcat.create_materialized_view("kmv", KMV_SQL)
+    kcat.sql("DELETE FROM ksrc WHERE id = 2")  # group a's max (20)
+    audit = kcat.refresh_materialized_view("kmv")
+    assert audit["mode"] == "incremental_agg_keyed"
+    rows = {r.grp: r for r in kcat.read_table("kmv").collect()}
+    assert (rows["a"].n, rows["a"].total, rows["a"].hi) == (1, 10, 10)
+    assert _k_mv_rows(kcat) == _k_expected(kcat)
+
+
+def test_keyed_mv_group_move(kcat):
+    kcat.create_materialized_view("kmv", KMV_SQL)
+    kcat.sql("INSERT INTO ksrc VALUES (3, 'a', 5)")  # id=3 moves b -> a
+    audit = kcat.refresh_materialized_view("kmv")
+    assert audit["mode"] == "incremental_agg_keyed"
+    assert _k_mv_rows(kcat) == _k_expected(kcat)
+    groups = {r.grp for r in kcat.read_table("kmv").collect()}
+    assert "b" not in groups  # vanished group's MV row deleted
+
+
+def test_keyed_mv_group_vanish_and_return(kcat):
+    kcat.create_materialized_view("kmv", KMV_SQL)
+    kcat.sql("DELETE FROM ksrc WHERE grp = 'c'")  # non-key predicate
+    audit = kcat.refresh_materialized_view("kmv")
+    assert audit["mode"] == "incremental_agg_keyed"
+    assert _k_mv_rows(kcat) == _k_expected(kcat)
+    assert "c" not in {r.grp for r in kcat.read_table("kmv").collect()}
+    kcat.sql("INSERT INTO ksrc VALUES (9, 'c', 3)")
+    kcat.refresh_materialized_view("kmv")
+    assert _k_mv_rows(kcat) == _k_expected(kcat)
+
+
+def test_keyed_mv_multi_commit_window(kcat):
+    kcat.create_materialized_view("kmv", KMV_SQL)
+    kcat.sql("INSERT INTO ksrc VALUES (5, 'd', 1)")   # new key+group
+    kcat.sql("INSERT INTO ksrc VALUES (1, 'a', 11)")  # update
+    kcat.sql("DELETE FROM ksrc WHERE id = 4")         # group c vanishes
+    audit = kcat.refresh_materialized_view("kmv")
+    assert audit["mode"] == "incremental_agg_keyed"
+    assert _k_mv_rows(kcat) == _k_expected(kcat)
+
+
+def test_keyed_mv_cow_window_rebuilds(spark, tmp_path):
+    """CoW MERGE without CDC sidecars is invisible to read_changes —
+    the keyed path must refuse and rebuild exactly."""
+    c = Catalog(spark, str(tmp_path / "mvaggcow"))
+    c.create_table(
+        "ksrc",
+        schema=Schema(
+            [
+                Field("id", T.LongType(), merge_key=True),
+                Field("grp", T.StringType()),
+                Field("v", T.LongType()),
+            ]
+        ),
+    )  # default read_optimization=max (CoW), no cdc.enabled
+    c.sql("INSERT INTO ksrc VALUES (1, 'a', 10), (3, 'b', 5)")
+    c.create_materialized_view("kmv", KMV_SQL)
+    c.sql("INSERT INTO ksrc VALUES (1, 'a', 77)")
+    audit = c.refresh_materialized_view("kmv")
+    assert audit["mode"] == "full"
+    assert _k_mv_rows(c) == _k_expected(c)
+
+
+def test_keyed_mv_model_random(kcat):
+    """Model-random extension: a seeded op sequence (upserts, inserts,
+    key deletes, predicate deletes) with a refresh after every commit —
+    the MV must equal the full recompute at every step and never take
+    the full-rebuild path."""
+    import random
+
+    rng = random.Random(909)
+    kcat.create_materialized_view("kmv", KMV_SQL)
+    groups = ["a", "b", "c", "d", None]
+    next_id = 10
+    for step in range(14):
+        op = rng.choice(["upsert", "insert", "del_key", "del_grp"])
+        if op == "insert":
+            g = rng.choice(groups)
+            gs = "NULL" if g is None else f"'{g}'"
+            kcat.sql(
+                f"INSERT INTO ksrc VALUES ({next_id}, {gs}, {rng.randint(0, 50)})"
+            )
+            next_id += 1
+        elif op == "upsert":
+            ids = [r.id for r in kcat.read_table("ksrc").collect()]
+            if not ids:
+                continue
+            g = rng.choice(groups)
+            gs = "NULL" if g is None else f"'{g}'"
+            kcat.sql(
+                f"INSERT INTO ksrc VALUES ({rng.choice(ids)}, {gs}, "
+                f"{rng.randint(0, 50)})"
+            )
+        elif op == "del_key":
+            ids = [r.id for r in kcat.read_table("ksrc").collect()]
+            if not ids:
+                continue
+            kcat.sql(f"DELETE FROM ksrc WHERE id = {rng.choice(ids)}")
+        else:
+            g = rng.choice(groups[:-1])
+            kcat.sql(f"DELETE FROM ksrc WHERE grp = '{g}'")
+        audit = kcat.refresh_materialized_view("kmv")
+        assert audit["mode"] in (
+            "incremental_agg_keyed",
+            "noop",
+        ), f"step {step}: unexpected {audit['mode']}"
+        assert _k_mv_rows(kcat) == _k_expected(kcat), f"step {step} ({op})"
