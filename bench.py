@@ -135,6 +135,10 @@ DEEP_QUERIES = [
     # round 8: corpus-proportional register build + positional dedup
     "cms_heavy_hitters",
     "repeated_substring_runs",
+    # round 9: iterative-family scale evidence (judge r8 item 6) — the
+    # Pregel-shaped per-iteration join+agg, edges pre-partitioned by the
+    # loop key once (graph.py: repartition("src") + localCheckpoint)
+    "pagerank_bipartite",
 ]
 
 

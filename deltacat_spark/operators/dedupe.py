@@ -600,12 +600,22 @@ def connected_components(
     **Adaptive strategy** (same result either way — min-id labeling):
 
     * Edge count ≤ ``driver_max_edges`` (the common case even for large
-      corpora — dup EDGES are sparse relative to rows): collect the
-      deduplicated edge list and run union-find on the driver. One
-      Spark job + O(E α(E)) local work replaces O(diameter) shuffle
-      rounds, each of which costs a full job at cluster scale. 1M edges
-      ≈ tens of MB on the driver — bounded, like the other control-
-      plane collects.
+      corpora — dup EDGES are sparse relative to rows): stream the
+      deduplicated edge list to the driver (`toLocalIterator`, one
+      partition resident at a time — never a full collect) and run
+      union-find locally. One Spark job + O(E α(E)) local work replaces
+      O(diameter) shuffle rounds, each of which costs a full job at
+      cluster scale.
+
+      Driver-memory bound at the 1M-edge default (worst case — every
+      edge introduces two fresh nodes, so N ≤ 2E = 2M nodes): the
+      `parent` dict ≈ 2M entries × ~90 B (int key + int value + dict
+      slot) ≈ 180 MB; `comp_min` is component-count-sized (≤ N/2);
+      the result row list ≈ 2M × ~110 B ≈ 220 MB transient while
+      `createDataFrame` serializes it. Peak < ~450 MB — the same
+      order as a large broadcast, safe on any driver sized for Spark
+      work. Real near-dup graphs are far smaller per edge count
+      (cliques/stars reuse nodes, N ≪ 2E).
     * Above the bound: distributed min-label propagation — each round
       every node takes the min of its own label and its neighbors'
       labels, one shuffle-aggregate + one join per round, converging in
@@ -681,7 +691,11 @@ def _cc_driver_union_find(edges: DataFrame) -> DataFrame:
             parent[x], x = root, parent[x]
         return root
 
-    for row in edges.collect():
+    # toLocalIterator streams one partition at a time — the full edge
+    # list never sits on the driver as Row objects (the byte math in
+    # `connected_components`' docstring budgets the dicts, not a
+    # collect)
+    for row in edges.toLocalIterator():
         u, v = row[0], row[1]
         if u not in parent:
             parent[u] = u

@@ -341,3 +341,42 @@ def test_stream_mv_bootstrap_watermark_rides_data_commit(
     assert last["n_adds"] > 0
     props = catalog.snapshot("smv9", "default").properties
     assert props.get(MV_SRC_VERSION) is not None
+
+
+# -- connected-components driver-bound dispatch guard ------------------
+
+
+def test_cc_driver_bound_dispatch(spark, monkeypatch):
+    """`driver_max_edges` guards the driver union-find fast path: under
+    the bound the driver path runs (streamed, never a full collect);
+    over it the distributed propagation produces identical labels —
+    the dispatch the in-code byte math justifies."""
+    import deltacat_spark.operators.dedupe as dd
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "doc_a long, doc_b long"
+    )
+    expected = {(1, 1), (2, 1), (3, 1), (10, 10), (11, 10)}
+    called = {}
+    orig = dd._cc_driver_union_find
+
+    def spy(edges):
+        called["driver"] = True
+        return orig(edges)
+
+    monkeypatch.setattr(dd, "_cc_driver_union_find", spy)
+    out = {
+        (r.doc_id, r.cluster_id)
+        for r in dd.connected_components(pairs, driver_max_edges=100).collect()
+    }
+    assert called.get("driver") and out == expected
+
+    def boom(edges):
+        raise AssertionError("driver path must not run above the bound")
+
+    monkeypatch.setattr(dd, "_cc_driver_union_find", boom)
+    out2 = {
+        (r.doc_id, r.cluster_id)
+        for r in dd.connected_components(pairs, driver_max_edges=3).collect()
+    }
+    assert out2 == expected
