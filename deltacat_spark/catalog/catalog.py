@@ -2557,6 +2557,39 @@ class Catalog:
             stripped,
         )
 
+    @staticmethod
+    def _view_preserves_columns(view_sql: str, cols: "list[str]") -> bool:
+        """True when the view's SELECT list provably carries every
+        column of `cols` through UNCHANGED — bare identifier items (or
+        `*`). `SELECT id*2 AS id` transforms the value, so a derived
+        row would no longer be addressable by its source key; only
+        identity items qualify (conservative: a miss keeps the exact
+        full-rebuild path)."""
+        import re
+
+        stripped = _strip_literals(view_sql)
+        m = re.match(
+            r"\s*select\s+(.*?)\s+from\s", stripped, re.IGNORECASE | re.DOTALL
+        )
+        if not m:
+            return False
+        items, depth, cur = [], 0, []
+        for ch in m.group(1):
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            if ch == "," and depth == 0:
+                items.append("".join(cur).strip())
+                cur = []
+            else:
+                cur.append(ch)
+        items.append("".join(cur).strip())
+        if any(i == "*" for i in items):
+            return True
+        bare = {i.lower() for i in items if re.fullmatch(r"\w+", i)}
+        return {c.lower() for c in cols} <= bare
+
     def create_materialized_view(
         self, name: str, view_sql: str, replace: bool = False
     ) -> dict:
@@ -2589,6 +2622,21 @@ class Catalog:
         from deltacat_spark.catalog.materialize import parse_agg_view
 
         single = len(refs) == 1
+        # Record-wise view over a MERGE-KEYED source that carries the
+        # keys through unchanged: each derived row is addressable by
+        # its source key, so MERGE/DELETE windows can maintain the MV
+        # keyed (upsert touched keys' post-images, delete vanished
+        # ones) instead of full-rebuilding — keyed sources never have
+        # insert-only windows, so without this they ALWAYS rebuilt.
+        record_keys = None
+        if single and self._mv_record_wise(view_sql):
+            try:
+                src_schema = self.snapshot(refs[0]).schema
+            except FileNotFoundError:
+                src_schema = None
+            mkeys = src_schema.merge_keys if src_schema else []
+            if mkeys and self._view_preserves_columns(view_sql, mkeys):
+                record_keys = mkeys
         self.fs.write_text_atomic(
             self._mv_path(name),
             json.dumps(
@@ -2605,6 +2653,7 @@ class Catalog:
                     "srcs": refs,
                     "record_wise": single
                     and self._mv_record_wise(view_sql),
+                    "record_keys": record_keys,
                     # single-table GROUP BY with mergeable aggregates →
                     # the incremental-aggregate refresh path (partials
                     # merged group-by-group via the MV's merge keys)
@@ -2643,6 +2692,7 @@ class Catalog:
             transform,
             record_wise=bool(d["record_wise"]),
             agg_spec=d.get("agg_spec"),
+            record_keys=d.get("record_keys"),
         )
 
     def _refresh_mv_multi(self, name: str, vsql: str, srcs: list) -> dict:

@@ -279,6 +279,7 @@ def refresh_incremental(
     namespace: str = "default",
     record_wise: bool = True,
     agg_spec: "dict | None" = None,
+    record_keys: "list[str] | None" = None,
 ) -> dict[str, Any]:
     """Refresh ``dst`` from ``src``; returns a small audit dict.
 
@@ -319,7 +320,12 @@ def refresh_incremental(
     # incremental paths require a real forward window (last < current —
     # a dead-incarnation watermark would replay an empty window and
     # "incrementally" append nothing onto the dead contents)
-    if last is not None and last < src_snap.version and record_wise:
+    if (
+        last is not None
+        and last < src_snap.version
+        and record_wise
+        and not record_keys  # keyed MVs take the keyed branch below
+    ):
         if _insert_only_window(catalog, src, namespace, src_snap.version, last):
             changes = catalog.read_changes(
                 src, from_version=last, to_version=src_snap.version,
@@ -338,6 +344,73 @@ def refresh_incremental(
                 "mode": "incremental",
                 "src_version": src_snap.version,
                 "since": last,
+            }
+
+    if (
+        last is not None
+        and last < src_snap.version
+        and record_keys
+        and catalog.table_exists(dst, namespace)
+    ):
+        # Record-wise view over a keyed source, keys carried through:
+        # the MV is keyed on the SOURCE merge keys, so a MERGE/DELETE
+        # window maintains it by upserting the touched keys' derived
+        # post-images and deleting keys whose post-image vanished
+        # (source row deleted, or filtered out by the view's WHERE).
+        # Same delete-first / watermark-on-merge crash discipline as
+        # the keyed aggregate branch.
+        keys_df = _touched_keys_for_window(
+            catalog, src, namespace, src_snap.version, last, record_keys
+        )
+        if isinstance(keys_df, str):  # benign-only window
+            catalog.alter_table(
+                dst, namespace,
+                properties={MV_SRC_VERSION: str(src_snap.version)},
+            )
+            return {
+                "mode": "incremental_record_keyed",
+                "src_version": src_snap.version,
+                "since": last,
+                "touched_keys": 0,
+            }
+        if keys_df is not None:
+            cur = catalog.read_table(src, namespace)
+            post = transform(_null_safe_semi(cur, keys_df, record_keys))
+            vanished = _null_safe_semi(
+                keys_df, post, record_keys, anti=True
+            ).select(*record_keys).distinct()
+            n_new = post.count()
+            n_gone = vanished.count()
+            if n_gone:
+                catalog.write_to_table(
+                    vanished,
+                    dst,
+                    namespace,
+                    mode="delete",
+                    commit_properties=(
+                        {MV_SRC_VERSION: str(src_snap.version)}
+                        if not n_new
+                        else None
+                    ),
+                )
+            if n_new:
+                catalog.write_to_table(
+                    post,
+                    dst,
+                    namespace,
+                    mode="merge",
+                    commit_properties={MV_SRC_VERSION: str(src_snap.version)},
+                )
+            elif not n_gone:
+                catalog.alter_table(
+                    dst, namespace,
+                    properties={MV_SRC_VERSION: str(src_snap.version)},
+                )
+            return {
+                "mode": "incremental_record_keyed",
+                "src_version": src_snap.version,
+                "since": last,
+                "touched_keys": n_new + n_gone,
             }
 
     if (
@@ -493,6 +566,25 @@ def refresh_incremental(
     out = transform(catalog.read_table(src, namespace))
     if catalog.table_exists(dst, namespace):
         catalog.write_to_table(out, dst, namespace, mode="replace")
+    elif record_keys:
+        # Keyed record-wise MV: keyed on the SOURCE merge keys so later
+        # MERGE/DELETE windows upsert/delete point-wise (each source
+        # row derives at most one view row — record-wise transform over
+        # unique keys).
+        from deltacat_spark.schema import Field, Schema
+
+        kset = {k.lower() for k in record_keys}
+        fields = [
+            Field(
+                f.name,
+                f.dataType,
+                nullable=f.nullable and f.name.lower() not in kset,
+                merge_key=f.name.lower() in kset,
+            )
+            for f in out.schema.fields
+        ]
+        catalog.create_table(dst, namespace, schema=Schema(fields))
+        catalog.write_to_table(out, dst, namespace, mode="merge")
     elif agg_spec is not None:
         # Create the MV keyed on its group columns so later refreshes
         # merge group-by-group instead of rewriting the table.

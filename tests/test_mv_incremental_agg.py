@@ -383,3 +383,92 @@ def test_keyed_mv_model_random(kcat):
             "noop",
         ), f"step {step}: unexpected {audit['mode']}"
         assert _k_mv_rows(kcat) == _k_expected(kcat), f"step {step} ({op})"
+
+
+# -- keyed RECORD-WISE MVs (round 9) ----------------------------------
+
+RW_SQL = "SELECT id, grp, v * 2 AS v2 FROM ksrc WHERE v < 100"
+
+
+def _rw_expected(cat):
+    return {(r.id, r.grp, r.v2) for r in cat.sql(RW_SQL).collect()}
+
+
+def _rw_rows(cat):
+    return {(r.id, r.grp, r.v2) for r in cat.read_table("rmv").collect()}
+
+
+def test_record_keyed_mv_bootstrap_and_update(kcat):
+    kcat.create_materialized_view("rmv", RW_SQL)
+    assert _rw_rows(kcat) == _rw_expected(kcat)
+    # the MV is keyed on the source merge key
+    assert kcat.snapshot("rmv").schema.merge_keys == ["id"]
+    kcat.sql("INSERT INTO ksrc VALUES (2, 'a', 33)")  # upsert id=2
+    audit = kcat.refresh_materialized_view("rmv")
+    assert audit["mode"] == "incremental_record_keyed"
+    assert _rw_rows(kcat) == _rw_expected(kcat)
+
+
+def test_record_keyed_mv_filter_vanish_and_return(kcat):
+    kcat.create_materialized_view("rmv", RW_SQL)
+    kcat.sql("INSERT INTO ksrc VALUES (3, 'b', 500)")  # leaves WHERE v<100
+    audit = kcat.refresh_materialized_view("rmv")
+    assert audit["mode"] == "incremental_record_keyed"
+    assert _rw_rows(kcat) == _rw_expected(kcat)
+    assert 3 not in {r.id for r in kcat.read_table("rmv").collect()}
+    kcat.sql("INSERT INTO ksrc VALUES (3, 'b', 8)")  # re-enters the filter
+    kcat.refresh_materialized_view("rmv")
+    assert _rw_rows(kcat) == _rw_expected(kcat)
+
+
+def test_record_keyed_mv_source_delete(kcat):
+    kcat.create_materialized_view("rmv", RW_SQL)
+    kcat.sql("DELETE FROM ksrc WHERE grp = 'a'")  # non-key predicate
+    audit = kcat.refresh_materialized_view("rmv")
+    assert audit["mode"] == "incremental_record_keyed"
+    assert _rw_rows(kcat) == _rw_expected(kcat)
+
+
+def test_record_keyed_mv_requires_identity_keys(kcat):
+    """A view that transforms the key column must NOT take the keyed
+    path (derived rows aren't addressable by source key)."""
+    kcat.create_materialized_view(
+        "rmv", "SELECT id * 2 AS id, grp FROM ksrc"
+    )
+    kcat.sql("INSERT INTO ksrc VALUES (1, 'a', 42)")
+    audit = kcat.refresh_materialized_view("rmv")
+    assert audit["mode"] == "full"
+
+
+def test_record_keyed_mv_model_random(kcat):
+    import random
+
+    rng = random.Random(1217)
+    kcat.create_materialized_view("rmv", RW_SQL)
+    next_id = 50
+    for step in range(10):
+        op = rng.choice(["upsert", "insert", "del"])
+        if op == "insert":
+            kcat.sql(
+                f"INSERT INTO ksrc VALUES ({next_id}, "
+                f"'{rng.choice('abcd')}', {rng.randint(0, 150)})"
+            )
+            next_id += 1
+        elif op == "upsert":
+            ids = [r.id for r in kcat.read_table("ksrc").collect()]
+            if not ids:
+                continue
+            kcat.sql(
+                f"INSERT INTO ksrc VALUES ({rng.choice(ids)}, "
+                f"'{rng.choice('abcd')}', {rng.randint(0, 150)})"
+            )
+        else:
+            ids = [r.id for r in kcat.read_table("ksrc").collect()]
+            if not ids:
+                continue
+            kcat.sql(f"DELETE FROM ksrc WHERE id = {rng.choice(ids)}")
+        audit = kcat.refresh_materialized_view("rmv")
+        assert audit["mode"] in ("incremental_record_keyed", "noop"), (
+            f"step {step}: {audit}"
+        )
+        assert _rw_rows(kcat) == _rw_expected(kcat), f"step {step} ({op})"
