@@ -162,7 +162,81 @@ GROUP BY o_orderstatus
 """
 
 
+MV_RECORD_VIEW_SQL = (
+    "SELECT c_custkey, c_nationkey, "
+    "CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT) AS bal_cents "
+    "FROM cust WHERE c_acctbal >= 0.0"
+)
+
+
+def mv_record_keyed_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Record-wise MV over a merge-keyed MoR source, maintained
+    POINT-WISE under a MERGE/DELETE window (round-9
+    `incremental_record_keyed`): upserts can move rows across the
+    view's WHERE boundary (negative balances leave the view), deletes
+    remove them — the refresh must take the keyed path, never the full
+    rebuild (raises otherwise)."""
+    from deltacat_spark.catalog import Catalog
+    from deltacat_spark.schema import Schema
+
+    root = tempfile.mkdtemp(prefix="dcs_mvrec_")
+    try:
+        cat = Catalog(spark, root)
+        c = load(spark, sf_dir, "customer").select(
+            "c_custkey", "c_nationkey", "c_acctbal"
+        )
+        sch = Schema.from_dataframe(c)
+        for fld in sch.fields:
+            if fld.name == "c_custkey":
+                fld.merge_key = True
+                fld.nullable = False
+        cat.create_table(
+            "cust", schema=sch, properties={"read_optimization": "none"}
+        )
+        cat.write_to_table(c, "cust", mode="merge")
+        cat.create_materialized_view("rec_mv", MV_RECORD_VIEW_SQL)
+        # %9 rows get balance - 5000 (many cross below 0 and must LEAVE
+        # the view); %13 rows are deleted outright
+        cat.write_to_table(
+            c.filter(F.col("c_custkey") % 9 == 0).withColumn(
+                "c_acctbal", F.col("c_acctbal") - F.lit(5000.0)
+            ),
+            "cust",
+            mode="merge",
+        )
+        cat.sql("DELETE FROM cust WHERE c_custkey % 13 = 0")
+        audit = cat.refresh_materialized_view("rec_mv")
+        if audit["mode"] != "incremental_record_keyed":
+            raise RuntimeError(
+                f"keyed record-wise MV must refresh point-wise, got {audit}"
+            )
+        out = cat.read_table("rec_mv")
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+MV_RECORD_KEYED_REFRESH_SQL = """
+WITH final AS (
+  SELECT c_custkey, c_nationkey,
+         CASE WHEN c_custkey % 9 = 0 THEN c_acctbal - 5000.0
+              ELSE c_acctbal END AS bal
+  FROM customer
+  WHERE c_custkey % 13 <> 0
+)
+SELECT c_custkey, c_nationkey,
+       CAST(FLOOR(bal * 100 + 0.5) AS BIGINT) AS bal_cents
+FROM final
+WHERE bal >= 0.0
+"""
+
+
 QUERIES = {
     "mv_keyed_refresh": (mv_keyed_refresh, MV_KEYED_REFRESH_SQL),
     "sql_mv_rewrite_route": (sql_mv_rewrite_route, SQL_MV_REWRITE_ROUTE_SQL),
+    "mv_record_keyed_refresh": (
+        mv_record_keyed_refresh,
+        MV_RECORD_KEYED_REFRESH_SQL,
+    ),
 }
