@@ -1776,7 +1776,17 @@ class Catalog:
 
         # MERGE
         batch = self._normalize_merge_batch(df, schema)
+        cached_batch = False
         if cow:
+            # The payload plan evaluates ≥3× on the CoW path (bounds
+            # aggregate for the copy-by-reference split, twice inside
+            # the upsert plan: anti-join keys + union) and may embed an
+            # arbitrary upstream pipeline. Cache once, unpersist after
+            # commit — MEMORY_AND_DESERIALIZED spills to disk, so a
+            # cluster-scale payload degrades gracefully instead of
+            # re-running its lineage per evaluation.
+            batch = batch.persist()
+            cached_batch = True
             touched, untouched = self._split_by_key_overlap(
                 snap, batch, merge_keys
             )
@@ -1844,11 +1854,15 @@ class Catalog:
                 actions=adds,
             )
         if cow:
-            self._commit_cow(
-                log,
-                commit,
-                lambda: self._payload_bounds(batch, merge_keys),
-            )
+            try:
+                self._commit_cow(
+                    log,
+                    commit,
+                    lambda: self._payload_bounds(batch, merge_keys),
+                )
+            finally:
+                if cached_batch:
+                    self._unpin(batch)
         else:
             log.commit(commit)
 
