@@ -2709,6 +2709,31 @@ class Catalog:
             record_keys=d.get("record_keys"),
         )
 
+    @staticmethod
+    def _mv_join_record_wise(vsql: str) -> bool:
+        """Conservative classifier for the two-table INCREMENTAL JOIN
+        path: exactly one INNER (or bare/CROSS) JOIN of two tables,
+        record-wise select list (no aggregation/dedup/reordering), no
+        subqueries. LEFT/RIGHT/FULL are excluded — null-extension rows
+        are not distributive over unions (an insert on the right can
+        RETRACT a previously-emitted null-extended left row)."""
+        import re
+
+        stripped = _strip_literals(vsql).lower()
+        if len(re.findall(r"\bselect\b", stripped)) != 1:
+            return False
+        if len(re.findall(r"\bjoin\b", stripped)) != 1:
+            return False
+        if re.search(r"\b(left|right|full|semi|anti|natural)\s+(outer\s+)?join\b", stripped):
+            return False
+        return not re.search(
+            r"\b(group\s+by|distinct|union|order\s+by|limit|having|exists)\b"
+            r"|\bover\s*\("
+            r"|\b(count|sum|avg|min|max|first|last|collect_\w+|approx_\w+)"
+            r"\s*\(",
+            stripped,
+        )
+
     def _refresh_mv_multi(self, name: str, vsql: str, srcs: list) -> dict:
         """Multi-table MV refresh: exact full rebuild over PINNED
         per-source snapshots. The source versions are captured first
@@ -2729,6 +2754,67 @@ class Catalog:
                 last[t] is not None and int(last[t]) == cur[t] for t in srcs
             ):
                 return {"mode": "noop", "src_versions": cur}
+            # First-order delta maintenance for a two-table INNER-join
+            # record-wise view under insert-only windows on both
+            # sources (classic IVM identity, bag semantics):
+            #   Q(A+dA, B+dB) = Q(A,B) + Q(dA, B+dB) + Q(A, dB)
+            # — dA joins the CURRENT right side, dB joins the OLD left
+            # side, so the dAxdB cross term lands exactly once. Both
+            # terms are change-slice-sized joins (the big sides are
+            # pinned snapshot reads, filters push down), appended in
+            # ONE commit that carries both watermarks — crash-atomic
+            # like the single-table path. Anything else (non-insert
+            # windows, outer joins, >2 sources, dead incarnations)
+            # falls through to the exact pinned rebuild.
+            from deltacat_spark.catalog.materialize import (
+                _insert_only_window,
+            )
+
+            if (
+                len(srcs) == 2
+                and all(
+                    last[t] is not None and int(last[t]) <= cur[t]
+                    for t in srcs
+                )
+                and self._mv_join_record_wise(vsql)
+                and all(
+                    _insert_only_window(
+                        self, t, DEFAULT_NAMESPACE, cur[t], int(last[t])
+                    )
+                    for t in srcs
+                )
+            ):
+                a, b = srcs
+                la, lb = int(last[a]), int(last[b])
+                da_view = f"__mv_da_{name}_{a}"
+                self.read_changes(a, la, cur[a]).drop(
+                    "_commit_version", "_change_type", "_change_cols"
+                ).createOrReplaceTempView(da_view)
+                db_view = f"__mv_db_{name}_{b}"
+                self.read_changes(b, lb, cur[b]).drop(
+                    "_commit_version", "_change_type", "_change_cols"
+                ).createOrReplaceTempView(db_view)
+                b_cur = f"__mv_cur_{name}_{b}"
+                self.register_view(b, view_name=b_cur, version_as_of=cur[b])
+                a_old = f"__mv_old_{name}_{a}"
+                self.register_view(a, view_name=a_old, version_as_of=la)
+                t1 = _substitute_table_refs(
+                    _substitute_table_refs(vsql, a, da_view), b, b_cur
+                )
+                t2 = _substitute_table_refs(
+                    _substitute_table_refs(vsql, a, a_old), b, db_view
+                )
+                delta = self.spark.sql(t1).unionByName(self.spark.sql(t2))
+                self.write_to_table(
+                    delta,
+                    name,
+                    mode="add",
+                    commit_properties={
+                        f"{MV_SRC_VERSION}.{t}": str(v)
+                        for t, v in cur.items()
+                    },
+                )
+                return {"mode": "incremental_join", "src_versions": cur}
         # Pinned snapshots go under PRIVATE view names and the SQL's
         # table references are rewritten IN TABLE POSITION only
         # (`_substitute_table_refs` — a column/alias spelled like a

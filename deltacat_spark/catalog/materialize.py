@@ -163,14 +163,22 @@ def _insert_only_window(catalog, src, namespace, src_version, last) -> bool:
     "every change row is an insert" would silently miss updates.
     Insert-family deltas and content-neutral maintenance commits
     (ALTER/ANALYZE/OPTIMIZE) are safe; anything else (MERGE/DELETE/
-    REPLACE/TRUNCATE) forces a rebuild."""
+    REPLACE/TRUNCATE) forces a rebuild.
+
+    The delta_type alone is NOT sufficient: a REPLACE commit records
+    its new generation as an APPEND delta *plus removes for every
+    prior file* — treating it as insert-only would append the new
+    generation's derived rows onto the (now dead) old generation's.
+    Any commit that removes files is therefore not insert-family; a
+    REPLACE of an EMPTY table has no removes and genuinely is one."""
     benign_ops = {"ALTER", "ANALYZE", "OPTIMIZE"}
     insert_deltas = {"APPEND", "ADD", "CHRONO"}
     window = catalog._log(src, namespace).replay(
         src_version, start_after=last
     )
     return all(
-        c.operation in benign_ops or c.delta_type in insert_deltas
+        c.operation in benign_ops
+        or (c.delta_type in insert_deltas and not c.removes)
         for c in window
     )
 

@@ -472,3 +472,161 @@ def test_record_keyed_mv_model_random(kcat):
             f"step {step}: {audit}"
         )
         assert _rw_rows(kcat) == _rw_expected(kcat), f"step {step} ({op})"
+
+
+# -- two-table JOIN MVs: first-order delta maintenance (round 9) -------
+
+JOIN_SQL = (
+    "SELECT x.k AS k, x.va AS va, y.vb AS vb "
+    "FROM ja x JOIN jb y ON x.k = y.k WHERE x.va + y.vb < 1000"
+)
+
+
+def _j_setup(spark, tmp_path):
+    c = Catalog(spark, str(tmp_path / "mvjoin"))
+    a = spark.createDataFrame([(1, 10), (2, 20), (3, 30)], "k long, va long")
+    b = spark.createDataFrame([(1, 100), (2, 200)], "k long, vb long")
+    c.create_table("ja")
+    c.create_table("jb")
+    c.write_to_table(a, "ja", mode="append")
+    c.write_to_table(b, "jb", mode="append")
+    return c
+
+
+def _j_rows(c):
+    return sorted(
+        (r.k, r.va, r.vb) for r in c.read_table("join_mv").collect()
+    )
+
+
+def _j_expected(c):
+    return sorted((r.k, r.va, r.vb) for r in c.sql(JOIN_SQL).collect())
+
+
+def test_join_mv_incremental_left_right_both(spark, tmp_path):
+    c = _j_setup(spark, tmp_path)
+    c.create_materialized_view("join_mv", JOIN_SQL)
+    assert _j_rows(c) == _j_expected(c)
+    # left-only window
+    c.write_to_table(
+        spark.createDataFrame([(2, 21)], "k long, va long"), "ja", mode="append"
+    )
+    audit = c.refresh_materialized_view("join_mv")
+    assert audit["mode"] == "incremental_join"
+    assert _j_rows(c) == _j_expected(c)
+    # right-only window
+    c.write_to_table(
+        spark.createDataFrame([(3, 300)], "k long, vb long"), "jb", mode="append"
+    )
+    audit = c.refresh_materialized_view("join_mv")
+    assert audit["mode"] == "incremental_join"
+    assert _j_rows(c) == _j_expected(c)
+    # both sides move in one window — the cross term must land ONCE
+    c.write_to_table(
+        spark.createDataFrame([(4, 40)], "k long, va long"), "ja", mode="append"
+    )
+    c.write_to_table(
+        spark.createDataFrame([(4, 400)], "k long, vb long"), "jb", mode="append"
+    )
+    audit = c.refresh_materialized_view("join_mv")
+    assert audit["mode"] == "incremental_join"
+    assert _j_rows(c) == _j_expected(c)
+    # unmoved sources: noop
+    assert c.refresh_materialized_view("join_mv")["mode"] == "noop"
+
+
+def test_join_mv_where_filters_delta(spark, tmp_path):
+    """Rows whose join output fails the WHERE never enter the MV via
+    either delta term."""
+    c = _j_setup(spark, tmp_path)
+    c.create_materialized_view("join_mv", JOIN_SQL)
+    c.write_to_table(
+        spark.createDataFrame([(1, 999)], "k long, va long"), "ja", mode="append"
+    )
+    audit = c.refresh_materialized_view("join_mv")
+    assert audit["mode"] == "incremental_join"
+    assert _j_rows(c) == _j_expected(c)
+
+
+def test_join_mv_outer_join_rebuilds(spark, tmp_path):
+    c = _j_setup(spark, tmp_path)
+    sql = (
+        "SELECT x.k AS k, x.va AS va, y.vb AS vb "
+        "FROM ja x LEFT JOIN jb y ON x.k = y.k"
+    )
+    c.create_materialized_view("join_mv", sql)
+    c.write_to_table(
+        spark.createDataFrame([(9, 90)], "k long, va long"), "ja", mode="append"
+    )
+    audit = c.refresh_materialized_view("join_mv")
+    assert audit["mode"] == "rebuild"  # null-extension is not distributive
+    got = sorted((r.k, r.va, r.vb) for r in c.read_table("join_mv").collect())
+    exp = sorted((r.k, r.va, r.vb) for r in c.sql(sql).collect())
+    assert got == exp
+
+
+def test_join_mv_replace_window_rebuilds(spark, tmp_path):
+    c = _j_setup(spark, tmp_path)
+    c.create_materialized_view("join_mv", JOIN_SQL)
+    b2 = spark.createDataFrame([(1, 111), (3, 333)], "k long, vb long")
+    c.write_to_table(b2, "jb", mode="replace")
+    audit = c.refresh_materialized_view("join_mv")
+    assert audit["mode"] == "rebuild"
+    assert _j_rows(c) == _j_expected(c)
+
+
+def test_join_mv_model_random(spark, tmp_path):
+    import random
+
+    rng = random.Random(417)
+    c = _j_setup(spark, tmp_path)
+    c.create_materialized_view("join_mv", JOIN_SQL)
+    for step in range(12):
+        side = rng.choice(["ja", "jb", "both", "none"])
+        if side in ("ja", "both"):
+            c.write_to_table(
+                spark.createDataFrame(
+                    [(rng.randint(1, 8), rng.randint(0, 600))],
+                    "k long, va long",
+                ),
+                "ja",
+                mode="append",
+            )
+        if side in ("jb", "both"):
+            c.write_to_table(
+                spark.createDataFrame(
+                    [(rng.randint(1, 8), rng.randint(0, 600))],
+                    "k long, vb long",
+                ),
+                "jb",
+                mode="append",
+            )
+        audit = c.refresh_materialized_view("join_mv")
+        expect_mode = "noop" if side == "none" else "incremental_join"
+        assert audit["mode"] == expect_mode, f"step {step}: {audit}"
+        assert _j_rows(c) == _j_expected(c), f"step {step} ({side})"
+
+
+def test_single_table_mv_replace_window_rebuilds(spark, tmp_path):
+    """Pre-existing hole found by the join-MV tests: REPLACE commits
+    record their new generation as an APPEND delta (+ removes), so the
+    insert-only window check must not admit them — an incremental
+    append would keep the dead generation's derived rows."""
+    c = Catalog(spark, str(tmp_path / "mvrepl"))
+    c.create_table("src9")
+    c.write_to_table(
+        spark.createDataFrame([(1, "x"), (2, "y")], "id long, s string"),
+        "src9",
+        mode="append",
+    )
+    sql = "SELECT id, s FROM src9 WHERE id > 0"
+    c.create_materialized_view("rmv9", sql)
+    c.write_to_table(
+        spark.createDataFrame([(7, "z")], "id long, s string"),
+        "src9",
+        mode="replace",
+    )
+    audit = c.refresh_materialized_view("rmv9")
+    assert audit["mode"] == "full"
+    got = sorted((r.id, r.s) for r in c.read_table("rmv9").collect())
+    assert got == [(7, "z")]
