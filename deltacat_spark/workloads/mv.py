@@ -232,8 +232,67 @@ WHERE bal >= 0.0
 """
 
 
+MV_JOIN_VIEW_SQL = (
+    "SELECT x.c_custkey AS ck, x.c_nationkey AS nk, y.ok AS ok, "
+    "y.price_cents AS price_cents "
+    "FROM jcust x JOIN jord y ON x.c_custkey = y.o_custkey"
+)
+
+
+def mv_join_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-table join MV maintained by FIRST-ORDER DELTA (round-9
+    `incremental_join`): after appends land on BOTH sources, the
+    refresh appends dA ⋈ B_cur ∪ A_old ⋈ dB in one commit — never a
+    rebuild (raises if the audit says otherwise)."""
+    from deltacat_spark.catalog import Catalog
+
+    root = tempfile.mkdtemp(prefix="dcs_mvjoin_")
+    try:
+        cat = Catalog(spark, root)
+        c = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+        o = load(spark, sf_dir, "orders").select(
+            F.col("o_orderkey").alias("ok"),
+            "o_custkey",
+            F.expr(
+                "CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)"
+            ).alias("price_cents"),
+        )
+        cat.create_table("jcust")
+        cat.create_table("jord")
+        cat.write_to_table(c.filter(F.col("c_custkey") % 2 == 0), "jcust")
+        cat.write_to_table(o.filter(F.col("ok") % 50 == 0), "jord")
+        cat.create_materialized_view("join_mv", MV_JOIN_VIEW_SQL)
+        # both sources move in one refresh window
+        cat.write_to_table(
+            c.filter(F.col("c_custkey") % 2 == 1), "jcust", mode="append"
+        )
+        cat.write_to_table(
+            o.filter(F.col("ok") % 50 == 25), "jord", mode="append"
+        )
+        audit = cat.refresh_materialized_view("join_mv")
+        if audit["mode"] != "incremental_join":
+            raise RuntimeError(
+                f"insert-only join window must delta-maintain, got {audit}"
+            )
+        out = cat.read_table("join_mv")
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+MV_JOIN_INCREMENTAL_SQL = """
+SELECT c.c_custkey AS ck, c.c_nationkey AS nk,
+       o.o_orderkey AS ok,
+       CAST(FLOOR(o.o_totalprice * 100 + 0.5) AS BIGINT) AS price_cents
+FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+WHERE o.o_orderkey % 50 IN (0, 25)
+"""
+
+
 QUERIES = {
     "mv_keyed_refresh": (mv_keyed_refresh, MV_KEYED_REFRESH_SQL),
+    "mv_join_incremental": (mv_join_incremental, MV_JOIN_INCREMENTAL_SQL),
     "sql_mv_rewrite_route": (sql_mv_rewrite_route, SQL_MV_REWRITE_ROUTE_SQL),
     "mv_record_keyed_refresh": (
         mv_record_keyed_refresh,
