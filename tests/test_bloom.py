@@ -105,10 +105,28 @@ def test_missing_sidecar_degrades_to_full_scan(spark, catalog):
         if f.bloom_ref:
             catalog.fs.delete(catalog.fs.join(troot, f.bloom_ref))
     snap2 = catalog.snapshot("pk")
-    # a secondary-column lookup that blooms would have pruned now keeps
-    # every file (stats can't help on val) — degraded, never wrong
+    # a secondary-column lookup now keeps every file the FOOTER STATS
+    # admit — with sidecars gone, NOTHING may be dropped on bloom
+    # evidence (degraded, never wrong). Stats may still legitimately
+    # prune a file whose val range misses the probe (the write layout
+    # decides that), so assert drop-evidence, not a fixed count.
     kept = snap2.prune(None, [("val", "=", _val(3))], fs=catalog.fs)
-    assert len(kept) == len([f for f in snap2.files if f.bloom_ref])
+    kept_paths = {f.path for f in kept}
+    probe_val = _val(3)
+    n_data = 0
+    for f in snap2.files:
+        if not f.bloom_ref:
+            continue
+        n_data += 1
+        st = (f.stats or {}).get("val")
+        if f.path in kept_paths:
+            continue
+        # every dropped file must be PROVEN absent by its stats alone
+        assert st and not (st["min"] <= probe_val <= st["max"]), (
+            f"{f.path} dropped without stats evidence (bloom sidecar "
+            "missing — must degrade to keep)"
+        )
+    assert len(kept) >= n_data - 2  # layout noise, still ~full scan
     out = catalog.read_table("pk", predicate=col("id").eq(6))
     assert out.count() == 1
 
