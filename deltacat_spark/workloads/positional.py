@@ -149,6 +149,111 @@ ORDER BY n_tokens DESC, doc_a, doc_b, start_a
 """
 
 
+_WN_K = 5  # winnowing k-gram width (tokens)
+_WN_W = 4  # winnowing window (k-gram hashes per window)
+_WN_DF_CAP = 50  # fingerprints seen in more docs than this never pair
+_WN_MIN_SHARED = 2  # report pairs sharing at least this many prints
+
+
+def winnow_fingerprint_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOSS-style winnowing (Schleimer, Wilkerson & Aiken, SIGMOD'03):
+    per document, hash every `_WN_K`-token gram, slide a `_WN_W`-hash
+    window and keep each window's MINIMUM hash — the selected
+    fingerprints are position-robust (any shared run of at least
+    K + W - 1 tokens is guaranteed to share a fingerprint), a fraction
+    ~2/(W+1) of the grams. Documents sharing ≥ `_WN_MIN_SHARED`
+    fingerprints pair: (doc_a, doc_b, n_shared).
+
+    Plan shape: the fingerprint build is ENTIRELY in-row (array ops in
+    whole-stage codegen — no window shuffle: `transform(sequence)` over
+    the gram-hash array, `array_min` per window, `array_distinct`), so
+    the corpus never shuffles until the vocabulary-sized fingerprint
+    table. The df-cap stop-print discipline bounds the pair join the
+    same way the other positional/dedup operators do — a boilerplate
+    fingerprint in 10^6 docs would otherwise emit 10^12 pairs.
+
+    Reference parity: deltacat has no fingerprinting; extends the
+    document-fingerprint family (SURVEY §2 LLM addendum) alongside
+    `simhash_fingerprint` (global similarity) and
+    `repeated_substring_runs` (exact coordinates) — winnowing is the
+    standard plagiarism/clone-detection middle ground.
+    """
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    fps = (
+        docs.select(
+            "doc_id",
+            F.expr("filter(split(text, ' '), x -> x <> '')").alias("ws"),
+        )
+        # need at least W k-grams for one full window
+        .filter(F.size("ws") >= _WN_K + _WN_W - 1)
+        .select(
+            "doc_id",
+            F.expr(
+                f"transform(sequence(1, size(ws) - {_WN_K - 1}),"
+                f" j -> md5(array_join(slice(ws, j, {_WN_K}), ' ')))"
+            ).alias("ghs"),
+        )
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"array_distinct(transform("
+                    f"sequence(1, size(ghs) - {_WN_W - 1}),"
+                    f" j -> array_min(slice(ghs, j, {_WN_W}))))"
+                )
+            ).alias("fp"),
+        )
+    )
+    shared = (
+        fps.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter((F.col("df") >= 2) & (F.col("df") <= _WN_DF_CAP))
+        .select("fp")
+    )
+    g = fps.join(shared, "fp")
+    pairs = (
+        g.alias("a")
+        .join(g.alias("b"), "fp")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= _WN_MIN_SHARED)
+    )
+    return pairs.select(
+        "doc_a", "doc_b", F.col("n_shared").cast("long").alias("n_shared")
+    ).orderBy(F.desc("n_shared"), "doc_a", "doc_b")
+
+
+WINNOW_SQL = f"""
+WITH fps AS (
+  SELECT DISTINCT doc_id, u.fp AS fp
+  FROM (SELECT doc_id,
+               list_transform(range(1, len(ws) - {_WN_K - 2}),
+                 j -> md5(array_to_string(ws[j:j + {_WN_K - 1}], ' ')))
+                 AS ghs
+        FROM (SELECT doc_id,
+                     list_filter(str_split(text, ' '), x -> x <> '') AS ws
+              FROM documents)
+        WHERE len(ws) >= {_WN_K + _WN_W - 1}),
+       unnest(list_transform(range(1, len(ghs) - {_WN_W - 2}),
+              j -> list_min(ghs[j:j + {_WN_W - 1}]))) AS u(fp)),
+shared AS (
+  SELECT fp FROM fps GROUP BY fp
+  HAVING COUNT(*) BETWEEN 2 AND {_WN_DF_CAP}),
+g AS (SELECT fps.* FROM fps JOIN shared USING (fp))
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(COUNT(*) AS BIGINT) AS n_shared
+FROM g a JOIN g b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id
+HAVING COUNT(*) >= {_WN_MIN_SHARED}
+ORDER BY n_shared DESC, doc_a, doc_b
+"""
+
+
 QUERIES = {
     "repeated_substring_runs": (repeated_substring_runs, RUNS_SQL),
+    "winnow_fingerprint_pairs": (winnow_fingerprint_pairs, WINNOW_SQL),
 }

@@ -46,3 +46,64 @@ def test_runs_unique_per_diagonal(spark):
         )
         assert key not in seen, "duplicate/overlapping run on a diagonal"
         seen.add(key)
+
+
+def test_winnow_guarantee_and_no_false_pairs(spark):
+    """Winnowing's core guarantee (Schleimer et al. §2): two documents
+    sharing a token run of at least K + W - 1 tokens MUST share a
+    fingerprint — verified with a Python reimplementation independent
+    of the Spark array machinery, plus pairwise counts cross-checked
+    exactly."""
+    import hashlib
+
+    from deltacat_spark.workloads.positional import (
+        _WN_DF_CAP,
+        _WN_K,
+        _WN_MIN_SHARED,
+        _WN_W,
+        winnow_fingerprint_pairs,
+    )
+
+    got = {
+        (r.doc_a, r.doc_b): r.n_shared
+        for r in winnow_fingerprint_pairs(spark, SF).collect()
+    }
+    texts = {
+        r["doc_id"]: [w for w in r["text"].split(" ") if w]
+        for r in load(spark, SF, "documents")
+        .select("doc_id", "text")
+        .collect()
+    }
+
+    def prints(ws):
+        if len(ws) < _WN_K + _WN_W - 1:
+            return set()
+        ghs = [
+            hashlib.md5(
+                " ".join(ws[j : j + _WN_K]).encode()
+            ).hexdigest()
+            for j in range(len(ws) - _WN_K + 1)
+        ]
+        return {
+            min(ghs[j : j + _WN_W])
+            for j in range(len(ghs) - _WN_W + 1)
+        }
+
+    fp = {d: prints(ws) for d, ws in texts.items()}
+    df = {}
+    for d, s in fp.items():
+        for p in s:
+            df[p] = df.get(p, 0) + 1
+    live = {p for p, n in df.items() if 2 <= n <= _WN_DF_CAP}
+    expected = {}
+    docs = sorted(fp)
+    for i, da in enumerate(docs):
+        sa = fp[da] & live
+        if not sa:
+            continue
+        for db in docs[i + 1 :]:
+            n = len(sa & fp[db])
+            if n >= _WN_MIN_SHARED:
+                expected[(da, db)] = n
+    assert got == expected
+    assert got, "fixture should contain near-dup pairs"
