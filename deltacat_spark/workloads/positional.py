@@ -253,7 +253,118 @@ ORDER BY n_shared DESC, doc_a, doc_b
 """
 
 
+_CDC_B = 4  # boundary test window (tokens)
+_CDC_D = 8  # boundary probability 1/D — expected chunk ≈ D tokens
+
+
+def cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking dedup accounting (the rsync/LBFS
+    boundary trick, per source): cut each document where the rolling
+    `_CDC_B`-token window's hash ≡ 0 (mod `_CDC_D`) — boundaries are
+    CONTENT-anchored, so an insertion early in a page shifts chunk
+    positions but not chunk identities downstream (the property
+    fixed-size blocking lacks) — then hash each chunk and report per
+    source: chunks, distinct chunks, duplicated fraction. The standard
+    estimator for "how much of this crawl is chunk-level boilerplate"
+    and for dedup storage savings at ingest.
+
+    Plan shape: boundary detection, chunk splitting and chunk hashing
+    are ALL in-row array ops (whole-stage codegen, zero shuffle); the
+    only shuffle is the final per-source aggregate over the chunk-hash
+    table. Fraction reported as integer parts-per-10000 (truncating
+    div on both engines).
+    """
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    boundary = (
+        f"(instr('0123456789abcdef', substring(md5(array_join("
+        f"slice(ws, j - {_CDC_B - 1}, {_CDC_B}), ' ')), 32, 1)) - 1)"
+        f" % {_CDC_D} = 0"
+    )
+    chunks = (
+        docs.select(
+            "doc_id",
+            "source",
+            F.expr("filter(split(text, ' '), x -> x <> '')").alias("ws"),
+        )
+        # sequence(B, n-1) must ascend — exclude too-short docs (they'd
+        # have no interior boundary trials anyway)
+        .filter(F.size("ws") >= _CDC_B + 1)
+        .select(
+            "source",
+            F.expr(
+                f"concat(array(0),"
+                f" filter(sequence({_CDC_B}, size(ws) - 1), j -> {boundary}),"
+                f" array(size(ws)))"
+            ).alias("bnds"),
+            "ws",
+        )
+        .select(
+            "source",
+            F.explode(
+                F.expr(
+                    "transform("
+                    "  filter("
+                    "    transform(sequence(1, size(bnds) - 1),"
+                    "      i -> struct(element_at(bnds, i) AS lo,"
+                    "                  element_at(bnds, i + 1) AS hi)),"
+                    "    p -> p.hi > p.lo),"
+                    "  p -> md5(array_join(slice(ws, p.lo + 1, p.hi - p.lo),"
+                    "           ' ')))"
+                )
+            ).alias("ch"),
+        )
+    )
+    return (
+        chunks.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.countDistinct("ch").alias("n_distinct"),
+        )
+        .select(
+            "source",
+            F.col("n_chunks").cast("long").alias("n_chunks"),
+            F.col("n_distinct").cast("long").alias("n_distinct"),
+            F.expr(
+                "CAST(((n_chunks - n_distinct) * 10000) DIV n_chunks AS BIGINT)"
+            ).alias("dup_x10000"),
+        )
+        .orderBy("source")
+    )
+
+
+CDC_CHUNK_SQL = f"""
+WITH chunks AS (
+  SELECT source, u.ch AS ch
+  FROM (SELECT source, ws,
+               list_concat(list_concat([0],
+                 list_filter(range({_CDC_B}, len(ws)),
+                   j -> (strpos('0123456789abcdef',
+                          substr(md5(array_to_string(
+                            ws[j - {_CDC_B - 1}:j], ' ')), 32, 1)) - 1)
+                        % {_CDC_D} = 0)),
+                 [len(ws)]) AS bnds
+        FROM (SELECT source,
+                     list_filter(str_split(text, ' '), x -> x <> '') AS ws
+              FROM documents)
+        WHERE len(ws) >= {_CDC_B + 1}),
+       unnest(list_transform(
+         list_filter(list_transform(range(1, len(bnds)),
+           i -> {{'lo': bnds[i], 'hi': bnds[i + 1]}}),
+           p -> p.hi > p.lo),
+         p -> md5(array_to_string(ws[p.lo + 1:p.hi], ' ')))) AS u(ch))
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_chunks,
+       CAST(COUNT(DISTINCT ch) AS BIGINT) AS n_distinct,
+       CAST(((COUNT(*) - COUNT(DISTINCT ch)) * 10000) // COUNT(*) AS BIGINT)
+         AS dup_x10000
+FROM chunks
+GROUP BY source
+ORDER BY source
+"""
+
+
 QUERIES = {
     "repeated_substring_runs": (repeated_substring_runs, RUNS_SQL),
     "winnow_fingerprint_pairs": (winnow_fingerprint_pairs, WINNOW_SQL),
+    "cdc_chunk_dedup": (cdc_chunk_dedup, CDC_CHUNK_SQL),
 }

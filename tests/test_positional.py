@@ -107,3 +107,68 @@ def test_winnow_guarantee_and_no_false_pairs(spark):
                 expected[(da, db)] = n
     assert got == expected
     assert got, "fixture should contain near-dup pairs"
+
+
+def test_cdc_chunks_partition_and_python_parity(spark):
+    """CDC chunking invariants vs an independent Python
+    reimplementation: identical per-source counts, and for each doc the
+    chunks PARTITION the token list (concatenation restores the doc)."""
+    import hashlib
+
+    from deltacat_spark.workloads.positional import (
+        _CDC_B,
+        _CDC_D,
+        cdc_chunk_dedup,
+    )
+
+    got = {
+        r.source: (r.n_chunks, r.n_distinct, r.dup_x10000)
+        for r in cdc_chunk_dedup(spark, SF).collect()
+    }
+
+    def doc_chunks(ws):
+        n = len(ws)
+        if n < _CDC_B + 1:
+            return None
+        cuts = [
+            j
+            for j in range(_CDC_B, n)
+            if (
+                "0123456789abcdef".index(
+                    hashlib.md5(
+                        " ".join(ws[j - _CDC_B : j]).encode()
+                    ).hexdigest()[31]
+                )
+            )
+            % _CDC_D
+            == 0
+        ]
+        bnds = [0] + cuts + [n]
+        spans = [
+            (lo, hi) for lo, hi in zip(bnds, bnds[1:]) if hi > lo
+        ]
+        # partition property: spans tile [0, n) exactly
+        assert spans[0][0] == 0 and spans[-1][1] == n
+        for (l1, h1), (l2, h2) in zip(spans, spans[1:]):
+            assert h1 == l2
+        return [
+            hashlib.md5(" ".join(ws[lo:hi]).encode()).hexdigest()
+            for lo, hi in spans
+        ]
+
+    per_source = {}
+    for r in (
+        load(spark, SF, "documents").select("source", "text").collect()
+    ):
+        ws = [w for w in r["text"].split(" ") if w]
+        ch = doc_chunks(ws)
+        if ch is None:
+            continue
+        per_source.setdefault(r["source"], []).append(ch)
+    expected = {}
+    for src, lists in per_source.items():
+        flat = [c for l in lists for c in l]
+        n, d = len(flat), len(set(flat))
+        expected[src] = (n, d, (n - d) * 10000 // n)
+    assert got == expected
+    assert any(v[2] > 0 for v in got.values()), "fixture has chunk dups"
