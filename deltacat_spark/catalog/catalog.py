@@ -160,10 +160,14 @@ def _strip_literals(text: str) -> str:
     return "".join(out)
 
 
-def _table_ref_spans(stripped: str, table: str) -> "list[tuple[int, int]]":
-    """(start, end) spans where `table` occurs in TABLE-REFERENCE
-    position — directly after FROM/JOIN (through join modifiers) or
-    after a comma inside a FROM list — in literal-stripped SQL.
+def _table_ref_spans(
+    stripped: str, table: str
+) -> "list[tuple[int, int, bool]]":
+    """(start, end, has_alias) spans where `table` occurs in
+    TABLE-REFERENCE position — directly after FROM/JOIN (through join
+    modifiers) or after a comma inside a FROM list — in
+    literal-stripped SQL. `has_alias` reports whether an explicit alias
+    (bare identifier or AS x) follows the reference.
 
     A bare ``\\b``-token scan would also hit column names and aliases
     (``SELECT o.orders FROM orders o`` names a column `orders`), so the
@@ -175,7 +179,6 @@ def _table_ref_spans(stripped: str, table: str) -> "list[tuple[int, int]]":
     position."""
     import re
 
-    spans: list[tuple[int, int]] = []
     stop = {
         "where", "group", "order", "having", "limit", "on", "using",
         "select", "union", "except", "intersect", "window", "qualify",
@@ -185,10 +188,17 @@ def _table_ref_spans(stripped: str, table: str) -> "list[tuple[int, int]]":
         "left", "right", "full", "inner", "outer", "cross", "semi",
         "anti", "natural",
     }
+    no_alias_after = (
+        stop | join_mods | {"join", "from", "and", "or", "not", "when"}
+    )
+    toks = [
+        (m.group(0), m.start(), m.end())
+        for m in re.finditer(r"`[^`]*`|\w+|[(),.]", stripped)
+    ]
+    spans: list[tuple[int, int, bool]] = []
     in_from = False  # inside a FROM list: a comma introduces a table
     expect = False   # the next identifier is a table reference
-    for m in re.finditer(r"`[^`]*`|\w+|[(),.]", stripped):
-        tok = m.group(0)
+    for i, (tok, s, e) in enumerate(toks):
         low = tok.lower()
         if low == "from":
             in_from = expect = True
@@ -213,7 +223,15 @@ def _table_ref_spans(stripped: str, table: str) -> "list[tuple[int, int]]":
             continue
         if expect:
             if low == table.lower() or tok == f"`{table}`":
-                spans.append((m.start(), m.end()))
+                nxt = toks[i + 1][0].lower() if i + 1 < len(toks) else ""
+                has_alias = bool(
+                    nxt == "as"
+                    or (
+                        re.fullmatch(r"\w+", nxt)
+                        and nxt not in no_alias_after
+                    )
+                )
+                spans.append((s, e, has_alias))
             expect = False  # next identifier would be an alias
     return spans
 
@@ -221,12 +239,18 @@ def _table_ref_spans(stripped: str, table: str) -> "list[tuple[int, int]]":
 def _substitute_table_refs(sql: str, table: str, replacement: str) -> str:
     """Replace table-reference occurrences of `table` in `sql` with
     `replacement`, using `_strip_literals` + `_table_ref_spans` so
-    string literals, column names, and aliases are never touched."""
+    string literals, column names, and aliases are never touched.
+
+    A reference WITHOUT an explicit alias is replaced by
+    ``replacement AS table`` — the query may qualify columns by the
+    bare table name (``FROM fa JOIN fb ON fa.k = fb.k2``), and those
+    qualifiers must keep resolving after the table is swapped for a
+    pinned/delta view."""
     spans = _table_ref_spans(_strip_literals(sql), table)
     out, last = [], 0
-    for s, e in spans:
+    for s, e, has_alias in spans:
         out.append(sql[last:s])
-        out.append(replacement)
+        out.append(replacement if has_alias else f"{replacement} AS {table}")
         last = e
     out.append(sql[last:])
     return "".join(out)
@@ -2633,7 +2657,10 @@ class Catalog:
             if self.table_exists(name):
                 self.drop_table(name)
         self.fs.makedirs(self._views_dir)
-        from deltacat_spark.catalog.materialize import parse_agg_view
+        from deltacat_spark.catalog.materialize import (
+            parse_agg_view,
+            parse_join_agg_view,
+        )
 
         single = len(refs) == 1
         # Record-wise view over a MERGE-KEYED source that carries the
@@ -2676,6 +2703,13 @@ class Catalog:
                         if single
                         else None
                     ),
+                    # two-table inner-join GROUP BY → delta partial-agg
+                    # maintenance under insert-only windows
+                    "join_agg_spec": (
+                        parse_join_agg_view(view_sql)
+                        if len(refs) == 2
+                        else None
+                    ),
                 }
             ),
         )
@@ -2690,7 +2724,9 @@ class Catalog:
         src, vsql = d["src"], d["sql"]
         srcs = d.get("srcs") or [src]
         if len(srcs) > 1:
-            return self._refresh_mv_multi(name, vsql, srcs)
+            return self._refresh_mv_multi(
+                name, vsql, srcs, d.get("join_agg_spec")
+            )
 
         def transform(df: DataFrame) -> DataFrame:
             tmp = f"__mv_src_{name}"
@@ -2734,7 +2770,13 @@ class Catalog:
             stripped,
         )
 
-    def _refresh_mv_multi(self, name: str, vsql: str, srcs: list) -> dict:
+    def _refresh_mv_multi(
+        self,
+        name: str,
+        vsql: str,
+        srcs: list,
+        join_agg_spec: "dict | None" = None,
+    ) -> dict:
         """Multi-table MV refresh: exact full rebuild over PINNED
         per-source snapshots. The source versions are captured first
         and every source is registered `version_as_of` that capture, so
@@ -2815,6 +2857,98 @@ class Catalog:
                     },
                 )
                 return {"mode": "incremental_join", "src_versions": cur}
+            # Join + GROUP BY views: partial-aggregate the SAME two
+            # delta join terms (dA x B_cur, A_old x dB — the full view
+            # SQL runs over each substituted pair, GROUP BY included),
+            # re-combine the two partial tables per group, then merge
+            # into the group-KEYED MV with the single-table combiner
+            # (COUNT/SUM add, MIN/MAX least/greatest — sound because
+            # insert-only windows never retract). One commit carries
+            # both watermarks.
+            if (
+                join_agg_spec is not None
+                and len(srcs) == 2
+                and all(
+                    last[t] is not None and int(last[t]) <= cur[t]
+                    for t in srcs
+                )
+                and all(
+                    _insert_only_window(
+                        self, t, DEFAULT_NAMESPACE, cur[t], int(last[t])
+                    )
+                    for t in srcs
+                )
+            ):
+                from deltacat_spark.catalog.materialize import (
+                    _merge_partial_into_old,
+                )
+
+                a, b = srcs
+                la, lb = int(last[a]), int(last[b])
+                da_view = f"__mv_da_{name}_{a}"
+                self.read_changes(a, la, cur[a]).drop(
+                    "_commit_version", "_change_type", "_change_cols"
+                ).createOrReplaceTempView(da_view)
+                db_view = f"__mv_db_{name}_{b}"
+                self.read_changes(b, lb, cur[b]).drop(
+                    "_commit_version", "_change_type", "_change_cols"
+                ).createOrReplaceTempView(db_view)
+                b_cur = f"__mv_cur_{name}_{b}"
+                self.register_view(b, view_name=b_cur, version_as_of=cur[b])
+                a_old = f"__mv_old_{name}_{a}"
+                self.register_view(a, view_name=a_old, version_as_of=la)
+                t1 = _substitute_table_refs(
+                    _substitute_table_refs(vsql, a, da_view), b, b_cur
+                )
+                t2 = _substitute_table_refs(
+                    _substitute_table_refs(vsql, a, a_old), b, db_view
+                )
+                group_cols = list(join_agg_spec["group_cols"])
+                aggs = list(join_agg_spec["aggs"])
+                terms = self.spark.sql(t1).unionByName(self.spark.sql(t2))
+                combine = {
+                    "count": F.sum,
+                    "sum": F.sum,
+                    "min": F.min,
+                    "max": F.max,
+                }
+                partial = terms.groupBy(*group_cols).agg(
+                    *[
+                        combine[ag["func"]](F.col(ag["alias"])).alias(
+                            ag["alias"]
+                        )
+                        for ag in aggs
+                    ]
+                )
+                wm = {
+                    f"{MV_SRC_VERSION}.{t}": str(v) for t, v in cur.items()
+                }
+                if partial.isEmpty():
+                    self.alter_table(name, properties=wm)
+                    return {
+                        "mode": "incremental_join_agg",
+                        "src_versions": cur,
+                        "touched_groups": 0,
+                    }
+                old = self.read_table(name).select(
+                    *group_cols,
+                    *[
+                        F.col(ag["alias"]).alias(f"__old_{ag['alias']}")
+                        for ag in aggs
+                    ],
+                )
+                merged = _merge_partial_into_old(
+                    partial, old, group_cols, aggs
+                )
+                n_touched = merged.count()
+                self.write_to_table(
+                    merged, name, mode="merge", commit_properties=wm
+                )
+                return {
+                    "mode": "incremental_join_agg",
+                    "src_versions": cur,
+                    "touched_groups": n_touched,
+                }
         # Pinned snapshots go under PRIVATE view names and the SQL's
         # table references are rewritten IN TABLE POSITION only
         # (`_substitute_table_refs` — a column/alias spelled like a
@@ -2829,14 +2963,34 @@ class Catalog:
             self.register_view(t, view_name=tmp, version_as_of=cur[t])
             text = _substitute_table_refs(text, t, tmp)
         out = self.spark.sql(text)
-        self.write_to_table(
-            out,
-            name,
-            mode="replace" if self.table_exists(name) else "create",
-            commit_properties={
-                f"{MV_SRC_VERSION}.{t}": str(v) for t, v in cur.items()
-            },
-        )
+        wm = {f"{MV_SRC_VERSION}.{t}": str(v) for t, v in cur.items()}
+        if not self.table_exists(name) and join_agg_spec is not None:
+            # Join-agg MV bootstrap: keyed on its group columns so
+            # later insert-only windows merge partials group-by-group
+            # instead of rewriting the table.
+            from deltacat_spark.schema import Field, Schema
+
+            group = {g.lower() for g in join_agg_spec["group_cols"]}
+            fields = [
+                Field(
+                    f.name,
+                    f.dataType,
+                    nullable=f.nullable and f.name.lower() not in group,
+                    merge_key=f.name.lower() in group,
+                )
+                for f in out.schema.fields
+            ]
+            self.create_table(name, schema=Schema(fields))
+            self.write_to_table(
+                out, name, mode="merge", commit_properties=wm
+            )
+        else:
+            self.write_to_table(
+                out,
+                name,
+                mode="replace" if self.table_exists(name) else "create",
+                commit_properties=wm,
+            )
         return {"mode": "rebuild", "src_versions": cur}
 
     def _mv_rewrite_target(self, query: str) -> "str | None":

@@ -79,7 +79,19 @@ def parse_agg_view(view_sql: str, stripped: "str | None" = None):
     group_cols = [g.strip().lower() for g in group_by.split(",") if g.strip()]
     if not all(re.fullmatch(r"\w+", g) for g in group_cols):
         return None
-    # split the SELECT list on top-level commas
+    parsed = _parse_select_list(select_list, group_cols)
+    if parsed is None:
+        return None
+    seen_groups, aggs = parsed
+    return {"group_cols": seen_groups, "aggs": aggs}
+
+
+def _parse_select_list(select_list: str, group_cols: "list[str]"):
+    """Shared select-list classifier for the agg-view parsers: split at
+    top-level commas into bare group columns + aliased mergeable
+    aggregates. Returns (seen_groups, aggs) or None."""
+    import re
+
     items, depth, cur = [], 0, []
     for ch in select_list:
         if ch == "(":
@@ -105,11 +117,62 @@ def parse_agg_view(view_sql: str, stripped: "str | None" = None):
         )
         if not am or re.search(r"\bdistinct\b", am.group(2), re.IGNORECASE):
             return None
-        aggs.append(
-            {"func": am.group(1).lower(), "alias": am.group(3)}
-        )
+        aggs.append({"func": am.group(1).lower(), "alias": am.group(3)})
     if sorted(seen_groups) != sorted(group_cols) or not aggs:
         return None
+    return seen_groups, aggs
+
+
+def parse_join_agg_view(view_sql: str):
+    """Classify a TWO-TABLE inner-join GROUP BY view as incrementally
+    maintainable under insert-only windows; returns ``{"group_cols",
+    "aggs"}`` or None. Accepted shape (conservative — anything else
+    keeps the exact pinned rebuild):
+
+        SELECT g1, ..., AGG(expr) AS alias, ...
+        FROM a [x] JOIN b [y] ON pred [WHERE pred]
+        GROUP BY g1, ...
+
+    with AGG ∈ {COUNT, SUM, MIN, MAX} all aliased, group columns plain
+    UNQUALIFIED identifiers in both lists, one plain (INNER) JOIN, no
+    subqueries/outer joins/DISTINCT/HAVING/ORDER/LIMIT/window."""
+    import re
+
+    from deltacat_spark.catalog.catalog import _strip_literals
+
+    s = _strip_literals(view_sql)
+    low = s.lower()
+    if len(re.findall(r"\bselect\b", low)) != 1:
+        return None
+    if len(re.findall(r"\bjoin\b", low)) != 1:
+        return None
+    if re.search(
+        r"\b(left|right|full|semi|anti|natural|cross)\s+(outer\s+)?join\b",
+        low,
+    ):
+        return None
+    if re.search(
+        r"\b(distinct|having|order\s+by|limit|union|exists)\b|\bover\s*\(",
+        low,
+    ):
+        return None
+    m = re.match(
+        r"\s*select\s+(.*?)\s+from\s+\w+(?:\s+(?:as\s+)?\w+)?"
+        r"\s+join\s+\w+(?:\s+(?:as\s+)?\w+)?\s+on\s+.*?"
+        r"\s+group\s+by\s+([\w\s,]+?)\s*$",
+        s,
+        re.IGNORECASE | re.DOTALL,
+    )
+    if not m:
+        return None
+    select_list, group_by = m.groups()
+    group_cols = [g.strip().lower() for g in group_by.split(",") if g.strip()]
+    if not all(re.fullmatch(r"\w+", g) for g in group_cols):
+        return None
+    parsed = _parse_select_list(select_list, group_cols)
+    if parsed is None:
+        return None
+    seen_groups, aggs = parsed
     return {"group_cols": seen_groups, "aggs": aggs}
 
 

@@ -630,3 +630,145 @@ def test_single_table_mv_replace_window_rebuilds(spark, tmp_path):
     assert audit["mode"] == "full"
     got = sorted((r.id, r.s) for r in c.read_table("rmv9").collect())
     assert got == [(7, "z")]
+
+
+# -- join + GROUP BY MVs: delta partial-agg maintenance (round 9) ------
+
+JAGG_SQL = (
+    "SELECT g, COUNT(*) AS n, SUM(v + w) AS sv, "
+    "MIN(v) AS lo, MAX(w) AS hi "
+    "FROM fa JOIN fb ON fa.k = fb.k2 "
+    "WHERE v >= 0 GROUP BY g"
+)
+
+
+def _jagg_setup(spark, tmp_path):
+    c = Catalog(spark, str(tmp_path / "mvjagg"))
+    a = spark.createDataFrame(
+        [(1, "x", 10), (2, "x", 20), (3, "y", 5)], "k long, g string, v long"
+    )
+    b = spark.createDataFrame([(1, 100), (2, 200), (3, 7)], "k2 long, w long")
+    c.create_table("fa")
+    c.create_table("fb")
+    c.write_to_table(a, "fa", mode="append")
+    c.write_to_table(b, "fb", mode="append")
+    return c
+
+
+def _jagg_rows(c):
+    return {
+        (r.g, r.n, r.sv, r.lo, r.hi)
+        for r in c.read_table("jagg_mv").collect()
+    }
+
+
+def _jagg_expected(c):
+    return {
+        (r.g, r.n, r.sv, r.lo, r.hi) for r in c.sql(JAGG_SQL).collect()
+    }
+
+
+def test_join_agg_mv_bootstrap_keyed_and_incremental(spark, tmp_path):
+    from deltacat_spark.catalog.materialize import parse_join_agg_view
+
+    spec = parse_join_agg_view(JAGG_SQL)
+    assert spec == {
+        "group_cols": ["g"],
+        "aggs": [
+            {"func": "count", "alias": "n"},
+            {"func": "sum", "alias": "sv"},
+            {"func": "min", "alias": "lo"},
+            {"func": "max", "alias": "hi"},
+        ],
+    }
+    c = _jagg_setup(spark, tmp_path)
+    c.create_materialized_view("jagg_mv", JAGG_SQL)
+    assert c.snapshot("jagg_mv").schema.merge_keys == ["g"]
+    assert _jagg_rows(c) == _jagg_expected(c)
+    # left append touches existing group
+    c.write_to_table(
+        spark.createDataFrame([(2, "x", 30)], "k long, g string, v long"),
+        "fa",
+        mode="append",
+    )
+    audit = c.refresh_materialized_view("jagg_mv")
+    assert audit["mode"] == "incremental_join_agg"
+    assert _jagg_rows(c) == _jagg_expected(c)
+    # right append fans out through OLD left rows only once
+    c.write_to_table(
+        spark.createDataFrame([(3, 70)], "k2 long, w long"), "fb", mode="append"
+    )
+    audit = c.refresh_materialized_view("jagg_mv")
+    assert audit["mode"] == "incremental_join_agg"
+    assert _jagg_rows(c) == _jagg_expected(c)
+    # both sides + a brand-new group in one window
+    c.write_to_table(
+        spark.createDataFrame([(9, "z", 1)], "k long, g string, v long"),
+        "fa",
+        mode="append",
+    )
+    c.write_to_table(
+        spark.createDataFrame([(9, 900)], "k2 long, w long"), "fb", mode="append"
+    )
+    audit = c.refresh_materialized_view("jagg_mv")
+    assert audit["mode"] == "incremental_join_agg"
+    assert _jagg_rows(c) == _jagg_expected(c)
+    assert c.refresh_materialized_view("jagg_mv")["mode"] == "noop"
+
+
+def test_join_agg_mv_replace_rebuilds(spark, tmp_path):
+    c = _jagg_setup(spark, tmp_path)
+    c.create_materialized_view("jagg_mv", JAGG_SQL)
+    c.write_to_table(
+        spark.createDataFrame([(1, 50)], "k2 long, w long"), "fb", mode="replace"
+    )
+    audit = c.refresh_materialized_view("jagg_mv")
+    assert audit["mode"] == "rebuild"
+    assert _jagg_rows(c) == _jagg_expected(c)
+    # and incremental resumes afterwards
+    c.write_to_table(
+        spark.createDataFrame([(1, "x", 40)], "k long, g string, v long"),
+        "fa",
+        mode="append",
+    )
+    audit = c.refresh_materialized_view("jagg_mv")
+    assert audit["mode"] == "incremental_join_agg"
+    assert _jagg_rows(c) == _jagg_expected(c)
+
+
+def test_join_agg_mv_model_random(spark, tmp_path):
+    import random
+
+    rng = random.Random(1833)
+    c = _jagg_setup(spark, tmp_path)
+    c.create_materialized_view("jagg_mv", JAGG_SQL)
+    nk = 20
+    for step in range(10):
+        side = rng.choice(["fa", "fb", "both"])
+        if side in ("fa", "both"):
+            c.write_to_table(
+                spark.createDataFrame(
+                    [
+                        (
+                            rng.randint(1, 12),
+                            rng.choice("xyzw"),
+                            rng.randint(0, 50),
+                        )
+                    ],
+                    "k long, g string, v long",
+                ),
+                "fa",
+                mode="append",
+            )
+        if side in ("fb", "both"):
+            c.write_to_table(
+                spark.createDataFrame(
+                    [(rng.randint(1, 12), rng.randint(0, 500))],
+                    "k2 long, w long",
+                ),
+                "fb",
+                mode="append",
+            )
+        audit = c.refresh_materialized_view("jagg_mv")
+        assert audit["mode"] == "incremental_join_agg", f"step {step}: {audit}"
+        assert _jagg_rows(c) == _jagg_expected(c), f"step {step} ({side})"

@@ -249,26 +249,30 @@ def test_substitute_table_refs_join_and_comma_list():
     )
     out = _substitute_table_refs(sql, "orders", "P1")
     out = _substitute_table_refs(out, "customer", "P2")
-    assert "FROM P1, P2 c" in out
-    assert "JOIN P1 ON" in out
-    assert "LEFT OUTER JOIN P2 ON" in out
-    # qualified column refs untouched
+    # unaliased refs get re-aliased to the ORIGINAL name so bare-name
+    # qualifiers (orders.k) keep resolving against the substitute
+    assert "FROM P1 AS orders, P2 c" in out
+    assert "JOIN P1 AS orders ON" in out
+    assert "LEFT OUTER JOIN P2 AS customer ON" in out
     assert "orders.k" in out
 
 
 def test_substitute_table_refs_literal_untouched():
     sql = "SELECT 'orders' AS lbl FROM orders"
     out = _substitute_table_refs(sql, "orders", "PIN")
-    assert out == "SELECT 'orders' AS lbl FROM PIN"
+    assert out == "SELECT 'orders' AS lbl FROM PIN AS orders"
 
 
 def test_table_ref_spans_subquery():
     sql = "SELECT * FROM (SELECT x FROM orders) t, orders"
     stripped = _strip_literals(sql)
     spans = _table_ref_spans(stripped, "orders")
-    assert [sql[s:e] for s, e in spans] == ["orders", "orders"]
+    assert [sql[s:e] for s, e, _a in spans] == ["orders", "orders"]
+    assert [a for _s, _e, a in spans] == [False, False]
     out = _substitute_table_refs(sql, "orders", "PIN")
-    assert out == "SELECT * FROM (SELECT x FROM PIN) t, PIN"
+    assert out == (
+        "SELECT * FROM (SELECT x FROM PIN AS orders) t, PIN AS orders"
+    )
 
 
 def test_mv_multi_with_tablename_column_alias(spark, catalog):
