@@ -290,9 +290,79 @@ WHERE o.o_orderkey % 50 IN (0, 25)
 """
 
 
+MV_JOIN_AGG_VIEW_SQL = (
+    "SELECT nk, COUNT(*) AS n_orders, SUM(price_cents) AS total_cents, "
+    "MIN(price_cents) AS lo_cents, MAX(price_cents) AS hi_cents "
+    "FROM gcust JOIN gord ON gcust.ck = gord.o_custkey "
+    "GROUP BY nk"
+)
+
+
+def mv_join_agg_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join + GROUP BY MV maintained by delta partial-aggregation
+    (round-9 `incremental_join_agg`): appends on BOTH sources, then one
+    refresh that partial-aggregates the two delta join terms and merges
+    group-wise into the nation-keyed MV — never a rebuild (raises
+    otherwise)."""
+    from deltacat_spark.catalog import Catalog
+
+    root = tempfile.mkdtemp(prefix="dcs_mvjagg_")
+    try:
+        cat = Catalog(spark, root)
+        c = load(spark, sf_dir, "customer").select(
+            F.col("c_custkey").alias("ck"),
+            F.col("c_nationkey").alias("nk"),
+        )
+        o = load(spark, sf_dir, "orders").select(
+            F.col("o_orderkey").alias("ok"),
+            "o_custkey",
+            F.expr(
+                "CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)"
+            ).alias("price_cents"),
+        )
+        cat.create_table("gcust")
+        cat.create_table("gord")
+        cat.write_to_table(c.filter(F.col("ck") % 2 == 0), "gcust")
+        cat.write_to_table(o.filter(F.col("ok") % 20 == 0), "gord")
+        cat.create_materialized_view("jagg_mv", MV_JOIN_AGG_VIEW_SQL)
+        cat.write_to_table(
+            c.filter(F.col("ck") % 2 == 1), "gcust", mode="append"
+        )
+        cat.write_to_table(
+            o.filter(F.col("ok") % 20 == 10), "gord", mode="append"
+        )
+        audit = cat.refresh_materialized_view("jagg_mv")
+        if audit["mode"] != "incremental_join_agg":
+            raise RuntimeError(
+                f"insert-only join-agg window must delta-maintain, got {audit}"
+            )
+        out = cat.read_table("jagg_mv")
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+MV_JOIN_AGG_INCREMENTAL_SQL = """
+SELECT c.c_nationkey AS nk,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(FLOOR(o.o_totalprice * 100 + 0.5) AS BIGINT))
+            AS BIGINT) AS total_cents,
+       MIN(CAST(FLOOR(o.o_totalprice * 100 + 0.5) AS BIGINT)) AS lo_cents,
+       MAX(CAST(FLOOR(o.o_totalprice * 100 + 0.5) AS BIGINT)) AS hi_cents
+FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+WHERE o.o_orderkey % 20 IN (0, 10)
+GROUP BY c.c_nationkey
+"""
+
+
 QUERIES = {
     "mv_keyed_refresh": (mv_keyed_refresh, MV_KEYED_REFRESH_SQL),
     "mv_join_incremental": (mv_join_incremental, MV_JOIN_INCREMENTAL_SQL),
+    "mv_join_agg_incremental": (
+        mv_join_agg_incremental,
+        MV_JOIN_AGG_INCREMENTAL_SQL,
+    ),
     "sql_mv_rewrite_route": (sql_mv_rewrite_route, SQL_MV_REWRITE_ROUTE_SQL),
     "mv_record_keyed_refresh": (
         mv_record_keyed_refresh,
