@@ -224,6 +224,77 @@ def _lakehouse_bench(spark, sf_dir: str, prefix: str = "") -> dict[str, float]:
     return timings
 
 
+def _mv_bench(spark, sf_dir: str) -> dict[str, float]:
+    """Materialized-view maintenance micro-bench: an aggregate MV over
+    a merge-keyed MoR lineitem table takes a 1%-slice MERGE window,
+    then refreshes twice — once INCREMENTALLY (keyed touched-group
+    recompute) and once as a forced FULL REBUILD (watermark cleared) —
+    so the record carries the ratio the IVM machinery exists for."""
+    import tempfile
+
+    from pyspark.sql import functions as F, types as T
+
+    from deltacat_spark.catalog import Catalog
+    from deltacat_spark.catalog.materialize import MV_SRC_VERSION
+    from deltacat_spark.schema import Field, Schema
+
+    timings: dict[str, float] = {}
+    cat = Catalog(spark, tempfile.mkdtemp(prefix="dcs_mvbench_"))
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    schema = Schema(
+        [
+            Field("l_orderkey", T.LongType(), merge_key=True),
+            Field("l_linenumber", T.IntegerType(), merge_key=True),
+            Field("l_returnflag", T.StringType()),
+            Field("l_quantity", T.DoubleType()),
+        ]
+    )
+    cols = [f.name for f in schema.fields]
+    cat.create_table(
+        "mvli", schema=schema, properties={"read_optimization": "none"}
+    )
+    cat.write_to_table(li.select(*cols), "mvli", mode="merge")
+    # range-partition by the key so file stats are disjoint — the keyed
+    # refresh's bounds predicates then PRUNE the slice reads (the
+    # point-read discipline the path is built around)
+    cat.repartition_table_by_range(
+        "mvli", column="l_orderkey", num_partitions=32
+    )
+    # high-cardinality group (per-order rollup): the update window
+    # below touches ~1% of groups, the shape the keyed incremental path
+    # exists for — the default cost gate routes low-cardinality groups
+    # to rebuild
+    cat.create_materialized_view(
+        "mvli_agg",
+        "SELECT l_orderkey, COUNT(*) AS n, "
+        "SUM(CAST(l_quantity AS BIGINT)) AS qty "
+        "FROM mvli GROUP BY l_orderkey",
+    )
+    # range-layout the MV itself: copy-by-reference then rewrites ONLY
+    # the files holding touched groups instead of the whole MV
+    cat.repartition_table_by_range(
+        "mvli_agg", column="l_orderkey", num_partitions=32
+    )
+    # CONTIGUOUS 1% key window — realistic update locality (recent
+    # orders), and the locality the bounds predicates reward
+    hi_key = li.agg(F.max("l_orderkey")).collect()[0][0]
+    upd = li.select(*cols).filter(
+        F.col("l_orderkey") <= int(hi_key * 0.01)
+    ).withColumn("l_quantity", F.col("l_quantity") + 1.0)
+    cat.write_to_table(upd, "mvli", mode="merge")
+    t0 = time.time()
+    audit = cat.refresh_materialized_view("mvli_agg")
+    timings["mv_refresh_incremental"] = round(time.time() - t0, 3)
+    if audit["mode"] != "incremental_agg_keyed":
+        raise RuntimeError(f"expected keyed incremental refresh: {audit}")
+    # clear the watermark → the same refresh must full-rebuild
+    cat.alter_table("mvli_agg", properties={MV_SRC_VERSION: ""})
+    t0 = time.time()
+    audit = cat.refresh_materialized_view("mvli_agg")
+    timings["mv_refresh_rebuild"] = round(time.time() - t0, 3)
+    return timings
+
+
 def _next_round() -> int:
     import glob as _glob
     import re as _re
@@ -284,6 +355,18 @@ def main() -> None:
         except Exception as e:
             errors["lakehouse"] = f"{type(e).__name__}: {e}"[:500]
             print(f"# lakehouse: ERROR {type(e).__name__}", file=sys.stderr)
+        try:
+            mv = _mv_bench(spark, sf_dir)
+            mv2 = _mv_bench(spark, sf_dir)
+            mv = {k: min(v, mv2[k]) for k, v in mv.items()}
+            timings.update(mv)
+            total += sum(mv.values())
+            for k, v in mv.items():
+                print(f"# {k}: {v:.2f}s", file=sys.stderr)
+            _clear_session_state(spark)
+        except Exception as e:
+            errors["mv_bench"] = f"{type(e).__name__}: {e}"[:500]
+            print(f"# mv_bench: ERROR {type(e).__name__}", file=sys.stderr)
 
     for name in BENCH_QUERIES:
         if only and name not in only:
@@ -370,6 +453,22 @@ def main() -> None:
             except Exception as e:
                 errors["deep:lakehouse"] = f"{type(e).__name__}: {e}"[:300]
                 print(f"# deep:lakehouse: ERROR {type(e).__name__}", file=sys.stderr)
+            # MV maintenance at 10x: the incremental-vs-rebuild
+            # crossover is the point — at 1x fixed job overhead hides
+            # it; at 10x the rebuild scales with the table while the
+            # keyed refresh scales with the touched slice.
+            try:
+                mv = _mv_bench(spark, deep_dir)
+                mv2 = _mv_bench(spark, deep_dir)
+                mv = {k: min(v, mv2[k]) for k, v in mv.items()}
+                deep_timings.update(mv)
+                deep_total += sum(mv.values())
+                for k, v in mv.items():
+                    print(f"# deep:{k}: {v:.2f}s", file=sys.stderr)
+                _clear_session_state(spark)
+            except Exception as e:
+                errors["deep:mv_bench"] = f"{type(e).__name__}: {e}"[:300]
+                print(f"# deep:mv_bench: ERROR {type(e).__name__}", file=sys.stderr)
             for name in DEEP_QUERIES:
                 if deep_wall > deep_budget:
                     # Explicit, never silent: record what the budget cut.

@@ -246,12 +246,22 @@ def _insert_only_window(catalog, src, namespace, src_version, last) -> bool:
     )
 
 
-def _touched_keys_for_window(catalog, src, namespace, hi, lo, merge_keys):
+def _touched_keys_for_window(
+    catalog, src, namespace, hi, lo, merge_keys, group_cols=None
+):
     """Touched-merge-key DataFrame for the key-addressed (lo, hi]
     window, or None when the window is ineligible for keyed incremental
     maintenance (wholesale ops, CDC-invisible CoW rewrites, schema
     drift → the caller full-rebuilds), or the string "empty" when only
     benign maintenance commits landed.
+
+    With ``group_cols``, returns ``(keys_df, payload_groups)`` instead:
+    ``payload_groups`` is the distinct group values carried by the
+    window's change rows themselves (post-images + delete pre-images) —
+    or None when some commit's partial payload omits a group column.
+    Reading groups off the CHANGE ROWS saves the caller one full
+    resolve of the current table (the change slice is window-sized,
+    the table is not).
 
     Eligible windows contain only MERGE/DELETE commits whose row-level
     changes surface in `read_changes` (MoR deltas, CDC sidecars, or
@@ -285,7 +295,9 @@ def _touched_keys_for_window(catalog, src, namespace, hi, lo, merge_keys):
     if not meta:
         return "empty"
     mk_lower = {k.lower() for k in merge_keys}
+    g_lower = {g.lower() for g in group_cols} if group_cols else set()
     parts = []
+    group_parts = []
     for m in meta:
         carried = (
             {c.strip().lower() for c in m._change_cols.split(",")}
@@ -300,6 +312,29 @@ def _touched_keys_for_window(catalog, src, namespace, hi, lo, merge_keys):
             # full-row changes (upserts, positional-delete pre-images)
             # or partial payloads that carry the keys
             parts.append(rows.select(*merge_keys))
+            # POST-side group values ride the change rows themselves
+            # when carried. A partial payload OMITTING a group column
+            # cannot change it (post group == pre group, covered by
+            # the caller's pre-slice); a delete's post side is empty —
+            # both safely contribute nothing.
+            if group_cols and (carried is None or g_lower <= carried):
+                group_parts.append(rows.select(*group_cols))
+            elif group_cols and "DELETE" not in str(m._change_type):
+                # partial MERGE payload omitting a group column: an
+                # EXISTING key keeps its pre-image group (pre-slice
+                # covers it), but a NEW key's absent columns null-fill
+                # — the all-NULL group tuple may be born here, so
+                # contribute it conservatively (recomputing an empty
+                # group is a no-op)
+                types = {f.name.lower(): f.dataType for f in rows.schema.fields}
+                group_parts.append(
+                    rows.select(
+                        *[
+                            F.lit(None).cast(types[c.lower()]).alias(c)
+                            for c in group_cols
+                        ]
+                    ).limit(1)
+                )
             continue
         if "DELETE" in str(m._change_type):
             # equality-delete predicate on non-key columns: resolve the
@@ -324,7 +359,62 @@ def _touched_keys_for_window(catalog, src, namespace, hi, lo, merge_keys):
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
-    return out.distinct()
+    out = out.distinct()
+    if group_cols is None:
+        return out
+    pg = None
+    if group_parts:
+        pg = group_parts[0]
+        for p in group_parts[1:]:
+            pg = pg.unionByName(p)
+        pg = pg.distinct()
+    return out, pg
+
+
+def _snapshot_row_estimate(catalog, table, namespace) -> int:
+    """Row-count estimate from live-file metadata — zero jobs. Exact on
+    resolved (CoW) tables; an upper bound on MoR tables with pending
+    upserts, which only makes the cost gate MORE willing to take the
+    keyed path (acceptable: the gate is pure cost policy)."""
+    snap = catalog.snapshot(table, namespace)
+    return sum(
+        f.records or 0
+        for f in snap.files
+        if not f.content_type and f.delta_type != "POSITIONAL_DELETE"
+    )
+
+
+def _bounds_predicate(probe, cols):
+    """Conservative BETWEEN-conjunction over `probe`'s min/max per
+    column — handed to `read_table(predicate=...)` so stats/bloom file
+    skipping prunes the slice reads on sorted / range-partitioned
+    tables (the point-read discipline: a keyed refresh should touch
+    the files holding the touched keys, not the table). Superset by
+    construction — the exact null-safe semi join still applies
+    membership afterwards. Columns with NULLs or non-orderable values
+    contribute nothing (None when no column can bound)."""
+    from pyspark.sql import functions as F
+
+    from deltacat_spark.plans.expr import col as _col
+
+    row = probe.agg(
+        *[F.min(F.col(c)).alias(f"lo_{i}") for i, c in enumerate(cols)],
+        *[F.max(F.col(c)).alias(f"hi_{i}") for i, c in enumerate(cols)],
+        *[
+            F.max(F.col(c).isNull().cast("int")).alias(f"n_{i}")
+            for i, c in enumerate(cols)
+        ],
+    ).collect()[0]
+    pred = None
+    for i, c in enumerate(cols):
+        lo, hi = row[f"lo_{i}"], row[f"hi_{i}"]
+        if lo is None or hi is None or row[f"n_{i}"] == 1:
+            continue
+        if not isinstance(lo, (int, float, str)):
+            continue
+        p = _col(c).between(lo, hi)
+        pred = p if pred is None else pred.and_(p)
+    return pred
 
 
 def _null_safe_semi(df, probe, cols, anti: bool = False):
@@ -445,8 +535,33 @@ def refresh_incremental(
                 "touched_keys": 0,
             }
         if keys_df is not None:
-            cur = catalog.read_table(src, namespace)
-            post = transform(_null_safe_semi(cur, keys_df, record_keys))
+            # same COST GATE as the keyed-agg branch: when the window
+            # touched most keys, the point-wise path's slice probes and
+            # per-key merge cost more than one rebuild pass
+            keys_df = keys_df.persist()
+            n_keys = keys_df.count()
+            mv_rows = max(_snapshot_row_estimate(catalog, dst, namespace), 1)
+            try:
+                gate = float(
+                    catalog.snapshot(dst, namespace).properties.get(
+                        "mv.keyed_gate", "0.5"
+                    )
+                )
+            except ValueError:
+                gate = 0.5
+            if n_keys >= gate * mv_rows:
+                keys_df.unpersist()
+                keys_df = None
+        if keys_df is not None:
+            # key-bounds predicate prunes the slice read on sorted /
+            # range-partitioned tables (point-read discipline)
+            kpred = _bounds_predicate(keys_df, record_keys)
+            cur = catalog.read_table(src, namespace, predicate=kpred)
+            # persisted: consumed by the count, the merge write and the
+            # vanished anti-join — one resolve of the current table
+            post = transform(
+                _null_safe_semi(cur, keys_df, record_keys)
+            ).persist()
             vanished = _null_safe_semi(
                 keys_df, post, record_keys, anti=True
             ).select(*record_keys).distinct()
@@ -477,6 +592,8 @@ def refresh_incremental(
                     dst, namespace,
                     properties={MV_SRC_VERSION: str(src_snap.version)},
                 )
+            keys_df.unpersist()
+            post.unpersist()
             return {
                 "mode": "incremental_record_keyed",
                 "src_version": src_snap.version,
@@ -508,14 +625,16 @@ def refresh_incremental(
             if catalog.snapshot(src, namespace).schema
             else []
         )
-        keys_df = (
+        group_cols = list(agg_spec["group_cols"])
+        res = (
             _touched_keys_for_window(
-                catalog, src, namespace, src_snap.version, last, mkeys
+                catalog, src, namespace, src_snap.version, last, mkeys,
+                group_cols=group_cols,
             )
             if mkeys
             else None
         )
-        if isinstance(keys_df, str):  # "empty": benign-only window
+        if isinstance(res, str):  # "empty": benign-only window
             catalog.alter_table(
                 dst, namespace,
                 properties={MV_SRC_VERSION: str(src_snap.version)},
@@ -526,21 +645,64 @@ def refresh_incremental(
                 "since": last,
                 "touched_groups": 0,
             }
+        keys_df = payload_groups = None
+        if res is not None:
+            keys_df, payload_groups = res
         if keys_df is not None:
-            group_cols = list(agg_spec["group_cols"])
-            pre = catalog.read_table(src, namespace, version_as_of=last)
-            cur = catalog.read_table(src, namespace)
-            touched_groups = (
-                _null_safe_semi(pre, keys_df, mkeys)
-                .select(*group_cols)
-                .unionByName(
-                    _null_safe_semi(cur, keys_df, mkeys).select(*group_cols)
-                )
-                .distinct()
+            # POST-side groups come off the window's change rows
+            # (window-sized); only the PRE side needs a key-slice of
+            # the old snapshot — the current table is resolved exactly
+            # once, for the recompute itself. Both slice reads carry a
+            # bounds predicate so file skipping prunes them on sorted /
+            # range-partitioned tables.
+            keys_df = keys_df.persist()
+            kpred = _bounds_predicate(keys_df, mkeys)
+            pre = catalog.read_table(
+                src, namespace, version_as_of=last, predicate=kpred
             )
+            pre_groups = _null_safe_semi(pre, keys_df, mkeys).select(
+                *group_cols
+            )
+            touched_groups = (
+                payload_groups.unionByName(pre_groups)
+                if payload_groups is not None
+                else pre_groups
+            ).distinct().persist()
+            # COST GATE: recompute cost ~ touched groups' row share.
+            # When the window touches most groups (low-cardinality
+            # group column, scattered updates), the group-slice
+            # recompute degenerates to a full scan PLUS the key-slice
+            # probes — measured 7x slower than the plain rebuild at
+            # sf0.1 with 3 groups. The MV row count IS the group count
+            # (tiny read); past the threshold, fall through to the
+            # exact rebuild. Override per MV with the `mv.keyed_gate`
+            # table property (fraction; tests/fixtures pin it high).
+            n_tg = touched_groups.count()
+            mv_groups = max(_snapshot_row_estimate(catalog, dst, namespace), 1)
+            try:
+                gate = float(
+                    catalog.snapshot(dst, namespace).properties.get(
+                        "mv.keyed_gate", "0.5"
+                    )
+                )
+            except ValueError:
+                gate = 0.5
+            if n_tg >= gate * mv_groups:
+                touched_groups.unpersist()
+                keys_df.unpersist()
+                keys_df = None  # most groups touched — rebuild is cheaper
+        if keys_df is not None:
+            # the recompute reads whole touched GROUPS (not just the
+            # touched keys), so its prune bound comes from the group
+            # values
+            gpred = _bounds_predicate(touched_groups, group_cols)
+            cur = catalog.read_table(src, namespace, predicate=gpred)
+            # persist the group-slice aggregate: it is consumed three
+            # times (count, merge write, vanished anti-join) and its
+            # lineage embeds the one resolve of the current table slice
             recomputed = transform(
                 _null_safe_semi(cur, touched_groups, group_cols)
-            )
+            ).persist()
             vanished = _null_safe_semi(
                 touched_groups, recomputed, group_cols, anti=True
             )
@@ -575,6 +737,9 @@ def refresh_incremental(
                     dst, namespace,
                     properties={MV_SRC_VERSION: str(src_snap.version)},
                 )
+            touched_groups.unpersist()
+            recomputed.unpersist()
+            keys_df.unpersist()
             return {
                 "mode": "incremental_agg_keyed",
                 "src_version": src_snap.version,

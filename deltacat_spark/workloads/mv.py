@@ -64,6 +64,11 @@ def mv_keyed_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         cat.write_to_table(c, "cust", mode="merge")
         cat.create_materialized_view("nat_mv", MV_KEYED_VIEW_SQL)
+        # this row PROVES the keyed maintenance machinery; the window
+        # below touches all 25 nation groups, which the default cost
+        # gate (mv.keyed_gate=0.5 — rebuild when most groups touched)
+        # would route to the rebuild path, so pin the gate high
+        cat.alter_table("nat_mv", properties={"mv.keyed_gate": "100"})
         # the MERGE-heavy window: field update, new-key inserts, then a
         # predicate DELETE (positional delta — CDC emits pre-images)
         cat.write_to_table(

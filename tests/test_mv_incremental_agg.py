@@ -265,6 +265,7 @@ def _k_mv_rows(cat):
 
 def test_keyed_mv_update_in_place(kcat):
     kcat.create_materialized_view("kmv", KMV_SQL)
+    kcat.alter_table("kmv", properties={"mv.keyed_gate": "100"})
     kcat.sql("INSERT INTO ksrc VALUES (2, 'a', 99)")  # upsert id=2
     audit = kcat.refresh_materialized_view("kmv")
     assert audit["mode"] == "incremental_agg_keyed"
@@ -277,6 +278,7 @@ def test_keyed_mv_min_max_exact_after_delete(kcat):
     """Deleting the MAX row of a group — pure retraction arithmetic
     cannot recover the new max; the touched-group recompute can."""
     kcat.create_materialized_view("kmv", KMV_SQL)
+    kcat.alter_table("kmv", properties={"mv.keyed_gate": "100"})
     kcat.sql("DELETE FROM ksrc WHERE id = 2")  # group a's max (20)
     audit = kcat.refresh_materialized_view("kmv")
     assert audit["mode"] == "incremental_agg_keyed"
@@ -287,6 +289,7 @@ def test_keyed_mv_min_max_exact_after_delete(kcat):
 
 def test_keyed_mv_group_move(kcat):
     kcat.create_materialized_view("kmv", KMV_SQL)
+    kcat.alter_table("kmv", properties={"mv.keyed_gate": "100"})
     kcat.sql("INSERT INTO ksrc VALUES (3, 'a', 5)")  # id=3 moves b -> a
     audit = kcat.refresh_materialized_view("kmv")
     assert audit["mode"] == "incremental_agg_keyed"
@@ -297,6 +300,7 @@ def test_keyed_mv_group_move(kcat):
 
 def test_keyed_mv_group_vanish_and_return(kcat):
     kcat.create_materialized_view("kmv", KMV_SQL)
+    kcat.alter_table("kmv", properties={"mv.keyed_gate": "100"})
     kcat.sql("DELETE FROM ksrc WHERE grp = 'c'")  # non-key predicate
     audit = kcat.refresh_materialized_view("kmv")
     assert audit["mode"] == "incremental_agg_keyed"
@@ -309,6 +313,7 @@ def test_keyed_mv_group_vanish_and_return(kcat):
 
 def test_keyed_mv_multi_commit_window(kcat):
     kcat.create_materialized_view("kmv", KMV_SQL)
+    kcat.alter_table("kmv", properties={"mv.keyed_gate": "100"})
     kcat.sql("INSERT INTO ksrc VALUES (5, 'd', 1)")   # new key+group
     kcat.sql("INSERT INTO ksrc VALUES (1, 'a', 11)")  # update
     kcat.sql("DELETE FROM ksrc WHERE id = 4")         # group c vanishes
@@ -348,6 +353,7 @@ def test_keyed_mv_model_random(kcat):
 
     rng = random.Random(909)
     kcat.create_materialized_view("kmv", KMV_SQL)
+    kcat.alter_table("kmv", properties={"mv.keyed_gate": "100"})
     groups = ["a", "b", "c", "d", None]
     next_id = 10
     for step in range(14):
@@ -400,6 +406,7 @@ def _rw_rows(cat):
 
 def test_record_keyed_mv_bootstrap_and_update(kcat):
     kcat.create_materialized_view("rmv", RW_SQL)
+    kcat.alter_table("rmv", properties={"mv.keyed_gate": "100"})
     assert _rw_rows(kcat) == _rw_expected(kcat)
     # the MV is keyed on the source merge key
     assert kcat.snapshot("rmv").schema.merge_keys == ["id"]
@@ -411,6 +418,7 @@ def test_record_keyed_mv_bootstrap_and_update(kcat):
 
 def test_record_keyed_mv_filter_vanish_and_return(kcat):
     kcat.create_materialized_view("rmv", RW_SQL)
+    kcat.alter_table("rmv", properties={"mv.keyed_gate": "100"})
     kcat.sql("INSERT INTO ksrc VALUES (3, 'b', 500)")  # leaves WHERE v<100
     audit = kcat.refresh_materialized_view("rmv")
     assert audit["mode"] == "incremental_record_keyed"
@@ -423,6 +431,7 @@ def test_record_keyed_mv_filter_vanish_and_return(kcat):
 
 def test_record_keyed_mv_source_delete(kcat):
     kcat.create_materialized_view("rmv", RW_SQL)
+    kcat.alter_table("rmv", properties={"mv.keyed_gate": "100"})
     kcat.sql("DELETE FROM ksrc WHERE grp = 'a'")  # non-key predicate
     audit = kcat.refresh_materialized_view("rmv")
     assert audit["mode"] == "incremental_record_keyed"
@@ -445,6 +454,7 @@ def test_record_keyed_mv_model_random(kcat):
 
     rng = random.Random(1217)
     kcat.create_materialized_view("rmv", RW_SQL)
+    kcat.alter_table("rmv", properties={"mv.keyed_gate": "100"})
     next_id = 50
     for step in range(10):
         op = rng.choice(["upsert", "insert", "del"])
@@ -772,3 +782,15 @@ def test_join_agg_mv_model_random(spark, tmp_path):
         audit = c.refresh_materialized_view("jagg_mv")
         assert audit["mode"] == "incremental_join_agg", f"step {step}: {audit}"
         assert _jagg_rows(c) == _jagg_expected(c), f"step {step} ({side})"
+
+
+def test_keyed_mv_cost_gate_falls_back_to_rebuild(kcat):
+    """Default cost gate: a window touching most groups rebuilds (the
+    group recompute would scan ~the whole table anyway) — exact either
+    way, the gate is pure cost policy."""
+    kcat.create_materialized_view("kmv", KMV_SQL)
+    # touch every group: update one row in each
+    kcat.sql("INSERT INTO ksrc VALUES (1, 'a', 11), (3, 'b', 6), (4, 'c', 8)")
+    audit = kcat.refresh_materialized_view("kmv")
+    assert audit["mode"] == "full"
+    assert _k_mv_rows(kcat) == _k_expected(kcat)
