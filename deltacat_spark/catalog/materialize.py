@@ -556,7 +556,13 @@ def refresh_incremental(
             # key-bounds predicate prunes the slice read on sorted /
             # range-partitioned tables (point-read discipline)
             kpred = _bounds_predicate(keys_df, record_keys)
-            cur = catalog.read_table(src, namespace, predicate=kpred)
+            # pinned to the version vector being stamped: a commit
+            # landing mid-refresh must not leak into a window whose
+            # watermark predates it (the next refresh owns it)
+            cur = catalog.read_table(
+                src, namespace, version_as_of=src_snap.version,
+                predicate=kpred,
+            )
             # persisted: consumed by the count, the merge write and the
             # vanished anti-join — one resolve of the current table
             post = transform(
@@ -696,7 +702,11 @@ def refresh_incremental(
             # touched keys), so its prune bound comes from the group
             # values
             gpred = _bounds_predicate(touched_groups, group_cols)
-            cur = catalog.read_table(src, namespace, predicate=gpred)
+            # pinned to the stamped version (see record-keyed note)
+            cur = catalog.read_table(
+                src, namespace, version_as_of=src_snap.version,
+                predicate=gpred,
+            )
             # persist the group-slice aggregate: it is consumed three
             # times (count, merge write, vanished anti-join) and its
             # lineage embeds the one resolve of the current table slice
