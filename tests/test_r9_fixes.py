@@ -384,3 +384,55 @@ def test_cc_driver_bound_dispatch(spark, monkeypatch):
         for r in dd.connected_components(pairs, driver_max_edges=3).collect()
     }
     assert out2 == expected
+
+
+def test_substitute_table_refs_edge_case_pack():
+    """Table-driven edge cases for the table-position substitution
+    state machine."""
+    cases = [
+        # (sql, table, replacement, expected)
+        (
+            "SELECT a FROM T WHERE x = 'from T'",
+            "t",
+            "P",
+            "SELECT a FROM P AS t WHERE x = 'from T'",
+        ),  # mixed case + literal containing a fake ref
+        (
+            "SELECT t.a FROM `t`",
+            "t",
+            "P",
+            "SELECT t.a FROM P AS t",
+        ),  # backquoted reference
+        (
+            "SELECT * FROM t AS x JOIN t y ON x.a = y.a",
+            "t",
+            "P",
+            "SELECT * FROM P AS x JOIN P y ON x.a = y.a",
+        ),  # self-join, AS and bare aliases
+        (
+            "SELECT * FROM u JOIN t ON u.a = t.a AND t.b > 1",
+            "t",
+            "P",
+            "SELECT * FROM u JOIN P AS t ON u.a = t.a AND t.b > 1",
+        ),  # qualifiers inside a multi-term ON stay intact
+        (
+            "SELECT t FROM u",
+            "t",
+            "P",
+            "SELECT t FROM u",
+        ),  # column named like the table, different source
+        (
+            "SELECT * FROM t TABLESAMPLE (1 PERCENT)",
+            "t",
+            "P",
+            "SELECT * FROM P AS t TABLESAMPLE (1 PERCENT)",
+        ),  # postfix clause is not an alias
+        (
+            "SELECT * FROM (SELECT * FROM t) t2 WHERE t2.t > 0",
+            "t",
+            "P",
+            "SELECT * FROM (SELECT * FROM P AS t) t2 WHERE t2.t > 0",
+        ),  # subquery ref replaced; outer qualified column untouched
+    ]
+    for sql, table, repl, expected in cases:
+        assert _substitute_table_refs(sql, table, repl) == expected, sql
