@@ -2786,14 +2786,25 @@ class Catalog:
         from deltacat_spark.catalog.materialize import MV_SRC_VERSION
 
         cur = {t: self.snapshot(t).version for t in srcs}
+
+        def _wm(raw):
+            # corrupted/cleared watermark strings read as None -> the
+            # eligibility checks fail closed into the exact rebuild
+            try:
+                return int(raw)
+            except (TypeError, ValueError):
+                return None
+
         if self.table_exists(name):
             props = self.snapshot(name).properties
-            last = {t: props.get(f"{MV_SRC_VERSION}.{t}") for t in srcs}
+            last = {
+                t: _wm(props.get(f"{MV_SRC_VERSION}.{t}")) for t in srcs
+            }
             # '==', not '>=': a watermark PAST a source's current
             # version means the source was dropped/recreated — the MV
             # contents describe a dead incarnation and must rebuild
             if all(
-                last[t] is not None and int(last[t]) == cur[t] for t in srcs
+                last[t] is not None and last[t] == cur[t] for t in srcs
             ):
                 return {"mode": "noop", "src_versions": cur}
             # First-order delta maintenance for a two-table INNER-join
@@ -2815,19 +2826,19 @@ class Catalog:
             if (
                 len(srcs) == 2
                 and all(
-                    last[t] is not None and int(last[t]) <= cur[t]
+                    last[t] is not None and last[t] <= cur[t]
                     for t in srcs
                 )
                 and self._mv_join_record_wise(vsql)
                 and all(
                     _insert_only_window(
-                        self, t, DEFAULT_NAMESPACE, cur[t], int(last[t])
+                        self, t, DEFAULT_NAMESPACE, cur[t], last[t]
                     )
                     for t in srcs
                 )
             ):
                 a, b = srcs
-                la, lb = int(last[a]), int(last[b])
+                la, lb = last[a], last[b]
                 da_view = f"__mv_da_{name}_{a}"
                 self.read_changes(a, la, cur[a]).drop(
                     "_commit_version", "_change_type", "_change_cols"
@@ -2869,12 +2880,12 @@ class Catalog:
                 join_agg_spec is not None
                 and len(srcs) == 2
                 and all(
-                    last[t] is not None and int(last[t]) <= cur[t]
+                    last[t] is not None and last[t] <= cur[t]
                     for t in srcs
                 )
                 and all(
                     _insert_only_window(
-                        self, t, DEFAULT_NAMESPACE, cur[t], int(last[t])
+                        self, t, DEFAULT_NAMESPACE, cur[t], last[t]
                     )
                     for t in srcs
                 )
@@ -2884,7 +2895,7 @@ class Catalog:
                 )
 
                 a, b = srcs
-                la, lb = int(last[a]), int(last[b])
+                la, lb = last[a], last[b]
                 da_view = f"__mv_da_{name}_{a}"
                 self.read_changes(a, la, cur[a]).drop(
                     "_commit_version", "_change_type", "_change_cols"

@@ -794,3 +794,25 @@ def test_keyed_mv_cost_gate_falls_back_to_rebuild(kcat):
     audit = kcat.refresh_materialized_view("kmv")
     assert audit["mode"] == "full"
     assert _k_mv_rows(kcat) == _k_expected(kcat)
+
+
+def test_join_mv_corrupt_watermark_rebuilds(spark, tmp_path):
+    """A corrupted per-source watermark string must fail CLOSED into the
+    exact rebuild, not crash the refresh."""
+    c = _j_setup(spark, tmp_path)
+    c.create_materialized_view("join_mv", JOIN_SQL)
+    from deltacat_spark.catalog.materialize import MV_SRC_VERSION
+
+    c.alter_table("join_mv", properties={f"{MV_SRC_VERSION}.ja": "junk"})
+    c.write_to_table(
+        spark.createDataFrame([(5, 50)], "k long, va long"), "ja", mode="append"
+    )
+    audit = c.refresh_materialized_view("join_mv")
+    assert audit["mode"] == "rebuild"
+    assert _j_rows(c) == _j_expected(c)
+    # and incremental resumes once the watermarks are sane again
+    c.write_to_table(
+        spark.createDataFrame([(6, 60)], "k long, va long"), "ja", mode="append"
+    )
+    assert c.refresh_materialized_view("join_mv")["mode"] == "incremental_join"
+    assert _j_rows(c) == _j_expected(c)
