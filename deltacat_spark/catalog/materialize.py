@@ -233,8 +233,10 @@ def _insert_only_window(catalog, src, namespace, src_version, last) -> bool:
     prior file* — treating it as insert-only would append the new
     generation's derived rows onto the (now dead) old generation's.
     Any commit that removes files is therefore not insert-family; a
-    REPLACE of an EMPTY table has no removes and genuinely is one."""
-    benign_ops = {"ALTER", "ANALYZE", "OPTIMIZE"}
+    REPLACE of an EMPTY table has no removes and genuinely is one.
+    CREATE is benign (no content) so a from-version-0 window over an
+    append-only table still classifies insert-only."""
+    benign_ops = {"ALTER", "ANALYZE", "OPTIMIZE", "CREATE"}
     insert_deltas = {"APPEND", "ADD", "CHRONO"}
     window = catalog._log(src, namespace).replay(
         src_version, start_after=last
@@ -865,6 +867,7 @@ def stream_refresh_incremental(
     namespace: str = "default",
     trigger_once: bool = True,
     agg_spec: "dict | None" = None,
+    record_keys: "list[str] | None" = None,
 ):
     """Streaming materialized view: `refresh_incremental`'s contract
     driven by the change-feed source (`streaming/api.py:
@@ -878,10 +881,13 @@ def stream_refresh_incremental(
     new commits re-reads from version 0 into one overlapping batch —
     restart from the batch `refresh_incremental` watermark instead.)
 
-    Insert-family commits only (APPEND/ADD/CHRONO): a MERGE/DELETE
-    change in the feed raises and stops the query — rebuild with the
-    batch `refresh_incremental` (record-wise streaming IVM over updates
-    would need retraction semantics the sink doesn't have).
+    A micro-batch carrying MERGE/DELETE changes hands the whole step to
+    the BATCH `refresh_incremental` (keyed maintenance on merge-keyed
+    sources, exact rebuild otherwise) — the append-style sink has no
+    retraction semantics, but the batch machinery does, so the query
+    KEEPS RUNNING through update windows instead of stopping. Its
+    watermark may then run ahead of the stream's batch boundaries; the
+    replay guard absorbs the overlap.
 
     ``agg_spec`` (from :func:`parse_agg_view`) makes each micro-batch a
     streaming AGGREGATE maintenance step: the batch aggregates alone,
@@ -893,35 +899,78 @@ def stream_refresh_incremental(
     from pyspark.sql import functions as F
     from deltacat_spark.streaming.api import stream_read_changes
 
-    changes = stream_read_changes(catalog, src, namespace)
+    # positional-delete commits carry (_file,_pos) tuples the stream
+    # source cannot expand — skip them HERE; the sink's commit-log
+    # window check below still sees those commits and delegates the
+    # step to the batch refresh, which reconstructs the deleted rows
+    changes = stream_read_changes(
+        catalog, src, namespace, on_positional_delete="skip"
+    )
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
-            return
-        kinds = {
-            r.k
-            for r in batch_df.select(
-                F.col("_change_type").alias("k")
-            ).distinct().collect()
-        }
-        if not kinds <= {"APPEND", "ADD", "CHRONO"}:
-            raise ValueError(
-                f"stream_refresh_incremental: non-insert changes {kinds} in "
-                "the feed; run the batch refresh_incremental (it rebuilds)"
+            # an all-skipped batch (e.g. positional deletes only) still
+            # moved the source; the batch refresh is watermark-gated, so
+            # this is a cheap no-op when nothing actually changed
+            refresh_incremental(
+                catalog,
+                src,
+                dst,
+                transform,
+                namespace=namespace,
+                record_wise=agg_spec is None and record_keys is None,
+                agg_spec=agg_spec,
+                record_keys=record_keys,
             )
+            return
         hi = batch_df.agg(F.max("_commit_version").alias("h")).collect()[0].h
+        last_wm = None
         if catalog.table_exists(dst, namespace):
             raw = catalog.snapshot(dst, namespace).properties.get(
                 MV_SRC_VERSION
             )
-            if raw is not None and int(raw) >= int(hi):
+            try:
+                last_wm = int(raw) if raw is not None else None
+            except ValueError:
+                last_wm = None
+            if last_wm is not None and last_wm >= int(hi):
                 return  # replayed batch — already applied atomically
+        # Soundness check on the COMMIT LOG, not the batch rows: the
+        # feed labels a REPLACE's new generation APPEND and never emits
+        # remove-only commits (TRUNCATE) or CoW rewrites at all — row
+        # kinds alone would happily append onto a dead generation. Any
+        # non-insert commit in (last_wm, hi] hands the whole step to
+        # the batch refresh (keyed maintenance on merge-keyed sources,
+        # exact rebuild otherwise), so the query KEEPS RUNNING. Its
+        # watermark may land past this batch's boundary; the replay
+        # guard above then skips the overlap.
+        if not _insert_only_window(
+            catalog, src, namespace, int(hi), last_wm or 0
+        ):
+            refresh_incremental(
+                catalog,
+                src,
+                dst,
+                transform,
+                namespace=namespace,
+                record_wise=agg_spec is None and record_keys is None,
+                agg_spec=agg_spec,
+                record_keys=record_keys,
+            )
+            return
         out = transform(batch_df.drop("_commit_version", "_change_type", "_change_cols"))
         if not catalog.table_exists(dst, namespace):
-            if agg_spec is not None:
+            if agg_spec is not None or record_keys:
                 from deltacat_spark.schema import Field, Schema
 
-                group = {g.lower() for g in agg_spec["group_cols"]}
+                group = {
+                    g.lower()
+                    for g in (
+                        agg_spec["group_cols"]
+                        if agg_spec is not None
+                        else record_keys
+                    )
+                }
                 fields = [
                     Field(
                         f.name,

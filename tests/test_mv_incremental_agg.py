@@ -816,3 +816,93 @@ def test_join_mv_corrupt_watermark_rebuilds(spark, tmp_path):
     )
     assert c.refresh_materialized_view("join_mv")["mode"] == "incremental_join"
     assert _j_rows(c) == _j_expected(c)
+
+
+def test_streaming_mv_survives_replace_window(cat, tmp_path):
+    """A REPLACE mid-stream must NOT append the new generation onto the
+    dead one: the sink's commit-log window check delegates the step to
+    the batch refresh and the query keeps running."""
+    from deltacat_spark.catalog.materialize import (
+        parse_agg_view,
+        stream_refresh_incremental,
+    )
+
+    spec = parse_agg_view(MV_SQL)
+
+    def transform(df):
+        df.createOrReplaceTempView("__srp_src")
+        return df.sparkSession.sql(MV_SQL.replace("src", "__srp_src"))
+
+    ck = str(tmp_path / "ck")
+    q = stream_refresh_incremental(
+        cat, "src", "agg_mv", transform, ck, agg_spec=spec
+    )
+    q.awaitTermination(120)
+    assert _mv_rows(cat) == _expected(cat)
+    # replace the whole source, then append on top
+    cat.sql("INSERT OVERWRITE src VALUES (100, 'z', 7)")
+    cat.sql("INSERT INTO src VALUES (101, 'z', 3)")
+    q = stream_refresh_incremental(
+        cat, "src", "agg_mv", transform, ck, agg_spec=spec
+    )
+    q.awaitTermination(120)
+    assert _mv_rows(cat) == _expected(cat)
+    got = {r.grp: r for r in cat.read_table("agg_mv").collect()}
+    assert set(got) == {"z"} and got["z"].n == 2 and got["z"].total == 10
+
+
+def test_streaming_mv_keyed_source_merge_windows(spark, tmp_path):
+    """Streaming MV over a MERGE-keyed MoR source: every batch is a
+    MERGE/DELETE window, the sink delegates each to the batch keyed
+    machinery, and the stream result equals the full recompute."""
+    from deltacat_spark.catalog.materialize import (
+        parse_agg_view,
+        stream_refresh_incremental,
+    )
+
+    c = Catalog(spark, str(tmp_path / "smvk"))
+    c.create_table(
+        "ksrc",
+        schema=Schema(
+            [
+                Field("id", T.LongType(), merge_key=True),
+                Field("grp", T.StringType()),
+                Field("v", T.LongType()),
+            ]
+        ),
+        properties={"read_optimization": "none"},
+    )
+    c.sql("INSERT INTO ksrc VALUES (1, 'a', 10), (2, 'b', 5)")
+    spec = parse_agg_view(KMV_SQL)
+
+    def transform(df):
+        df.createOrReplaceTempView("__smk_src")
+        return df.sparkSession.sql(KMV_SQL.replace("ksrc", "__smk_src"))
+
+    ck = str(tmp_path / "ck")
+    q = stream_refresh_incremental(
+        c, "ksrc", "kmv", transform, ck, agg_spec=spec
+    )
+    q.awaitTermination(120)
+
+    def expected():
+        return {
+            (r.grp, r.n, r.total, r.lo, r.hi)
+            for r in c.sql(KMV_SQL).collect()
+        }
+
+    def got():
+        return {
+            (r.grp, r.n, r.total, r.lo, r.hi)
+            for r in c.read_table("kmv").collect()
+        }
+
+    assert got() == expected()
+    c.sql("INSERT INTO ksrc VALUES (1, 'a', 99)")  # upsert
+    c.sql("DELETE FROM ksrc WHERE id = 2")         # group b vanishes
+    q = stream_refresh_incremental(
+        c, "ksrc", "kmv", transform, ck, agg_spec=spec
+    )
+    q.awaitTermination(120)
+    assert got() == expected()
+    assert "b" not in {r.grp for r in c.read_table("kmv").collect()}
