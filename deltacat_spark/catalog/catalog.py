@@ -2706,8 +2706,8 @@ class Catalog:
                     # two-table inner-join GROUP BY → delta partial-agg
                     # maintenance under insert-only windows
                     "join_agg_spec": (
-                        parse_join_agg_view(view_sql)
-                        if len(refs) == 2
+                        parse_join_agg_view(view_sql, n_tables=len(refs))
+                        if len(refs) >= 2
                         else None
                     ),
                 }
@@ -2746,9 +2746,9 @@ class Catalog:
         )
 
     @staticmethod
-    def _mv_join_record_wise(vsql: str) -> bool:
-        """Conservative classifier for the two-table INCREMENTAL JOIN
-        path: exactly one INNER (or bare/CROSS) JOIN of two tables,
+    def _mv_join_record_wise(vsql: str, n_tables: int = 2) -> bool:
+        """Conservative classifier for the k-table INCREMENTAL JOIN
+        path: exactly n_tables-1 INNER (or bare/CROSS) JOINs,
         record-wise select list (no aggregation/dedup/reordering), no
         subqueries. LEFT/RIGHT/FULL are excluded — null-extension rows
         are not distributive over unions (an insert on the right can
@@ -2758,7 +2758,7 @@ class Catalog:
         stripped = _strip_literals(vsql).lower()
         if len(re.findall(r"\bselect\b", stripped)) != 1:
             return False
-        if len(re.findall(r"\bjoin\b", stripped)) != 1:
+        if len(re.findall(r"\bjoin\b", stripped)) != n_tables - 1:
             return False
         if re.search(r"\b(left|right|full|semi|anti|natural)\s+(outer\s+)?join\b", stripped):
             return False
@@ -2769,6 +2769,47 @@ class Catalog:
             r"\s*\(",
             stripped,
         )
+
+    def _mv_join_delta_terms(
+        self, name: str, vsql: str, srcs: list, cur: dict, last: dict
+    ) -> "DataFrame":
+        """The k-way first-order delta of a multi-join view (telescoping
+        identity, bag semantics):
+
+            Q(A1+d1, ..., Ak+dk) - Q(A1, ..., Ak)
+              = SUM_i Q(A1_old, ..., A(i-1)_old, dAi,
+                        A(i+1)_cur, ..., Ak_cur)
+
+        each term runs the FULL view SQL with source i swapped for its
+        change slice, everything before it pinned OLD and everything
+        after it pinned CURRENT — so every cross term of the expansion
+        lands exactly once. Terms are change-slice-sized joins; the
+        pinned sides are snapshot reads with pushdown intact."""
+        old_v, cur_v, delta_v = {}, {}, {}
+        for t in srcs:
+            old_v[t] = f"__mv_old_{name}_{t}"
+            self.register_view(t, view_name=old_v[t], version_as_of=last[t])
+            cur_v[t] = f"__mv_cur_{name}_{t}"
+            self.register_view(t, view_name=cur_v[t], version_as_of=cur[t])
+            delta_v[t] = f"__mv_d_{name}_{t}"
+            self.read_changes(
+                t, last[t], cur[t]
+            ).drop(
+                "_commit_version", "_change_type", "_change_cols"
+            ).createOrReplaceTempView(delta_v[t])
+        delta = None
+        for i, t in enumerate(srcs):
+            if last[t] == cur[t]:
+                continue  # empty change slice — term contributes nothing
+            text = vsql
+            for j, u in enumerate(srcs):
+                view = (
+                    old_v[u] if j < i else delta_v[u] if j == i else cur_v[u]
+                )
+                text = _substitute_table_refs(text, u, view)
+            term = self.spark.sql(text)
+            delta = term if delta is None else delta.unionByName(term)
+        return delta
 
     def _refresh_mv_multi(
         self,
@@ -2807,29 +2848,24 @@ class Catalog:
                 last[t] is not None and last[t] == cur[t] for t in srcs
             ):
                 return {"mode": "noop", "src_versions": cur}
-            # First-order delta maintenance for a two-table INNER-join
-            # record-wise view under insert-only windows on both
-            # sources (classic IVM identity, bag semantics):
-            #   Q(A+dA, B+dB) = Q(A,B) + Q(dA, B+dB) + Q(A, dB)
-            # — dA joins the CURRENT right side, dB joins the OLD left
-            # side, so the dAxdB cross term lands exactly once. Both
-            # terms are change-slice-sized joins (the big sides are
-            # pinned snapshot reads, filters push down), appended in
-            # ONE commit that carries both watermarks — crash-atomic
-            # like the single-table path. Anything else (non-insert
-            # windows, outer joins, >2 sources, dead incarnations)
-            # falls through to the exact pinned rebuild.
+            # First-order delta maintenance for a k-table INNER-join
+            # record-wise view under insert-only windows on every
+            # source (telescoping IVM identity — see
+            # `_mv_join_delta_terms`), appended in ONE commit carrying
+            # the whole watermark vector — crash-atomic like the
+            # single-table path. Anything else (non-insert windows,
+            # outer joins, dead incarnations) falls through to the
+            # exact pinned rebuild.
             from deltacat_spark.catalog.materialize import (
                 _insert_only_window,
             )
 
             if (
-                len(srcs) == 2
-                and all(
+                all(
                     last[t] is not None and last[t] <= cur[t]
                     for t in srcs
                 )
-                and self._mv_join_record_wise(vsql)
+                and self._mv_join_record_wise(vsql, len(srcs))
                 and all(
                     _insert_only_window(
                         self, t, DEFAULT_NAMESPACE, cur[t], last[t]
@@ -2837,48 +2873,27 @@ class Catalog:
                     for t in srcs
                 )
             ):
-                a, b = srcs
-                la, lb = last[a], last[b]
-                da_view = f"__mv_da_{name}_{a}"
-                self.read_changes(a, la, cur[a]).drop(
-                    "_commit_version", "_change_type", "_change_cols"
-                ).createOrReplaceTempView(da_view)
-                db_view = f"__mv_db_{name}_{b}"
-                self.read_changes(b, lb, cur[b]).drop(
-                    "_commit_version", "_change_type", "_change_cols"
-                ).createOrReplaceTempView(db_view)
-                b_cur = f"__mv_cur_{name}_{b}"
-                self.register_view(b, view_name=b_cur, version_as_of=cur[b])
-                a_old = f"__mv_old_{name}_{a}"
-                self.register_view(a, view_name=a_old, version_as_of=la)
-                t1 = _substitute_table_refs(
-                    _substitute_table_refs(vsql, a, da_view), b, b_cur
-                )
-                t2 = _substitute_table_refs(
-                    _substitute_table_refs(vsql, a, a_old), b, db_view
-                )
-                delta = self.spark.sql(t1).unionByName(self.spark.sql(t2))
-                self.write_to_table(
-                    delta,
-                    name,
-                    mode="add",
-                    commit_properties={
-                        f"{MV_SRC_VERSION}.{t}": str(v)
-                        for t, v in cur.items()
-                    },
-                )
+                delta = self._mv_join_delta_terms(name, vsql, srcs, cur, last)
+                wm = {
+                    f"{MV_SRC_VERSION}.{t}": str(v) for t, v in cur.items()
+                }
+                if delta is None:
+                    self.alter_table(name, properties=wm)
+                else:
+                    self.write_to_table(
+                        delta, name, mode="add", commit_properties=wm
+                    )
                 return {"mode": "incremental_join", "src_versions": cur}
-            # Join + GROUP BY views: partial-aggregate the SAME two
-            # delta join terms (dA x B_cur, A_old x dB — the full view
-            # SQL runs over each substituted pair, GROUP BY included),
-            # re-combine the two partial tables per group, then merge
-            # into the group-KEYED MV with the single-table combiner
-            # (COUNT/SUM add, MIN/MAX least/greatest — sound because
-            # insert-only windows never retract). One commit carries
-            # both watermarks.
+            # Join + GROUP BY views: partial-aggregate the SAME k delta
+            # join terms (the full view SQL, GROUP BY included, runs
+            # over each substituted combination), re-combine the
+            # partial tables per group, then merge into the
+            # group-KEYED MV with the single-table combiner (COUNT/SUM
+            # add, MIN/MAX least/greatest — sound because insert-only
+            # windows never retract). One commit carries the whole
+            # watermark vector.
             if (
                 join_agg_spec is not None
-                and len(srcs) == 2
                 and all(
                     last[t] is not None and last[t] <= cur[t]
                     for t in srcs
@@ -2894,47 +2909,31 @@ class Catalog:
                     _merge_partial_into_old,
                 )
 
-                a, b = srcs
-                la, lb = last[a], last[b]
-                da_view = f"__mv_da_{name}_{a}"
-                self.read_changes(a, la, cur[a]).drop(
-                    "_commit_version", "_change_type", "_change_cols"
-                ).createOrReplaceTempView(da_view)
-                db_view = f"__mv_db_{name}_{b}"
-                self.read_changes(b, lb, cur[b]).drop(
-                    "_commit_version", "_change_type", "_change_cols"
-                ).createOrReplaceTempView(db_view)
-                b_cur = f"__mv_cur_{name}_{b}"
-                self.register_view(b, view_name=b_cur, version_as_of=cur[b])
-                a_old = f"__mv_old_{name}_{a}"
-                self.register_view(a, view_name=a_old, version_as_of=la)
-                t1 = _substitute_table_refs(
-                    _substitute_table_refs(vsql, a, da_view), b, b_cur
-                )
-                t2 = _substitute_table_refs(
-                    _substitute_table_refs(vsql, a, a_old), b, db_view
-                )
                 group_cols = list(join_agg_spec["group_cols"])
                 aggs = list(join_agg_spec["aggs"])
-                terms = self.spark.sql(t1).unionByName(self.spark.sql(t2))
+                terms = self._mv_join_delta_terms(name, vsql, srcs, cur, last)
+                wm = {
+                    f"{MV_SRC_VERSION}.{t}": str(v) for t, v in cur.items()
+                }
                 combine = {
                     "count": F.sum,
                     "sum": F.sum,
                     "min": F.min,
                     "max": F.max,
                 }
-                partial = terms.groupBy(*group_cols).agg(
-                    *[
-                        combine[ag["func"]](F.col(ag["alias"])).alias(
-                            ag["alias"]
-                        )
-                        for ag in aggs
-                    ]
+                partial = (
+                    terms.groupBy(*group_cols).agg(
+                        *[
+                            combine[ag["func"]](F.col(ag["alias"])).alias(
+                                ag["alias"]
+                            )
+                            for ag in aggs
+                        ]
+                    )
+                    if terms is not None
+                    else None
                 )
-                wm = {
-                    f"{MV_SRC_VERSION}.{t}": str(v) for t, v in cur.items()
-                }
-                if partial.isEmpty():
+                if partial is None or partial.isEmpty():
                     self.alter_table(name, properties=wm)
                     return {
                         "mode": "incremental_join_agg",

@@ -123,19 +123,20 @@ def _parse_select_list(select_list: str, group_cols: "list[str]"):
     return seen_groups, aggs
 
 
-def parse_join_agg_view(view_sql: str):
-    """Classify a TWO-TABLE inner-join GROUP BY view as incrementally
+def parse_join_agg_view(view_sql: str, n_tables: int = 2):
+    """Classify a k-TABLE inner-join GROUP BY view as incrementally
     maintainable under insert-only windows; returns ``{"group_cols",
     "aggs"}`` or None. Accepted shape (conservative — anything else
     keeps the exact pinned rebuild):
 
         SELECT g1, ..., AGG(expr) AS alias, ...
-        FROM a [x] JOIN b [y] ON pred [WHERE pred]
-        GROUP BY g1, ...
+        FROM a [x] JOIN b [y] ON pred [JOIN c [z] ON pred ...]
+        [WHERE pred] GROUP BY g1, ...
 
     with AGG ∈ {COUNT, SUM, MIN, MAX} all aliased, group columns plain
-    UNQUALIFIED identifiers in both lists, one plain (INNER) JOIN, no
-    subqueries/outer joins/DISTINCT/HAVING/ORDER/LIMIT/window."""
+    UNQUALIFIED identifiers in both lists, exactly n_tables-1 plain
+    (INNER) JOINs, no subqueries/outer joins/DISTINCT/HAVING/ORDER/
+    LIMIT/window."""
     import re
 
     from deltacat_spark.catalog.catalog import _strip_literals
@@ -144,7 +145,7 @@ def parse_join_agg_view(view_sql: str):
     low = s.lower()
     if len(re.findall(r"\bselect\b", low)) != 1:
         return None
-    if len(re.findall(r"\bjoin\b", low)) != 1:
+    if len(re.findall(r"\bjoin\b", low)) != n_tables - 1:
         return None
     if re.search(
         r"\b(left|right|full|semi|anti|natural|cross)\s+(outer\s+)?join\b",
@@ -158,7 +159,7 @@ def parse_join_agg_view(view_sql: str):
         return None
     m = re.match(
         r"\s*select\s+(.*?)\s+from\s+\w+(?:\s+(?:as\s+)?\w+)?"
-        r"\s+join\s+\w+(?:\s+(?:as\s+)?\w+)?\s+on\s+.*?"
+        r"(?:\s+join\s+\w+(?:\s+(?:as\s+)?\w+)?\s+on\s+.+?)+"
         r"\s+group\s+by\s+([\w\s,]+?)\s*$",
         s,
         re.IGNORECASE | re.DOTALL,

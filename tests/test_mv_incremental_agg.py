@@ -906,3 +906,127 @@ def test_streaming_mv_keyed_source_merge_windows(spark, tmp_path):
     q.awaitTermination(120)
     assert got() == expected()
     assert "b" not in {r.grp for r in c.read_table("kmv").collect()}
+
+
+# -- k-way (3-table) join MVs: telescoping delta (round 9) -------------
+
+J3_SQL = (
+    "SELECT x.k AS k, x.va AS va, y.vb AS vb, z.vc AS vc "
+    "FROM ja x JOIN jb y ON x.k = y.k JOIN jc z ON y.k = z.k"
+)
+
+J3AGG_SQL = (
+    "SELECT g, COUNT(*) AS n, SUM(va + vb + vc) AS s "
+    "FROM ja JOIN jb ON ja.k = jb.k JOIN jc ON jb.k = jc.k "
+    "GROUP BY g"
+)
+
+
+def _j3_setup(spark, tmp_path):
+    c = Catalog(spark, str(tmp_path / "mvj3"))
+    c.create_table("ja")
+    c.create_table("jb")
+    c.create_table("jc")
+    c.write_to_table(
+        spark.createDataFrame(
+            [(1, "p", 10), (2, "p", 20), (3, "q", 30)],
+            "k long, g string, va long",
+        ),
+        "ja",
+        mode="append",
+    )
+    c.write_to_table(
+        spark.createDataFrame([(1, 100), (2, 200)], "k long, vb long"),
+        "jb",
+        mode="append",
+    )
+    c.write_to_table(
+        spark.createDataFrame([(1, 5), (3, 7)], "k long, vc long"),
+        "jc",
+        mode="append",
+    )
+    return c
+
+
+def test_three_way_join_mv_incremental(spark, tmp_path):
+    c = _j3_setup(spark, tmp_path)
+    c.create_materialized_view("j3_mv", J3_SQL)
+
+    def rows():
+        return sorted(
+            (r.k, r.va, r.vb, r.vc) for r in c.read_table("j3_mv").collect()
+        )
+
+    def exp():
+        return sorted((r.k, r.va, r.vb, r.vc) for r in c.sql(J3_SQL).collect())
+
+    assert rows() == exp()
+    # every source moves in one window — all cross terms land once
+    c.write_to_table(
+        spark.createDataFrame([(4, "q", 40)], "k long, g string, va long"),
+        "ja",
+        mode="append",
+    )
+    c.write_to_table(
+        spark.createDataFrame([(3, 300), (4, 400)], "k long, vb long"),
+        "jb",
+        mode="append",
+    )
+    c.write_to_table(
+        spark.createDataFrame([(2, 9), (4, 11)], "k long, vc long"),
+        "jc",
+        mode="append",
+    )
+    audit = c.refresh_materialized_view("j3_mv")
+    assert audit["mode"] == "incremental_join"
+    assert rows() == exp()
+    # middle-only window
+    c.write_to_table(
+        spark.createDataFrame([(1, 111)], "k long, vb long"), "jb", mode="append"
+    )
+    audit = c.refresh_materialized_view("j3_mv")
+    assert audit["mode"] == "incremental_join"
+    assert rows() == exp()
+    assert c.refresh_materialized_view("j3_mv")["mode"] == "noop"
+
+
+def test_three_way_join_agg_mv_incremental(spark, tmp_path):
+    from deltacat_spark.catalog.materialize import parse_join_agg_view
+
+    assert parse_join_agg_view(J3AGG_SQL, n_tables=3) is not None
+    c = _j3_setup(spark, tmp_path)
+    c.create_materialized_view("j3agg_mv", J3AGG_SQL)
+
+    def rows():
+        return {
+            (r.g, r.n, r.s) for r in c.read_table("j3agg_mv").collect()
+        }
+
+    def exp():
+        return {(r.g, r.n, r.s) for r in c.sql(J3AGG_SQL).collect()}
+
+    assert rows() == exp()
+    assert c.snapshot("j3agg_mv").schema.merge_keys == ["g"]
+    c.write_to_table(
+        spark.createDataFrame([(5, "r", 50)], "k long, g string, va long"),
+        "ja",
+        mode="append",
+    )
+    c.write_to_table(
+        spark.createDataFrame([(5, 500)], "k long, vb long"), "jb", mode="append"
+    )
+    c.write_to_table(
+        spark.createDataFrame([(5, 55), (1, 77)], "k long, vc long"),
+        "jc",
+        mode="append",
+    )
+    audit = c.refresh_materialized_view("j3agg_mv")
+    assert audit["mode"] == "incremental_join_agg"
+    assert rows() == exp()
+    # REPLACE still rebuilds
+    c.write_to_table(
+        spark.createDataFrame([(1, 1)], "k long, vc long"), "jc", mode="replace"
+    )
+    audit = c.refresh_materialized_view("j3agg_mv")
+    assert audit["mode"] == "rebuild"
+    assert rows() == exp()
