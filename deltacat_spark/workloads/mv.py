@@ -361,12 +361,90 @@ GROUP BY c.c_nationkey
 """
 
 
+MV_JOIN3_VIEW_SQL = (
+    "SELECT nk, COUNT(*) AS n_lines, SUM(qty_x10) AS qty_x10 "
+    "FROM tcust JOIN tord ON tcust.ck = tord.o_custkey "
+    "JOIN tli ON tord.ok = tli.l_orderkey "
+    "GROUP BY nk"
+)
+
+
+def mv_join3_agg_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THREE-source join + GROUP BY MV maintained by the telescoping
+    k-way delta (round-9): appends land on all three sources in one
+    window; the refresh partial-aggregates the three delta terms and
+    merges group-wise — never a rebuild (raises otherwise)."""
+    from deltacat_spark.catalog import Catalog
+
+    root = tempfile.mkdtemp(prefix="dcs_mvj3_")
+    try:
+        cat = Catalog(spark, root)
+        c = load(spark, sf_dir, "customer").select(
+            F.col("c_custkey").alias("ck"),
+            F.col("c_nationkey").alias("nk"),
+        )
+        o = load(spark, sf_dir, "orders").select(
+            F.col("o_orderkey").alias("ok"), "o_custkey"
+        )
+        l = load(spark, sf_dir, "lineitem").select(
+            "l_orderkey",
+            F.expr("CAST(FLOOR(l_quantity * 10 + 0.5) AS BIGINT)").alias(
+                "qty_x10"
+            ),
+        )
+        cat.create_table("tcust")
+        cat.create_table("tord")
+        cat.create_table("tli")
+        cat.write_to_table(c.filter(F.col("ck") % 2 == 0), "tcust")
+        cat.write_to_table(o.filter(F.col("ok") % 40 == 0), "tord")
+        cat.write_to_table(
+            l.filter(F.col("l_orderkey") % 80 == 0), "tli"
+        )
+        cat.create_materialized_view("j3_mv", MV_JOIN3_VIEW_SQL)
+        cat.write_to_table(
+            c.filter(F.col("ck") % 2 == 1), "tcust", mode="append"
+        )
+        cat.write_to_table(
+            o.filter(F.col("ok") % 40 == 20), "tord", mode="append"
+        )
+        cat.write_to_table(
+            l.filter(F.col("l_orderkey") % 80 == 40), "tli", mode="append"
+        )
+        audit = cat.refresh_materialized_view("j3_mv")
+        if audit["mode"] != "incremental_join_agg":
+            raise RuntimeError(
+                f"3-way insert-only window must delta-maintain, got {audit}"
+            )
+        out = cat.read_table("j3_mv")
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+MV_JOIN3_AGG_INCREMENTAL_SQL = """
+SELECT c.c_nationkey AS nk,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(SUM(CAST(FLOOR(l.l_quantity * 10 + 0.5) AS BIGINT)) AS BIGINT)
+         AS qty_x10
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE o.o_orderkey % 20 = 0 AND l.l_orderkey % 40 = 0
+GROUP BY c.c_nationkey
+"""
+
+
 QUERIES = {
     "mv_keyed_refresh": (mv_keyed_refresh, MV_KEYED_REFRESH_SQL),
     "mv_join_incremental": (mv_join_incremental, MV_JOIN_INCREMENTAL_SQL),
     "mv_join_agg_incremental": (
         mv_join_agg_incremental,
         MV_JOIN_AGG_INCREMENTAL_SQL,
+    ),
+    "mv_join3_agg_incremental": (
+        mv_join3_agg_incremental,
+        MV_JOIN3_AGG_INCREMENTAL_SQL,
     ),
     "sql_mv_rewrite_route": (sql_mv_rewrite_route, SQL_MV_REWRITE_ROUTE_SQL),
     "mv_record_keyed_refresh": (
