@@ -111,6 +111,9 @@ BENCH_QUERIES = [
     "repeated_substring_runs",
     "seasonal_naive_backtest",
     "scd2_state_census",
+    # round 9 additions (additive)
+    "winnow_fingerprint_pairs",
+    "cdc_chunk_dedup",
 ]
 
 # The heaviest plans from BENCH_r04, re-measured at ~10x scale in the
@@ -139,6 +142,11 @@ DEEP_QUERIES = [
     # Pregel-shaped per-iteration join+agg, edges pre-partitioned by the
     # loop key once (graph.py: repartition("src") + localCheckpoint)
     "pagerank_bipartite",
+    # round 9: the new corpus fingerprint ops — both in-row array
+    # plans whose only shuffle is vocabulary-sized; the 10x point
+    # proves the pair stage stays df-cap-bounded
+    "winnow_fingerprint_pairs",
+    "cdc_chunk_dedup",
 ]
 
 
@@ -311,7 +319,10 @@ def _next_round() -> int:
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+    try:
+        sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+    except ValueError:
+        sf = -1.0  # non-numeric suffix (e.g. the .bench_scale/sf1x replica dir)
     # Optional subset run for iteration: `python bench.py q1 simhash...`
     # (lakehouse micro-bench runs only on full runs or when requested
     # via the pseudo-name "lakehouse").

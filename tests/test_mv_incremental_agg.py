@@ -1030,3 +1030,21 @@ def test_three_way_join_agg_mv_incremental(spark, tmp_path):
     audit = c.refresh_materialized_view("j3agg_mv")
     assert audit["mode"] == "rebuild"
     assert rows() == exp()
+
+
+def test_record_keyed_mv_cost_gate(kcat):
+    """Default record-path cost gate: a window touching most keys
+    rebuilds (point-wise maintenance would cost more than one pass)."""
+    kcat.create_materialized_view("rgate_mv", RW_SQL.replace("rmv", "rgate"))
+    # the fixture SQL targets ksrc; touch 3 of its 4 keys in one window
+    kcat.sql(
+        "INSERT INTO ksrc VALUES (1, 'a', 11), (2, 'a', 21), (3, 'b', 6)"
+    )
+    audit = kcat.refresh_materialized_view("rgate_mv")
+    assert audit["mode"] == "full"
+    got = {
+        (r.id, r.grp, r.v2)
+        for r in kcat.read_table("rgate_mv").collect()
+    }
+    exp = {(r.id, r.grp, r.v2) for r in kcat.sql(RW_SQL).collect()}
+    assert got == exp
