@@ -2128,11 +2128,12 @@ class Catalog:
         aggregate job; dates normalized to ISO strings to match the
         footer-stats encoding.
 
-        A column where the payload carries ANY NULL key is excluded:
-        merge/delete key matching is null-safe (`<=>`), but parquet
-        footer min/max ignore nulls, so a file could prove range-
-        disjointness while still holding the NULL-key row the payload
-        must replace — that column can never prove a file untouched."""
+        A column where the payload carries a NULL key contributes a
+        bound tagged ``has_null``: merge/delete key matching is
+        null-safe (`<=>`) and parquet min/max ignore nulls, so range
+        disjointness alone cannot clear a file — the file must ALSO
+        prove zero nulls via its recorded footer `null_count`
+        (`_stats_overlap`); files without one stay touched."""
         import datetime
 
         bounds: dict[str, tuple] = {}
@@ -2146,18 +2147,21 @@ class Catalog:
         ).collect()[0]
         for i, c in enumerate(cols):
             lo, hi = agg_row[f"lo_{i}"], agg_row[f"hi_{i}"]
-            if lo is None or hi is None or agg_row[f"nn_{i}"] == 1:
+            if lo is None or hi is None:
                 continue
             if isinstance(lo, (datetime.datetime, datetime.date)):
                 lo, hi = lo.isoformat(), hi.isoformat()
-            bounds[c] = (lo, hi)
+            bounds[c] = (lo, hi, agg_row[f"nn_{i}"] == 1)
         return bounds
 
     @staticmethod
     def _stats_overlap(stats: "dict | None", bounds: dict) -> bool:
         """True unless the file stats PROVE disjointness on some bound
-        column (conservative: missing/uncomparable stats = may overlap)."""
-        for c, (lo, hi) in bounds.items():
+        column (conservative: missing/uncomparable stats = may overlap).
+        A `has_null` bound additionally requires the file's footer
+        null_count to be zero — a NULL-key payload row matches any
+        NULL-key file row regardless of ranges."""
+        for c, (lo, hi, has_null) in bounds.items():
             st = (stats or {}).get(c)
             fmin = st.get("min") if st else None
             fmax = st.get("max") if st else None
@@ -2172,7 +2176,11 @@ class Catalog:
                     or (isinstance(fmin, str) and isinstance(lo, str))
                 )
             )
-            if comparable and (fmax < lo or fmin > hi):
+            if not comparable:
+                continue
+            if has_null and (st.get("nulls") is None or st["nulls"] > 0):
+                continue  # file may hold the NULL-key row — touched
+            if fmax < lo or fmin > hi:
                 return False
         return True
 

@@ -194,18 +194,29 @@ def _footer_stats(path: str, fs=LOCAL_FS) -> dict[str, Any]:
     with fs.open_binary(path) as fh:
         md = pq.read_metadata(fh)
     stats: dict[str, dict[str, Any]] = {}
+    # per-column null counts, summed over row groups — recorded only
+    # when EVERY row group reports one (a partial sum would understate
+    # and could wrongly prove "no nulls"). Tracked for all stats-typed
+    # top-level columns, including all-null ones that carry no min/max.
+    nulls: dict[str, int] = {}
+    nulls_bad: set = set()
     ncols = min(md.num_columns, _STATS_MAX_COLS)
     for rg in range(md.num_row_groups):
         g = md.row_group(rg)
         for i in range(ncols):
             col = g.column(i)
             st = col.statistics
+            name = col.path_in_schema
+            if "." in name:  # nested — skip
+                continue
+            if st is not None and st.has_null_count and name not in nulls_bad:
+                nulls[name] = nulls.get(name, 0) + int(st.null_count)
+            else:
+                nulls_bad.add(name)
+                nulls.pop(name, None)
             if st is None or not st.has_min_max:
                 continue
             if col.physical_type not in _STATS_TYPES:
-                continue
-            name = col.path_in_schema
-            if "." in name:  # nested — skip
                 continue
             try:
                 mn, mx = st.min, st.max
@@ -225,6 +236,8 @@ def _footer_stats(path: str, fs=LOCAL_FS) -> dict[str, Any]:
             else:
                 cur["min"] = min(cur["min"], mn)
                 cur["max"] = max(cur["max"], mx)
+    for name, n in nulls.items():
+        stats.setdefault(name, {})["nulls"] = n
     out: dict[str, Any] = {
         "records": md.num_rows,
         "bytes": fs.size(path),

@@ -159,6 +159,22 @@ def _collect(e: Expr, out: list) -> None:
                 out.append((ref.args[0], ">=", lo.args[0]))
             if isinstance(hi, Expr) and hi.op == "lit":
                 out.append((ref.args[0], "<=", hi.args[0]))
+    elif e.op == "is_null":
+        ref = e.args[0]
+        if isinstance(ref, Expr) and ref.op == "ref":
+            # pruned against the footer null_count (a file proving
+            # zero nulls cannot match IS NULL)
+            out.append((ref.args[0], "isnull", None))
+    elif e.op == "not":
+        child = e.args[0]
+        if (
+            isinstance(child, Expr)
+            and child.op == "is_null"
+            and isinstance(child.args[0], Expr)
+            and child.args[0].op == "ref"
+        ):
+            # NOT col IS NULL — an all-null file cannot match
+            out.append((child.args[0].args[0], "notnull", None))
 
 
 def _wrap(v) -> Expr:

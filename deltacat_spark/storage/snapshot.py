@@ -276,6 +276,17 @@ class Snapshot:
                     st = f.stats.get(col)
                     if not st:
                         continue
+                    if op in ("isnull", "notnull"):
+                        nulls = st.get("nulls")
+                        if nulls is None:
+                            continue  # no null_count — can't prove
+                        if op == "isnull":
+                            ok = nulls > 0
+                        else:
+                            ok = f.records is None or nulls < f.records
+                        if not ok:
+                            break
+                        continue
                     lo, hi = st.get("min"), st.get("max")
                     if lo is None or hi is None:
                         continue

@@ -436,3 +436,99 @@ def test_substitute_table_refs_edge_case_pack():
     ]
     for sql, table, repl, expected in cases:
         assert _substitute_table_refs(sql, table, repl) == expected, sql
+
+
+# -- footer null_count: IS NULL skipping + NULL-payload overlap --------
+
+
+def test_null_count_stats_and_isnull_skipping(spark, catalog):
+    from deltacat_spark.plans.expr import col
+
+    catalog.create_namespace("default")
+    catalog.create_table("ns", "default")
+    catalog.write_to_table(
+        spark.createDataFrame([(1, "a"), (2, "b")], "id long, val string"),
+        "ns",
+        "default",
+        mode="append",
+    )
+    catalog.write_to_table(
+        spark.createDataFrame([(3, None), (4, "c")], "id long, val string"),
+        "ns",
+        "default",
+        mode="append",
+    )
+    catalog.write_to_table(
+        spark.createDataFrame(
+            [(5, None)], "id long, val string"
+        ),  # all-null val
+        "ns",
+        "default",
+        mode="append",
+    )
+    snap = catalog.snapshot("ns", "default")
+    per_file = {
+        f.path: (f.stats or {}).get("val", {}).get("nulls")
+        for f in snap.files
+    }
+    assert sum(v for v in per_file.values() if v) == 2
+    assert any(v == 0 for v in per_file.values())
+    # IS NULL keeps exactly the files that hold (or may hold) a null
+    kept = {f.path for f in snap.prune(None, [("val", "isnull", None)])}
+    assert kept == {p for p, v in per_file.items() if v is None or v > 0}
+    # NOT IS NULL drops exactly the all-null files
+    kept = {f.path for f in snap.prune(None, [("val", "notnull", None)])}
+    all_null = {
+        f.path
+        for f in snap.files
+        if per_file[f.path] is not None and per_file[f.path] == f.records
+    }
+    assert all_null and kept == {p for p in per_file} - all_null
+    # end-to-end: predicate read returns exactly the NULL rows
+    out = catalog.read_table(
+        "ns", "default", predicate=col("val").is_null()
+    )
+    assert sorted(r.id for r in out.collect()) == [3, 5]
+    out2 = catalog.read_table(
+        "ns", "default", predicate=col("val").is_null().not_()
+    )
+    assert sorted(r.id for r in out2.collect()) == [1, 2, 4]
+
+
+def test_null_payload_bounds_prune_nullfree_files(spark, catalog):
+    """A NULL-key merge payload can now still prove disjointness against
+    files whose footers record ZERO nulls — copy-by-reference keeps
+    range-disjoint null-free files live instead of rewriting them."""
+    from deltacat_spark.catalog.catalog import Catalog
+
+    catalog.create_namespace("default")
+    fields = [
+        Field("id", T.StringType(), merge_key=True),
+        Field("v", T.IntegerType()),
+    ]
+    catalog.create_table("nb", "default", schema=Schema(fields))
+    # two key ranges in separate files (separate merges — CoW rewrites
+    # resolve, so write ranges via two tables? use one merge then check
+    # split classification directly on synthetic stats)
+    payload = spark.createDataFrame(
+        [(None, 9), ("b", 9)], "id string, v int"
+    )
+    bounds = Catalog._payload_bounds(payload, ["id"])
+    lo, hi, has_null = bounds["id"]
+    assert (lo, hi, has_null) == ("b", "b", True)
+    # null-free disjoint file: provably untouched
+    assert not Catalog._stats_overlap(
+        {"id": {"min": "x", "max": "z", "nulls": 0}}, bounds
+    )
+    # disjoint range but nulls present — must stay touched
+    assert Catalog._stats_overlap(
+        {"id": {"min": "x", "max": "z", "nulls": 1}}, bounds
+    )
+    # disjoint range, null_count unknown (old file) — stays touched
+    assert Catalog._stats_overlap(
+        {"id": {"min": "x", "max": "z"}}, bounds
+    )
+    # overlapping range, null-free — touched via the range
+    assert Catalog._stats_overlap(
+        {"id": {"min": "a", "max": "c", "nulls": 0}}, bounds
+    )
