@@ -203,7 +203,7 @@ def test_cow_commit_rebases_past_disjoint_writer(spark, tmp_path):
                      "stats": {"id": {"min": 1, "max": 4}}}}
         ],
     )
-    c._commit_cow(log, ours, lambda: {"id": (1, 4)})
+    c._commit_cow(log, ours, lambda: {"id": (1, 4, False)})
     assert ours.version == 3 and log.latest_version() == 3
 
     # Overlapping key range -> no rebase.
@@ -224,7 +224,7 @@ def test_cow_commit_rebases_past_disjoint_writer(spark, tmp_path):
                           "stats": {"id": {"min": 4, "max": 4}}}}],
     )
     with pytest.raises(CommitConflictError):
-        c._commit_cow(log, clash, lambda: {"id": (4, 4)})
+        c._commit_cow(log, clash, lambda: {"id": (4, 4, False)})
 
     # Metadata-carrying intervener -> no rebase even if stats disjoint.
     log.commit(
@@ -243,7 +243,7 @@ def test_cow_commit_rebases_past_disjoint_writer(spark, tmp_path):
                           "stats": {"id": {"min": 1, "max": 1}}}}],
     )
     with pytest.raises(CommitConflictError):
-        c._commit_cow(log, meta_clash, lambda: {"id": (1, 1)})
+        c._commit_cow(log, meta_clash, lambda: {"id": (1, 1, False)})
 
 
 def test_disjoint_cow_writers_all_land(spark, tmp_path):
@@ -283,3 +283,44 @@ def test_disjoint_cow_writers_all_land(spark, tmp_path):
         (w * 100 + k, f"w{w}", 1) for w in range(6) for k in range(4)
     }
     assert got == want
+
+
+def test_stats_overlap_null_semantics():
+    """Direct unit coverage of `_stats_overlap`'s has_null rule
+    (catalog.py `_payload_bounds`): a NULL-key payload row matches any
+    NULL-key file row under `<=>`, and parquet min/max ignore nulls —
+    so a has_null bound may only be pruned against a file that PROVES
+    zero nulls via its footer null_count."""
+    ov = Catalog._stats_overlap
+
+    # Plain bound, disjoint ranges -> prunable regardless of nulls.
+    assert ov({"id": {"min": 100, "max": 200}}, {"id": (1, 4, False)}) is False
+    # Plain bound, overlapping ranges -> touched.
+    assert ov({"id": {"min": 3, "max": 10}}, {"id": (1, 4, False)}) is True
+
+    # has_null bound vs file with nulls > 0: ranges disjoint but the
+    # file may hold the NULL-key row -> touched.
+    assert (
+        ov({"id": {"min": 100, "max": 200, "nulls": 2}}, {"id": (1, 4, True)})
+        is True
+    )
+    # has_null bound vs file proving nulls == 0 -> range rule applies,
+    # disjoint -> prunable.
+    assert (
+        ov({"id": {"min": 100, "max": 200, "nulls": 0}}, {"id": (1, 4, True)})
+        is False
+    )
+    # has_null bound vs file with NO recorded null count -> conservative
+    # overlap (can't prove the NULL row absent).
+    assert (
+        ov({"id": {"min": 100, "max": 200}}, {"id": (1, 4, True)}) is True
+    )
+    # has_null bound, nulls == 0 but ranges overlap -> still touched.
+    assert (
+        ov({"id": {"min": 2, "max": 3, "nulls": 0}}, {"id": (1, 4, True)})
+        is True
+    )
+    # Missing / uncomparable stats -> conservative overlap.
+    assert ov(None, {"id": (1, 4, False)}) is True
+    assert ov({}, {"id": (1, 4, True)}) is True
+    assert ov({"id": {"min": "a", "max": "b"}}, {"id": (1, 4, False)}) is True
