@@ -2819,6 +2819,200 @@ class Catalog:
             delta = term if delta is None else delta.unionByName(term)
         return delta
 
+    def _mv_join_keyed_refresh(
+        self,
+        name: str,
+        vsql: str,
+        srcs: list,
+        cur: dict,
+        last: dict,
+        join_agg_spec: dict,
+    ) -> "dict | None":
+        """Keyed incremental maintenance for a k-way JOIN + GROUP BY MV
+        under MERGE/DELETE windows — the join analogue of the
+        single-table `incremental_agg_keyed` path and the last cell of
+        the MV maintenance matrix. Every MOVED source must be
+        merge-keyed with a CDC-visible MERGE/DELETE window
+        (`_touched_keys_for_window`); returns None when ineligible (or
+        when the cost gate says most groups moved) and the caller falls
+        through to the exact pinned rebuild.
+
+        Soundness: any join-result row that differs between Q(old) and
+        Q(cur) involves at least one changed source row, whose merge
+        key is in that source's touched set. The union over moved
+        sources i of the GROUP COLUMNS of
+
+            Q(..all@last.., touched-slice_i@last, ..all@last..)  (pre)
+          ∪ Q(..all@cur..,  touched-slice_i@cur,  ..all@cur..)   (post)
+
+        is therefore a superset of every group whose aggregate moved
+        (a vanished pre-row appears in some pre term, a born post-row
+        in some post term). Those groups are then recomputed EXACTLY
+        over the pinned CURRENT snapshots — each source that carries a
+        group column is sliced to touched-group membership (bounds
+        predicate prunes the scan, null-safe semi join restricts it),
+        and a final null-safe group semi join makes the restriction
+        exact — so MIN/MAX stay exact too (no retraction arithmetic).
+        Vanished groups are deleted FIRST, the watermark vector rides
+        the merge commit (crash-atomic: a retry replays the idempotent
+        recompute).
+
+        At 100 TB: cost is O(touched keys + touched groups' join
+        rows), never O(table) — every term joins a key/group slice
+        against pinned snapshot reads with pushdown intact."""
+        from deltacat_spark.catalog.materialize import (
+            MV_SRC_VERSION,
+            _bounds_predicate,
+            _null_safe_semi,
+            _snapshot_row_estimate,
+            _touched_keys_for_window,
+        )
+
+        touched: dict[str, tuple] = {}
+        for t in srcs:
+            if last[t] == cur[t]:
+                continue
+            schema = self.snapshot(t).schema
+            mkeys = schema.merge_keys if schema else []
+            if not mkeys:
+                return None  # moved unkeyed source — keys unknowable
+            res = _touched_keys_for_window(
+                self, t, DEFAULT_NAMESPACE, cur[t], last[t], mkeys
+            )
+            if res is None:
+                return None  # wholesale/CDC-invisible window
+            if isinstance(res, str):
+                continue  # benign-only window — nothing moved
+            touched[t] = (mkeys, res.persist())
+
+        wm = {f"{MV_SRC_VERSION}.{t}": str(v) for t, v in cur.items()}
+        if not touched:
+            self.alter_table(name, properties=wm)
+            return {
+                "mode": "incremental_join_agg_keyed",
+                "src_versions": cur,
+                "touched_groups": 0,
+            }
+        group_cols = list(join_agg_spec["group_cols"])
+        try:
+            # ---- touched groups: pre/post slice terms per moved source
+            pinned: dict[tuple, str] = {}
+
+            def _pin(u: str, version: int) -> str:
+                key = (u, version)
+                if key not in pinned:
+                    vname = f"__mvk_{name}_{u}_v{version}"
+                    self.register_view(
+                        u, view_name=vname, version_as_of=version
+                    )
+                    pinned[key] = vname
+                return pinned[key]
+
+            gparts = []
+            for t, (mkeys, kdf) in touched.items():
+                kpred = _bounds_predicate(kdf, mkeys)
+                for tag, vers in (("pre", last), ("post", cur)):
+                    text = vsql
+                    for u in srcs:
+                        if u == t:
+                            vname = f"__mvk_{name}_{u}_sl_{tag}"
+                            sl = self.read_table(
+                                u, version_as_of=vers[u], predicate=kpred
+                            )
+                            _null_safe_semi(
+                                sl, kdf, mkeys
+                            ).createOrReplaceTempView(vname)
+                        else:
+                            vname = _pin(u, vers[u])
+                        text = _substitute_table_refs(text, u, vname)
+                    gparts.append(self.spark.sql(text).select(*group_cols))
+            touched_groups = gparts[0]
+            for p in gparts[1:]:
+                touched_groups = touched_groups.unionByName(p)
+            touched_groups = touched_groups.distinct().persist()
+            n_tg = touched_groups.count()
+            if n_tg == 0:
+                touched_groups.unpersist()
+                self.alter_table(name, properties=wm)
+                return {
+                    "mode": "incremental_join_agg_keyed",
+                    "src_versions": cur,
+                    "touched_groups": 0,
+                }
+            # COST GATE (same policy as the single-table keyed paths):
+            # when the window touched most groups, the slice probes +
+            # per-group recompute cost more than one rebuild pass. The
+            # MV row count IS the group count (metadata read).
+            mv_groups = max(
+                _snapshot_row_estimate(self, name, DEFAULT_NAMESPACE), 1
+            )
+            try:
+                gate = float(
+                    self.snapshot(name).properties.get(
+                        "mv.keyed_gate", "0.5"
+                    )
+                )
+            except ValueError:
+                gate = 0.5
+            if n_tg >= gate * mv_groups:
+                touched_groups.unpersist()
+                return None  # most groups moved — rebuild is cheaper
+            # ---- exact recompute of the touched groups @cur
+            text = vsql
+            for u in srcs:
+                u_schema = self.snapshot(u).schema
+                u_cols = (
+                    {f.name.lower() for f in u_schema.fields}
+                    if u_schema
+                    else set()
+                )
+                cols_u = [g for g in group_cols if g.lower() in u_cols]
+                vname = f"__mvk_{name}_{u}_rc"
+                if cols_u:
+                    gpred = _bounds_predicate(touched_groups, cols_u)
+                    df = self.read_table(
+                        u, version_as_of=cur[u], predicate=gpred
+                    )
+                    df = _null_safe_semi(df, touched_groups, cols_u)
+                else:
+                    df = self.read_table(u, version_as_of=cur[u])
+                df.createOrReplaceTempView(vname)
+                text = _substitute_table_refs(text, u, vname)
+            recomputed = _null_safe_semi(
+                self.spark.sql(text), touched_groups, group_cols
+            ).persist()
+            vanished = _null_safe_semi(
+                touched_groups, recomputed, group_cols, anti=True
+            )
+            n_new = recomputed.count()
+            n_gone = vanished.count()
+            # DELETE first, MERGE (with the watermark) last — a crash
+            # in between leaves the watermark at `last` and the retry
+            # replays the idempotent recompute
+            if n_gone:
+                self.write_to_table(
+                    vanished.select(*group_cols).distinct(),
+                    name,
+                    mode="delete",
+                    commit_properties=wm if not n_new else None,
+                )
+            if n_new:
+                self.write_to_table(
+                    recomputed, name, mode="merge", commit_properties=wm
+                )
+            elif not n_gone:
+                self.alter_table(name, properties=wm)
+            recomputed.unpersist()
+            touched_groups.unpersist()
+            return {
+                "mode": "incremental_join_agg_keyed",
+                "src_versions": cur,
+                "touched_groups": n_new + n_gone,
+            }
+        finally:
+            for _t, (_mk, kdf) in touched.items():
+                kdf.unpersist()
+
     def _refresh_mv_multi(
         self,
         name: str,
@@ -2967,6 +3161,19 @@ class Catalog:
                     "src_versions": cur,
                     "touched_groups": n_touched,
                 }
+            # MERGE/DELETE windows on merge-keyed sources: keyed
+            # touched-group recompute (`_mv_join_keyed_refresh` — the
+            # join analogue of the single-table incremental_agg_keyed
+            # path). Ineligible or gate-rejected windows return None
+            # and fall through to the exact pinned rebuild.
+            if join_agg_spec is not None and all(
+                last[t] is not None and last[t] <= cur[t] for t in srcs
+            ):
+                res = self._mv_join_keyed_refresh(
+                    name, vsql, srcs, cur, last, join_agg_spec
+                )
+                if res is not None:
+                    return res
         # Pinned snapshots go under PRIVATE view names and the SQL's
         # table references are rewritten IN TABLE POSITION only
         # (`_substitute_table_refs` — a column/alias spelled like a

@@ -8,11 +8,13 @@ training-pipeline pattern: images/audio/video as opaque `binary` columns
 with metadata, decoded/featurized inside `mapInPandas` (Arrow batches —
 the only place Python touches the data plane).
 
-The decode step itself is STUBBED: the real image/audio libraries are
-not in this environment, so `decode=\"real\"` raises NotImplementedError
-while `decode=\"fake\"` derives deterministic pseudo-metadata from the
-bytes. The Spark-side plumbing — schema, batch iteration, partitioning —
-is real and tested.
+PNG pixels decode for REAL with the stdlib alone (`decode_png_pixels`:
+zlib IDAT inflate + per-scanline unfilter, all 5 filter types). The
+remaining env-blocked stub is JPEG/video pixel decode: those libraries
+are not in this environment, so `decode=\"real\"` raises
+NotImplementedError for non-PNG payloads while `decode=\"fake\"`
+derives deterministic pseudo-metadata from the bytes. The Spark-side
+plumbing — schema, batch iteration, partitioning — is real and tested.
 """
 
 from __future__ import annotations
@@ -146,20 +148,189 @@ def parse_header_dims(payload: bytes) -> "tuple[int, int] | None":
     return None
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+# color type -> samples per pixel in the IDAT stream
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def decode_png_pixels(payload: bytes) -> "tuple[int, int, int, bytes]":
+    """REAL PNG pixel decode with the stdlib alone (zlib IDAT inflate +
+    per-scanline unfiltering, PNG spec §9 filter types 0-4) — no
+    imaging library. Returns ``(width, height, channels, pixels)``
+    where ``pixels`` is ``height*width*channels`` interleaved bytes in
+    scanline order; palette images (color type 3) are expanded to RGB.
+
+    Supported: 8-bit depth, color types 0 (gray), 2 (RGB), 3 (palette),
+    4 (gray+alpha), 6 (RGBA), non-interlaced — the shapes training
+    corpora actually carry. 16-bit/sub-byte depths and Adam7 interlace
+    raise NotImplementedError (rare; a real cluster wires PIL).
+
+    Per-pixel Python is fine here: this runs inside `mapInPandas`
+    executors over Arrow batches, so the driver never touches pixels
+    and throughput scales with partitions; sub/up/average rows
+    vectorize via the running bytearray, only Paeth is inherently
+    sequential in x (left-neighbor dependency).
+    """
+    import struct
+    import zlib
+
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG stream")
+    width = height = None
+    bit_depth = color_type = interlace = None
+    plte: "bytes | None" = None
+    trns: "bytes | None" = None
+    idat = bytearray()
+    i, n = 8, len(payload)
+    while i + 8 <= n:
+        length = int.from_bytes(payload[i : i + 4], "big")
+        ctype = payload[i + 4 : i + 8]
+        data = payload[i + 8 : i + 8 + length]
+        if ctype == b"IHDR":
+            width, height = struct.unpack(">II", data[:8])
+            bit_depth, color_type, _c, _f, interlace = data[8:13]
+        elif ctype == b"PLTE":
+            plte = bytes(data)
+        elif ctype == b"tRNS":
+            trns = bytes(data)
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+        i += 12 + length  # length + type + data + crc32
+    if width is None or not idat:
+        raise ValueError("truncated PNG (no IHDR/IDAT)")
+    if bit_depth != 8 or interlace != 0:
+        raise NotImplementedError(
+            f"PNG bit_depth={bit_depth} interlace={interlace}: only 8-bit "
+            "non-interlaced streams are decoded stdlib-side"
+        )
+    ch = _PNG_CHANNELS.get(color_type)
+    if ch is None:
+        raise ValueError(f"bad PNG color type {color_type}")
+    raw = zlib.decompress(bytes(idat))
+    stride = width * ch
+    if len(raw) < (stride + 1) * height:
+        raise ValueError("IDAT shorter than filtered scanlines")
+    out = bytearray(stride * height)
+    pos = 0
+    for y in range(height):
+        ft = raw[pos]
+        pos += 1
+        line = bytearray(raw[pos : pos + stride])
+        pos += stride
+        prior = (
+            out[(y - 1) * stride : y * stride] if y else bytes(stride)
+        )
+        if ft == 0:  # None
+            pass
+        elif ft == 1:  # Sub
+            for x in range(ch, stride):
+                line[x] = (line[x] + line[x - ch]) & 0xFF
+        elif ft == 2:  # Up
+            for x in range(stride):
+                line[x] = (line[x] + prior[x]) & 0xFF
+        elif ft == 3:  # Average
+            for x in range(stride):
+                left = line[x - ch] if x >= ch else 0
+                line[x] = (line[x] + ((left + prior[x]) >> 1)) & 0xFF
+        elif ft == 4:  # Paeth
+            for x in range(stride):
+                a = line[x - ch] if x >= ch else 0
+                b = prior[x]
+                c = prior[x - ch] if x >= ch else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else b if pb <= pc else c
+                line[x] = (line[x] + pred) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter type {ft}")
+        out[y * stride : (y + 1) * stride] = line
+    if color_type == 3:
+        if plte is None:
+            raise ValueError("palette PNG without PLTE")
+        # expand indices -> RGB (tRNS alpha, if present, would make it
+        # RGBA; expand to RGBA only when the chunk exists)
+        if trns:
+            rgba = bytearray(width * height * 4)
+            for j, idx in enumerate(out):
+                rgba[4 * j : 4 * j + 3] = plte[3 * idx : 3 * idx + 3]
+                rgba[4 * j + 3] = trns[idx] if idx < len(trns) else 255
+            return width, height, 4, bytes(rgba)
+        rgb = bytearray(width * height * 3)
+        for j, idx in enumerate(out):
+            rgb[3 * j : 3 * j + 3] = plte[3 * idx : 3 * idx + 3]
+        return width, height, 3, bytes(rgb)
+    return width, height, ch, bytes(out)
+
+
+REAL_DECODE_SCHEMA = T.StructType(
+    list(DECODE_SCHEMA.fields)
+    + [
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("pixels", T.BinaryType()),
+    ]
+)
+
+
+def real_decode_images(df: DataFrame) -> DataFrame:
+    """Pixel-level decode over Arrow batches (`mapInPandas`): PNG
+    payloads decode for REAL (`decode_png_pixels` — stdlib zlib, no
+    imaging library); JPEG/video payloads remain the env-blocked
+    integration point and RAISE NotImplementedError (never fake pixels
+    on the real path). Output adds `channels` + raw interleaved
+    `pixels` to the metadata schema."""
+
+    def _decode(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        import hashlib
+
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for path, content in zip(pdf["path"], pdf["content"]):
+                payload = bytes(content)
+                magic = _sniff_magic(payload)
+                if magic != "png":
+                    raise NotImplementedError(
+                        f"real pixel decode for {magic!r} payloads needs "
+                        "PIL/ffmpeg-style libraries not present in this "
+                        "environment — only PNG decodes stdlib-side"
+                    )
+                w, h, ch, px = decode_png_pixels(payload)
+                rows.append(
+                    {
+                        "path": path,
+                        "n_bytes": len(payload),
+                        "magic": magic,
+                        "width": w,
+                        "height": h,
+                        "digest": hashlib.md5(payload).hexdigest(),
+                        "channels": ch,
+                        "pixels": px,
+                    }
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in REAL_DECODE_SCHEMA.fields]
+            )
+
+    return df.select("path", "content").mapInPandas(
+        _decode, REAL_DECODE_SCHEMA
+    )
+
+
 def fake_decode_images(df: DataFrame, decode: str = "fake") -> DataFrame:
     """Per-file \"decode\" over Arrow batches (`mapInPandas`).
 
-    decode=\"real\" is the integration point for PIL/ffmpeg-style
-    libraries (NotImplementedError here); decode=\"fake\" computes
-    deterministic pseudo width/height/digest from the payload so the
-    pipeline shape (schema in/out, batch sizes, shuffle behavior) is
-    fully exercisable.
+    decode=\"real\" routes to :func:`real_decode_images` — PNG pixels
+    decode for real (stdlib zlib inflate + unfilter); JPEG/video remain
+    the env-blocked library integration point (NotImplementedError).
+    decode=\"fake\" computes deterministic pseudo width/height/digest
+    from the payload so the pipeline shape (schema in/out, batch sizes,
+    shuffle behavior) is fully exercisable.
     """
     if decode == "real":
-        raise NotImplementedError(
-            "real media decoding needs image/audio libraries not present in "
-            "this environment — wire PIL/torchaudio/ffmpeg here"
-        )
+        return real_decode_images(df)
 
     def _decode(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
         import hashlib

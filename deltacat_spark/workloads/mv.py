@@ -435,8 +435,130 @@ GROUP BY c.c_nationkey
 """
 
 
+MV_JOIN_KEYED_VIEW_SQL = (
+    "SELECT nk, COUNT(*) AS n_orders, SUM(price_cents) AS total_cents, "
+    "MIN(price_cents) AS lo_cents, MAX(price_cents) AS hi_cents "
+    "FROM kcust JOIN kord ON kcust.ck = kord.o_custkey "
+    "GROUP BY nk"
+)
+
+
+def mv_join_keyed_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join + GROUP BY MV maintained KEYED under MERGE/DELETE windows
+    (round-10 `_mv_join_keyed_refresh` — the last cell of the MV
+    maintenance matrix): both sources are merge-keyed MoR tables; a
+    price-bump MERGE + predicate DELETE lands on the fact side, then a
+    group-moving MERGE on the dimension side, and EACH refresh must
+    take the `incremental_join_agg_keyed` mode — touched merge keys →
+    pre/post join-term touched groups → exact per-group recompute —
+    never a rebuild (raises otherwise). Contents oracle-checked
+    against a pure SQL reconstruction of the final state."""
+    from deltacat_spark.catalog import Catalog
+    from deltacat_spark.schema import Schema
+
+    root = tempfile.mkdtemp(prefix="dcs_mvjk_")
+    try:
+        cat = Catalog(spark, root)
+        c = load(spark, sf_dir, "customer").select(
+            F.col("c_custkey").alias("ck"),
+            F.col("c_nationkey").alias("nk"),
+        )
+        o = load(spark, sf_dir, "orders").select(
+            F.col("o_orderkey").alias("ok"),
+            "o_custkey",
+            F.expr(
+                "CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)"
+            ).alias("price_cents"),
+        )
+        sch_c = Schema.from_dataframe(c)
+        for fld in sch_c.fields:
+            if fld.name == "ck":
+                fld.merge_key = True
+                fld.nullable = False
+        sch_o = Schema.from_dataframe(o)
+        for fld in sch_o.fields:
+            if fld.name == "ok":
+                fld.merge_key = True
+                fld.nullable = False
+        # MoR so MERGE/DELETE windows surface row-level in read_changes
+        cat.create_table(
+            "kcust", schema=sch_c, properties={"read_optimization": "none"}
+        )
+        cat.create_table(
+            "kord", schema=sch_o, properties={"read_optimization": "none"}
+        )
+        cat.write_to_table(c, "kcust", mode="merge")
+        cat.write_to_table(o, "kord", mode="merge")
+        cat.create_materialized_view("kj_mv", MV_JOIN_KEYED_VIEW_SQL)
+        # the windows below touch all 25 nation groups — pin the cost
+        # gate high so the row PROVES the keyed machinery (the default
+        # 0.5 gate would correctly route this tiny MV to the rebuild)
+        cat.alter_table("kj_mv", properties={"mv.keyed_gate": "100"})
+        # window 1: MERGE + DELETE on the FACT side
+        cat.write_to_table(
+            o.filter(F.col("ok") % 7 == 0).withColumn(
+                "price_cents", F.col("price_cents") + F.lit(12345)
+            ),
+            "kord",
+            mode="merge",
+        )
+        cat.sql("DELETE FROM kord WHERE ok % 13 = 0")
+        audit = cat.refresh_materialized_view("kj_mv")
+        if audit["mode"] != "incremental_join_agg_keyed":
+            raise RuntimeError(
+                f"fact-side MERGE window must refresh keyed, got {audit}"
+            )
+        # window 2: group-moving MERGE on the DIMENSION side
+        cat.write_to_table(
+            c.filter(F.col("ck") % 5 == 0).withColumn(
+                "nk", (F.col("nk") + F.lit(1)) % 25
+            ),
+            "kcust",
+            mode="merge",
+        )
+        audit = cat.refresh_materialized_view("kj_mv")
+        if audit["mode"] != "incremental_join_agg_keyed":
+            raise RuntimeError(
+                f"dim-side MERGE window must refresh keyed, got {audit}"
+            )
+        out = cat.read_table("kj_mv")
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+MV_JOIN_KEYED_REFRESH_SQL = """
+WITH cust AS (
+  SELECT c_custkey AS ck,
+         CASE WHEN c_custkey % 5 = 0 THEN (c_nationkey + 1) % 25
+              ELSE c_nationkey END AS nk
+  FROM customer
+),
+ord AS (
+  SELECT o_orderkey AS ok, o_custkey,
+         CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)
+           + CASE WHEN o_orderkey % 7 = 0 THEN 12345 ELSE 0 END
+           AS price_cents
+  FROM orders
+  WHERE o_orderkey % 13 <> 0
+)
+SELECT nk,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(price_cents) AS BIGINT) AS total_cents,
+       MIN(price_cents) AS lo_cents,
+       MAX(price_cents) AS hi_cents
+FROM cust JOIN ord ON cust.ck = ord.o_custkey
+GROUP BY nk
+"""
+
+
 QUERIES = {
     "mv_keyed_refresh": (mv_keyed_refresh, MV_KEYED_REFRESH_SQL),
+    "mv_join_keyed_refresh": (
+        mv_join_keyed_refresh,
+        MV_JOIN_KEYED_REFRESH_SQL,
+    ),
     "mv_join_incremental": (mv_join_incremental, MV_JOIN_INCREMENTAL_SQL),
     "mv_join_agg_incremental": (
         mv_join_agg_incremental,

@@ -250,6 +250,102 @@ WHERE rn <= 5
 ANN_IVF_SQL = _ivf_sql()
 
 
+def ann_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF served from a PERSISTED index (round-10 index-as-MV,
+    `operators/ann_index.py`): the coarse quantizer is trained once
+    over the initial corpus and committed as catalog tables; an append
+    batch then lands as a MERGE window on the keyed source, the
+    refresh must take the keyed incremental path — re-assigning ONLY
+    the new keys to the FROZEN centroids, never retraining or
+    rescanning (raises on any other mode) — and serving reads the
+    index tables alone. Oracle: the same frozen-quantizer IVF in pure
+    SQL (train on the initial subset, assign/probe the full corpus)."""
+    from deltacat_spark.catalog import Catalog
+    from deltacat_spark.operators.ann_index import (
+        build_ivf_index,
+        ivf_index_topk,
+        refresh_ivf_index,
+    )
+    from deltacat_spark.schema import Schema
+
+    import shutil
+    import tempfile
+
+    root = tempfile.mkdtemp(prefix="dcs_annidx_")
+    try:
+        cat = Catalog(spark, root)
+        e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+        queries = e.filter(F.col("vec_id") < 10)
+        cands = e.filter(F.col("vec_id") >= 10)
+        sch = Schema.from_dataframe(cands)
+        for fld in sch.fields:
+            if fld.name == "vec_id":
+                fld.merge_key = True
+                fld.nullable = False
+        cat.create_table(
+            "emb", schema=sch, properties={"read_optimization": "none"}
+        )
+        cat.write_to_table(
+            cands.filter(F.col("vec_id") % 3 != 0), "emb", mode="merge"
+        )
+        build_ivf_index(cat, "emb", "emb_ivf", n_centroids=8, iters=2)
+        # the corpus grows: a keyed MERGE window
+        cat.write_to_table(
+            cands.filter(F.col("vec_id") % 3 == 0), "emb", mode="merge"
+        )
+        audit = refresh_ivf_index(cat, "emb", "emb_ivf")
+        if audit["mode"] != "incremental_keyed":
+            raise RuntimeError(
+                f"append window must maintain the index keyed, got {audit}"
+            )
+        out = ivf_index_topk(cat, "emb_ivf", queries, k=5, nprobe=3)
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def _ivf_persisted_sql() -> str:
+    # Frozen-quantizer IVF: seeds + two Lloyd rounds train on the
+    # INITIAL corpus subset only (c0 — what build_ivf_index saw);
+    # assignment and probing run over the FULL final corpus (cf).
+    return f"""
+WITH c0 AS (SELECT vec_id AS id, embedding AS vec FROM embeddings
+            WHERE vec_id >= 10 AND vec_id % 3 <> 0),
+cf AS (SELECT vec_id AS id, embedding AS vec FROM embeddings WHERE vec_id >= 10),
+q0 AS (SELECT vec_id AS id, embedding AS vec FROM embeddings WHERE vec_id < 10),
+seeds AS (
+  SELECT row_number() OVER (ORDER BY md5(CAST(id AS VARCHAR)), id) - 1 AS cid,
+         vec AS c_vec
+  FROM c0 ORDER BY md5(CAST(id AS VARCHAR)), id LIMIT 8),
+{_lloyd_round_sql('seeds', 0)},
+{_lloyd_round_sql('cents0', 1)},
+cents AS (SELECT * FROM cents1),
+cassign AS (
+  SELECT id AS cand_id, vec AS c_vec2, cid FROM (
+    SELECT cf.id, cf.vec, s.cid,
+           row_number() OVER (PARTITION BY cf.id
+             ORDER BY {_cos_sql('cf.vec', 's.c_vec')} DESC, s.cid ASC) AS rn
+    FROM cf CROSS JOIN cents s) t WHERE rn = 1),
+probes AS (
+  SELECT id AS q_id, vec AS q_vec2, cid FROM (
+    SELECT q0.id, q0.vec, s.cid,
+           row_number() OVER (PARTITION BY q0.id
+             ORDER BY {_cos_sql('q0.vec', 's.c_vec')} DESC, s.cid ASC) AS rn
+    FROM q0 CROSS JOIN cents s) t WHERE rn <= 3),
+s AS (SELECT q_id, cand_id, {_cos_sql('q_vec2', 'c_vec2')} AS cos_raw
+      FROM cassign JOIN probes USING (cid))
+SELECT q_id, cand_id, ROUND(cos_raw, 6) AS cosine, CAST(rn AS INT) AS rank
+FROM (SELECT *, row_number() OVER (PARTITION BY q_id
+                                   ORDER BY cos_raw DESC, cand_id ASC) AS rn
+      FROM s)
+WHERE rn <= 5
+"""
+
+
+ANN_IVF_PERSISTED_SQL = _ivf_persisted_sql()
+
+
 def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-vector int8 scalar quantization (the storage/serving shrink
     step before ANN at scale): codes = floor(x * 127/max|x| + 0.5),
@@ -295,6 +391,7 @@ QUERIES = {
     "ann_lsh_topk": (ann_lsh_topk, ANN_LSH_SQL),
     "ann_lsh_multiprobe": (ann_lsh_multiprobe, ANN_LSH_MULTIPROBE_SQL),
     "ann_ivf_topk": (ann_ivf_topk, ANN_IVF_SQL),
+    "ann_ivf_persisted": (ann_ivf_persisted, ANN_IVF_PERSISTED_SQL),
     "knn_classify": (knn_classify, KNN_SQL),
     "embedding_norm_stats": (embedding_norm_stats, NORM_STATS_SQL),
     "embedding_quantize": (embedding_quantize, QUANTIZE_SQL),

@@ -148,11 +148,14 @@ def test_parse_header_dims_jpeg_sof_walk():
     assert parse_header_dims(b"\xff\xd8" + app0 + b"\x00garbage") is None
 
 
-def test_real_decode_is_stubbed(spark, media_dir):
+def test_real_decode_non_png_still_stubbed(spark, media_dir):
+    """PNG decodes for real now (test_png_decode.py); JPEG/video pixel
+    decode remains the env-blocked library integration point — the
+    real path must RAISE on those payloads, never fake pixels."""
     d, _ = media_dir
-    bf = binary_file_table(spark, str(d))
-    with pytest.raises(NotImplementedError):
-        fake_decode_images(bf, decode="real")
+    bf = binary_file_table(spark, str(d)).filter("path LIKE '%file_1.bin'")
+    with pytest.raises(Exception, match="real pixel decode"):
+        fake_decode_images(bf, decode="real").collect()
 
 
 def test_frame_sample(spark, media_dir):

@@ -1048,3 +1048,144 @@ def test_record_keyed_mv_cost_gate(kcat):
     }
     exp = {(r.id, r.grp, r.v2) for r in kcat.sql(RW_SQL).collect()}
     assert got == exp
+
+
+# -- join + GROUP BY MVs: KEYED maintenance under MERGE/DELETE (r10) ---
+
+KJAGG_SQL = (
+    "SELECT g, COUNT(*) AS n, SUM(v + w) AS sv, "
+    "MIN(v) AS lo, MAX(w) AS hi "
+    "FROM ka JOIN kb ON ka.k = kb.k2 "
+    "GROUP BY g"
+)
+
+
+def _kjagg_setup(spark, tmp_path):
+    """Two MERGE-KEYED MoR sources (the eligibility the keyed join
+    path requires: every moved source's window must surface row-level
+    in read_changes)."""
+    c = Catalog(spark, str(tmp_path / "mvkjagg"))
+    c.create_table(
+        "ka",
+        schema=Schema(
+            [
+                Field("k", T.LongType(), merge_key=True, nullable=False),
+                Field("g", T.StringType()),
+                Field("v", T.LongType()),
+            ]
+        ),
+        properties={"read_optimization": "none"},
+    )
+    c.create_table(
+        "kb",
+        schema=Schema(
+            [
+                Field("k2", T.LongType(), merge_key=True, nullable=False),
+                Field("w", T.LongType()),
+            ]
+        ),
+        properties={"read_optimization": "none"},
+    )
+    c.sql("INSERT INTO ka VALUES (1, 'x', 10), (2, 'x', 20), (3, 'y', 5)")
+    c.sql("INSERT INTO kb VALUES (1, 100), (2, 200), (3, 7)")
+    return c
+
+
+def _kjagg_rows(c):
+    return {
+        (r.g, r.n, r.sv, r.lo, r.hi)
+        for r in c.read_table("kjagg_mv").collect()
+    }
+
+
+def _kjagg_expected(c):
+    return {
+        (r.g, r.n, r.sv, r.lo, r.hi) for r in c.sql(KJAGG_SQL).collect()
+    }
+
+
+def test_join_agg_keyed_mv_merge_delete_windows(spark, tmp_path):
+    """MERGE and DELETE windows on either source of a join-agg MV must
+    take the keyed touched-group path (`_mv_join_keyed_refresh`) and
+    stay exactly equal to the full recompute — including a MIN/MAX
+    decrease (pure retraction arithmetic cannot do that) and a group
+    that vanishes entirely."""
+    c = _kjagg_setup(spark, tmp_path)
+    c.create_materialized_view("kjagg_mv", KJAGG_SQL)
+    c.alter_table("kjagg_mv", properties={"mv.keyed_gate": "100"})
+    # fact-side upsert: moves k=2 out of group x into group z AND
+    # drops the MAX contributor of x
+    c.sql("INSERT INTO ka VALUES (2, 'z', 21)")
+    audit = c.refresh_materialized_view("kjagg_mv")
+    assert audit["mode"] == "incremental_join_agg_keyed", audit
+    assert _kjagg_rows(c) == _kjagg_expected(c)
+    # dim-side upsert: w change reflows SUM/MAX through the join
+    c.sql("INSERT INTO kb VALUES (1, 50)")
+    audit = c.refresh_materialized_view("kjagg_mv")
+    assert audit["mode"] == "incremental_join_agg_keyed", audit
+    assert _kjagg_rows(c) == _kjagg_expected(c)
+    # delete the only row of group y -> the group must VANISH from the MV
+    c.sql("DELETE FROM ka WHERE k = 3")
+    audit = c.refresh_materialized_view("kjagg_mv")
+    assert audit["mode"] == "incremental_join_agg_keyed", audit
+    assert audit["touched_groups"] >= 1
+    assert _kjagg_rows(c) == _kjagg_expected(c)
+    assert "y" not in {g for (g, *_rest) in _kjagg_rows(c)}
+    # both sides move in ONE window
+    c.sql("INSERT INTO ka VALUES (4, 'x', 9)")
+    c.sql("INSERT INTO kb VALUES (4, 40), (2, 250)")
+    audit = c.refresh_materialized_view("kjagg_mv")
+    assert audit["mode"] == "incremental_join_agg_keyed", audit
+    assert _kjagg_rows(c) == _kjagg_expected(c)
+    assert c.refresh_materialized_view("kjagg_mv")["mode"] == "noop"
+
+
+def test_join_agg_keyed_mv_model_random(spark, tmp_path):
+    """Random MERGE/DELETE walk over BOTH keyed sources (group moves,
+    NULL groups, vanishing groups, no-op steps): every refresh must
+    take the keyed path (or noop) and equal the full recompute."""
+    import random
+
+    rng = random.Random(2710)
+    c = _kjagg_setup(spark, tmp_path)
+    c.create_materialized_view("kjagg_mv", KJAGG_SQL)
+    c.alter_table("kjagg_mv", properties={"mv.keyed_gate": "1000"})
+    groups = ["x", "y", "z", None]
+    for step in range(12):
+        moved = False
+        if rng.random() < 0.7:
+            k = rng.randint(1, 8)
+            g = rng.choice(groups)
+            gl = "CAST(NULL AS STRING)" if g is None else f"'{g}'"
+            c.sql(f"INSERT INTO ka VALUES ({k}, {gl}, {rng.randint(0, 90)})")
+            moved = True
+        if rng.random() < 0.5:
+            c.sql(
+                f"INSERT INTO kb VALUES "
+                f"({rng.randint(1, 8)}, {rng.randint(0, 900)})"
+            )
+            moved = True
+        if rng.random() < 0.25:
+            c.sql(f"DELETE FROM ka WHERE k = {rng.randint(1, 8)}")
+            moved = True
+        audit = c.refresh_materialized_view("kjagg_mv")
+        expect = "incremental_join_agg_keyed" if moved else "noop"
+        assert audit["mode"] == expect, f"step {step}: {audit}"
+        assert _kjagg_rows(c) == _kjagg_expected(c), f"step {step}"
+
+
+def test_join_agg_keyed_mv_cost_gate_rebuilds(spark, tmp_path):
+    """Default gate (0.5): a window touching every group routes to the
+    exact rebuild — the keyed recompute would scan ~everything anyway."""
+    c = _kjagg_setup(spark, tmp_path)
+    c.create_materialized_view("kjagg_mv", KJAGG_SQL)
+    c.sql("INSERT INTO ka VALUES (1, 'x', 11), (3, 'y', 6)")  # all groups
+    audit = c.refresh_materialized_view("kjagg_mv")
+    assert audit["mode"] == "rebuild", audit
+    assert _kjagg_rows(c) == _kjagg_expected(c)
+    # and the keyed path resumes on a narrow window
+    c.alter_table("kjagg_mv", properties={"mv.keyed_gate": "100"})
+    c.sql("INSERT INTO kb VALUES (3, 8)")
+    audit = c.refresh_materialized_view("kjagg_mv")
+    assert audit["mode"] == "incremental_join_agg_keyed", audit
+    assert _kjagg_rows(c) == _kjagg_expected(c)
