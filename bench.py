@@ -582,6 +582,12 @@ def main() -> None:
             # 7680 at 1x/10x/30x)
             "cms_heavy_hitters",
             "repeated_substring_runs",
+            # round 10: complete the winnow/CDC two-point scaling
+            # curves (judge r9 item 8) — both in-row plans whose only
+            # shuffle is vocabulary-sized; the 30x point bounds any
+            # super-linear term left in the pair stage
+            "winnow_fingerprint_pairs",
+            "cdc_chunk_dedup",
         ]
         try:
             try:

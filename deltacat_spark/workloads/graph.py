@@ -73,21 +73,27 @@ def pagerank_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
     # join reuses the layout instead of re-exchanging the (largest)
     # edge side each round — at 10x data this is the difference between
     # one edge shuffle total and one per iteration.
-    edges = (
-        _bipartite_edges(li).repartition("src").localCheckpoint(eager=False)
+    edges = _bipartite_edges(li)
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    # Fuse the static outdeg INTO the checkpointed edge list (round 10:
+    # the old plan joined ranks⋈deg⋈edges every round — two joins of
+    # fixed cost per iteration; outdeg never changes, so pre-joining it
+    # halves the per-iteration join count and was the 1x fixed-overhead
+    # term behind the 1x>10x bench inversion). One edge-sized join at
+    # setup, then each iteration is exactly one src-keyed equi-join
+    # plus one dst-keyed aggregate on the same shuffle key.
+    edges_deg = (
+        edges.join(deg, "src")
+        .repartition("src")
+        .localCheckpoint(eager=False)
     )
-    deg = (
-        edges.groupBy("src")
-        .agg(F.count(F.lit(1)).alias("outdeg"))
+    ranks = (
+        deg.select("src", F.lit(_PR_SCALE).cast("long").alias("r"))
         .localCheckpoint(eager=False)  # node-sized; computed once
     )
-    ranks = deg.select("src", F.lit(_PR_SCALE).cast("long").alias("r"))
-    src_deg = deg  # (src, outdeg) — joined to ranks each round
     for _ in range(_PR_ITERS):
-        contrib = (
-            ranks.join(src_deg, "src")
-            .join(edges, "src")
-            .select("dst", F.expr("r DIV outdeg").alias("c"))
+        contrib = ranks.join(edges_deg, "src").select(
+            "dst", F.expr("r DIV outdeg").alias("c")
         )
         ranks = (
             contrib.groupBy("dst")
