@@ -8,13 +8,15 @@ training-pipeline pattern: images/audio/video as opaque `binary` columns
 with metadata, decoded/featurized inside `mapInPandas` (Arrow batches —
 the only place Python touches the data plane).
 
-PNG pixels decode for REAL with the stdlib alone (`decode_png_pixels`:
-zlib IDAT inflate + per-scanline unfilter, all 5 filter types). The
-remaining env-blocked stub is JPEG/video pixel decode: those libraries
-are not in this environment, so `decode=\"real\"` raises
-NotImplementedError for non-PNG payloads while `decode=\"fake\"`
-derives deterministic pseudo-metadata from the bytes. The Spark-side
-plumbing — schema, batch iteration, partitioning — is real and tested.
+PNG and baseline JPEG pixels decode for REAL with the stdlib alone
+(`decode_png_pixels`: zlib IDAT inflate + per-scanline unfilter, all 5
+filter types; `sources/jpeg.py:decode_jpeg_pixels`: Huffman + IDCT +
+chroma upsample). The remaining env-blocked stub is progressive-JPEG /
+video pixel decode: those libraries are not in this environment, so
+`decode=\"real\"` raises NotImplementedError for such payloads while
+`decode=\"fake\"` derives deterministic pseudo-metadata from the bytes.
+The Spark-side plumbing — schema, batch iteration, partitioning — is
+real and tested.
 """
 
 from __future__ import annotations
@@ -291,13 +293,23 @@ def real_decode_images(df: DataFrame) -> DataFrame:
             for path, content in zip(pdf["path"], pdf["content"]):
                 payload = bytes(content)
                 magic = _sniff_magic(payload)
-                if magic != "png":
+                if magic == "png":
+                    w, h, ch, px = decode_png_pixels(payload)
+                elif magic == "jpeg":
+                    from deltacat_spark.sources.jpeg import (
+                        decode_jpeg_pixels,
+                    )
+
+                    # baseline decodes stdlib-side; progressive/
+                    # arithmetic raise NotImplementedError from here
+                    w, h, ch, px = decode_jpeg_pixels(payload)
+                else:
                     raise NotImplementedError(
                         f"real pixel decode for {magic!r} payloads needs "
                         "PIL/ffmpeg-style libraries not present in this "
-                        "environment — only PNG decodes stdlib-side"
+                        "environment — PNG and baseline JPEG decode "
+                        "stdlib-side"
                     )
-                w, h, ch, px = decode_png_pixels(payload)
                 rows.append(
                     {
                         "path": path,

@@ -148,12 +148,14 @@ def test_parse_header_dims_jpeg_sof_walk():
     assert parse_header_dims(b"\xff\xd8" + app0 + b"\x00garbage") is None
 
 
-def test_real_decode_non_png_still_stubbed(spark, media_dir):
-    """PNG decodes for real now (test_png_decode.py); JPEG/video pixel
-    decode remains the env-blocked library integration point — the
-    real path must RAISE on those payloads, never fake pixels."""
+def test_real_decode_unknown_media_still_stubbed(spark, media_dir):
+    """PNG and baseline JPEG decode for real now (test_png_decode.py,
+    test_jpeg_decode.py); other media (audio/video) pixel decode
+    remains the env-blocked library integration point — the real path
+    must RAISE on those payloads, never fake pixels."""
     d, _ = media_dir
-    bf = binary_file_table(spark, str(d)).filter("path LIKE '%file_1.bin'")
+    # file_2.bin carries a RIFF (wav) magic
+    bf = binary_file_table(spark, str(d)).filter("path LIKE '%file_2.bin'")
     with pytest.raises(Exception, match="real pixel decode"):
         fake_decode_images(bf, decode="real").collect()
 
