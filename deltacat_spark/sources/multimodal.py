@@ -8,15 +8,15 @@ training-pipeline pattern: images/audio/video as opaque `binary` columns
 with metadata, decoded/featurized inside `mapInPandas` (Arrow batches —
 the only place Python touches the data plane).
 
-PNG and baseline JPEG pixels decode for REAL with the stdlib alone
-(`decode_png_pixels`: zlib IDAT inflate + per-scanline unfilter, all 5
-filter types; `sources/jpeg.py:decode_jpeg_pixels`: Huffman + IDCT +
-chroma upsample). The remaining env-blocked stub is progressive-JPEG /
-video pixel decode: those libraries are not in this environment, so
-`decode=\"real\"` raises NotImplementedError for such payloads while
-`decode=\"fake\"` derives deterministic pseudo-metadata from the bytes.
-The Spark-side plumbing — schema, batch iteration, partitioning — is
-real and tested.
+PNG, baseline JPEG, GIF and BMP pixels decode for REAL with the stdlib
+alone (`decode_png_pixels`: zlib IDAT inflate + per-scanline unfilter;
+`sources/jpeg.py:decode_jpeg_pixels`: Huffman + IDCT + chroma upsample;
+`sources/images.py`: GIF LZW + BMP). The remaining env-blocked stub is
+progressive-JPEG / audio / video pixel decode: those libraries are not
+in this environment, so `decode=\"real\"` raises NotImplementedError
+for such payloads while `decode=\"fake\"` derives deterministic
+pseudo-metadata from the bytes. The Spark-side plumbing — schema, batch
+iteration, partitioning — is real and tested.
 """
 
 from __future__ import annotations
@@ -303,6 +303,18 @@ def real_decode_images(df: DataFrame) -> DataFrame:
                     # baseline decodes stdlib-side; progressive/
                     # arithmetic raise NotImplementedError from here
                     w, h, ch, px = decode_jpeg_pixels(payload)
+                elif magic == "gif":
+                    from deltacat_spark.sources.images import (
+                        decode_gif_pixels,
+                    )
+
+                    w, h, ch, px = decode_gif_pixels(payload)
+                elif magic == "bmp":
+                    from deltacat_spark.sources.images import (
+                        decode_bmp_pixels,
+                    )
+
+                    w, h, ch, px = decode_bmp_pixels(payload)
                 else:
                     raise NotImplementedError(
                         f"real pixel decode for {magic!r} payloads needs "
