@@ -232,11 +232,25 @@ for _ds in [
         url_options=_jdbc_options,
     ),
     Datastore(
+        # jar-free: the Delta log is JSON+parquet per the public
+        # protocol spec, so sources/deltalake.py reads/writes it with
+        # Spark's native parquet scan as the data plane — no
+        # io.delta:delta-spark needed (this sandbox has none)
         "deltalake",
-        ["deltalake"],
-        spark_format="delta",
-        package_hint="io.delta:delta-spark_2.13",
-        url_options=_table_path_options,
+        ["deltalake", "delta"],
+        reader=lambda spark, url, **opts: __import__(
+            "deltacat_spark.sources.deltalake", fromlist=["read_delta"]
+        ).read_delta(
+            spark, _table_path_options(url)["path"], **opts
+        ),
+        writer=lambda df, url, mode="append", **opts: __import__(
+            "deltacat_spark.sources.deltalake", fromlist=["write_delta"]
+        ).write_delta(
+            df,
+            _table_path_options(url)["path"],
+            mode=("append" if mode == "auto" else mode),
+            **opts,
+        ),
     ),
     Datastore(
         "deltasharing",

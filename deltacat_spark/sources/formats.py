@@ -30,7 +30,9 @@ FORMATS: dict[str, tuple[str, dict[str, Any]]] = {
         "csv",
         {"header": "true", "inferSchema": "true", "sep": "\t", "quote": ""},
     ),
-    "avro": ("avro", {}),  # needs spark-avro on the classpath
+    # avro is handled jar-free via sources/avrofile.py (read_avro /
+    # write_avro below) — spark-avro is an external module absent here
+    "avro": ("avro", {}),
     "binary": ("binaryFile", {}),
     "text": ("text", {}),
 }
@@ -128,6 +130,8 @@ def read_url(
         return _READER_FNS[fmt](spark, url, opts)
     if fmt == "feather":
         return read_feather(spark, url)
+    if fmt == "avro":
+        return read_avro(spark, url)
     sfmt, defaults = FORMATS[fmt]
     reader = spark.read.format(sfmt)
     for k, v in {**defaults, **opts}.items():
@@ -158,6 +162,9 @@ def write_url(
         return _WRITER_FNS[fmt](df, url, mode, opts)
     if fmt == "feather":
         return write_feather(df, url)
+    if fmt == "avro":
+        write_avro_dir(df, url).collect()
+        return None
     if fmt == "binary":
         raise ValueError("binary is a read-only format (use put_files)")
     sfmt, defaults = FORMATS[fmt]
@@ -296,3 +303,92 @@ def _arrow_schema_for(df: DataFrame):
     from pyspark.sql.pandas.types import to_arrow_schema
 
     return to_arrow_schema(df.schema)
+
+
+def read_avro(spark: SparkSession, url: str) -> DataFrame:
+    """Distributed Avro read without spark-avro: `binaryFile` scan of
+    the container files + pure-python decode (`sources/avrofile.py`)
+    per file inside `mapInPandas`. The schema comes from one file's
+    header — a control-plane read. Files are the unit of parallelism
+    (same default as Spark's own avro source at these file sizes)."""
+    from deltacat_spark.sources import avrofile
+
+    files = avrofile.list_avro_files(url)
+    if not files:
+        raise FileNotFoundError(f"no .avro files under {url}")
+    with open(files[0], "rb") as f:
+        head = f.read(1 << 16)
+    avro_schema, _ = avrofile.iter_container(_whole_if_small(files[0], head))
+    spark_schema = avrofile.spark_schema_for(avro_schema)
+    pattern = url if os.path.isfile(url) else os.path.join(url, "*.avro")
+    bins = spark.read.format("binaryFile").load(pattern)
+
+    def _decode(batches):
+        import pandas as pd
+
+        for b in batches:
+            for content in b["content"]:
+                _, it = avrofile.iter_container(bytes(content))
+                rows = list(it)
+                yield pd.DataFrame(
+                    rows, columns=[f.name for f in spark_schema.fields]
+                )
+
+    return bins.select("content").mapInPandas(_decode, spark_schema)
+
+
+def _whole_if_small(path: str, head: bytes) -> bytes:
+    """The header metadata map is unbounded in principle; re-read the
+    whole file only when 64 KiB wasn't enough to parse it."""
+    from deltacat_spark.sources import avrofile
+
+    try:
+        avrofile.iter_container(head)
+        return head
+    except Exception:
+        with open(path, "rb") as f:
+            return f.read()
+
+
+def write_avro(df: DataFrame, url: str) -> None:
+    """Single-file Avro via the driver — control-plane payloads only."""
+    from deltacat_spark.sources import avrofile
+
+    schema = avrofile.avro_schema_for(df.schema)
+    rows = [r.asDict(recursive=True) for r in df.collect()]
+    avrofile.write_container(url, schema, rows)
+
+
+def write_avro_dir(df: DataFrame, url: str) -> DataFrame:
+    """Executor-distributed Avro: one object container file per
+    partition written inside `mapInPandas` (driver never materializes
+    data — mirrors `write_feather_dir`). Returns (path, n_rows)."""
+    import uuid
+
+    from deltacat_spark.sources import avrofile
+
+    os.makedirs(url, exist_ok=True)
+    run = uuid.uuid4().hex[:12]
+    avro_schema = avrofile.avro_schema_for(df.schema)
+    arrow_schema = _arrow_schema_for(df)
+
+    def _write_partition(batches):
+        import pandas as pd
+        import pyarrow as pa
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        tables = [
+            pa.Table.from_pandas(b, schema=arrow_schema, preserve_index=False)
+            for b in batches
+        ]
+        if not tables:
+            return
+        # Arrow's to_pylist gives clean python scalars/None (pandas
+        # would smuggle NaN/np.int64 into the byte encoder)
+        rows = pa.concat_tables(tables).to_pylist()
+        path = os.path.join(url, f"part-{pid:05d}-{run}.avro")
+        avrofile.write_container(path, avro_schema, rows)
+        yield pd.DataFrame({"path": [path], "n_rows": [len(rows)]})
+
+    return df.mapInPandas(_write_partition, "path string, n_rows long")
