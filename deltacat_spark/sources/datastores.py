@@ -14,19 +14,20 @@ an actionable error naming the package when it is not. File formats
 Extension point: `register(Datastore(...))` — a user datastore only
 needs a name, its URL schemes, and read/write callables.
 
-Environment note (round-3 audit): this build environment ships NO
-lakehouse-connector jars (verified: pyspark's `jars/` contains no
-iceberg/delta/hudi artifacts, and there is no network for `--packages`
-resolution), so the Iceberg converter-session round-trip — read an
-external Iceberg table through this registry, MERGE in-engine, commit
-position deletes back as an Iceberg snapshot (reference
-`compute/converter/converter_session.py:46-429`) — cannot be exercised
-here. The in-engine half (positional `delete_where` + OPTIMIZE fold)
-is implemented and tested; the external-commit half needs
-`org.apache.iceberg:iceberg-spark-runtime` on the classpath and is
-deliberately NOT stubbed: on a cluster with the jar, `read_url` on an
-`iceberg+<path>` URL resolves through this registry and writes commit
-through the connector's own SQL surface.
+Environment note (round-3 audit, revised round 10): this build
+environment ships NO lakehouse-connector jars (pyspark's `jars/` has
+no iceberg/delta/hudi artifacts and there is no network for
+`--packages`). Round 10 removed the blockage for Iceberg and Delta
+Lake: `sources/iceberg.py` and `sources/deltalake.py` implement the
+published table specs directly (metadata JSON, Avro manifests via
+`sources/avrofile.py`, Delta JSON log + checkpoint parquet), so the
+converter-session round-trip — read an external table, MERGE
+in-engine, commit position deletes back as a REAL Iceberg snapshot
+(reference `compute/converter/converter_session.py:46-429`) — now runs
+jar-free end-to-end (`iceberg.convert_equality_deletes_to_position`).
+The `iceberg` / `deltalake` registry rows resolve to these native
+implementations; connector-backed rows (bigquery/mongodb/...) still
+require their jars and fail with an actionable package hint.
 """
 
 from __future__ import annotations
@@ -161,6 +162,8 @@ def resolve(url: str, datastore: str | None = None) -> Datastore | None:
         prefix = scheme.split("+", 1)[0]
         if prefix in _REGISTRY:
             return _REGISTRY[prefix]
+        if prefix in _SCHEME_TO_NAME:  # scheme alias, e.g. delta+file://
+            return _REGISTRY[_SCHEME_TO_NAME[prefix]]
     return _REGISTRY.get(_SCHEME_TO_NAME.get(scheme, ""))
 
 
@@ -198,6 +201,15 @@ def _table_path_options(url: str) -> dict[str, str]:
     opts = dict(parse_qsl(urlparse(path).query))
     opts["path"] = path.split("?", 1)[0]
     return opts
+
+
+def _local_table_path(url: str) -> str:
+    """Root path for the jar-free lakehouse readers: strips the
+    `<type>+` prefix and a `file://` scheme down to a plain path."""
+    p = _table_path_options(url)["path"]
+    if p.startswith("file://"):
+        p = p[len("file://"):]
+    return p
 
 
 # Connector-backed datastores (reference DatastoreType parity; each is a
@@ -241,13 +253,13 @@ for _ds in [
         reader=lambda spark, url, **opts: __import__(
             "deltacat_spark.sources.deltalake", fromlist=["read_delta"]
         ).read_delta(
-            spark, _table_path_options(url)["path"], **opts
+            spark, _local_table_path(url), **opts
         ),
         writer=lambda df, url, mode="append", **opts: __import__(
             "deltacat_spark.sources.deltalake", fromlist=["write_delta"]
         ).write_delta(
             df,
-            _table_path_options(url)["path"],
+            _local_table_path(url),
             mode=("append" if mode == "auto" else mode),
             **opts,
         ),
@@ -260,11 +272,24 @@ for _ds in [
         url_options=_table_path_options,
     ),
     Datastore(
+        # jar-free: v2 metadata JSON + avro manifests via
+        # sources/iceberg.py + sources/avrofile.py (no
+        # iceberg-spark-runtime in this environment)
         "iceberg",
         ["iceberg"],
-        spark_format="iceberg",
-        package_hint="org.apache.iceberg:iceberg-spark-runtime-4.0_2.13",
-        url_options=_table_path_options,
+        reader=lambda spark, url, **opts: __import__(
+            "deltacat_spark.sources.iceberg", fromlist=["read_iceberg"]
+        ).read_iceberg(
+            spark, _local_table_path(url), **opts
+        ),
+        writer=lambda df, url, mode="append", **opts: __import__(
+            "deltacat_spark.sources.iceberg", fromlist=["write_iceberg"]
+        ).write_iceberg(
+            df,
+            _local_table_path(url),
+            mode=("append" if mode == "auto" else mode),
+            **opts,
+        ),
     ),
     Datastore(
         "hudi",

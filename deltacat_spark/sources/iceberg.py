@@ -1,0 +1,930 @@
+"""Jar-free Apache Iceberg v2 table interop (read + write + position
+deletes), from the published table spec alone.
+
+Why: the reference's converter session commits equality→position
+delete conversions back to REAL Iceberg snapshots
+(`compute/converter/converter_session.py:46-429`) and reads external
+Iceberg tables through pyiceberg/Spark connectors
+(`types/media.py:353-420` DatastoreType ICEBERG). This sandbox has no
+iceberg-spark-runtime jar and no network, but Iceberg's on-disk
+control plane is JSON (table metadata) + Avro (manifest lists and
+manifests) + parquet (data and delete files) — all of which this repo
+can produce natively (`sources/avrofile.py` is the spec-direct Avro
+codec). So the previously env-blocked half of the converter round-trip
+becomes implementable: write v2 metadata, commit append/overwrite/
+delete snapshots, time-travel by snapshot-id, and apply POSITION
+DELETES (content=1 files keyed by file_path + pos) on read.
+
+Spec shape implemented (format-version 2):
+- `metadata/v<N>.metadata.json` + `version-hint.text` (file-system
+  catalog convention), snapshots with sequence numbers, snapshot-log.
+- manifest list: Avro records named per the spec (manifest_path,
+  manifest_length, partition_spec_id, content, sequence_number,
+  min_sequence_number, added_snapshot_id, *_files_count, *_rows_count).
+- manifest: Avro manifest_entry records (status, snapshot_id,
+  sequence_number, data_file{content, file_path, file_format,
+  partition, record_count, file_size_in_bytes}).
+- identity partition specs; partition values ride in the manifest's
+  `partition` record. Data files omit the identity source columns
+  (the spec's migrated-hive-table convention: readers reconstruct
+  identity columns from partition metadata), which lets the writer
+  use Spark's fanout partitionBy so every data file is single-valued.
+- position delete files: parquet with spec columns `file_path: string,
+  pos: long` referenced by content=1 manifests.
+
+Documented simplification: column bounds ride as a string map
+(`lower_bounds`/`upper_bounds` keyed by column NAME) rather than the
+spec's field-id→single-value-serialized-bytes map — same pruning
+power, readable by this module; a field-id map needs the full
+single-value binary spec, noted for a cluster build. Everything else
+uses spec names and layout.
+
+Scale shape: control plane is O(manifests) on the driver, exactly
+Iceberg's own model; the data plane is ONE Spark parquet scan over the
+kept files (manifest-level partition pruning happens before listing),
+and position deletes apply as a broadcast-able anti-join on
+(_metadata.file_path, _metadata.row_index) — Spark's native row-index
+metadata column, no per-row Python.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+from typing import Any, Callable
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import types as T
+
+from deltacat_spark.sources import avrofile
+
+METADATA_DIR = "metadata"
+DATA_DIR = "data"
+
+# ---------------------------------------------------------------------------
+# schema mapping (Spark <-> Iceberg JSON types)
+# ---------------------------------------------------------------------------
+
+
+def iceberg_schema_for(spark_schema: T.StructType) -> dict:
+    next_id = [0]
+
+    def nid() -> int:
+        next_id[0] += 1
+        return next_id[0]
+
+    def conv(dt: T.DataType) -> Any:
+        if isinstance(dt, T.StructType):
+            return {
+                "type": "struct",
+                "fields": [
+                    {
+                        "id": nid(),
+                        "name": f.name,
+                        "required": not f.nullable,
+                        "type": conv(f.dataType),
+                    }
+                    for f in dt.fields
+                ],
+            }
+        if isinstance(dt, T.ArrayType):
+            return {
+                "type": "list",
+                "element-id": nid(),
+                "element": conv(dt.elementType),
+                "element-required": not dt.containsNull,
+            }
+        if isinstance(dt, T.MapType):
+            return {
+                "type": "map",
+                "key-id": nid(),
+                "key": conv(dt.keyType),
+                "value-id": nid(),
+                "value": conv(dt.valueType),
+                "value-required": not dt.valueContainsNull,
+            }
+        if isinstance(dt, T.DecimalType):
+            return f"decimal({dt.precision}, {dt.scale})"
+        m = {
+            "boolean": "boolean",
+            "integer": "int",
+            "short": "int",
+            "byte": "int",
+            "long": "long",
+            "float": "float",
+            "double": "double",
+            "string": "string",
+            "binary": "binary",
+            "date": "date",
+            "timestamp": "timestamptz",
+            "timestamp_ntz": "timestamp",
+        }
+        key = dt.typeName()
+        if key in m:
+            return m[key]
+        raise ValueError(f"no iceberg mapping for spark type {dt}")
+
+    out = conv(spark_schema)
+    out["schema-id"] = 0
+    out["identifier-field-ids"] = []
+    return out
+
+
+def spark_schema_for(ice: dict) -> T.StructType:
+    def conv(t: Any) -> T.DataType:
+        if isinstance(t, dict):
+            k = t["type"]
+            if k == "struct":
+                return T.StructType(
+                    [
+                        T.StructField(
+                            f["name"], conv(f["type"]), not f["required"]
+                        )
+                        for f in t["fields"]
+                    ]
+                )
+            if k == "list":
+                return T.ArrayType(
+                    conv(t["element"]), not t.get("element-required", False)
+                )
+            if k == "map":
+                return T.MapType(
+                    conv(t["key"]),
+                    conv(t["value"]),
+                    not t.get("value-required", False),
+                )
+            raise ValueError(f"unknown iceberg type {t}")
+        if t.startswith("decimal"):
+            p, s = t[t.index("(") + 1 : t.index(")")].split(",")
+            return T.DecimalType(int(p), int(s))
+        m = {
+            "boolean": T.BooleanType(),
+            "int": T.IntegerType(),
+            "long": T.LongType(),
+            "float": T.FloatType(),
+            "double": T.DoubleType(),
+            "string": T.StringType(),
+            "binary": T.BinaryType(),
+            "date": T.DateType(),
+            "timestamptz": T.TimestampType(),
+            "timestamp": T.TimestampNTZType(),
+            "uuid": T.StringType(),
+        }
+        return m[t]
+
+    dt = conv(ice)
+    assert isinstance(dt, T.StructType)
+    return dt
+
+
+# ---------------------------------------------------------------------------
+# avro schemas for the control plane
+# ---------------------------------------------------------------------------
+
+_MANIFEST_LIST_SCHEMA = {
+    "type": "record",
+    "name": "manifest_file",
+    "fields": [
+        {"name": "manifest_path", "type": "string"},
+        {"name": "manifest_length", "type": "long"},
+        {"name": "partition_spec_id", "type": "int"},
+        {"name": "content", "type": "int"},
+        {"name": "sequence_number", "type": "long"},
+        {"name": "min_sequence_number", "type": "long"},
+        {"name": "added_snapshot_id", "type": "long"},
+        {"name": "added_files_count", "type": "int"},
+        {"name": "existing_files_count", "type": "int"},
+        {"name": "deleted_files_count", "type": "int"},
+        {"name": "added_rows_count", "type": "long"},
+        {"name": "existing_rows_count", "type": "long"},
+        {"name": "deleted_rows_count", "type": "long"},
+    ],
+}
+
+
+def _manifest_entry_schema(partition_fields: list[dict]) -> dict:
+    """Manifest-entry Avro schema; `partition` is a record typed by the
+    (identity) partition spec."""
+    part_fields = [
+        {"name": pf["name"], "type": ["null", pf["avro_type"]]}
+        for pf in partition_fields
+    ]
+    return {
+        "type": "record",
+        "name": "manifest_entry",
+        "fields": [
+            {"name": "status", "type": "int"},
+            {"name": "snapshot_id", "type": ["null", "long"]},
+            {"name": "sequence_number", "type": ["null", "long"]},
+            {"name": "file_sequence_number", "type": ["null", "long"]},
+            {
+                "name": "data_file",
+                "type": {
+                    "type": "record",
+                    "name": "r2",
+                    "fields": [
+                        {"name": "content", "type": "int"},
+                        {"name": "file_path", "type": "string"},
+                        {"name": "file_format", "type": "string"},
+                        {
+                            "name": "partition",
+                            "type": {
+                                "type": "record",
+                                "name": "r102",
+                                "fields": part_fields,
+                            },
+                        },
+                        {"name": "record_count", "type": "long"},
+                        {"name": "file_size_in_bytes", "type": "long"},
+                        {
+                            "name": "lower_bounds",
+                            "type": ["null", {"type": "map", "values": "string"}],
+                        },
+                        {
+                            "name": "upper_bounds",
+                            "type": ["null", {"type": "map", "values": "string"}],
+                        },
+                    ],
+                },
+            },
+        ],
+    }
+
+
+_SPARK_TO_PART_AVRO = {
+    "integer": "int",
+    "long": "long",
+    "string": "string",
+    "date": "string",
+    "boolean": "boolean",
+    "double": "double",
+    "float": "float",
+    "short": "int",
+    "byte": "int",
+}
+
+
+# ---------------------------------------------------------------------------
+# table handle
+# ---------------------------------------------------------------------------
+
+
+class IcebergTable:
+    """File-system-catalog Iceberg v2 table (version-hint convention)."""
+
+    def __init__(self, root: str):
+        self.root = root
+
+    # -- metadata plumbing -------------------------------------------------
+    def _meta_dir(self) -> str:
+        return os.path.join(self.root, METADATA_DIR)
+
+    def current_version(self) -> int:
+        hint = os.path.join(self._meta_dir(), "version-hint.text")
+        if os.path.isfile(hint):
+            return int(open(hint).read().strip())
+        vs = [
+            int(f[1 : -len(".metadata.json")])
+            for f in os.listdir(self._meta_dir())
+            if f.startswith("v") and f.endswith(".metadata.json")
+        ]
+        if not vs:
+            raise FileNotFoundError(f"no iceberg metadata under {self.root}")
+        return max(vs)
+
+    def metadata(self, version: int | None = None) -> dict:
+        v = self.current_version() if version is None else version
+        path = os.path.join(self._meta_dir(), f"v{v}.metadata.json")
+        with open(path) as f:
+            return json.load(f)
+
+    def exists(self) -> bool:
+        try:
+            self.current_version()
+            return True
+        except (FileNotFoundError, NotADirectoryError):
+            return False
+
+    def snapshot(self, meta: dict, snapshot_id: int | None = None) -> dict:
+        sid = (
+            meta.get("current-snapshot-id")
+            if snapshot_id is None
+            else snapshot_id
+        )
+        for s in meta.get("snapshots", []):
+            if s["snapshot-id"] == sid:
+                return s
+        raise ValueError(f"snapshot {sid} not found")
+
+    def manifests(self, snap: dict) -> list[dict]:
+        path = os.path.join(self.root, snap["manifest-list"])
+        _, rows = avrofile.read_container(path)
+        return rows
+
+    def manifest_entries(self, manifest_path: str) -> list[dict]:
+        _, rows = avrofile.read_container(
+            os.path.join(self.root, manifest_path)
+        )
+        return rows
+
+    # -- files at a snapshot ------------------------------------------------
+    def live_files(
+        self, snapshot_id: int | None = None
+    ) -> tuple[list[dict], list[dict]]:
+        """(data_files, delete_files) live at the snapshot — every ADDED
+        or EXISTING manifest entry across the manifest list."""
+        meta = self.metadata()
+        snap = self.snapshot(meta, snapshot_id)
+        data, deletes = [], []
+        for mf in self.manifests(snap):
+            for e in self.manifest_entries(mf["manifest_path"]):
+                if e["status"] == 2:  # DELETED entry — file removed
+                    continue
+                df = e["data_file"]
+                (deletes if mf["content"] == 1 else data).append(df)
+        return data, deletes
+
+
+# ---------------------------------------------------------------------------
+# read
+# ---------------------------------------------------------------------------
+
+
+def read_iceberg(
+    spark: SparkSession,
+    root: str,
+    snapshot_id: int | None = None,
+    partition_filter: Callable[[dict], bool] | dict | None = None,
+    apply_deletes: bool = True,
+    with_lineage: bool = False,
+) -> DataFrame:
+    """Iceberg table → DataFrame (time travel via `snapshot_id`;
+    position deletes applied by default via Spark's `_metadata`
+    row-index anti-join). `with_lineage=True` keeps `__ice_fp`
+    (root-relative source file) and `__ice_pos` (row index) — the
+    coordinates position-delete commits key on."""
+    tbl = IcebergTable(root)
+    meta = tbl.metadata()
+    full_schema = spark_schema_for(meta["schemas"][meta["current-schema-id"]])
+    part_cols = [
+        pf["name"]
+        for pf in meta["partition-specs"][meta["default-spec-id"]]["fields"]
+    ]
+    data_schema = T.StructType(
+        [f for f in full_schema.fields if f.name not in part_cols]
+    )
+    data, deletes = tbl.live_files(snapshot_id)
+
+    if partition_filter is not None:
+        if isinstance(partition_filter, dict):
+            want = partition_filter
+
+            def _keep(pv: dict) -> bool:
+                return all(pv.get(k) == v for k, v in want.items())
+
+        else:
+            _keep = partition_filter
+        data = [f for f in data if _keep(f.get("partition") or {})]
+
+    if not data:
+        return (
+            spark.createDataFrame([], full_schema)
+            if not with_lineage
+            else spark.createDataFrame([], full_schema)
+            .withColumn("__ice_fp", F.lit(None).cast("string"))
+            .withColumn("__ice_pos", F.lit(None).cast("long"))
+        )
+    paths = [os.path.join(root, f["file_path"]) for f in data]
+    df = spark.read.schema(data_schema).parquet(*paths)
+    # lineage columns from Spark's metadata struct, normalized to
+    # table-root-relative paths (manifests store relative paths so the
+    # table stays relocatable — documented deviation from the spec's
+    # absolute URIs)
+    rel = F.replace(
+        F.regexp_replace(F.col("_metadata.file_path"), "^file:/*", "/"),
+        F.lit(root.rstrip("/") + "/"),
+        F.lit(""),
+    )
+    df = df.withColumn("__ice_fp", rel).withColumn(
+        "__ice_pos", F.col("_metadata.row_index")
+    )
+
+    if apply_deletes and deletes:
+        dpaths = [os.path.join(root, f["file_path"]) for f in deletes]
+        pos_df = spark.read.parquet(*dpaths).select(
+            F.col("file_path").alias("__ice_fp"),
+            F.col("pos").alias("__ice_pos"),
+        )
+        df = df.join(pos_df, ["__ice_fp", "__ice_pos"], "left_anti")
+
+    if part_cols:
+        # reconstruct identity partition columns from manifest metadata
+        # (file → value map is manifest-sized, broadcastable)
+        rows = [
+            (f["file_path"],)
+            + tuple((f.get("partition") or {}).get(c) for c in part_cols)
+            for f in data
+        ]
+        map_schema = T.StructType(
+            [T.StructField("__ice_fp", T.StringType())]
+            + [
+                T.StructField(
+                    f.name + "__part", T.StringType(), True
+                )
+                for f in full_schema.fields
+                if f.name in part_cols
+            ]
+        )
+        pmap = spark.createDataFrame(
+            [tuple(str(v) if v is not None else None for v in r) for r in rows],
+            map_schema,
+        )
+        df = df.join(F.broadcast(pmap), "__ice_fp", "left")
+        for f in full_schema.fields:
+            if f.name in part_cols:
+                df = df.withColumn(
+                    f.name, F.col(f.name + "__part").cast(f.dataType)
+                ).drop(f.name + "__part")
+    keep = [f.name for f in full_schema.fields]
+    if with_lineage:
+        keep = keep + ["__ice_fp", "__ice_pos"]
+    return df.select(*keep)
+
+
+def iceberg_history(root: str) -> list[dict]:
+    meta = IcebergTable(root).metadata()
+    return [
+        {
+            "snapshot_id": s["snapshot-id"],
+            "sequence_number": s["sequence-number"],
+            "timestamp_ms": s["timestamp-ms"],
+            "operation": s.get("summary", {}).get("operation"),
+        }
+        for s in meta.get("snapshots", [])
+    ]
+
+
+# ---------------------------------------------------------------------------
+# write
+# ---------------------------------------------------------------------------
+
+
+def write_iceberg(
+    df: DataFrame,
+    root: str,
+    mode: str = "append",
+    partition_by: list[str] | None = None,
+    max_records_per_file: int = 5_000_000,
+) -> int:
+    """DataFrame → Iceberg v2 table; returns the new snapshot id.
+
+    append: new data manifest + carry prior manifests forward in the
+    new manifest list. overwrite: manifest list holds only the new
+    manifest (prior files age out of the current snapshot but remain
+    reachable via time travel). Identity partition spec only — the
+    source columns STAY in the data files per Iceberg convention, so
+    the scan needs no partition-value reconstruction.
+    """
+    if mode not in ("append", "overwrite"):
+        raise ValueError(f"mode must be append|overwrite, got {mode!r}")
+    tbl = IcebergTable(root)
+    os.makedirs(tbl._meta_dir(), exist_ok=True)
+    os.makedirs(os.path.join(root, DATA_DIR), exist_ok=True)
+
+    existed = tbl.exists()
+    prev_meta = tbl.metadata() if existed else None
+    if existed:
+        part_cols = [
+            pf["name"]
+            for pf in prev_meta["partition-specs"][
+                prev_meta["default-spec-id"]
+            ]["fields"]
+        ]
+        if partition_by is not None and list(partition_by) != part_cols:
+            raise ValueError(
+                f"partition columns {list(partition_by)} != table's "
+                f"{part_cols}"
+            )
+    else:
+        part_cols = list(partition_by or [])
+    missing = [c for c in part_cols if c not in df.columns]
+    if missing:
+        raise ValueError(f"partition columns absent from frame: {missing}")
+
+    # ---- data files (fanout partitionBy: every file single-valued) ----
+    commit_uuid = uuid.uuid4().hex[:12]
+    staging = os.path.join(root, DATA_DIR, f".staging-{commit_uuid}")
+    out = df.repartition(*part_cols) if part_cols else df
+    writer = out.write.mode("overwrite").option(
+        "maxRecordsPerFile", max_records_per_file
+    )
+    if part_cols:
+        writer = writer.partitionBy(*part_cols)
+    writer.parquet(staging)
+
+    part_types = {
+        f.name: _SPARK_TO_PART_AVRO.get(f.dataType.typeName(), "string")
+        for f in df.schema.fields
+        if f.name in part_cols
+    }
+    partition_fields = [
+        {"name": c, "avro_type": part_types[c]} for c in part_cols
+    ]
+
+    entries = []
+    now_ms = int(time.time() * 1000)
+    snapshot_id = int.from_bytes(os.urandom(7), "big")
+    seq = (prev_meta["last-sequence-number"] + 1) if existed else 1
+    import pyarrow.parquet as pq
+    from urllib.parse import unquote
+
+    idx = 0
+    for dirpath, _, files in sorted(os.walk(staging)):
+        pv_raw: dict[str, str | None] = {}
+        rel_dir = os.path.relpath(dirpath, staging)
+        if rel_dir != ".":
+            for seg in rel_dir.split(os.sep):
+                if "=" in seg:
+                    k, v = seg.split("=", 1)
+                    pv_raw[k] = (
+                        None
+                        if v == "__HIVE_DEFAULT_PARTITION__"
+                        else unquote(v)
+                    )
+        for fname in sorted(files):
+            if not fname.endswith(".parquet"):
+                continue
+            src = os.path.join(dirpath, fname)
+            rel = f"{DATA_DIR}/{commit_uuid}-{idx:05d}.parquet"
+            dst = os.path.join(root, rel)
+            os.replace(src, dst)
+            md = pq.read_metadata(dst)
+            if md.num_rows == 0:
+                os.remove(dst)
+                continue
+            lo, hi = _file_bounds(dst)
+            entries.append(
+                {
+                    "status": 1,  # ADDED
+                    "snapshot_id": snapshot_id,
+                    "sequence_number": seq,
+                    "file_sequence_number": seq,
+                    "data_file": {
+                        "content": 0,
+                        "file_path": rel,
+                        "file_format": "PARQUET",
+                        "partition": _typed_partition(
+                            pv_raw, part_cols, part_types
+                        ),
+                        "record_count": md.num_rows,
+                        "file_size_in_bytes": os.path.getsize(dst),
+                        "lower_bounds": lo,
+                        "upper_bounds": hi,
+                    },
+                }
+            )
+            idx += 1
+    import shutil
+
+    shutil.rmtree(staging, ignore_errors=True)
+
+    # ---- manifest ----
+    entry_schema = _manifest_entry_schema(partition_fields)
+    manifest_rel = f"{METADATA_DIR}/{commit_uuid}-m0.avro"
+    manifest_path = os.path.join(root, manifest_rel)
+    avrofile.write_container(manifest_path, entry_schema, entries)
+    added_rows = sum(e["data_file"]["record_count"] for e in entries)
+    new_manifest = {
+        "manifest_path": manifest_rel,
+        "manifest_length": os.path.getsize(manifest_path),
+        "partition_spec_id": 0,
+        "content": 0,
+        "sequence_number": seq,
+        "min_sequence_number": seq,
+        "added_snapshot_id": snapshot_id,
+        "added_files_count": len(entries),
+        "existing_files_count": 0,
+        "deleted_files_count": 0,
+        "added_rows_count": added_rows,
+        "existing_rows_count": 0,
+        "deleted_rows_count": 0,
+    }
+    manifests = [new_manifest]
+    if mode == "append" and existed and prev_meta.get("current-snapshot-id") is not None:
+        prev_snap = tbl.snapshot(prev_meta)
+        manifests.extend(tbl.manifests(prev_snap))
+
+    return _commit_snapshot(
+        tbl,
+        prev_meta,
+        manifests,
+        snapshot_id,
+        seq,
+        now_ms,
+        operation=mode,
+        schema=df.schema,
+        partition_fields=partition_fields,
+        commit_uuid=commit_uuid,
+    )
+
+
+def _file_bounds(path: str) -> tuple[dict | None, dict | None]:
+    from deltacat_spark.catalog.io import _footer_stats
+
+    fs = _footer_stats(path)
+    stats = fs.get("stats") or {}
+    lo = {c: str(mm["min"]) for c, mm in stats.items() if "min" in mm}
+    hi = {c: str(mm["max"]) for c, mm in stats.items() if "max" in mm}
+    return (lo or None), (hi or None)
+
+
+def _typed_partition(
+    pv_raw: dict[str, str | None],
+    part_cols: list[str],
+    part_types: dict[str, str],
+) -> dict:
+    out: dict[str, Any] = {}
+    for c in part_cols:
+        v = pv_raw.get(c)
+        t = part_types.get(c, "string")
+        if v is None:
+            out[c] = None
+        elif t in ("int", "long"):
+            out[c] = int(v)
+        elif t in ("float", "double"):
+            out[c] = float(v)
+        elif t == "boolean":
+            out[c] = v.lower() == "true"
+        else:
+            out[c] = v
+    return out
+
+
+def _commit_snapshot(
+    tbl: IcebergTable,
+    prev_meta: dict | None,
+    manifests: list[dict],
+    snapshot_id: int,
+    seq: int,
+    now_ms: int,
+    operation: str,
+    schema: T.StructType | None = None,
+    partition_fields: list[dict] | None = None,
+    commit_uuid: str | None = None,
+) -> int:
+    commit_uuid = commit_uuid or uuid.uuid4().hex[:12]
+    ml_rel = f"{METADATA_DIR}/snap-{snapshot_id}-{commit_uuid}.avro"
+    avrofile.write_container(
+        os.path.join(tbl.root, ml_rel), _MANIFEST_LIST_SCHEMA, manifests
+    )
+    snap = {
+        "snapshot-id": snapshot_id,
+        "sequence-number": seq,
+        "timestamp-ms": now_ms,
+        "manifest-list": ml_rel,
+        "summary": {"operation": operation},
+        "schema-id": 0,
+    }
+    if prev_meta is not None:
+        meta = dict(prev_meta)
+        meta["snapshots"] = list(prev_meta.get("snapshots", [])) + [snap]
+        meta["snapshot-log"] = list(prev_meta.get("snapshot-log", [])) + [
+            {"snapshot-id": snapshot_id, "timestamp-ms": now_ms}
+        ]
+        version = tbl.current_version() + 1
+    else:
+        assert schema is not None
+        ice_schema = iceberg_schema_for(schema)
+        spec_fields = [
+            {
+                "source-id": _field_id_for(ice_schema, pf["name"]),
+                "field-id": 1000 + i,
+                "name": pf["name"],
+                "transform": "identity",
+            }
+            for i, pf in enumerate(partition_fields or [])
+        ]
+        meta = {
+            "format-version": 2,
+            "table-uuid": str(uuid.uuid4()),
+            "location": tbl.root,
+            "last-sequence-number": seq,
+            "last-updated-ms": now_ms,
+            "last-column-id": _max_field_id(ice_schema),
+            "schemas": [ice_schema],
+            "current-schema-id": 0,
+            "partition-specs": [{"spec-id": 0, "fields": spec_fields}],
+            "default-spec-id": 0,
+            "last-partition-id": 1000 + len(spec_fields) - 1 if spec_fields else 999,
+            "sort-orders": [{"order-id": 0, "fields": []}],
+            "default-sort-order-id": 0,
+            "properties": {"write.format.default": "parquet"},
+            "snapshots": [snap],
+            "snapshot-log": [
+                {"snapshot-id": snapshot_id, "timestamp-ms": now_ms}
+            ],
+            "metadata-log": [],
+        }
+        version = 1
+    meta["current-snapshot-id"] = snapshot_id
+    meta["last-sequence-number"] = seq
+    meta["last-updated-ms"] = now_ms
+
+    path = os.path.join(tbl._meta_dir(), f"v{version}.metadata.json")
+    tmp = path + f".tmp-{uuid.uuid4().hex[:8]}"
+    with open(tmp, "w") as f:
+        json.dump(meta, f, indent=2)
+    try:
+        os.link(tmp, path)
+    except FileExistsError:
+        os.remove(tmp)
+        raise RuntimeError(
+            f"concurrent Iceberg commit at metadata v{version}; retry"
+        )
+    os.remove(tmp)
+    with open(
+        os.path.join(tbl._meta_dir(), "version-hint.text"), "w"
+    ) as f:
+        f.write(str(version))
+    return snapshot_id
+
+
+def _field_id_for(ice_schema: dict, name: str) -> int:
+    for f in ice_schema["fields"]:
+        if f["name"] == name:
+            return f["id"]
+    raise KeyError(name)
+
+
+def _max_field_id(ice_schema: dict) -> int:
+    mx = 0
+
+    def walk(t: Any) -> None:
+        nonlocal mx
+        if isinstance(t, dict):
+            for k in ("id", "element-id", "key-id", "value-id"):
+                if k in t:
+                    mx = max(mx, t[k])
+            for f in t.get("fields", []):
+                walk(f)
+            for k in ("type", "element", "key", "value"):
+                if isinstance(t.get(k), dict):
+                    walk(t[k])
+        return None
+
+    walk(ice_schema)
+    return mx
+
+
+# ---------------------------------------------------------------------------
+# position deletes (the converter-session surface)
+# ---------------------------------------------------------------------------
+
+
+def commit_position_deletes(
+    spark: SparkSession, root: str, deletes: DataFrame
+) -> int:
+    """Commit a delete snapshot from a (file_path, pos) frame — the
+    second half of the reference's equality→position converter
+    (`converter_session.py`: commit positional deletes to the Iceberg
+    table). `file_path` must be table-root-relative (as returned by
+    `find_positions_for_predicate`)."""
+    tbl = IcebergTable(root)
+    meta = tbl.metadata()
+    commit_uuid = uuid.uuid4().hex[:12]
+    rel = f"{DATA_DIR}/{commit_uuid}-deletes.parquet"
+    staging = os.path.join(root, DATA_DIR, f".staging-{commit_uuid}")
+    (
+        deletes.select(
+            F.col("file_path").cast("string"), F.col("pos").cast("long")
+        )
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(staging)
+    )
+    part = [
+        f for f in sorted(os.listdir(staging)) if f.endswith(".parquet")
+    ]
+    os.replace(os.path.join(staging, part[0]), os.path.join(root, rel))
+    import shutil
+
+    shutil.rmtree(staging, ignore_errors=True)
+    import pyarrow.parquet as pq
+
+    n = pq.read_metadata(os.path.join(root, rel)).num_rows
+
+    snapshot_id = int.from_bytes(os.urandom(7), "big")
+    seq = meta["last-sequence-number"] + 1
+    entry_schema = _manifest_entry_schema([])
+    entries = [
+        {
+            "status": 1,
+            "snapshot_id": snapshot_id,
+            "sequence_number": seq,
+            "file_sequence_number": seq,
+            "data_file": {
+                "content": 1,  # POSITION_DELETES
+                "file_path": rel,
+                "file_format": "PARQUET",
+                "partition": {},
+                "record_count": n,
+                "file_size_in_bytes": os.path.getsize(
+                    os.path.join(root, rel)
+                ),
+                "lower_bounds": None,
+                "upper_bounds": None,
+            },
+        }
+    ]
+    manifest_rel = f"{METADATA_DIR}/{commit_uuid}-m0.avro"
+    manifest_path = os.path.join(root, manifest_rel)
+    avrofile.write_container(manifest_path, entry_schema, entries)
+    delete_manifest = {
+        "manifest_path": manifest_rel,
+        "manifest_length": os.path.getsize(manifest_path),
+        "partition_spec_id": 0,
+        "content": 1,
+        "sequence_number": seq,
+        "min_sequence_number": seq,
+        "added_snapshot_id": snapshot_id,
+        "added_files_count": 1,
+        "existing_files_count": 0,
+        "deleted_files_count": 0,
+        "added_rows_count": n,
+        "existing_rows_count": 0,
+        "deleted_rows_count": 0,
+    }
+    manifests = [delete_manifest] + tbl.manifests(tbl.snapshot(meta))
+    return _commit_snapshot(
+        tbl,
+        meta,
+        manifests,
+        snapshot_id,
+        seq,
+        int(time.time() * 1000),
+        operation="delete",
+        commit_uuid=commit_uuid,
+    )
+
+
+def find_positions_for_predicate(
+    spark: SparkSession, root: str, predicate: str
+) -> DataFrame:
+    """(file_path, pos) of live rows matching a SQL predicate — the
+    equality→position conversion scan. Runs as ONE distributed parquet
+    scan with the predicate pushed down; file paths come back
+    table-root-relative so commits stay relocatable."""
+    df = read_iceberg(spark, root, apply_deletes=True, with_lineage=True)
+    return df.filter(predicate).select(
+        F.col("__ice_fp").alias("file_path"),
+        F.col("__ice_pos").alias("pos"),
+    )
+
+
+def convert_equality_deletes_to_position(
+    spark: SparkSession, root: str, predicate: str
+) -> int:
+    """Reference converter-session parity in one call: scan live rows
+    matching the equality predicate, commit them as a position-delete
+    snapshot (`converter_session.py:46-429`)."""
+    dels = find_positions_for_predicate(spark, root, predicate)
+    return commit_position_deletes(spark, root, dels)
+
+
+# ---------------------------------------------------------------------------
+# catalog bridge
+# ---------------------------------------------------------------------------
+
+
+def export_table_to_iceberg(
+    catalog, table: str, dest: str, namespace: str = "default"
+) -> int:
+    """Catalog table's current snapshot → Iceberg table."""
+    df = catalog.read_table(table, namespace=namespace)
+    info = catalog.get_table(table, namespace=namespace) or {}
+    scheme = [
+        pk.get("source") or pk.get("name")
+        for pk in (info.get("partition_scheme") or [])
+        if (pk.get("transform") or "identity") == "identity"
+    ]
+    return write_iceberg(
+        df, dest, mode="overwrite" if IcebergTable(dest).exists() else "append",
+        partition_by=[c for c in scheme if c] or None,
+    )
+
+
+def import_iceberg_to_table(
+    catalog,
+    spark: SparkSession,
+    src: str,
+    table: str,
+    namespace: str = "default",
+    snapshot_id: int | None = None,
+    **write_kwargs: Any,
+) -> None:
+    df = read_iceberg(spark, src, snapshot_id=snapshot_id)
+    catalog.write_to_table(
+        df, table, namespace=namespace, mode="auto", **write_kwargs
+    )

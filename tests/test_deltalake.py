@@ -177,7 +177,7 @@ def test_concurrent_commit_loser_detected(spark, tmp_path, df100, monkeypatch):
 def test_datastore_registry_roundtrip(spark, tmp_path, df100):
     from deltacat_spark.sources.formats import read_url, write_url
 
-    url = "delta+" + str(tmp_path / "t")
+    url = "delta+file://" + str(tmp_path / "t")
     write_url(df100, url, datastore="deltalake")
     back = read_url(spark, url)
     assert back.count() == 100
