@@ -1,0 +1,145 @@
+"""Jar-free lakehouse-interop driver rows — the external-table-format
+round-trips (Iceberg v2 + Delta Lake) run as oracle-checked queries.
+
+Reference parity: the converter session commits equality→position
+delete conversions to REAL Iceberg snapshots
+(`compute/converter/converter_session.py:46-429`); DatastoreTypes
+ICEBERG / DELTA_LAKE (`types/media.py:353-420`). Each query here
+materializes a real spec-layout table under a per-call temp dir
+(metadata JSON + Avro manifests for Iceberg, JSON log for Delta),
+mutates it through snapshots, reads it back through the spec replay
+path, and returns an aggregate the DuckDB oracle reproduces from the
+source parquet alone — so a broken manifest/log writer, replay bug, or
+delete-application bug all surface as value-hash mismatches.
+
+Scale shape: the round-trips are IO-bound lakehouse commits —
+one Spark parquet write + O(manifests) driver-side control plane +
+one scan back, the same cost profile as the catalog's own CoW path.
+Temp tables are subset-sized (keyed modulo filters), not copies of
+the input.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from deltacat_spark.workloads.base import cnt, cnt_sql, dsum, dsum_sql, load
+
+
+def iceberg_converter_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write an orders subset as an Iceberg v2 table (identity-partitioned
+    by status), convert an equality predicate to a POSITION-DELETE
+    snapshot (the reference converter session), read the table back
+    through manifest replay, and aggregate per status."""
+    from deltacat_spark.sources.iceberg import (
+        convert_equality_deletes_to_position,
+        read_iceberg,
+        write_iceberg,
+    )
+
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    subset = o.filter(F.col("o_orderkey") % 50 == 0)
+    root = tempfile.mkdtemp(prefix="ice_rt_")
+    write_iceberg(subset, root, partition_by=["o_orderstatus"])
+    convert_equality_deletes_to_position(
+        spark, root, "o_orderkey % 100 = 0"
+    )
+    back = read_iceberg(spark, root)
+    return (
+        back.groupBy("o_orderstatus")
+        .agg(cnt("n"), dsum("o_totalprice", "total"))
+        .orderBy("o_orderstatus")
+    )
+
+
+ICEBERG_CONVERTER_SQL = f"""
+SELECT o_orderstatus, {cnt_sql("n")}, {dsum_sql("o_totalprice", "total")}
+FROM orders
+WHERE o_orderkey % 50 = 0 AND NOT (o_orderkey % 100 = 0)
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+
+def delta_time_travel_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three Delta commits (create partitioned / append / overwrite),
+    then a TIME-TRAVEL read of version 1 — exercises log replay with
+    both later commits present and partition-column reconstruction."""
+    from deltacat_spark.sources.deltalake import read_delta, write_delta
+
+    c = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    root = tempfile.mkdtemp(prefix="delta_tt_")
+    write_delta(
+        c.filter(F.col("c_custkey") % 10 == 0),
+        root,
+        partition_by=["c_mktsegment"],
+    )
+    write_delta(c.filter(F.col("c_custkey") % 10 == 5), root)
+    # v2 overwrites with a decoy slice that must NOT appear at v1
+    write_delta(
+        c.filter(F.col("c_custkey") % 10 == 7), root, mode="overwrite"
+    )
+    v1 = read_delta(spark, root, version=1)
+    return (
+        v1.groupBy("c_mktsegment")
+        .agg(cnt("n"), dsum("c_acctbal", "balance"))
+        .orderBy("c_mktsegment")
+    )
+
+
+DELTA_TIME_TRAVEL_SQL = f"""
+SELECT c_mktsegment, {cnt_sql("n")}, {dsum_sql("c_acctbal", "balance")}
+FROM customer
+WHERE c_custkey % 10 IN (0, 5)
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+
+def avro_format_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed .avro write + read through the pure-python codec
+    (`sources/avrofile.py`): nation joins back onto itself after a
+    container-file round-trip — any encode/decode drift breaks the
+    hash."""
+    from deltacat_spark.sources.formats import read_avro, write_avro_dir
+
+    n = load(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    root = tempfile.mkdtemp(prefix="avro_rt_")
+    write_avro_dir(n.repartition(2), root).collect()
+    back = read_avro(spark, root)
+    return (
+        back.groupBy("n_regionkey")
+        .agg(
+            cnt("n"),
+            F.min("n_name").alias("first_name"),
+            F.max("n_nationkey").alias("max_key"),
+        )
+        .orderBy("n_regionkey")
+    )
+
+
+AVRO_ROUNDTRIP_SQL = f"""
+SELECT n_regionkey, {cnt_sql("n")}, MIN(n_name) AS first_name,
+       CAST(MAX(n_nationkey) AS BIGINT) AS max_key
+FROM nation
+GROUP BY n_regionkey
+ORDER BY n_regionkey
+"""
+
+
+QUERIES = {
+    "iceberg_converter_roundtrip": (
+        iceberg_converter_roundtrip,
+        ICEBERG_CONVERTER_SQL,
+    ),
+    "delta_time_travel_read": (delta_time_travel_read, DELTA_TIME_TRAVEL_SQL),
+    "avro_format_roundtrip": (avro_format_roundtrip, AVRO_ROUNDTRIP_SQL),
+}
