@@ -11,12 +11,15 @@ the only place Python touches the data plane).
 PNG, baseline JPEG, GIF and BMP pixels decode for REAL with the stdlib
 alone (`decode_png_pixels`: zlib IDAT inflate + per-scanline unfilter;
 `sources/jpeg.py:decode_jpeg_pixels`: Huffman + IDCT + chroma upsample;
-`sources/images.py`: GIF LZW + BMP). The remaining env-blocked stub is
-progressive-JPEG / audio / video pixel decode: those libraries are not
-in this environment, so `decode=\"real\"` raises NotImplementedError
-for such payloads while `decode=\"fake\"` derives deterministic
-pseudo-metadata from the bytes. The Spark-side plumbing — schema, batch
-iteration, partitioning — is real and tested.
+`sources/images.py`: GIF LZW + BMP). WAV audio decodes for real too
+(`sources/audio.py`: RIFF parse + PCM samples + numpy features) and
+MP4 containers probe for real (box walk → duration/dimensions). The
+remaining env-blocked stubs are progressive-JPEG pixels and
+audio-codec / video-FRAME decode: those libraries are not in this
+environment, so `decode=\"real\"` raises NotImplementedError for such
+payloads while `decode=\"fake\"` derives deterministic pseudo-metadata
+from the bytes. The Spark-side plumbing — schema, batch iteration,
+partitioning — is real and tested.
 """
 
 from __future__ import annotations
