@@ -292,11 +292,24 @@ for _ds in [
         ),
     ),
     Datastore(
+        # jar-free: CoW timeline + file-slice layout via
+        # sources/hudi.py (no hudi-spark bundle in this environment)
         "hudi",
         ["hudi"],
-        spark_format="hudi",
-        package_hint="org.apache.hudi:hudi-spark4-bundle_2.13",
-        url_options=_table_path_options,
+        reader=lambda spark, url, **opts: __import__(
+            "deltacat_spark.sources.hudi", fromlist=["read_hudi"]
+        ).read_hudi(
+            spark, _local_table_path(url), **opts
+        ),
+        writer=lambda df, url, mode="append", **opts: __import__(
+            "deltacat_spark.sources.hudi", fromlist=["write_hudi"]
+        ).write_hudi(
+            df,
+            _local_table_path(url),
+            operation=("insert" if mode == "append" else
+                       "upsert" if mode == "auto" else mode),
+            **opts,
+        ),
     ),
     Datastore(
         "databricks",

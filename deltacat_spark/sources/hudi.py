@@ -1,0 +1,513 @@
+"""Jar-free Apache Hudi Copy-on-Write table interop, from the published
+table layout alone.
+
+Reference surface: DatastoreType HUDI (`types/media.py:353-420`) — the
+third lakehouse format next to Iceberg (`sources/iceberg.py`) and
+Delta (`sources/deltalake.py`). No hudi-spark bundle exists in this
+environment, but a Hudi CoW table's on-disk contract is plain files:
+
+- `.hoodie/hoodie.properties` — table name/type/version.
+- timeline: `.hoodie/<instant>.commit` JSON (completed commits;
+  instant = `yyyyMMddHHmmssSSS` monotone strings), with
+  `partitionToWriteStats: {partition: [{fileId, path, numWrites}]}`.
+- data: `<partition>/<fileId>_<writeToken>_<instant>.parquet`. A FILE
+  GROUP is all versions of one fileId; a CoW read takes, per file
+  group, the single newest file slice ≤ the as-of instant.
+- the five meta columns (`_hoodie_commit_time`, `_hoodie_commit_seqno`,
+  `_hoodie_record_key`, `_hoodie_partition_path`,
+  `_hoodie_file_name`) ride IN the data files.
+
+Implemented: insert/upsert (upsert rewrites matching file groups —
+copy-on-write — keyed by `record_key_field`), snapshot read at latest
+or any instant (time travel), partition pruning from partition paths,
+incremental read (commits after a given instant — Hudi's headline
+feature). MERGE-on-read (log files + compaction) is a different table
+type and out of scope; `table_type` is validated.
+
+Scale shape: the timeline is O(commits) JSON on the driver (Hudi's own
+model); upsert's file-group targeting broadcasts the affected-key →
+file-group map and rewrites only touched groups — one Spark scan of
+the touched slices + one write, never the whole table.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import uuid
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+HOODIE_DIR = ".hoodie"
+META_COLS = [
+    "_hoodie_commit_time",
+    "_hoodie_commit_seqno",
+    "_hoodie_record_key",
+    "_hoodie_partition_path",
+    "_hoodie_file_name",
+]
+
+# ---------------------------------------------------------------------------
+# timeline
+# ---------------------------------------------------------------------------
+
+
+def _next_instant(root: str) -> str:
+    """Monotone instant string. Hudi uses wall-clock
+    yyyyMMddHHmmssSSS; a counter-suffixed clock keeps same-millisecond
+    commits ordered (and keeps the format sortable)."""
+    import time
+
+    base = time.strftime("%Y%m%d%H%M%S") + f"{int(time.time()*1000)%1000:03d}"
+    existing = completed_instants(root)
+    while existing and base <= existing[-1]:
+        base = str(int(base) + 1)
+    return base
+
+
+def completed_instants(root: str) -> list[str]:
+    d = os.path.join(root, HOODIE_DIR)
+    if not os.path.isdir(d):
+        return []
+    return sorted(
+        f[: -len(".commit")]
+        for f in os.listdir(d)
+        if f.endswith(".commit")
+    )
+
+
+def _commit_meta(root: str, instant: str) -> dict:
+    with open(os.path.join(root, HOODIE_DIR, f"{instant}.commit")) as f:
+        return json.load(f)
+
+
+def table_properties(root: str) -> dict[str, str]:
+    out: dict[str, str] = {}
+    p = os.path.join(root, HOODIE_DIR, "hoodie.properties")
+    if os.path.isfile(p):
+        for line in open(p):
+            line = line.strip()
+            if line and not line.startswith("#") and "=" in line:
+                k, v = line.split("=", 1)
+                out[k] = v
+    return out
+
+
+def file_slices(
+    root: str, as_of: str | None = None
+) -> list[dict[str, Any]]:
+    """Latest file slice per file group at `as_of` (None = latest):
+    [{file_id, partition, path, instant}]. Timeline-only — no data IO."""
+    instants = completed_instants(root)
+    if not instants:
+        raise FileNotFoundError(f"no Hudi timeline under {root}/{HOODIE_DIR}")
+    if as_of is not None:
+        instants = [i for i in instants if i <= as_of]
+    groups: dict[tuple[str, str], dict] = {}
+    for instant in instants:  # ascending — later slices overwrite
+        meta = _commit_meta(root, instant)
+        for part, stats in meta.get("partitionToWriteStats", {}).items():
+            for st in stats:
+                groups[(part, st["fileId"])] = {
+                    "file_id": st["fileId"],
+                    "partition": part,
+                    "path": st["path"],
+                    "instant": instant,
+                }
+    return sorted(groups.values(), key=lambda s: s["path"])
+
+
+# ---------------------------------------------------------------------------
+# read
+# ---------------------------------------------------------------------------
+
+
+def read_hudi(
+    spark: SparkSession,
+    root: str,
+    as_of: str | None = None,
+    partition_filter: dict[str, str] | None = None,
+    drop_meta: bool = True,
+) -> DataFrame:
+    """Hudi CoW snapshot read (time travel via `as_of` instant)."""
+    slices = file_slices(root, as_of)
+    if partition_filter:
+        want = {f"{k}={v}" for k, v in partition_filter.items()}
+        slices = [
+            s
+            for s in slices
+            if not want
+            or set(s["partition"].split("/")) >= want
+            or s["partition"] in want
+        ]
+    if not slices:
+        raise ValueError("no live file slices (empty table?)")
+    df = spark.read.parquet(*[os.path.join(root, s["path"]) for s in slices])
+    return df.drop(*META_COLS) if drop_meta else df
+
+
+def read_hudi_incremental(
+    spark: SparkSession,
+    root: str,
+    begin_instant: str,
+    end_instant: str | None = None,
+    drop_meta: bool = False,
+) -> DataFrame:
+    """Incremental pull — rows whose `_hoodie_commit_time` lies in
+    (begin, end]: scan only file slices WRITTEN by those commits, then
+    row-filter on the meta column (a rewritten CoW slice carries old
+    rows with their original commit times, so the filter is what makes
+    the pull exact)."""
+    instants = [i for i in completed_instants(root) if i > begin_instant]
+    if end_instant is not None:
+        instants = [i for i in instants if i <= end_instant]
+    paths = []
+    for instant in instants:
+        meta = _commit_meta(root, instant)
+        for stats in meta.get("partitionToWriteStats", {}).values():
+            paths.extend(os.path.join(root, st["path"]) for st in stats)
+    if not paths:
+        raise ValueError(f"no commits after {begin_instant}")
+    df = spark.read.parquet(*paths).filter(
+        (F.col("_hoodie_commit_time") > begin_instant)
+        & (
+            F.col("_hoodie_commit_time") <= end_instant
+            if end_instant is not None
+            else F.lit(True)
+        )
+    )
+    return df.drop(*META_COLS) if drop_meta else df
+
+
+# ---------------------------------------------------------------------------
+# write
+# ---------------------------------------------------------------------------
+
+
+def write_hudi(
+    df: DataFrame,
+    root: str,
+    record_key_field: str,
+    operation: str = "upsert",
+    partition_by: list[str] | None = None,
+    table_name: str | None = None,
+) -> str:
+    """DataFrame → Hudi CoW commit; returns the instant.
+
+    insert: every incoming row lands in NEW file groups. upsert:
+    file groups holding an incoming record key are REWRITTEN (old rows
+    merged with updates — copy-on-write), the rest of the batch lands
+    in new file groups. One partition dir per distinct partition value
+    (`partition_by` identity columns), `default` when unpartitioned.
+    """
+    if operation not in ("insert", "upsert"):
+        raise ValueError(f"operation must be insert|upsert, got {operation!r}")
+    os.makedirs(os.path.join(root, HOODIE_DIR), exist_ok=True)
+    props_path = os.path.join(root, HOODIE_DIR, "hoodie.properties")
+    existed = os.path.isfile(props_path)
+    if not existed:
+        with open(props_path, "w") as f:
+            f.write(
+                "hoodie.table.name="
+                + (table_name or os.path.basename(root.rstrip("/")))
+                + "\nhoodie.table.type=COPY_ON_WRITE"
+                + "\nhoodie.table.version=6"
+                + f"\nhoodie.table.recordkey.fields={record_key_field}"
+                + "\nhoodie.datasource.write.hive_style_partitioning=true"
+                + (
+                    "\nhoodie.table.partition.fields="
+                    + ",".join(partition_by)
+                    if partition_by
+                    else ""
+                )
+                + "\n"
+            )
+    else:
+        props = table_properties(root)
+        if props.get("hoodie.table.type") != "COPY_ON_WRITE":
+            raise NotImplementedError(
+                "only COPY_ON_WRITE tables are supported"
+            )
+        prior_parts = props.get("hoodie.table.partition.fields", "")
+        if partition_by is not None and ",".join(partition_by) != prior_parts:
+            raise ValueError(
+                f"partition fields {partition_by} != table's "
+                f"[{prior_parts}]"
+            )
+        partition_by = [p for p in prior_parts.split(",") if p]
+    part_cols = list(partition_by or [])
+    instant = _next_instant(root)
+
+    # partition path expression (hive-style) + record key
+    if part_cols:
+        ppath = F.concat_ws(
+            "/",
+            *[
+                F.concat(F.lit(c + "="), F.col(c).cast("string"))
+                for c in part_cols
+            ],
+        )
+    else:
+        ppath = F.lit("default")
+    incoming = df.withColumn("_hoodie_partition_path", ppath).withColumn(
+        "_hoodie_record_key", F.col(record_key_field).cast("string")
+    )
+
+    rewrite_groups: list[dict] = []
+    if operation == "upsert" and existed and completed_instants(root):
+        # file groups holding an incoming key → rewrite set. The key →
+        # file-group index is one column-pruned scan of live slices.
+        live = file_slices(root)
+        slices_df = df.sparkSession.read.parquet(
+            *[os.path.join(root, s["path"]) for s in live]
+        ).select("_hoodie_record_key", "_hoodie_file_name")
+        touched = (
+            slices_df.join(
+                F.broadcast(
+                    incoming.select("_hoodie_record_key").distinct()
+                ),
+                "_hoodie_record_key",
+            )
+            .select("_hoodie_file_name")
+            .distinct()
+            .collect()
+        )
+        touched_names = {r._hoodie_file_name for r in touched}
+        rewrite_groups = [
+            s
+            for s in live
+            if os.path.basename(s["path"]) in touched_names
+        ]
+
+    write_stats: dict[str, list[dict]] = {}
+
+    def _land_staged(
+        staging: str, fname_by_key: dict[str, str],
+        part_by_key: dict[str, str], fid_by_key: dict[str, str],
+    ) -> None:
+        """Move each `__pp=<key>` staged dir to its hudi slice file and
+        record write stats. Hash-collided task splits merge driver-side
+        (bounded: one file group's rows)."""
+        from urllib.parse import unquote
+
+        import pyarrow.parquet as pq
+
+        for d in sorted(os.listdir(staging)):
+            if not d.startswith("__pp="):
+                continue
+            key = unquote(d.split("=", 1)[1])
+            partition = part_by_key[key]
+            fname = fname_by_key[key]
+            rel = f"{partition}/{fname}" if partition else fname
+            dst = os.path.join(root, rel)
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            files = [
+                f
+                for f in sorted(os.listdir(os.path.join(staging, d)))
+                if f.endswith(".parquet")
+            ]
+            if len(files) == 1:
+                os.replace(os.path.join(staging, d, files[0]), dst)
+            else:
+                import pyarrow as pa
+
+                tables = [
+                    pq.read_table(os.path.join(staging, d, f))
+                    for f in files
+                ]
+                pq.write_table(pa.concat_tables(tables), dst)
+            n = pq.read_metadata(dst).num_rows
+            if n == 0:
+                os.remove(dst)
+                continue
+            write_stats.setdefault(partition, []).append(
+                {
+                    "fileId": fid_by_key[key],
+                    "path": rel,
+                    "numWrites": n,
+                    "fileSizeInBytes": os.path.getsize(dst),
+                    "prevCommit": "null",
+                }
+            )
+        shutil.rmtree(staging, ignore_errors=True)
+
+    # 1) rewrite touched file groups — ONE Spark job for ALL groups:
+    # scan every touched slice at once (kept rows retain their original
+    # commit time/seqno — hudi's contract, it is what makes incremental
+    # pulls exact), union the matched updates stamped with `instant`,
+    # and fanout-write clustered on the slice's NEW file name. At scale
+    # this is a shuffle sized by the touched slices, never a
+    # driver-side per-group job loop.
+    spark = df.sparkSession
+    handled_keys = None
+    token = "0-0-0"
+    if rewrite_groups:
+        fname_by_fid = {
+            s["file_id"]: f"{s['file_id']}_{token}_{instant}.parquet"
+            for s in rewrite_groups
+        }
+        part_by_fid = {s["file_id"]: s["partition"] for s in rewrite_groups}
+        old_all = spark.read.parquet(
+            *[os.path.join(root, s["path"]) for s in rewrite_groups]
+        ).withColumn(
+            "__fid",
+            F.element_at(
+                F.split(F.col("_hoodie_file_name"), "_"), 1
+            ),
+        )
+        in_keys = incoming.select(
+            F.col("_hoodie_record_key").alias("__in_k"),
+            F.col("_hoodie_partition_path").alias("__in_pp"),
+        ).distinct()
+        keep = old_all.join(
+            F.broadcast(in_keys),
+            (old_all["_hoodie_record_key"] == in_keys["__in_k"])
+            & (old_all["_hoodie_partition_path"] == in_keys["__in_pp"]),
+            "left_anti",
+        )
+        # updates matched to their file group: key -> fid map is one
+        # column-pruned projection of the touched slices
+        key_fid = old_all.select(
+            F.col("_hoodie_record_key").alias("__k"),
+            F.col("_hoodie_partition_path").alias("__p"),
+            "__fid",
+        ).distinct()
+        merged_new = incoming.join(
+            F.broadcast(key_fid),
+            (incoming["_hoodie_record_key"] == F.col("__k"))
+            & (incoming["_hoodie_partition_path"] == F.col("__p")),
+        )
+        data_cols = [c for c in df.columns]
+        merged = keep.select(
+            "_hoodie_record_key",
+            "_hoodie_partition_path",
+            "_hoodie_commit_time",
+            "_hoodie_commit_seqno",
+            "__fid",
+            *data_cols,
+        ).unionByName(
+            merged_new.select(
+                "_hoodie_record_key",
+                "_hoodie_partition_path",
+                F.lit(None).cast("string").alias("_hoodie_commit_time"),
+                F.lit(None).cast("string").alias("_hoodie_commit_seqno"),
+                "__fid",
+                *data_cols,
+            )
+        )
+        new_seqno = F.concat_ws(
+            "_",
+            F.lit(instant),
+            F.monotonically_increasing_id().cast("string"),
+        )
+        fname_map = spark.createDataFrame(
+            [(fid, fname_by_fid[fid]) for fid in fname_by_fid],
+            "__fid string, _hoodie_file_name string",
+        )
+        staged = (
+            merged.join(F.broadcast(fname_map), "__fid")
+            .withColumn(
+                "_hoodie_commit_time",
+                F.coalesce(F.col("_hoodie_commit_time"), F.lit(instant)),
+            )
+            .withColumn(
+                "_hoodie_commit_seqno",
+                F.coalesce(F.col("_hoodie_commit_seqno"), new_seqno),
+            )
+            .repartition("__fid")
+        )
+        cols = META_COLS + data_cols
+        staging = os.path.join(
+            root, HOODIE_DIR, f".tmp-{uuid.uuid4().hex[:8]}"
+        )
+        staged.select(*cols).withColumn(
+            "__pp", F.col("_hoodie_file_name")
+        ).write.mode("overwrite").partitionBy("__pp").parquet(staging)
+        _land_staged(
+            staging,
+            fname_by_key={fname_by_fid[f]: fname_by_fid[f]
+                          for f in fname_by_fid},
+            part_by_key={fname_by_fid[f]: part_by_fid[f]
+                         for f in fname_by_fid},
+            fid_by_key={fname_by_fid[f]: f for f in fname_by_fid},
+        )
+        handled_keys = merged_new.select(
+            "_hoodie_record_key", "_hoodie_partition_path"
+        )
+
+    # 2) remaining rows → new file groups, ONE Spark job (fanout write):
+    # pre-assign a fileId per partition value (the map is
+    # partition-count-sized, broadcast), bake the meta columns, write
+    # with partitionBy, then move each staged file to its hudi name.
+    # Clustering on the partition path keeps one file per new group.
+    remaining = incoming
+    if handled_keys is not None:
+        remaining = incoming.join(
+            F.broadcast(handled_keys.distinct()),
+            ["_hoodie_record_key", "_hoodie_partition_path"],
+            "left_anti",
+        )
+    parts = sorted(
+        r._hoodie_partition_path
+        for r in remaining.select("_hoodie_partition_path")
+        .distinct()
+        .collect()
+    )
+    if parts:
+        fid_by_part = {p: str(uuid.uuid4()) for p in parts}
+        token = "0-0-0"
+        fname_by_part = {
+            p: f"{fid}_{token}_{instant}.parquet"
+            for p, fid in fid_by_part.items()
+        }
+        pmap = spark.createDataFrame(
+            [(p, fname_by_part[p]) for p in parts],
+            "_hoodie_partition_path string, _hoodie_file_name string",
+        )
+        staged = (
+            remaining.join(F.broadcast(pmap), "_hoodie_partition_path")
+            .withColumn("_hoodie_commit_time", F.lit(instant))
+            .withColumn(
+                "_hoodie_commit_seqno",
+                F.concat_ws(
+                    "_",
+                    F.lit(instant),
+                    F.monotonically_increasing_id().cast("string"),
+                ),
+            )
+            .repartition("_hoodie_partition_path")
+        )
+        cols = META_COLS + [c for c in df.columns]
+        staging = os.path.join(
+            root, HOODIE_DIR, f".tmp-{uuid.uuid4().hex[:8]}"
+        )
+        # partition on a COPY: `_hoodie_partition_path` itself must stay
+        # a data column inside the files (hudi's meta-column contract)
+        staged.select(*cols).withColumn(
+            "__pp", F.col("_hoodie_partition_path")
+        ).write.mode("overwrite").partitionBy("__pp").parquet(staging)
+        _land_staged(
+            staging,
+            fname_by_key=fname_by_part,
+            part_by_key={p: p for p in parts},
+            fid_by_key=fid_by_part,
+        )
+
+    meta = {
+        "partitionToWriteStats": write_stats,
+        "compacted": False,
+        "operationType": operation.upper(),
+    }
+    tmp = os.path.join(root, HOODIE_DIR, f"{instant}.commit.tmp")
+    final = os.path.join(root, HOODIE_DIR, f"{instant}.commit")
+    with open(tmp, "w") as f:
+        json.dump(meta, f, indent=2)
+    try:
+        os.link(tmp, final)
+    except FileExistsError:
+        os.remove(tmp)
+        raise RuntimeError(f"concurrent Hudi commit at instant {instant}")
+    os.remove(tmp)
+    return instant

@@ -135,6 +135,59 @@ ORDER BY n_regionkey
 """
 
 
+def hudi_incremental_pull(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hudi CoW round-trip exercising the format's headline feature:
+    insert an orders subset (partitioned by status), UPSERT a second
+    batch (updates to existing keys + brand-new keys — copy-on-write
+    slice rewrites), then an INCREMENTAL pull of exactly the second
+    commit's rows. A rewritten slice carries untouched rows too, so a
+    correct pull depends on preserved per-row commit times."""
+    from deltacat_spark.sources.hudi import (
+        read_hudi_incremental,
+        write_hudi,
+    )
+
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    root = tempfile.mkdtemp(prefix="hudi_inc_")
+    i1 = write_hudi(
+        o.filter(F.col("o_orderkey") % 50 == 0),
+        root,
+        record_key_field="o_orderkey",
+        operation="insert",
+        partition_by=["o_orderstatus"],
+    )
+    updates = o.filter(F.col("o_orderkey") % 100 == 0).withColumn(
+        "o_totalprice", F.col("o_totalprice") + F.lit(1000.0)
+    )
+    new_keys = o.filter(F.col("o_orderkey") % 50 == 25)
+    write_hudi(
+        updates.unionByName(new_keys), root, record_key_field="o_orderkey"
+    )
+    inc = read_hudi_incremental(spark, root, begin_instant=i1, drop_meta=True)
+    return (
+        inc.groupBy("o_orderstatus")
+        .agg(cnt("n"), dsum("o_totalprice", "total"))
+        .orderBy("o_orderstatus")
+    )
+
+
+HUDI_INCREMENTAL_SQL = f"""
+WITH second_commit AS (
+    SELECT o_orderstatus, o_totalprice + 1000.0 AS o_totalprice
+    FROM orders WHERE o_orderkey % 100 = 0
+    UNION ALL
+    SELECT o_orderstatus, o_totalprice
+    FROM orders WHERE o_orderkey % 50 = 25
+)
+SELECT o_orderstatus, {cnt_sql("n")}, {dsum_sql("o_totalprice", "total")}
+FROM second_commit
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+
 QUERIES = {
     "iceberg_converter_roundtrip": (
         iceberg_converter_roundtrip,
@@ -142,4 +195,5 @@ QUERIES = {
     ),
     "delta_time_travel_read": (delta_time_travel_read, DELTA_TIME_TRAVEL_SQL),
     "avro_format_roundtrip": (avro_format_roundtrip, AVRO_ROUNDTRIP_SQL),
+    "hudi_incremental_pull": (hudi_incremental_pull, HUDI_INCREMENTAL_SQL),
 }

@@ -1,0 +1,157 @@
+"""Jar-free Apache Hudi CoW interop tests (`sources/hudi.py`).
+
+Reference surface: DatastoreType HUDI (`types/media.py:353-420`) — the
+third lakehouse format next to Iceberg and Delta. No hudi-spark bundle
+exists here, so the module implements the published CoW table layout
+(timeline `.commit` JSON, file-group slices, hoodie meta columns);
+these tests assert round-trips, upsert copy-on-write semantics, time
+travel by instant, partition pruning, and incremental pulls.
+"""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from deltacat_spark.sources.hudi import (
+    META_COLS,
+    completed_instants,
+    file_slices,
+    read_hudi,
+    read_hudi_incremental,
+    table_properties,
+    write_hudi,
+)
+
+
+@pytest.fixture()
+def df60(spark):
+    return spark.range(0, 60).select(
+        "id",
+        (F.col("id") % 3).cast("string").alias("cat"),
+        (F.col("id") * 1.5).alias("v"),
+    )
+
+
+def test_insert_read_roundtrip_partitioned(spark, tmp_path, df60):
+    root = str(tmp_path / "h")
+    instant = write_hudi(
+        df60, root, record_key_field="id", operation="insert",
+        partition_by=["cat"],
+    )
+    assert completed_instants(root) == [instant]
+    props = table_properties(root)
+    assert props["hoodie.table.type"] == "COPY_ON_WRITE"
+    assert props["hoodie.table.recordkey.fields"] == "id"
+    back = read_hudi(spark, root)
+    assert sorted(back.columns) == sorted(df60.columns)
+    assert sorted(map(tuple, back.select(*df60.columns).collect())) == sorted(
+        map(tuple, df60.collect())
+    )
+    # meta columns ride in the files when not dropped
+    raw = read_hudi(spark, root, drop_meta=False)
+    for m in META_COLS:
+        assert m in raw.columns
+    # one file group per partition value on a fresh insert
+    assert len(file_slices(root)) == 3
+
+
+def test_upsert_rewrites_only_touched_groups(spark, tmp_path, df60):
+    root = str(tmp_path / "h")
+    write_hudi(df60, root, record_key_field="id", operation="insert",
+               partition_by=["cat"])
+    before = {s["file_id"]: s for s in file_slices(root)}
+    # update two rows in cat=0 and insert one brand-new key in cat=1
+    upd = spark.createDataFrame(
+        [(0, "0", 99.0), (3, "0", 98.0), (1000, "1", 1.0)],
+        "id long, cat string, v double",
+    )
+    write_hudi(upd, root, record_key_field="id")
+    after = {s["file_id"]: s for s in file_slices(root)}
+    # cat=0's group rewritten (same file_id, new slice path);
+    # cat=2 untouched (identical path)
+    changed = [
+        fid for fid in before
+        if after[fid]["path"] != before[fid]["path"]
+    ]
+    assert len(changed) == 1
+    kept = [fid for fid in before if after[fid]["path"] == before[fid]["path"]]
+    assert len(kept) == 2
+    # new key landed in a NEW file group
+    assert len(after) == len(before) + 1
+    back = read_hudi(spark, root)
+    assert back.count() == 61
+    got = {
+        r.id: r.v for r in back.filter(F.col("id").isin(0, 3, 1000)).collect()
+    }
+    assert got == {0: 99.0, 3: 98.0, 1000: 1.0}
+
+
+def test_time_travel_and_incremental(spark, tmp_path, df60):
+    root = str(tmp_path / "h")
+    i1 = write_hudi(df60, root, record_key_field="id", operation="insert",
+                    partition_by=["cat"])
+    upd = spark.createDataFrame(
+        [(0, "0", 99.0), (2000, "2", 7.0)], "id long, cat string, v double"
+    )
+    i2 = write_hudi(upd, root, record_key_field="id")
+    assert i2 > i1
+    # as-of the first instant: original values, original count
+    old = read_hudi(spark, root, as_of=i1)
+    assert old.count() == 60
+    assert old.filter("id = 0").collect()[0].v == 0.0
+    # latest: updated
+    assert read_hudi(spark, root).count() == 61
+    # incremental pull (i1, i2]: exactly the changed/added rows, even
+    # though the rewritten slice carries untouched rows too
+    inc = read_hudi_incremental(spark, root, begin_instant=i1)
+    assert sorted(r.id for r in inc.collect()) == [0, 2000]
+    assert all(
+        r._hoodie_commit_time == i2
+        for r in inc.select("_hoodie_commit_time").collect()
+    )
+
+
+def test_partition_pruning_reads_fewer_files(spark, tmp_path, df60):
+    root = str(tmp_path / "h")
+    write_hudi(df60, root, record_key_field="id", operation="insert",
+               partition_by=["cat"])
+    pruned = read_hudi(spark, root, partition_filter={"cat": "1"})
+    assert pruned.count() == 20
+    assert set(r.cat for r in pruned.select("cat").collect()) == {"1"}
+    # pruning is file-level: the plan reads 1 of 3 slice files
+    files = [
+        f.filePath
+        for f in pruned.select(F.input_file_name().alias("filePath"))
+        .distinct()
+        .collect()
+    ]
+    assert len(files) == 1 and "cat=1" in files[0]
+
+
+def test_datastore_registry_roundtrip(spark, tmp_path, df60):
+    from deltacat_spark.sources.formats import read_url, write_url
+
+    url = "hudi+file://" + str(tmp_path / "t")
+    write_url(df60, url, datastore="hudi", mode="append",
+              options={"record_key_field": "id"})
+    assert read_url(spark, url).count() == 60
+
+
+def test_unpartitioned_and_validation(spark, tmp_path, df60):
+    root = str(tmp_path / "h")
+    write_hudi(df60.limit(5), root, record_key_field="id")
+    assert file_slices(root)[0]["partition"] == "default"
+    assert read_hudi(spark, root).count() == 5
+    with pytest.raises(ValueError):
+        write_hudi(df60, root, record_key_field="id", operation="delete")
+    with pytest.raises(ValueError):
+        write_hudi(df60, root, record_key_field="id", partition_by=["cat"])
+    # MoR tables refused
+    props_path = os.path.join(root, ".hoodie", "hoodie.properties")
+    body = open(props_path).read().replace(
+        "COPY_ON_WRITE", "MERGE_ON_READ"
+    )
+    open(props_path, "w").write(body)
+    with pytest.raises(NotImplementedError):
+        write_hudi(df60, root, record_key_field="id")
