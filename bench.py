@@ -114,6 +114,18 @@ BENCH_QUERIES = [
     # round 9 additions (additive)
     "winnow_fingerprint_pairs",
     "cdc_chunk_dedup",
+    # round 10 additions (additive): jar-free lakehouse-format
+    # round-trips — IO-bound control-plane + one scan each.
+    # (`ann_ivf_persisted` / `mv_join_keyed_refresh` stay OUT of the
+    # tier: their wall time is ~10 catalog commits + refresh audits —
+    # commit-count-dominated end-to-end rows, 12-21s even at sf0.01 —
+    # which would dwarf every plan-shaped row; the driver's
+    # correctness gate covers them, and the MV/DML write-path families
+    # are benched separately in _mv_bench/_lakehouse_bench.)
+    "iceberg_converter_roundtrip",
+    "delta_time_travel_read",
+    "avro_format_roundtrip",
+    "hudi_incremental_pull",
 ]
 
 # The heaviest plans from BENCH_r04, re-measured at ~10x scale in the
