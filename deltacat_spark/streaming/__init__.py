@@ -11,6 +11,8 @@ from deltacat_spark.streaming.api import (
     session_window_agg,
     sliding_window_agg,
     stream_read_changes,
+    stream_read_delta,
+    stream_read_hudi,
     stream_write_to_table,
     tumbling_window_agg,
 )
@@ -19,6 +21,8 @@ __all__ = [
     "session_window_agg",
     "sliding_window_agg",
     "stream_read_changes",
+    "stream_read_delta",
+    "stream_read_hudi",
     "stream_write_to_table",
     "tumbling_window_agg",
 ]

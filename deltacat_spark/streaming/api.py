@@ -154,6 +154,56 @@ def stream_read_changes(
     )
 
 
+def stream_read_hudi(
+    spark,
+    root: str,
+    from_instant: str = "",
+) -> DataFrame:
+    """Streaming incremental read of a jar-free Hudi CoW table
+    (`sources/hudi.py`): offsets are timeline instants; each
+    micro-batch delivers exactly the rows the instants in range wrote,
+    stamped `_commit_instant` (see `streaming/lakehouse_source.py`)."""
+    from deltacat_spark.streaming.lakehouse_source import (
+        HUDI_FORMAT_NAME,
+        HudiIncrementalDataSource,
+    )
+
+    spark.dataSource.register(HudiIncrementalDataSource)
+    return (
+        spark.readStream.format(HUDI_FORMAT_NAME)
+        .option("root", root)
+        .option("from_instant", from_instant)
+        .load()
+    )
+
+
+def stream_read_delta(
+    spark,
+    root: str,
+    from_version: int = -1,
+    on_remove: str = "fail",
+) -> DataFrame:
+    """Streaming read of a jar-free Delta table's append log
+    (`sources/deltalake.py`): offsets are log versions; each
+    micro-batch delivers the versions' added files with hive-staged
+    partition columns reconstructed, stamped `_commit_version`.
+    Versions that remove files fail the stream (or skip with
+    `on_remove='skip'`)."""
+    from deltacat_spark.streaming.lakehouse_source import (
+        DELTA_FORMAT_NAME,
+        DeltaAppendsDataSource,
+    )
+
+    spark.dataSource.register(DeltaAppendsDataSource)
+    return (
+        spark.readStream.format(DELTA_FORMAT_NAME)
+        .option("root", root)
+        .option("from_version", str(from_version))
+        .option("on_remove", on_remove)
+        .load()
+    )
+
+
 def make_stream_sink(
     catalog,
     table: str,
