@@ -13,6 +13,7 @@ from deltacat_spark.streaming.api import (
     stream_read_changes,
     stream_read_delta,
     stream_read_hudi,
+    stream_read_iceberg,
     stream_write_to_table,
     tumbling_window_agg,
 )
@@ -23,6 +24,7 @@ __all__ = [
     "stream_read_changes",
     "stream_read_delta",
     "stream_read_hudi",
+    "stream_read_iceberg",
     "stream_write_to_table",
     "tumbling_window_agg",
 ]

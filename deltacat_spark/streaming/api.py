@@ -204,6 +204,34 @@ def stream_read_delta(
     )
 
 
+def stream_read_iceberg(
+    spark,
+    root: str,
+    from_sequence: int = 0,
+    on_non_append: str = "fail",
+) -> DataFrame:
+    """Streaming read of a jar-free Iceberg v2 table's append snapshots
+    (`sources/iceberg.py`): offsets are sequence numbers; each
+    micro-batch delivers the snapshots' newly-added data files with
+    identity partition columns reconstructed from manifest metadata,
+    stamped `_commit_snapshot_id`. Non-append snapshots
+    (overwrite/delete) fail the stream or skip with
+    `on_non_append='skip'`."""
+    from deltacat_spark.streaming.lakehouse_source import (
+        ICEBERG_FORMAT_NAME,
+        IcebergAppendsDataSource,
+    )
+
+    spark.dataSource.register(IcebergAppendsDataSource)
+    return (
+        spark.readStream.format(ICEBERG_FORMAT_NAME)
+        .option("root", root)
+        .option("from_sequence", str(from_sequence))
+        .option("on_non_append", on_non_append)
+        .load()
+    )
+
+
 def make_stream_sink(
     catalog,
     table: str,

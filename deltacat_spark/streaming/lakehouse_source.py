@@ -1,7 +1,8 @@
 """Structured-Streaming sources over the jar-free lakehouse interop
-tables — Hudi's incremental timeline and Delta's append log as
-micro-batch streams (Spark 4 Python DataSource API, same pattern as
-the engine's own change-feed source in `cdc_source.py`).
+tables — Hudi's incremental timeline, Delta's append log, and
+Iceberg's append snapshots as micro-batch streams (Spark 4 Python
+DataSource API, same pattern as the engine's own change-feed source in
+`cdc_source.py`).
 
 Reference surface: DatastoreTypes HUDI / DELTA_LAKE
 (`types/media.py:353-420`); Hudi's incremental pull is the format's
@@ -14,6 +15,12 @@ stream of commit ranges — exactly a Structured Streaming offset range.
   that instant` — a rewritten CoW slice carries old rows, so the
   filter is what keeps delivery exactly-once. Stamped
   `_commit_instant`.
+* `dcs_iceberg_appends`: offsets are Iceberg sequence numbers; each
+  micro-batch is the append snapshots' newly-ADDED manifest entries
+  (status==1, entry snapshot-id == the streaming snapshot), identity
+  partition columns reconstructed from manifest metadata. Non-append
+  snapshots (overwrite / position-delete) fail or skip via
+  `on_non_append`.
 * `dcs_delta_appends`: offsets are Delta versions; each micro-batch is
   the `add` actions of the versions in range, with hive-staged
   partition columns reconstructed from `partitionValues` (the files
@@ -48,6 +55,7 @@ if TYPE_CHECKING:  # pragma: no cover
 
 HUDI_FORMAT_NAME = "dcs_hudi_incremental"
 DELTA_FORMAT_NAME = "dcs_delta_appends"
+ICEBERG_FORMAT_NAME = "dcs_iceberg_appends"
 
 
 # ---------------------------------------------------------------------------
@@ -276,6 +284,161 @@ class DeltaAppendsStreamReader(DataSourceStreamReader):
 
     def commit(self, end: dict) -> None:
         pass
+
+
+@dataclasses.dataclass
+class _IcebergAddPartition(InputPartition):
+    path: str
+    snapshot_id: int
+    sequence_number: int
+    partition_values: str  # JSON {col: string-or-null}
+
+
+def _iceberg_schemas(root: str):
+    """(full StructType incl. partition cols, partition col names)."""
+    from deltacat_spark.sources.iceberg import (
+        IcebergTable,
+        spark_schema_for,
+    )
+
+    meta = IcebergTable(root).metadata()
+    full = spark_schema_for(meta["schemas"][meta["current-schema-id"]])
+    part_cols = [
+        pf["name"]
+        for pf in meta["partition-specs"][meta["default-spec-id"]]["fields"]
+    ]
+    return full, part_cols
+
+
+class IcebergAppendsStreamReader(DataSourceStreamReader):
+    def __init__(self, options):
+        self._root = options["path"] if "path" in options else options["root"]
+        self._from = int(options.get("from_sequence", 0))
+        self._on_non_append = options.get("on_non_append", "fail")
+        from pyspark.sql.pandas.types import to_arrow_type
+
+        sch, part_cols = _iceberg_schemas(self._root)
+        self._fields = [
+            (f.name, to_arrow_type(f.dataType), f.name in set(part_cols))
+            for f in sch.fields
+        ]
+
+    def initialOffset(self) -> dict:
+        return {"seq": self._from}
+
+    def latestOffset(self) -> dict:
+        from deltacat_spark.sources.iceberg import iceberg_history
+
+        try:
+            hist = iceberg_history(self._root)
+        except FileNotFoundError:
+            return {"seq": self._from}
+        seqs = [h["sequence_number"] for h in hist]
+        return {"seq": max(seqs) if seqs else self._from}
+
+    def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
+        from deltacat_spark.sources.iceberg import IcebergTable
+
+        tbl = IcebergTable(self._root)
+        meta = tbl.metadata()
+        out: list[InputPartition] = []
+        for snap in sorted(
+            meta.get("snapshots", []), key=lambda s: s["sequence-number"]
+        ):
+            seq = snap["sequence-number"]
+            if not (int(start["seq"]) < seq <= int(end["seq"])):
+                continue
+            op = snap.get("summary", {}).get("operation")
+            if op != "append":
+                if self._on_non_append == "skip":
+                    continue
+                raise ValueError(
+                    f"iceberg snapshot {snap['snapshot-id']} is "
+                    f"{op!r}, not an append; the append stream cannot "
+                    "represent rewrites/deletes — use "
+                    "on_non_append='skip' or batch read_iceberg"
+                )
+            sid = snap["snapshot-id"]
+            for mf in tbl.manifests(snap):
+                if mf.get("content") == 1:
+                    continue  # delete manifest — cannot appear under append
+                for e in tbl.manifest_entries(mf["manifest_path"]):
+                    # newly ADDED by this snapshot only (EXISTING entries
+                    # were delivered when their own snapshot streamed)
+                    if e["status"] != 1 or e.get("snapshot_id") != sid:
+                        continue
+                    df = e["data_file"]
+                    out.append(
+                        _IcebergAddPartition(
+                            path=os.path.join(self._root, df["file_path"]),
+                            snapshot_id=sid,
+                            sequence_number=seq,
+                            partition_values=json.dumps(
+                                {
+                                    k: (None if v is None else str(v))
+                                    for k, v in (
+                                        df.get("partition") or {}
+                                    ).items()
+                                }
+                            ),
+                        )
+                    )
+        return out
+
+    def read(self, partition: _IcebergAddPartition) -> Iterator["RecordBatch"]:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(partition.path)
+        pv = json.loads(partition.partition_values)
+        n = len(t)
+        cols, names = [], []
+        for name, atype, is_part in self._fields:
+            if name in t.column_names:
+                col = t[name].cast(atype)
+            elif is_part and name in pv:
+                v = pv[name]
+                col = (
+                    pa.nulls(n, atype)
+                    if v is None
+                    else pa.array([v] * n, pa.string()).cast(atype)
+                )
+            else:
+                col = pa.nulls(n, atype)
+            cols.append(col)
+            names.append(name)
+        cols.append(pa.array([partition.snapshot_id] * n, pa.int64()))
+        names.append("_commit_snapshot_id")
+        yield from pa.table(cols, names=names).to_batches()
+
+    def commit(self, end: dict) -> None:
+        pass
+
+
+class IcebergAppendsDataSource(DataSource):
+    """`spark.readStream.format("dcs_iceberg_appends")` — register with
+    `spark.dataSource.register(IcebergAppendsDataSource)` (done by
+    `streaming.api.stream_read_iceberg`). Options: root (or path),
+    from_sequence, on_non_append."""
+
+    @classmethod
+    def name(cls) -> str:
+        return ICEBERG_FORMAT_NAME
+
+    def schema(self) -> StructType:
+        root = (
+            self.options["path"]
+            if "path" in self.options
+            else self.options["root"]
+        )
+        sch, _ = _iceberg_schemas(root)
+        return StructType(
+            list(sch.fields)
+            + [StructField("_commit_snapshot_id", LongType())]
+        )
+
+    def streamReader(self, schema: StructType) -> IcebergAppendsStreamReader:
+        return IcebergAppendsStreamReader(self.options)
 
 
 class DeltaAppendsDataSource(DataSource):

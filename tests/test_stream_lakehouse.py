@@ -9,7 +9,12 @@ from pyspark.sql import functions as F
 
 from deltacat_spark.sources.deltalake import write_delta
 from deltacat_spark.sources.hudi import write_hudi
-from deltacat_spark.streaming import stream_read_delta, stream_read_hudi
+from deltacat_spark.sources.iceberg import write_iceberg
+from deltacat_spark.streaming import (
+    stream_read_delta,
+    stream_read_hudi,
+    stream_read_iceberg,
+)
 
 
 def _run_to(stream_df, path, ckpt):
@@ -96,6 +101,49 @@ def test_delta_stream_appends_and_partition_reconstruction(spark, tmp_path):
     rows = spark.read.parquet(sink).collect()
     assert sorted(r.id for r in rows) == list(range(25))
     assert max(r._commit_version for r in rows) == 1
+
+
+def test_iceberg_stream_appends_with_partition_reconstruction(
+    spark, tmp_path
+):
+    root = str(tmp_path / "i")
+    df = spark.range(0, 12).select(
+        "id", (F.col("id") % 2).cast("string").alias("cat")
+    )
+    write_iceberg(df, root, partition_by=["cat"])
+    sink, ckpt = str(tmp_path / "sink"), str(tmp_path / "ckpt")
+    _run_to(stream_read_iceberg(spark, root), sink, ckpt)
+    got = spark.read.parquet(sink)
+    assert sorted(r.id for r in got.collect()) == list(range(12))
+    assert {r.cat for r in got.collect()} == {"0", "1"}
+    first_sid = {r._commit_snapshot_id for r in got.collect()}
+    assert len(first_sid) == 1
+
+    # a second append streams exactly its own rows on the next trigger
+    write_iceberg(
+        spark.range(12, 15).select("id", F.lit("9").alias("cat")),
+        root, mode="append",
+    )
+    _run_to(stream_read_iceberg(spark, root), sink, ckpt)
+    rows = spark.read.parquet(sink).collect()
+    assert sorted(r.id for r in rows) == list(range(15))
+    assert len({r._commit_snapshot_id for r in rows}) == 2
+
+    # a position-delete snapshot is NOT an append: fail, then skip
+    from deltacat_spark.sources.iceberg import (
+        convert_equality_deletes_to_position,
+    )
+
+    convert_equality_deletes_to_position(spark, root, "id = 3")
+    with pytest.raises(Exception, match="append stream|non_append"):
+        _run_to(stream_read_iceberg(spark, root), sink, ckpt)
+    sink2, ckpt2 = str(tmp_path / "s2"), str(tmp_path / "c2")
+    _run_to(
+        stream_read_iceberg(spark, root, on_non_append="skip"),
+        sink2, ckpt2,
+    )
+    got2 = spark.read.parquet(sink2).collect()
+    assert sorted(r.id for r in got2) == list(range(15))
 
 
 def test_delta_stream_fails_or_skips_on_remove(spark, tmp_path):
