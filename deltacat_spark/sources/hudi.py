@@ -500,6 +500,10 @@ def write_hudi(
         "compacted": False,
         "operationType": operation.upper(),
     }
+    return _finish_commit(root, instant, meta)
+
+
+def _finish_commit(root: str, instant: str, meta: dict) -> str:
     tmp = os.path.join(root, HOODIE_DIR, f"{instant}.commit.tmp")
     final = os.path.join(root, HOODIE_DIR, f"{instant}.commit")
     with open(tmp, "w") as f:
@@ -511,3 +515,65 @@ def write_hudi(
         raise RuntimeError(f"concurrent Hudi commit at instant {instant}")
     os.remove(tmp)
     return instant
+
+
+# ---------------------------------------------------------------------------
+# catalog bridges
+# ---------------------------------------------------------------------------
+
+
+def export_table_to_hudi(
+    catalog,
+    table: str,
+    dest: str,
+    record_key_field: str | None = None,
+    namespace: str = "default",
+) -> str:
+    """Materialize a catalog table's current snapshot as a Hudi CoW
+    table (the resolved current state; re-export upserts). The record
+    key defaults to the table's (single) merge key."""
+    df = catalog.read_table(table, namespace=namespace)
+    info = catalog.get_table(table, namespace=namespace) or {}
+    if record_key_field is None:
+        sch = json.loads(info.get("schema") or "{}")
+        keys = [
+            f["name"]
+            for f in sch.get("fields", [])
+            if (f.get("metadata") or {}).get("dcs.merge_key")
+        ]
+        if len(keys) != 1:
+            raise ValueError(
+                "record_key_field required (table has "
+                f"{len(keys)} merge keys; Hudi export keys on one)"
+            )
+        record_key_field = keys[0]
+    scheme = [
+        pk.get("source") or pk.get("name")
+        for pk in (info.get("partition_scheme") or [])
+        if (pk.get("transform") or "identity") == "identity"
+    ]
+    existed = bool(completed_instants(dest))
+    return write_hudi(
+        df,
+        dest,
+        record_key_field=record_key_field,
+        operation="upsert" if existed else "insert",
+        partition_by=[c for c in scheme if c] if not existed else None,
+        table_name=table,
+    )
+
+
+def import_hudi_to_table(
+    catalog,
+    spark: SparkSession,
+    src: str,
+    table: str,
+    namespace: str = "default",
+    as_of: str | None = None,
+    **write_kwargs,
+) -> None:
+    """External Hudi table → catalog table (snapshot copy-in)."""
+    df = read_hudi(spark, src, as_of=as_of)
+    catalog.write_to_table(
+        df, table, namespace=namespace, mode="auto", **write_kwargs
+    )

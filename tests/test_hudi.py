@@ -138,6 +138,40 @@ def test_datastore_registry_roundtrip(spark, tmp_path, df60):
     assert read_url(spark, url).count() == 60
 
 
+def test_catalog_export_import_bridge(spark, tmp_path, df60):
+    from deltacat_spark.catalog import Catalog
+    from deltacat_spark.schema import Schema
+    from deltacat_spark.sources.hudi import (
+        export_table_to_hudi,
+        import_hudi_to_table,
+    )
+
+    cat = Catalog(spark, str(tmp_path / "cat"))
+    sch = Schema.from_dataframe(df60)
+    for f in sch.fields:
+        if f.name == "id":
+            f.merge_key = True
+            f.nullable = False
+    cat.create_table("src", schema=sch)
+    cat.write_to_table(df60, "src", mode="merge")
+    dest = str(tmp_path / "hudi_out")
+    export_table_to_hudi(cat, "src", dest)  # merge key auto-detected
+    assert read_hudi(spark, dest).count() == 60
+    # table mutates; re-export upserts (CoW) instead of duplicating
+    cat.write_to_table(
+        spark.createDataFrame([(0, "0", 777.0)], "id long, cat string, v double"),
+        "src", mode="merge",
+    )
+    export_table_to_hudi(cat, "src", dest)
+    back = read_hudi(spark, dest)
+    assert back.count() == 60
+    assert back.filter("id = 0").collect()[0].v == 777.0
+    import_hudi_to_table(cat, spark, dest, "roundtrip")
+    assert sorted(map(tuple, cat.read_table("roundtrip").collect())) == sorted(
+        map(tuple, back.collect())
+    )
+
+
 def test_unpartitioned_and_validation(spark, tmp_path, df60):
     root = str(tmp_path / "h")
     write_hudi(df60.limit(5), root, record_key_field="id")
