@@ -80,6 +80,30 @@ def test_hudi_stream_from_instant_skips_history(spark, tmp_path):
     assert [r.id for r in got] == [2]
 
 
+def test_hudi_stream_multi_instant_single_trigger(spark, tmp_path):
+    """Three commits land BETWEEN triggers: one availableNow batch
+    spans all three offsets, each row stamped with its own instant."""
+    root = str(tmp_path / "h")
+    i1 = write_hudi(
+        _batch(spark, [(1, "0", 1.0)]), root, record_key_field="id",
+        operation="insert",
+    )
+    i2 = write_hudi(
+        _batch(spark, [(2, "0", 2.0)]), root, record_key_field="id"
+    )
+    i3 = write_hudi(
+        _batch(spark, [(1, "0", 10.0), (3, "0", 3.0)]),
+        root, record_key_field="id",
+    )
+    sink, ckpt = str(tmp_path / "s"), str(tmp_path / "c")
+    _run_to(stream_read_hudi(spark, root), sink, ckpt)
+    rows = spark.read.parquet(sink).collect()
+    got = sorted((r.id, r.v, r._commit_instant) for r in rows)
+    assert got == [
+        (1, 1.0, i1), (1, 10.0, i3), (2, 2.0, i2), (3, 3.0, i3)
+    ]
+
+
 def test_delta_stream_appends_and_partition_reconstruction(spark, tmp_path):
     root = str(tmp_path / "d")
     df = spark.range(0, 20).select(
