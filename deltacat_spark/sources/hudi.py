@@ -67,19 +67,31 @@ def _next_instant(root: str) -> str:
     return base
 
 
-def completed_instants(root: str) -> list[str]:
+def completed_instants(root: str, kinds: tuple = ("commit", "replacecommit")) -> list[str]:
     d = os.path.join(root, HOODIE_DIR)
     if not os.path.isdir(d):
         return []
-    return sorted(
-        f[: -len(".commit")]
-        for f in os.listdir(d)
-        if f.endswith(".commit")
-    )
+    out = []
+    for f in os.listdir(d):
+        for k in kinds:
+            if f.endswith("." + k):
+                out.append(f[: -(len(k) + 1)])
+    return sorted(out)
+
+
+def instant_kind(root: str, instant: str) -> str:
+    """'commit' (data-bearing) or 'replacecommit' (clustering — a
+    reorganization that carries NO new rows)."""
+    if os.path.isfile(
+        os.path.join(root, HOODIE_DIR, f"{instant}.replacecommit")
+    ):
+        return "replacecommit"
+    return "commit"
 
 
 def _commit_meta(root: str, instant: str) -> dict:
-    with open(os.path.join(root, HOODIE_DIR, f"{instant}.commit")) as f:
+    p = os.path.join(root, HOODIE_DIR, f"{instant}.{instant_kind(root, instant)}")
+    with open(p) as f:
         return json.load(f)
 
 
@@ -108,6 +120,10 @@ def file_slices(
     groups: dict[tuple[str, str], dict] = {}
     for instant in instants:  # ascending — later slices overwrite
         meta = _commit_meta(root, instant)
+        # clustering: replaced file groups leave the live set first
+        for part, fids in meta.get("partitionToReplaceFileIds", {}).items():
+            for fid in fids:
+                groups.pop((part, fid), None)
         for part, stats in meta.get("partitionToWriteStats", {}).items():
             for st in stats:
                 groups[(part, st["fileId"])] = {
@@ -160,7 +176,14 @@ def read_hudi_incremental(
     row-filter on the meta column (a rewritten CoW slice carries old
     rows with their original commit times, so the filter is what makes
     the pull exact)."""
-    instants = [i for i in completed_instants(root) if i > begin_instant]
+    # replacecommits (clustering) carry no new rows — their slices
+    # repackage rows whose ORIGIN commit files are still on disk and
+    # still scanned, so including them would duplicate those rows
+    instants = [
+        i
+        for i in completed_instants(root, kinds=("commit",))
+        if i > begin_instant
+    ]
     if end_instant is not None:
         instants = [i for i in instants if i <= end_instant]
     paths = []
@@ -515,6 +538,153 @@ def _finish_commit(root: str, instant: str, meta: dict) -> str:
         raise RuntimeError(f"concurrent Hudi commit at instant {instant}")
     os.remove(tmp)
     return instant
+
+
+# ---------------------------------------------------------------------------
+# maintenance: clustering (replacecommit)
+# ---------------------------------------------------------------------------
+
+
+def cluster_hudi(
+    spark: SparkSession,
+    root: str,
+    partition_filter: list[str] | None = None,
+    min_groups: int = 2,
+) -> str | None:
+    """Cluster each partition's file groups into ONE group — Hudi's
+    small-file maintenance, written as a `.replacecommit` so history
+    stays intact (time travel before the clustering instant still sees
+    the old groups; the replaced files stay on disk for it).
+
+    Rows keep their ORIGINAL `_hoodie_commit_time`/`_hoodie_commit_seqno`
+    (clustering is a reorganization, not new data), so incremental
+    pulls and the streaming source — which skip replacecommits — stay
+    exact. One fanout Spark job rewrites every eligible partition;
+    returns the instant, or None when nothing had `min_groups`+ groups.
+    """
+    live = file_slices(root)
+    by_part: dict[str, list[dict]] = {}
+    for s in live:
+        if partition_filter and s["partition"] not in partition_filter:
+            continue
+        by_part.setdefault(s["partition"], []).append(s)
+    todo = {p: ss for p, ss in by_part.items() if len(ss) >= min_groups}
+    if not todo:
+        return None
+    instant = _next_instant(root)
+    token = "0-0-0"
+    fid_by_part = {p: str(uuid.uuid4()) for p in todo}
+    fname_by_part = {
+        p: f"{fid}_{token}_{instant}.parquet"
+        for p, fid in fid_by_part.items()
+    }
+    all_paths = [
+        os.path.join(root, s["path"]) for ss in todo.values() for s in ss
+    ]
+    old = spark.read.parquet(*all_paths)
+    pmap = spark.createDataFrame(
+        [(p, fname_by_part[p]) for p in todo],
+        "_hoodie_partition_path string, __new_name string",
+    )
+    staged = (
+        old.join(F.broadcast(pmap), "_hoodie_partition_path")
+        .withColumn("_hoodie_file_name", F.col("__new_name"))
+        .drop("__new_name")
+        .repartition("_hoodie_partition_path")
+    )
+    staging = os.path.join(root, HOODIE_DIR, f".tmp-{uuid.uuid4().hex[:8]}")
+    staged.withColumn(
+        "__pp", F.col("_hoodie_partition_path")
+    ).write.mode("overwrite").partitionBy("__pp").parquet(staging)
+
+    write_stats: dict[str, list[dict]] = {}
+    from urllib.parse import unquote
+
+    import pyarrow.parquet as pq
+
+    for d in sorted(os.listdir(staging)):
+        if not d.startswith("__pp="):
+            continue
+        partition = unquote(d.split("=", 1)[1])
+        fname = fname_by_part[partition]
+        rel = f"{partition}/{fname}" if partition else fname
+        dst = os.path.join(root, rel)
+        os.makedirs(os.path.dirname(dst), exist_ok=True)
+        files = [
+            f
+            for f in sorted(os.listdir(os.path.join(staging, d)))
+            if f.endswith(".parquet")
+        ]
+        if len(files) == 1:
+            os.replace(os.path.join(staging, d, files[0]), dst)
+        else:
+            import pyarrow as pa
+
+            pq.write_table(
+                pa.concat_tables(
+                    pq.read_table(os.path.join(staging, d, f))
+                    for f in files
+                ),
+                dst,
+            )
+        write_stats.setdefault(partition, []).append(
+            {
+                "fileId": fid_by_part[partition],
+                "path": rel,
+                "numWrites": pq.read_metadata(dst).num_rows,
+                "fileSizeInBytes": os.path.getsize(dst),
+                "prevCommit": "null",
+            }
+        )
+    shutil.rmtree(staging, ignore_errors=True)
+
+    meta = {
+        "partitionToWriteStats": write_stats,
+        "partitionToReplaceFileIds": {
+            p: [s["file_id"] for s in ss] for p, ss in todo.items()
+        },
+        "compacted": True,
+        "operationType": "CLUSTER",
+    }
+    tmp = os.path.join(root, HOODIE_DIR, f"{instant}.replacecommit.tmp")
+    final = os.path.join(root, HOODIE_DIR, f"{instant}.replacecommit")
+    with open(tmp, "w") as f:
+        json.dump(meta, f, indent=2)
+    try:
+        os.link(tmp, final)
+    except FileExistsError:
+        os.remove(tmp)
+        raise RuntimeError(f"concurrent Hudi commit at instant {instant}")
+    os.remove(tmp)
+    return instant
+
+
+def clean_hudi(root: str, keep_instants: int = 1) -> list[str]:
+    """Remove data files no longer referenced by any of the timeline
+    positions a reader could still pin: the live set at the latest
+    instant plus the live sets at the last `keep_instants` boundaries.
+    Returns the deleted relative paths (Hudi's cleaner semantics —
+    bounded retention so time travel works within the window)."""
+    instants = completed_instants(root)
+    if not instants:
+        return []
+    keep: set[str] = set()
+    pins = instants[-max(keep_instants, 1):]
+    for pin in pins:
+        for s in file_slices(root, as_of=pin):
+            keep.add(s["path"])
+    # every path ever written
+    all_paths: set[str] = set()
+    for i in instants:
+        meta = _commit_meta(root, i)
+        for stats in meta.get("partitionToWriteStats", {}).values():
+            all_paths.update(st["path"] for st in stats)
+    doomed = sorted(all_paths - keep)
+    for rel in doomed:
+        p = os.path.join(root, rel)
+        if os.path.isfile(p):
+            os.remove(p)
+    return doomed
 
 
 # ---------------------------------------------------------------------------

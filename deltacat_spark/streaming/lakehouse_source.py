@@ -109,7 +109,9 @@ class HudiIncrementalStreamReader(DataSourceStreamReader):
         )
 
         out: list[InputPartition] = []
-        for instant in completed_instants(self._root):
+        # data-bearing commits only: replacecommits (clustering) carry
+        # no new rows and would plan wasted zero-row slice scans
+        for instant in completed_instants(self._root, kinds=("commit",)):
             if not (start["instant"] < instant <= end["instant"]):
                 continue
             meta = _commit_meta(self._root, instant)

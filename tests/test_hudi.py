@@ -138,6 +138,68 @@ def test_datastore_registry_roundtrip(spark, tmp_path, df60):
     assert read_url(spark, url).count() == 60
 
 
+def test_cluster_replacecommit_and_clean(spark, tmp_path, df60):
+    from deltacat_spark.sources.hudi import (
+        clean_hudi,
+        cluster_hudi,
+        read_hudi_incremental,
+    )
+
+    root = str(tmp_path / "h")
+    i1 = write_hudi(df60, root, record_key_field="id", operation="insert",
+                    partition_by=["cat"])
+    # two more batches of NEW keys -> extra file groups per partition
+    i2 = write_hudi(
+        spark.createDataFrame(
+            [(100 + j, str(j % 3), 1.0) for j in range(6)],
+            "id long, cat string, v double",
+        ),
+        root, record_key_field="id",
+    )
+    i3 = write_hudi(
+        spark.createDataFrame(
+            [(200 + j, str(j % 3), 2.0) for j in range(6)],
+            "id long, cat string, v double",
+        ),
+        root, record_key_field="id",
+    )
+    assert len(file_slices(root)) == 9  # 3 partitions x 3 groups
+    before = {r.id: (r.cat, r.v) for r in read_hudi(spark, root).collect()}
+
+    ci = cluster_hudi(spark, root)
+    assert ci is not None and ci > i3
+    after_slices = file_slices(root)
+    assert len(after_slices) == 3  # one group per partition
+    after = {r.id: (r.cat, r.v) for r in read_hudi(spark, root).collect()}
+    assert after == before
+    # time travel to BEFORE the clustering still sees the old layout
+    assert len(file_slices(root, as_of=i3)) == 9
+    assert {
+        r.id for r in read_hudi(spark, root, as_of=i2).collect()
+    } == set(range(60)) | {100 + j for j in range(6)}
+    # incremental pull across the clustering instant: no duplicates,
+    # and the replacecommit contributes nothing
+    inc = read_hudi_incremental(spark, root, begin_instant=i1)
+    ids = sorted(r.id for r in inc.collect())
+    assert ids == sorted(
+        [100 + j for j in range(6)] + [200 + j for j in range(6)]
+    )
+    # clustered rows keep their ORIGINAL commit times
+    raw = read_hudi(spark, root, drop_meta=False)
+    assert {r._hoodie_commit_time for r in raw.collect()} == {i1, i2, i3}
+
+    # idempotent: nothing left with >= 2 groups
+    assert cluster_hudi(spark, root) is None
+
+    # cleaner: retain only the latest position -> the 9 replaced files
+    # go away, the snapshot read is untouched
+    doomed = clean_hudi(root, keep_instants=1)
+    assert len(doomed) == 9
+    assert {
+        r.id: (r.cat, r.v) for r in read_hudi(spark, root).collect()
+    } == before
+
+
 def test_catalog_export_import_bridge(spark, tmp_path, df60):
     from deltacat_spark.catalog import Catalog
     from deltacat_spark.schema import Schema
