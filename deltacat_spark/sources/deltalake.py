@@ -585,6 +585,165 @@ def write_checkpoint(root: str, version: int) -> None:
 # ---------------------------------------------------------------------------
 
 
+def optimize_delta(
+    spark: SparkSession, root: str, min_files: int = 2
+) -> int | None:
+    """Bin-pack compaction — Delta's OPTIMIZE: each partition's live
+    files collapse into one, committed as adds + removes with
+    `dataChange=false` (a reorganization: streams/CDC readers must not
+    re-deliver the rows, and time travel to earlier versions still
+    resolves the old files, which stay on disk). ONE fanout Spark job
+    compacts every eligible partition. Returns the committed version,
+    or None when no partition had `min_files`+ files."""
+    snap = DeltaSnapshot(root)
+    live = snap.live_files()
+    groups: dict[str, list[dict]] = {}
+    for f in live:
+        key = json.dumps(f.get("partitionValues") or {}, sort_keys=True)
+        groups.setdefault(key, []).append(f)
+    todo = {k: fs for k, fs in groups.items() if len(fs) >= min_files}
+    if not todo:
+        return None
+
+    pairs = [
+        (os.path.join(root, f["path"]), k)
+        for k, fs in todo.items()
+        for f in fs
+    ]
+    src = spark.read.schema(snap.data_schema).parquet(
+        *[p for p, _ in pairs]
+    ).withColumn(
+        "__src",
+        F.regexp_replace(F.col("_metadata.file_path"), "^file:/*", "/"),
+    )
+    pmap = spark.createDataFrame(pairs, "__src string, __pk string")
+    staging = os.path.join(root, f".staging-{uuid.uuid4().hex[:12]}")
+    (
+        src.join(F.broadcast(pmap), "__src")
+        .drop("__src")
+        .repartition("__pk")
+        .write.mode("overwrite")
+        .partitionBy("__pk")
+        .parquet(staging)
+    )
+
+    from urllib.parse import unquote
+
+    now_ms = int(time.time() * 1000)
+    adds = []
+    for d in sorted(os.listdir(staging)):
+        if not d.startswith("__pk="):
+            continue
+        key = unquote(d.split("=", 1)[1])
+        rel_dir = os.path.dirname(todo[key][0]["path"])
+        fname = f"part-opt-{uuid.uuid4().hex[:12]}.parquet"
+        rel = os.path.join(rel_dir, fname) if rel_dir else fname
+        dst = os.path.join(root, rel)
+        os.makedirs(os.path.dirname(dst), exist_ok=True)
+        files = [
+            f
+            for f in sorted(os.listdir(os.path.join(staging, d)))
+            if f.endswith(".parquet")
+        ]
+        if len(files) == 1:
+            os.replace(os.path.join(staging, d, files[0]), dst)
+        else:  # hash-collided task splits: merge driver-side (bounded
+            # by one partition's rows)
+            import pyarrow as pa
+            import pyarrow.parquet as pq
+
+            pq.write_table(
+                pa.concat_tables(
+                    pq.read_table(os.path.join(staging, d, f))
+                    for f in files
+                ),
+                dst,
+            )
+        stats = _delta_stats(dst)
+        if stats.get("numRecords") == 0:
+            os.remove(dst)
+            continue
+        adds.append(
+            {
+                "add": {
+                    "path": rel.replace(os.sep, "/"),
+                    "partitionValues": json.loads(key),
+                    "size": os.path.getsize(dst),
+                    "modificationTime": now_ms,
+                    "dataChange": False,
+                    "stats": json.dumps(stats),
+                }
+            }
+        )
+    shutil.rmtree(staging, ignore_errors=True)
+
+    actions: list[dict] = list(adds)
+    for fs in todo.values():
+        for f in fs:
+            actions.append(
+                {
+                    "remove": {
+                        "path": f["path"],
+                        "deletionTimestamp": now_ms,
+                        "dataChange": False,
+                    }
+                }
+            )
+    actions.append(
+        {
+            "commitInfo": {
+                "timestamp": now_ms,
+                "operation": "OPTIMIZE",
+                "operationParameters": {"minFiles": min_files},
+                "engineInfo": "deltacat_spark-native",
+            }
+        }
+    )
+    version = latest_version(root) + 1
+    tmp = _log_path(root, version) + f".tmp-{uuid.uuid4().hex[:8]}"
+    with open(tmp, "w") as f:
+        for a in actions:
+            f.write(json.dumps(a) + "\n")
+    final = _log_path(root, version)
+    try:
+        os.link(tmp, final)
+    except FileExistsError:
+        os.remove(tmp)
+        raise RuntimeError(
+            f"concurrent Delta commit at version {version}; retry"
+        )
+    os.remove(tmp)
+    return version
+
+
+def vacuum_delta(root: str, keep_versions: int = 1) -> list[str]:
+    """Remove data files no longer referenced by the retained log
+    window (the live sets at the last `keep_versions` versions).
+    Returns deleted relative paths."""
+    versions = _list_versions(root)
+    if not versions:
+        return []
+    keep: set[str] = set()
+    for v in versions[-max(keep_versions, 1):]:
+        keep.update(f["path"] for f in DeltaSnapshot(root, v).live_files())
+    all_paths: set[str] = set()
+    for v in versions:
+        with open(_log_path(root, v)) as f:
+            for line in f:
+                line = line.strip()
+                if not line:
+                    continue
+                a = json.loads(line)
+                if "add" in a:
+                    all_paths.add(a["add"]["path"])
+    doomed = sorted(all_paths - keep)
+    for rel in doomed:
+        p = os.path.join(root, rel)
+        if os.path.isfile(p):
+            os.remove(p)
+    return doomed
+
+
 def export_table_to_delta(
     catalog, table: str, dest: str, namespace: str = "default"
 ) -> int:

@@ -235,9 +235,16 @@ class DeltaAppendsStreamReader(DataSourceStreamReader):
                         continue
                     action = json.loads(line)
                     if "add" in action:
-                        adds.append(action["add"])
+                        # dataChange=false adds are reorganizations
+                        # (OPTIMIZE) — no new rows to deliver
+                        if action["add"].get("dataChange", True):
+                            adds.append(action["add"])
                     elif "remove" in action:
-                        removed = True
+                        # dataChange=false removes (OPTIMIZE) don't
+                        # change table contents — an append stream
+                        # ignores them, like delta-spark does
+                        if action["remove"].get("dataChange", True):
+                            removed = True
             if removed:
                 if self._on_remove == "skip":
                     continue

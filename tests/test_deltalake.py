@@ -201,3 +201,52 @@ def test_catalog_export_import_bridge(spark, tmp_path, df100):
     a = sorted(map(tuple, cat.read_table("src").collect()))
     b = sorted(map(tuple, cat.read_table("back").collect()))
     assert a == b
+
+
+def test_optimize_vacuum_and_stream_ignore(spark, tmp_path, df100):
+    """OPTIMIZE compacts each partition to one file with
+    dataChange=false (time travel intact, append stream silent);
+    vacuum drops the replaced files."""
+    from deltacat_spark.sources.deltalake import optimize_delta, vacuum_delta
+    from deltacat_spark.streaming import stream_read_delta
+
+    root = str(tmp_path / "t")
+    write_delta(df100, root, partition_by=["cat"])
+    write_delta(
+        spark.range(100, 140).select(
+            "id", (F.col("id") % 3).cast("string").alias("cat"),
+            F.lit(0.5).alias("v"),
+        ),
+        root,
+    )
+    snap_before = sorted(
+        map(tuple, read_delta(spark, root).collect())
+    )
+    n_before = len(DeltaSnapshot(root).live_files())
+    assert n_before > 3  # several task files per partition
+    v = optimize_delta(spark, root)
+    assert v == 2
+    assert len(DeltaSnapshot(root).live_files()) == 3
+    assert sorted(map(tuple, read_delta(spark, root).collect())) == snap_before
+    # time travel to pre-OPTIMIZE resolves the old files
+    assert read_delta(spark, root, version=1).count() == 140
+    # append stream across the OPTIMIZE version delivers rows ONCE
+    sink, ckpt = str(tmp_path / "s"), str(tmp_path / "c")
+    q = (
+        stream_read_delta(spark, root)
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(sink)
+    assert got.count() == 140
+    assert sorted(r.id for r in got.collect()) == list(range(140))
+    # idempotent, then vacuum removes the 6 replaced files
+    assert optimize_delta(spark, root) is None
+    doomed = vacuum_delta(root, keep_versions=1)
+    assert len(doomed) == n_before
+    assert sorted(map(tuple, read_delta(spark, root).collect())) == snap_before
