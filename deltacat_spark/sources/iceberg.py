@@ -487,8 +487,17 @@ def write_iceberg(
     source columns STAY in the data files per Iceberg convention, so
     the scan needs no partition-value reconstruction.
     """
-    if mode not in ("append", "overwrite"):
-        raise ValueError(f"mode must be append|overwrite, got {mode!r}")
+    if mode not in ("append", "overwrite", "replace"):
+        raise ValueError(
+            f"mode must be append|overwrite|replace, got {mode!r}"
+        )
+    # "replace" = overwrite layout with a reorganization label (used by
+    # rewrite_data_files — readers/streams treat it as carrying no new
+    # rows)
+    if mode == "replace":
+        mode_layout = "overwrite"
+    else:
+        mode_layout = mode
     tbl = IcebergTable(root)
     os.makedirs(tbl._meta_dir(), exist_ok=True)
     os.makedirs(os.path.join(root, DATA_DIR), exist_ok=True)
@@ -612,7 +621,7 @@ def write_iceberg(
         "deleted_rows_count": 0,
     }
     manifests = [new_manifest]
-    if mode == "append" and existed and prev_meta.get("current-snapshot-id") is not None:
+    if mode_layout == "append" and existed and prev_meta.get("current-snapshot-id") is not None:
         prev_snap = tbl.snapshot(prev_meta)
         manifests.extend(tbl.manifests(prev_snap))
 
@@ -628,6 +637,17 @@ def write_iceberg(
         partition_fields=partition_fields,
         commit_uuid=commit_uuid,
     )
+
+
+def rewrite_data_files(spark: SparkSession, root: str) -> int:
+    """Compaction — Iceberg's rewrite-data-files maintenance: the
+    resolved current state (position deletes APPLIED and folded away)
+    is rewritten one file per partition and committed as a `replace`
+    snapshot. Prior snapshots stay time-travelable; the append stream
+    treats `replace` as a non-append (no rows re-delivered). Returns
+    the new snapshot id."""
+    df = read_iceberg(spark, root)  # applies position deletes
+    return write_iceberg(df, root, mode="replace")
 
 
 def _file_bounds(path: str) -> tuple[dict | None, dict | None]:

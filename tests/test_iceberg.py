@@ -245,3 +245,50 @@ def test_catalog_export_import_bridge(spark, tmp_path, df100):
     assert sorted(map(tuple, cat.read_table("back").collect())) == sorted(
         map(tuple, cat.read_table("src").collect())
     )
+
+
+def test_rewrite_data_files_folds_deletes(spark, tmp_path, df100):
+    """rewrite_data_files applies+folds position deletes into a
+    `replace` snapshot: same rows, no delete manifests, prior
+    snapshots intact, append stream silent on the reorganization."""
+    from deltacat_spark.sources.iceberg import (
+        IcebergTable,
+        convert_equality_deletes_to_position,
+        iceberg_history,
+        rewrite_data_files,
+    )
+    from deltacat_spark.streaming import stream_read_iceberg
+
+    root = str(tmp_path / "t")
+    write_iceberg(df100, root, partition_by=["cat"])
+    convert_equality_deletes_to_position(spark, root, "id % 10 = 0")
+    expect = sorted(
+        map(tuple, read_iceberg(spark, root).collect())
+    )
+    assert len(expect) == 90
+    sid = rewrite_data_files(spark, root)
+    hist = iceberg_history(root)
+    assert hist[-1]["snapshot_id"] == sid
+    assert hist[-1]["operation"] == "replace"
+    # deletes folded: no delete files live, same rows
+    tbl = IcebergTable(root)
+    data, deletes = tbl.live_files()
+    assert deletes == []
+    assert sorted(map(tuple, read_iceberg(spark, root).collect())) == expect
+    # first snapshot still time-travels to the pre-delete state
+    first = hist[0]["snapshot_id"]
+    assert read_iceberg(spark, root, snapshot_id=first).count() == 100
+    # stream: replace is a non-append -> skip policy delivers only the
+    # original append's rows
+    sink, ckpt = str(tmp_path / "s"), str(tmp_path / "c")
+    q = (
+        stream_read_iceberg(spark, root, on_non_append="skip")
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert spark.read.parquet(sink).count() == 100
