@@ -79,6 +79,40 @@ def parse_wav(payload: bytes) -> dict:
     return fmt
 
 
+def encode_wav(
+    pcm: bytes, sample_rate: int, channels: int = 1, bits: int = 16
+) -> bytes:
+    """Little-endian PCM bytes → RIFF/WAVE container (the write half of
+    the audio path — pipelines that emit clips as binary columns encode
+    executor-side). `pcm` is raw interleaved samples: unsigned for
+    8-bit, signed LE for 16/32-bit."""
+    if bits not in (8, 16, 32):
+        raise ValueError(f"bits must be 8/16/32, got {bits}")
+    block_align = channels * bits // 8
+    if len(pcm) % max(block_align, 1):
+        raise ValueError("pcm length is not a whole number of frames")
+    fmt = struct.pack(
+        "<HHIIHH",
+        1,  # PCM
+        channels,
+        sample_rate,
+        sample_rate * block_align,
+        block_align,
+        bits,
+    )
+    body = (
+        b"WAVE"
+        + b"fmt "
+        + struct.pack("<I", len(fmt))
+        + fmt
+        + b"data"
+        + struct.pack("<I", len(pcm))
+        + pcm
+        + (b"\x00" if len(pcm) & 1 else b"")
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
 def wav_samples(meta: dict):
     """PCM bytes → float64 numpy array shaped (frames, channels),
     normalized to [-1, 1]."""

@@ -201,3 +201,110 @@ def decode_gif_pixels(payload: bytes) -> "tuple[int, int, int, bytes]":
         else:
             raise ValueError(f"bad GIF block 0x{b:02x}")
     raise ValueError("GIF with no image frame")
+
+
+# ---------------------------------------------------------------------------
+# PNG encode — the write half of the multimodal image path
+# ---------------------------------------------------------------------------
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def encode_png(
+    width: int,
+    height: int,
+    channels: int,
+    pixels: bytes,
+    filters: "list[int] | int" = 0,
+) -> bytes:
+    """Interleaved 8-bit pixels → PNG bytes, stdlib-only (zlib IDAT +
+    spec §9 scanline filters). `channels` 1/2/3/4 map to color types
+    gray / gray+alpha / RGB / RGBA. `filters` is one filter type 0-4
+    for every scanline or a per-row list — the encoder APPLIES the
+    filter (sub/up/average/paeth deltas), so a decode round-trip
+    exercises the matching unfilter path, not just type 0.
+
+    The write half of the image surface: feature pipelines that emit
+    thumbnails/crops as binary columns encode executor-side in the same
+    `mapInPandas` batches the decoders run in."""
+    import struct
+    import zlib
+
+    color_type = {1: 0, 2: 4, 3: 2, 4: 6}.get(channels)
+    if color_type is None:
+        raise ValueError(f"channels must be 1-4, got {channels}")
+    stride = width * channels
+    if len(pixels) != height * stride:
+        raise ValueError(
+            f"pixels length {len(pixels)} != h*w*ch {height * stride}"
+        )
+    row_filters = (
+        [filters] * height if isinstance(filters, int) else list(filters)
+    )
+    if len(row_filters) != height:
+        raise ValueError("need one filter type per scanline")
+    bpp = channels
+    raw = bytearray()
+    prior = bytes(stride)
+    for y in range(height):
+        row = pixels[y * stride : (y + 1) * stride]
+        ft = row_filters[y]
+        if ft not in (0, 1, 2, 3, 4):
+            raise ValueError(f"filter type {ft}")
+        raw.append(ft)
+        if ft == 0:
+            raw.extend(row)
+        elif ft == 1:  # Sub
+            raw.extend(
+                (row[i] - (row[i - bpp] if i >= bpp else 0)) & 0xFF
+                for i in range(stride)
+            )
+        elif ft == 2:  # Up
+            raw.extend((row[i] - prior[i]) & 0xFF for i in range(stride))
+        elif ft == 3:  # Average
+            raw.extend(
+                (
+                    row[i]
+                    - ((row[i - bpp] if i >= bpp else 0) + prior[i]) // 2
+                )
+                & 0xFF
+                for i in range(stride)
+            )
+        else:  # Paeth
+            raw.extend(
+                (
+                    row[i]
+                    - _paeth(
+                        row[i - bpp] if i >= bpp else 0,
+                        prior[i],
+                        prior[i - bpp] if i >= bpp else 0,
+                    )
+                )
+                & 0xFF
+                for i in range(stride)
+            )
+        prior = row
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + tag
+            + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw), 6))
+        + chunk(b"IEND", b"")
+    )
