@@ -650,6 +650,111 @@ def rewrite_data_files(spark: SparkSession, root: str) -> int:
     return write_iceberg(df, root, mode="replace")
 
 
+def _snapshot_refs(tbl: IcebergTable, snapshots: list[dict]) -> set[str]:
+    """Root-relative paths referenced by the given snapshots: manifest
+    lists, manifest files, and every entry's data/delete file (ANY
+    status — a DELETED entry still names the file so an older retained
+    snapshot that reads it is never broken)."""
+    out: set[str] = set()
+    for s in snapshots:
+        out.add(s["manifest-list"])
+        for mf in tbl.manifests(s):
+            out.add(mf["manifest_path"])
+            for e in tbl.manifest_entries(mf["manifest_path"]):
+                out.add(e["data_file"]["file_path"])
+    return out
+
+
+def _commit_metadata(tbl: IcebergTable, meta: dict) -> int:
+    """Write `meta` as the next metadata version (hard-link CAS — the
+    same concurrency discipline as `_commit_snapshot`)."""
+    version = tbl.current_version() + 1
+    path = os.path.join(tbl._meta_dir(), f"v{version}.metadata.json")
+    tmp = path + f".tmp-{uuid.uuid4().hex[:8]}"
+    with open(tmp, "w") as f:
+        json.dump(meta, f, indent=2)
+    try:
+        os.link(tmp, path)
+    except FileExistsError:
+        os.remove(tmp)
+        raise RuntimeError(
+            f"concurrent Iceberg commit at metadata v{version}; retry"
+        )
+    os.remove(tmp)
+    with open(
+        os.path.join(tbl._meta_dir(), "version-hint.text"), "w"
+    ) as f:
+        f.write(str(version))
+    return version
+
+
+def expire_snapshots(root: str, keep_last: int = 1) -> list[str]:
+    """Snapshot expiration — Iceberg's retention maintenance (the
+    janitor motion: reference `catalog/main/impl.py` garbage
+    collection). Keeps the newest `keep_last` snapshots (the current
+    snapshot always survives), commits a new metadata version without
+    the expired ones, then deletes files ONLY expired snapshots
+    reference — a file shared with any retained snapshot stays. Time
+    travel to an expired snapshot id now fails; retained history is
+    untouched. Returns deleted root-relative paths."""
+    tbl = IcebergTable(root)
+    meta = tbl.metadata()
+    snaps = sorted(
+        meta.get("snapshots", []), key=lambda s: s["sequence-number"]
+    )
+    keep_ids = {
+        s["snapshot-id"] for s in snaps[-max(keep_last, 1) :]
+    } | {meta["current-snapshot-id"]}
+    expired = [s for s in snaps if s["snapshot-id"] not in keep_ids]
+    if not expired:
+        return []
+    retained = [s for s in snaps if s["snapshot-id"] in keep_ids]
+    doomed = sorted(
+        _snapshot_refs(tbl, expired) - _snapshot_refs(tbl, retained)
+    )
+    new_meta = dict(meta)
+    new_meta["snapshots"] = retained
+    new_meta["snapshot-log"] = [
+        e
+        for e in meta.get("snapshot-log", [])
+        if e["snapshot-id"] in keep_ids
+    ]
+    _commit_metadata(tbl, new_meta)
+    for rel in doomed:
+        p = os.path.join(root, rel)
+        if os.path.isfile(p):
+            os.remove(p)
+    return doomed
+
+
+def remove_orphan_files(root: str, older_than_s: float = 3600.0) -> list[str]:
+    """Delete data/manifest files under the table root that NO snapshot
+    in the current metadata references — the residue of crashed writes
+    (the write path stages parquet before the metadata commit). Only
+    `.parquet`/`.avro` files older than `older_than_s` are candidates:
+    the age cutoff keeps a concurrent in-flight writer's staged files
+    safe, exactly why the real procedure has `older_than`. Returns
+    deleted root-relative paths."""
+    tbl = IcebergTable(root)
+    meta = tbl.metadata()
+    live = _snapshot_refs(tbl, meta.get("snapshots", []))
+    cutoff = time.time() - older_than_s
+    doomed = []
+    for dirpath, _dirs, files in os.walk(root):
+        for fname in files:
+            if not fname.endswith((".parquet", ".avro")):
+                continue
+            full = os.path.join(dirpath, fname)
+            rel = os.path.relpath(full, root)
+            if rel in live:
+                continue
+            if os.path.getmtime(full) > cutoff:
+                continue
+            os.remove(full)
+            doomed.append(rel)
+    return sorted(doomed)
+
+
 def _file_bounds(path: str) -> tuple[dict | None, dict | None]:
     from deltacat_spark.catalog.io import _footer_stats
 

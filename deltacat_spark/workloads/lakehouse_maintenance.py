@@ -155,12 +155,16 @@ def iceberg_rewrite_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     commit a position-delete snapshot (converter), REWRITE-DATA-FILES
     (compaction folds the deletes into the rewritten files, committed
     as a `replace` snapshot), then commit a SECOND position-delete
-    round against the rewritten files and read the final state. Exact
-    iff the rewrite kept precisely the live rows, dropped the folded
-    delete manifests, and left a table later snapshots still mutate."""
+    round against the rewritten files, EXPIRE every snapshot but the
+    newest, sweep orphans, and read the final state. Exact iff the
+    rewrite kept precisely the live rows, the expiration deleted only
+    files the retained snapshot doesn't reference, and the orphan sweep
+    spared every live file."""
     from deltacat_spark.sources.iceberg import (
         convert_equality_deletes_to_position,
+        expire_snapshots,
         read_iceberg,
+        remove_orphan_files,
         rewrite_data_files,
         write_iceberg,
     )
@@ -177,6 +181,8 @@ def iceberg_rewrite_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     convert_equality_deletes_to_position(spark, root, "o_orderkey % 90 = 0")
     rewrite_data_files(spark, root)
     convert_equality_deletes_to_position(spark, root, "o_orderkey % 60 = 0")
+    expire_snapshots(root, keep_last=1)
+    remove_orphan_files(root, older_than_s=0)
     back = read_iceberg(spark, root)
     return (
         back.groupBy("o_orderpriority")

@@ -292,3 +292,85 @@ def test_rewrite_data_files_folds_deletes(spark, tmp_path, df100):
     )
     q.awaitTermination(120)
     assert spark.read.parquet(sink).count() == 100
+
+
+def test_expire_snapshots_retention_and_file_removal(
+    spark, tmp_path, df100
+):
+    from deltacat_spark.sources.iceberg import expire_snapshots
+
+    root = str(tmp_path / "t")
+    s0 = write_iceberg(df100, root, partition_by=["cat"])
+    s1 = write_iceberg(
+        spark.range(100, 150).select(
+            "id", F.lit("9").alias("cat"), F.lit(0.5).alias("v")
+        ),
+        root,
+    )
+    s2 = write_iceberg(
+        spark.range(150, 160).select(
+            "id", F.lit("8").alias("cat"), F.lit(0.25).alias("v")
+        ),
+        root,
+    )
+    tbl = IcebergTable(root)
+    before = {s["snapshot-id"] for s in tbl.metadata()["snapshots"]}
+    assert before == {s0, s1, s2}
+
+    removed = expire_snapshots(root, keep_last=2)
+    meta = tbl.metadata()
+    assert {s["snapshot-id"] for s in meta["snapshots"]} == {s1, s2}
+    assert {e["snapshot-id"] for e in meta["snapshot-log"]} == {s1, s2}
+    # s0's manifest list is gone, but its DATA files are shared with the
+    # retained append snapshots (append carries manifests forward), so
+    # no parquet was deleted and the current read still sees all rows
+    assert removed and all(r.endswith(".avro") for r in removed)
+    assert read_iceberg(spark, root).count() == 160
+    with pytest.raises(ValueError):
+        read_iceberg(spark, root, snapshot_id=s0)
+    # expiring again is a no-op
+    assert expire_snapshots(root, keep_last=2) == []
+
+
+def test_expire_snapshots_drops_overwritten_data_files(
+    spark, tmp_path, df100
+):
+    from deltacat_spark.sources.iceberg import expire_snapshots
+
+    root = str(tmp_path / "t")
+    write_iceberg(df100, root)
+    s1 = write_iceberg(
+        spark.range(0, 7).select(
+            "id",
+            F.lit("0").alias("cat"),
+            F.lit(1.0).alias("v"),
+        ),
+        root,
+        mode="overwrite",
+    )
+    removed = expire_snapshots(root, keep_last=1)
+    # the overwritten generation's parquet is referenced by NOTHING
+    # retained — it must be physically gone
+    assert any(r.endswith(".parquet") for r in removed)
+    for rel in removed:
+        assert not os.path.isfile(os.path.join(root, rel))
+    back = read_iceberg(spark, root)
+    assert back.count() == 7
+    assert IcebergTable(root).metadata()["current-snapshot-id"] == s1
+
+
+def test_remove_orphan_files_age_gated(spark, tmp_path, df100):
+    from deltacat_spark.sources.iceberg import remove_orphan_files
+
+    root = str(tmp_path / "t")
+    write_iceberg(df100, root, partition_by=["cat"])
+    orphan = os.path.join(root, "data", "crashed-write.parquet")
+    with open(orphan, "wb") as f:
+        f.write(b"not really parquet")
+    # younger than the cutoff -> protected (in-flight writer safety)
+    assert remove_orphan_files(root, older_than_s=3600) == []
+    assert os.path.isfile(orphan)
+    # past the cutoff -> removed; live files untouched
+    removed = remove_orphan_files(root, older_than_s=0)
+    assert removed == [os.path.join("data", "crashed-write.parquet")]
+    assert read_iceberg(spark, root).count() == 100
