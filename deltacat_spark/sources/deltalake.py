@@ -93,6 +93,7 @@ class DeltaSnapshot:
             )
         self.metadata: dict[str, Any] = {}
         self.protocol: dict[str, Any] = {}
+        self.txns: dict[str, int] = {}  # appId -> latest txn version
         adds: dict[str, dict] = {}
 
         start = 0
@@ -166,6 +167,11 @@ class DeltaSnapshot:
             adds[a["path"]] = a
         elif "remove" in action and action["remove"]:
             adds.pop(action["remove"]["path"], None)
+        elif "txn" in action and action["txn"]:
+            t = action["txn"]
+            v = int(t["version"])
+            if v > self.txns.get(t["appId"], -1):
+                self.txns[t["appId"]] = v
 
     # -- schema ----------------------------------------------------------
     @property
@@ -310,11 +316,16 @@ def write_delta(
     mode: str = "append",
     partition_by: list[str] | None = None,
     max_records_per_file: int = 5_000_000,
+    txn: "tuple[str, int] | None" = None,
 ) -> int:
     """DataFrame → Delta table; returns the committed version.
 
     append = new add actions; overwrite = adds + removes for every
     previously-live file. First commit also writes protocol+metaData.
+    `txn=(app_id, version)` stamps a SetTransaction action in the same
+    commit — the spec's idempotent-writer handshake: a streaming sink
+    records its epoch here and skips any batch at or below the table's
+    recorded version on replay (`latest_txn_version`).
     Data files go through Spark's parquet writer into a staging dir and
     are MOVED into the table root (partition-relative layout preserved)
     before the log commit — readers never see uncommitted files because
@@ -415,6 +426,16 @@ def write_delta(
             )
     actions.extend(adds)
     actions.extend(removes)
+    if txn is not None:
+        actions.append(
+            {
+                "txn": {
+                    "appId": str(txn[0]),
+                    "version": int(txn[1]),
+                    "lastUpdated": now_ms,
+                }
+            }
+        )
     actions.append(
         {
             "commitInfo": {
@@ -486,9 +507,19 @@ def _delta_stats(path: str) -> dict[str, Any]:
     return out
 
 
+def latest_txn_version(root: str, app_id: str) -> int | None:
+    """The highest SetTransaction version committed for `app_id`, or
+    None when the table (or the app) has never committed one."""
+    if not _list_versions(root):
+        return None
+    return DeltaSnapshot(root).txns.get(app_id)
+
+
 def write_checkpoint(root: str, version: int) -> None:
     """Columnar checkpoint per the spec: one parquet row per live
-    action (protocol, metaData, every live add), plus _last_checkpoint."""
+    action (protocol, metaData, every live add, and the latest txn per
+    appId — dropping those would reset every idempotent writer), plus
+    _last_checkpoint."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -499,7 +530,11 @@ def write_checkpoint(root: str, version: int) -> None:
     ]
     for a in snap.live_files():
         rows.append({"add": a})
-    cols = ("protocol", "metaData", "add")
+    for app_id in sorted(snap.txns):
+        rows.append(
+            {"txn": {"appId": app_id, "version": snap.txns[app_id]}}
+        )
+    cols = ("protocol", "metaData", "add", "txn")
     norm = [{c: r.get(c) for c in cols} for r in rows]
     # explicit schema: dict-shaped fields are map<string,string> (pylist
     # inference would make `configuration: {}` an empty struct, which
@@ -547,6 +582,15 @@ def write_checkpoint(root: str, version: int) -> None:
                         ("modificationTime", pa.int64()),
                         ("dataChange", pa.bool_()),
                         ("stats", pa.string()),
+                    ]
+                ),
+            ),
+            pa.field(
+                "txn",
+                pa.struct(
+                    [
+                        ("appId", pa.string()),
+                        ("version", pa.int64()),
                     ]
                 ),
             ),

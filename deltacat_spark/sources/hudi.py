@@ -216,8 +216,13 @@ def write_hudi(
     operation: str = "upsert",
     partition_by: list[str] | None = None,
     table_name: str | None = None,
+    extra_meta: dict | None = None,
 ) -> str:
     """DataFrame → Hudi CoW commit; returns the instant.
+
+    `extra_meta` lands as the commit's `extraMetadata` string map —
+    Hudi's carrier for streaming-ingest checkpoints
+    (`latest_extra_meta` reads the newest value back).
 
     insert: every incoming row lands in NEW file groups. upsert:
     file groups holding an incoming record key are REWRITTEN (old rows
@@ -523,7 +528,24 @@ def write_hudi(
         "compacted": False,
         "operationType": operation.upper(),
     }
+    if extra_meta:
+        meta["extraMetadata"] = {
+            str(k): str(v) for k, v in extra_meta.items()
+        }
     return _finish_commit(root, instant, meta)
+
+
+def latest_extra_meta(root: str, key: str) -> str | None:
+    """Newest value of `key` across completed commits' `extraMetadata`
+    — Hudi's convention for streaming-ingest checkpoints (the sink
+    stamps its epoch here; replayed batches are recognized and
+    skipped). Scans instants newest-first, so one read in the common
+    case."""
+    for instant in reversed(completed_instants(root, kinds=("commit",))):
+        em = _commit_meta(root, instant).get("extraMetadata") or {}
+        if key in em:
+            return em[key]
+    return None
 
 
 def _finish_commit(root: str, instant: str, meta: dict) -> str:

@@ -14,6 +14,8 @@ from deltacat_spark.streaming.api import (
     stream_read_delta,
     stream_read_hudi,
     stream_read_iceberg,
+    stream_write_delta,
+    stream_write_hudi,
     stream_write_to_table,
     tumbling_window_agg,
 )
@@ -25,6 +27,8 @@ __all__ = [
     "stream_read_delta",
     "stream_read_hudi",
     "stream_read_iceberg",
+    "stream_write_delta",
+    "stream_write_hudi",
     "stream_write_to_table",
     "tumbling_window_agg",
 ]

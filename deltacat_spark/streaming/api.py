@@ -308,3 +308,134 @@ def stream_write_to_table(
     if trigger_once:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+# ---------------------------------------------------------------------------
+# lakehouse-format streaming sinks (Delta / Hudi)
+# ---------------------------------------------------------------------------
+
+
+def make_delta_stream_sink(
+    root: str,
+    partition_by: "list[str] | None" = None,
+    app_id: "str | None" = None,
+):
+    """Idempotent foreachBatch sink into a jar-free Delta table.
+
+    Exactly-once via the spec's SetTransaction handshake: every batch
+    commit carries `txn=(app_id, batch_id)` IN the commit, and a
+    replayed batch (crash between the table commit and Spark's offset
+    checkpoint) is recognized by `latest_txn_version` and skipped.
+    Batch ids are monotone per checkpoint, so distinct streams into one
+    table need distinct `app_id`s."""
+    import os as _os
+
+    app = app_id or f"delta-sink:{_os.path.basename(root.rstrip('/'))}"
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        from deltacat_spark.sources.deltalake import (
+            latest_txn_version,
+            write_delta,
+        )
+
+        if batch_df.isEmpty():
+            return
+        last = latest_txn_version(root, app)
+        if last is not None and batch_id <= last:
+            return  # replayed batch — already committed atomically
+        write_delta(
+            batch_df,
+            root,
+            mode="append",
+            partition_by=partition_by,
+            txn=(app, batch_id),
+        )
+
+    return _sink
+
+
+def stream_write_delta(
+    stream_df: DataFrame,
+    root: str,
+    checkpoint_dir: "str | None" = None,
+    partition_by: "list[str] | None" = None,
+    app_id: "str | None" = None,
+    trigger_once: bool = True,
+):
+    """Streaming DataFrame → Delta table, one append commit per
+    micro-batch, exactly-once under replays (see
+    :func:`make_delta_stream_sink`). Returns the StreamingQuery."""
+    sink = make_delta_stream_sink(root, partition_by, app_id)
+    writer = stream_df.writeStream.foreachBatch(sink).outputMode("append")
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def make_hudi_stream_sink(
+    root: str,
+    record_key_field: str,
+    partition_by: "list[str] | None" = None,
+    app_id: "str | None" = None,
+    operation: str = "upsert",
+):
+    """Idempotent foreachBatch sink into a jar-free Hudi CoW table —
+    streaming UPSERT by record key (the Hudi ingest shape: late
+    re-deliveries of a key become in-place slice rewrites, not dupes).
+
+    Exactly-once via the commit's `extraMetadata` checkpoint carrier:
+    each batch commit stamps `deltacat.streaming.<app>` = batch_id in
+    the SAME instant, and a replayed batch is recognized by
+    `latest_extra_meta` and skipped."""
+    import os as _os
+
+    app = app_id or f"hudi-sink:{_os.path.basename(root.rstrip('/'))}"
+    meta_key = f"deltacat.streaming.{app}"
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        from deltacat_spark.sources.hudi import (
+            latest_extra_meta,
+            write_hudi,
+        )
+
+        if batch_df.isEmpty():
+            return
+        last = latest_extra_meta(root, meta_key)
+        if last is not None and batch_id <= int(last):
+            return  # replayed batch — already committed atomically
+        write_hudi(
+            batch_df,
+            root,
+            record_key_field=record_key_field,
+            operation=operation,
+            partition_by=partition_by,
+            extra_meta={meta_key: str(batch_id)},
+        )
+
+    return _sink
+
+
+def stream_write_hudi(
+    stream_df: DataFrame,
+    root: str,
+    record_key_field: str,
+    checkpoint_dir: "str | None" = None,
+    partition_by: "list[str] | None" = None,
+    app_id: "str | None" = None,
+    operation: str = "upsert",
+    trigger_once: bool = True,
+):
+    """Streaming DataFrame → Hudi CoW table, one upsert instant per
+    micro-batch, exactly-once under replays (see
+    :func:`make_hudi_stream_sink`). Returns the StreamingQuery."""
+    sink = make_hudi_stream_sink(
+        root, record_key_field, partition_by, app_id, operation
+    )
+    writer = stream_df.writeStream.foreachBatch(sink).outputMode("append")
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
