@@ -477,8 +477,13 @@ def write_iceberg(
     mode: str = "append",
     partition_by: list[str] | None = None,
     max_records_per_file: int = 5_000_000,
+    summary_extra: dict | None = None,
 ) -> int:
     """DataFrame → Iceberg v2 table; returns the new snapshot id.
+
+    `summary_extra` lands in the snapshot's summary string map — the
+    spec's carrier for engine properties; the streaming sink stamps its
+    batch id there (`latest_summary_value` reads it back).
 
     append: new data manifest + carry prior manifests forward in the
     new manifest list. overwrite: manifest list holds only the new
@@ -636,7 +641,27 @@ def write_iceberg(
         schema=df.schema,
         partition_fields=partition_fields,
         commit_uuid=commit_uuid,
+        summary_extra=summary_extra,
     )
+
+
+def latest_summary_value(root: str, key: str) -> str | None:
+    """Newest value of `key` across snapshot summaries (newest-first by
+    sequence number) — the Iceberg streaming sink's replay-detection
+    read."""
+    tbl = IcebergTable(root)
+    if not tbl.exists():
+        return None
+    snaps = sorted(
+        tbl.metadata().get("snapshots", []),
+        key=lambda s: s["sequence-number"],
+        reverse=True,
+    )
+    for s in snaps:
+        v = (s.get("summary") or {}).get(key)
+        if v is not None:
+            return v
+    return None
 
 
 def rewrite_data_files(spark: SparkSession, root: str) -> int:
@@ -798,18 +823,22 @@ def _commit_snapshot(
     schema: T.StructType | None = None,
     partition_fields: list[dict] | None = None,
     commit_uuid: str | None = None,
+    summary_extra: dict | None = None,
 ) -> int:
     commit_uuid = commit_uuid or uuid.uuid4().hex[:12]
     ml_rel = f"{METADATA_DIR}/snap-{snapshot_id}-{commit_uuid}.avro"
     avrofile.write_container(
         os.path.join(tbl.root, ml_rel), _MANIFEST_LIST_SCHEMA, manifests
     )
+    summary = {"operation": operation}
+    if summary_extra:
+        summary.update({str(k): str(v) for k, v in summary_extra.items()})
     snap = {
         "snapshot-id": snapshot_id,
         "sequence-number": seq,
         "timestamp-ms": now_ms,
         "manifest-list": ml_rel,
-        "summary": {"operation": operation},
+        "summary": summary,
         "schema-id": 0,
     }
     if prev_meta is not None:

@@ -16,6 +16,7 @@ from deltacat_spark.streaming.api import (
     stream_read_iceberg,
     stream_write_delta,
     stream_write_hudi,
+    stream_write_iceberg,
     stream_write_to_table,
     tumbling_window_agg,
 )
@@ -29,6 +30,7 @@ __all__ = [
     "stream_read_iceberg",
     "stream_write_delta",
     "stream_write_hudi",
+    "stream_write_iceberg",
     "stream_write_to_table",
     "tumbling_window_agg",
 ]

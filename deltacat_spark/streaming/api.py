@@ -439,3 +439,65 @@ def stream_write_hudi(
     if trigger_once:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def make_iceberg_stream_sink(
+    root: str,
+    partition_by: "list[str] | None" = None,
+    app_id: "str | None" = None,
+):
+    """Idempotent foreachBatch sink into a jar-free Iceberg v2 table:
+    one append snapshot per micro-batch, the batch id stamped into the
+    snapshot SUMMARY (the spec's engine-property carrier), replays
+    recognized by `latest_summary_value` and skipped.
+
+    Retention interplay: the stamp lives on snapshots, so
+    `expire_snapshots` must retain at least the stream's newest stamped
+    snapshot (it does — the current snapshot always survives; only
+    aggressive expiry interleaved with OTHER writers between a sink
+    commit and its offset checkpoint could drop the stamp)."""
+    import os as _os
+
+    app = app_id or f"iceberg-sink:{_os.path.basename(root.rstrip('/'))}"
+    key = f"deltacat.streaming.{app}"
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        from deltacat_spark.sources.iceberg import (
+            latest_summary_value,
+            write_iceberg,
+        )
+
+        if batch_df.isEmpty():
+            return
+        last = latest_summary_value(root, key)
+        if last is not None and batch_id <= int(last):
+            return  # replayed batch — already committed atomically
+        write_iceberg(
+            batch_df,
+            root,
+            mode="append",
+            partition_by=partition_by,
+            summary_extra={key: str(batch_id)},
+        )
+
+    return _sink
+
+
+def stream_write_iceberg(
+    stream_df: DataFrame,
+    root: str,
+    checkpoint_dir: "str | None" = None,
+    partition_by: "list[str] | None" = None,
+    app_id: "str | None" = None,
+    trigger_once: bool = True,
+):
+    """Streaming DataFrame → Iceberg table, one append snapshot per
+    micro-batch, exactly-once under replays (see
+    :func:`make_iceberg_stream_sink`). Returns the StreamingQuery."""
+    sink = make_iceberg_stream_sink(root, partition_by, app_id)
+    writer = stream_df.writeStream.foreachBatch(sink).outputMode("append")
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

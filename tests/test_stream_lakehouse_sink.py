@@ -1,8 +1,8 @@
-"""Streaming SINKS into the jar-free Delta/Hudi tables
-(`streaming/api.py:make_delta_stream_sink` / `make_hudi_stream_sink`):
-one commit per micro-batch, exactly-once under foreachBatch replays via
-the Delta SetTransaction action and the Hudi extraMetadata checkpoint.
-"""
+"""Streaming SINKS into the jar-free Delta/Hudi/Iceberg tables
+(`streaming/api.py:make_*_stream_sink`): one commit per micro-batch,
+exactly-once under foreachBatch replays via the Delta SetTransaction
+action, the Hudi extraMetadata checkpoint, and the Iceberg snapshot
+summary stamp."""
 
 import pytest
 from pyspark.sql import functions as F
@@ -104,3 +104,46 @@ def test_hudi_sink_empty_batch_is_noop(spark, tmp_path):
     assert read_hudi(spark, root, drop_meta=True).count() == 1
     # the empty batch left no checkpoint advance — batch 1 may still land
     assert latest_extra_meta(root, "deltacat.streaming.hudi-sink:h") == "0"
+
+
+def test_iceberg_sink_appends_and_skips_replays(spark, tmp_path):
+    from deltacat_spark.sources.iceberg import (
+        latest_summary_value,
+        read_iceberg,
+    )
+    from deltacat_spark.streaming.api import make_iceberg_stream_sink
+
+    root = str(tmp_path / "i")
+    sink = make_iceberg_stream_sink(root, partition_by=["cat"])
+    sink(_batch(spark, [(1, "a", 1.0), (2, "b", 2.0)]), 0)
+    sink(_batch(spark, [(3, "a", 3.0)]), 1)
+    sink(_batch(spark, [(3, "a", 3.0)]), 1)  # crash replay — no dupes
+    got = read_iceberg(spark, root)
+    assert sorted(r.id for r in got.collect()) == [1, 2, 3]
+    assert latest_summary_value(root, "deltacat.streaming.iceberg-sink:i") == "1"
+    # a maintenance replace between batches must not hide the stamp
+    from deltacat_spark.sources.iceberg import rewrite_data_files
+
+    rewrite_data_files(spark, root)
+    sink(_batch(spark, [(3, "a", 3.0)]), 1)  # still recognized
+    assert read_iceberg(spark, root).count() == 3
+    sink(_batch(spark, [(4, "b", 4.0)]), 2)
+    assert read_iceberg(spark, root).count() == 4
+
+
+def test_iceberg_sink_end_to_end_stream(spark, tmp_path):
+    from deltacat_spark.sources.iceberg import read_iceberg
+    from deltacat_spark.streaming.api import stream_write_iceberg
+
+    src, root = str(tmp_path / "src"), str(tmp_path / "i")
+    ckpt = str(tmp_path / "ckpt")
+    df = _batch(spark, [(i, str(i % 2), float(i)) for i in range(6)])
+    df.write.parquet(src)
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    q = stream_write_iceberg(stream, root, checkpoint_dir=ckpt)
+    q.awaitTermination(120)
+    assert read_iceberg(spark, root).count() == 6
+    # restart over the same source: offsets already consumed, no dupes
+    q2 = stream_write_iceberg(stream, root, checkpoint_dir=ckpt)
+    q2.awaitTermination(120)
+    assert read_iceberg(spark, root).count() == 6
