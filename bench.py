@@ -126,6 +126,14 @@ BENCH_QUERIES = [
     "delta_time_travel_read",
     "avro_format_roundtrip",
     "hudi_incremental_pull",
+    # round 10, second wave (additive): maintenance round-trips
+    # (OPTIMIZE/cluster/rewrite+expire) and the multimodal codec rows
+    # (mapInPandas synth→encode→decode — Arrow-batch bound).
+    "delta_optimize_vacuum",
+    "hudi_cluster_incremental",
+    "iceberg_rewrite_compaction",
+    "wav_codec_features",
+    "png_codec_pixel_stats",
 ]
 
 # The heaviest plans from BENCH_r04, re-measured at ~10x scale in the
