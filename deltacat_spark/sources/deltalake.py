@@ -222,9 +222,22 @@ def read_delta(
             _keep = partition_filter
         files = [f for f in files if _keep(f.get("partitionValues") or {})]
 
-    part_cols = snap.partition_columns
-    full_schema = snap.schema
-    data_schema = snap.data_schema
+    return _scan_files(spark, root, snap.schema, snap.partition_columns, files)
+
+
+def _scan_files(
+    spark: SparkSession,
+    root: str,
+    full_schema: T.StructType,
+    part_cols: list[str],
+    files: list[dict],
+) -> DataFrame:
+    """Scan a log-selected file list, reconstructing identity partition
+    columns from `partitionValues` (hive fast path when the layout
+    allows ONE scan)."""
+    data_schema = T.StructType(
+        [f for f in full_schema.fields if f.name not in part_cols]
+    )
     if not files:
         return spark.createDataFrame([], full_schema)
     paths = [os.path.join(root, f["path"]) for f in files]
@@ -302,6 +315,94 @@ def delta_history(root: str) -> list[dict[str, Any]]:
                 if "commitInfo" in a:
                     info.update(a["commitInfo"])
         out.append(info)
+    return out
+
+
+def read_delta_changes(
+    spark: SparkSession,
+    root: str,
+    from_version: int,
+    to_version: int | None = None,
+) -> DataFrame:
+    """Row-level change feed reconstructed from the action log — the
+    `table_changes` surface for a Delta table without CDC files:
+    `dataChange=true` adds replay as `insert` rows, `dataChange=true`
+    removes replay as `delete` rows (the removed file re-read as of the
+    PRE-commit snapshot), and reorganizations (OPTIMIZE's
+    `dataChange=false` adds+removes) are correctly silent. Exact for
+    this writer set because every data-changing commit is whole-file
+    (append/overwrite) — there are no partial rewrites that carry
+    unchanged rows. Stamps `_change_type` and `_commit_version`.
+
+    Versions are inclusive on both ends. Raises if a needed removed
+    file was vacuumed away."""
+    vs = _list_versions(root)
+    if not vs:
+        raise FileNotFoundError(f"no Delta log under {root}/{LOG_DIR}")
+    hi = vs[-1] if to_version is None else to_version
+    want = [v for v in vs if from_version <= v <= hi]
+    out = None
+
+    def _stamp(df: DataFrame, kind: str, v: int) -> DataFrame:
+        return df.withColumn("_change_type", F.lit(kind)).withColumn(
+            "_commit_version", F.lit(v).cast("long")
+        )
+
+    for v in want:
+        adds: list[dict] = []
+        removes: list[dict] = []
+        with open(_log_path(root, v)) as f:
+            for line in f:
+                line = line.strip()
+                if not line:
+                    continue
+                a = json.loads(line)
+                if a.get("add") and a["add"].get("dataChange", True):
+                    adds.append(a["add"])
+                elif a.get("remove") and a["remove"].get(
+                    "dataChange", True
+                ):
+                    removes.append(a["remove"])
+        if removes and v > vs[0]:
+            # the removed rows' content is the file as of the previous
+            # version — its add action still carries partitionValues
+            prev = DeltaSnapshot(root, v - 1)
+            rfiles = []
+            for r in removes:
+                fmeta = prev.adds.get(r["path"])
+                if fmeta is None:
+                    continue  # re-remove of an already-dead file
+                if not os.path.isfile(os.path.join(root, r["path"])):
+                    raise ValueError(
+                        f"change feed at version {v} needs removed file "
+                        f"{r['path']} which vacuum has deleted"
+                    )
+                rfiles.append(fmeta)
+            if rfiles:
+                df = _scan_files(
+                    spark, root, prev.schema, prev.partition_columns,
+                    rfiles,
+                )
+                part = _stamp(df, "delete", v)
+                out = part if out is None else out.unionByName(part)
+        if adds:
+            for a in adds:
+                if not os.path.isfile(os.path.join(root, a["path"])):
+                    raise ValueError(
+                        f"change feed at version {v} needs file "
+                        f"{a['path']} which vacuum has deleted"
+                    )
+            snap = DeltaSnapshot(root, v)
+            df = _scan_files(
+                spark, root, snap.schema, snap.partition_columns, adds
+            )
+            part = _stamp(df, "insert", v)
+            out = part if out is None else out.unionByName(part)
+    if out is None:
+        snap = DeltaSnapshot(root)
+        return _stamp(spark.createDataFrame([], snap.schema), "insert", 0).filter(
+            F.lit(False)
+        )
     return out
 
 

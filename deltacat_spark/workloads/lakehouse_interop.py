@@ -188,11 +188,65 @@ ORDER BY o_orderstatus
 """
 
 
+def delta_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Insert / append / OVERWRITE a partitioned Delta table, then read
+    the reconstructed row-level change feed from version 0: the
+    overwrite must surface as delete rows for everything previously
+    live plus insert rows for the new slice, with partition columns
+    rebuilt on both sides."""
+    from deltacat_spark.sources.deltalake import (
+        read_delta_changes,
+        write_delta,
+    )
+
+    c = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    root = tempfile.mkdtemp(prefix="delta_cdc_")
+    write_delta(
+        c.filter(F.col("c_custkey") % 9 == 0),
+        root,
+        partition_by=["c_mktsegment"],
+    )
+    write_delta(c.filter(F.col("c_custkey") % 9 == 1), root)
+    write_delta(
+        c.filter(F.col("c_custkey") % 9 == 2), root, mode="overwrite"
+    )
+    ch = read_delta_changes(spark, root, 0)
+    return (
+        ch.groupBy(
+            F.col("_change_type").alias("change_type"), "c_mktsegment"
+        )
+        .agg(cnt("n"), dsum("c_acctbal", "balance"))
+        .orderBy("change_type", "c_mktsegment")
+    )
+
+
+DELTA_CHANGE_FEED_SQL = f"""
+WITH ins AS (
+    SELECT c_mktsegment, c_acctbal FROM customer
+    WHERE c_custkey % 9 IN (0, 1, 2)
+), del AS (
+    SELECT c_mktsegment, c_acctbal FROM customer
+    WHERE c_custkey % 9 IN (0, 1)
+)
+SELECT 'insert' AS change_type, c_mktsegment, {cnt_sql("n")},
+       {dsum_sql("c_acctbal", "balance")}
+FROM ins GROUP BY c_mktsegment
+UNION ALL
+SELECT 'delete' AS change_type, c_mktsegment, {cnt_sql("n")},
+       {dsum_sql("c_acctbal", "balance")}
+FROM del GROUP BY c_mktsegment
+ORDER BY change_type, c_mktsegment
+"""
+
+
 QUERIES = {
     "iceberg_converter_roundtrip": (
         iceberg_converter_roundtrip,
         ICEBERG_CONVERTER_SQL,
     ),
+    "delta_change_feed": (delta_change_feed, DELTA_CHANGE_FEED_SQL),
     "delta_time_travel_read": (delta_time_travel_read, DELTA_TIME_TRAVEL_SQL),
     "avro_format_roundtrip": (avro_format_roundtrip, AVRO_ROUNDTRIP_SQL),
     "hudi_incremental_pull": (hudi_incremental_pull, HUDI_INCREMENTAL_SQL),
