@@ -453,6 +453,107 @@ def read_iceberg(
     return df.select(*keep)
 
 
+def read_iceberg_incremental(
+    spark: SparkSession,
+    root: str,
+    from_sequence: int,
+    to_sequence: int | None = None,
+    on_non_append: str = "fail",
+) -> DataFrame:
+    """Batch incremental read — exactly the rows APPENDED by snapshots
+    with `from_sequence < seq <= to_sequence` (the batch twin of the
+    streaming source: scan only manifest entries newly ADDED by an
+    append snapshot in the window; EXISTING entries carried forward by
+    later manifest lists never re-deliver). Non-append snapshots in the
+    window (replace/overwrite/delete) carry no new rows and cannot be
+    represented as appends: `on_non_append` 'fail' raises, 'skip'
+    ignores them. Stamps `_snapshot_id`."""
+    if on_non_append not in ("fail", "skip"):
+        raise ValueError(f"on_non_append must be fail|skip, got {on_non_append!r}")
+    tbl = IcebergTable(root)
+    meta = tbl.metadata()
+    full_schema = spark_schema_for(meta["schemas"][meta["current-schema-id"]])
+    part_cols = [
+        pf["name"]
+        for pf in meta["partition-specs"][meta["default-spec-id"]]["fields"]
+    ]
+    data_schema = T.StructType(
+        [f for f in full_schema.fields if f.name not in part_cols]
+    )
+    files: list[tuple[str, dict, int]] = []
+    for snap in sorted(
+        meta.get("snapshots", []), key=lambda s: s["sequence-number"]
+    ):
+        seq = snap["sequence-number"]
+        if not (
+            from_sequence < seq
+            and (to_sequence is None or seq <= to_sequence)
+        ):
+            continue
+        op = snap.get("summary", {}).get("operation")
+        if op != "append":
+            if on_non_append == "skip":
+                continue
+            raise ValueError(
+                f"iceberg snapshot {snap['snapshot-id']} is {op!r}, not "
+                "an append; incremental appends cannot represent "
+                "rewrites/deletes — use on_non_append='skip' or a batch "
+                "read_iceberg"
+            )
+        sid = snap["snapshot-id"]
+        for mf in tbl.manifests(snap):
+            if mf.get("content") == 1:
+                continue
+            for e in tbl.manifest_entries(mf["manifest_path"]):
+                if e["status"] != 1 or e.get("snapshot_id") != sid:
+                    continue
+                d = e["data_file"]
+                files.append((d["file_path"], d.get("partition") or {}, sid))
+    if not files:
+        return (
+            spark.createDataFrame([], full_schema)
+            .withColumn("_snapshot_id", F.lit(None).cast("long"))
+        )
+    df = spark.read.schema(data_schema).parquet(
+        *[os.path.join(root, fp) for fp, _, _ in files]
+    )
+    rel = F.replace(
+        F.regexp_replace(F.col("_metadata.file_path"), "^file:/*", "/"),
+        F.lit(root.rstrip("/") + "/"),
+        F.lit(""),
+    )
+    df = df.withColumn("__ice_fp", rel)
+    map_schema = T.StructType(
+        [T.StructField("__ice_fp", T.StringType())]
+        + [
+            T.StructField(c + "__part", T.StringType(), True)
+            for c in part_cols
+        ]
+        + [T.StructField("_snapshot_id", T.LongType())]
+    )
+    pmap = spark.createDataFrame(
+        [
+            (fp,)
+            + tuple(
+                str(pv.get(c)) if pv.get(c) is not None else None
+                for c in part_cols
+            )
+            + (sid,)
+            for fp, pv, sid in files
+        ],
+        map_schema,
+    )
+    df = df.join(F.broadcast(pmap), "__ice_fp")
+    for f in full_schema.fields:
+        if f.name in part_cols:
+            df = df.withColumn(
+                f.name, F.col(f.name + "__part").cast(f.dataType)
+            ).drop(f.name + "__part")
+    return df.select(
+        *[f.name for f in full_schema.fields], "_snapshot_id"
+    )
+
+
 def iceberg_history(root: str) -> list[dict]:
     meta = IcebergTable(root).metadata()
     return [

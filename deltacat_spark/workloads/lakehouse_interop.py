@@ -188,6 +188,42 @@ ORDER BY o_orderstatus
 """
 
 
+def iceberg_incremental_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two Iceberg appends, then a batch incremental read of exactly
+    the second snapshot's rows — manifest-carry-forward must not
+    re-deliver the first append."""
+    from deltacat_spark.sources.iceberg import (
+        read_iceberg_incremental,
+        write_iceberg,
+    )
+
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    root = tempfile.mkdtemp(prefix="ice_inc_")
+    write_iceberg(
+        o.filter(F.col("o_orderkey") % 40 == 0),
+        root,
+        partition_by=["o_orderstatus"],
+    )
+    write_iceberg(o.filter(F.col("o_orderkey") % 40 == 20), root)
+    inc = read_iceberg_incremental(spark, root, from_sequence=1)
+    return (
+        inc.groupBy("o_orderstatus")
+        .agg(cnt("n"), dsum("o_totalprice", "total"))
+        .orderBy("o_orderstatus")
+    )
+
+
+ICEBERG_INCREMENTAL_SQL = f"""
+SELECT o_orderstatus, {cnt_sql("n")}, {dsum_sql("o_totalprice", "total")}
+FROM orders
+WHERE o_orderkey % 40 = 20
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+
 def delta_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Insert / append / OVERWRITE a partitioned Delta table, then read
     the reconstructed row-level change feed from version 0: the
@@ -247,6 +283,10 @@ QUERIES = {
         ICEBERG_CONVERTER_SQL,
     ),
     "delta_change_feed": (delta_change_feed, DELTA_CHANGE_FEED_SQL),
+    "iceberg_incremental_read": (
+        iceberg_incremental_read,
+        ICEBERG_INCREMENTAL_SQL,
+    ),
     "delta_time_travel_read": (delta_time_travel_read, DELTA_TIME_TRAVEL_SQL),
     "avro_format_roundtrip": (avro_format_roundtrip, AVRO_ROUNDTRIP_SQL),
     "hudi_incremental_pull": (hudi_incremental_pull, HUDI_INCREMENTAL_SQL),

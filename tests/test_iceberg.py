@@ -374,3 +374,58 @@ def test_remove_orphan_files_age_gated(spark, tmp_path, df100):
     removed = remove_orphan_files(root, older_than_s=0)
     assert removed == [os.path.join("data", "crashed-write.parquet")]
     assert read_iceberg(spark, root).count() == 100
+
+
+def test_incremental_read_between_snapshots(spark, tmp_path, df100):
+    from deltacat_spark.sources.iceberg import read_iceberg_incremental
+
+    root = str(tmp_path / "t")
+    write_iceberg(df100, root, partition_by=["cat"])  # seq 1
+    write_iceberg(
+        spark.range(100, 120).select(
+            "id", (F.col("id") % 3).cast("string").alias("cat"),
+            F.lit(0.5).alias("v"),
+        ),
+        root,
+    )  # seq 2
+    write_iceberg(
+        spark.range(120, 125).select(
+            "id", F.lit("7").alias("cat"), F.lit(0.25).alias("v")
+        ),
+        root,
+    )  # seq 3
+
+    inc = read_iceberg_incremental(spark, root, from_sequence=1)
+    rows = inc.collect()
+    assert sorted(r.id for r in rows) == list(range(100, 125))
+    # per-row snapshot stamps distinguish the two appends
+    assert len({r._snapshot_id for r in rows}) == 2
+    # partition column reconstructed (second append carried cat)
+    assert {r.cat for r in rows if r.id >= 120} == {"7"}
+    # bounded window: only the middle append
+    mid = read_iceberg_incremental(spark, root, 1, 2)
+    assert sorted(r.id for r in mid.collect()) == list(range(100, 120))
+    # empty window
+    assert read_iceberg_incremental(spark, root, 3).count() == 0
+
+
+def test_incremental_read_non_append_policy(spark, tmp_path, df100):
+    from deltacat_spark.sources.iceberg import (
+        read_iceberg_incremental,
+        rewrite_data_files,
+    )
+
+    root = str(tmp_path / "t")
+    write_iceberg(df100, root)  # seq 1
+    rewrite_data_files(spark, root)  # seq 2: replace — no new rows
+    write_iceberg(
+        spark.range(100, 103).select(
+            "id", F.lit("9").alias("cat"), F.lit(1.0).alias("v")
+        ),
+        root,
+    )  # seq 3
+    with pytest.raises(ValueError, match="not an append"):
+        read_iceberg_incremental(spark, root, 1)
+    got = read_iceberg_incremental(spark, root, 1, on_non_append="skip")
+    # the rewrite re-packaged seq-1's rows but must NOT re-deliver them
+    assert sorted(r.id for r in got.collect()) == [100, 101, 102]
