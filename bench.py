@@ -134,6 +134,8 @@ BENCH_QUERIES = [
     "iceberg_rewrite_compaction",
     "wav_codec_features",
     "png_codec_pixel_stats",
+    "delta_change_feed",
+    "iceberg_incremental_read",
 ]
 
 # The heaviest plans from BENCH_r04, re-measured at ~10x scale in the
