@@ -187,6 +187,16 @@ def _resolve(schema: Any, env: dict[str, Any]) -> Any:
     return schema
 
 
+def _admits_null(schema: Any, env: dict) -> bool:
+    """True iff the resolved type can encode a null value."""
+    resolved = _resolve(schema, env)
+    if resolved == "null":
+        return True
+    if isinstance(resolved, list):  # union
+        return any(_resolve(b, env) == "null" for b in resolved)
+    return False
+
+
 def write_value(schema: Any, value: Any, enc: _Encoder, env: dict) -> None:
     schema = _resolve(schema, env)
     if isinstance(schema, str):
@@ -222,8 +232,14 @@ def write_value(schema: Any, value: Any, enc: _Encoder, env: dict) -> None:
                 v = value[name]
             elif "default" in f:
                 v = f["default"]
+            elif _admits_null(f["type"], env):
+                v = None
             else:
-                v = None  # tolerated only if the field type allows null
+                raise ValueError(
+                    f"record {schema.get('name', '<anonymous>')!r} field "
+                    f"{name!r} is missing, has no default, and its type "
+                    f"{f['type']!r} does not admit null"
+                )
             write_value(f["type"], v, enc, env)
     elif t == "array":
         items = list(value or [])

@@ -160,6 +160,11 @@ def resolve(url: str, datastore: str | None = None) -> Datastore | None:
     scheme = urlparse(url).scheme.lower()
     if "+" in scheme:  # reference convention: <DatastoreType>+<URL>
         prefix = scheme.split("+", 1)[0]
+    elif not scheme and "+" in url:  # e.g. delta+/tmp/x (no ':' scheme)
+        prefix = url.split("+", 1)[0].lower()
+    else:
+        prefix = None
+    if prefix is not None:
         if prefix in _REGISTRY:
             return _REGISTRY[prefix]
         if prefix in _SCHEME_TO_NAME:  # scheme alias, e.g. delta+file://
@@ -194,10 +199,26 @@ def _jdbc_options(url: str) -> dict[str, str]:
     return opts
 
 
+def _strip_type_prefix(url: str) -> str:
+    """Strip a leading `<type>+` datastore prefix from a URL.
+
+    Handles both `delta+file:///x` (prefix inside the parsed scheme)
+    and `delta+/tmp/x` (no `:` so urlparse sees no scheme at all —
+    the part before the first '+' must match a registered datastore
+    name or scheme alias)."""
+    scheme = urlparse(url).scheme
+    if "+" in scheme:
+        return url.split("+", 1)[1]
+    if not scheme and "+" in url:
+        prefix = url.split("+", 1)[0].lower()
+        if prefix in _REGISTRY or prefix in _SCHEME_TO_NAME:
+            return url.split("+", 1)[1]
+    return url
+
+
 def _table_path_options(url: str) -> dict[str, str]:
     # <type>+<path>: strip the type prefix, pass the rest as path
-    scheme = urlparse(url).scheme
-    path = url.split("+", 1)[1] if "+" in scheme else url
+    path = _strip_type_prefix(url)
     opts = dict(parse_qsl(urlparse(path).query))
     opts["path"] = path.split("?", 1)[0]
     return opts
@@ -209,6 +230,11 @@ def _local_table_path(url: str) -> str:
     p = _table_path_options(url)["path"]
     if p.startswith("file://"):
         p = p[len("file://"):]
+    if not p.startswith("/"):
+        raise ValueError(
+            f"datastore table URL {url!r} resolved to a relative path "
+            f"{p!r}; use an absolute path or file:// URL"
+        )
     return p
 
 

@@ -272,7 +272,11 @@ def _scan_files(
         groups.setdefault(key, []).append(os.path.join(root, f["path"]))
         pv_by_key[key] = pv
     out = None
-    for key, group_paths in sorted(groups.items(), key=lambda kv: kv[0]):
+    # None-safe ordering: partitionValues entries may be null
+    for key, group_paths in sorted(
+        groups.items(),
+        key=lambda kv: tuple((v is None, v or "") for v in kv[0]),
+    ):
         df = spark.read.schema(data_schema).parquet(*group_paths)
         pv = pv_by_key[key]
         for c in part_cols:

@@ -32,12 +32,15 @@ Spec shape implemented (format-version 2):
 - position delete files: parquet with spec columns `file_path: string,
   pos: long` referenced by content=1 manifests.
 
-Documented simplification: column bounds ride as a string map
-(`lower_bounds`/`upper_bounds` keyed by column NAME) rather than the
-spec's field-id→single-value-serialized-bytes map — same pruning
-power, readable by this module; a field-id map needs the full
-single-value binary spec, noted for a cluster build. Everything else
-uses spec names and layout.
+Column bounds are spec-exact: `lower_bounds`/`upper_bounds` ride as
+the spec's field-id → single-value-serialized-bytes map (Avro array of
+key/value records `k126_v127`/`k129_v130` with logicalType map), using
+the binary single-value serialization from the spec's Appendix D
+(little-endian fixed-width numerics, UTF-8 strings, two's-complement
+big-endian decimals, micros-since-epoch timestamps) — so an external
+Iceberg reader (Spark runtime, pyiceberg, Trino) gets real file
+skipping from these manifests. Manifests written by the pre-r11
+name→string map are still read (bounds parsing handles both shapes).
 
 Scale shape: control plane is O(manifests) on the driver, exactly
 Iceberg's own model; the data plane is ONE Spark parquet scan over the
@@ -49,8 +52,11 @@ metadata column, no per-row Python.
 
 from __future__ import annotations
 
+import datetime
+import decimal
 import json
 import os
+import struct
 import time
 import uuid
 from typing import Any, Callable
@@ -239,18 +245,251 @@ def _manifest_entry_schema(partition_fields: list[dict]) -> dict:
                         {"name": "record_count", "type": "long"},
                         {"name": "file_size_in_bytes", "type": "long"},
                         {
+                            # spec: map<int, binary> keyed by field id,
+                            # encoded in Avro as an array of key/value
+                            # records (record/field names per the
+                            # iceberg manifest avro schema)
                             "name": "lower_bounds",
-                            "type": ["null", {"type": "map", "values": "string"}],
+                            "type": [
+                                "null",
+                                {
+                                    "type": "array",
+                                    "logicalType": "map",
+                                    "items": {
+                                        "type": "record",
+                                        "name": "k126_v127",
+                                        "fields": [
+                                            {
+                                                "name": "key",
+                                                "type": "int",
+                                                "field-id": 126,
+                                            },
+                                            {
+                                                "name": "value",
+                                                "type": "bytes",
+                                                "field-id": 127,
+                                            },
+                                        ],
+                                    },
+                                },
+                            ],
                         },
                         {
                             "name": "upper_bounds",
-                            "type": ["null", {"type": "map", "values": "string"}],
+                            "type": [
+                                "null",
+                                {
+                                    "type": "array",
+                                    "logicalType": "map",
+                                    "items": {
+                                        "type": "record",
+                                        "name": "k129_v130",
+                                        "fields": [
+                                            {
+                                                "name": "key",
+                                                "type": "int",
+                                                "field-id": 129,
+                                            },
+                                            {
+                                                "name": "value",
+                                                "type": "bytes",
+                                                "field-id": 130,
+                                            },
+                                        ],
+                                    },
+                                },
+                            ],
                         },
                     ],
                 },
             },
         ],
     }
+
+
+# ---------------------------------------------------------------------------
+# single-value binary serialization (Iceberg spec Appendix D)
+# ---------------------------------------------------------------------------
+
+_EPOCH_DATE = datetime.date(1970, 1, 1)
+_EPOCH_DT = datetime.datetime(1970, 1, 1)
+
+
+def serialize_single_value(ice_type: str, v: Any) -> bytes | None:
+    """Iceberg binary single-value serialization for bound values:
+    boolean = 1 byte; int/date = 4-byte LE; long/time/timestamp[tz] =
+    8-byte LE (micros for temporals); float = 4-byte LE IEEE-754;
+    double = 8-byte LE; string = UTF-8; uuid = 16 big-endian bytes;
+    binary/fixed = raw; decimal = unscaled two's-complement big-endian
+    (minimal length). Returns None for values this writer cannot
+    represent (never a failed commit — that file just has no bound)."""
+    try:
+        if ice_type == "boolean":
+            return b"\x01" if v else b"\x00"
+        if ice_type == "int":
+            return struct.pack("<i", int(v))
+        if ice_type == "long":
+            return struct.pack("<q", int(v))
+        if ice_type == "float":
+            return struct.pack("<f", float(v))
+        if ice_type == "double":
+            return struct.pack("<d", float(v))
+        if ice_type == "date":
+            days = (
+                (v - _EPOCH_DATE).days
+                if isinstance(v, datetime.date)
+                else int(v)
+            )
+            return struct.pack("<i", days)
+        if ice_type in ("timestamp", "timestamptz", "time"):
+            if isinstance(v, datetime.datetime):
+                base = (
+                    _EPOCH_DT.replace(tzinfo=v.tzinfo)
+                    if v.tzinfo is not None
+                    else _EPOCH_DT
+                )
+                micros = round((v - base).total_seconds() * 1_000_000)
+            else:
+                micros = int(v)
+            return struct.pack("<q", micros)
+        if ice_type == "string":
+            return str(v).encode("utf-8")
+        if ice_type == "uuid":
+            return uuid.UUID(str(v)).bytes
+        if ice_type == "binary" or ice_type.startswith("fixed"):
+            return bytes(v)
+        if ice_type.startswith("decimal"):
+            scale = int(
+                ice_type[ice_type.index("(") + 1 : ice_type.index(")")]
+                .split(",")[1]
+            )
+            with decimal.localcontext() as ctx:
+                ctx.prec = 100  # a 38-digit unscaled value must not round
+                unscaled = int(
+                    decimal.Decimal(v).scaleb(scale).to_integral_value()
+                )
+            nbytes = (unscaled.bit_length() // 8) + 1
+            return unscaled.to_bytes(nbytes, "big", signed=True)
+    except (TypeError, ValueError, OverflowError, decimal.InvalidOperation):
+        return None
+    return None
+
+
+def deserialize_single_value(ice_type: str, data: bytes) -> Any:
+    """Inverse of `serialize_single_value` (spec Appendix D binary)."""
+    if ice_type == "boolean":
+        return data != b"\x00"
+    if ice_type == "int":
+        return struct.unpack("<i", data)[0]
+    if ice_type == "long":
+        return struct.unpack("<q", data)[0]
+    if ice_type == "float":
+        return struct.unpack("<f", data)[0]
+    if ice_type == "double":
+        return struct.unpack("<d", data)[0]
+    if ice_type == "date":
+        return _EPOCH_DATE + datetime.timedelta(
+            days=struct.unpack("<i", data)[0]
+        )
+    if ice_type in ("timestamp", "timestamptz", "time"):
+        return struct.unpack("<q", data)[0]  # micros
+    if ice_type == "string":
+        return data.decode("utf-8")
+    if ice_type == "uuid":
+        return str(uuid.UUID(bytes=data))
+    if ice_type == "binary" or ice_type.startswith("fixed"):
+        return bytes(data)
+    if ice_type.startswith("decimal"):
+        scale = int(
+            ice_type[ice_type.index("(") + 1 : ice_type.index(")")]
+            .split(",")[1]
+        )
+        unscaled = int.from_bytes(data, "big", signed=True)
+        with decimal.localcontext() as ctx:
+            ctx.prec = 100
+            return decimal.Decimal(unscaled).scaleb(-scale)
+    raise ValueError(f"no single-value deserializer for {ice_type!r}")
+
+
+def _field_info(ice_schema: dict) -> dict[str, tuple[int, str]]:
+    """column name -> (field id, iceberg primitive type) for the
+    top-level primitive fields (bounds are only kept for these)."""
+    out: dict[str, tuple[int, str]] = {}
+    for f in ice_schema.get("fields", []):
+        t = f["type"]
+        if isinstance(t, str):
+            out[f["name"]] = (f["id"], t)
+    return out
+
+
+def parse_bounds(
+    data_file: dict, ice_schema: dict
+) -> dict[str, tuple[Any, Any]]:
+    """Decode a manifest entry's bounds into {column: (lo, hi)} — typed
+    python values for the spec field-id binary map, raw strings for the
+    legacy pre-r11 name→string map (both shapes read back)."""
+    finfo = _field_info(ice_schema)
+    by_id = {fid: (name, t) for name, (fid, t) in finfo.items()}
+    lo_raw = data_file.get("lower_bounds") or {}
+    hi_raw = data_file.get("upper_bounds") or {}
+
+    def decode(raw: Any) -> dict[str, Any]:
+        if isinstance(raw, dict):  # legacy name->string map
+            return dict(raw)
+        out: dict[str, Any] = {}
+        for kv in raw:  # spec array-of-{key,value} map
+            hit = by_id.get(kv["key"])
+            if hit is not None:
+                out[hit[0]] = deserialize_single_value(hit[1], kv["value"])
+        return out
+
+    lo, hi = decode(lo_raw), decode(hi_raw)
+    return {c: (lo.get(c), hi.get(c)) for c in set(lo) | set(hi)}
+
+
+_BOUNDS_MAX_COLS = 32  # manifests stay small even for very wide tables
+
+
+def _file_bounds_spec(
+    path: str, finfo: dict[str, tuple[int, str]]
+) -> tuple[list[dict] | None, list[dict] | None]:
+    """Spec bounds maps ([{key: field-id, value: bytes}], lower/upper)
+    from the parquet footer statistics of a data file."""
+    import pyarrow.parquet as pq
+
+    md = pq.read_metadata(path)
+    mins: dict[str, Any] = {}
+    maxs: dict[str, Any] = {}
+    bad: set[str] = set()
+    for rg in range(md.num_row_groups):
+        g = md.row_group(rg)
+        for i in range(min(md.num_columns, _BOUNDS_MAX_COLS)):
+            col = g.column(i)
+            name = col.path_in_schema
+            if "." in name or name not in finfo or name in bad:
+                continue
+            st = col.statistics
+            if st is None or not st.has_min_max:
+                # a single stats-less row group voids the file's bound
+                bad.add(name)
+                mins.pop(name, None)
+                maxs.pop(name, None)
+                continue
+            mn, mx = st.min, st.max
+            mins[name] = mn if name not in mins else min(mins[name], mn)
+            maxs[name] = mx if name not in maxs else max(maxs[name], mx)
+    lo, hi = [], []
+    for name, v in sorted(mins.items(), key=lambda kv: finfo[kv[0]][0]):
+        fid, t = finfo[name]
+        b = serialize_single_value(t, v)
+        if b is not None:
+            lo.append({"key": fid, "value": b})
+    for name, v in sorted(maxs.items(), key=lambda kv: finfo[kv[0]][0]):
+        fid, t = finfo[name]
+        b = serialize_single_value(t, v)
+        if b is not None:
+            hi.append({"key": fid, "value": b})
+    return (lo or None), (hi or None)
 
 
 _SPARK_TO_PART_AVRO = {
@@ -342,8 +581,30 @@ class IcebergTable:
             for e in self.manifest_entries(mf["manifest_path"]):
                 if e["status"] == 2:  # DELETED entry — file removed
                     continue
-                df = e["data_file"]
-                (deletes if mf["content"] == 1 else data).append(df)
+                df = dict(e["data_file"])
+                # sequence-number inheritance: a null entry seq means
+                # "inherit from the manifest" (spec: ADDED entries
+                # written without an explicit seq inherit the commit's)
+                df["__seq"] = (
+                    e.get("sequence_number")
+                    if e.get("sequence_number") is not None
+                    else mf.get("sequence_number", 0)
+                )
+                if mf["content"] == 1:
+                    if df.get("content") == 2:
+                        # EQUALITY delete files (data_file.content==2)
+                        # also live in content=1 delete manifests; their
+                        # parquet lacks file_path/pos, so applying them
+                        # as position deletes would corrupt the read.
+                        raise NotImplementedError(
+                            "equality delete files (data_file.content=2) "
+                            "written by an external Iceberg writer are "
+                            "not supported by this jar-free reader; "
+                            "rewrite them to position deletes first"
+                        )
+                    deletes.append(df)
+                else:
+                    data.append(df)
         return data, deletes
 
 
@@ -359,12 +620,20 @@ def read_iceberg(
     partition_filter: Callable[[dict], bool] | dict | None = None,
     apply_deletes: bool = True,
     with_lineage: bool = False,
+    bounds_filter: dict[str, tuple[Any, Any]] | None = None,
 ) -> DataFrame:
     """Iceberg table → DataFrame (time travel via `snapshot_id`;
     position deletes applied by default via Spark's `_metadata`
     row-index anti-join). `with_lineage=True` keeps `__ice_fp`
     (root-relative source file) and `__ice_pos` (row index) — the
-    coordinates position-delete commits key on."""
+    coordinates position-delete commits key on.
+
+    `bounds_filter={col: (lo, hi)}` (either end None = open) prunes
+    data files by the manifest's spec lower/upper bounds BEFORE
+    listing: a file is skipped only when its bounds prove no row can
+    satisfy `lo <= col <= hi`; files without bounds for a column are
+    kept (pruning is metadata-only and never a residual filter — the
+    returned frame still needs the row-level predicate)."""
     tbl = IcebergTable(root)
     meta = tbl.metadata()
     full_schema = spark_schema_for(meta["schemas"][meta["current-schema-id"]])
@@ -387,6 +656,43 @@ def read_iceberg(
         else:
             _keep = partition_filter
         data = [f for f in data if _keep(f.get("partition") or {})]
+
+    if bounds_filter:
+        ice_schema = meta["schemas"][meta["current-schema-id"]]
+        fin = _field_info(ice_schema)
+        # normalize predicate values into bound space (temporals
+        # compare as micros/days in the spec binary form)
+        def _norm(t: str, v: Any) -> Any:
+            if v is None:
+                return None
+            if t in ("timestamp", "timestamptz", "time") and isinstance(
+                v, datetime.datetime
+            ):
+                b = serialize_single_value(t, v)
+                return deserialize_single_value(t, b)
+            return v
+
+        def _survives(f: dict) -> bool:
+            b = parse_bounds(f, ice_schema)
+            for col, (lo, hi) in bounds_filter.items():
+                fb = b.get(col)
+                if fb is None:
+                    continue  # no bounds → cannot prune
+                fmin, fmax = fb
+                t = fin.get(col, (None, "string"))[1]
+                lo_n, hi_n = _norm(t, lo), _norm(t, hi)
+                try:
+                    if lo_n is not None and fmax is not None and fmax < lo_n:
+                        return False
+                    if hi_n is not None and fmin is not None and fmin > hi_n:
+                        return False
+                except TypeError:
+                    # legacy string-map bounds vs a typed predicate:
+                    # incomparable → keep the file (never wrong-prune)
+                    continue
+            return True
+
+        data = [f for f in data if _survives(f)]
 
     if not data:
         return (
@@ -412,12 +718,45 @@ def read_iceberg(
     )
 
     if apply_deletes and deletes:
-        dpaths = [os.path.join(root, f["file_path"]) for f in deletes]
-        pos_df = spark.read.parquet(*dpaths).select(
-            F.col("file_path").alias("__ice_fp"),
-            F.col("pos").alias("__ice_pos"),
-        )
-        df = df.join(pos_df, ["__ice_fp", "__ice_pos"], "left_anti")
+        # spec scoping: a position delete at sequence S applies only to
+        # data files with data_seq <= S. Read each delete file tagged
+        # with its seq, map data rows to their file's seq via a
+        # broadcast fp→seq map, and anti-join only in-scope pairs.
+        data_seq = {f["file_path"]: int(f.get("__seq") or 0) for f in data}
+        max_data_seq = max(data_seq.values(), default=0)
+        in_scope = [d for d in deletes if int(d.get("__seq") or 0) > 0]
+        if all(
+            int(d.get("__seq") or 0) >= max_data_seq for d in in_scope
+        ):
+            # fast path (all deletes at/after every data file — the
+            # common append-then-delete history): plain anti-join
+            dpaths = [os.path.join(root, f["file_path"]) for f in deletes]
+            pos_df = spark.read.parquet(*dpaths).select(
+                F.col("file_path").alias("__ice_fp"),
+                F.col("pos").alias("__ice_pos"),
+            )
+            df = df.join(pos_df, ["__ice_fp", "__ice_pos"], "left_anti")
+        else:
+            pos_df = None
+            for d in deletes:
+                one = spark.read.parquet(
+                    os.path.join(root, d["file_path"])
+                ).select(
+                    F.col("file_path").alias("__ice_fp"),
+                    F.col("pos").alias("__ice_pos"),
+                    F.lit(int(d.get("__seq") or 0)).alias("__del_seq"),
+                )
+                pos_df = one if pos_df is None else pos_df.unionByName(one)
+            seq_rows = [(k, v) for k, v in data_seq.items()]
+            seq_map = spark.createDataFrame(
+                seq_rows, "__ice_fp string, __data_seq long"
+            )
+            pos_df = (
+                pos_df.join(F.broadcast(seq_map), "__ice_fp", "inner")
+                .where(F.col("__del_seq") >= F.col("__data_seq"))
+                .select("__ice_fp", "__ice_pos")
+            )
+            df = df.join(pos_df, ["__ice_fp", "__ice_pos"], "left_anti")
 
     if part_cols:
         # reconstruct identity partition columns from manifest metadata
@@ -647,6 +986,15 @@ def write_iceberg(
     partition_fields = [
         {"name": c, "avro_type": part_types[c]} for c in part_cols
     ]
+    # field ids for the spec bounds maps: the table's committed schema
+    # when it exists, else the same deterministic assignment
+    # _commit_snapshot will make for the first commit
+    ice_schema = (
+        prev_meta["schemas"][prev_meta["current-schema-id"]]
+        if existed
+        else iceberg_schema_for(df.schema)
+    )
+    finfo = _field_info(ice_schema)
 
     entries = []
     now_ms = int(time.time() * 1000)
@@ -679,7 +1027,7 @@ def write_iceberg(
             if md.num_rows == 0:
                 os.remove(dst)
                 continue
-            lo, hi = _file_bounds(dst)
+            lo, hi = _file_bounds_spec(dst, finfo)
             entries.append(
                 {
                     "status": 1,  # ADDED
@@ -880,15 +1228,6 @@ def remove_orphan_files(root: str, older_than_s: float = 3600.0) -> list[str]:
             doomed.append(rel)
     return sorted(doomed)
 
-
-def _file_bounds(path: str) -> tuple[dict | None, dict | None]:
-    from deltacat_spark.catalog.io import _footer_stats
-
-    fs = _footer_stats(path)
-    stats = fs.get("stats") or {}
-    lo = {c: str(mm["min"]) for c, mm in stats.items() if "min" in mm}
-    hi = {c: str(mm["max"]) for c, mm in stats.items() if "max" in mm}
-    return (lo or None), (hi or None)
 
 
 def _typed_partition(
