@@ -21,13 +21,31 @@ Implemented: insert/upsert (upsert rewrites matching file groups —
 copy-on-write — keyed by `record_key_field`), snapshot read at latest
 or any instant (time travel), partition pruning from partition paths,
 incremental read (commits after a given instant — Hudi's headline
-feature). MERGE-on-read (log files + compaction) is a different table
-type and out of scope; `table_type` is validated.
+feature).
+
+MERGE_ON_READ tables (`table_type="MERGE_ON_READ"` on first write):
+upserts into existing file groups land as LOG FILES next to the base
+file (named per Hudi's log convention
+`.{fileId}_{baseInstant}.log.{version}_{token}`) under a
+`.deltacommit` timeline action; snapshot reads merge base + logs per
+file group (latest write per record key wins, `_hoodie_is_deleted`
+honored — Hudi's public soft-delete convention); `compact_hudi` folds
+a group's logs into a new base file under a `commit` action stamped
+`compacted: true` (rows keep their ORIGINAL commit time/seqno, so
+incremental pulls skip compactions and stay exact, same as
+clustering). Documented deviation: log file PAYLOAD is a bare parquet
+file rather than HoodieLogFormat block framing — the block framing is
+unpublished wire format; parquet payloads keep the data plane a native
+Spark scan (Hudi itself supports parquet log blocks via
+`hoodie.logfile.data.block.format=parquet`). Readers of this module's
+tables see spec-shaped timeline, naming, and stats.
 
 Scale shape: the timeline is O(commits) JSON on the driver (Hudi's own
 model); upsert's file-group targeting broadcasts the affected-key →
 file-group map and rewrites only touched groups — one Spark scan of
-the touched slices + one write, never the whole table.
+the touched slices + one write, never the whole table. MoR snapshot
+merge shuffles ONLY the log-touched file groups (untouched bases
+union in unshuffled); MoR upsert appends logs without reading bases.
 """
 
 from __future__ import annotations
@@ -67,7 +85,10 @@ def _next_instant(root: str) -> str:
     return base
 
 
-def completed_instants(root: str, kinds: tuple = ("commit", "replacecommit")) -> list[str]:
+def completed_instants(
+    root: str,
+    kinds: tuple = ("commit", "replacecommit", "deltacommit"),
+) -> list[str]:
     d = os.path.join(root, HOODIE_DIR)
     if not os.path.isdir(d):
         return []
@@ -80,13 +101,18 @@ def completed_instants(root: str, kinds: tuple = ("commit", "replacecommit")) ->
 
 
 def instant_kind(root: str, instant: str) -> str:
-    """'commit' (data-bearing) or 'replacecommit' (clustering — a
-    reorganization that carries NO new rows)."""
-    if os.path.isfile(
-        os.path.join(root, HOODIE_DIR, f"{instant}.replacecommit")
-    ):
-        return "replacecommit"
+    """'commit' (data-bearing; also MoR compaction), 'deltacommit'
+    (MoR write — base files for new groups + log files for updated
+    ones), or 'replacecommit' (clustering — a reorganization that
+    carries NO new rows)."""
+    for k in ("replacecommit", "deltacommit"):
+        if os.path.isfile(os.path.join(root, HOODIE_DIR, f"{instant}.{k}")):
+            return k
     return "commit"
+
+
+def _is_log_path(rel: str) -> bool:
+    return ".log." in os.path.basename(rel)
 
 
 def _commit_meta(root: str, instant: str) -> dict:
@@ -111,7 +137,10 @@ def file_slices(
     root: str, as_of: str | None = None
 ) -> list[dict[str, Any]]:
     """Latest file slice per file group at `as_of` (None = latest):
-    [{file_id, partition, path, instant}]. Timeline-only — no data IO."""
+    [{file_id, partition, path, instant, log_paths}]. A slice is the
+    newest BASE file of its group plus the log files written against
+    it since (MoR; a newer base — compaction or CoW rewrite — resets
+    the log list). Timeline-only — no data IO."""
     instants = completed_instants(root)
     if not instants:
         raise FileNotFoundError(f"no Hudi timeline under {root}/{HOODIE_DIR}")
@@ -126,13 +155,29 @@ def file_slices(
                 groups.pop((part, fid), None)
         for part, stats in meta.get("partitionToWriteStats", {}).items():
             for st in stats:
-                groups[(part, st["fileId"])] = {
-                    "file_id": st["fileId"],
-                    "partition": part,
-                    "path": st["path"],
-                    "instant": instant,
-                }
-    return sorted(groups.values(), key=lambda s: s["path"])
+                key = (part, st["fileId"])
+                if _is_log_path(st["path"]):
+                    cur = groups.get(key)
+                    if cur is None:
+                        # baseless log group (not produced by this
+                        # writer; tolerated as a log-only slice)
+                        cur = groups[key] = {
+                            "file_id": st["fileId"],
+                            "partition": part,
+                            "path": None,
+                            "instant": instant,
+                            "log_paths": [],
+                        }
+                    cur["log_paths"].append(st["path"])
+                else:
+                    groups[key] = {
+                        "file_id": st["fileId"],
+                        "partition": part,
+                        "path": st["path"],
+                        "instant": instant,
+                        "log_paths": [],
+                    }
+    return sorted(groups.values(), key=lambda s: s["path"] or "")
 
 
 # ---------------------------------------------------------------------------
@@ -147,7 +192,14 @@ def read_hudi(
     partition_filter: dict[str, str] | None = None,
     drop_meta: bool = True,
 ) -> DataFrame:
-    """Hudi CoW snapshot read (time travel via `as_of` instant)."""
+    """Hudi snapshot read (time travel via `as_of` instant).
+
+    CoW: one parquet scan of the live slices. MoR: file groups WITH
+    log files are merged (latest write per record key wins, ordered by
+    commit time then seqno; rows whose newest version carries
+    `_hoodie_is_deleted=true` — Hudi's public soft-delete convention —
+    drop out); untouched groups union in without a shuffle, so the
+    merge cost is sized by the logged groups only."""
     slices = file_slices(root, as_of)
     if partition_filter:
         want = {f"{k}={v}" for k, v in partition_filter.items()}
@@ -160,8 +212,51 @@ def read_hudi(
         ]
     if not slices:
         raise ValueError("no live file slices (empty table?)")
-    df = spark.read.parquet(*[os.path.join(root, s["path"]) for s in slices])
+    plain = [s for s in slices if not s.get("log_paths")]
+    logged = [s for s in slices if s.get("log_paths")]
+
+    df = None
+    if plain:
+        df = spark.read.parquet(
+            *[os.path.join(root, s["path"]) for s in plain]
+        )
+    if logged:
+        paths = [
+            os.path.join(root, s["path"]) for s in logged if s["path"]
+        ] + [
+            os.path.join(root, lp)
+            for s in logged
+            for lp in s["log_paths"]
+        ]
+        raw = spark.read.option("mergeSchema", "true").parquet(*paths)
+        merged = _merge_log_view(raw)
+        df = merged if df is None else df.unionByName(
+            merged, allowMissingColumns=True
+        )
+    if "_hoodie_is_deleted" in df.columns:
+        df = df.filter(~F.coalesce(F.col("_hoodie_is_deleted"), F.lit(False)))
     return df.drop(*META_COLS) if drop_meta else df
+
+
+def _merge_log_view(raw: DataFrame) -> DataFrame:
+    """Latest version per (partition path, record key): window ordered
+    by commit time desc then seqno desc — within one commit a key
+    appears once, so commit time alone decides. Keeps the winning
+    row's `_hoodie_is_deleted` for the caller to filter."""
+    from pyspark.sql.window import Window
+
+    w = (
+        Window.partitionBy("_hoodie_partition_path", "_hoodie_record_key")
+        .orderBy(
+            F.col("_hoodie_commit_time").desc(),
+            F.col("_hoodie_commit_seqno").desc(),
+        )
+    )
+    return (
+        raw.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
 
 
 def read_hudi_incremental(
@@ -178,10 +273,13 @@ def read_hudi_incremental(
     the pull exact)."""
     # replacecommits (clustering) carry no new rows — their slices
     # repackage rows whose ORIGIN commit files are still on disk and
-    # still scanned, so including them would duplicate those rows
+    # still scanned, so including them would duplicate those rows.
+    # Same for MoR compaction commits (`compacted: true`): the folded
+    # rows keep their original commit times and their origin base/log
+    # files are still scanned.
     instants = [
         i
-        for i in completed_instants(root, kinds=("commit",))
+        for i in completed_instants(root, kinds=("commit", "deltacommit"))
         if i > begin_instant
     ]
     if end_instant is not None:
@@ -189,11 +287,13 @@ def read_hudi_incremental(
     paths = []
     for instant in instants:
         meta = _commit_meta(root, instant)
+        if meta.get("compacted"):
+            continue
         for stats in meta.get("partitionToWriteStats", {}).values():
             paths.extend(os.path.join(root, st["path"]) for st in stats)
     if not paths:
         raise ValueError(f"no commits after {begin_instant}")
-    df = spark.read.parquet(*paths).filter(
+    df = spark.read.option("mergeSchema", "true").parquet(*paths).filter(
         (F.col("_hoodie_commit_time") > begin_instant)
         & (
             F.col("_hoodie_commit_time") <= end_instant
@@ -217,30 +317,43 @@ def write_hudi(
     partition_by: list[str] | None = None,
     table_name: str | None = None,
     extra_meta: dict | None = None,
+    table_type: str | None = None,
 ) -> str:
-    """DataFrame → Hudi CoW commit; returns the instant.
+    """DataFrame → Hudi commit; returns the instant.
 
     `extra_meta` lands as the commit's `extraMetadata` string map —
     Hudi's carrier for streaming-ingest checkpoints
     (`latest_extra_meta` reads the newest value back).
 
     insert: every incoming row lands in NEW file groups. upsert:
-    file groups holding an incoming record key are REWRITTEN (old rows
-    merged with updates — copy-on-write), the rest of the batch lands
-    in new file groups. One partition dir per distinct partition value
+    COPY_ON_WRITE rewrites the file groups holding an incoming record
+    key (old rows merged with updates); MERGE_ON_READ instead APPENDS
+    a log file per touched group (no base read/rewrite — the write
+    cost is O(incoming), which is the point of MoR) under a
+    `.deltacommit`. The rest of the batch lands in new file groups
+    either way. One partition dir per distinct partition value
     (`partition_by` identity columns), `default` when unpartitioned.
+    `table_type` (first write only): COPY_ON_WRITE (default) or
+    MERGE_ON_READ. A boolean `_hoodie_is_deleted` column in `df`
+    soft-deletes those keys on snapshot reads (Hudi's convention).
     """
     if operation not in ("insert", "upsert"):
         raise ValueError(f"operation must be insert|upsert, got {operation!r}")
+    if table_type not in (None, "COPY_ON_WRITE", "MERGE_ON_READ"):
+        raise ValueError(
+            "table_type must be COPY_ON_WRITE|MERGE_ON_READ, got "
+            f"{table_type!r}"
+        )
     os.makedirs(os.path.join(root, HOODIE_DIR), exist_ok=True)
     props_path = os.path.join(root, HOODIE_DIR, "hoodie.properties")
     existed = os.path.isfile(props_path)
     if not existed:
+        table_type = table_type or "COPY_ON_WRITE"
         with open(props_path, "w") as f:
             f.write(
                 "hoodie.table.name="
                 + (table_name or os.path.basename(root.rstrip("/")))
-                + "\nhoodie.table.type=COPY_ON_WRITE"
+                + f"\nhoodie.table.type={table_type}"
                 + "\nhoodie.table.version=6"
                 + f"\nhoodie.table.recordkey.fields={record_key_field}"
                 + "\nhoodie.datasource.write.hive_style_partitioning=true"
@@ -254,10 +367,12 @@ def write_hudi(
             )
     else:
         props = table_properties(root)
-        if props.get("hoodie.table.type") != "COPY_ON_WRITE":
-            raise NotImplementedError(
-                "only COPY_ON_WRITE tables are supported"
+        prior_type = props.get("hoodie.table.type", "COPY_ON_WRITE")
+        if table_type is not None and table_type != prior_type:
+            raise ValueError(
+                f"table_type {table_type} != table's {prior_type}"
             )
+        table_type = prior_type
         prior_parts = props.get("hoodie.table.partition.fields", "")
         if partition_by is not None and ",".join(partition_by) != prior_parts:
             raise ValueError(
@@ -283,31 +398,81 @@ def write_hudi(
         "_hoodie_record_key", F.col(record_key_field).cast("string")
     )
 
+    mor = table_type == "MERGE_ON_READ"
     rewrite_groups: list[dict] = []
+    mor_targets: list[dict] = []
+    mor_key_loc = None  # (__k, __p, __fid) of incoming keys already live
     if operation == "upsert" and existed and completed_instants(root):
-        # file groups holding an incoming key → rewrite set. The key →
-        # file-group index is one column-pruned scan of live slices.
         live = file_slices(root)
-        slices_df = df.sparkSession.read.parquet(
-            *[os.path.join(root, s["path"]) for s in live]
-        ).select("_hoodie_record_key", "_hoodie_file_name")
-        touched = (
-            slices_df.join(
-                F.broadcast(
-                    incoming.select("_hoodie_record_key").distinct()
-                ),
-                "_hoodie_record_key",
+        if mor:
+            # key → file-group index over base AND log files: one
+            # column-pruned scan, provenance joined on the (unique)
+            # file basename so no path-URI normalization is needed.
+            fmap_rows = []
+            src_paths = []
+            for s in live:
+                for p in ([s["path"]] if s["path"] else []) + s[
+                    "log_paths"
+                ]:
+                    fmap_rows.append((os.path.basename(p), s["file_id"]))
+                    src_paths.append(os.path.join(root, p))
+            fmap = df.sparkSession.createDataFrame(
+                fmap_rows, "__fname string, __fid string"
             )
-            .select("_hoodie_file_name")
-            .distinct()
-            .collect()
-        )
-        touched_names = {r._hoodie_file_name for r in touched}
-        rewrite_groups = [
-            s
-            for s in live
-            if os.path.basename(s["path"]) in touched_names
-        ]
+            src = (
+                df.sparkSession.read.option("mergeSchema", "true")
+                .parquet(*src_paths)
+                .select(
+                    F.col("_hoodie_record_key").alias("__k"),
+                    F.col("_hoodie_partition_path").alias("__p"),
+                    F.element_at(
+                        F.split(F.input_file_name(), "/"), -1
+                    ).alias("__fname"),
+                )
+            )
+            mor_key_loc = (
+                src.join(F.broadcast(fmap), "__fname")
+                .select("__k", "__p", "__fid")
+                .distinct()
+                .join(
+                    F.broadcast(
+                        incoming.select(
+                            F.col("_hoodie_record_key").alias("__k"),
+                            F.col("_hoodie_partition_path").alias("__p"),
+                        ).distinct()
+                    ),
+                    ["__k", "__p"],
+                )
+            )
+            touched_fids = {
+                r["__fid"]
+                for r in mor_key_loc.select("__fid").distinct().collect()
+            }
+            mor_targets = [
+                s for s in live if s["file_id"] in touched_fids
+            ]
+        else:
+            # CoW: file groups holding an incoming key → rewrite set.
+            slices_df = df.sparkSession.read.parquet(
+                *[os.path.join(root, s["path"]) for s in live]
+            ).select("_hoodie_record_key", "_hoodie_file_name")
+            touched = (
+                slices_df.join(
+                    F.broadcast(
+                        incoming.select("_hoodie_record_key").distinct()
+                    ),
+                    "_hoodie_record_key",
+                )
+                .select("_hoodie_file_name")
+                .distinct()
+                .collect()
+            )
+            touched_names = {r._hoodie_file_name for r in touched}
+            rewrite_groups = [
+                s
+                for s in live
+                if os.path.basename(s["path"]) in touched_names
+            ]
 
     write_stats: dict[str, list[dict]] = {}
 
@@ -465,6 +630,62 @@ def write_hudi(
             "_hoodie_record_key", "_hoodie_partition_path"
         )
 
+    # 1b) MoR: append ONE log file per touched file group — no base
+    # read, no rewrite. One fanout Spark job clustered on the group's
+    # new log name; write cost is O(incoming rows).
+    if mor and mor_targets:
+        log_fname_by_fid = {
+            s["file_id"]: (
+                f"{s['file_id']}_{s['instant']}"
+                f".log.{len(s['log_paths']) + 1}_{token}.parquet"
+            )
+            for s in mor_targets
+        }
+        part_by_fid = {s["file_id"]: s["partition"] for s in mor_targets}
+        matched = incoming.join(
+            F.broadcast(mor_key_loc),
+            (incoming["_hoodie_record_key"] == F.col("__k"))
+            & (incoming["_hoodie_partition_path"] == F.col("__p")),
+        )
+        fname_map = spark.createDataFrame(
+            [(fid, fn) for fid, fn in log_fname_by_fid.items()],
+            "__fid string, _hoodie_file_name string",
+        )
+        staged = (
+            matched.join(F.broadcast(fname_map), "__fid")
+            .withColumn("_hoodie_commit_time", F.lit(instant))
+            .withColumn(
+                "_hoodie_commit_seqno",
+                F.concat_ws(
+                    "_",
+                    F.lit(instant),
+                    F.monotonically_increasing_id().cast("string"),
+                ),
+            )
+            .repartition("__fid")
+        )
+        cols = META_COLS + [c for c in df.columns]
+        staging = os.path.join(
+            root, HOODIE_DIR, f".tmp-{uuid.uuid4().hex[:8]}"
+        )
+        staged.select(*cols).withColumn(
+            "__pp", F.col("_hoodie_file_name")
+        ).write.mode("overwrite").partitionBy("__pp").parquet(staging)
+        _land_staged(
+            staging,
+            fname_by_key={fn: fn for fn in log_fname_by_fid.values()},
+            part_by_key={
+                fn: part_by_fid[fid]
+                for fid, fn in log_fname_by_fid.items()
+            },
+            fid_by_key={
+                fn: fid for fid, fn in log_fname_by_fid.items()
+            },
+        )
+        handled_keys = matched.select(
+            "_hoodie_record_key", "_hoodie_partition_path"
+        )
+
     # 2) remaining rows → new file groups, ONE Spark job (fanout write):
     # pre-assign a fileId per partition value (the map is
     # partition-count-sized, broadcast), bake the meta columns, write
@@ -532,7 +753,9 @@ def write_hudi(
         meta["extraMetadata"] = {
             str(k): str(v) for k, v in extra_meta.items()
         }
-    return _finish_commit(root, instant, meta)
+    return _finish_commit(
+        root, instant, meta, kind="deltacommit" if mor else "commit"
+    )
 
 
 def latest_extra_meta(root: str, key: str) -> str | None:
@@ -541,16 +764,20 @@ def latest_extra_meta(root: str, key: str) -> str | None:
     stamps its epoch here; replayed batches are recognized and
     skipped). Scans instants newest-first, so one read in the common
     case."""
-    for instant in reversed(completed_instants(root, kinds=("commit",))):
+    for instant in reversed(
+        completed_instants(root, kinds=("commit", "deltacommit"))
+    ):
         em = _commit_meta(root, instant).get("extraMetadata") or {}
         if key in em:
             return em[key]
     return None
 
 
-def _finish_commit(root: str, instant: str, meta: dict) -> str:
-    tmp = os.path.join(root, HOODIE_DIR, f"{instant}.commit.tmp")
-    final = os.path.join(root, HOODIE_DIR, f"{instant}.commit")
+def _finish_commit(
+    root: str, instant: str, meta: dict, kind: str = "commit"
+) -> str:
+    tmp = os.path.join(root, HOODIE_DIR, f"{instant}.{kind}.tmp")
+    final = os.path.join(root, HOODIE_DIR, f"{instant}.{kind}")
     with open(tmp, "w") as f:
         json.dump(meta, f, indent=2)
     try:
@@ -563,8 +790,135 @@ def _finish_commit(root: str, instant: str, meta: dict) -> str:
 
 
 # ---------------------------------------------------------------------------
-# maintenance: clustering (replacecommit)
+# maintenance: compaction (MoR) + clustering (replacecommit)
 # ---------------------------------------------------------------------------
+
+
+def compact_hudi(
+    spark: SparkSession,
+    root: str,
+    partition_filter: list[str] | None = None,
+) -> str | None:
+    """Fold each logged file group's base + log files into ONE new
+    base file — MoR compaction, committed as a `commit` action stamped
+    `compacted: true`. Rows keep their ORIGINAL commit time/seqno
+    (compaction is a reorganization, not new data), so incremental
+    pulls — which skip compacted commits — stay exact, and time travel
+    before the compaction instant still sees base+logs. Keys whose
+    newest version is `_hoodie_is_deleted=true` drop out of the new
+    base (the delete marker's origin log file remains on disk for
+    readers pinned before compaction). One fanout Spark job for all
+    eligible groups; returns the instant, or None when no group has
+    log files."""
+    live = file_slices(root)
+    todo = [
+        s
+        for s in live
+        if s.get("log_paths")
+        and (not partition_filter or s["partition"] in partition_filter)
+    ]
+    if not todo:
+        return None
+    instant = _next_instant(root)
+    token = "0-0-0"
+    fname_by_fid = {
+        s["file_id"]: f"{s['file_id']}_{token}_{instant}.parquet"
+        for s in todo
+    }
+    part_by_fid = {s["file_id"]: s["partition"] for s in todo}
+    fmap_rows = []
+    paths = []
+    for s in todo:
+        for p in ([s["path"]] if s["path"] else []) + s["log_paths"]:
+            fmap_rows.append((os.path.basename(p), s["file_id"]))
+            paths.append(os.path.join(root, p))
+    raw = (
+        spark.read.option("mergeSchema", "true")
+        .parquet(*paths)
+        .withColumn(
+            "__fname", F.element_at(F.split(F.input_file_name(), "/"), -1)
+        )
+        .join(
+            F.broadcast(
+                spark.createDataFrame(
+                    fmap_rows, "__fname string, __fid string"
+                )
+            ),
+            "__fname",
+        )
+        .drop("__fname")
+    )
+    merged = _merge_log_view(raw)
+    if "_hoodie_is_deleted" in merged.columns:
+        merged = merged.filter(
+            ~F.coalesce(F.col("_hoodie_is_deleted"), F.lit(False))
+        )
+    fname_map = spark.createDataFrame(
+        [(fid, fn) for fid, fn in fname_by_fid.items()],
+        "__fid string, __new_name string",
+    )
+    staged = (
+        merged.join(F.broadcast(fname_map), "__fid")
+        .withColumn("_hoodie_file_name", F.col("__new_name"))
+        .drop("__new_name", "__fid")
+        .repartition("_hoodie_file_name")
+    )
+    staging = os.path.join(root, HOODIE_DIR, f".tmp-{uuid.uuid4().hex[:8]}")
+    staged.withColumn(
+        "__pp", F.col("_hoodie_file_name")
+    ).write.mode("overwrite").partitionBy("__pp").parquet(staging)
+
+    write_stats: dict[str, list[dict]] = {}
+    from urllib.parse import unquote
+
+    import pyarrow.parquet as pq
+
+    fid_by_fname = {fn: fid for fid, fn in fname_by_fid.items()}
+    for d in sorted(os.listdir(staging)):
+        if not d.startswith("__pp="):
+            continue
+        fname = unquote(d.split("=", 1)[1])
+        fid = fid_by_fname[fname]
+        partition = part_by_fid[fid]
+        rel = f"{partition}/{fname}" if partition else fname
+        dst = os.path.join(root, rel)
+        os.makedirs(os.path.dirname(dst), exist_ok=True)
+        files = [
+            f
+            for f in sorted(os.listdir(os.path.join(staging, d)))
+            if f.endswith(".parquet")
+        ]
+        if len(files) == 1:
+            os.replace(os.path.join(staging, d, files[0]), dst)
+        else:
+            import pyarrow as pa
+
+            pq.write_table(
+                pa.concat_tables(
+                    pq.read_table(os.path.join(staging, d, f))
+                    for f in files
+                ),
+                dst,
+            )
+        write_stats.setdefault(partition, []).append(
+            {
+                "fileId": fid,
+                "path": rel,
+                "numWrites": pq.read_metadata(dst).num_rows,
+                "fileSizeInBytes": os.path.getsize(dst),
+                "prevCommit": "null",
+            }
+        )
+    shutil.rmtree(staging, ignore_errors=True)
+    return _finish_commit(
+        root,
+        instant,
+        {
+            "partitionToWriteStats": write_stats,
+            "compacted": True,
+            "operationType": "COMPACT",
+        },
+    )
 
 
 def cluster_hudi(
@@ -589,6 +943,11 @@ def cluster_hudi(
     for s in live:
         if partition_filter and s["partition"] not in partition_filter:
             continue
+        if s.get("log_paths"):
+            raise ValueError(
+                f"file group {s['file_id']} has outstanding log files; "
+                "run compact_hudi before clustering"
+            )
         by_part.setdefault(s["partition"], []).append(s)
     todo = {p: ss for p, ss in by_part.items() if len(ss) >= min_groups}
     if not todo:
@@ -694,7 +1053,9 @@ def clean_hudi(root: str, keep_instants: int = 1) -> list[str]:
     pins = instants[-max(keep_instants, 1):]
     for pin in pins:
         for s in file_slices(root, as_of=pin):
-            keep.add(s["path"])
+            if s["path"]:
+                keep.add(s["path"])
+            keep.update(s.get("log_paths") or [])
     # every path ever written
     all_paths: set[str] = set()
     for i in instants:

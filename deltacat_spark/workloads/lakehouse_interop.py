@@ -188,6 +188,113 @@ ORDER BY o_orderstatus
 """
 
 
+def hudi_mor_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hudi MERGE_ON_READ round-trip: insert an orders subset as a
+    partitioned MoR table, UPSERT updates + new keys (updates land as
+    LOG FILES under a deltacommit — no base rewrite), soft-DELETE a
+    key slice via `_hoodie_is_deleted`, snapshot-read the merged view,
+    COMPACT (logs fold into new base files under a `compacted: true`
+    commit), snapshot-read again (must be identical), and incremental-
+    pull since the first commit (unaffected by compaction; the pull
+    surfaces each write's rows — including the pre-delete update of a
+    later-deleted key — with delete markers filtered here). Exact iff
+    log-merge ordering, soft-delete semantics, compaction folding, and
+    per-row commit-time preservation all hold."""
+    from deltacat_spark.sources.hudi import (
+        compact_hudi,
+        read_hudi,
+        read_hudi_incremental,
+        write_hudi,
+    )
+
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    root = tempfile.mkdtemp(prefix="hudi_mor_")
+    i1 = write_hudi(
+        o.filter(F.col("o_orderkey") % 50 == 0),
+        root,
+        record_key_field="o_orderkey",
+        operation="insert",
+        partition_by=["o_orderstatus"],
+        table_type="MERGE_ON_READ",
+    )
+    updates = o.filter(F.col("o_orderkey") % 100 == 0).withColumn(
+        "o_totalprice", F.col("o_totalprice") + F.lit(1000.0)
+    )
+    new_keys = o.filter(F.col("o_orderkey") % 50 == 25)
+    write_hudi(
+        updates.unionByName(new_keys), root, record_key_field="o_orderkey"
+    )
+    deletes = (
+        o.filter(F.col("o_orderkey") % 200 == 0)
+        .withColumn("_hoodie_is_deleted", F.lit(True))
+    )
+    write_hudi(deletes, root, record_key_field="o_orderkey")
+
+    snap = read_hudi(spark, root, drop_meta=True)
+    assert compact_hudi(spark, root) is not None
+    compacted = read_hudi(spark, root, drop_meta=True)
+    inc = read_hudi_incremental(
+        spark, root, begin_instant=i1, drop_meta=True
+    )
+    if "_hoodie_is_deleted" in inc.columns:
+        inc = inc.filter(
+            ~F.coalesce(F.col("_hoodie_is_deleted"), F.lit(False))
+        )
+    out = [
+        df.groupBy("o_orderstatus")
+        .agg(cnt("n"), dsum("o_totalprice", "total"))
+        .withColumn("phase", F.lit(phase))
+        for phase, df in (
+            ("snapshot", snap.drop("_hoodie_is_deleted")),
+            ("compacted", compacted.drop("_hoodie_is_deleted")),
+            ("incremental", inc.drop("_hoodie_is_deleted")),
+        )
+    ]
+    return (
+        out[0]
+        .unionByName(out[1])
+        .unionByName(out[2])
+        .select("phase", "o_orderstatus", "n", "total")
+        .orderBy("phase", "o_orderstatus")
+    )
+
+
+HUDI_MOR_SQL = f"""
+WITH snap AS (
+    SELECT o_orderstatus,
+           CASE WHEN o_orderkey % 100 = 0 THEN o_totalprice + 1000.0
+                ELSE o_totalprice END AS o_totalprice
+    FROM orders
+    WHERE o_orderkey % 50 = 0 AND NOT o_orderkey % 200 = 0
+    UNION ALL
+    SELECT o_orderstatus, o_totalprice
+    FROM orders WHERE o_orderkey % 50 = 25
+), inc AS (
+    SELECT o_orderstatus, o_totalprice + 1000.0 AS o_totalprice
+    FROM orders WHERE o_orderkey % 100 = 0
+    UNION ALL
+    SELECT o_orderstatus, o_totalprice
+    FROM orders WHERE o_orderkey % 50 = 25
+)
+SELECT * FROM (
+    SELECT 'snapshot' AS phase, o_orderstatus, {cnt_sql("n")},
+           {dsum_sql("o_totalprice", "total")}
+    FROM snap GROUP BY o_orderstatus
+    UNION ALL
+    SELECT 'compacted' AS phase, o_orderstatus, {cnt_sql("n")},
+           {dsum_sql("o_totalprice", "total")}
+    FROM snap GROUP BY o_orderstatus
+    UNION ALL
+    SELECT 'incremental' AS phase, o_orderstatus, {cnt_sql("n")},
+           {dsum_sql("o_totalprice", "total")}
+    FROM inc GROUP BY o_orderstatus
+)
+ORDER BY phase, o_orderstatus
+"""
+
+
 def iceberg_incremental_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two Iceberg appends, then a batch incremental read of exactly
     the second snapshot's rows — manifest-carry-forward must not
@@ -290,4 +397,5 @@ QUERIES = {
     "delta_time_travel_read": (delta_time_travel_read, DELTA_TIME_TRAVEL_SQL),
     "avro_format_roundtrip": (avro_format_roundtrip, AVRO_ROUNDTRIP_SQL),
     "hudi_incremental_pull": (hudi_incremental_pull, HUDI_INCREMENTAL_SQL),
+    "hudi_mor_snapshot": (hudi_mor_snapshot, HUDI_MOR_SQL),
 }

@@ -243,11 +243,12 @@ def test_unpartitioned_and_validation(spark, tmp_path, df60):
         write_hudi(df60, root, record_key_field="id", operation="delete")
     with pytest.raises(ValueError):
         write_hudi(df60, root, record_key_field="id", partition_by=["cat"])
-    # MoR tables refused
-    props_path = os.path.join(root, ".hoodie", "hoodie.properties")
-    body = open(props_path).read().replace(
-        "COPY_ON_WRITE", "MERGE_ON_READ"
-    )
-    open(props_path, "w").write(body)
-    with pytest.raises(NotImplementedError):
-        write_hudi(df60, root, record_key_field="id")
+    # a declared table_type that contradicts the table's is refused
+    # (MoR itself is implemented — see test_hudi_mor.py)
+    with pytest.raises(ValueError):
+        write_hudi(
+            df60,
+            root,
+            record_key_field="id",
+            table_type="MERGE_ON_READ",
+        )
