@@ -1,13 +1,16 @@
-"""Baseline JPEG pixel decode with the stdlib alone (ITU T.81 sequential
-DCT, Huffman entropy coding): segment parse → Huffman block decode →
-dequantize → separable float IDCT → chroma upsample → YCbCr→RGB.
+"""JPEG pixel decode with the stdlib alone (ITU T.81 DCT, Huffman
+entropy coding): segment parse → Huffman block decode → dequantize →
+separable float IDCT → chroma upsample → YCbCr→RGB.
 
 Supports what training corpora overwhelmingly carry: 8-bit baseline
-(SOF0) and extended-sequential (SOF1) scans, grayscale and 3-component
-YCbCr with any h×v sampling factors (4:4:4, 4:2:2, 4:2:0, ...), restart
-markers, multi-table DQT/DHT. Progressive (SOF2), arithmetic coding,
-12-bit precision and hierarchical modes raise NotImplementedError — a
-real cluster wires libjpeg-turbo for those.
+(SOF0), extended-sequential (SOF1) AND progressive (SOF2 — spectral
+selection + successive approximation per T.81 Annex G: DC first/refine
+scans, AC first scans with EOB runs, AC refinement scans with
+correction bits) in grayscale and 3-component YCbCr with any h×v
+sampling factors (4:4:4, 4:2:2, 4:2:0, ...), restart markers,
+multi-table DQT/DHT. Arithmetic coding, 12-bit precision and
+hierarchical modes raise NotImplementedError — a real cluster wires
+libjpeg-turbo for those.
 
 Like `decode_png_pixels` this runs inside `mapInPandas` executors over
 Arrow batches: per-pixel Python cost parallelizes with partitions and
@@ -151,7 +154,79 @@ def _extend(v: int, t: int) -> int:
 
 
 class _Component:
-    __slots__ = ("cid", "h", "v", "tq", "dc", "ac", "pred", "plane", "pw", "ph")
+    __slots__ = (
+        "cid", "h", "v", "tq", "dc", "ac", "pred", "plane", "pw", "ph",
+        # progressive: raw coefficient grid (padded MCU geometry) and
+        # block counts — bw/bh padded, uw/uh actually-used
+        "coefs", "bw", "bh", "uw", "uh",
+    )
+
+
+def _parse_dqt(data: bytes, qt: dict) -> None:
+    """DQT segment — possibly several tables per segment (zigzag
+    order, as stored)."""
+    j = 0
+    while j < len(data):
+        pq, tq_id = data[j] >> 4, data[j] & 15
+        j += 1
+        if pq == 0:
+            tbl = list(data[j : j + 64])
+            j += 64
+        else:
+            tbl = [
+                int.from_bytes(data[j + 2 * t : j + 2 * t + 2], "big")
+                for t in range(64)
+            ]
+            j += 128
+        qt[tq_id] = tbl
+
+
+def _parse_dht(data: bytes, huff_dc: dict, huff_ac: dict) -> None:
+    """DHT segment — possibly several tables per segment."""
+    j = 0
+    while j < len(data):
+        cls, tid = data[j] >> 4, data[j] & 15
+        counts = data[j + 1 : j + 17]
+        nsym = sum(counts)
+        symbols = data[j + 17 : j + 17 + nsym]
+        (huff_dc if cls == 0 else huff_ac)[tid] = _build_huff(
+            counts, symbols
+        )
+        j += 17 + nsym
+
+
+def _to_pixels(
+    comps: list, width: int, height: int, max_h: int, max_v: int
+) -> "tuple[int, int, int, bytes]":
+    """Assemble decoded component planes into interleaved pixels —
+    grayscale passthrough or YCbCr→RGB with nearest-neighbor chroma
+    upsampling. Shared by the baseline and progressive paths."""
+    if len(comps) == 1:
+        c = comps[0]
+        out = bytearray(width * height)
+        for y in range(height):
+            out[y * width : (y + 1) * width] = c.plane[
+                y * c.pw : y * c.pw + width
+            ]
+        return width, height, 1, bytes(out)
+    cy, cb, cr = comps
+    out = bytearray(width * height * 3)
+    for y in range(height):
+        ys = [
+            (y * c.v // max_v) * c.pw for c in comps
+        ]  # per-comp row offsets
+        for x in range(width):
+            Y = cy.plane[ys[0] + (x * cy.h // max_h)]
+            Cb = cb.plane[ys[1] + (x * cb.h // max_h)] - 128
+            Cr = cr.plane[ys[2] + (x * cr.h // max_h)] - 128
+            r = int(math.floor(Y + 1.402 * Cr + 0.5))
+            g = int(math.floor(Y - 0.344136 * Cb - 0.714136 * Cr + 0.5))
+            b = int(math.floor(Y + 1.772 * Cb + 0.5))
+            o = 3 * (y * width + x)
+            out[o] = 0 if r < 0 else 255 if r > 255 else r
+            out[o + 1] = 0 if g < 0 else 255 if g > 255 else g
+            out[o + 2] = 0 if b < 0 else 255 if b > 255 else b
+    return width, height, 3, bytes(out)
 
 
 def decode_jpeg_pixels(payload: bytes) -> "tuple[int, int, int, bytes]":
@@ -181,21 +256,8 @@ def decode_jpeg_pixels(payload: bytes) -> "tuple[int, int, int, bytes]":
             raise ValueError("EOI before SOS")
         seg_len = int.from_bytes(payload[i : i + 2], "big")
         data = payload[i + 2 : i + seg_len]
-        if marker == 0xDB:  # DQT — possibly several tables per segment
-            j = 0
-            while j < len(data):
-                pq, tq_id = data[j] >> 4, data[j] & 15
-                j += 1
-                if pq == 0:
-                    tbl = list(data[j : j + 64])
-                    j += 64
-                else:
-                    tbl = [
-                        int.from_bytes(data[j + 2 * t : j + 2 * t + 2], "big")
-                        for t in range(64)
-                    ]
-                    j += 128
-                qt[tq_id] = tbl  # zigzag order, as stored
+        if marker == 0xDB:  # DQT
+            _parse_dqt(data, qt)
         elif marker in (0xC0, 0xC1):  # SOF0 / SOF1: baseline family
             if data[0] != 8:
                 raise NotImplementedError("only 8-bit JPEG precision")
@@ -214,24 +276,17 @@ def decode_jpeg_pixels(payload: bytes) -> "tuple[int, int, int, bytes]":
                 c.tq = data[8 + 3 * k]
                 c.pred = 0
                 comps.append(c)
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+        elif marker == 0xC2:  # SOF2: progressive DCT, Huffman
+            return _decode_progressive(payload)
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                f"JPEG SOF{marker - 0xC0} (progressive/arithmetic/"
-                "hierarchical) needs libjpeg — only baseline decodes "
-                "stdlib-side"
+                f"JPEG SOF{marker - 0xC0} (arithmetic/hierarchical/"
+                "lossless) needs libjpeg — baseline and progressive "
+                "decode stdlib-side"
             )
-        elif marker == 0xC4:  # DHT — possibly several tables
-            j = 0
-            while j < len(data):
-                cls, tid = data[j] >> 4, data[j] & 15
-                counts = data[j + 1 : j + 17]
-                nsym = sum(counts)
-                symbols = data[j + 17 : j + 17 + nsym]
-                (huff_dc if cls == 0 else huff_ac)[tid] = _build_huff(
-                    counts, symbols
-                )
-                j += 17 + nsym
+        elif marker == 0xC4:  # DHT
+            _parse_dht(data, huff_dc, huff_ac)
         elif marker == 0xDD:  # DRI
             restart_interval = int.from_bytes(data[:2], "big")
         elif marker == 0xDA:  # SOS — entropy data follows
@@ -313,30 +368,277 @@ def decode_jpeg_pixels(payload: bytes) -> "tuple[int, int, int, bytes]":
                                 block[8 * yy : 8 * yy + 8]
                             )
 
-    if len(comps) == 1:
-        c = comps[0]
-        out = bytearray(width * height)
-        for y in range(height):
-            out[y * width : (y + 1) * width] = c.plane[
-                y * c.pw : y * c.pw + width
-            ]
-        return width, height, 1, bytes(out)
-    # YCbCr -> RGB with nearest-neighbor chroma upsampling
-    cy, cb, cr = comps
-    out = bytearray(width * height * 3)
-    for y in range(height):
-        ys = [
-            (y * c.v // max_v) * c.pw for c in comps
-        ]  # per-comp row offsets
-        for x in range(width):
-            Y = cy.plane[ys[0] + (x * cy.h // max_h)]
-            Cb = cb.plane[ys[1] + (x * cb.h // max_h)] - 128
-            Cr = cr.plane[ys[2] + (x * cr.h // max_h)] - 128
-            r = int(math.floor(Y + 1.402 * Cr + 0.5))
-            g = int(math.floor(Y - 0.344136 * Cb - 0.714136 * Cr + 0.5))
-            b = int(math.floor(Y + 1.772 * Cb + 0.5))
-            o = 3 * (y * width + x)
-            out[o] = 0 if r < 0 else 255 if r > 255 else r
-            out[o + 1] = 0 if g < 0 else 255 if g > 255 else g
-            out[o + 2] = 0 if b < 0 else 255 if b > 255 else b
-    return width, height, 3, bytes(out)
+    return _to_pixels(comps, width, height, max_h, max_v)
+
+
+# ---------------------------------------------------------------------------
+# progressive DCT (T.81 Annex G, Huffman)
+# ---------------------------------------------------------------------------
+
+
+def _ac_first(br, actab, coef, ss, se, al, eobrun):
+    """AC spectral-selection first scan (G.1.2.2): band [ss..se] with
+    EOB runs; coefficients land pre-shifted by the approximation low
+    bit (<< al)."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = _decode_huff(br, actab)
+        r, s = rs >> 4, rs & 15
+        if s == 0:
+            if r != 15:
+                eobrun = (1 << r) - 1  # this block ends now
+                if r:
+                    eobrun += br.bits(r)
+                break
+            k += 16  # ZRL
+            continue
+        k += r
+        if k > se:
+            raise ValueError("AC run past band end")
+        coef[_ZZ[k]] = _extend(br.bits(s), s) << al
+        k += 1
+    return eobrun
+
+
+def _ac_refine(br, actab, coef, ss, se, al, eobrun):
+    """AC successive-approximation refinement scan (G.1.2.3):
+    correction bits for already-nonzero coefficients, newly-significant
+    coefficients at ±(1<<al), EOB runs refine the band remainder."""
+    p1 = 1 << al
+    m1 = -p1
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = _decode_huff(br, actab)
+            r, s = rs >> 4, rs & 15
+            val = 0
+            if s == 0:
+                if r != 15:
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += br.bits(r)
+                    break
+                # r == 15: run of 16 zero-history coefficients
+            else:
+                # s must be 1 in a refinement scan
+                val = p1 if br.bit() else m1
+            while k <= se:
+                idx = _ZZ[k]
+                if coef[idx] != 0:
+                    if br.bit() and (coef[idx] & p1) == 0:
+                        coef[idx] += p1 if coef[idx] >= 0 else m1
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if val and k <= se:
+                coef[_ZZ[k]] = val
+            k += 1
+    if eobrun > 0:
+        while k <= se:
+            idx = _ZZ[k]
+            if coef[idx] != 0:
+                if br.bit() and (coef[idx] & p1) == 0:
+                    coef[idx] += p1 if coef[idx] >= 0 else m1
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _eat_restart(br, payload):
+    br.align()
+    p = br.pos
+    if payload[p] != 0xFF or not (0xD0 <= payload[p + 1] <= 0xD7):
+        raise ValueError("expected restart marker")
+    br.pos = p + 2
+
+
+def _decode_progressive(payload: bytes) -> "tuple[int, int, int, bytes]":
+    """Progressive JPEG → pixels. Coefficients accumulate across scans
+    (DC first/refine interleaved over MCUs; AC first/refine
+    non-interleaved per component); dequantize + IDCT once at EOI."""
+    qt: dict[int, list] = {}
+    huff_dc: dict[int, dict] = {}
+    huff_ac: dict[int, dict] = {}
+    comps: list[_Component] = []
+    width = height = None
+    max_h = max_v = 1
+    mcux = mcuy = 0
+    restart_interval = 0
+    i, n = 2, len(payload)
+    while i + 1 < n:
+        if payload[i] != 0xFF:
+            raise ValueError("lost marker sync")
+        while i < n and payload[i] == 0xFF:
+            i += 1
+        marker = payload[i]
+        i += 1
+        if marker == 0xD8 or marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            continue
+        if marker == 0xD9:  # EOI
+            break
+        seg_len = int.from_bytes(payload[i : i + 2], "big")
+        data = payload[i + 2 : i + seg_len]
+        if marker == 0xDB:
+            _parse_dqt(data, qt)
+        elif marker == 0xC4:
+            _parse_dht(data, huff_dc, huff_ac)
+        elif marker == 0xDD:
+            restart_interval = int.from_bytes(data[:2], "big")
+        elif marker == 0xC2:
+            if data[0] != 8:
+                raise NotImplementedError("only 8-bit JPEG precision")
+            height = int.from_bytes(data[1:3], "big")
+            width = int.from_bytes(data[3:5], "big")
+            ncomp = data[5]
+            if ncomp not in (1, 3):
+                raise NotImplementedError(
+                    f"{ncomp}-component JPEG (CMYK?) not supported"
+                )
+            for k in range(ncomp):
+                c = _Component()
+                c.cid = data[6 + 3 * k]
+                c.h = data[7 + 3 * k] >> 4
+                c.v = data[7 + 3 * k] & 15
+                c.tq = data[8 + 3 * k]
+                c.pred = 0
+                comps.append(c)
+            max_h = max(c.h for c in comps)
+            max_v = max(c.v for c in comps)
+            mcux = (width + 8 * max_h - 1) // (8 * max_h)
+            mcuy = (height + 8 * max_v - 1) // (8 * max_v)
+            for c in comps:
+                c.bw = mcux * c.h
+                c.bh = mcuy * c.v
+                # used block counts (T.81 A.2.4 non-interleaved
+                # geometry): ceil of the component's sample dimensions
+                c.uw = (-(-width * c.h // max_h) + 7) // 8
+                c.uh = (-(-height * c.v // max_v) + 7) // 8
+                c.coefs = [[0] * 64 for _ in range(c.bw * c.bh)]
+        elif marker == 0xDA:  # SOS: one progressive scan
+            if width is None:
+                raise ValueError("SOS before SOF")
+            ns = data[0]
+            scan = []
+            for k in range(ns):
+                cid = data[1 + 2 * k]
+                td, ta = data[2 + 2 * k] >> 4, data[2 + 2 * k] & 15
+                comp = next(c for c in comps if c.cid == cid)
+                comp.dc = huff_dc.get(td)
+                comp.ac = huff_ac.get(ta)
+                scan.append(comp)
+            ss = data[1 + 2 * ns]
+            se = data[2 + 2 * ns]
+            ah = data[3 + 2 * ns] >> 4
+            al = data[3 + 2 * ns] & 15
+            br = _BitReader(payload, i + seg_len)
+            if ss == 0:  # DC scan
+                if se != 0:
+                    raise ValueError("DC scan with Se != 0")
+                for c in scan:
+                    c.pred = 0
+                if len(scan) > 1:  # interleaved over MCUs
+                    count = 0
+                    for my in range(mcuy):
+                        for mx in range(mcux):
+                            if (
+                                restart_interval
+                                and count
+                                and count % restart_interval == 0
+                            ):
+                                _eat_restart(br, payload)
+                                for c in scan:
+                                    c.pred = 0
+                            count += 1
+                            for c in scan:
+                                for by in range(c.v):
+                                    for bx in range(c.h):
+                                        coef = c.coefs[
+                                            (my * c.v + by) * c.bw
+                                            + (mx * c.h + bx)
+                                        ]
+                                        if ah == 0:
+                                            t = _decode_huff(br, c.dc)
+                                            c.pred += _extend(
+                                                br.bits(t), t
+                                            )
+                                            coef[0] = c.pred << al
+                                        elif br.bit():
+                                            coef[0] |= 1 << al
+                else:  # single-component DC scan: used-block geometry
+                    c = scan[0]
+                    count = 0
+                    for by in range(c.uh):
+                        for bx in range(c.uw):
+                            if (
+                                restart_interval
+                                and count
+                                and count % restart_interval == 0
+                            ):
+                                _eat_restart(br, payload)
+                                c.pred = 0
+                            count += 1
+                            coef = c.coefs[by * c.bw + bx]
+                            if ah == 0:
+                                t = _decode_huff(br, c.dc)
+                                c.pred += _extend(br.bits(t), t)
+                                coef[0] = c.pred << al
+                            elif br.bit():
+                                coef[0] |= 1 << al
+            else:  # AC scan — always single-component
+                if len(scan) != 1:
+                    raise ValueError("interleaved progressive AC scan")
+                c = scan[0]
+                eobrun = 0
+                count = 0
+                for by in range(c.uh):
+                    for bx in range(c.uw):
+                        if (
+                            restart_interval
+                            and count
+                            and count % restart_interval == 0
+                        ):
+                            _eat_restart(br, payload)
+                            eobrun = 0
+                        count += 1
+                        coef = c.coefs[by * c.bw + bx]
+                        if ah == 0:
+                            eobrun = _ac_first(
+                                br, c.ac, coef, ss, se, al, eobrun
+                            )
+                        else:
+                            eobrun = _ac_refine(
+                                br, c.ac, coef, ss, se, al, eobrun
+                            )
+            br.align()
+            i = br.pos
+            continue
+        i += seg_len
+
+    if width is None:
+        raise ValueError("no SOF2 frame found")
+    # dequantize + IDCT every block, assemble planes
+    for c in comps:
+        q = qt[c.tq]
+        c.pw = c.bw * 8
+        c.ph = c.bh * 8
+        c.plane = bytearray(c.pw * c.ph)
+        for by in range(c.bh):
+            for bx in range(c.bw):
+                raw = c.coefs[by * c.bw + bx]
+                dq = [0] * 64
+                for k in range(64):
+                    idx = _ZZ[k]
+                    if raw[idx]:
+                        dq[idx] = raw[idx] * q[k]
+                block = _idct_block(dq)
+                x0, y0 = bx * 8, by * 8
+                for yy in range(8):
+                    row = (y0 + yy) * c.pw + x0
+                    c.plane[row : row + 8] = bytes(
+                        block[8 * yy : 8 * yy + 8]
+                    )
+    return _to_pixels(comps, width, height, max_h, max_v)

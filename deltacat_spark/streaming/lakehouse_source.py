@@ -32,8 +32,11 @@ stream of commit ranges — exactly a Structured Streaming offset range.
 
 Both sources plan driver-side over O(commits) JSON — the formats' own
 metadata model — and read parquet as Arrow RecordBatches executor-side
-(no row-at-a-time Python). Offset checkpointing is Spark's; the
-timelines are immutable, so failure replay yields identical batches.
+(no row-at-a-time Python). Executor memory is bounded per ROW GROUP,
+not per file (`_iter_row_group_tables`): a multi-GB file slice streams
+through the Python worker in row-group-sized chunks. Offset
+checkpointing is Spark's; the timelines are immutable, so failure
+replay yields identical batches.
 """
 
 from __future__ import annotations
@@ -56,6 +59,19 @@ if TYPE_CHECKING:  # pragma: no cover
 HUDI_FORMAT_NAME = "dcs_hudi_incremental"
 DELTA_FORMAT_NAME = "dcs_delta_appends"
 ICEBERG_FORMAT_NAME = "dcs_iceberg_appends"
+
+
+def _iter_row_group_tables(path: str):
+    """Stream a parquet file ROW GROUP at a time. The Python
+    DataSource readers below materialize their file slice in Python,
+    so peak executor memory must be bounded by one row group — not the
+    whole file — or a multi-GB slice OOMs the worker at scale. Writers
+    control the bound via their parquet row-group size."""
+    import pyarrow.parquet as pq
+
+    f = pq.ParquetFile(path)
+    for i in range(f.metadata.num_row_groups):
+        yield f.read_row_group(i)
 
 
 # ---------------------------------------------------------------------------
@@ -128,20 +144,22 @@ class HudiIncrementalStreamReader(DataSourceStreamReader):
     def read(self, partition: _HudiSlicePartition) -> Iterator["RecordBatch"]:
         import pyarrow as pa
         import pyarrow.compute as pc
-        import pyarrow.parquet as pq
 
-        t = pq.read_table(partition.path)
-        # exactly-once: only rows THIS instant wrote (a rewritten CoW
-        # slice carries earlier rows with their original commit times)
-        t = t.filter(
-            pc.equal(t["_hoodie_commit_time"], partition.instant)
-        )
-        n = len(t)
-        cols = [t[name].cast(atype) for name, atype in self._fields]
-        names = [name for name, _ in self._fields]
-        cols.append(pa.array([partition.instant] * n, pa.string()))
-        names.append("_commit_instant")
-        yield from pa.table(cols, names=names).to_batches()
+        for t in _iter_row_group_tables(partition.path):
+            # exactly-once: only rows THIS instant wrote (a rewritten
+            # CoW slice carries earlier rows with their original commit
+            # times)
+            t = t.filter(
+                pc.equal(t["_hoodie_commit_time"], partition.instant)
+            )
+            n = len(t)
+            if n == 0:
+                continue
+            cols = [t[name].cast(atype) for name, atype in self._fields]
+            names = [name for name, _ in self._fields]
+            cols.append(pa.array([partition.instant] * n, pa.string()))
+            names.append("_commit_instant")
+            yield from pa.table(cols, names=names).to_batches()
 
     def commit(self, end: dict) -> None:
         pass  # offsets live in Spark's checkpoint; the timeline is immutable
@@ -267,29 +285,30 @@ class DeltaAppendsStreamReader(DataSourceStreamReader):
 
     def read(self, partition: _DeltaAddPartition) -> Iterator["RecordBatch"]:
         import pyarrow as pa
-        import pyarrow.parquet as pq
 
-        t = pq.read_table(partition.path)
         pv = json.loads(partition.partition_values)
-        n = len(t)
-        cols, names = [], []
-        for name, atype, is_part in self._fields:
-            if name in t.column_names:
-                col = t[name].cast(atype)
-            elif is_part and name in pv:
-                v = pv[name]
-                col = (
-                    pa.nulls(n, atype)
-                    if v is None
-                    else pa.array([v] * n, pa.string()).cast(atype)
-                )
-            else:
-                col = pa.nulls(n, atype)
-            cols.append(col)
-            names.append(name)
-        cols.append(pa.array([partition.version] * n, pa.int64()))
-        names.append("_commit_version")
-        yield from pa.table(cols, names=names).to_batches()
+        for t in _iter_row_group_tables(partition.path):
+            n = len(t)
+            if n == 0:
+                continue
+            cols, names = [], []
+            for name, atype, is_part in self._fields:
+                if name in t.column_names:
+                    col = t[name].cast(atype)
+                elif is_part and name in pv:
+                    v = pv[name]
+                    col = (
+                        pa.nulls(n, atype)
+                        if v is None
+                        else pa.array([v] * n, pa.string()).cast(atype)
+                    )
+                else:
+                    col = pa.nulls(n, atype)
+                cols.append(col)
+                names.append(name)
+            cols.append(pa.array([partition.version] * n, pa.int64()))
+            names.append("_commit_version")
+            yield from pa.table(cols, names=names).to_batches()
 
     def commit(self, end: dict) -> None:
         pass
@@ -396,29 +415,30 @@ class IcebergAppendsStreamReader(DataSourceStreamReader):
 
     def read(self, partition: _IcebergAddPartition) -> Iterator["RecordBatch"]:
         import pyarrow as pa
-        import pyarrow.parquet as pq
 
-        t = pq.read_table(partition.path)
         pv = json.loads(partition.partition_values)
-        n = len(t)
-        cols, names = [], []
-        for name, atype, is_part in self._fields:
-            if name in t.column_names:
-                col = t[name].cast(atype)
-            elif is_part and name in pv:
-                v = pv[name]
-                col = (
-                    pa.nulls(n, atype)
-                    if v is None
-                    else pa.array([v] * n, pa.string()).cast(atype)
-                )
-            else:
-                col = pa.nulls(n, atype)
-            cols.append(col)
-            names.append(name)
-        cols.append(pa.array([partition.snapshot_id] * n, pa.int64()))
-        names.append("_commit_snapshot_id")
-        yield from pa.table(cols, names=names).to_batches()
+        for t in _iter_row_group_tables(partition.path):
+            n = len(t)
+            if n == 0:
+                continue
+            cols, names = [], []
+            for name, atype, is_part in self._fields:
+                if name in t.column_names:
+                    col = t[name].cast(atype)
+                elif is_part and name in pv:
+                    v = pv[name]
+                    col = (
+                        pa.nulls(n, atype)
+                        if v is None
+                        else pa.array([v] * n, pa.string()).cast(atype)
+                    )
+                else:
+                    col = pa.nulls(n, atype)
+                cols.append(col)
+                names.append(name)
+            cols.append(pa.array([partition.snapshot_id] * n, pa.int64()))
+            names.append("_commit_snapshot_id")
+            yield from pa.table(cols, names=names).to_batches()
 
     def commit(self, end: dict) -> None:
         pass

@@ -206,9 +206,11 @@ def test_dimension_crop_of_partial_mcu():
     assert set(px[:8]) == {130} and set(px[8:12]) == {131}
 
 
-def test_progressive_raises_not_implemented():
-    jpg = _gray_jpeg(8, 8, [(16, None)], marker=0xC2)
-    with pytest.raises(NotImplementedError, match="SOF2"):
+def test_arithmetic_coding_raises_not_implemented():
+    # SOF9 (arithmetic sequential) stays a documented boundary;
+    # progressive (SOF2) decodes — see test_jpeg_progressive.py
+    jpg = _gray_jpeg(8, 8, [(16, None)], marker=0xC9)
+    with pytest.raises(NotImplementedError, match="SOF9"):
         decode_jpeg_pixels(jpg)
 
 
