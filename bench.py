@@ -137,8 +137,11 @@ BENCH_QUERIES = [
     "delta_change_feed",
     "iceberg_incremental_read",
     # round 11 (additive): Hudi MERGE_ON_READ round-trip (log-file
-    # upsert → merged snapshot → compaction → incremental pull)
+    # upsert → merged snapshot → compaction → incremental pull) and the
+    # JPEG/MJPEG codec rows (encode→decode pixel/frame stats)
     "hudi_mor_snapshot",
+    "jpeg_codec_pixel_stats",
+    "mjpeg_frame_stats",
 ]
 
 # The heaviest plans from BENCH_r04, re-measured at ~10x scale in the

@@ -642,3 +642,185 @@ def _decode_progressive(payload: bytes) -> "tuple[int, int, int, bytes]":
                         block[8 * yy : 8 * yy + 8]
                     )
     return _to_pixels(comps, width, height, max_h, max_v)
+
+
+# ---------------------------------------------------------------------------
+# minimal baseline encoder (grayscale, unit quantization)
+# ---------------------------------------------------------------------------
+
+# fixed, trivially-valid canonical Huffman tables: 12 DC categories at
+# 4 bits, all 256 AC (run,size) symbols at 9 bits. Poor compression,
+# perfectly spec-legal (canonical, prefix-free, no all-ones code) —
+# these streams decode in ANY baseline JPEG decoder.
+_ENC_DC_COUNTS = bytes([0, 0, 0, 12] + [0] * 12)
+_ENC_DC_SYMS = bytes(range(12))
+_ENC_AC_COUNTS = bytes([0] * 8 + [255, 1] + [0] * 6)
+_ENC_AC_SYMS = bytes(range(256))
+
+
+def _enc_codes(counts: bytes, syms: bytes) -> dict:
+    """symbol -> (code, length) for a canonical table (C.2)."""
+    out, code, k = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(counts[length - 1]):
+            out[syms[k]] = (code, length)
+            k += 1
+            code += 1
+        code <<= 1
+    return out
+
+
+_ENC_DC = _enc_codes(_ENC_DC_COUNTS, _ENC_DC_SYMS)
+_ENC_AC = _enc_codes(_ENC_AC_COUNTS, _ENC_AC_SYMS)
+
+
+class _BitWriterE:
+    __slots__ = ("out", "acc", "n")
+
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def put(self, value: int, nbits: int) -> None:
+        self.acc = (self.acc << nbits) | (value & ((1 << nbits) - 1))
+        self.n += nbits
+        while self.n >= 8:
+            self.n -= 8
+            b = (self.acc >> self.n) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:
+                self.out.append(0x00)  # byte stuffing (F.1.2.3)
+
+    def flush(self) -> bytes:
+        if self.n:
+            self.put((1 << (8 - self.n)) - 1, 8 - self.n)  # 1-fill
+        return bytes(self.out)
+
+
+def _fdct_block(samples: list) -> list:
+    """Forward DCT (T.81 A.3.3), float, rounded to nearest int. A flat
+    block yields a DC-only result EXACTLY (the AC cosine sums cancel
+    below rounding), which is what makes flat-block images lossless
+    through encode→decode at unit quantization."""
+    out = [0] * 64
+    shifted = [s - 128 for s in samples]
+    for v in range(8):
+        for u in range(8):
+            cu = math.sqrt(0.5) if u == 0 else 1.0
+            cv = math.sqrt(0.5) if v == 0 else 1.0
+            s = 0.0
+            for y in range(8):
+                for x in range(8):
+                    s += (
+                        shifted[8 * y + x]
+                        * math.cos((2 * x + 1) * u * math.pi / 16)
+                        * math.cos((2 * y + 1) * v * math.pi / 16)
+                    )
+            out[8 * v + u] = int(math.floor(0.25 * cu * cv * s + 0.5))
+    return out
+
+
+def encode_jpeg_gray(width: int, height: int, pixels: bytes) -> bytes:
+    """Grayscale baseline JPEG at UNIT quantization (q=1 everywhere).
+
+    General images round-trip with only FDCT rounding loss; images
+    whose every 8x8 block is a single flat value round-trip
+    LOSSLESSLY (DC-only blocks; DC IDCT is exact) — the property the
+    codec oracle rows rely on, mirroring the dyadic-exact PNG/WAV
+    rows. Dimensions must be multiples of 8."""
+    if width % 8 or height % 8:
+        raise ValueError("encode_jpeg_gray needs multiple-of-8 dims")
+    if len(pixels) != width * height:
+        raise ValueError("pixel buffer does not match dimensions")
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + (len(body) + 2).to_bytes(2, "big") + body
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xDB, bytes([0x00]) + bytes([1] * 64))  # DQT, all ones
+    out += seg(
+        0xC0,
+        bytes([8])
+        + height.to_bytes(2, "big")
+        + width.to_bytes(2, "big")
+        + bytes([1, 1, 0x11, 0]),
+    )
+    out += seg(0xC4, bytes([0x00]) + _ENC_DC_COUNTS + _ENC_DC_SYMS)
+    out += seg(0xC4, bytes([0x10]) + _ENC_AC_COUNTS + _ENC_AC_SYMS)
+    out += seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+
+    bw = _BitWriterE()
+    pred = 0
+    for by in range(height // 8):
+        for bx in range(width // 8):
+            block = [
+                pixels[(by * 8 + y) * width + bx * 8 + x]
+                for y in range(8)
+                for x in range(8)
+            ]
+            coef = _fdct_block(block)
+            diff = coef[0] - pred
+            pred = coef[0]
+            t = 0 if diff == 0 else abs(diff).bit_length()
+            code, ln = _ENC_DC[t]
+            bw.put(code, ln)
+            if t:
+                bw.put(diff if diff > 0 else diff + (1 << t) - 1, t)
+            run = 0
+            for k in range(1, 64):
+                v = coef[_ZZ[k]]
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    code, ln = _ENC_AC[0xF0]  # ZRL
+                    bw.put(code, ln)
+                    run -= 16
+                s = abs(v).bit_length()
+                code, ln = _ENC_AC[(run << 4) | s]
+                bw.put(code, ln)
+                bw.put(v if v > 0 else v + (1 << s) - 1, s)
+                run = 0
+            if run:
+                code, ln = _ENC_AC[0x00]  # EOB
+                bw.put(code, ln)
+    out += bw.flush()
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# MJPEG frame streams (concatenated JPEG frames)
+# ---------------------------------------------------------------------------
+
+
+def encode_mjpeg(frames: "list[bytes]") -> bytes:
+    """Concatenated-JPEG motion stream — the payload shape of MJPEG
+    over HTTP (multipart) and of MJPEG AVI chunks."""
+    for f in frames:
+        if f[:2] != b"\xff\xd8" or f[-2:] != b"\xff\xd9":
+            raise ValueError("every MJPEG frame must be SOI..EOI")
+    return b"".join(frames)
+
+
+def split_mjpeg_frames(payload: bytes) -> "list[bytes]":
+    """Split a concatenated-JPEG stream on SOI/EOI boundaries. Byte
+    stuffing guarantees 0xFFD9 cannot occur inside entropy-coded data;
+    frames with APPn payloads containing a literal FFD9 are out of
+    scope (this module's encoder emits none)."""
+    frames = []
+    i = 0
+    n = len(payload)
+    while i < n:
+        soi = payload.find(b"\xff\xd8", i)
+        if soi < 0:
+            break
+        eoi = payload.find(b"\xff\xd9", soi + 2)
+        if eoi < 0:
+            raise ValueError("truncated MJPEG frame (no EOI)")
+        frames.append(payload[soi : eoi + 2])
+        i = eoi + 2
+    if not frames:
+        raise ValueError("no JPEG frames in MJPEG payload")
+    return frames

@@ -12,14 +12,17 @@ PNG, baseline JPEG, GIF and BMP pixels decode for REAL with the stdlib
 alone (`decode_png_pixels`: zlib IDAT inflate + per-scanline unfilter;
 `sources/jpeg.py:decode_jpeg_pixels`: Huffman + IDCT + chroma upsample;
 `sources/images.py`: GIF LZW + BMP). WAV audio decodes for real too
-(`sources/audio.py`: RIFF parse + PCM samples + numpy features) and
-MP4 containers probe for real (box walk → duration/dimensions). The
-remaining env-blocked stubs are progressive-JPEG pixels and
-audio-codec / video-FRAME decode: those libraries are not in this
-environment, so `decode=\"real\"` raises NotImplementedError for such
-payloads while `decode=\"fake\"` derives deterministic pseudo-metadata
-from the bytes. The Spark-side plumbing — schema, batch iteration,
-partitioning — is real and tested.
+(`sources/audio.py`: RIFF parse + PCM samples + numpy features), MP4
+containers probe for real (box walk → duration/dimensions), JPEG
+decodes baseline AND progressive pixels (`sources/jpeg.py`), and
+MJPEG video streams decode to real per-frame pixels
+(`decode_mjpeg_frames` — concatenated-JPEG frame split + per-frame
+decode). The remaining env-blocked stubs are compressed audio codecs
+and inter-frame video codecs (H.264 etc.): those libraries are not in
+this environment, so `decode=\"real\"` raises NotImplementedError for
+such payloads while `decode=\"fake\"` derives deterministic
+pseudo-metadata from the bytes. The Spark-side plumbing — schema,
+batch iteration, partitioning — is real and tested.
 """
 
 from __future__ import annotations
@@ -279,12 +282,12 @@ REAL_DECODE_SCHEMA = T.StructType(
 
 
 def real_decode_images(df: DataFrame) -> DataFrame:
-    """Pixel-level decode over Arrow batches (`mapInPandas`): PNG
-    payloads decode for REAL (`decode_png_pixels` — stdlib zlib, no
-    imaging library); JPEG/video payloads remain the env-blocked
-    integration point and RAISE NotImplementedError (never fake pixels
-    on the real path). Output adds `channels` + raw interleaved
-    `pixels` to the metadata schema."""
+    """Pixel-level decode over Arrow batches (`mapInPandas`): PNG,
+    baseline+progressive JPEG, GIF and BMP payloads decode for REAL
+    (stdlib-only codecs); codecs outside those RAISE
+    NotImplementedError (never fake pixels on the real path). Output
+    adds `channels` + raw interleaved `pixels` to the metadata
+    schema."""
 
     def _decode(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
         import hashlib
@@ -392,6 +395,65 @@ def fake_decode_images(df: DataFrame, decode: str = "fake") -> DataFrame:
             yield pd.DataFrame(rows, columns=[f.name for f in DECODE_SCHEMA.fields])
 
     return df.select("path", "content").mapInPandas(_decode, DECODE_SCHEMA)
+
+
+MJPEG_FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("path", T.StringType()),
+        T.StructField("frame_no", T.IntegerType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("pixels", T.BinaryType()),
+    ]
+)
+
+
+def decode_mjpeg_frames(
+    df: DataFrame, every_n: int = 1, max_frames: int | None = None
+) -> DataFrame:
+    """REAL video frame decode for MJPEG streams (concatenated JPEG
+    frames — the MJPEG-over-HTTP / MJPEG-AVI chunk payload shape): one
+    output row per sampled frame with decoded pixel bytes. `every_n`
+    keeps every n-th frame (frame sampling); `max_frames` caps frames
+    per stream. Runs in `mapInPandas` executors — the driver never
+    touches a payload, and per-stream cost is bounded by the sampled
+    frames, so a 100-TB corpus streams through partition-parallel."""
+
+    def _decode(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        import pandas as pd
+
+        from deltacat_spark.sources.jpeg import (
+            decode_jpeg_pixels,
+            split_mjpeg_frames,
+        )
+
+        for pdf in batches:
+            rows = []
+            for path, content in zip(pdf["path"], pdf["content"]):
+                frames = split_mjpeg_frames(bytes(content))
+                kept = frames[::every_n]
+                if max_frames is not None:
+                    kept = kept[:max_frames]
+                for no, frame in enumerate(kept):
+                    w, h, ch, px = decode_jpeg_pixels(frame)
+                    rows.append(
+                        {
+                            "path": path,
+                            "frame_no": no * every_n,
+                            "width": w,
+                            "height": h,
+                            "channels": ch,
+                            "pixels": px,
+                        }
+                    )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in MJPEG_FRAME_SCHEMA.fields]
+            )
+
+    return df.select("path", "content").mapInPandas(
+        _decode, MJPEG_FRAME_SCHEMA
+    )
 
 
 def frame_sample(

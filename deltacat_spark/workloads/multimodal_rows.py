@@ -237,7 +237,229 @@ ORDER BY doc_id
 """
 
 
+_JPEG_W, _JPEG_H = 16, 16  # four 8x8 blocks
+
+_JPEG_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("path", T.StringType()),
+        T.StructField("width", T.LongType()),
+        T.StructField("height", T.LongType()),
+        T.StructField("channels", T.LongType()),
+        T.StructField("pix_sum", T.LongType()),
+        T.StructField("pix_min", T.LongType()),
+        T.StructField("pix_max", T.LongType()),
+    ]
+)
+
+
+def jpeg_codec_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grayscale JPEGs synthesized per document key as BLOCKWISE-FLAT
+    16x16 images (four 8x8 blocks, one value each), encoded with
+    `encode_jpeg_gray` (unit quantization) and decoded back through
+    `real_decode_images` — flat blocks make the lossy codec EXACT
+    (DC-only FDCT, exact DC IDCT), so per-image pixel statistics must
+    equal the oracle's closed-form values. A wrong Huffman table, DC
+    prediction, zigzag walk, or IDCT normalization shifts the sum."""
+
+    def _synth(batches):
+        import pandas as pd
+
+        from deltacat_spark.sources.jpeg import encode_jpeg_gray
+
+        for pdf in batches:
+            rows = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                px = bytes(
+                    (d * 17 + ((y // 8) * 2 + (x // 8)) * 53 + 29) % 256
+                    for y in range(_JPEG_H)
+                    for x in range(_JPEG_W)
+                )
+                rows.append(
+                    {
+                        "path": str(d),
+                        "content": encode_jpeg_gray(_JPEG_W, _JPEG_H, px),
+                    }
+                )
+            yield pd.DataFrame(rows, columns=["path", "content"])
+
+    def _stats(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for path, w, h, ch, px in zip(
+                pdf["path"],
+                pdf["width"],
+                pdf["height"],
+                pdf["channels"],
+                pdf["pixels"],
+            ):
+                a = np.frombuffer(bytes(px), dtype=np.uint8)
+                rows.append(
+                    {
+                        "path": path,
+                        "width": int(w),
+                        "height": int(h),
+                        "channels": int(ch),
+                        "pix_sum": int(a.sum()),
+                        "pix_min": int(a.min()),
+                        "pix_max": int(a.max()),
+                    }
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in _JPEG_STATS_SCHEMA]
+            )
+
+    from deltacat_spark.sources.multimodal import real_decode_images
+
+    docs = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 10 == 5)
+        .select("doc_id")
+    )
+    blobs = docs.mapInPandas(_synth, _WAV_SYNTH_SCHEMA)
+    decoded = real_decode_images(blobs)
+    stats = decoded.mapInPandas(_stats, _JPEG_STATS_SCHEMA)
+    return stats.select(
+        F.col("path").cast("bigint").alias("doc_id"),
+        "width",
+        "height",
+        "channels",
+        "pix_sum",
+        "pix_min",
+        "pix_max",
+    ).orderBy("doc_id")
+
+
+JPEG_CODEC_SQL = """
+WITH docs AS (
+    SELECT doc_id FROM documents WHERE doc_id % 10 = 5
+), blocks AS (
+    SELECT d.doc_id, (d.doc_id * 17 + b.b * 53 + 29) % 256 AS v
+    FROM docs d, generate_series(0, 3) AS b(b)
+)
+SELECT doc_id,
+       CAST(16 AS BIGINT) AS width,
+       CAST(16 AS BIGINT) AS height,
+       CAST(1 AS BIGINT) AS channels,
+       CAST(64 * SUM(v) AS BIGINT) AS pix_sum,
+       CAST(MIN(v) AS BIGINT) AS pix_min,
+       CAST(MAX(v) AS BIGINT) AS pix_max
+FROM blocks
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
+def mjpeg_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video-frame decode: per document, an MJPEG stream of three
+    flat 8x8 grayscale JPEG frames (`encode_mjpeg`), frame-decoded via
+    `decode_mjpeg_frames` — one row per (doc, frame) whose exact pixel
+    sum the oracle reproduces. Broken frame splitting (a boundary
+    inside entropy data), a dropped frame, or lossy drift all move the
+    sums."""
+
+    def _synth(batches):
+        import pandas as pd
+
+        from deltacat_spark.sources.jpeg import (
+            encode_jpeg_gray,
+            encode_mjpeg,
+        )
+
+        for pdf in batches:
+            rows = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                frames = [
+                    encode_jpeg_gray(
+                        8, 8, bytes([(d * 13 + f * 97 + 41) % 256]) * 64
+                    )
+                    for f in range(3)
+                ]
+                rows.append(
+                    {"path": str(d), "content": encode_mjpeg(frames)}
+                )
+            yield pd.DataFrame(rows, columns=["path", "content"])
+
+    def _stats(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for path, fno, w, h, px in zip(
+                pdf["path"],
+                pdf["frame_no"],
+                pdf["width"],
+                pdf["height"],
+                pdf["pixels"],
+            ):
+                a = np.frombuffer(bytes(px), dtype=np.uint8)
+                rows.append(
+                    {
+                        "path": path,
+                        "frame_no": int(fno),
+                        "width": int(w),
+                        "height": int(h),
+                        "pix_sum": int(a.sum()),
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["path", "frame_no", "width", "height", "pix_sum"],
+            )
+
+    from deltacat_spark.sources.multimodal import decode_mjpeg_frames
+
+    docs = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 20 == 0)
+        .select("doc_id")
+    )
+    blobs = docs.mapInPandas(_synth, _WAV_SYNTH_SCHEMA)
+    frames = decode_mjpeg_frames(blobs)
+    stats = frames.mapInPandas(
+        _stats,
+        T.StructType(
+            [
+                T.StructField("path", T.StringType()),
+                T.StructField("frame_no", T.LongType()),
+                T.StructField("width", T.LongType()),
+                T.StructField("height", T.LongType()),
+                T.StructField("pix_sum", T.LongType()),
+            ]
+        ),
+    )
+    return stats.select(
+        F.col("path").cast("bigint").alias("doc_id"),
+        "frame_no",
+        "width",
+        "height",
+        "pix_sum",
+    ).orderBy("doc_id", "frame_no")
+
+
+MJPEG_FRAME_SQL = """
+WITH docs AS (
+    SELECT doc_id FROM documents WHERE doc_id % 20 = 0
+)
+SELECT d.doc_id,
+       CAST(f.f AS BIGINT) AS frame_no,
+       CAST(8 AS BIGINT) AS width,
+       CAST(8 AS BIGINT) AS height,
+       CAST(64 * ((d.doc_id * 13 + f.f * 97 + 41) % 256) AS BIGINT)
+           AS pix_sum
+FROM docs d, generate_series(0, 2) AS f(f)
+ORDER BY d.doc_id, f.f
+"""
+
+
 QUERIES = {
     "wav_codec_features": (wav_codec_features, WAV_CODEC_SQL),
     "png_codec_pixel_stats": (png_codec_pixel_stats, PNG_CODEC_SQL),
+    "jpeg_codec_pixel_stats": (jpeg_codec_pixel_stats, JPEG_CODEC_SQL),
+    "mjpeg_frame_stats": (mjpeg_frame_stats, MJPEG_FRAME_SQL),
 }
