@@ -92,7 +92,7 @@ def _hudi_data_fields(root: str):
 
     from deltacat_spark.sources.hudi import META_COLS, file_slices
 
-    slices = file_slices(root)
+    slices = [s for s in file_slices(root) if s["path"]]
     if not slices:
         raise ValueError(f"no live Hudi file slices under {root}")
     sch = pq.read_schema(os.path.join(root, slices[0]["path"]))
@@ -126,11 +126,19 @@ class HudiIncrementalStreamReader(DataSourceStreamReader):
 
         out: list[InputPartition] = []
         # data-bearing commits only: replacecommits (clustering) carry
-        # no new rows and would plan wasted zero-row slice scans
-        for instant in completed_instants(self._root, kinds=("commit",)):
+        # no new rows and would plan wasted zero-row slice scans, and
+        # MoR compaction commits (compacted: true) repackage rows whose
+        # origin base/log files were already delivered. deltacommits
+        # (MoR writes — base files for new groups + log files for
+        # updates) ARE data-bearing.
+        for instant in completed_instants(
+            self._root, kinds=("commit", "deltacommit")
+        ):
             if not (start["instant"] < instant <= end["instant"]):
                 continue
             meta = _commit_meta(self._root, instant)
+            if meta.get("compacted"):
+                continue
             for stats in meta.get("partitionToWriteStats", {}).values():
                 for st in stats:
                     out.append(
@@ -155,7 +163,15 @@ class HudiIncrementalStreamReader(DataSourceStreamReader):
             n = len(t)
             if n == 0:
                 continue
-            cols = [t[name].cast(atype) for name, atype in self._fields]
+            # a MoR log file's column set can differ from the base
+            # schema (e.g. a _hoodie_is_deleted marker write) — absent
+            # table columns deliver as nulls
+            cols = [
+                t[name].cast(atype)
+                if name in t.column_names
+                else pa.nulls(n, atype)
+                for name, atype in self._fields
+            ]
             names = [name for name, _ in self._fields]
             cols.append(pa.array([partition.instant] * n, pa.string()))
             names.append("_commit_instant")

@@ -191,3 +191,42 @@ def test_delta_stream_fails_or_skips_on_remove(spark, tmp_path):
     )
     got = spark.read.parquet(sink2).collect()
     assert sorted(r.id for r in got) == [0, 1, 2, 3, 4]
+
+
+def test_hudi_mor_stream_deltacommits_and_compaction_silent(
+    spark, tmp_path
+):
+    """MoR tables stream through the same source: deltacommit log rows
+    deliver exactly-once, and a compaction (commit stamped
+    compacted:true) delivers NOTHING — its rows' origin files already
+    streamed."""
+    from deltacat_spark.sources.hudi import compact_hudi
+
+    root = str(tmp_path / "m")
+    write_hudi(
+        _batch(spark, [(i, str(i % 2), float(i)) for i in range(6)]),
+        root, record_key_field="id", operation="insert",
+        partition_by=["cat"], table_type="MERGE_ON_READ",
+    )
+    sink, ckpt = str(tmp_path / "msink"), str(tmp_path / "mckpt")
+    _run_to(stream_read_hudi(spark, root), sink, ckpt)
+    assert sorted(
+        r.id for r in spark.read.parquet(sink).collect()
+    ) == list(range(6))
+
+    # upsert lands as LOG files + one new base group
+    write_hudi(
+        _batch(spark, [(0, "0", 99.0), (100, "0", 1.0)]),
+        root, record_key_field="id",
+    )
+    _run_to(stream_read_hudi(spark, root), sink, ckpt)
+    rows = spark.read.parquet(sink).collect()
+    assert len(rows) == 8  # 6 + 2, exactly-once
+    assert sorted((r.id, r.v) for r in rows if r.id in (0, 100))[1:] == [
+        (0, 99.0), (100, 1.0)
+    ]
+
+    # compaction folds the logs; the stream must stay silent
+    assert compact_hudi(spark, root) is not None
+    _run_to(stream_read_hudi(spark, root), sink, ckpt)
+    assert len(spark.read.parquet(sink).collect()) == 8
