@@ -411,6 +411,36 @@ def deserialize_single_value(ice_type: str, data: bytes) -> Any:
     raise ValueError(f"no single-value deserializer for {ice_type!r}")
 
 
+def _abs_data_path(root: str, p: str) -> str:
+    """Manifest `file_path` → filesystem path. THIS writer stores
+    root-relative paths (relocatable tables — documented deviation);
+    external spec-compliant writers store absolute `file://` URIs.
+    Accept both so externally-written tables read back."""
+    if p.startswith("file:"):
+        p = p[len("file:"):]
+        while p.startswith("//"):
+            p = p[1:]
+    return p if p.startswith("/") else os.path.join(root, p)
+
+
+def _rel_data_path(root: str, p: str) -> str:
+    """Manifest/delete `file_path` → the canonical root-relative form
+    lineage joins key on (inverse of the `__ice_fp` normalization)."""
+    if p.startswith("file:"):
+        p = p[len("file:"):]
+        while p.startswith("//"):
+            p = p[1:]
+    prefix = root.rstrip("/") + "/"
+    return p[len(prefix):] if p.startswith(prefix) else p
+
+
+def _rel_fp_col(root: str, col) -> Any:
+    """The same normalization as `_rel_data_path`, as a Column — for
+    delete-file `file_path` values written by external writers."""
+    c = F.regexp_replace(col, "^file:/*", "/")
+    return F.replace(c, F.lit(root.rstrip("/") + "/"), F.lit(""))
+
+
 def _field_info(ice_schema: dict) -> dict[str, tuple[int, str]]:
     """column name -> (field id, iceberg primitive type) for the
     top-level primitive fields (bounds are only kept for these)."""
@@ -558,13 +588,15 @@ class IcebergTable:
         raise ValueError(f"snapshot {sid} not found")
 
     def manifests(self, snap: dict) -> list[dict]:
-        path = os.path.join(self.root, snap["manifest-list"])
+        # external writers store absolute URIs; this writer stores
+        # root-relative paths — accept both
+        path = _abs_data_path(self.root, snap["manifest-list"])
         _, rows = avrofile.read_container(path)
         return rows
 
     def manifest_entries(self, manifest_path: str) -> list[dict]:
         _, rows = avrofile.read_container(
-            os.path.join(self.root, manifest_path)
+            _abs_data_path(self.root, manifest_path)
         )
         return rows
 
@@ -702,7 +734,7 @@ def read_iceberg(
             .withColumn("__ice_fp", F.lit(None).cast("string"))
             .withColumn("__ice_pos", F.lit(None).cast("long"))
         )
-    paths = [os.path.join(root, f["file_path"]) for f in data]
+    paths = [_abs_data_path(root, f["file_path"]) for f in data]
     df = spark.read.schema(data_schema).parquet(*paths)
     # lineage columns from Spark's metadata struct, normalized to
     # table-root-relative paths (manifests store relative paths so the
@@ -722,7 +754,10 @@ def read_iceberg(
         # data files with data_seq <= S. Read each delete file tagged
         # with its seq, map data rows to their file's seq via a
         # broadcast fp→seq map, and anti-join only in-scope pairs.
-        data_seq = {f["file_path"]: int(f.get("__seq") or 0) for f in data}
+        data_seq = {
+            _rel_data_path(root, f["file_path"]): int(f.get("__seq") or 0)
+            for f in data
+        }
         max_data_seq = max(data_seq.values(), default=0)
         in_scope = [d for d in deletes if int(d.get("__seq") or 0) > 0]
         if all(
@@ -730,9 +765,11 @@ def read_iceberg(
         ):
             # fast path (all deletes at/after every data file — the
             # common append-then-delete history): plain anti-join
-            dpaths = [os.path.join(root, f["file_path"]) for f in deletes]
+            dpaths = [
+                _abs_data_path(root, f["file_path"]) for f in deletes
+            ]
             pos_df = spark.read.parquet(*dpaths).select(
-                F.col("file_path").alias("__ice_fp"),
+                _rel_fp_col(root, F.col("file_path")).alias("__ice_fp"),
                 F.col("pos").alias("__ice_pos"),
             )
             df = df.join(pos_df, ["__ice_fp", "__ice_pos"], "left_anti")
@@ -740,9 +777,11 @@ def read_iceberg(
             pos_df = None
             for d in deletes:
                 one = spark.read.parquet(
-                    os.path.join(root, d["file_path"])
+                    _abs_data_path(root, d["file_path"])
                 ).select(
-                    F.col("file_path").alias("__ice_fp"),
+                    _rel_fp_col(root, F.col("file_path")).alias(
+                        "__ice_fp"
+                    ),
                     F.col("pos").alias("__ice_pos"),
                     F.lit(int(d.get("__seq") or 0)).alias("__del_seq"),
                 )
@@ -762,7 +801,7 @@ def read_iceberg(
         # reconstruct identity partition columns from manifest metadata
         # (file → value map is manifest-sized, broadcastable)
         rows = [
-            (f["file_path"],)
+            (_rel_data_path(root, f["file_path"]),)
             + tuple((f.get("partition") or {}).get(c) for c in part_cols)
             for f in data
         ]
@@ -847,14 +886,20 @@ def read_iceberg_incremental(
                 if e["status"] != 1 or e.get("snapshot_id") != sid:
                     continue
                 d = e["data_file"]
-                files.append((d["file_path"], d.get("partition") or {}, sid))
+                files.append(
+                    (
+                        _rel_data_path(root, d["file_path"]),
+                        d.get("partition") or {},
+                        sid,
+                    )
+                )
     if not files:
         return (
             spark.createDataFrame([], full_schema)
             .withColumn("_snapshot_id", F.lit(None).cast("long"))
         )
     df = spark.read.schema(data_schema).parquet(
-        *[os.path.join(root, fp) for fp, _, _ in files]
+        *[_abs_data_path(root, fp) for fp, _, _ in files]
     )
     rel = F.replace(
         F.regexp_replace(F.col("_metadata.file_path"), "^file:/*", "/"),
@@ -1131,11 +1176,13 @@ def _snapshot_refs(tbl: IcebergTable, snapshots: list[dict]) -> set[str]:
     snapshot that reads it is never broken)."""
     out: set[str] = set()
     for s in snapshots:
-        out.add(s["manifest-list"])
+        out.add(_rel_data_path(tbl.root, s["manifest-list"]))
         for mf in tbl.manifests(s):
-            out.add(mf["manifest_path"])
+            out.add(_rel_data_path(tbl.root, mf["manifest_path"]))
             for e in tbl.manifest_entries(mf["manifest_path"]):
-                out.add(e["data_file"]["file_path"])
+                out.add(
+                    _rel_data_path(tbl.root, e["data_file"]["file_path"])
+                )
     return out
 
 

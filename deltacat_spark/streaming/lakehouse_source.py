@@ -412,9 +412,15 @@ class IcebergAppendsStreamReader(DataSourceStreamReader):
                     if e["status"] != 1 or e.get("snapshot_id") != sid:
                         continue
                     df = e["data_file"]
+                    from deltacat_spark.sources.iceberg import (
+                        _abs_data_path,
+                    )
+
                     out.append(
                         _IcebergAddPartition(
-                            path=os.path.join(self._root, df["file_path"]),
+                            path=_abs_data_path(
+                                self._root, df["file_path"]
+                            ),
                             snapshot_id=sid,
                             sequence_number=seq,
                             partition_values=json.dumps(
