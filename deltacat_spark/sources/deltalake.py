@@ -190,6 +190,38 @@ class DeltaSnapshot:
     def live_files(self) -> list[dict]:
         return sorted(self.adds.values(), key=lambda a: a["path"])
 
+    # reader features this jar-free implementation actually honors —
+    # anything else in a v3 protocol's readerFeatures must FAIL LOUDLY
+    # rather than silently misread an external table
+    _SUPPORTED_READER_FEATURES = {"timestampNtz"}
+
+    def ensure_readable(self) -> None:
+        """Refuse external tables whose protocol features this reader
+        would silently misread: deletion vectors (deleted rows would
+        reappear), column mapping (physical names differ from logical),
+        and any unknown v3 readerFeature."""
+        feats = set(self.protocol.get("readerFeatures") or [])
+        unsupported = feats - self._SUPPORTED_READER_FEATURES
+        if unsupported:
+            raise NotImplementedError(
+                "Delta reader features not supported by the jar-free "
+                f"reader: {sorted(unsupported)}"
+            )
+        conf = self.metadata.get("configuration") or {}
+        mode = conf.get("delta.columnMapping.mode", "none")
+        if mode not in ("", "none"):
+            raise NotImplementedError(
+                f"Delta column mapping mode {mode!r} is not supported "
+                "(physical column names would be misread)"
+            )
+        for a in self.adds.values():
+            if a.get("deletionVector"):
+                raise NotImplementedError(
+                    "Delta deletion vectors are not supported by the "
+                    "jar-free reader (deleted rows would reappear); "
+                    "rewrite the table copy-on-write first"
+                )
+
 
 # ---------------------------------------------------------------------------
 # read
@@ -210,6 +242,7 @@ def read_delta(
     pruned partition's data files are never listed in the scan.
     """
     snap = DeltaSnapshot(root, version)
+    snap.ensure_readable()
     files = snap.live_files()
     if partition_filter is not None:
         if isinstance(partition_filter, dict):
@@ -344,6 +377,7 @@ def read_delta_changes(
     if not vs:
         raise FileNotFoundError(f"no Delta log under {root}/{LOG_DIR}")
     hi = vs[-1] if to_version is None else to_version
+    DeltaSnapshot(root, hi).ensure_readable()
     want = [v for v in vs if from_version <= v <= hi]
     out = None
 

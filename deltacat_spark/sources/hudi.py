@@ -141,6 +141,16 @@ def file_slices(
     newest BASE file of its group plus the log files written against
     it since (MoR; a newer base — compaction or CoW rewrite — resets
     the log list). Timeline-only — no data IO."""
+    props = table_properties(root)
+    tv = props.get("hoodie.table.version")
+    if tv is not None and tv.isdigit() and int(tv) > 6:
+        # Hudi 1.x (table version 8+) renames timeline files with
+        # completion-time suffixes and changes log semantics — parsing
+        # them with the 0.x rules would silently misread the table
+        raise NotImplementedError(
+            f"Hudi table version {tv} is not supported (this jar-free "
+            "reader implements the 0.x table layout, version <= 6)"
+        )
     instants = completed_instants(root)
     if not instants:
         raise FileNotFoundError(f"no Hudi timeline under {root}/{HOODIE_DIR}")

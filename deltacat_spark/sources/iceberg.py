@@ -607,6 +607,15 @@ class IcebergTable:
         """(data_files, delete_files) live at the snapshot — every ADDED
         or EXISTING manifest entry across the manifest list."""
         meta = self.metadata()
+        fv = meta.get("format-version", 2)
+        if fv != 2:
+            # v1 manifests lack sequence numbers / content fields and
+            # v3 adds deletion vectors + row lineage — both would be
+            # silently misread, so refuse loudly
+            raise NotImplementedError(
+                f"Iceberg format-version {fv} is not supported "
+                "(this jar-free reader implements v2)"
+            )
         snap = self.snapshot(meta, snapshot_id)
         data, deletes = [], []
         for mf in self.manifests(snap):

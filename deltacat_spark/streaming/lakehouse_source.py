@@ -269,6 +269,12 @@ class DeltaAppendsStreamReader(DataSourceStreamReader):
                         continue
                     action = json.loads(line)
                     if "add" in action:
+                        if action["add"].get("deletionVector"):
+                            raise NotImplementedError(
+                                "Delta deletion vectors are not "
+                                "supported by the jar-free stream "
+                                "reader"
+                            )
                         # dataChange=false adds are reorganizations
                         # (OPTIMIZE) — no new rows to deliver
                         if action["add"].get("dataChange", True):
