@@ -699,25 +699,30 @@ class _BitWriterE:
 
 
 def _fdct_block(samples: list) -> list:
-    """Forward DCT (T.81 A.3.3), float, rounded to nearest int. A flat
-    block yields a DC-only result EXACTLY (the AC cosine sums cancel
-    below rounding), which is what makes flat-block images lossless
-    through encode→decode at unit quantization."""
-    out = [0] * 64
+    """Forward DCT (T.81 A.3.3), separable two-pass float, rounded to
+    nearest int. A flat block short-circuits to its exact DC-only
+    result (what makes flat-block images lossless through
+    encode→decode at unit quantization)."""
+    first = samples[0]
+    if all(s == first for s in samples):
+        out = [0] * 64
+        out[0] = 8 * (first - 128)  # 0.25 * (1/√2)² * 64 * (v-128)
+        return out
     shifted = [s - 128 for s in samples]
-    for v in range(8):
-        for u in range(8):
-            cu = math.sqrt(0.5) if u == 0 else 1.0
-            cv = math.sqrt(0.5) if v == 0 else 1.0
-            s = 0.0
-            for y in range(8):
-                for x in range(8):
-                    s += (
-                        shifted[8 * y + x]
-                        * math.cos((2 * x + 1) * u * math.pi / 16)
-                        * math.cos((2 * y + 1) * v * math.pi / 16)
-                    )
-            out[8 * v + u] = int(math.floor(0.25 * cu * cv * s + 0.5))
+    # rows: R[y][u] = 0.5 * C(u) * Σx s(x,y) cos((2x+1)uπ/16)
+    rows = [
+        [
+            0.5 * sum(_COS[x][u] * shifted[8 * y + x] for x in range(8))
+            for u in range(8)
+        ]
+        for y in range(8)
+    ]
+    out = [0] * 64
+    for u in range(8):
+        col = [rows[y][u] for y in range(8)]
+        for v in range(8):
+            s = 0.5 * sum(_COS[y][v] * col[y] for y in range(8))
+            out[8 * v + u] = int(math.floor(s + 0.5))
     return out
 
 
