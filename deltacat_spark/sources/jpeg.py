@@ -809,11 +809,42 @@ def encode_mjpeg(frames: "list[bytes]") -> bytes:
     return b"".join(frames)
 
 
+def _frame_end(payload: bytes, soi: int) -> int:
+    """Index just past the EOI of the JPEG frame starting at `soi`,
+    found by WALKING the segment grammar (framed segments skip their
+    declared length, entropy data skips via stuffing/RST rules) — so a
+    literal FFD9 inside an APPn/EXIF payload never truncates the
+    frame."""
+    n = len(payload)
+    i = soi + 2
+    while i + 1 < n:
+        if payload[i] != 0xFF:
+            raise ValueError("lost marker sync in MJPEG frame")
+        while i < n and payload[i] == 0xFF:
+            i += 1
+        marker = payload[i]
+        i += 1
+        if marker == 0xD9:  # EOI
+            return i
+        if marker == 0x01 or 0xD0 <= marker <= 0xD8:
+            continue  # standalone markers
+        seg_len = int.from_bytes(payload[i : i + 2], "big")
+        i += seg_len
+        if marker == 0xDA:  # SOS: skip entropy until a real marker
+            while i + 1 < n:
+                if payload[i] != 0xFF:
+                    i += 1
+                elif payload[i + 1] == 0x00 or 0xD0 <= payload[i + 1] <= 0xD7:
+                    i += 2  # stuffed byte / restart marker
+                else:
+                    break
+    raise ValueError("truncated MJPEG frame (no EOI)")
+
+
 def split_mjpeg_frames(payload: bytes) -> "list[bytes]":
-    """Split a concatenated-JPEG stream on SOI/EOI boundaries. Byte
-    stuffing guarantees 0xFFD9 cannot occur inside entropy-coded data;
-    frames with APPn payloads containing a literal FFD9 are out of
-    scope (this module's encoder emits none)."""
+    """Split a concatenated-JPEG stream into frames by walking each
+    frame's segment grammar to its EOI (robust to FFD9 bytes inside
+    APPn/EXIF payloads, which a naive marker scan would split on)."""
     frames = []
     i = 0
     n = len(payload)
@@ -821,11 +852,9 @@ def split_mjpeg_frames(payload: bytes) -> "list[bytes]":
         soi = payload.find(b"\xff\xd8", i)
         if soi < 0:
             break
-        eoi = payload.find(b"\xff\xd9", soi + 2)
-        if eoi < 0:
-            raise ValueError("truncated MJPEG frame (no EOI)")
-        frames.append(payload[soi : eoi + 2])
-        i = eoi + 2
+        end = _frame_end(payload, soi)
+        frames.append(payload[soi:end])
+        i = end
     if not frames:
         raise ValueError("no JPEG frames in MJPEG payload")
     return frames

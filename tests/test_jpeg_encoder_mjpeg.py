@@ -84,3 +84,20 @@ def test_decode_mjpeg_frames_spark_path(spark):
         want = (doc * 50 + r.frame_no * 30) % 256
         assert bytes(r.pixels) == bytes([want]) * 64
     assert sorted({r.frame_no for r in out}) == [0, 2]
+
+
+def test_mjpeg_split_survives_ffd9_inside_app_segment():
+    """Real camera frames carry EXIF/APPn payloads that can contain a
+    literal FFD9; the segment-grammar walk must not split there."""
+    base = encode_jpeg_gray(8, 8, bytes([70]) * 64)
+    evil_app1 = (
+        b"\xff\xe1" + (10).to_bytes(2, "big") + b"ab\xff\xd9\xff\xd8cd"
+    )
+    frame = base[:2] + evil_app1 + base[2:]
+    assert decode_jpeg_pixels(frame)[:3] == (8, 8, 1)
+    other = encode_jpeg_gray(8, 8, bytes([200]) * 64)
+    got = split_mjpeg_frames(encode_mjpeg([frame, other]))
+    assert got == [frame, other]
+    # and the frames still decode to their own pixels
+    assert decode_jpeg_pixels(got[0])[3] == bytes([70]) * 64
+    assert decode_jpeg_pixels(got[1])[3] == bytes([200]) * 64
