@@ -644,10 +644,15 @@ def write_hudi(
     # read, no rewrite. One fanout Spark job clustered on the group's
     # new log name; write cost is O(incoming rows).
     if mor and mor_targets:
+        # the WRITING instant rides as the writeToken: two concurrent
+        # upserts to the same file group hold different instants, so
+        # their log files can never collide on disk (the version
+        # counter alone is computed from the same pre-commit live set
+        # by both writers)
         log_fname_by_fid = {
             s["file_id"]: (
                 f"{s['file_id']}_{s['instant']}"
-                f".log.{len(s['log_paths']) + 1}_{token}.parquet"
+                f".log.{len(s['log_paths']) + 1}_{instant}.parquet"
             )
             for s in mor_targets
         }

@@ -238,3 +238,25 @@ def test_mor_random_ops_match_model(spark, tmp_path):
             for r in inc.collect()
         )
         assert got == sorted(written[b])
+
+
+def test_mor_log_filenames_unique_per_writing_instant(spark, mor_root):
+    """Two sequential upserts to the SAME file group must land as two
+    distinct log files whose names carry their own writing instant —
+    the property that makes concurrent writers collision-free on disk
+    (both compute version=N+1 from the same pre-commit live set; only
+    the instant differs)."""
+    root = mor_root
+    i2 = write_hudi(
+        _df(spark, [(0, "0", 10.0)]), root, record_key_field="k"
+    )
+    i3 = write_hudi(
+        _df(spark, [(0, "0", 20.0)]), root, record_key_field="k"
+    )
+    s = [x for x in file_slices(root) if x["log_paths"]]
+    logs = [os.path.basename(p) for x in s for p in x["log_paths"]]
+    assert len(logs) == len(set(logs)) == 2
+    assert any(i2 in name for name in logs)
+    assert any(i3 in name for name in logs)
+    got = {r.k: r.v for r in read_hudi(spark, root).collect()}
+    assert got[0] == 20.0
