@@ -346,6 +346,10 @@ def write_hudi(
     `table_type` (first write only): COPY_ON_WRITE (default) or
     MERGE_ON_READ. A boolean `_hoodie_is_deleted` column in `df`
     soft-deletes those keys on snapshot reads (Hudi's convention).
+
+    Incoming batches should be unique per (record key, partition) —
+    like Hudi without a precombine field, duplicate in-batch keys have
+    no defined winner (dedupe upstream, e.g. the catalog's LWW window).
     """
     if operation not in ("insert", "upsert"):
         raise ValueError(f"operation must be insert|upsert, got {operation!r}")

@@ -783,18 +783,37 @@ def read_iceberg(
             )
             df = df.join(pos_df, ["__ice_fp", "__ice_pos"], "left_anti")
         else:
-            pos_df = None
-            for d in deletes:
-                one = spark.read.parquet(
-                    _abs_data_path(root, d["file_path"])
-                ).select(
+            # ONE scan of all delete files; each row learns its delete
+            # file's sequence via a broadcast basename→seq map (file
+            # basenames are uuid-stamped, hence unique) — the plan
+            # stays O(1) in the number of delete files
+            dmap_rows = [
+                (
+                    os.path.basename(_abs_data_path(root, d["file_path"])),
+                    int(d.get("__seq") or 0),
+                )
+                for d in deletes
+            ]
+            dmap = spark.createDataFrame(
+                dmap_rows, "__dfname string, __del_seq long"
+            )
+            pos_df = (
+                spark.read.parquet(
+                    *[_abs_data_path(root, d["file_path"]) for d in deletes]
+                )
+                .withColumn(
+                    "__dfname",
+                    F.element_at(F.split(F.input_file_name(), "/"), -1),
+                )
+                .join(F.broadcast(dmap), "__dfname")
+                .select(
                     _rel_fp_col(root, F.col("file_path")).alias(
                         "__ice_fp"
                     ),
                     F.col("pos").alias("__ice_pos"),
-                    F.lit(int(d.get("__seq") or 0)).alias("__del_seq"),
+                    "__del_seq",
                 )
-                pos_df = one if pos_df is None else pos_df.unionByName(one)
+            )
             seq_rows = [(k, v) for k, v in data_seq.items()]
             seq_map = spark.createDataFrame(
                 seq_rows, "__ice_fp string, __data_seq long"
