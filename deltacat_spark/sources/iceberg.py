@@ -300,6 +300,21 @@ def _manifest_entry_schema(partition_fields: list[dict]) -> dict:
                                 },
                             ],
                         },
+                        {
+                            # spec data_file field 135: the schema field
+                            # ids an EQUALITY delete file (content=2)
+                            # matches on; null for data/position files
+                            "name": "equality_ids",
+                            "type": [
+                                "null",
+                                {
+                                    "type": "array",
+                                    "items": "int",
+                                    "element-id": 136,
+                                },
+                            ],
+                            "field-id": 135,
+                        },
                     ],
                 },
             },
@@ -368,8 +383,13 @@ def serialize_single_value(ice_type: str, v: Any) -> bytes | None:
                 unscaled = int(
                     decimal.Decimal(v).scaleb(scale).to_integral_value()
                 )
-            nbytes = (unscaled.bit_length() // 8) + 1
-            return unscaled.to_bytes(nbytes, "big", signed=True)
+            # spec Appendix D: MINIMAL two's-complement length (e.g.
+            # -128 is b'\x80', not b'\xff\x80'; +128 needs two bytes)
+            nbytes = max(1, (unscaled.bit_length() + 7) // 8)
+            try:
+                return unscaled.to_bytes(nbytes, "big", signed=True)
+            except OverflowError:
+                return unscaled.to_bytes(nbytes + 1, "big", signed=True)
     except (TypeError, ValueError, OverflowError, decimal.InvalidOperation):
         return None
     return None
@@ -632,16 +652,17 @@ class IcebergTable:
                     else mf.get("sequence_number", 0)
                 )
                 if mf["content"] == 1:
-                    if df.get("content") == 2:
-                        # EQUALITY delete files (data_file.content==2)
-                        # also live in content=1 delete manifests; their
-                        # parquet lacks file_path/pos, so applying them
-                        # as position deletes would corrupt the read.
+                    if df.get("content") == 2 and not df.get(
+                        "equality_ids"
+                    ):
+                        # EQUALITY delete files must name the fields
+                        # they match on (spec data_file field 135); a
+                        # content=2 entry without equality_ids cannot
+                        # be applied — fail loudly rather than misread.
                         raise NotImplementedError(
-                            "equality delete files (data_file.content=2) "
-                            "written by an external Iceberg writer are "
-                            "not supported by this jar-free reader; "
-                            "rewrite them to position deletes first"
+                            "equality delete file (data_file.content=2) "
+                            "without equality_ids cannot be applied by "
+                            "this jar-free reader"
                         )
                     deletes.append(df)
                 else:
@@ -653,6 +674,118 @@ class IcebergTable:
 # read
 # ---------------------------------------------------------------------------
 
+# sentinel for deletes whose manifest carries no sequence number (an
+# external v1-ish manifest): they apply to EVERY data file — mapped to
+# a seq beyond any real one so fast and slow paths agree
+_GLOBAL_SEQ = 1 << 62
+
+
+def _seq_or_global(delete_file: dict) -> int:
+    s = int(delete_file.get("__seq") or 0)
+    return s if s > 0 else _GLOBAL_SEQ
+
+
+def _apply_equality_deletes(
+    spark: SparkSession,
+    root: str,
+    df: DataFrame,
+    eq_deletes: list[dict],
+    data_seq: dict[str, int],
+    max_data_seq: int,
+    ice_schema: dict,
+    full_schema: T.StructType,
+    how: str,
+) -> DataFrame:
+    """Apply EQUALITY delete files (content=2) to a lineage-bearing
+    frame: per the spec, a data row is deleted when an equality-delete
+    row matches it null-safely on the delete file's `equality_ids`
+    columns AND the delete's sequence number is STRICTLY greater than
+    the data file's. `how='left_anti'` returns survivors (the read
+    path — groups chain, a row must survive every group);
+    `how='left_semi'` returns the UNION of matched (__ice_fp,
+    __ice_pos) coordinates across groups (the converter's
+    position-finding scan).
+
+    Scale shape: delete files group by their equality_ids set; each
+    group is ONE parquet scan, broadcast into a hash anti/semi-join
+    whose keys are the equality columns (the seq comparison rides as a
+    residual join condition) — no per-row Python, no O(files) plans."""
+    finfo = _field_info(ice_schema)
+    by_id = {fid: (name, t) for name, (fid, t) in finfo.items()}
+    groups: dict[tuple[int, ...], list[dict]] = {}
+    for d in eq_deletes:
+        groups.setdefault(tuple(sorted(d["equality_ids"])), []).append(d)
+    field_types = {f.name: f.dataType for f in full_schema.fields}
+    out = df
+    matched: list[DataFrame] = []
+    for ids, files in sorted(groups.items()):
+        missing = [i for i in ids if i not in by_id]
+        if missing:
+            raise NotImplementedError(
+                f"equality delete references field ids {missing} that "
+                "are not top-level primitive columns of the table "
+                "schema — not supported by this jar-free reader"
+            )
+        cols = [by_id[i][0] for i in ids]
+        del_schema = T.StructType(
+            [T.StructField(c, field_types[c], True) for c in cols]
+        )
+        paths = [_abs_data_path(root, d["file_path"]) for d in files]
+        left = df if how == "left_semi" else out
+        if min(_seq_or_global(d) for d in files) > max_data_seq:
+            # every delete in the group is newer than every data file:
+            # no seq bookkeeping needed
+            eqf = spark.read.schema(del_schema).parquet(*paths)
+            cond = None
+            for c in cols:
+                term = left[c].eqNullSafe(eqf[c])
+                cond = term if cond is None else cond & term
+            joined = left.join(F.broadcast(eqf), cond, how)
+        else:
+            dmap = spark.createDataFrame(
+                [
+                    (
+                        os.path.basename(
+                            _abs_data_path(root, d["file_path"])
+                        ),
+                        _seq_or_global(d),
+                    )
+                    for d in files
+                ],
+                "__dfname string, __del_seq long",
+            )
+            eqf = (
+                spark.read.schema(del_schema)
+                .parquet(*paths)
+                .withColumn(
+                    "__dfname",
+                    F.element_at(F.split(F.input_file_name(), "/"), -1),
+                )
+                .join(F.broadcast(dmap), "__dfname")
+                .drop("__dfname")
+            )
+            seq_map = spark.createDataFrame(
+                list(data_seq.items()),
+                "__ice_fp string, __data_seq long",
+            )
+            tagged = left.join(F.broadcast(seq_map), "__ice_fp")
+            cond = eqf["__del_seq"] > tagged["__data_seq"]
+            for c in cols:
+                cond = cond & tagged[c].eqNullSafe(eqf[c])
+            joined = tagged.join(F.broadcast(eqf), cond, how).drop(
+                "__data_seq"
+            )
+        if how == "left_semi":
+            matched.append(joined.select("__ice_fp", "__ice_pos"))
+        else:
+            out = joined
+    if how == "left_semi":
+        u = matched[0]
+        for m in matched[1:]:
+            u = u.unionByName(m)
+        return u.distinct()
+    return out
+
 
 def read_iceberg(
     spark: SparkSession,
@@ -662,12 +795,15 @@ def read_iceberg(
     apply_deletes: bool = True,
     with_lineage: bool = False,
     bounds_filter: dict[str, tuple[Any, Any]] | None = None,
+    apply_equality_deletes: bool = True,
 ) -> DataFrame:
     """Iceberg table → DataFrame (time travel via `snapshot_id`;
-    position deletes applied by default via Spark's `_metadata`
-    row-index anti-join). `with_lineage=True` keeps `__ice_fp`
-    (root-relative source file) and `__ice_pos` (row index) — the
-    coordinates position-delete commits key on.
+    position AND equality deletes applied by default via Spark's
+    `_metadata` row-index / null-safe-equality anti-joins).
+    `with_lineage=True` keeps `__ice_fp` (root-relative source file)
+    and `__ice_pos` (row index) — the coordinates position-delete
+    commits key on. `apply_equality_deletes=False` skips content=2
+    files only (the converter's pre-fold view).
 
     `bounds_filter={col: (lo, hi)}` (either end None = open) prunes
     data files by the manifest's spec lower/upper bounds BEFORE
@@ -758,24 +894,28 @@ def read_iceberg(
         "__ice_pos", F.col("_metadata.row_index")
     )
 
-    if apply_deletes and deletes:
+    pos_deletes = [d for d in deletes if d.get("content") != 2]
+    eq_deletes = [d for d in deletes if d.get("content") == 2]
+    data_seq = {
+        _rel_data_path(root, f["file_path"]): int(f.get("__seq") or 0)
+        for f in data
+    }
+    max_data_seq = max(data_seq.values(), default=0)
+
+    if apply_deletes and pos_deletes:
         # spec scoping: a position delete at sequence S applies only to
         # data files with data_seq <= S. Read each delete file tagged
         # with its seq, map data rows to their file's seq via a
         # broadcast fp→seq map, and anti-join only in-scope pairs.
-        data_seq = {
-            _rel_data_path(root, f["file_path"]): int(f.get("__seq") or 0)
-            for f in data
-        }
-        max_data_seq = max(data_seq.values(), default=0)
-        in_scope = [d for d in deletes if int(d.get("__seq") or 0) > 0]
+        # A delete with seq 0/absent (a manifest with no seq info)
+        # applies GLOBALLY on both paths (`_seq_or_global`).
         if all(
-            int(d.get("__seq") or 0) >= max_data_seq for d in in_scope
+            _seq_or_global(d) >= max_data_seq for d in pos_deletes
         ):
             # fast path (all deletes at/after every data file — the
             # common append-then-delete history): plain anti-join
             dpaths = [
-                _abs_data_path(root, f["file_path"]) for f in deletes
+                _abs_data_path(root, f["file_path"]) for f in pos_deletes
             ]
             pos_df = spark.read.parquet(*dpaths).select(
                 _rel_fp_col(root, F.col("file_path")).alias("__ice_fp"),
@@ -790,16 +930,19 @@ def read_iceberg(
             dmap_rows = [
                 (
                     os.path.basename(_abs_data_path(root, d["file_path"])),
-                    int(d.get("__seq") or 0),
+                    _seq_or_global(d),
                 )
-                for d in deletes
+                for d in pos_deletes
             ]
             dmap = spark.createDataFrame(
                 dmap_rows, "__dfname string, __del_seq long"
             )
             pos_df = (
                 spark.read.parquet(
-                    *[_abs_data_path(root, d["file_path"]) for d in deletes]
+                    *[
+                        _abs_data_path(root, d["file_path"])
+                        for d in pos_deletes
+                    ]
                 )
                 .withColumn(
                     "__dfname",
@@ -853,6 +996,16 @@ def read_iceberg(
                 df = df.withColumn(
                     f.name, F.col(f.name + "__part").cast(f.dataType)
                 ).drop(f.name + "__part")
+
+    # equality deletes apply AFTER partition-column reconstruction so
+    # their equality_ids may reference partition columns too
+    if apply_deletes and apply_equality_deletes and eq_deletes:
+        df = _apply_equality_deletes(
+            spark, root, df, eq_deletes, data_seq, max_data_seq,
+            meta["schemas"][meta["current-schema-id"]], full_schema,
+            how="left_anti",
+        )
+
     keep = [f.name for f in full_schema.fields]
     if with_lineage:
         keep = keep + ["__ice_fp", "__ice_pos"]
@@ -1453,13 +1606,19 @@ def _max_field_id(ice_schema: dict) -> int:
 
 
 def commit_position_deletes(
-    spark: SparkSession, root: str, deletes: DataFrame
+    spark: SparkSession,
+    root: str,
+    deletes: DataFrame,
+    drop_equality: bool = False,
 ) -> int:
     """Commit a delete snapshot from a (file_path, pos) frame — the
     second half of the reference's equality→position converter
     (`converter_session.py`: commit positional deletes to the Iceberg
     table). `file_path` must be table-root-relative (as returned by
-    `find_positions_for_predicate`)."""
+    `find_positions_for_predicate`). `drop_equality=True` additionally
+    rewrites carried-forward delete manifests WITHOUT their content=2
+    (equality) entries — the fold step of the converter: the new
+    position-delete file replaces them."""
     tbl = IcebergTable(root)
     meta = tbl.metadata()
     commit_uuid = uuid.uuid4().hex[:12]
@@ -1525,6 +1684,163 @@ def commit_position_deletes(
         "existing_rows_count": 0,
         "deleted_rows_count": 0,
     }
+    manifests = [delete_manifest] + _carry_forward_manifests(
+        tbl, meta, drop_equality=drop_equality, commit_uuid=commit_uuid
+    )
+    return _commit_snapshot(
+        tbl,
+        meta,
+        manifests,
+        snapshot_id,
+        seq,
+        int(time.time() * 1000),
+        operation="delete",
+        commit_uuid=commit_uuid,
+    )
+
+
+def _carry_forward_manifests(
+    tbl: IcebergTable,
+    meta: dict,
+    drop_equality: bool = False,
+    commit_uuid: str = "",
+) -> list[dict]:
+    """The current snapshot's manifests, optionally with EQUALITY
+    delete entries (content=2) removed. A delete manifest containing
+    equality entries is REWRITTEN (kept entries become status=0
+    EXISTING with their inherited sequence numbers materialized, per
+    the spec's manifest-rewrite rules); one that becomes empty is
+    dropped. Data manifests and clean delete manifests carry forward
+    untouched — the control plane stays O(manifests)."""
+    manifests = tbl.manifests(tbl.snapshot(meta))
+    if not drop_equality:
+        return manifests
+    out: list[dict] = []
+    for i, mf in enumerate(manifests):
+        if mf.get("content") != 1:
+            out.append(mf)
+            continue
+        mpath = _abs_data_path(tbl.root, mf["manifest_path"])
+        schema, entries = avrofile.read_container(mpath)
+        live = [e for e in entries if e["status"] != 2]
+        kept = [
+            e for e in live if e["data_file"].get("content") != 2
+        ]
+        if len(kept) == len(live):
+            out.append(mf)
+            continue
+        if not kept:
+            continue
+        rewritten = []
+        for e in kept:
+            e = dict(e)
+            if e.get("sequence_number") is None:
+                e["sequence_number"] = mf.get("sequence_number", 0)
+            e["status"] = 0  # EXISTING
+            rewritten.append(e)
+        rel = f"{METADATA_DIR}/{commit_uuid}-rw{i}.avro"
+        path = os.path.join(tbl.root, rel)
+        avrofile.write_container(path, schema, rewritten)
+        nm = dict(mf)
+        nm["manifest_path"] = rel
+        nm["manifest_length"] = os.path.getsize(path)
+        nm["added_files_count"] = 0
+        nm["existing_files_count"] = len(rewritten)
+        nm["deleted_files_count"] = 0
+        nm["added_rows_count"] = 0
+        nm["existing_rows_count"] = sum(
+            e["data_file"]["record_count"] for e in rewritten
+        )
+        nm["deleted_rows_count"] = 0
+        nm["min_sequence_number"] = min(
+            e["sequence_number"] for e in rewritten
+        )
+        out.append(nm)
+    return out
+
+
+def commit_equality_deletes(
+    spark: SparkSession, root: str, deletes: DataFrame
+) -> int:
+    """Commit an EQUALITY-delete snapshot (content=2 delete file whose
+    `equality_ids` are the frame's columns) — the spec shape an
+    external CDC/streaming writer produces and the ACTUAL INPUT of the
+    reference converter (`compute/converter/steps/convert.py:45+`
+    downloads equality-delete files to convert). Every column of
+    `deletes` must be a top-level primitive column of the table schema;
+    the delete lands at the next sequence number, so per the spec's
+    strict-inequality scoping it targets every CURRENT data file and
+    none committed later."""
+    tbl = IcebergTable(root)
+    meta = tbl.metadata()
+    ice_schema = meta["schemas"][meta["current-schema-id"]]
+    finfo = _field_info(ice_schema)
+    bad = [c for c in deletes.columns if c not in finfo]
+    if bad:
+        raise ValueError(
+            f"equality delete columns {bad} are not top-level primitive "
+            "columns of the table schema"
+        )
+    equality_ids = [finfo[c][0] for c in deletes.columns]
+
+    commit_uuid = uuid.uuid4().hex[:12]
+    rel = f"{DATA_DIR}/{commit_uuid}-eq-deletes.parquet"
+    staging = os.path.join(root, DATA_DIR, f".staging-{commit_uuid}")
+    deletes.coalesce(1).write.mode("overwrite").parquet(staging)
+    part = [
+        f for f in sorted(os.listdir(staging)) if f.endswith(".parquet")
+    ]
+    os.replace(os.path.join(staging, part[0]), os.path.join(root, rel))
+    import shutil
+
+    shutil.rmtree(staging, ignore_errors=True)
+    import pyarrow.parquet as pq
+
+    n = pq.read_metadata(os.path.join(root, rel)).num_rows
+
+    snapshot_id = int.from_bytes(os.urandom(7), "big")
+    seq = meta["last-sequence-number"] + 1
+    entries = [
+        {
+            "status": 1,
+            "snapshot_id": snapshot_id,
+            "sequence_number": seq,
+            "file_sequence_number": seq,
+            "data_file": {
+                "content": 2,  # EQUALITY_DELETES
+                "file_path": rel,
+                "file_format": "PARQUET",
+                "partition": {},
+                "record_count": n,
+                "file_size_in_bytes": os.path.getsize(
+                    os.path.join(root, rel)
+                ),
+                "lower_bounds": None,
+                "upper_bounds": None,
+                "equality_ids": equality_ids,
+            },
+        }
+    ]
+    manifest_rel = f"{METADATA_DIR}/{commit_uuid}-m0.avro"
+    manifest_path = os.path.join(root, manifest_rel)
+    avrofile.write_container(
+        manifest_path, _manifest_entry_schema([]), entries
+    )
+    delete_manifest = {
+        "manifest_path": manifest_rel,
+        "manifest_length": os.path.getsize(manifest_path),
+        "partition_spec_id": 0,
+        "content": 1,
+        "sequence_number": seq,
+        "min_sequence_number": seq,
+        "added_snapshot_id": snapshot_id,
+        "added_files_count": 1,
+        "existing_files_count": 0,
+        "deleted_files_count": 0,
+        "added_rows_count": n,
+        "existing_rows_count": 0,
+        "deleted_rows_count": 0,
+    }
     manifests = [delete_manifest] + tbl.manifests(tbl.snapshot(meta))
     return _commit_snapshot(
         tbl,
@@ -1536,6 +1852,54 @@ def commit_position_deletes(
         operation="delete",
         commit_uuid=commit_uuid,
     )
+
+
+def fold_equality_deletes(spark: SparkSession, root: str) -> int | None:
+    """Convert every live EQUALITY delete file (content=2) into ONE
+    position-delete snapshot — the reference converter session end to
+    end (`converter_session.py:46-429` / `steps/convert.py:45+`): scan
+    the table's live rows (existing position deletes applied, equality
+    deletes NOT), find the coordinates each equality delete targets
+    under the spec's strict sequence scoping, commit them as a
+    content=1 position-delete file, and rewrite the carried-forward
+    delete manifests WITHOUT the equality entries. Reads before and
+    after the fold are identical; returns the new snapshot id, or None
+    when the table has no equality deletes."""
+    tbl = IcebergTable(root)
+    meta = tbl.metadata()
+    data, deletes = tbl.live_files()
+    eq_deletes = [d for d in deletes if d.get("content") == 2]
+    if not eq_deletes:
+        return None
+    df = read_iceberg(
+        spark,
+        root,
+        apply_deletes=True,
+        apply_equality_deletes=False,
+        with_lineage=True,
+    )
+    data_seq = {
+        _rel_data_path(root, f["file_path"]): int(f.get("__seq") or 0)
+        for f in data
+    }
+    full_schema = spark_schema_for(
+        meta["schemas"][meta["current-schema-id"]]
+    )
+    pos = _apply_equality_deletes(
+        spark,
+        root,
+        df,
+        eq_deletes,
+        data_seq,
+        max(data_seq.values(), default=0),
+        meta["schemas"][meta["current-schema-id"]],
+        full_schema,
+        how="left_semi",
+    ).select(
+        F.col("__ice_fp").alias("file_path"),
+        F.col("__ice_pos").alias("pos"),
+    )
+    return commit_position_deletes(spark, root, pos, drop_equality=True)
 
 
 def find_positions_for_predicate(
