@@ -295,6 +295,88 @@ ORDER BY phase, o_orderstatus
 """
 
 
+def iceberg_equality_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """External equality-delete ingestion + converter fold, end to end:
+    write an orders subset as Iceberg v2 (partitioned by status), append
+    a second batch, plant a spec-shaped EQUALITY delete file (content=2
+    parquet + equality_ids manifest entry — the reference converter's
+    actual input, `compute/converter/steps/convert.py:45+`), append a
+    third batch RE-INSERTING some deleted keys at +5000 price (strict
+    sequence scoping must keep them), read the merged view, FOLD the
+    equality deletes into a position-delete snapshot
+    (`converter_session.py:46-429`), and read again — both reads hash
+    into the result, so a scoping, null-safety, fold, or manifest-
+    rewrite bug all break the oracle match."""
+    from deltacat_spark.sources.iceberg import (
+        IcebergTable,
+        commit_equality_deletes,
+        fold_equality_deletes,
+        read_iceberg,
+        write_iceberg,
+    )
+
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    root = tempfile.mkdtemp(prefix="ice_eq_")
+    write_iceberg(
+        o.filter(F.col("o_orderkey") % 60 == 0),
+        root,
+        partition_by=["o_orderstatus"],
+    )  # seq 1
+    write_iceberg(o.filter(F.col("o_orderkey") % 60 == 30), root)  # seq 2
+    commit_equality_deletes(
+        spark,
+        root,
+        o.filter(F.col("o_orderkey") % 120 == 0).select("o_orderkey"),
+    )  # seq 3 — targets seq 1+2 rows only
+    reborn = o.filter(F.col("o_orderkey") % 240 == 0).withColumn(
+        "o_totalprice", F.col("o_totalprice") + F.lit(5000.0)
+    )
+    write_iceberg(reborn, root, mode="append")  # seq 4 — survives
+    pre = read_iceberg(spark, root)
+    assert fold_equality_deletes(spark, root) is not None
+    post = read_iceberg(spark, root)
+    _, dels = IcebergTable(root).live_files()
+    assert all(d.get("content") != 2 for d in dels)
+    out = [
+        df.groupBy("o_orderstatus")
+        .agg(cnt("n"), dsum("o_totalprice", "total"))
+        .withColumn("phase", F.lit(phase))
+        for phase, df in (("equality", pre), ("folded", post))
+    ]
+    return (
+        out[0]
+        .unionByName(out[1])
+        .select("phase", "o_orderstatus", "n", "total")
+        .orderBy("phase", "o_orderstatus")
+    )
+
+
+ICEBERG_EQUALITY_SQL = f"""
+WITH live AS (
+    SELECT o_orderstatus, o_totalprice FROM orders
+    WHERE o_orderkey % 60 = 0 AND NOT o_orderkey % 120 = 0
+    UNION ALL
+    SELECT o_orderstatus, o_totalprice FROM orders
+    WHERE o_orderkey % 60 = 30
+    UNION ALL
+    SELECT o_orderstatus, o_totalprice + 5000.0 AS o_totalprice
+    FROM orders WHERE o_orderkey % 240 = 0
+)
+SELECT * FROM (
+    SELECT 'equality' AS phase, o_orderstatus, {cnt_sql("n")},
+           {dsum_sql("o_totalprice", "total")}
+    FROM live GROUP BY o_orderstatus
+    UNION ALL
+    SELECT 'folded' AS phase, o_orderstatus, {cnt_sql("n")},
+           {dsum_sql("o_totalprice", "total")}
+    FROM live GROUP BY o_orderstatus
+)
+ORDER BY phase, o_orderstatus
+"""
+
+
 def iceberg_incremental_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two Iceberg appends, then a batch incremental read of exactly
     the second snapshot's rows — manifest-carry-forward must not
@@ -398,4 +480,8 @@ QUERIES = {
     "avro_format_roundtrip": (avro_format_roundtrip, AVRO_ROUNDTRIP_SQL),
     "hudi_incremental_pull": (hudi_incremental_pull, HUDI_INCREMENTAL_SQL),
     "hudi_mor_snapshot": (hudi_mor_snapshot, HUDI_MOR_SQL),
+    "iceberg_equality_deletes": (
+        iceberg_equality_deletes,
+        ICEBERG_EQUALITY_SQL,
+    ),
 }
