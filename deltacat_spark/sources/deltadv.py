@@ -1,0 +1,315 @@
+"""Delta Lake deletion vectors — decode + encode of the PUBLIC on-disk
+format (Delta PROTOCOL.md "Deletion Vectors"), jar-free.
+
+Why: the reference reads external Delta tables (DatastoreType
+DELTA_LAKE, `types/media.py:353-420`); modern writers (delta-spark
+DELETE/UPDATE/MERGE with DVs enabled) mark removed rows with deletion
+vectors instead of rewriting files, so a reader without DV support
+either fails (our pre-r12 loud guard) or silently resurrects deleted
+rows. This module implements the published stack:
+
+* **Z85** (ZeroMQ RFC 32): the descriptor's `pathOrInlineDv` encoding —
+  inline DV bytes or the 16-byte UUID naming an on-disk DV file.
+* **Roaring bitmaps, portable format** (RoaringFormatSpec): the 64-bit
+  "RoaringBitmapArray" layout Delta serializes — u64 LE bucket count,
+  then per bucket a u32 LE high key + the standard 32-bit roaring
+  serialization (array / bitmap / run containers; both SERIAL_COOKIE
+  variants read back, the no-run cookie is written).
+* **DV blob & file layout** (PROTOCOL.md): blob = u32 LE magic
+  1681511377 + portable bitmap; a DV FILE is a 1-byte version (1), then
+  per stored DV a u32 BE length prefix, the blob, and a u32 BE CRC32 of
+  the blob. `storageType` 'u' (uuid-named relative file), 'p'
+  (absolute path), and 'i' (inline) all resolve.
+
+Scale shape: descriptors are log metadata (O(files with deletes));
+decoding happens EXECUTOR-side in `deltalake.read_delta` via
+`mapInPandas` over one descriptor row per file, emitting (path, pos)
+in bounded Arrow batches — the driver never materializes positions.
+"""
+
+from __future__ import annotations
+
+import os
+import struct
+import uuid as _uuid
+import zlib
+from typing import Iterator
+
+DV_MAGIC = 1681511377
+
+# ---------------------------------------------------------------------------
+# Z85 (ZeroMQ RFC 32)
+# ---------------------------------------------------------------------------
+
+_Z85_CHARS = (
+    "0123456789abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ"
+    ".-:+=^!/*?&<>()[]{}@%$#"
+)
+_Z85_INDEX = {c: i for i, c in enumerate(_Z85_CHARS)}
+
+
+def z85_encode(data: bytes) -> str:
+    if len(data) % 4:
+        raise ValueError(f"z85 encodes 4-byte groups, got {len(data)}")
+    out = []
+    for i in range(0, len(data), 4):
+        v = struct.unpack(">I", data[i : i + 4])[0]
+        chunk = []
+        for _ in range(5):
+            chunk.append(_Z85_CHARS[v % 85])
+            v //= 85
+        out.extend(reversed(chunk))
+    return "".join(out)
+
+
+def z85_decode(text: str) -> bytes:
+    if len(text) % 5:
+        raise ValueError(f"z85 decodes 5-char groups, got {len(text)}")
+    out = bytearray()
+    for i in range(0, len(text), 5):
+        v = 0
+        for c in text[i : i + 5]:
+            v = v * 85 + _Z85_INDEX[c]
+        out += struct.pack(">I", v)
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# Roaring bitmaps (portable format, RoaringFormatSpec)
+# ---------------------------------------------------------------------------
+
+_SERIAL_COOKIE_NO_RUN = 12346
+_SERIAL_COOKIE = 12347
+_NO_OFFSET_THRESHOLD = 4
+
+
+def _read_bitmap32(buf: bytes, at: int) -> tuple[list[int], int]:
+    """One standard 32-bit roaring serialization at `buf[at:]` →
+    (sorted values, bytes consumed)."""
+    start = at
+    (cookie,) = struct.unpack_from("<I", buf, at)
+    at += 4
+    run_flags = b""
+    if (cookie & 0xFFFF) == _SERIAL_COOKIE:
+        size = (cookie >> 16) + 1
+        nbytes = (size + 7) // 8
+        run_flags = buf[at : at + nbytes]
+        at += nbytes
+    elif cookie == _SERIAL_COOKIE_NO_RUN:
+        (size,) = struct.unpack_from("<I", buf, at)
+        at += 4
+    else:
+        raise ValueError(f"bad roaring cookie {cookie}")
+    keys, cards = [], []
+    for _ in range(size):
+        k, cm1 = struct.unpack_from("<HH", buf, at)
+        at += 4
+        keys.append(k)
+        cards.append(cm1 + 1)
+    has_offsets = cookie == _SERIAL_COOKIE_NO_RUN or (
+        size >= _NO_OFFSET_THRESHOLD
+    )
+    if has_offsets:
+        at += 4 * size  # offsets are redundant for a sequential read
+    values: list[int] = []
+    for i in range(size):
+        base = keys[i] << 16
+        is_run = bool(run_flags) and bool(
+            run_flags[i // 8] & (1 << (i % 8))
+        )
+        if is_run:
+            (n_runs,) = struct.unpack_from("<H", buf, at)
+            at += 2
+            for _ in range(n_runs):
+                lo, ln = struct.unpack_from("<HH", buf, at)
+                at += 4
+                values.extend(range(base + lo, base + lo + ln + 1))
+        elif cards[i] > 4096:
+            words = struct.unpack_from("<1024Q", buf, at)
+            at += 8192
+            for w_i, w in enumerate(words):
+                while w:
+                    b = w & -w
+                    values.append(base + (w_i << 6) + b.bit_length() - 1)
+                    w ^= b
+        else:
+            vs = struct.unpack_from(f"<{cards[i]}H", buf, at)
+            at += 2 * cards[i]
+            values.extend(base + v for v in vs)
+    return values, at - start
+
+
+def _write_bitmap32(values: list[int]) -> bytes:
+    """Standard 32-bit serialization (no-run cookie: array / bitmap
+    containers only — always valid, any roaring reader accepts it).
+    `values` must be sorted unique 32-bit ints."""
+    buckets: dict[int, list[int]] = {}
+    for v in values:
+        buckets.setdefault(v >> 16, []).append(v & 0xFFFF)
+    keys = sorted(buckets)
+    out = bytearray()
+    out += struct.pack("<II", _SERIAL_COOKIE_NO_RUN, len(keys))
+    for k in keys:
+        out += struct.pack("<HH", k, len(buckets[k]) - 1)
+    # offsets: from the start of this serialization to each container
+    header_len = 8 + 4 * len(keys) + 4 * len(keys)
+    offsets, pos = [], header_len
+    blobs = []
+    for k in keys:
+        vs = buckets[k]
+        if len(vs) > 4096:
+            words = [0] * 1024
+            for v in vs:
+                words[v >> 6] |= 1 << (v & 63)
+            blob = struct.pack("<1024Q", *words)
+        else:
+            blob = struct.pack(f"<{len(vs)}H", *vs)
+        offsets.append(pos)
+        pos += len(blob)
+        blobs.append(blob)
+    for o in offsets:
+        out += struct.pack("<I", o)
+    for b in blobs:
+        out += b
+    return bytes(out)
+
+
+def roaring64_deserialize(buf: bytes) -> list[int]:
+    """Portable 64-bit roaring → sorted values (u64 LE bucket count,
+    then per bucket u32 LE high key + 32-bit serialization)."""
+    (n,) = struct.unpack_from("<Q", buf, 0)
+    at = 8
+    out: list[int] = []
+    for _ in range(n):
+        (high,) = struct.unpack_from("<I", buf, at)
+        at += 4
+        vals, used = _read_bitmap32(buf, at)
+        at += used
+        out.extend((high << 32) | v for v in vals)
+    return out
+
+
+def roaring64_serialize(values: list[int]) -> bytes:
+    values = sorted(set(values))
+    buckets: dict[int, list[int]] = {}
+    for v in values:
+        if v < 0 or v >= 1 << 64:
+            raise ValueError(f"value {v} out of u64 range")
+        buckets.setdefault(v >> 32, []).append(v & 0xFFFFFFFF)
+    out = bytearray(struct.pack("<Q", len(buckets)))
+    for high in sorted(buckets):
+        out += struct.pack("<I", high)
+        out += _write_bitmap32(buckets[high])
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# DV blob + file layout (PROTOCOL.md)
+# ---------------------------------------------------------------------------
+
+
+def dv_blob_encode(positions: list[int]) -> bytes:
+    """Serialized deletion vector: u32 LE magic + portable bitmap."""
+    return struct.pack("<I", DV_MAGIC) + roaring64_serialize(positions)
+
+
+def dv_blob_decode(blob: bytes) -> list[int]:
+    (magic,) = struct.unpack_from("<I", blob, 0)
+    if magic != DV_MAGIC:
+        raise ValueError(f"bad deletion-vector magic {magic}")
+    return roaring64_deserialize(blob[4:])
+
+
+def write_dv_file(path: str, blobs: list[bytes]) -> list[tuple[int, int]]:
+    """Write a DV file holding `blobs`; returns [(offset, sizeInBytes)]
+    per blob — what the add action's deletionVector descriptor stores.
+    Layout per the spec: 1-byte version, then per blob a u32 BE length,
+    the blob, and a u32 BE CRC32 of the blob."""
+    spans = []
+    with open(path, "wb") as f:
+        f.write(b"\x01")
+        at = 1
+        for blob in blobs:
+            f.write(struct.pack(">I", len(blob)))
+            f.write(blob)
+            f.write(struct.pack(">I", zlib.crc32(blob) & 0xFFFFFFFF))
+            spans.append((at, len(blob)))
+            at += 4 + len(blob) + 4
+    return spans
+
+
+def read_dv_file_blob(path: str, offset: int, size: int) -> bytes:
+    with open(path, "rb") as f:
+        version = f.read(1)
+        if version != b"\x01":
+            raise ValueError(
+                f"unsupported deletion-vector file version {version!r}"
+            )
+        f.seek(offset)
+        (stored,) = struct.unpack(">I", f.read(4))
+        if stored != size:
+            raise ValueError(
+                f"DV length prefix {stored} != descriptor sizeInBytes "
+                f"{size}"
+            )
+        blob = f.read(stored)
+        (crc,) = struct.unpack(">I", f.read(4))
+    if zlib.crc32(blob) & 0xFFFFFFFF != crc:
+        raise ValueError("deletion-vector CRC mismatch")
+    return blob
+
+
+def dv_relative_file_name(path_or_inline: str) -> str:
+    """storageType 'u': `<optional random prefix><20-char z85 uuid>` →
+    the table-root-relative DV file path."""
+    prefix, tail = path_or_inline[:-20], path_or_inline[-20:]
+    u = _uuid.UUID(bytes=z85_decode(tail))
+    name = f"deletion_vector_{u}.bin"
+    return os.path.join(prefix, name) if prefix else name
+
+
+def resolve_descriptor(root: str, desc: dict) -> bytes:
+    """deletionVector descriptor (add action) → the DV blob bytes."""
+    st = desc["storageType"]
+    if st == "i":
+        # inline blobs are zero-padded to a 4-byte multiple for Z85;
+        # sizeInBytes recovers the true length (delta-spark Base85Codec)
+        raw = z85_decode(desc["pathOrInlineDv"])
+        size = int(desc.get("sizeInBytes") or len(raw))
+        return raw[:size]
+    if st == "u":
+        path = os.path.join(
+            root, dv_relative_file_name(desc["pathOrInlineDv"])
+        )
+    elif st == "p":
+        path = desc["pathOrInlineDv"]
+        if path.startswith("file:"):
+            path = path[len("file:"):]
+            while path.startswith("//"):
+                path = path[1:]
+    else:
+        raise NotImplementedError(
+            f"deletion-vector storageType {st!r} is not supported"
+        )
+    return read_dv_file_blob(path, int(desc["offset"]), int(desc["sizeInBytes"]))
+
+
+def descriptor_positions(root: str, desc: dict) -> list[int]:
+    """Descriptor → sorted deleted row indexes, cardinality-checked."""
+    positions = dv_blob_decode(resolve_descriptor(root, desc))
+    card = desc.get("cardinality")
+    if card is not None and int(card) != len(positions):
+        raise ValueError(
+            f"deletion vector cardinality {card} != decoded "
+            f"{len(positions)}"
+        )
+    return positions
+
+
+def iter_descriptor_position_batches(
+    root: str, desc: dict, batch: int = 1 << 16
+) -> Iterator[list[int]]:
+    """Positions in bounded chunks — the executor-side decode path."""
+    positions = descriptor_positions(root, desc)
+    for i in range(0, len(positions), batch):
+        yield positions[i : i + batch]

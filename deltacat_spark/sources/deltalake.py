@@ -195,13 +195,17 @@ class DeltaSnapshot:
     # rather than silently misread an external table
     _SUPPORTED_READER_FEATURES = {"timestampNtz"}
 
-    def ensure_readable(self) -> None:
+    def ensure_readable(self, allow_deletion_vectors: bool = False) -> None:
         """Refuse external tables whose protocol features this reader
-        would silently misread: deletion vectors (deleted rows would
-        reappear), column mapping (physical names differ from logical),
-        and any unknown v3 readerFeature."""
+        would silently misread: column mapping (physical names differ
+        from logical), any unknown v3 readerFeature, and — unless the
+        caller applies them (`read_delta` does) — deletion vectors
+        (deleted rows would reappear)."""
+        supported = set(self._SUPPORTED_READER_FEATURES)
+        if allow_deletion_vectors:
+            supported.add("deletionVectors")
         feats = set(self.protocol.get("readerFeatures") or [])
-        unsupported = feats - self._SUPPORTED_READER_FEATURES
+        unsupported = feats - supported
         if unsupported:
             raise NotImplementedError(
                 "Delta reader features not supported by the jar-free "
@@ -214,13 +218,14 @@ class DeltaSnapshot:
                 f"Delta column mapping mode {mode!r} is not supported "
                 "(physical column names would be misread)"
             )
-        for a in self.adds.values():
-            if a.get("deletionVector"):
-                raise NotImplementedError(
-                    "Delta deletion vectors are not supported by the "
-                    "jar-free reader (deleted rows would reappear); "
-                    "rewrite the table copy-on-write first"
-                )
+        if not allow_deletion_vectors:
+            for a in self.adds.values():
+                if a.get("deletionVector"):
+                    raise NotImplementedError(
+                        "Delta deletion vectors are not supported on "
+                        "this path (deleted rows would reappear); use "
+                        "read_delta, which applies them"
+                    )
 
 
 # ---------------------------------------------------------------------------
@@ -240,9 +245,15 @@ def read_delta(
     strings, callable = arbitrary predicate over the partitionValues
     dict. Pruning is a log-side (driver, metadata-only) operation — a
     pruned partition's data files are never listed in the scan.
+
+    Deletion vectors (PROTOCOL.md) are APPLIED: each DV'd file's
+    descriptor decodes executor-side (`sources/deltadv.py`, one
+    `mapInPandas` row per file emitting bounded (path, pos) batches)
+    and the positions anti-join against Spark's `_metadata.row_index`
+    — the same shape as the Iceberg position-delete path.
     """
     snap = DeltaSnapshot(root, version)
-    snap.ensure_readable()
+    snap.ensure_readable(allow_deletion_vectors=True)
     files = snap.live_files()
     if partition_filter is not None:
         if isinstance(partition_filter, dict):
@@ -255,7 +266,48 @@ def read_delta(
             _keep = partition_filter
         files = [f for f in files if _keep(f.get("partitionValues") or {})]
 
-    return _scan_files(spark, root, snap.schema, snap.partition_columns, files)
+    dv_rows = [
+        (f["path"], json.dumps(f["deletionVector"]))
+        for f in files
+        if f.get("deletionVector")
+    ]
+    df = _scan_files(
+        spark, root, snap.schema, snap.partition_columns, files,
+        lineage=bool(dv_rows),
+    )
+    if dv_rows:
+        desc_df = spark.createDataFrame(
+            dv_rows, "__delta_fp string, __dv string"
+        )
+        table_root = root
+
+        def _decode(batches):
+            import pandas as pd
+
+            from deltacat_spark.sources import deltadv
+
+            for pdf in batches:
+                for fp, dv in zip(pdf["__delta_fp"], pdf["__dv"]):
+                    desc = json.loads(dv)
+                    for chunk in deltadv.iter_descriptor_position_batches(
+                        table_root, desc
+                    ):
+                        yield pd.DataFrame(
+                            {
+                                "__delta_fp": fp,
+                                "__delta_pos": pd.Series(
+                                    chunk, dtype="int64"
+                                ),
+                            }
+                        )
+
+        pos_df = desc_df.mapInPandas(
+            _decode, "__delta_fp string, __delta_pos long"
+        )
+        df = df.join(
+            pos_df, ["__delta_fp", "__delta_pos"], "left_anti"
+        ).drop("__delta_fp", "__delta_pos")
+    return df
 
 
 def _scan_files(
@@ -264,19 +316,47 @@ def _scan_files(
     full_schema: T.StructType,
     part_cols: list[str],
     files: list[dict],
+    lineage: bool = False,
 ) -> DataFrame:
     """Scan a log-selected file list, reconstructing identity partition
     columns from `partitionValues` (hive fast path when the layout
-    allows ONE scan)."""
+    allows ONE scan). `lineage=True` appends `__delta_fp`
+    (root-relative path) and `__delta_pos` (row index) — the
+    coordinates deletion vectors key on."""
     data_schema = T.StructType(
         [f for f in full_schema.fields if f.name not in part_cols]
     )
+    keep = [f.name for f in full_schema.fields]
+    if lineage:
+        keep = keep + ["__delta_fp", "__delta_pos"]
+
+    def _with_lineage(df: DataFrame) -> DataFrame:
+        if not lineage:
+            return df
+        rel = F.replace(
+            F.regexp_replace(
+                F.col("_metadata.file_path"), "^file:/*", "/"
+            ),
+            F.lit(root.rstrip("/") + "/"),
+            F.lit(""),
+        )
+        return df.withColumn("__delta_fp", rel).withColumn(
+            "__delta_pos", F.col("_metadata.row_index")
+        )
+
     if not files:
-        return spark.createDataFrame([], full_schema)
+        df = spark.createDataFrame([], full_schema)
+        if lineage:
+            df = df.withColumn(
+                "__delta_fp", F.lit(None).cast("string")
+            ).withColumn("__delta_pos", F.lit(None).cast("long"))
+        return df
     paths = [os.path.join(root, f["path"]) for f in files]
 
     if not part_cols:
-        return spark.read.schema(data_schema).parquet(*paths)
+        return _with_lineage(
+            spark.read.schema(data_schema).parquet(*paths)
+        ).select(*keep)
 
     # hive-layout fast path: every live file carries its partition
     # values in the path → ONE scan, Spark reconstructs the columns
@@ -285,7 +365,7 @@ def _scan_files(
             for c in part_cols)
         for f in files
     ):
-        df = (
+        df = _with_lineage(
             spark.read.schema(data_schema)
             .option("basePath", root)
             .parquet(*paths)
@@ -294,7 +374,7 @@ def _scan_files(
             df = df.withColumn(
                 c, F.col(c).cast(dict_field_type(full_schema, c))
             )
-        return df.select(*[f.name for f in full_schema.fields])
+        return df.select(*keep)
 
     # general layout: group files by partition tuple, one scan per group
     groups: dict[tuple, list[str]] = {}
@@ -310,7 +390,9 @@ def _scan_files(
         groups.items(),
         key=lambda kv: tuple((v is None, v or "") for v in kv[0]),
     ):
-        df = spark.read.schema(data_schema).parquet(*group_paths)
+        df = _with_lineage(
+            spark.read.schema(data_schema).parquet(*group_paths)
+        )
         pv = pv_by_key[key]
         for c in part_cols:
             raw = pv.get(c)
@@ -318,7 +400,7 @@ def _scan_files(
                 c,
                 F.lit(raw).cast(dict_field_type(full_schema, c)),
             )
-        df = df.select(*[f.name for f in full_schema.fields])
+        df = df.select(*keep)
         out = df if out is None else out.unionByName(df)
     return out
 
@@ -646,6 +728,154 @@ def _delta_stats(path: str) -> dict[str, Any]:
     return out
 
 
+def _commit_actions(root: str, version: int, actions: list[dict]) -> int:
+    """Write `actions` as commit `version` (hard-link CAS, the same
+    loser-detection as `write_delta`)."""
+    tmp = _log_path(root, version) + f".tmp-{uuid.uuid4().hex[:8]}"
+    with open(tmp, "w") as f:
+        for a in actions:
+            f.write(json.dumps(a) + "\n")
+    final = _log_path(root, version)
+    try:
+        os.link(tmp, final)
+    except FileExistsError:
+        os.remove(tmp)
+        raise RuntimeError(
+            f"concurrent Delta commit at version {version}; retry"
+        )
+    os.remove(tmp)
+    return version
+
+
+def delete_rows_with_dv(
+    spark: SparkSession, root: str, predicate: str
+) -> int | None:
+    """DELETE ... WHERE via DELETION VECTORS — the merge-on-read delete
+    delta-spark performs with DVs enabled: matched row positions are
+    found with ONE distributed scan (predicate pushed down, positions
+    from Spark's `_metadata.row_index`), serialized as roaring bitmaps
+    into a single uuid-named DV file (`sources/deltadv.py`), and each
+    touched file is re-added with a `deletionVector` descriptor
+    (remove + add, dataChange=true) — no data file is rewritten. Files
+    whose every row matched are plain-removed. An existing DV on a
+    touched file is MERGED (positions union). First DV commit upgrades
+    the protocol to reader v3 / writer v7 with the `deletionVectors`
+    feature, exactly what external delta readers key on. Returns the
+    committed version, or None when nothing matched."""
+    from deltacat_spark.sources import deltadv
+
+    snap = DeltaSnapshot(root)
+    snap.ensure_readable(allow_deletion_vectors=True)
+    files = snap.live_files()
+    df = _scan_files(
+        spark, root, snap.schema, snap.partition_columns, files,
+        lineage=True,
+    )
+    hits = (
+        df.filter(predicate)
+        .groupBy("__delta_fp")
+        .agg(F.sort_array(F.collect_list("__delta_pos")).alias("pos"))
+        .collect()
+    )
+    if not hits:
+        return None
+    by_path = {r["__delta_fp"]: list(r["pos"]) for r in hits}
+    adds_by_path = {f["path"]: f for f in files}
+
+    dv_uuid = uuid.uuid4()
+    dv_name = f"deletion_vector_{dv_uuid}.bin"
+    enc = deltadv.z85_encode(dv_uuid.bytes)
+    now_ms = int(time.time() * 1000)
+
+    blobs: list[bytes] = []
+    pending: list[tuple[dict, list[int]]] = []  # (old add, merged pos)
+    removes_only: list[dict] = []
+    for path in sorted(by_path):
+        old = adds_by_path[path]
+        merged = set(by_path[path])
+        if old.get("deletionVector"):
+            merged |= set(
+                deltadv.descriptor_positions(root, old["deletionVector"])
+            )
+        merged_sorted = sorted(merged)
+        num_records = None
+        try:
+            num_records = json.loads(old.get("stats") or "{}").get(
+                "numRecords"
+            )
+        except (ValueError, TypeError):
+            pass
+        if num_records is not None and len(merged_sorted) >= num_records:
+            removes_only.append(old)  # fully-deleted file: drop it
+            continue
+        blobs.append(deltadv.dv_blob_encode(merged_sorted))
+        pending.append((old, merged_sorted))
+
+    actions: list[dict] = []
+    feats = set(snap.protocol.get("readerFeatures") or [])
+    if pending and "deletionVectors" not in feats:
+        actions.append(
+            {
+                "protocol": {
+                    "minReaderVersion": 3,
+                    "minWriterVersion": 7,
+                    "readerFeatures": sorted(
+                        feats | {"deletionVectors"}
+                    ),
+                    # v7 requires every legacy-implied feature listed
+                    "writerFeatures": sorted(
+                        set(snap.protocol.get("writerFeatures") or [])
+                        | {"deletionVectors", "appendOnly", "invariants"}
+                    ),
+                }
+            }
+        )
+    if pending:
+        spans = deltadv.write_dv_file(os.path.join(root, dv_name), blobs)
+        for (old, merged_sorted), (offset, size) in zip(pending, spans):
+            new_add = dict(old)
+            new_add["deletionVector"] = {
+                "storageType": "u",
+                "pathOrInlineDv": enc,
+                "offset": offset,
+                "sizeInBytes": size,
+                "cardinality": len(merged_sorted),
+            }
+            new_add["modificationTime"] = now_ms
+            new_add["dataChange"] = True
+            actions.append(
+                {
+                    "remove": {
+                        "path": old["path"],
+                        "deletionTimestamp": now_ms,
+                        "dataChange": True,
+                    }
+                }
+            )
+            actions.append({"add": new_add})
+    for old in removes_only:
+        actions.append(
+            {
+                "remove": {
+                    "path": old["path"],
+                    "deletionTimestamp": now_ms,
+                    "dataChange": True,
+                }
+            }
+        )
+    actions.append(
+        {
+            "commitInfo": {
+                "timestamp": now_ms,
+                "operation": "DELETE",
+                "operationParameters": {"predicate": predicate},
+                "engineInfo": "deltacat_spark-native",
+            }
+        }
+    )
+    return _commit_actions(root, latest_version(root) + 1, actions)
+
+
 def latest_txn_version(root: str, app_id: str) -> int | None:
     """The highest SetTransaction version committed for `app_id`, or
     None when the table (or the app) has never committed one."""
@@ -687,6 +917,8 @@ def write_checkpoint(root: str, version: int) -> None:
                     [
                         ("minReaderVersion", pa.int32()),
                         ("minWriterVersion", pa.int32()),
+                        ("readerFeatures", pa.list_(pa.string())),
+                        ("writerFeatures", pa.list_(pa.string())),
                     ]
                 ),
             ),
@@ -721,6 +953,20 @@ def write_checkpoint(root: str, version: int) -> None:
                         ("modificationTime", pa.int64()),
                         ("dataChange", pa.bool_()),
                         ("stats", pa.string()),
+                        # dropping a DV descriptor at checkpoint time
+                        # would resurrect its deleted rows
+                        (
+                            "deletionVector",
+                            pa.struct(
+                                [
+                                    ("storageType", pa.string()),
+                                    ("pathOrInlineDv", pa.string()),
+                                    ("offset", pa.int32()),
+                                    ("sizeInBytes", pa.int32()),
+                                    ("cardinality", pa.int64()),
+                                ]
+                            ),
+                        ),
                     ]
                 ),
             ),
@@ -755,7 +1001,7 @@ def write_checkpoint(root: str, version: int) -> None:
             a["partitionValues"] = _mapify(a.get("partitionValues") or {})
             a = {k: a.get(k) for k in (
                 "path", "partitionValues", "size", "modificationTime",
-                "dataChange", "stats")}
+                "dataChange", "stats", "deletionVector")}
             r["add"] = a
     table = pa.Table.from_pylist(norm, schema=schema)
     pq.write_table(table, _ckpt_path(root, version))
@@ -779,6 +1025,9 @@ def optimize_delta(
     compacts every eligible partition. Returns the committed version,
     or None when no partition had `min_files`+ files."""
     snap = DeltaSnapshot(root)
+    # a DV'd file cannot be blindly repacked — its deleted rows would
+    # resurrect in the compacted output; fail loudly (rewrite first)
+    snap.ensure_readable()
     live = snap.live_files()
     groups: dict[str, list[dict]] = {}
     for f in live:

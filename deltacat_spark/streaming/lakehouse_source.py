@@ -222,10 +222,16 @@ class _DeltaAddPartition(InputPartition):
 
 
 def _delta_schemas(root: str):
-    """(full StructType incl. partition cols, partition col names)."""
+    """(full StructType incl. partition cols, partition col names).
+
+    `ensure_readable()` runs here so the STREAM refuses column-mapped /
+    unknown-readerFeature / deletion-vector tables as loudly as the
+    batch reader does (ADVICE r11: only inline DV adds were guarded —
+    a column-mapped table would have streamed all-null columns)."""
     from deltacat_spark.sources.deltalake import DeltaSnapshot
 
     snap = DeltaSnapshot(root)
+    snap.ensure_readable()
     return snap.schema, snap.partition_columns
 
 

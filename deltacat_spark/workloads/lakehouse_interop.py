@@ -102,6 +102,67 @@ ORDER BY c_mktsegment
 """
 
 
+def delta_deletion_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta DELETE via DELETION VECTORS (PROTOCOL.md): write a
+    partitioned customer subset, append a second batch, mark a key
+    slice deleted through `delete_rows_with_dv` (roaring-bitmap DV
+    file + remove/re-add with descriptor + protocol upgrade to
+    v3/v7 — NO data file rewritten), then hash BOTH the DV-applied
+    current read and a pre-delete time-travel read: a bitmap codec,
+    descriptor resolution, anti-join, or log-replay bug each breaks a
+    phase."""
+    from deltacat_spark.sources.deltalake import (
+        delete_rows_with_dv,
+        read_delta,
+        write_delta,
+    )
+
+    c = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    root = tempfile.mkdtemp(prefix="delta_dv_")
+    write_delta(
+        c.filter(F.col("c_custkey") % 8 == 0),
+        root,
+        partition_by=["c_mktsegment"],
+    )  # v0
+    write_delta(c.filter(F.col("c_custkey") % 8 == 4), root)  # v1
+    assert delete_rows_with_dv(spark, root, "c_custkey % 16 = 0") == 2
+    cur = read_delta(spark, root)
+    pre = read_delta(spark, root, version=1)
+    out = [
+        df.groupBy("c_mktsegment")
+        .agg(cnt("n"), dsum("c_acctbal", "balance"))
+        .withColumn("phase", F.lit(phase))
+        for phase, df in (("dv", cur), ("pre", pre))
+    ]
+    return (
+        out[0]
+        .unionByName(out[1])
+        .select("phase", "c_mktsegment", "n", "balance")
+        .orderBy("phase", "c_mktsegment")
+    )
+
+
+DELTA_DV_SQL = f"""
+WITH both_batches AS (
+    SELECT c_mktsegment, c_acctbal, c_custkey FROM customer
+    WHERE c_custkey % 8 IN (0, 4)
+)
+SELECT * FROM (
+    SELECT 'dv' AS phase, c_mktsegment, {cnt_sql("n")},
+           {dsum_sql("c_acctbal", "balance")}
+    FROM both_batches WHERE NOT c_custkey % 16 = 0
+    GROUP BY c_mktsegment
+    UNION ALL
+    SELECT 'pre' AS phase, c_mktsegment, {cnt_sql("n")},
+           {dsum_sql("c_acctbal", "balance")}
+    FROM both_batches GROUP BY c_mktsegment
+)
+ORDER BY phase, c_mktsegment
+"""
+
+
 def avro_format_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed .avro write + read through the pure-python codec
     (`sources/avrofile.py`): nation joins back onto itself after a
@@ -484,4 +545,5 @@ QUERIES = {
         iceberg_equality_deletes,
         ICEBERG_EQUALITY_SQL,
     ),
+    "delta_deletion_vectors": (delta_deletion_vectors, DELTA_DV_SQL),
 }

@@ -44,41 +44,31 @@ def _delta_table(spark, tmp_path):
     return root
 
 
-def test_delta_deletion_vector_add_refused(spark, tmp_path):
+def test_delta_deletion_vector_guard_to_green(spark, tmp_path):
+    """r12 flip: BATCH read_delta now APPLIES deletion vectors
+    (tests/test_delta_deletion_vectors.py covers the semantics); the
+    change feed and the streaming source still refuse loudly — they
+    cannot represent DV'd row-level deletes."""
+    from deltacat_spark.sources.deltalake import delete_rows_with_dv
+
     root = _delta_table(spark, tmp_path)
-    _append_action(
-        root,
-        {
-            "add": {
-                "path": "part-x.parquet",
-                "partitionValues": {},
-                "size": 1,
-                "modificationTime": 0,
-                "dataChange": True,
-                "deletionVector": {
-                    "storageType": "u",
-                    "pathOrInlineDv": "x",
-                    "offset": 1,
-                    "sizeInBytes": 1,
-                    "cardinality": 1,
-                },
-            }
-        },
-    )
-    with pytest.raises(NotImplementedError, match="deletion vector"):
-        read_delta(spark, root)
-    with pytest.raises(NotImplementedError, match="deletion vector"):
+    assert delete_rows_with_dv(spark, root, "id % 2 = 0") is not None
+    assert sorted(
+        r.id for r in read_delta(spark, root).collect()
+    ) == [1, 3, 5, 7, 9]
+    with pytest.raises(
+        NotImplementedError, match="deletionVectors|deletion vector"
+    ):
         read_delta_changes(spark, root, from_version=0)
-    # streaming planner refuses too
+    # streaming planner refuses too (ensure_readable at construction)
     from deltacat_spark.streaming.lakehouse_source import (
         DeltaAppendsStreamReader,
     )
 
-    reader = DeltaAppendsStreamReader({"root": root})
-    with pytest.raises(NotImplementedError, match="deletion vector"):
-        reader.partitions(
-            reader.initialOffset(), reader.latestOffset()
-        )
+    with pytest.raises(
+        NotImplementedError, match="deletionVectors|deletion vector"
+    ):
+        DeltaAppendsStreamReader({"root": root})
 
 
 def test_delta_column_mapping_refused(spark, tmp_path):
@@ -99,15 +89,39 @@ def test_delta_unknown_reader_feature_refused(spark, tmp_path):
             "protocol": {
                 "minReaderVersion": 3,
                 "minWriterVersion": 7,
-                "readerFeatures": ["deletionVectors", "timestampNtz"],
+                "readerFeatures": ["v2Checkpoint", "timestampNtz"],
+                "writerFeatures": ["v2Checkpoint"],
+            }
+        },
+    )
+    with pytest.raises(NotImplementedError, match="v2Checkpoint"):
+        read_delta(spark, root)
+
+
+def test_delta_dv_reader_feature_batch_ok_stream_refused(
+    spark, tmp_path
+):
+    """The deletionVectors readerFeature alone (no DV'd adds yet) is
+    fine for the batch reader, still refused by the stream."""
+    root = _delta_table(spark, tmp_path)
+    _append_action(
+        root,
+        {
+            "protocol": {
+                "minReaderVersion": 3,
+                "minWriterVersion": 7,
+                "readerFeatures": ["deletionVectors"],
                 "writerFeatures": ["deletionVectors"],
             }
         },
     )
-    with pytest.raises(
-        NotImplementedError, match="deletionVectors"
-    ):
-        read_delta(spark, root)
+    assert read_delta(spark, root).count() == 10
+    from deltacat_spark.streaming.lakehouse_source import (
+        DeltaAppendsStreamReader,
+    )
+
+    with pytest.raises(NotImplementedError, match="deletionVectors"):
+        DeltaAppendsStreamReader({"root": root})
 
 
 def test_delta_tolerated_reader_feature_ok(spark, tmp_path):
