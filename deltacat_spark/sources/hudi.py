@@ -25,8 +25,12 @@ feature).
 
 MERGE_ON_READ tables (`table_type="MERGE_ON_READ"` on first write):
 upserts into existing file groups land as LOG FILES next to the base
-file (named per Hudi's log convention
-`.{fileId}_{baseInstant}.log.{version}_{token}`) under a
+file, named `{fileId}_{baseInstant}.log.{version}_{token}.parquet` —
+a documented DEVIATION from Hudi's dotted log convention
+`.{fileId}_{baseInstant}.log.{version}_{token}` (no leading dot, and a
+`.parquet` suffix, so Spark's scanner will list them and external
+Hudi readers pattern-matching the dotted name will NOT classify them
+as log files) — under a
 `.deltacommit` timeline action; snapshot reads merge base + logs per
 file group (latest write per record key wins, `_hoodie_is_deleted`
 honored — Hudi's public soft-delete convention); `compact_hudi` folds
@@ -115,6 +119,31 @@ def _is_log_path(rel: str) -> bool:
     return ".log." in os.path.basename(rel)
 
 
+# a real Hudi writer's log files are HoodieLogFormat block streams and
+# open with this magic; this module's log payloads are bare parquet
+_HUDI_LOG_MAGIC = b"#HUDI#"
+
+
+def _ensure_parquet_log(root: str, rel: str) -> None:
+    """Refuse HoodieLogFormat-framed log files BEFORE they reach the
+    parquet reader (which would fail obscurely or, worse, a future
+    lenient reader could misread them): check the leading magic."""
+    path = os.path.join(root, rel)
+    try:
+        with open(path, "rb") as f:
+            head = f.read(6)
+    except OSError:
+        return  # missing file surfaces as the scan's own error
+    if head.startswith(_HUDI_LOG_MAGIC):
+        raise NotImplementedError(
+            f"Hudi log file {os.path.basename(rel)} uses HoodieLogFormat "
+            "block framing (magic #HUDI#), which this jar-free reader "
+            "does not implement — it reads parquet-payload log files "
+            "only (documented deviation); compact the table with a "
+            "real Hudi writer first"
+        )
+
+
 def _commit_meta(root: str, instant: str) -> dict:
     p = os.path.join(root, HOODIE_DIR, f"{instant}.{instant_kind(root, instant)}")
     with open(p) as f:
@@ -167,6 +196,7 @@ def file_slices(
             for st in stats:
                 key = (part, st["fileId"])
                 if _is_log_path(st["path"]):
+                    _ensure_parquet_log(root, st["path"])
                     cur = groups.get(key)
                     if cur is None:
                         # baseless log group (not produced by this

@@ -121,6 +121,8 @@ class HudiIncrementalStreamReader(DataSourceStreamReader):
     def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
         from deltacat_spark.sources.hudi import (
             _commit_meta,
+            _ensure_parquet_log,
+            _is_log_path,
             completed_instants,
         )
 
@@ -141,6 +143,10 @@ class HudiIncrementalStreamReader(DataSourceStreamReader):
                 continue
             for stats in meta.get("partitionToWriteStats", {}).values():
                 for st in stats:
+                    if _is_log_path(st["path"]):
+                        # HoodieLogFormat-framed files fail loudly
+                        # before reaching the parquet reader
+                        _ensure_parquet_log(self._root, st["path"])
                     out.append(
                         _HudiSlicePartition(
                             path=os.path.join(self._root, st["path"]),

@@ -152,6 +152,47 @@ def test_iceberg_format_version_guard(spark, tmp_path):
         read_iceberg(spark, root).count()
 
 
+def test_hudi_log_block_magic_guard(spark, tmp_path):
+    """A REAL Hudi writer's log file is a HoodieLogFormat block stream
+    opening with the #HUDI# magic — it must be refused before the
+    parquet reader touches it, batch and streaming."""
+    from deltacat_spark.sources.hudi import write_hudi as _wh
+
+    root = str(tmp_path / "t")
+    _wh(
+        spark.range(10).select(
+            "id", (F.col("id") % 2).cast("string").alias("cat")
+        ),
+        root,
+        record_key_field="id",
+        operation="insert",
+        table_type="MERGE_ON_READ",
+    )
+    _wh(
+        spark.range(0, 5).select(
+            "id", F.lit("x").alias("cat")
+        ),
+        root,
+        record_key_field="id",
+    )  # deltacommit: log files against the base groups
+    from deltacat_spark.sources.hudi import file_slices
+
+    logged = [s for s in file_slices(root) if s["log_paths"]]
+    assert logged
+    victim = os.path.join(root, logged[0]["log_paths"][0])
+    body = open(victim, "rb").read()
+    open(victim, "wb").write(b"#HUDI#" + body)
+    with pytest.raises(NotImplementedError, match="HoodieLogFormat"):
+        read_hudi(spark, root)
+    from deltacat_spark.streaming.lakehouse_source import (
+        HudiIncrementalStreamReader,
+    )
+
+    with pytest.raises(NotImplementedError, match="HoodieLogFormat"):
+        reader = HudiIncrementalStreamReader({"root": root})
+        reader.partitions(reader.initialOffset(), reader.latestOffset())
+
+
 def test_hudi_table_version_guard(spark, tmp_path):
     root = str(tmp_path / "t")
     write_hudi(
