@@ -795,6 +795,126 @@ def encode_jpeg_gray(width: int, height: int, pixels: bytes) -> bytes:
     return bytes(out)
 
 
+def encode_jpeg_gray_progressive(
+    width: int, height: int, pixels: bytes
+) -> bytes:
+    """Grayscale PROGRESSIVE JPEG (SOF2, T.81 Annex G) at unit
+    quantization — four scans exercising the successive-approximation
+    and spectral-selection decode paths end to end:
+
+    1. DC first  (Ss=0 Se=0 Ah=0 Al=1): DC diffs on point-transformed
+       values (arithmetic shift right by 1);
+    2. DC refine (Ah=1 Al=0): one raw bit per block;
+    3. AC first band 1..5  (Al=0) with EOB-run coding (EOBn symbols +
+       extension bits);
+    4. AC first band 6..63 (Al=0), same coding.
+
+    Same exactness property as `encode_jpeg_gray`: blockwise-flat
+    images round-trip LOSSLESSLY (all-zero AC → the AC scans are pure
+    EOB runs; the DC point transform's dropped bit returns in the
+    refinement scan). Dimensions must be multiples of 8."""
+    if width % 8 or height % 8:
+        raise ValueError("encode_jpeg_gray_progressive needs multiple-of-8 dims")
+    if len(pixels) != width * height:
+        raise ValueError("pixel buffer does not match dimensions")
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + (len(body) + 2).to_bytes(2, "big") + body
+
+    blocks = []
+    for by in range(height // 8):
+        for bx in range(width // 8):
+            blocks.append(
+                _fdct_block(
+                    [
+                        pixels[(by * 8 + y) * width + bx * 8 + x]
+                        for y in range(8)
+                        for x in range(8)
+                    ]
+                )
+            )
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xDB, bytes([0x00]) + bytes([1] * 64))
+    out += seg(
+        0xC2,  # SOF2: progressive DCT
+        bytes([8])
+        + height.to_bytes(2, "big")
+        + width.to_bytes(2, "big")
+        + bytes([1, 1, 0x11, 0]),
+    )
+    out += seg(0xC4, bytes([0x00]) + _ENC_DC_COUNTS + _ENC_DC_SYMS)
+    out += seg(0xC4, bytes([0x10]) + _ENC_AC_COUNTS + _ENC_AC_SYMS)
+
+    # scan 1: DC first, successive approximation high bits (Al=1)
+    bw = _BitWriterE()
+    pred = 0
+    for coef in blocks:
+        v = coef[0] >> 1  # G.1.2.1: arithmetic shift right
+        diff = v - pred
+        pred = v
+        t = 0 if diff == 0 else abs(diff).bit_length()
+        code, ln = _ENC_DC[t]
+        bw.put(code, ln)
+        if t:
+            bw.put(diff if diff > 0 else diff + (1 << t) - 1, t)
+    out += seg(0xDA, bytes([1, 1, 0x00, 0, 0, 0x01])) + bw.flush()
+
+    # scan 2: DC refinement (Ah=1, Al=0) — one raw bit per block
+    bw = _BitWriterE()
+    for coef in blocks:
+        bw.put(coef[0] & 1, 1)
+    out += seg(0xDA, bytes([1, 1, 0x00, 0, 0, 0x10])) + bw.flush()
+
+    # scans 3+4: AC first per spectral band, EOB-run coded (G.1.2.2)
+    for ss, se in ((1, 5), (6, 63)):
+        bw = _BitWriterE()
+        eobrun = 0
+
+        def _flush_eobrun():
+            nonlocal eobrun
+            while eobrun:
+                r = min(eobrun.bit_length() - 1, 14)
+                code, ln = _ENC_AC[r << 4]
+                bw.put(code, ln)
+                if r:
+                    bw.put(eobrun - (1 << r), r)
+                eobrun -= 1 << r
+
+        for coef in blocks:
+            nz = [
+                (k, coef[_ZZ[k]])
+                for k in range(ss, se + 1)
+                if coef[_ZZ[k]]
+            ]
+            if not nz:
+                eobrun += 1
+                if eobrun == 0x7FFF:
+                    _flush_eobrun()
+                continue
+            _flush_eobrun()
+            run = 0
+            prev = ss - 1
+            for k, v in nz:
+                run = k - prev - 1
+                prev = k
+                while run > 15:
+                    code, ln = _ENC_AC[0xF0]  # ZRL
+                    bw.put(code, ln)
+                    run -= 16
+                s = abs(v).bit_length()
+                code, ln = _ENC_AC[(run << 4) | s]
+                bw.put(code, ln)
+                bw.put(v if v > 0 else v + (1 << s) - 1, s)
+            if prev < se:
+                eobrun += 1  # this block's EOB joins the next run
+        _flush_eobrun()
+        out += seg(0xDA, bytes([1, 1, 0x00, ss, se, 0x00])) + bw.flush()
+
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
 # ---------------------------------------------------------------------------
 # MJPEG frame streams (concatenated JPEG frames)
 # ---------------------------------------------------------------------------

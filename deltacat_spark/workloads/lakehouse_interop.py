@@ -356,6 +356,79 @@ ORDER BY phase, o_orderstatus
 """
 
 
+def hudi_mor_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING consumption of a Hudi MERGE_ON_READ timeline
+    (`streaming/lakehouse_source.py` via `stream_read_hudi`): insert a
+    partitioned MoR orders subset, UPSERT updates + new keys (the
+    updates land as LOG FILES under a deltacommit), COMPACT (a
+    `compacted: true` commit the stream must keep silent), then drain
+    the whole timeline with one availableNow run into a parquet sink.
+    Delivered rows must be exactly each data-bearing write's rows —
+    the insert batch plus the deltacommit's log/base rows, nothing
+    re-delivered by compaction — which only holds if deltacommit
+    planning, log-slice row-group streaming, per-instant row filtering,
+    and compaction skipping are all correct."""
+    from deltacat_spark.sources.hudi import compact_hudi, write_hudi
+    from deltacat_spark.streaming import stream_read_hudi
+
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    root = tempfile.mkdtemp(prefix="hudi_ms_")
+    write_hudi(
+        o.filter(F.col("o_orderkey") % 80 == 0),
+        root,
+        record_key_field="o_orderkey",
+        operation="insert",
+        partition_by=["o_orderstatus"],
+        table_type="MERGE_ON_READ",
+    )
+    updates = o.filter(F.col("o_orderkey") % 160 == 0).withColumn(
+        "o_totalprice", F.col("o_totalprice") + F.lit(1000.0)
+    )
+    new_keys = o.filter(F.col("o_orderkey") % 80 == 40)
+    write_hudi(
+        updates.unionByName(new_keys), root, record_key_field="o_orderkey"
+    )
+    assert compact_hudi(spark, root) is not None
+    sink = tempfile.mkdtemp(prefix="hudi_ms_sink_")
+    ckpt = tempfile.mkdtemp(prefix="hudi_ms_ckpt_")
+    q = (
+        stream_read_hudi(spark, root)
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = spark.read.parquet(sink)
+    return (
+        got.groupBy("o_orderstatus")
+        .agg(cnt("n"), dsum("o_totalprice", "total"))
+        .orderBy("o_orderstatus")
+    )
+
+
+HUDI_MOR_STREAM_SQL = f"""
+WITH delivered AS (
+    SELECT o_orderstatus, o_totalprice
+    FROM orders WHERE o_orderkey % 80 = 0
+    UNION ALL
+    SELECT o_orderstatus, o_totalprice + 1000.0 AS o_totalprice
+    FROM orders WHERE o_orderkey % 160 = 0
+    UNION ALL
+    SELECT o_orderstatus, o_totalprice
+    FROM orders WHERE o_orderkey % 80 = 40
+)
+SELECT o_orderstatus, {cnt_sql("n")}, {dsum_sql("o_totalprice", "total")}
+FROM delivered
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+
 def iceberg_equality_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """External equality-delete ingestion + converter fold, end to end:
     write an orders subset as Iceberg v2 (partitioned by status), append
@@ -546,4 +619,5 @@ QUERIES = {
         ICEBERG_EQUALITY_SQL,
     ),
     "delta_deletion_vectors": (delta_deletion_vectors, DELTA_DV_SQL),
+    "hudi_mor_stream": (hudi_mor_stream, HUDI_MOR_STREAM_SQL),
 }

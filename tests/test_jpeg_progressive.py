@@ -121,3 +121,117 @@ def test_progressive_equals_baseline_on_same_coefficients():
         + b"\xff\xd9"
     )
     assert decode_jpeg_pixels(prog) == base
+
+
+# ---------------------------------------------------------------------------
+# r12: the progressive ENCODER (encode_jpeg_gray_progressive)
+# ---------------------------------------------------------------------------
+
+
+def test_progressive_encoder_flat_blocks_lossless():
+    import random
+
+    from deltacat_spark.sources.jpeg import encode_jpeg_gray_progressive
+
+    rng = random.Random(3)
+    for _ in range(15):
+        w, h = rng.choice([(8, 8), (16, 16), (32, 16), (64, 64)])
+        vals = [rng.randrange(256) for _ in range((w // 8) * (h // 8))]
+        px = bytes(
+            vals[(y // 8) * (w // 8) + (x // 8)]
+            for y in range(h)
+            for x in range(w)
+        )
+        data = encode_jpeg_gray_progressive(w, h, px)
+        assert bytes([0xFF, 0xC2]) in data  # SOF2
+        assert data.count(b"\xff\xda") >= 4  # four scans
+        assert decode_jpeg_pixels(data) == (w, h, 1, px)
+
+
+def test_progressive_encoder_matches_baseline_within_rounding():
+    import random
+
+    from deltacat_spark.sources.jpeg import (
+        encode_jpeg_gray,
+        encode_jpeg_gray_progressive,
+    )
+
+    rng = random.Random(17)
+    for _ in range(8):
+        w, h = 16, 16
+        px = bytes(rng.randrange(256) for _ in range(w * h))
+        base = decode_jpeg_pixels(encode_jpeg_gray(w, h, px))[3]
+        prog = decode_jpeg_pixels(
+            encode_jpeg_gray_progressive(w, h, px)
+        )[3]
+        assert max(abs(a - b) for a, b in zip(base, prog)) <= 1
+
+
+def test_progressive_encoder_external_decoder_agrees(tmp_path):
+    """JDK ImageIO (libjpeg-derived) decodes our progressive streams —
+    an external check that the SOF2/scan headers, EOB-run coding, and
+    successive-approximation bits are spec-legal, not just
+    self-consistent."""
+    import random
+    import shutil
+    import subprocess
+
+    import pytest
+
+    if shutil.which("java") is None or shutil.which("javac") is None:
+        pytest.skip("no JDK in environment")
+    from deltacat_spark.sources.jpeg import encode_jpeg_gray_progressive
+
+    src = tmp_path / "DecodeGray.java"
+    src.write_text(
+        """
+import javax.imageio.ImageIO;
+import java.awt.image.BufferedImage;
+import java.awt.image.Raster;
+import java.io.File;
+import java.io.FileOutputStream;
+public class DecodeGray {
+    public static void main(String[] args) throws Exception {
+        BufferedImage img = ImageIO.read(new File(args[0]));
+        Raster r = img.getRaster();
+        int w = img.getWidth(), h = img.getHeight();
+        byte[] out = new byte[w * h];
+        for (int y = 0; y < h; y++)
+            for (int x = 0; x < w; x++)
+                out[y * w + x] = (byte) r.getSample(x, y, 0);
+        try (FileOutputStream f = new FileOutputStream(args[1])) {
+            f.write(out);
+        }
+    }
+}
+"""
+    )
+    subprocess.run(
+        ["javac", str(src)], check=True, capture_output=True
+    )
+    rng = random.Random(11)
+    for trial in range(3):
+        w, h = 32, 16
+        vals = [rng.randrange(256) for _ in range((w // 8) * (h // 8))]
+        px = bytes(
+            vals[(y // 8) * (w // 8) + (x // 8)]
+            for y in range(h)
+            for x in range(w)
+        )
+        jpg = tmp_path / f"t{trial}.jpg"
+        raw = tmp_path / f"t{trial}.raw"
+        jpg.write_bytes(encode_jpeg_gray_progressive(w, h, px))
+        subprocess.run(
+            [
+                "java",
+                "-cp",
+                str(tmp_path),
+                "DecodeGray",
+                str(jpg),
+                str(raw),
+            ],
+            check=True,
+            capture_output=True,
+        )
+        got = raw.read_bytes()
+        assert max(abs(a - b) for a, b in zip(got, px)) <= 1
