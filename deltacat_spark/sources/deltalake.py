@@ -187,6 +187,42 @@ class DeltaSnapshot:
         parts = set(self.partition_columns)
         return T.StructType([f for f in self.schema.fields if f.name not in parts])
 
+    @property
+    def column_mapping_mode(self) -> str:
+        conf = self.metadata.get("configuration") or {}
+        return conf.get("delta.columnMapping.mode", "none") or "none"
+
+    def physical_names(self) -> dict[str, str]:
+        """logical column → physical parquet column (PROTOCOL.md column
+        mapping: `delta.columnMapping.physicalName` in each field's
+        schemaString metadata; identity when mapping is off). Under
+        BOTH 'name' and 'id' modes delta writers name the parquet
+        columns by physicalName, so the rename-based read works for
+        either. Nested struct fields carry their own mapping — not
+        implemented, refused loudly."""
+        raw = json.loads(self.metadata["schemaString"])
+        out: dict[str, str] = {}
+        mapped = self.column_mapping_mode not in ("", "none")
+        for f in raw.get("fields", []):
+            md = f.get("metadata") or {}
+            phys = md.get("delta.columnMapping.physicalName")
+            if mapped and isinstance(f.get("type"), dict):
+                raise NotImplementedError(
+                    "Delta column mapping over nested struct/array/map "
+                    "columns is not supported by the jar-free reader"
+                )
+            if mapped and not phys:
+                # the protocol REQUIRES physicalName once mapping is
+                # on; guessing the logical name would misread a real
+                # mapped table
+                raise ValueError(
+                    f"Delta column mapping is enabled but field "
+                    f"{f['name']!r} has no "
+                    "delta.columnMapping.physicalName metadata"
+                )
+            out[f["name"]] = phys if mapped else f["name"]
+        return out
+
     def live_files(self) -> list[dict]:
         return sorted(self.adds.values(), key=lambda a: a["path"])
 
@@ -195,15 +231,21 @@ class DeltaSnapshot:
     # rather than silently misread an external table
     _SUPPORTED_READER_FEATURES = {"timestampNtz"}
 
-    def ensure_readable(self, allow_deletion_vectors: bool = False) -> None:
+    def ensure_readable(
+        self,
+        allow_deletion_vectors: bool = False,
+        allow_column_mapping: bool = False,
+    ) -> None:
         """Refuse external tables whose protocol features this reader
-        would silently misread: column mapping (physical names differ
-        from logical), any unknown v3 readerFeature, and — unless the
-        caller applies them (`read_delta` does) — deletion vectors
-        (deleted rows would reappear)."""
+        would silently misread: any unknown v3 readerFeature, and —
+        unless the caller handles them (`read_delta` does both) —
+        column mapping (physical names differ from logical) and
+        deletion vectors (deleted rows would reappear)."""
         supported = set(self._SUPPORTED_READER_FEATURES)
         if allow_deletion_vectors:
             supported.add("deletionVectors")
+        if allow_column_mapping:
+            supported.add("columnMapping")
         feats = set(self.protocol.get("readerFeatures") or [])
         unsupported = feats - supported
         if unsupported:
@@ -211,13 +253,15 @@ class DeltaSnapshot:
                 "Delta reader features not supported by the jar-free "
                 f"reader: {sorted(unsupported)}"
             )
-        conf = self.metadata.get("configuration") or {}
-        mode = conf.get("delta.columnMapping.mode", "none")
+        mode = self.column_mapping_mode
         if mode not in ("", "none"):
-            raise NotImplementedError(
-                f"Delta column mapping mode {mode!r} is not supported "
-                "(physical column names would be misread)"
-            )
+            if not allow_column_mapping:
+                raise NotImplementedError(
+                    f"Delta column mapping mode {mode!r} is not "
+                    "supported on this path (physical column names "
+                    "would be misread); use read_delta"
+                )
+            self.physical_names()  # raises on nested mapped columns
         if not allow_deletion_vectors:
             for a in self.adds.values():
                 if a.get("deletionVector"):
@@ -253,7 +297,11 @@ def read_delta(
     — the same shape as the Iceberg position-delete path.
     """
     snap = DeltaSnapshot(root, version)
-    snap.ensure_readable(allow_deletion_vectors=True)
+    snap.ensure_readable(
+        allow_deletion_vectors=True, allow_column_mapping=True
+    )
+    mapped = snap.column_mapping_mode not in ("", "none")
+    physical = snap.physical_names() if mapped else None
     files = snap.live_files()
     if partition_filter is not None:
         if isinstance(partition_filter, dict):
@@ -273,7 +321,7 @@ def read_delta(
     ]
     df = _scan_files(
         spark, root, snap.schema, snap.partition_columns, files,
-        lineage=bool(dv_rows),
+        lineage=bool(dv_rows), physical=physical,
     )
     if dv_rows:
         desc_df = spark.createDataFrame(
@@ -317,15 +365,33 @@ def _scan_files(
     part_cols: list[str],
     files: list[dict],
     lineage: bool = False,
+    physical: "dict[str, str] | None" = None,
 ) -> DataFrame:
     """Scan a log-selected file list, reconstructing identity partition
     columns from `partitionValues` (hive fast path when the layout
     allows ONE scan). `lineage=True` appends `__delta_fp`
     (root-relative path) and `__delta_pos` (row index) — the
-    coordinates deletion vectors key on."""
+    coordinates deletion vectors key on. `physical` maps logical →
+    physical column names (Delta column mapping): parquet reads use
+    physical names and rename back; partitionValues are keyed by
+    physical names per the protocol."""
+    phys = physical or {}
+
+    def p(c: str) -> str:
+        return phys.get(c, c)
+
     data_schema = T.StructType(
-        [f for f in full_schema.fields if f.name not in part_cols]
+        [
+            T.StructField(p(f.name), f.dataType, f.nullable)
+            for f in full_schema.fields
+            if f.name not in part_cols
+        ]
     )
+    renames = {
+        p(f.name): f.name
+        for f in full_schema.fields
+        if f.name not in part_cols and p(f.name) != f.name
+    }
     keep = [f.name for f in full_schema.fields]
     if lineage:
         keep = keep + ["__delta_fp", "__delta_pos"]
@@ -344,6 +410,11 @@ def _scan_files(
             "__delta_pos", F.col("_metadata.row_index")
         )
 
+    def _renamed(df: DataFrame) -> DataFrame:
+        for old, new in renames.items():
+            df = df.withColumnRenamed(old, new)
+        return df
+
     if not files:
         df = spark.createDataFrame([], full_schema)
         if lineage:
@@ -354,13 +425,15 @@ def _scan_files(
     paths = [os.path.join(root, f["path"]) for f in files]
 
     if not part_cols:
-        return _with_lineage(
-            spark.read.schema(data_schema).parquet(*paths)
+        return _renamed(
+            _with_lineage(spark.read.schema(data_schema).parquet(*paths))
         ).select(*keep)
 
     # hive-layout fast path: every live file carries its partition
     # values in the path → ONE scan, Spark reconstructs the columns
-    if all(
+    # (mapped tables take the general path: their partitionValues are
+    # keyed by physical names that never appear as hive segments here)
+    if physical is None and all(
         all(f"{c}={_hive_quote(f.get('partitionValues', {}).get(c))}" in f["path"]
             for c in part_cols)
         for f in files
@@ -381,7 +454,7 @@ def _scan_files(
     pv_by_key: dict[tuple, dict[str, str]] = {}
     for f in files:
         pv = f.get("partitionValues") or {}
-        key = tuple(pv.get(c) for c in part_cols)
+        key = tuple(pv.get(p(c)) for c in part_cols)
         groups.setdefault(key, []).append(os.path.join(root, f["path"]))
         pv_by_key[key] = pv
     out = None
@@ -390,12 +463,14 @@ def _scan_files(
         groups.items(),
         key=lambda kv: tuple((v is None, v or "") for v in kv[0]),
     ):
-        df = _with_lineage(
-            spark.read.schema(data_schema).parquet(*group_paths)
+        df = _renamed(
+            _with_lineage(
+                spark.read.schema(data_schema).parquet(*group_paths)
+            )
         )
         pv = pv_by_key[key]
         for c in part_cols:
-            raw = pv.get(c)
+            raw = pv.get(p(c))
             df = df.withColumn(
                 c,
                 F.lit(raw).cast(dict_field_type(full_schema, c)),

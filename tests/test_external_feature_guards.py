@@ -71,14 +71,27 @@ def test_delta_deletion_vector_guard_to_green(spark, tmp_path):
         DeltaAppendsStreamReader({"root": root})
 
 
-def test_delta_column_mapping_refused(spark, tmp_path):
+def test_delta_column_mapping_guards(spark, tmp_path):
+    """r12: BATCH read_delta supports column mapping via physicalName
+    (tests/test_delta_column_mapping.py); a table CLAIMING mapping but
+    missing the protocol-required physicalName metadata fails loudly
+    instead of guessing, and the change feed / stream still refuse
+    mapped tables outright."""
     root = _delta_table(spark, tmp_path)
     snap = DeltaSnapshot(root)
     md = dict(snap.metadata)
     md["configuration"] = {"delta.columnMapping.mode": "name"}
     _append_action(root, {"metaData": md})
-    with pytest.raises(NotImplementedError, match="column mapping"):
+    with pytest.raises(ValueError, match="physicalName"):
         read_delta(spark, root)
+    with pytest.raises(NotImplementedError, match="column mapping"):
+        read_delta_changes(spark, root, from_version=0)
+    from deltacat_spark.streaming.lakehouse_source import (
+        DeltaAppendsStreamReader,
+    )
+
+    with pytest.raises(NotImplementedError, match="column mapping"):
+        DeltaAppendsStreamReader({"root": root})
 
 
 def test_delta_unknown_reader_feature_refused(spark, tmp_path):
