@@ -555,6 +555,38 @@ _SPARK_TO_PART_AVRO = {
 }
 
 
+def current_schema(meta: dict) -> dict:
+    """The CURRENT iceberg schema object. v2: `schemas` selected by
+    `current-schema-id` matching each schema's OWN `schema-id` field
+    (the spec's rule — positional indexing misreads evolved external
+    tables whose ids aren't 0..n); v1: the legacy single `schema`."""
+    schemas = meta.get("schemas")
+    if schemas:
+        want = meta.get("current-schema-id", 0)
+        for s in schemas:
+            if s.get("schema-id", 0) == want:
+                return s
+        return schemas[want]  # ids absent: positional fallback
+    legacy = meta.get("schema")
+    if legacy is None:
+        raise ValueError("iceberg metadata has neither schemas nor schema")
+    return legacy
+
+
+def current_spec_fields(meta: dict) -> list[dict]:
+    """Default partition-spec fields. v2: `partition-specs` selected by
+    `default-spec-id` (matched on each spec's `spec-id`); v1: the
+    legacy flat `partition-spec` list."""
+    specs = meta.get("partition-specs")
+    if specs:
+        want = meta.get("default-spec-id", 0)
+        for sp in specs:
+            if sp.get("spec-id", 0) == want:
+                return sp["fields"]
+        return specs[want]["fields"]
+    return meta.get("partition-spec") or []
+
+
 # ---------------------------------------------------------------------------
 # table handle
 # ---------------------------------------------------------------------------
@@ -628,13 +660,15 @@ class IcebergTable:
         or EXISTING manifest entry across the manifest list."""
         meta = self.metadata()
         fv = meta.get("format-version", 2)
-        if fv != 2:
-            # v1 manifests lack sequence numbers / content fields and
-            # v3 adds deletion vectors + row lineage — both would be
-            # silently misread, so refuse loudly
+        if fv not in (1, 2):
+            # v3 adds deletion vectors + row lineage — silently
+            # misread, so refuse loudly. v1 reads fine through the
+            # same replay: its manifests simply lack sequence/content
+            # fields (.get defaults: data manifests, global seq 0) and
+            # the format predates delete files entirely.
             raise NotImplementedError(
                 f"Iceberg format-version {fv} is not supported "
-                "(this jar-free reader implements v2)"
+                "(this jar-free reader implements v1 reads + v2)"
             )
         snap = self.snapshot(meta, snapshot_id)
         data, deletes = [], []
@@ -651,7 +685,7 @@ class IcebergTable:
                     if e.get("sequence_number") is not None
                     else mf.get("sequence_number", 0)
                 )
-                if mf["content"] == 1:
+                if mf.get("content") == 1:  # v1 manifests lack the field
                     if df.get("content") == 2 and not df.get(
                         "equality_ids"
                     ):
@@ -813,11 +847,8 @@ def read_iceberg(
     returned frame still needs the row-level predicate)."""
     tbl = IcebergTable(root)
     meta = tbl.metadata()
-    full_schema = spark_schema_for(meta["schemas"][meta["current-schema-id"]])
-    part_cols = [
-        pf["name"]
-        for pf in meta["partition-specs"][meta["default-spec-id"]]["fields"]
-    ]
+    full_schema = spark_schema_for(current_schema(meta))
+    part_cols = [pf["name"] for pf in current_spec_fields(meta)]
     data_schema = T.StructType(
         [f for f in full_schema.fields if f.name not in part_cols]
     )
@@ -835,7 +866,7 @@ def read_iceberg(
         data = [f for f in data if _keep(f.get("partition") or {})]
 
     if bounds_filter:
-        ice_schema = meta["schemas"][meta["current-schema-id"]]
+        ice_schema = current_schema(meta)
         fin = _field_info(ice_schema)
         # normalize predicate values into bound space (temporals
         # compare as micros/days in the spec binary form)
@@ -1002,7 +1033,7 @@ def read_iceberg(
     if apply_deletes and apply_equality_deletes and eq_deletes:
         df = _apply_equality_deletes(
             spark, root, df, eq_deletes, data_seq, max_data_seq,
-            meta["schemas"][meta["current-schema-id"]], full_schema,
+            current_schema(meta), full_schema,
             how="left_anti",
         )
 
@@ -1031,11 +1062,13 @@ def read_iceberg_incremental(
         raise ValueError(f"on_non_append must be fail|skip, got {on_non_append!r}")
     tbl = IcebergTable(root)
     meta = tbl.metadata()
-    full_schema = spark_schema_for(meta["schemas"][meta["current-schema-id"]])
-    part_cols = [
-        pf["name"]
-        for pf in meta["partition-specs"][meta["default-spec-id"]]["fields"]
-    ]
+    if meta.get("format-version", 2) != 2:
+        raise NotImplementedError(
+            "incremental reads need v2 sequence numbers; this table is "
+            f"format-version {meta.get('format-version')}"
+        )
+    full_schema = spark_schema_for(current_schema(meta))
+    part_cols = [pf["name"] for pf in current_spec_fields(meta)]
     data_schema = T.StructType(
         [f for f in full_schema.fields if f.name not in part_cols]
     )
@@ -1124,7 +1157,7 @@ def iceberg_history(root: str) -> list[dict]:
     return [
         {
             "snapshot_id": s["snapshot-id"],
-            "sequence_number": s["sequence-number"],
+            "sequence_number": s.get("sequence-number"),
             "timestamp_ms": s["timestamp-ms"],
             "operation": s.get("summary", {}).get("operation"),
         }
@@ -1175,13 +1208,13 @@ def write_iceberg(
 
     existed = tbl.exists()
     prev_meta = tbl.metadata() if existed else None
+    if existed and prev_meta.get("format-version", 2) != 2:
+        raise NotImplementedError(
+            "writes need a v2 table (this writer commits v2 snapshots);"
+            f" this table is format-version {prev_meta.get('format-version')}"
+        )
     if existed:
-        part_cols = [
-            pf["name"]
-            for pf in prev_meta["partition-specs"][
-                prev_meta["default-spec-id"]
-            ]["fields"]
-        ]
+        part_cols = [pf["name"] for pf in current_spec_fields(prev_meta)]
         if partition_by is not None and list(partition_by) != part_cols:
             raise ValueError(
                 f"partition columns {list(partition_by)} != table's "
@@ -1216,7 +1249,7 @@ def write_iceberg(
     # when it exists, else the same deterministic assignment
     # _commit_snapshot will make for the first commit
     ice_schema = (
-        prev_meta["schemas"][prev_meta["current-schema-id"]]
+        current_schema(prev_meta)
         if existed
         else iceberg_schema_for(df.schema)
     )
@@ -1621,6 +1654,12 @@ def commit_position_deletes(
     position-delete file replaces them."""
     tbl = IcebergTable(root)
     meta = tbl.metadata()
+    if meta.get("format-version", 2) != 2:
+        raise NotImplementedError(
+            "delete commits need a v2 table (sequence-numbered "
+            f"manifests); this table is format-version "
+            f"{meta.get('format-version')}"
+        )
     commit_uuid = uuid.uuid4().hex[:12]
     rel = f"{DATA_DIR}/{commit_uuid}-deletes.parquet"
     staging = os.path.join(root, DATA_DIR, f".staging-{commit_uuid}")
@@ -1773,7 +1812,12 @@ def commit_equality_deletes(
     none committed later."""
     tbl = IcebergTable(root)
     meta = tbl.metadata()
-    ice_schema = meta["schemas"][meta["current-schema-id"]]
+    if meta.get("format-version", 2) != 2:
+        raise NotImplementedError(
+            "equality-delete commits need a v2 table; this table is "
+            f"format-version {meta.get('format-version')}"
+        )
+    ice_schema = current_schema(meta)
     finfo = _field_info(ice_schema)
     bad = [c for c in deletes.columns if c not in finfo]
     if bad:
@@ -1882,9 +1926,7 @@ def fold_equality_deletes(spark: SparkSession, root: str) -> int | None:
         _rel_data_path(root, f["file_path"]): int(f.get("__seq") or 0)
         for f in data
     }
-    full_schema = spark_schema_for(
-        meta["schemas"][meta["current-schema-id"]]
-    )
+    full_schema = spark_schema_for(current_schema(meta))
     pos = _apply_equality_deletes(
         spark,
         root,
@@ -1892,7 +1934,7 @@ def fold_equality_deletes(spark: SparkSession, root: str) -> int | None:
         eq_deletes,
         data_seq,
         max(data_seq.values(), default=0),
-        meta["schemas"][meta["current-schema-id"]],
+        current_schema(meta),
         full_schema,
         how="left_semi",
     ).select(

@@ -360,15 +360,20 @@ def _iceberg_schemas(root: str):
     """(full StructType incl. partition cols, partition col names)."""
     from deltacat_spark.sources.iceberg import (
         IcebergTable,
+        current_schema,
+        current_spec_fields,
         spark_schema_for,
     )
 
     meta = IcebergTable(root).metadata()
-    full = spark_schema_for(meta["schemas"][meta["current-schema-id"]])
-    part_cols = [
-        pf["name"]
-        for pf in meta["partition-specs"][meta["default-spec-id"]]["fields"]
-    ]
+    if meta.get("format-version", 2) != 2:
+        # the stream's offsets ARE v2 sequence numbers
+        raise NotImplementedError(
+            "the iceberg append stream needs a v2 table; this table "
+            f"is format-version {meta.get('format-version')}"
+        )
+    full = spark_schema_for(current_schema(meta))
+    part_cols = [pf["name"] for pf in current_spec_fields(meta)]
     return full, part_cols
 
 
