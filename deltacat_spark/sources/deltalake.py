@@ -523,24 +523,57 @@ def read_delta_changes(
     `dataChange=true` adds replay as `insert` rows, `dataChange=true`
     removes replay as `delete` rows (the removed file re-read as of the
     PRE-commit snapshot), and reorganizations (OPTIMIZE's
-    `dataChange=false` adds+removes) are correctly silent. Exact for
+    `dataChange=false` adds+removes) are correctly silent. Stamps
+    `_change_type` and `_commit_version`.
+
+    DELETION-VECTOR commits are exact too (r12): a remove+re-add pair
+    whose new add carries a DV replays as delete rows at exactly the
+    POSITION DIFF new-DV \\ old-DV (never the whole file); whole-file
+    removes and inserts on a DV'd table apply the file's prior/own DV
+    so previously-deleted rows never re-surface in the feed. Exact for
     this writer set because every data-changing commit is whole-file
-    (append/overwrite) — there are no partial rewrites that carry
-    unchanged rows. Stamps `_change_type` and `_commit_version`.
+    or a DV position diff — there are no partial rewrites that carry
+    unchanged rows.
 
     Versions are inclusive on both ends. Raises if a needed removed
     file was vacuumed away."""
+    from deltacat_spark.sources import deltadv
+
     vs = _list_versions(root)
     if not vs:
         raise FileNotFoundError(f"no Delta log under {root}/{LOG_DIR}")
     hi = vs[-1] if to_version is None else to_version
-    DeltaSnapshot(root, hi).ensure_readable()
+    DeltaSnapshot(root, hi).ensure_readable(allow_deletion_vectors=True)
     want = [v for v in vs if from_version <= v <= hi]
     out = None
 
     def _stamp(df: DataFrame, kind: str, v: int) -> DataFrame:
         return df.withColumn("_change_type", F.lit(kind)).withColumn(
             "_commit_version", F.lit(v).cast("long")
+        )
+
+    def _dv_positions(fmeta: dict | None) -> set[int]:
+        if not fmeta or not fmeta.get("deletionVector"):
+            return set()
+        return set(
+            deltadv.descriptor_positions(root, fmeta["deletionVector"])
+        )
+
+    def _rows_at(snapshot, fmeta: dict, positions: set[int], keep: bool):
+        """Rows of one file AT (keep=True) or EXCLUDING (keep=False)
+        the given positions."""
+        df = _scan_files(
+            spark, root, snapshot.schema, snapshot.partition_columns,
+            [fmeta], lineage=True,
+        )
+        if not positions:
+            return df.drop("__delta_fp", "__delta_pos")
+        pos_df = spark.createDataFrame(
+            [(int(p),) for p in sorted(positions)], "__delta_pos long"
+        )
+        how = "left_semi" if keep else "left_anti"
+        return df.join(F.broadcast(pos_df), "__delta_pos", how).drop(
+            "__delta_fp", "__delta_pos"
         )
 
     for v in want:
@@ -558,38 +591,81 @@ def read_delta_changes(
                     "dataChange", True
                 ):
                     removes.append(a["remove"])
-        if removes and v > vs[0]:
-            # the removed rows' content is the file as of the previous
-            # version — its add action still carries partitionValues
-            prev = DeltaSnapshot(root, v - 1)
-            rfiles = []
-            for r in removes:
-                fmeta = prev.adds.get(r["path"])
-                if fmeta is None:
-                    continue  # re-remove of an already-dead file
-                if not os.path.isfile(os.path.join(root, r["path"])):
-                    raise ValueError(
-                        f"change feed at version {v} needs removed file "
-                        f"{r['path']} which vacuum has deleted"
-                    )
-                rfiles.append(fmeta)
-            if rfiles:
-                df = _scan_files(
-                    spark, root, prev.schema, prev.partition_columns,
-                    rfiles,
+        prev = DeltaSnapshot(root, v - 1) if v > vs[0] else None
+        snap_v = DeltaSnapshot(root, v) if (adds or removes) else None
+        add_by_path = {a["path"]: a for a in adds}
+        # a remove whose path is re-added WITH a DV in the same commit
+        # is a DV update, not a whole-file delete
+        dv_update_paths = {
+            p
+            for p in add_by_path
+            if add_by_path[p].get("deletionVector")
+            and any(r["path"] == p for r in removes)
+            and prev is not None
+            and p in prev.adds
+        }
+        # whole-file deletes: batch the DV-less files into ONE scan
+        # (the common overwrite shape); DV'd files filter per-file
+        plain_rfiles: list[dict] = []
+        for r in removes:
+            if r["path"] in dv_update_paths or prev is None:
+                continue
+            fmeta = prev.adds.get(r["path"])
+            if fmeta is None:
+                continue  # re-remove of an already-dead file
+            if not os.path.isfile(os.path.join(root, r["path"])):
+                raise ValueError(
+                    f"change feed at version {v} needs removed file "
+                    f"{r['path']} which vacuum has deleted"
+                )
+            if fmeta.get("deletionVector"):
+                # rows live BEFORE the commit: exclude the prior DV
+                df = _rows_at(
+                    prev, fmeta, _dv_positions(fmeta), keep=False
                 )
                 part = _stamp(df, "delete", v)
                 out = part if out is None else out.unionByName(part)
-        if adds:
-            for a in adds:
-                if not os.path.isfile(os.path.join(root, a["path"])):
-                    raise ValueError(
-                        f"change feed at version {v} needs file "
-                        f"{a['path']} which vacuum has deleted"
-                    )
-            snap = DeltaSnapshot(root, v)
+            else:
+                plain_rfiles.append(fmeta)
+        if plain_rfiles:
             df = _scan_files(
-                spark, root, snap.schema, snap.partition_columns, adds
+                spark, root, prev.schema, prev.partition_columns,
+                plain_rfiles,
+            )
+            part = _stamp(df, "delete", v)
+            out = part if out is None else out.unionByName(part)
+
+        plain_adds: list[dict] = []
+        for a in adds:
+            if not os.path.isfile(os.path.join(root, a["path"])):
+                raise ValueError(
+                    f"change feed at version {v} needs file "
+                    f"{a['path']} which vacuum has deleted"
+                )
+            if a["path"] in dv_update_paths:
+                # DV update: delete rows = position diff new \ old
+                old_pos = _dv_positions(prev.adds.get(a["path"]))
+                new_pos = _dv_positions(a)
+                newly = new_pos - old_pos
+                if newly:
+                    df = _rows_at(snap_v, a, newly, keep=True)
+                    part = _stamp(df, "delete", v)
+                    out = (
+                        part if out is None else out.unionByName(part)
+                    )
+                continue
+            if a.get("deletionVector"):
+                # a brand-new file carrying a DV at add time inserts
+                # only its live rows
+                df = _rows_at(snap_v, a, _dv_positions(a), keep=False)
+                part = _stamp(df, "insert", v)
+                out = part if out is None else out.unionByName(part)
+            else:
+                plain_adds.append(a)
+        if plain_adds:
+            df = _scan_files(
+                spark, root, snap_v.schema, snap_v.partition_columns,
+                plain_adds,
             )
             part = _stamp(df, "insert", v)
             out = part if out is None else out.unionByName(part)

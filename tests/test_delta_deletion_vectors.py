@@ -263,3 +263,52 @@ def test_dv_cardinality_mismatch_fails(spark, tmp_path):
     }
     with pytest.raises(ValueError, match="cardinality"):
         deltadv.descriptor_positions(str(tmp_path), desc)
+
+
+# ---------------------------------------------------------------------------
+# change feed over DV commits (r12: exact position-diff deletes)
+# ---------------------------------------------------------------------------
+
+
+def test_change_feed_dv_position_diff(spark, tmp_path):
+    from deltacat_spark.sources.deltalake import read_delta_changes
+
+    root = str(tmp_path / "t")
+    write_delta(spark.range(0, 20).select("id"), root)  # v0
+    delete_rows_with_dv(spark, root, "id < 4")  # v1
+    delete_rows_with_dv(spark, root, "id < 6")  # v2: overlap — only 4,5 new
+    ch = read_delta_changes(spark, root, from_version=1).collect()
+    by_v = {}
+    for r in ch:
+        by_v.setdefault(r._commit_version, []).append((r._change_type, r.id))
+    assert sorted(by_v[1]) == [("delete", i) for i in range(4)]
+    assert sorted(by_v[2]) == [("delete", 4), ("delete", 5)]
+
+
+def test_change_feed_full_file_delete_excludes_prior_dv(spark, tmp_path):
+    from deltacat_spark.sources.deltalake import read_delta_changes
+
+    root = str(tmp_path / "t")
+    write_delta(spark.range(0, 10).select("id").coalesce(1), root)  # v0
+    delete_rows_with_dv(spark, root, "id < 4")  # v1: DV on the file
+    delete_rows_with_dv(spark, root, "id >= 0")  # v2: rest → plain remove
+    ch = read_delta_changes(spark, root, from_version=2).collect()
+    # the whole-file delete must NOT resurrect rows 0..3
+    assert sorted(r.id for r in ch) == list(range(4, 10))
+    assert {r._change_type for r in ch} == {"delete"}
+
+
+def test_change_feed_overwrite_applies_prior_dv(spark, tmp_path):
+    from deltacat_spark.sources.deltalake import read_delta_changes
+
+    root = str(tmp_path / "t")
+    write_delta(spark.range(0, 8).select("id"), root)  # v0
+    delete_rows_with_dv(spark, root, "id IN (1, 2)")  # v1
+    write_delta(
+        spark.range(100, 103).select("id"), root, mode="overwrite"
+    )  # v2: removes all live files
+    ch = read_delta_changes(spark, root, from_version=2).collect()
+    dels = sorted(r.id for r in ch if r._change_type == "delete")
+    ins = sorted(r.id for r in ch if r._change_type == "insert")
+    assert dels == [0, 3, 4, 5, 6, 7]  # 1,2 were already DV-deleted
+    assert ins == [100, 101, 102]

@@ -45,10 +45,11 @@ def _delta_table(spark, tmp_path):
 
 
 def test_delta_deletion_vector_guard_to_green(spark, tmp_path):
-    """r12 flip: BATCH read_delta now APPLIES deletion vectors
+    """r12 flip: BATCH read_delta APPLIES deletion vectors and the
+    change feed replays them as exact position-diff deletes
     (tests/test_delta_deletion_vectors.py covers the semantics); the
-    change feed and the streaming source still refuse loudly — they
-    cannot represent DV'd row-level deletes."""
+    streaming source still refuses loudly — an append stream cannot
+    represent row-level deletes."""
     from deltacat_spark.sources.deltalake import delete_rows_with_dv
 
     root = _delta_table(spark, tmp_path)
@@ -56,11 +57,10 @@ def test_delta_deletion_vector_guard_to_green(spark, tmp_path):
     assert sorted(
         r.id for r in read_delta(spark, root).collect()
     ) == [1, 3, 5, 7, 9]
-    with pytest.raises(
-        NotImplementedError, match="deletionVectors|deletion vector"
-    ):
-        read_delta_changes(spark, root, from_version=0)
-    # streaming planner refuses too (ensure_readable at construction)
+    ch = read_delta_changes(spark, root, from_version=1).collect()
+    assert sorted(r.id for r in ch) == [0, 2, 4, 6, 8]
+    assert {r._change_type for r in ch} == {"delete"}
+    # streaming planner refuses (ensure_readable at construction)
     from deltacat_spark.streaming.lakehouse_source import (
         DeltaAppendsStreamReader,
     )
