@@ -142,6 +142,13 @@ BENCH_QUERIES = [
     "hudi_mor_snapshot",
     "jpeg_codec_pixel_stats",
     "mjpeg_frame_stats",
+    # round 12 (additive): external-interop closures — equality-delete
+    # fold, deletion-vector deletes, streaming MoR drain, progressive
+    # JPEG codec row
+    "iceberg_equality_deletes",
+    "delta_deletion_vectors",
+    "hudi_mor_stream",
+    "jpeg_progressive_pixel_stats",
 ]
 
 # The heaviest plans from BENCH_r04, re-measured at ~10x scale in the
