@@ -915,14 +915,21 @@ QUERIES = {
 # ---------------------------------------------------------------------------
 
 
-def minhash_candidate_pairs(spark: SparkSession, sf_dir: str) -> int:
+def minhash_candidate_pairs(
+    spark: SparkSession, sf_dir: str, max_bucket: "int | None" = None
+) -> int:
     """Candidate-pair count of the `dedup_minhash_lsh` /
     `dedup_clusters` LSH stage (distinct banded pairs before Jaccard
-    verification) — recorded at the deep and deep30 bench tiers so the
-    two-point curve shows pairs growing with ROWS (duplication volume),
-    not quadratically (which would dominate at 100x)."""
+    verification) — recorded at the deep and deep30 bench tiers.
+    `max_bucket=None` is the oracle-parity shape the bench rows pin
+    (all-pairs per bucket: quadratic in each duplication-cluster's
+    size, so synthetic SF-replication inflates it super-linearly);
+    the library DEFAULT (64) is the hot-bucket star-pair guard — the
+    100 TB path — whose count must stay ~linear in rows."""
     d = load(spark, sf_dir, "documents")
     sigs = minhash_signatures(
         shingle_sets(d, "doc_id", "text", n=3, distinct=False), num_perms=8
     )
-    return lsh_candidates(sigs, rows_per_band=2, max_bucket=None).count()
+    return lsh_candidates(
+        sigs, rows_per_band=2, max_bucket=max_bucket
+    ).count()
