@@ -746,13 +746,20 @@ def _apply_equality_deletes(
     residual join condition) — no per-row Python, no O(files) plans."""
     finfo = _field_info(ice_schema)
     by_id = {fid: (name, t) for name, (fid, t) in finfo.items()}
-    groups: dict[tuple[int, ...], list[dict]] = {}
+    # group by (equality_ids, partition tuple): per the spec a
+    # PARTITIONED equality-delete file applies only to data of its own
+    # partition — applying it globally would over-delete rows in other
+    # partitions that happen to match the equality values
+    groups: dict[tuple, list[dict]] = {}
     for d in eq_deletes:
-        groups.setdefault(tuple(sorted(d["equality_ids"])), []).append(d)
+        pkey = tuple(sorted((d.get("partition") or {}).items()))
+        groups.setdefault(
+            (tuple(sorted(d["equality_ids"])), pkey), []
+        ).append(d)
     field_types = {f.name: f.dataType for f in full_schema.fields}
     out = df
     matched: list[DataFrame] = []
-    for ids, files in sorted(groups.items()):
+    for (ids, pkey), files in sorted(groups.items()):
         missing = [i for i in ids if i not in by_id]
         if missing:
             raise NotImplementedError(
@@ -760,17 +767,35 @@ def _apply_equality_deletes(
                 "are not top-level primitive columns of the table "
                 "schema — not supported by this jar-free reader"
             )
+        bad_part = [k for k, _ in pkey if k not in field_types]
+        if bad_part:
+            raise NotImplementedError(
+                f"equality delete file is scoped to partition fields "
+                f"{bad_part} that are not identity source columns — "
+                "cannot be applied by this jar-free reader"
+            )
         cols = [by_id[i][0] for i in ids]
         del_schema = T.StructType(
             [T.StructField(c, field_types[c], True) for c in cols]
         )
         paths = [_abs_data_path(root, d["file_path"]) for d in files]
         left = df if how == "left_semi" else out
+
+        def _part_cond(frame):
+            # constant partition scope as extra join terms (null-safe)
+            c = None
+            for k, v in pkey:
+                term = frame[k].eqNullSafe(
+                    F.lit(v).cast(field_types[k])
+                )
+                c = term if c is None else c & term
+            return c
+
         if min(_seq_or_global(d) for d in files) > max_data_seq:
             # every delete in the group is newer than every data file:
             # no seq bookkeeping needed
             eqf = spark.read.schema(del_schema).parquet(*paths)
-            cond = None
+            cond = _part_cond(left)
             for c in cols:
                 term = left[c].eqNullSafe(eqf[c])
                 cond = term if cond is None else cond & term
@@ -804,6 +829,9 @@ def _apply_equality_deletes(
             )
             tagged = left.join(F.broadcast(seq_map), "__ice_fp")
             cond = eqf["__del_seq"] > tagged["__data_seq"]
+            pc = _part_cond(tagged)
+            if pc is not None:
+                cond = cond & pc
             for c in cols:
                 cond = cond & tagged[c].eqNullSafe(eqf[c])
             joined = tagged.join(F.broadcast(eqf), cond, how).drop(
@@ -1798,8 +1826,21 @@ def _carry_forward_manifests(
     return out
 
 
+_ICE_TO_PART_AVRO = {
+    "int": "int",
+    "long": "long",
+    "string": "string",
+    "boolean": "boolean",
+    "float": "float",
+    "double": "double",
+}
+
+
 def commit_equality_deletes(
-    spark: SparkSession, root: str, deletes: DataFrame
+    spark: SparkSession,
+    root: str,
+    deletes: DataFrame,
+    partition: dict | None = None,
 ) -> int:
     """Commit an EQUALITY-delete snapshot (content=2 delete file whose
     `equality_ids` are the frame's columns) — the spec shape an
@@ -1809,7 +1850,9 @@ def commit_equality_deletes(
     `deletes` must be a top-level primitive column of the table schema;
     the delete lands at the next sequence number, so per the spec's
     strict-inequality scoping it targets every CURRENT data file and
-    none committed later."""
+    none committed later. `partition={col: value}` writes a
+    PARTITION-SCOPED delete file (it applies only to data of that
+    partition — the spec's partitioned-delete shape)."""
     tbl = IcebergTable(root)
     meta = tbl.metadata()
     if meta.get("format-version", 2) != 2:
@@ -1825,6 +1868,20 @@ def commit_equality_deletes(
             f"equality delete columns {bad} are not top-level primitive "
             "columns of the table schema"
         )
+    partition = dict(partition or {})
+    bad = [c for c in partition if c not in finfo]
+    if bad:
+        raise ValueError(
+            f"partition scope columns {bad} are not top-level primitive "
+            "columns of the table schema"
+        )
+    partition_fields = [
+        {
+            "name": c,
+            "avro_type": _ICE_TO_PART_AVRO.get(finfo[c][1], "string"),
+        }
+        for c in sorted(partition)
+    ]
     equality_ids = [finfo[c][0] for c in deletes.columns]
 
     commit_uuid = uuid.uuid4().hex[:12]
@@ -1854,7 +1911,7 @@ def commit_equality_deletes(
                 "content": 2,  # EQUALITY_DELETES
                 "file_path": rel,
                 "file_format": "PARQUET",
-                "partition": {},
+                "partition": partition,
                 "record_count": n,
                 "file_size_in_bytes": os.path.getsize(
                     os.path.join(root, rel)
@@ -1868,7 +1925,7 @@ def commit_equality_deletes(
     manifest_rel = f"{METADATA_DIR}/{commit_uuid}-m0.avro"
     manifest_path = os.path.join(root, manifest_rel)
     avrofile.write_container(
-        manifest_path, _manifest_entry_schema([]), entries
+        manifest_path, _manifest_entry_schema(partition_fields), entries
     )
     delete_manifest = {
         "manifest_path": manifest_rel,

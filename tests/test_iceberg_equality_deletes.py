@@ -269,3 +269,45 @@ def test_decimal_single_value_minimal_bytes():
         assert got == want, (s, got, want)
         back = deserialize_single_value("decimal(10, 0)", got)
         assert back == decimal.Decimal(s)
+
+
+def test_partition_scoped_equality_delete(spark, tmp_path, df40):
+    """A PARTITIONED equality-delete file applies only within its own
+    partition (the spec's partitioned-delete scoping) — rows in other
+    partitions matching the equality values must survive; the fold
+    honors the same scope."""
+    root = str(tmp_path / "t")
+    write_iceberg(df40, root, partition_by=["cat"])
+    # v = 1.0 identifies id=2 (cat 2) and also exists nowhere else;
+    # scope the delete on v-values that appear in MULTIPLE partitions:
+    # delete v IN (0.5, 1.0, 1.5) but ONLY within partition cat='1'
+    dels = spark.createDataFrame([(0.5,), (1.0,), (1.5,)], "v double")
+    commit_equality_deletes(spark, root, dels, partition={"cat": "1"})
+    # v=0.5 -> id 1 (cat 1): deleted; v=1.0 -> id 2 (cat 2): SURVIVES;
+    # v=1.5 -> id 3 (cat 3): SURVIVES
+    assert _ids(spark, root) == sorted(set(range(40)) - {1})
+    # manifest shape: the delete entry carries the partition tuple
+    tbl = IcebergTable(root)
+    _, dels_live = tbl.live_files()
+    eq = [d for d in dels_live if d.get("content") == 2]
+    assert eq and eq[0]["partition"] == {"cat": "1"}
+    # the fold applies the same scope and drops the content=2 entry
+    before = _ids(spark, root)
+    assert fold_equality_deletes(spark, root) is not None
+    assert _ids(spark, root) == before
+    _, dels_live = IcebergTable(root).live_files()
+    assert all(d.get("content") != 2 for d in dels_live)
+
+
+def test_partition_scoped_eq_delete_unknown_field_refused(
+    spark, tmp_path, df40
+):
+    root = str(tmp_path / "t")
+    write_iceberg(df40, root)
+    with pytest.raises(ValueError, match="partition scope"):
+        commit_equality_deletes(
+            spark,
+            root,
+            spark.createDataFrame([(1,)], "id long"),
+            partition={"nope": "x"},
+        )
