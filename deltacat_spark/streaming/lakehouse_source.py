@@ -228,17 +228,20 @@ class _DeltaAddPartition(InputPartition):
 
 
 def _delta_schemas(root: str):
-    """(full StructType incl. partition cols, partition col names).
+    """(full StructType incl. partition cols, partition col names,
+    logical→physical name map).
 
-    `ensure_readable()` runs here so the STREAM refuses column-mapped /
+    `ensure_readable()` runs here so the STREAM refuses
     unknown-readerFeature / deletion-vector tables as loudly as the
-    batch reader does (ADVICE r11: only inline DV adds were guarded —
-    a column-mapped table would have streamed all-null columns)."""
+    batch reader does (ADVICE r11: only inline DV adds were guarded).
+    Column mapping is SUPPORTED (r12): parquet columns and
+    partitionValues resolve through `physicalName`, output stays
+    logical — same contract as batch `read_delta`."""
     from deltacat_spark.sources.deltalake import DeltaSnapshot
 
     snap = DeltaSnapshot(root)
-    snap.ensure_readable()
-    return snap.schema, snap.partition_columns
+    snap.ensure_readable(allow_column_mapping=True)
+    return snap.schema, snap.partition_columns, snap.physical_names()
 
 
 class DeltaAppendsStreamReader(DataSourceStreamReader):
@@ -248,9 +251,14 @@ class DeltaAppendsStreamReader(DataSourceStreamReader):
         self._on_remove = options.get("on_remove", "fail")
         from pyspark.sql.pandas.types import to_arrow_type
 
-        sch, part_cols = _delta_schemas(self._root)
+        sch, part_cols, phys = _delta_schemas(self._root)
         self._fields = [
-            (f.name, to_arrow_type(f.dataType), f.name in set(part_cols))
+            (
+                f.name,
+                to_arrow_type(f.dataType),
+                f.name in set(part_cols),
+                phys.get(f.name, f.name),
+            )
             for f in sch.fields
         ]
 
@@ -326,11 +334,13 @@ class DeltaAppendsStreamReader(DataSourceStreamReader):
             if n == 0:
                 continue
             cols, names = [], []
-            for name, atype, is_part in self._fields:
-                if name in t.column_names:
-                    col = t[name].cast(atype)
-                elif is_part and name in pv:
-                    v = pv[name]
+            for name, atype, is_part, phys in self._fields:
+                # parquet columns and partitionValues are keyed by the
+                # PHYSICAL name (column mapping); output stays logical
+                if phys in t.column_names:
+                    col = t[phys].cast(atype)
+                elif is_part and phys in pv:
+                    v = pv[phys]
                     col = (
                         pa.nulls(n, atype)
                         if v is None
@@ -531,7 +541,7 @@ class DeltaAppendsDataSource(DataSource):
             if "path" in self.options
             else self.options["root"]
         )
-        sch, _ = _delta_schemas(root)
+        sch, _, _ = _delta_schemas(root)
         return StructType(
             list(sch.fields) + [StructField("_commit_version", LongType())]
         )

@@ -189,3 +189,27 @@ def test_mapped_nested_column_refused(spark, tmp_path):
         f.write(json.dumps({"metaData": md}) + "\n")
     with pytest.raises(NotImplementedError, match="nested"):
         read_delta(spark, root)
+
+
+def test_mapped_table_streams_logical_columns(spark, tmp_path):
+    """The append STREAM resolves physical parquet columns and
+    physical-keyed partitionValues, delivering logical names — same
+    contract as batch read_delta (r12)."""
+    from deltacat_spark.streaming import stream_read_delta
+
+    root = _make_mapped_table(tmp_path, "name", partitioned=True)
+    sink, ckpt = str(tmp_path / "sink"), str(tmp_path / "ckpt")
+    q = (
+        stream_read_delta(spark, root)
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(sink)
+    assert set(got.columns) == {"id", "cat", "_commit_version"}
+    rows = sorted((r.id, r.cat) for r in got.collect())
+    assert rows == [(1, "a"), (2, "a"), (3, "a"), (4, "b"), (5, "b")]

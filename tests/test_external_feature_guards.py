@@ -72,11 +72,11 @@ def test_delta_deletion_vector_guard_to_green(spark, tmp_path):
 
 
 def test_delta_column_mapping_guards(spark, tmp_path):
-    """r12: BATCH read_delta supports column mapping via physicalName
-    (tests/test_delta_column_mapping.py); a table CLAIMING mapping but
-    missing the protocol-required physicalName metadata fails loudly
-    instead of guessing, and the change feed / stream still refuse
-    mapped tables outright."""
+    """r12: read_delta AND the stream support column mapping via
+    physicalName (tests/test_delta_column_mapping.py); a table
+    CLAIMING mapping but missing the protocol-required physicalName
+    metadata fails loudly instead of guessing, and the change feed
+    still refuses mapped tables outright."""
     root = _delta_table(spark, tmp_path)
     snap = DeltaSnapshot(root)
     md = dict(snap.metadata)
@@ -90,7 +90,7 @@ def test_delta_column_mapping_guards(spark, tmp_path):
         DeltaAppendsStreamReader,
     )
 
-    with pytest.raises(NotImplementedError, match="column mapping"):
+    with pytest.raises(ValueError, match="physicalName"):
         DeltaAppendsStreamReader({"root": root})
 
 
