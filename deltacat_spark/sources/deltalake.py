@@ -305,12 +305,19 @@ def read_delta(
     files = snap.live_files()
     if partition_filter is not None:
         if isinstance(partition_filter, dict):
-            want = partition_filter
+            # dict filters use LOGICAL column names; partitionValues
+            # are physical-keyed under column mapping — translate
+            want = {
+                (physical or {}).get(k, k): v
+                for k, v in partition_filter.items()
+            }
 
             def _keep(pv: dict[str, str]) -> bool:
                 return all(pv.get(k) == v for k, v in want.items())
 
         else:
+            # callable filters see the RAW partitionValues dict
+            # (physical-keyed on mapped tables)
             _keep = partition_filter
         files = [f for f in files if _keep(f.get("partitionValues") or {})]
 

@@ -213,3 +213,9 @@ def test_mapped_table_streams_logical_columns(spark, tmp_path):
     assert set(got.columns) == {"id", "cat", "_commit_version"}
     rows = sorted((r.id, r.cat) for r in got.collect())
     assert rows == [(1, "a"), (2, "a"), (3, "a"), (4, "b"), (5, "b")]
+
+
+def test_mapped_partition_filter_uses_logical_keys(spark, tmp_path):
+    root = _make_mapped_table(tmp_path, "name", partitioned=True)
+    df = read_delta(spark, root, partition_filter={"cat": "b"})
+    assert sorted(r.id for r in df.collect()) == [4, 5]
