@@ -600,6 +600,80 @@ ORDER BY change_type, c_mktsegment
 """
 
 
+def lakehouse_format_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-format MIGRATION: one orders subset flows Iceberg → Delta
+    → Hudi through every jar-free reader/writer half in composition —
+    write Iceberg v2 (partitioned), read it back through manifest
+    replay, write THAT as a partitioned Delta table, read it through
+    log replay, write THAT as a Hudi CoW table, snapshot-read it.
+    Each hop's aggregate hashes as its own phase, so a drift in any of
+    the six halves (or a partition-column loss across formats) breaks
+    exactly the phase where it happened. This is the reference's
+    DatastoreType interop promise (`types/media.py:353-420`) exercised
+    as one pipeline instead of three round-trips."""
+    from deltacat_spark.sources.deltalake import read_delta, write_delta
+    from deltacat_spark.sources.hudi import read_hudi, write_hudi
+    from deltacat_spark.sources.iceberg import read_iceberg, write_iceberg
+
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    subset = o.filter(F.col("o_orderkey") % 70 == 0)
+    ice_root = tempfile.mkdtemp(prefix="mig_ice_")
+    write_iceberg(subset, ice_root, partition_by=["o_orderstatus"])
+    ice = read_iceberg(spark, ice_root)
+
+    delta_root = tempfile.mkdtemp(prefix="mig_delta_")
+    write_delta(ice, delta_root, partition_by=["o_orderstatus"])
+    dl = read_delta(spark, delta_root)
+
+    hudi_root = tempfile.mkdtemp(prefix="mig_hudi_")
+    write_hudi(
+        dl,
+        hudi_root,
+        record_key_field="o_orderkey",
+        operation="insert",
+        partition_by=["o_orderstatus"],
+    )
+    hd = read_hudi(spark, hudi_root, drop_meta=True)
+
+    out = [
+        df.groupBy("o_orderstatus")
+        .agg(cnt("n"), dsum("o_totalprice", "total"))
+        .withColumn("phase", F.lit(phase))
+        for phase, df in (("iceberg", ice), ("delta", dl), ("hudi", hd))
+    ]
+    return (
+        out[0]
+        .unionByName(out[1])
+        .unionByName(out[2])
+        .select("phase", "o_orderstatus", "n", "total")
+        .orderBy("phase", "o_orderstatus")
+    )
+
+
+MIGRATION_SQL = f"""
+WITH subset AS (
+    SELECT o_orderstatus, o_totalprice FROM orders
+    WHERE o_orderkey % 70 = 0
+)
+SELECT phase, o_orderstatus, n, total FROM (
+    SELECT 'iceberg' AS phase, o_orderstatus, {cnt_sql("n")},
+           {dsum_sql("o_totalprice", "total")}
+    FROM subset GROUP BY o_orderstatus
+    UNION ALL
+    SELECT 'delta' AS phase, o_orderstatus, {cnt_sql("n")},
+           {dsum_sql("o_totalprice", "total")}
+    FROM subset GROUP BY o_orderstatus
+    UNION ALL
+    SELECT 'hudi' AS phase, o_orderstatus, {cnt_sql("n")},
+           {dsum_sql("o_totalprice", "total")}
+    FROM subset GROUP BY o_orderstatus
+)
+ORDER BY phase, o_orderstatus
+"""
+
+
 QUERIES = {
     "iceberg_converter_roundtrip": (
         iceberg_converter_roundtrip,
@@ -620,4 +694,8 @@ QUERIES = {
     ),
     "delta_deletion_vectors": (delta_deletion_vectors, DELTA_DV_SQL),
     "hudi_mor_stream": (hudi_mor_stream, HUDI_MOR_STREAM_SQL),
+    "lakehouse_format_migration": (
+        lakehouse_format_migration,
+        MIGRATION_SQL,
+    ),
 }
