@@ -77,6 +77,35 @@ def latest_version(root: str) -> int:
     return vs[-1]
 
 
+def version_at(root: str, timestamp_ms: int) -> int:
+    """Time travel by TIMESTAMP (`timestampAsOf`): the newest version
+    whose commit timestamp <= the instant. Resolved from each commit's
+    in-log `commitInfo.timestamp` (deterministic, travels with the
+    table) with the log file's mtime as fallback for commits written
+    without commitInfo."""
+    best = None
+    for v in _list_versions(root):
+        ts = None
+        with open(_log_path(root, v)) as f:
+            for line in f:
+                line = line.strip()
+                if not line:
+                    continue
+                a = json.loads(line)
+                if "commitInfo" in a and a["commitInfo"].get("timestamp"):
+                    ts = int(a["commitInfo"]["timestamp"])
+                    break
+        if ts is None:
+            ts = int(os.path.getmtime(_log_path(root, v)) * 1000)
+        if ts <= timestamp_ms:
+            best = v
+    if best is None:
+        raise ValueError(
+            f"no delta version at or before timestamp {timestamp_ms}"
+        )
+    return best
+
+
 class DeltaSnapshot:
     """Live state of a Delta table at a version: metadata + add map."""
 
@@ -282,8 +311,11 @@ def read_delta(
     root: str,
     version: int | None = None,
     partition_filter: Callable[[dict[str, str]], bool] | dict[str, str] | None = None,
+    timestamp_ms: int | None = None,
 ) -> DataFrame:
-    """Delta table → DataFrame (time travel via `version`).
+    """Delta table → DataFrame (time travel via `version` or
+    `timestamp_ms` — delta's timestampAsOf, resolved from commitInfo
+    timestamps).
 
     `partition_filter`: dict = equality match on partitionValues
     strings, callable = arbitrary predicate over the partitionValues
@@ -296,6 +328,10 @@ def read_delta(
     and the positions anti-join against Spark's `_metadata.row_index`
     — the same shape as the Iceberg position-delete path.
     """
+    if timestamp_ms is not None:
+        if version is not None:
+            raise ValueError("pass version OR timestamp_ms, not both")
+        version = version_at(root, timestamp_ms)
     snap = DeltaSnapshot(root, version)
     snap.ensure_readable(
         allow_deletion_vectors=True, allow_column_mapping=True

@@ -639,6 +639,26 @@ class IcebergTable:
                 return s
         raise ValueError(f"snapshot {sid} not found")
 
+    def snapshot_id_at(self, timestamp_ms: int) -> int:
+        """Time travel by TIMESTAMP: the newest snapshot whose
+        timestamp-ms <= the given instant (resolved over the
+        snapshot-log per the spec's history table)."""
+        meta = self.metadata()
+        log = sorted(
+            meta.get("snapshot-log", []), key=lambda e: e["timestamp-ms"]
+        )
+        best = None
+        for e in log:
+            if e["timestamp-ms"] <= timestamp_ms:
+                best = e["snapshot-id"]
+        if best is None:
+            raise ValueError(
+                f"no iceberg snapshot at or before timestamp "
+                f"{timestamp_ms} (oldest is "
+                f"{log[0]['timestamp-ms'] if log else 'n/a'})"
+            )
+        return best
+
     def manifests(self, snap: dict) -> list[dict]:
         # external writers store absolute URIs; this writer stores
         # root-relative paths — accept both
@@ -858,8 +878,11 @@ def read_iceberg(
     with_lineage: bool = False,
     bounds_filter: dict[str, tuple[Any, Any]] | None = None,
     apply_equality_deletes: bool = True,
+    as_of_timestamp_ms: int | None = None,
 ) -> DataFrame:
-    """Iceberg table → DataFrame (time travel via `snapshot_id`;
+    """Iceberg table → DataFrame (time travel via `snapshot_id` or
+    `as_of_timestamp_ms` — the newest snapshot at or before the instant,
+    resolved over the snapshot-log;
     position AND equality deletes applied by default via Spark's
     `_metadata` row-index / null-safe-equality anti-joins).
     `with_lineage=True` keeps `__ice_fp` (root-relative source file)
@@ -875,6 +898,12 @@ def read_iceberg(
     returned frame still needs the row-level predicate)."""
     tbl = IcebergTable(root)
     meta = tbl.metadata()
+    if as_of_timestamp_ms is not None:
+        if snapshot_id is not None:
+            raise ValueError(
+                "pass snapshot_id OR as_of_timestamp_ms, not both"
+            )
+        snapshot_id = tbl.snapshot_id_at(as_of_timestamp_ms)
     full_schema = spark_schema_for(current_schema(meta))
     part_cols = [pf["name"] for pf in current_spec_fields(meta)]
     data_schema = T.StructType(

@@ -219,3 +219,22 @@ def test_mapped_partition_filter_uses_logical_keys(spark, tmp_path):
     root = _make_mapped_table(tmp_path, "name", partitioned=True)
     df = read_delta(spark, root, partition_filter={"cat": "b"})
     assert sorted(r.id for r in df.collect()) == [4, 5]
+
+
+def test_delta_timestamp_time_travel(spark, tmp_path):
+    from deltacat_spark.sources.deltalake import (
+        delta_history,
+        write_delta,
+    )
+
+    root = str(tmp_path / "tt")
+    write_delta(spark.range(0, 5).select("id"), root)
+    t0 = delta_history(root)[0]["timestamp"]
+    write_delta(spark.range(5, 9).select("id"), root)
+    df = read_delta(spark, root, timestamp_ms=t0)
+    assert sorted(r.id for r in df.collect()) == list(range(5))
+    assert read_delta(spark, root, timestamp_ms=t0 + 10**9).count() == 9
+    with pytest.raises(ValueError, match="at or before"):
+        read_delta(spark, root, timestamp_ms=t0 - 10**6)
+    with pytest.raises(ValueError, match="not both"):
+        read_delta(spark, root, version=0, timestamp_ms=t0)

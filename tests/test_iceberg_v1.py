@@ -203,3 +203,25 @@ def test_v2_schema_selected_by_id_not_position(spark, tmp_path):
     df = read_iceberg(spark, root)
     assert df.columns == ["id", "v"]
     assert df.count() == 4
+
+
+def test_iceberg_timestamp_time_travel(spark, tmp_path):
+    from deltacat_spark.sources.iceberg import IcebergTable
+
+    root = str(tmp_path / "tt")
+    write_iceberg(spark.range(0, 5).select("id"), root)
+    tbl = IcebergTable(root)
+    t1 = tbl.snapshot(tbl.metadata())["timestamp-ms"]
+    write_iceberg(spark.range(5, 9).select("id"), root, mode="append")
+    # at t1 (first commit's own stamp): only the first snapshot
+    df = read_iceberg(spark, root, as_of_timestamp_ms=t1)
+    assert sorted(r.id for r in df.collect()) == list(range(5))
+    # far future: current snapshot
+    df = read_iceberg(spark, root, as_of_timestamp_ms=t1 + 10**9)
+    assert df.count() == 9
+    with pytest.raises(ValueError, match="at or before"):
+        read_iceberg(spark, root, as_of_timestamp_ms=t1 - 10**6)
+    with pytest.raises(ValueError, match="not both"):
+        read_iceberg(
+            spark, root, snapshot_id=1, as_of_timestamp_ms=t1
+        )
