@@ -542,6 +542,277 @@ def _file_bounds_spec(
     return (lo or None), (hi or None)
 
 
+# ---------------------------------------------------------------------------
+# partition transforms (Iceberg spec "Partition Transforms" + Appendix B)
+# ---------------------------------------------------------------------------
+
+
+def murmur3_32(data: bytes, seed: int = 0) -> int:
+    """32-bit Murmur3 (x86) — the spec's bucket hash function
+    (Appendix B). Returns the UNSIGNED value; iceberg buckets take
+    `(h & Integer.MAX_VALUE) % N`."""
+    c1, c2 = 0xCC9E2D51, 0x1B873593
+    h = seed
+    n = len(data) & ~3
+    for i in range(0, n, 4):
+        k = int.from_bytes(data[i : i + 4], "little")
+        k = (k * c1) & 0xFFFFFFFF
+        k = ((k << 15) | (k >> 17)) & 0xFFFFFFFF
+        k = (k * c2) & 0xFFFFFFFF
+        h ^= k
+        h = ((h << 13) | (h >> 19)) & 0xFFFFFFFF
+        h = (h * 5 + 0xE6546B64) & 0xFFFFFFFF
+    k = 0
+    tail = data[n:]
+    if len(tail) >= 3:
+        k ^= tail[2] << 16
+    if len(tail) >= 2:
+        k ^= tail[1] << 8
+    if len(tail) >= 1:
+        k ^= tail[0]
+        k = (k * c1) & 0xFFFFFFFF
+        k = ((k << 15) | (k >> 17)) & 0xFFFFFFFF
+        k = (k * c2) & 0xFFFFFFFF
+        h ^= k
+    h ^= len(data)
+    h ^= h >> 16
+    h = (h * 0x85EBCA6B) & 0xFFFFFFFF
+    h ^= h >> 13
+    h = (h * 0xC2B2AE35) & 0xFFFFFFFF
+    h ^= h >> 16
+    return h
+
+
+def bucket_hash_bytes(ice_type: str, v: Any) -> bytes:
+    """Appendix B hash input: int/long/date/time/timestamp[tz] hash as
+    the 8-byte little-endian LONG; string as UTF-8; uuid as 16 BE
+    bytes; binary raw; decimal as minimal big-endian unscaled."""
+    if ice_type in ("int", "long"):
+        return struct.pack("<q", int(v))
+    if ice_type == "date":
+        days = (
+            (v - _EPOCH_DATE).days if isinstance(v, datetime.date) else int(v)
+        )
+        return struct.pack("<q", days)
+    if ice_type in ("timestamp", "timestamptz", "time"):
+        if isinstance(v, datetime.datetime):
+            base = (
+                _EPOCH_DT.replace(tzinfo=v.tzinfo)
+                if v.tzinfo is not None
+                else _EPOCH_DT
+            )
+            micros = round((v - base).total_seconds() * 1_000_000)
+        else:
+            micros = int(v)
+        return struct.pack("<q", micros)
+    if ice_type == "string":
+        return str(v).encode("utf-8")
+    if ice_type == "uuid":
+        return uuid.UUID(str(v)).bytes
+    if ice_type == "binary" or ice_type.startswith("fixed"):
+        return bytes(v)
+    if ice_type.startswith("decimal"):
+        scale = int(
+            ice_type[ice_type.index("(") + 1 : ice_type.index(")")]
+            .split(",")[1]
+        )
+        with decimal.localcontext() as ctx:
+            ctx.prec = 100
+            unscaled = int(
+                decimal.Decimal(v).scaleb(scale).to_integral_value()
+            )
+        nbytes = max(1, (unscaled.bit_length() + 7) // 8)
+        try:
+            return unscaled.to_bytes(nbytes, "big", signed=True)
+        except OverflowError:
+            return unscaled.to_bytes(nbytes + 1, "big", signed=True)
+    raise ValueError(f"iceberg bucket transform undefined for {ice_type}")
+
+
+def bucket_value(ice_type: str, v: Any, n: int) -> "int | None":
+    """The spec bucket partition value: (murmur3 & MAX_INT) % n."""
+    if v is None:
+        return None
+    return (murmur3_32(bucket_hash_bytes(ice_type, v)) & 0x7FFFFFFF) % n
+
+
+_TRANSFORM_RE = None  # compiled lazily
+
+
+def parse_partition_term(term: str) -> dict:
+    """'col' | 'bucket(N, col)' | 'truncate(W, col)' |
+    'year(col)'/'month(col)'/'day(col)'/'hour(col)' →
+    {transform, source, param, name} (spec transform strings and
+    field-name convention `source_transform`)."""
+    import re as _re
+
+    global _TRANSFORM_RE
+    if _TRANSFORM_RE is None:
+        _TRANSFORM_RE = _re.compile(
+            r"^\s*(bucket|truncate)\s*\(\s*(\d+)\s*,\s*([\w.]+)\s*\)\s*$|"
+            r"^\s*(year|month|day|hour)\s*\(\s*([\w.]+)\s*\)\s*$"
+        )
+    m = _TRANSFORM_RE.match(term)
+    if m is None:
+        return {
+            "transform": "identity",
+            "source": term.strip(),
+            "param": None,
+            "name": term.strip(),
+        }
+    if m.group(1):
+        t, p, col = m.group(1), int(m.group(2)), m.group(3)
+        short = "trunc" if t == "truncate" else t
+        return {
+            "transform": f"{t}[{p}]",
+            "source": col,
+            "param": p,
+            "name": f"{col}_{short}",
+        }
+    t, col = m.group(4), m.group(5)
+    return {
+        "transform": t,
+        "source": col,
+        "param": None,
+        "name": f"{col}_{t}",
+    }
+
+
+def _specs_from_meta(meta: dict, ice_schema: dict) -> list[dict]:
+    """Reverse of the write-side spec construction: metadata partition
+    spec fields → parsed terms (for appends with partition_by=None)."""
+    by_id = {}
+    for f in ice_schema.get("fields", []):
+        by_id[f["id"]] = f["name"]
+    out = []
+    for pf in current_spec_fields(meta):
+        tr = pf.get("transform", "identity")
+        src = by_id.get(pf.get("source-id"), pf["name"])
+        if tr == "identity":
+            out.append(
+                {"transform": "identity", "source": src, "param": None,
+                 "name": pf["name"]}
+            )
+        elif tr.startswith(("bucket[", "truncate[")):
+            param = int(tr[tr.index("[") + 1 : -1])
+            out.append(
+                {"transform": tr, "source": src, "param": param,
+                 "name": pf["name"]}
+            )
+        else:
+            out.append(
+                {"transform": tr, "source": src, "param": None,
+                 "name": pf["name"]}
+            )
+    return out
+
+
+def _transform_column(spec: dict, ice_type: str):
+    """The Spark Column computing an iceberg partition transform of the
+    source column — native expressions for truncate/temporal (ordinals
+    per the spec: years/months/days/hours since the 1970 epoch), an
+    Arrow-batched pandas UDF of the spec murmur3 for bucket."""
+    src = F.col(spec["source"])
+    tr = spec["transform"]
+    if tr == "identity":
+        return src
+    if tr.startswith("truncate["):
+        w = spec["param"]
+        if ice_type in ("int", "long"):
+            # floor to the width multiple (works for negatives)
+            return (src - (((src % w) + w) % w)).cast(
+                "int" if ice_type == "int" else "long"
+            )
+        if ice_type == "string":
+            return F.substring(src, 1, w)
+        raise ValueError(f"truncate undefined for {ice_type}")
+    if tr in ("year", "month", "day", "hour"):
+        if ice_type == "date":
+            ts = src.cast("timestamp")
+        elif ice_type in ("timestamp", "timestamptz"):
+            ts = src
+        else:
+            raise ValueError(f"{tr} transform undefined for {ice_type}")
+        if tr == "year":
+            return (F.year(ts) - F.lit(1970)).cast("int")
+        if tr == "month":
+            return (
+                (F.year(ts) - F.lit(1970)) * 12 + F.month(ts) - F.lit(1)
+            ).cast("int")
+        if tr == "day":
+            return F.datediff(ts.cast("date"), F.lit("1970-01-01")).cast(
+                "int"
+            )
+        return F.floor(
+            F.unix_timestamp(ts) / F.lit(3600)
+        ).cast("int")
+    if tr.startswith("bucket["):
+        n = spec["param"]
+        from pyspark.sql.functions import pandas_udf
+
+        t = ice_type
+
+        @pandas_udf("int")
+        def _bucket(s):
+            import numpy as np
+            import pandas as pd
+
+            if t in ("int", "long", "date", "timestamp", "timestamptz"):
+                # numpy-vectorized murmur3 over the 8-byte LE long
+                # (Appendix B: temporals hash as their epoch ordinal)
+                if t == "date":
+                    x = (
+                        pd.to_datetime(s)
+                        .values.astype("datetime64[D]")
+                        .astype("int64")
+                    )
+                elif t in ("timestamp", "timestamptz"):
+                    x = (
+                        pd.to_datetime(s)
+                        .values.astype("datetime64[us]")
+                        .astype("int64")
+                    )
+                else:
+                    x = s.fillna(0).astype("int64").to_numpy(
+                        dtype="int64"
+                    )
+                u = x.view("uint64")
+                k1 = (u & 0xFFFFFFFF).astype("uint32")
+                k2 = (u >> np.uint64(32)).astype("uint32")
+                c1 = np.uint32(0xCC9E2D51)
+                c2 = np.uint32(0x1B873593)
+
+                def mix_k(k):
+                    k = (k * c1).astype("uint32")
+                    k = ((k << np.uint32(15)) | (k >> np.uint32(17))).astype("uint32")
+                    return (k * c2).astype("uint32")
+
+                h = np.zeros(len(x), dtype="uint32")
+                for k in (k1, k2):
+                    h ^= mix_k(k)
+                    h = ((h << np.uint32(13)) | (h >> np.uint32(19))).astype("uint32")
+                    h = (h * np.uint32(5) + np.uint32(0xE6546B64)).astype("uint32")
+                h ^= np.uint32(8)  # len(data)
+                h ^= h >> np.uint32(16)
+                h = (h * np.uint32(0x85EBCA6B)).astype("uint32")
+                h ^= h >> np.uint32(13)
+                h = (h * np.uint32(0xC2B2AE35)).astype("uint32")
+                h ^= h >> np.uint32(16)
+                out = ((h & np.uint32(0x7FFFFFFF)) % np.uint32(n)).astype(
+                    "int32"
+                )
+                res = pd.Series(out, index=s.index).astype("Int32")
+                res[s.isna()] = pd.NA
+                return res
+            # general path (strings, decimals, uuid): per-value
+            return pd.Series(
+                [bucket_value(t, v, n) for v in s], index=s.index
+            ).astype("Int32")
+
+        return _bucket(src)
+    raise ValueError(f"unknown iceberg transform {tr!r}")
+
+
 _SPARK_TO_PART_AVRO = {
     "integer": "int",
     "long": "long",
@@ -905,7 +1176,14 @@ def read_iceberg(
             )
         snapshot_id = tbl.snapshot_id_at(as_of_timestamp_ms)
     full_schema = spark_schema_for(current_schema(meta))
-    part_cols = [pf["name"] for pf in current_spec_fields(meta)]
+    # only IDENTITY spec fields name real schema columns (omitted from
+    # data files and reconstructed from manifest metadata); transform
+    # fields (bucket/truncate/temporal) live only in partition tuples
+    part_cols = [
+        pf["name"]
+        for pf in current_spec_fields(meta)
+        if pf.get("transform", "identity") == "identity"
+    ]
     data_schema = T.StructType(
         [f for f in full_schema.fields if f.name not in part_cols]
     )
@@ -1125,7 +1403,11 @@ def read_iceberg_incremental(
             f"format-version {meta.get('format-version')}"
         )
     full_schema = spark_schema_for(current_schema(meta))
-    part_cols = [pf["name"] for pf in current_spec_fields(meta)]
+    part_cols = [
+        pf["name"]
+        for pf in current_spec_fields(meta)
+        if pf.get("transform", "identity") == "identity"
+    ]
     data_schema = T.StructType(
         [f for f in full_schema.fields if f.name not in part_cols]
     )
@@ -1244,9 +1526,17 @@ def write_iceberg(
     append: new data manifest + carry prior manifests forward in the
     new manifest list. overwrite: manifest list holds only the new
     manifest (prior files age out of the current snapshot but remain
-    reachable via time travel). Identity partition spec only — the
-    source columns STAY in the data files per Iceberg convention, so
-    the scan needs no partition-value reconstruction.
+    reachable via time travel).
+
+    `partition_by` terms are identity column names or spec TRANSFORMS:
+    `bucket(N, col)` (spec murmur3, Appendix B — numpy-vectorized for
+    numeric/temporal sources), `truncate(W, col)`, `year(col)` /
+    `month(col)` / `day(col)` / `hour(col)` (epoch ordinals). Identity
+    source columns are omitted from data files (reconstructed from
+    manifest metadata on read — the migrated-hive convention);
+    transform SOURCE columns stay in the data, and the transform
+    values ride only in the partition tuple — exactly what external
+    readers prune on.
     """
     if mode not in ("append", "overwrite", "replace"):
         raise ValueError(
@@ -1270,23 +1560,49 @@ def write_iceberg(
             "writes need a v2 table (this writer commits v2 snapshots);"
             f" this table is format-version {prev_meta.get('format-version')}"
         )
+    # field ids/types first: transforms need their source's ice type
+    ice_schema = (
+        current_schema(prev_meta)
+        if existed
+        else iceberg_schema_for(df.schema)
+    )
+    finfo = _field_info(ice_schema)
     if existed:
-        part_cols = [pf["name"] for pf in current_spec_fields(prev_meta)]
-        if partition_by is not None and list(partition_by) != part_cols:
-            raise ValueError(
-                f"partition columns {list(partition_by)} != table's "
-                f"{part_cols}"
-            )
+        specs = _specs_from_meta(prev_meta, ice_schema)
+        if partition_by is not None:
+            want = [
+                (p["name"], p["transform"])
+                for p in map(parse_partition_term, partition_by)
+            ]
+            have = [(sp["name"], sp["transform"]) for sp in specs]
+            if want != have:
+                raise ValueError(
+                    f"partition terms {want} != table's {have}"
+                )
     else:
-        part_cols = list(partition_by or [])
-    missing = [c for c in part_cols if c not in df.columns]
+        specs = [parse_partition_term(t) for t in (partition_by or [])]
+    part_cols = [sp["name"] for sp in specs]
+    missing = [
+        sp["source"] for sp in specs if sp["source"] not in df.columns
+    ]
     if missing:
         raise ValueError(f"partition columns absent from frame: {missing}")
 
     # ---- data files (fanout partitionBy: every file single-valued) ----
     commit_uuid = uuid.uuid4().hex[:12]
     staging = os.path.join(root, DATA_DIR, f".staging-{commit_uuid}")
-    out = df.repartition(*part_cols) if part_cols else df
+    out = df
+    for sp in specs:
+        if sp["transform"] != "identity":
+            if sp["source"] not in finfo:
+                raise ValueError(
+                    f"transform source {sp['source']!r} is not a "
+                    "top-level primitive column"
+                )
+            out = out.withColumn(
+                sp["name"], _transform_column(sp, finfo[sp["source"]][1])
+            )
+    out = out.repartition(*part_cols) if part_cols else out
     writer = out.write.mode("overwrite").option(
         "maxRecordsPerFile", max_records_per_file
     )
@@ -1294,23 +1610,33 @@ def write_iceberg(
         writer = writer.partitionBy(*part_cols)
     writer.parquet(staging)
 
-    part_types = {
-        f.name: _SPARK_TO_PART_AVRO.get(f.dataType.typeName(), "string")
-        for f in df.schema.fields
-        if f.name in part_cols
-    }
+    spark_types = {f.name: f.dataType.typeName() for f in df.schema.fields}
+
+    def _part_avro_type(sp: dict) -> str:
+        tr = sp["transform"]
+        if tr == "identity":
+            return _SPARK_TO_PART_AVRO.get(
+                spark_types.get(sp["source"], "string"), "string"
+            )
+        if tr.startswith("bucket[") or tr in (
+            "year", "month", "day", "hour",
+        ):
+            return "int"
+        if tr.startswith("truncate["):
+            ice_t = finfo.get(sp["source"], (0, "string"))[1]
+            return {"int": "int", "long": "long"}.get(ice_t, "string")
+        return "string"
+
+    part_types = {sp["name"]: _part_avro_type(sp) for sp in specs}
     partition_fields = [
-        {"name": c, "avro_type": part_types[c]} for c in part_cols
+        {
+            "name": sp["name"],
+            "avro_type": part_types[sp["name"]],
+            "source": sp["source"],
+            "transform": sp["transform"],
+        }
+        for sp in specs
     ]
-    # field ids for the spec bounds maps: the table's committed schema
-    # when it exists, else the same deterministic assignment
-    # _commit_snapshot will make for the first commit
-    ice_schema = (
-        current_schema(prev_meta)
-        if existed
-        else iceberg_schema_for(df.schema)
-    )
-    finfo = _field_info(ice_schema)
 
     entries = []
     now_ms = int(time.time() * 1000)
@@ -1611,10 +1937,12 @@ def _commit_snapshot(
         ice_schema = iceberg_schema_for(schema)
         spec_fields = [
             {
-                "source-id": _field_id_for(ice_schema, pf["name"]),
+                "source-id": _field_id_for(
+                    ice_schema, pf.get("source", pf["name"])
+                ),
                 "field-id": 1000 + i,
                 "name": pf["name"],
-                "transform": "identity",
+                "transform": pf.get("transform", "identity"),
             }
             for i, pf in enumerate(partition_fields or [])
         ]

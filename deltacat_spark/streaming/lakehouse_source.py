@@ -383,7 +383,11 @@ def _iceberg_schemas(root: str):
             f"is format-version {meta.get('format-version')}"
         )
     full = spark_schema_for(current_schema(meta))
-    part_cols = [pf["name"] for pf in current_spec_fields(meta)]
+    part_cols = [
+        pf["name"]
+        for pf in current_spec_fields(meta)
+        if pf.get("transform", "identity") == "identity"
+    ]
     return full, part_cols
 
 
