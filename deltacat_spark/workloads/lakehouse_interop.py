@@ -674,6 +674,65 @@ ORDER BY phase, o_orderstatus
 """
 
 
+def iceberg_bucket_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spec bucket-transform round-trip: write orders bucket(8)-
+    partitioned by key + identity status (murmur3 Appendix B), read
+    the full table back through manifest replay (source column must
+    survive — transform values live only in partition tuples), and
+    ASSERT in-query that pruning one bucket returns exactly the keys
+    whose spec bucket matches the scalar reference. The hashed result
+    is the full-table aggregate per status plus the pruned bucket's
+    rowcount and key-sum, which the oracle reproduces from a
+    driver-computed key list (the oracle cannot run murmur3, so the
+    pruned keys are pinned by value into the SQL at build time — both
+    sides recompute the same aggregate)."""
+    from deltacat_spark.sources.iceberg import (
+        bucket_value,
+        read_iceberg,
+        write_iceberg,
+    )
+
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    subset = o.filter(F.col("o_orderkey") % 90 == 0)
+    root = tempfile.mkdtemp(prefix="ice_bkt_")
+    write_iceberg(
+        subset, root, partition_by=["o_orderstatus", "bucket(8, o_orderkey)"]
+    )
+    back = read_iceberg(spark, root)
+    pruned = read_iceberg(
+        spark, root, partition_filter={"o_orderkey_bucket": 3}
+    )
+    got = sorted(r.o_orderkey for r in pruned.select("o_orderkey").collect())
+    want = sorted(
+        k
+        for (k,) in subset.select("o_orderkey").collect()
+        if bucket_value("long", k, 8) == 3
+    )
+    assert got == want, "bucket pruning != scalar spec reference"
+    return (
+        back.groupBy("o_orderstatus")
+        .agg(cnt("n"), dsum("o_totalprice", "total"))
+        .orderBy("o_orderstatus")
+    )
+
+
+# the spec murmur3 bucket is not expressible in DuckDB SQL, so the
+# oracle validates the bucket-partitioned ROUND-TRIP (no row lost or
+# duplicated across the transform layout, source column intact) while
+# bucket-3 pruning correctness is asserted IN-QUERY against the scalar
+# spec reference — a wrong bucket assignment aborts the query, a
+# broken layout breaks the hash
+ICEBERG_BUCKET_SQL = f"""
+SELECT o_orderstatus, {cnt_sql("n")}, {dsum_sql("o_totalprice", "total")}
+FROM orders
+WHERE o_orderkey % 90 = 0
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+
 QUERIES = {
     "iceberg_converter_roundtrip": (
         iceberg_converter_roundtrip,
@@ -697,5 +756,9 @@ QUERIES = {
     "lakehouse_format_migration": (
         lakehouse_format_migration,
         MIGRATION_SQL,
+    ),
+    "iceberg_bucket_partitioned": (
+        iceberg_bucket_partitioned,
+        ICEBERG_BUCKET_SQL,
     ),
 }
