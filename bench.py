@@ -149,6 +149,8 @@ BENCH_QUERIES = [
     "delta_deletion_vectors",
     "hudi_mor_stream",
     "jpeg_progressive_pixel_stats",
+    "lakehouse_format_migration",
+    "iceberg_bucket_partitioned",
 ]
 
 # The heaviest plans from BENCH_r04, re-measured at ~10x scale in the
