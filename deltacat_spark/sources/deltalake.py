@@ -941,6 +941,30 @@ def _commit_actions(root: str, version: int, actions: list[dict]) -> int:
     return version
 
 
+# Delta protocol legacy-feature table: upgrading a table at legacy
+# minWriterVersion N to the features-based v7 must list every feature
+# that N implied, or external writers lose contracts the table already
+# promised (delta PROTOCOL.md "Table Features"; reference consumes these
+# tables via deltalake DatastoreType, deltacat/types/media.py:353-420).
+_LEGACY_WRITER_FEATURES: dict[int, frozenset[str]] = {
+    2: frozenset({"appendOnly", "invariants"}),
+    3: frozenset({"checkConstraints"}),
+    4: frozenset({"changeDataFeed", "generatedColumns"}),
+    5: frozenset({"columnMapping"}),
+    6: frozenset({"identityColumns"}),
+}
+
+
+def _implied_writer_features(min_writer_version: int) -> set[str]:
+    """Every writerFeature implied by a legacy `minWriterVersion` —
+    cumulative over the protocol's legacy-feature table."""
+    out: set[str] = set()
+    for v, names in _LEGACY_WRITER_FEATURES.items():
+        if min_writer_version >= v:
+            out |= names
+    return out
+
+
 def delete_rows_with_dv(
     spark: SparkSession, root: str, predicate: str
 ) -> int | None:
@@ -1008,6 +1032,7 @@ def delete_rows_with_dv(
     actions: list[dict] = []
     feats = set(snap.protocol.get("readerFeatures") or [])
     if pending and "deletionVectors" not in feats:
+        prior_writer = int(snap.protocol.get("minWriterVersion") or 2)
         actions.append(
             {
                 "protocol": {
@@ -1016,10 +1041,16 @@ def delete_rows_with_dv(
                     "readerFeatures": sorted(
                         feats | {"deletionVectors"}
                     ),
-                    # v7 requires every legacy-implied feature listed
+                    # v7 requires every legacy-implied feature listed —
+                    # derived from the PRIOR minWriterVersion per the
+                    # protocol's legacy-feature table (hardcoding the
+                    # v2 pair would silently drop e.g. changeDataFeed
+                    # from a v4 table, breaking its CDF contract for
+                    # other writers).
                     "writerFeatures": sorted(
                         set(snap.protocol.get("writerFeatures") or [])
-                        | {"deletionVectors", "appendOnly", "invariants"}
+                        | {"deletionVectors"}
+                        | _implied_writer_features(prior_writer)
                     ),
                 }
             }
@@ -1067,7 +1098,13 @@ def delete_rows_with_dv(
             }
         }
     )
-    return _commit_actions(root, latest_version(root) + 1, actions)
+    # Commit at snap.version + 1 (NOT latest_version(root) + 1): the
+    # remove/re-add actions were computed from `snap`, and a concurrent
+    # commit landing during the distributed scan above must make this
+    # link() CAS lose — re-reading the latest version here would
+    # silently rebase stale actions over it (resurrecting rows the
+    # concurrent commit deleted).
+    return _commit_actions(root, snap.version + 1, actions)
 
 
 def latest_txn_version(root: str, app_id: str) -> int | None:

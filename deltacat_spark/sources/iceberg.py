@@ -707,6 +707,39 @@ def _specs_from_meta(meta: dict, ice_schema: dict) -> list[dict]:
     return out
 
 
+_TEMPORAL_ICE_TYPES = ("date", "timestamp", "timestamptz")
+
+
+def _assert_utc_for_temporal_transforms(
+    spark: SparkSession, specs: list[dict], finfo: dict
+) -> None:
+    """Temporal transforms (year/month/day/hour, and bucket over a
+    temporal source) evaluate via session-timezone calendar functions;
+    the spec's epoch-based ordinals (Appendix B hashes temporals as
+    their epoch ordinal) are only produced under UTC. `session.py` sets
+    UTC; refuse loudly rather than write partition values external
+    readers would prune incorrectly."""
+    needs_utc = [
+        sp["name"]
+        for sp in specs
+        if sp["transform"] in ("year", "month", "day", "hour")
+        or (
+            sp["transform"].startswith("bucket[")
+            and finfo.get(sp["source"], (0, ""))[1] in _TEMPORAL_ICE_TYPES
+        )
+    ]
+    if not needs_utc:
+        return
+    tz = spark.conf.get("spark.sql.session.timeZone")
+    if tz not in ("UTC", "Etc/UTC", "GMT", "Z", "+00:00"):
+        raise ValueError(
+            f"temporal partition transforms {needs_utc} require "
+            f"spark.sql.session.timeZone=UTC (got {tz!r}); non-UTC "
+            "sessions would write spec-incorrect partition ordinals "
+            "that external Iceberg readers prune wrongly"
+        )
+
+
 def _transform_column(spec: dict, ice_type: str):
     """The Spark Column computing an iceberg partition transform of the
     source column — native expressions for truncate/temporal (ordinals
@@ -1592,6 +1625,7 @@ def write_iceberg(
     commit_uuid = uuid.uuid4().hex[:12]
     staging = os.path.join(root, DATA_DIR, f".staging-{commit_uuid}")
     out = df
+    _assert_utc_for_temporal_transforms(df.sparkSession, specs, finfo)
     for sp in specs:
         if sp["transform"] != "identity":
             if sp["source"] not in finfo:
@@ -1704,7 +1738,11 @@ def write_iceberg(
     new_manifest = {
         "manifest_path": manifest_rel,
         "manifest_length": os.path.getsize(manifest_path),
-        "partition_spec_id": 0,
+        # writes validate against (and use) the table's DEFAULT spec,
+        # so stamp its id — spec evolution can leave default != 0
+        "partition_spec_id": (
+            prev_meta.get("default-spec-id", 0) if existed else 0
+        ),
         "content": 0,
         "sequence_number": seq,
         "min_sequence_number": seq,
@@ -1991,6 +2029,42 @@ def _commit_snapshot(
     return snapshot_id
 
 
+def _spec_id_for_identity_fields(
+    meta: dict, ice_schema: dict, names: list[str]
+) -> int:
+    """The spec-id whose fields are exactly identity transforms on
+    `names` (in order); REGISTERS a new spec in `meta` when none
+    matches — external readers resolve a manifest's partition tuple
+    type by `partition_spec_id`, so writing ad-hoc partition fields
+    under spec 0 (whose fields generally differ) would make them
+    misread the manifest. Mutates `meta` in place; `_commit_snapshot`
+    persists it."""
+    specs = list(meta.get("partition-specs") or [{"spec-id": 0, "fields": []}])
+    for spec in specs:
+        fields = spec.get("fields") or []
+        if [f["name"] for f in fields] == names and all(
+            f.get("transform", "identity") == "identity" for f in fields
+        ):
+            return spec["spec-id"]
+    new_id = max(s["spec-id"] for s in specs) + 1
+    last_pid = int(meta.get("last-partition-id", 999))
+    new_fields = [
+        {
+            "source-id": _field_id_for(ice_schema, n),
+            "field-id": last_pid + 1 + i,
+            "name": n,
+            "transform": "identity",
+        }
+        for i, n in enumerate(names)
+    ]
+    meta["partition-specs"] = specs + [
+        {"spec-id": new_id, "fields": new_fields}
+    ]
+    if names:
+        meta["last-partition-id"] = last_pid + len(names)
+    return new_id
+
+
 def _field_id_for(ice_schema: dict, name: str) -> int:
     for f in ice_schema["fields"]:
         if f["name"] == name:
@@ -2096,7 +2170,13 @@ def commit_position_deletes(
     delete_manifest = {
         "manifest_path": manifest_rel,
         "manifest_length": os.path.getsize(manifest_path),
-        "partition_spec_id": 0,
+        # external readers type the partition tuple by this id: an
+        # unpartitioned (empty-tuple) delete manifest needs a spec with
+        # NO fields, which is spec 0 only on unpartitioned tables —
+        # register/reuse an empty spec otherwise
+        "partition_spec_id": _spec_id_for_identity_fields(
+            meta, current_schema(meta), []
+        ),
         "content": 1,
         "sequence_number": seq,
         "min_sequence_number": seq,
@@ -2287,7 +2367,12 @@ def commit_equality_deletes(
     delete_manifest = {
         "manifest_path": manifest_rel,
         "manifest_length": os.path.getsize(manifest_path),
-        "partition_spec_id": 0,
+        # resolve (or register) the spec that matches the scope columns
+        # — external readers type the partition tuple by this id, so
+        # spec 0 would misread a partition-scoped delete manifest
+        "partition_spec_id": _spec_id_for_identity_fields(
+            meta, ice_schema, [f["name"] for f in partition_fields]
+        ),
         "content": 1,
         "sequence_number": seq,
         "min_sequence_number": seq,
