@@ -151,6 +151,9 @@ BENCH_QUERIES = [
     "jpeg_progressive_pixel_stats",
     "lakehouse_format_migration",
     "iceberg_bucket_partitioned",
+    # round 13 (additive): real HoodieLogFormat block framing —
+    # framed write + external plant + rollback visibility + compaction
+    "hudi_log_format",
 ]
 
 # The heaviest plans from BENCH_r04, re-measured at ~10x scale in the

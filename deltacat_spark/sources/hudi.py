@@ -25,24 +25,31 @@ feature).
 
 MERGE_ON_READ tables (`table_type="MERGE_ON_READ"` on first write):
 upserts into existing file groups land as LOG FILES next to the base
-file, named `{fileId}_{baseInstant}.log.{version}_{token}.parquet` —
-a documented DEVIATION from Hudi's dotted log convention
-`.{fileId}_{baseInstant}.log.{version}_{token}` (no leading dot, and a
-`.parquet` suffix, so Spark's scanner will list them and external
-Hudi readers pattern-matching the dotted name will NOT classify them
-as log files) — under a
-`.deltacommit` timeline action; snapshot reads merge base + logs per
-file group (latest write per record key wins, `_hoodie_is_deleted`
-honored — Hudi's public soft-delete convention); `compact_hudi` folds
-a group's logs into a new base file under a `commit` action stamped
-`compacted: true` (rows keep their ORIGINAL commit time/seqno, so
-incremental pulls skip compactions and stay exact, same as
-clustering). Documented deviation: log file PAYLOAD is a bare parquet
-file rather than HoodieLogFormat block framing — the block framing is
-unpublished wire format; parquet payloads keep the data plane a native
-Spark scan (Hudi itself supports parquet log blocks via
-`hoodie.logfile.data.block.format=parquet`). Readers of this module's
-tables see spec-shaped timeline, naming, and stats.
+file under a `.deltacommit` timeline action; snapshot reads merge
+base + logs per file group (latest write per record key wins,
+`_hoodie_is_deleted` honored — Hudi's public soft-delete convention);
+`compact_hudi` folds a group's logs into a new base file under a
+`commit` action stamped `compacted: true` (rows keep their ORIGINAL
+commit time/seqno, so incremental pulls skip compactions and stay
+exact, same as clustering).
+
+Log files come in TWO payloads, both read everywhere (snapshot,
+incremental, compaction, upsert key-location):
+- HoodieLogFormat `#HUDI#` block framing — what every real Hudi MoR
+  writer produces; parsed jar-free by `sources/hudi_log.py`
+  (AVRO_DATA_BLOCK + PARQUET_DATA_BLOCK + rollback COMMAND blocks;
+  DELETE/HFILE/CDC blocks refuse loudly). One executor task per log
+  file via `mapInPandas` — Hudi's own scanner granularity.
+- bare parquet payloads named
+  `{fileId}_{baseInstant}.log.{version}_{token}.parquet` — this
+  module's own write format, a documented DEVIATION from Hudi's
+  dotted log convention `.{fileId}_{baseInstant}.log.{version}_{token}`
+  (no leading dot + `.parquet` suffix; Hudi itself supports parquet
+  log payloads via `hoodie.logfile.data.block.format=parquet`).
+  External readers pattern-matching the dotted name will not classify
+  these as log files; framed EXTERNAL logs with the dotted name are
+  read fine. Readers of this module's tables see spec-shaped
+  timeline, naming, and stats.
 
 Scale shape: the timeline is O(commits) JSON on the driver (Hudi's own
 model); upsert's file-group targeting broadcasts the affected-key →
@@ -119,29 +126,46 @@ def _is_log_path(rel: str) -> bool:
     return ".log." in os.path.basename(rel)
 
 
-# a real Hudi writer's log files are HoodieLogFormat block streams and
-# open with this magic; this module's log payloads are bare parquet
-_HUDI_LOG_MAGIC = b"#HUDI#"
+def _scan_data_files(
+    spark: SparkSession,
+    root: str,
+    rels: list[str],
+    with_fname: bool = False,
+    valid_instants: set[str] | None = None,
+) -> DataFrame:
+    """mergeSchema-unioned scan of base/log files where each rel may be
+    a plain parquet payload OR a HoodieLogFormat-framed log (`#HUDI#`
+    magic — what every real Hudi MoR writer produces; decoded by
+    `hudi_log.scan_framed_logs`, one executor task per file, rollback
+    command blocks and uncommitted appends honored). `with_fname` adds
+    a `__fname` basename column for file-group provenance joins."""
+    from deltacat_spark.sources import hudi_log
 
-
-def _ensure_parquet_log(root: str, rel: str) -> None:
-    """Refuse HoodieLogFormat-framed log files BEFORE they reach the
-    parquet reader (which would fail obscurely or, worse, a future
-    lenient reader could misread them): check the leading magic."""
-    path = os.path.join(root, rel)
-    try:
-        with open(path, "rb") as f:
-            head = f.read(6)
-    except OSError:
-        return  # missing file surfaces as the scan's own error
-    if head.startswith(_HUDI_LOG_MAGIC):
-        raise NotImplementedError(
-            f"Hudi log file {os.path.basename(rel)} uses HoodieLogFormat "
-            "block framing (magic #HUDI#), which this jar-free reader "
-            "does not implement — it reads parquet-payload log files "
-            "only (documented deviation); compact the table with a "
-            "real Hudi writer first"
+    paths = [os.path.join(root, r) for r in rels]
+    framed = [p for p in paths if hudi_log.is_framed(p)]
+    plain = [p for p in paths if p not in set(framed)]
+    parts: list[DataFrame] = []
+    if plain:
+        df = spark.read.option("mergeSchema", "true").parquet(*plain)
+        if with_fname:
+            df = df.withColumn(
+                "__fname",
+                F.element_at(F.split(F.input_file_name(), "/"), -1),
+            )
+        parts.append(df)
+    if framed:
+        parts.append(
+            hudi_log.scan_framed_logs(
+                spark,
+                framed,
+                valid_instants=valid_instants,
+                with_fname=with_fname,
+            )
         )
+    out = parts[0]
+    for d in parts[1:]:
+        out = out.unionByName(d, allowMissingColumns=True)
+    return out
 
 
 def _commit_meta(root: str, instant: str) -> dict:
@@ -196,7 +220,6 @@ def file_slices(
             for st in stats:
                 key = (part, st["fileId"])
                 if _is_log_path(st["path"]):
-                    _ensure_parquet_log(root, st["path"])
                     cur = groups.get(key)
                     if cur is None:
                         # baseless log group (not produced by this
@@ -208,7 +231,12 @@ def file_slices(
                             "instant": instant,
                             "log_paths": [],
                         }
-                    cur["log_paths"].append(st["path"])
+                    # a real Hudi writer APPENDS blocks to one log
+                    # file across instants, registering the same path
+                    # per deltacommit — dedupe; block-level instant
+                    # filtering keeps time travel exact
+                    if st["path"] not in cur["log_paths"]:
+                        cur["log_paths"].append(st["path"])
                 else:
                     groups[key] = {
                         "file_id": st["fileId"],
@@ -261,14 +289,15 @@ def read_hudi(
             *[os.path.join(root, s["path"]) for s in plain]
         )
     if logged:
-        paths = [
-            os.path.join(root, s["path"]) for s in logged if s["path"]
-        ] + [
-            os.path.join(root, lp)
-            for s in logged
-            for lp in s["log_paths"]
+        rels = [s["path"] for s in logged if s["path"]] + [
+            lp for s in logged for lp in s["log_paths"]
         ]
-        raw = spark.read.option("mergeSchema", "true").parquet(*paths)
+        vi = {
+            i
+            for i in completed_instants(root)
+            if as_of is None or i <= as_of
+        }
+        raw = _scan_data_files(spark, root, rels, valid_instants=vi)
         merged = _merge_log_view(raw)
         df = merged if df is None else df.unionByName(
             merged, allowMissingColumns=True
@@ -324,16 +353,21 @@ def read_hudi_incremental(
     ]
     if end_instant is not None:
         instants = [i for i in instants if i <= end_instant]
-    paths = []
+    rels: list[str] = []
     for instant in instants:
         meta = _commit_meta(root, instant)
         if meta.get("compacted"):
             continue
         for stats in meta.get("partitionToWriteStats", {}).values():
-            paths.extend(os.path.join(root, st["path"]) for st in stats)
-    if not paths:
+            rels.extend(st["path"] for st in stats)
+    if not rels:
         raise ValueError(f"no commits after {begin_instant}")
-    df = spark.read.option("mergeSchema", "true").parquet(*paths).filter(
+    # dedupe: a real Hudi writer registers ONE appended log file under
+    # several deltacommits; the row filter below keeps the pull exact
+    rels = list(dict.fromkeys(rels))
+    df = _scan_data_files(
+        spark, root, rels, valid_instants=set(completed_instants(root))
+    ).filter(
         (F.col("_hoodie_commit_time") > begin_instant)
         & (
             F.col("_hoodie_commit_time") <= end_instant
@@ -358,6 +392,7 @@ def write_hudi(
     table_name: str | None = None,
     extra_meta: dict | None = None,
     table_type: str | None = None,
+    log_format: str = "parquet",
 ) -> str:
     """DataFrame → Hudi commit; returns the instant.
 
@@ -376,6 +411,12 @@ def write_hudi(
     `table_type` (first write only): COPY_ON_WRITE (default) or
     MERGE_ON_READ. A boolean `_hoodie_is_deleted` column in `df`
     soft-deletes those keys on snapshot reads (Hudi's convention).
+    `log_format` (MoR log appends): "parquet" (this module's payload
+    deviation, a native Spark scan) or "hoodie" — real HoodieLogFormat
+    `#HUDI#`-framed AVRO_DATA blocks under Hudi's dotted log name
+    `.{fileId}_{baseInstant}.log.{version}_{writeToken}`, consumable
+    by external Hudi readers (framed per file group ON EXECUTORS via
+    `applyInPandas` — the write stays one distributed job).
 
     Incoming batches should be unique per (record key, partition) —
     like Hudi without a precombine field, duplicate in-batch keys have
@@ -383,6 +424,10 @@ def write_hudi(
     """
     if operation not in ("insert", "upsert"):
         raise ValueError(f"operation must be insert|upsert, got {operation!r}")
+    if log_format not in ("parquet", "hoodie"):
+        raise ValueError(
+            f"log_format must be parquet|hoodie, got {log_format!r}"
+        )
     if table_type not in (None, "COPY_ON_WRITE", "MERGE_ON_READ"):
         raise ValueError(
             "table_type must be COPY_ON_WRITE|MERGE_ON_READ, got "
@@ -453,26 +498,26 @@ def write_hudi(
             # column-pruned scan, provenance joined on the (unique)
             # file basename so no path-URI normalization is needed.
             fmap_rows = []
-            src_paths = []
+            src_rels = []
             for s in live:
                 for p in ([s["path"]] if s["path"] else []) + s[
                     "log_paths"
                 ]:
                     fmap_rows.append((os.path.basename(p), s["file_id"]))
-                    src_paths.append(os.path.join(root, p))
+                    src_rels.append(p)
             fmap = df.sparkSession.createDataFrame(
                 fmap_rows, "__fname string, __fid string"
             )
-            src = (
-                df.sparkSession.read.option("mergeSchema", "true")
-                .parquet(*src_paths)
-                .select(
-                    F.col("_hoodie_record_key").alias("__k"),
-                    F.col("_hoodie_partition_path").alias("__p"),
-                    F.element_at(
-                        F.split(F.input_file_name(), "/"), -1
-                    ).alias("__fname"),
-                )
+            src = _scan_data_files(
+                df.sparkSession,
+                root,
+                src_rels,
+                with_fname=True,
+                valid_instants=set(completed_instants(root)),
+            ).select(
+                F.col("_hoodie_record_key").alias("__k"),
+                F.col("_hoodie_partition_path").alias("__p"),
+                F.col("__fname"),
             )
             mor_key_loc = (
                 src.join(F.broadcast(fmap), "__fname")
@@ -683,13 +728,24 @@ def write_hudi(
         # their log files can never collide on disk (the version
         # counter alone is computed from the same pre-commit live set
         # by both writers)
-        log_fname_by_fid = {
-            s["file_id"]: (
-                f"{s['file_id']}_{s['instant']}"
-                f".log.{len(s['log_paths']) + 1}_{instant}.parquet"
-            )
-            for s in mor_targets
-        }
+        if log_format == "hoodie":
+            # Hudi's own dotted log-file convention — external readers
+            # classify these as log files
+            log_fname_by_fid = {
+                s["file_id"]: (
+                    f".{s['file_id']}_{s['instant']}"
+                    f".log.{len(s['log_paths']) + 1}_{instant}"
+                )
+                for s in mor_targets
+            }
+        else:
+            log_fname_by_fid = {
+                s["file_id"]: (
+                    f"{s['file_id']}_{s['instant']}"
+                    f".log.{len(s['log_paths']) + 1}_{instant}.parquet"
+                )
+                for s in mor_targets
+            }
         part_by_fid = {s["file_id"]: s["partition"] for s in mor_targets}
         matched = incoming.join(
             F.broadcast(mor_key_loc),
@@ -717,20 +773,85 @@ def write_hudi(
         staging = os.path.join(
             root, HOODIE_DIR, f".tmp-{uuid.uuid4().hex[:8]}"
         )
-        staged.select(*cols).withColumn(
-            "__pp", F.col("_hoodie_file_name")
-        ).write.mode("overwrite").partitionBy("__pp").parquet(staging)
-        _land_staged(
-            staging,
-            fname_by_key={fn: fn for fn in log_fname_by_fid.values()},
-            part_by_key={
-                fn: part_by_fid[fid]
-                for fid, fn in log_fname_by_fid.items()
-            },
-            fid_by_key={
+        if log_format == "hoodie":
+            # frame one AVRO_DATA block per file group ON EXECUTORS
+            # (applyInPandas keyed by the new log name), land + stat
+            # driver-side like the parquet path — still one
+            # distributed job, O(incoming) write cost
+            from deltacat_spark.sources.avrofile import avro_schema_for
+
+            sel = staged.select(*cols)  # META_COLS carries the log name
+            schema_json = json.dumps(
+                avro_schema_for(
+                    staged.select(*cols).schema, "hoodie_record"
+                )
+            )
+            os.makedirs(staging, exist_ok=True)
+            stg, inst, data_cols_f = staging, instant, list(cols)
+
+            def _frame_group(pdf):
+                import json as _json
+                import os as _os
+
+                import pandas as _pd
+                import pyarrow as _pa
+
+                from deltacat_spark.sources import hudi_log as _hl
+
+                fname = pdf["_hoodie_file_name"].iloc[0]
+                rows = _pa.Table.from_pandas(
+                    pdf[data_cols_f], preserve_index=False
+                ).to_pylist()
+                _hl.append_avro_data_block(
+                    _os.path.join(stg, fname),
+                    rows,
+                    _json.loads(schema_json),
+                    inst,
+                )
+                return _pd.DataFrame({"fname": [fname], "n": [len(rows)]})
+
+            landed = (
+                sel.groupBy("_hoodie_file_name")
+                .applyInPandas(_frame_group, "fname string, n long")
+                .collect()
+            )
+            fid_by_fname = {
                 fn: fid for fid, fn in log_fname_by_fid.items()
-            },
-        )
+            }
+            for r in landed:
+                fid = fid_by_fname[r["fname"]]
+                partition = part_by_fid[fid]
+                rel = (
+                    f"{partition}/{r['fname']}" if partition else r["fname"]
+                )
+                dst = os.path.join(root, rel)
+                os.makedirs(os.path.dirname(dst), exist_ok=True)
+                os.replace(os.path.join(stg, r["fname"]), dst)
+                write_stats.setdefault(partition, []).append(
+                    {
+                        "fileId": fid,
+                        "path": rel,
+                        "numWrites": int(r["n"]),
+                        "fileSizeInBytes": os.path.getsize(dst),
+                        "prevCommit": "null",
+                    }
+                )
+            shutil.rmtree(staging, ignore_errors=True)
+        else:
+            staged.select(*cols).withColumn(
+                "__pp", F.col("_hoodie_file_name")
+            ).write.mode("overwrite").partitionBy("__pp").parquet(staging)
+            _land_staged(
+                staging,
+                fname_by_key={fn: fn for fn in log_fname_by_fid.values()},
+                part_by_key={
+                    fn: part_by_fid[fid]
+                    for fid, fn in log_fname_by_fid.items()
+                },
+                fid_by_key={
+                    fn: fid for fid, fn in log_fname_by_fid.items()
+                },
+            )
         handled_keys = matched.select(
             "_hoodie_record_key", "_hoodie_partition_path"
         )
@@ -876,16 +997,18 @@ def compact_hudi(
     }
     part_by_fid = {s["file_id"]: s["partition"] for s in todo}
     fmap_rows = []
-    paths = []
+    rels = []
     for s in todo:
         for p in ([s["path"]] if s["path"] else []) + s["log_paths"]:
             fmap_rows.append((os.path.basename(p), s["file_id"]))
-            paths.append(os.path.join(root, p))
+            rels.append(p)
     raw = (
-        spark.read.option("mergeSchema", "true")
-        .parquet(*paths)
-        .withColumn(
-            "__fname", F.element_at(F.split(F.input_file_name(), "/"), -1)
+        _scan_data_files(
+            spark,
+            root,
+            rels,
+            with_fname=True,
+            valid_instants=set(completed_instants(root)),
         )
         .join(
             F.broadcast(

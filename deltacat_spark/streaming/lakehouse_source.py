@@ -83,6 +83,7 @@ def _iter_row_group_tables(path: str):
 class _HudiSlicePartition(InputPartition):
     path: str
     instant: str
+    framed: bool = False  # HoodieLogFormat block framing (#HUDI#)
 
 
 def _hudi_data_fields(root: str):
@@ -119,9 +120,9 @@ class HudiIncrementalStreamReader(DataSourceStreamReader):
         return {"instant": instants[-1] if instants else self._from}
 
     def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
+        from deltacat_spark.sources import hudi_log
         from deltacat_spark.sources.hudi import (
             _commit_meta,
-            _ensure_parquet_log,
             _is_log_path,
             completed_instants,
         )
@@ -143,14 +144,16 @@ class HudiIncrementalStreamReader(DataSourceStreamReader):
                 continue
             for stats in meta.get("partitionToWriteStats", {}).values():
                 for st in stats:
-                    if _is_log_path(st["path"]):
-                        # HoodieLogFormat-framed files fail loudly
-                        # before reaching the parquet reader
-                        _ensure_parquet_log(self._root, st["path"])
+                    p = os.path.join(self._root, st["path"])
+                    # a real Hudi MoR writer's log files are
+                    # HoodieLogFormat block streams — decoded by
+                    # hudi_log; per-instant block filtering keeps each
+                    # micro-batch exactly that instant's rows even when
+                    # one appended file is registered by many commits
+                    framed = _is_log_path(st["path"]) and hudi_log.is_framed(p)
                     out.append(
                         _HudiSlicePartition(
-                            path=os.path.join(self._root, st["path"]),
-                            instant=instant,
+                            path=p, instant=instant, framed=framed
                         )
                     )
         return out
@@ -159,7 +162,7 @@ class HudiIncrementalStreamReader(DataSourceStreamReader):
         import pyarrow as pa
         import pyarrow.compute as pc
 
-        for t in _iter_row_group_tables(partition.path):
+        for t in self._slice_tables(partition):
             # exactly-once: only rows THIS instant wrote (a rewritten
             # CoW slice carries earlier rows with their original commit
             # times)
@@ -182,6 +185,25 @@ class HudiIncrementalStreamReader(DataSourceStreamReader):
             cols.append(pa.array([partition.instant] * n, pa.string()))
             names.append("_commit_instant")
             yield from pa.table(cols, names=names).to_batches()
+
+    def _slice_tables(self, partition: _HudiSlicePartition):
+        """Arrow tables of one slice file: parquet row-group-bounded,
+        or (framed logs) the partition instant's decoded data blocks —
+        block granularity bounds executor memory the way row groups do
+        for parquet (a Hudi writer caps blocks at its log block size)."""
+        if not partition.framed:
+            yield from _iter_row_group_tables(partition.path)
+            return
+        import pyarrow as pa
+
+        from deltacat_spark.sources import hudi_log
+
+        blocks = hudi_log.read_blocks(partition.path)
+        hudi_log.ensure_decodable(blocks, partition.path)
+        for b in hudi_log.valid_data_blocks(blocks, {partition.instant}):
+            rows = hudi_log.block_records(b)
+            if rows:
+                yield pa.Table.from_pylist(rows)
 
     def commit(self, end: dict) -> None:
         pass  # offsets live in Spark's checkpoint; the timeline is immutable

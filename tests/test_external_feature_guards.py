@@ -165,10 +165,11 @@ def test_iceberg_format_version_guard(spark, tmp_path):
         read_iceberg(spark, root).count()
 
 
-def test_hudi_log_block_magic_guard(spark, tmp_path):
-    """A REAL Hudi writer's log file is a HoodieLogFormat block stream
-    opening with the #HUDI# magic — it must be refused before the
-    parquet reader touches it, batch and streaming."""
+def test_hudi_corrupt_framed_log_refused(spark, tmp_path):
+    """Since r13, HoodieLogFormat-framed log files are READ (see
+    `test_hudi_log_format.py`); what must still refuse loudly is a file
+    that opens with the #HUDI# magic but contains no decodable block —
+    reading it as empty would silently drop data, batch and streaming."""
     from deltacat_spark.sources.hudi import write_hudi as _wh
 
     root = str(tmp_path / "t")
@@ -194,16 +195,35 @@ def test_hudi_log_block_magic_guard(spark, tmp_path):
     assert logged
     victim = os.path.join(root, logged[0]["log_paths"][0])
     body = open(victim, "rb").read()
-    open(victim, "wb").write(b"#HUDI#" + body)
-    with pytest.raises(NotImplementedError, match="HoodieLogFormat"):
-        read_hudi(spark, root)
+    open(victim, "wb").write(b"#HUDI#" + body)  # magic + parquet garbage
+    with pytest.raises(Exception, match="no decodable|no data-block"):
+        read_hudi(spark, root).collect()
     from deltacat_spark.streaming.lakehouse_source import (
         HudiIncrementalStreamReader,
     )
 
-    with pytest.raises(NotImplementedError, match="HoodieLogFormat"):
-        reader = HudiIncrementalStreamReader({"root": root})
-        reader.partitions(reader.initialOffset(), reader.latestOffset())
+    reader = HudiIncrementalStreamReader({"root": root})
+    parts = reader.partitions(reader.initialOffset(), reader.latestOffset())
+    bad = [p for p in parts if p.framed]
+    assert bad
+    with pytest.raises(ValueError, match="no decodable"):
+        list(reader.read(bad[0]))
+
+
+def test_hudi_delete_block_refused(tmp_path):
+    """DELETE_BLOCK payloads (Kryo/avro-IDL HoodieDeleteRecordList)
+    refuse loudly rather than silently skipping deletions."""
+    from deltacat_spark.sources import hudi_log
+
+    path = str(tmp_path / ".f1_001.log.1_0-0-0")
+    blk = hudi_log.frame_block(
+        hudi_log.DELETE_BLOCK,
+        b"\x00\x00\x00\x02\x00\x00\x00\x00",
+        {hudi_log.H_INSTANT_TIME: "001"},
+    )
+    open(path, "wb").write(blk)
+    with pytest.raises(NotImplementedError, match="DELETE_BLOCK"):
+        hudi_log.file_records(path)
 
 
 def test_hudi_table_version_guard(spark, tmp_path):
