@@ -636,6 +636,116 @@ def bucket_value(ice_type: str, v: Any, n: int) -> "int | None":
     return (murmur3_32(bucket_hash_bytes(ice_type, v)) & 0x7FFFFFFF) % n
 
 
+_EPOCH_D = datetime.date(1970, 1, 1)
+
+
+def _temporal_micros(v: Any) -> int:
+    """datetime (naive = UTC) → epoch micros."""
+    if isinstance(v, datetime.datetime):
+        if v.tzinfo is None:
+            v = v.replace(tzinfo=datetime.timezone.utc)
+        return round(v.timestamp() * 1_000_000)
+    return int(v)
+
+
+def transform_value(transform: str, ice_type: str, v: Any) -> Any:
+    """The spec partition transform evaluated on ONE scalar — the
+    driver-side mirror of `_transform_column` (used for predicate →
+    partition projection; spec §Partition Transforms)."""
+    if v is None:
+        return None
+    if transform == "identity":
+        return v
+    if transform.startswith("bucket["):
+        return bucket_value(ice_type, v, int(transform[7:-1]))
+    if transform.startswith("truncate["):
+        w = int(transform[9:-1])
+        if ice_type in ("int", "long"):
+            iv = int(v)
+            return iv - (((iv % w) + w) % w)
+        if ice_type == "string":
+            return str(v)[:w]
+        raise NotImplementedError(f"truncate projection for {ice_type}")
+    if transform in ("year", "month", "day", "hour"):
+        if ice_type == "date" and isinstance(v, datetime.date):
+            if transform == "year":
+                return v.year - 1970
+            if transform == "month":
+                return (v.year - 1970) * 12 + v.month - 1
+            if transform == "day":
+                return (v - _EPOCH_D).days
+            raise ValueError("hour transform undefined for date")
+        micros = _temporal_micros(v)
+        if transform == "hour":
+            return micros // 3_600_000_000
+        if transform == "day":
+            return micros // 86_400_000_000
+        dt = datetime.datetime.fromtimestamp(
+            micros / 1_000_000, datetime.timezone.utc
+        )
+        if transform == "year":
+            return dt.year - 1970
+        return (dt.year - 1970) * 12 + dt.month - 1
+    raise NotImplementedError(f"transform {transform!r} projection")
+
+
+# transforms that preserve ordering of their source (the spec's basis
+# for projecting RANGE predicates; bucket is not order-preserving, so
+# ranges cannot prune bucketed layouts — equality only)
+def _order_preserving(transform: str, ice_type: str) -> bool:
+    if transform == "identity":
+        return True
+    if transform.startswith("truncate["):
+        return ice_type in ("int", "long", "string")
+    return transform in ("year", "month", "day", "hour")
+
+
+def project_predicates(
+    meta: dict, predicate_filter: dict[str, Any]
+) -> list[tuple[str, Any, Any]]:
+    """Spec §Scan Planning inclusive projection: source-column
+    predicates → [(partition_field_name, lo, hi)] conditions on
+    partition-tuple VALUES (closed interval; None = open end).
+    `predicate_filter` maps source column → equality value, or →
+    (lo, hi) for an inclusive range. Equality projects through every
+    transform; ranges only through order-preserving ones (bucket is
+    skipped — never a wrong prune, just no prune)."""
+    ice_schema = current_schema(meta)
+    finfo = _field_info(ice_schema)
+    by_id = {fid: (name, t) for name, (fid, t) in finfo.items()}
+    conds: list[tuple[str, Any, Any]] = []
+    for pf in current_spec_fields(meta):
+        src = by_id.get(pf.get("source-id"))
+        if src is None:
+            continue
+        src_name, src_type = src
+        if src_name not in predicate_filter:
+            continue
+        pred = predicate_filter[src_name]
+        tr = pf.get("transform", "identity")
+        if isinstance(pred, tuple):
+            lo, hi = pred
+            if not _order_preserving(tr, src_type):
+                continue
+            conds.append(
+                (
+                    pf["name"],
+                    None if lo is None else transform_value(tr, src_type, lo),
+                    None if hi is None else transform_value(tr, src_type, hi),
+                )
+            )
+        else:
+            if pred is None:
+                raise ValueError(
+                    "predicate_filter equality value may not be None "
+                    "(use an explicit partition_filter for null "
+                    "partitions)"
+                )
+            tv = transform_value(tr, src_type, pred)
+            conds.append((pf["name"], tv, tv))
+    return conds
+
+
 _TRANSFORM_RE = None  # compiled lazily
 
 
@@ -1183,6 +1293,7 @@ def read_iceberg(
     bounds_filter: dict[str, tuple[Any, Any]] | None = None,
     apply_equality_deletes: bool = True,
     as_of_timestamp_ms: int | None = None,
+    predicate_filter: dict[str, Any] | None = None,
 ) -> DataFrame:
     """Iceberg table → DataFrame (time travel via `snapshot_id` or
     `as_of_timestamp_ms` — the newest snapshot at or before the instant,
@@ -1199,7 +1310,17 @@ def read_iceberg(
     listing: a file is skipped only when its bounds prove no row can
     satisfy `lo <= col <= hi`; files without bounds for a column are
     kept (pruning is metadata-only and never a residual filter — the
-    returned frame still needs the row-level predicate)."""
+    returned frame still needs the row-level predicate).
+
+    `predicate_filter={source_col: v | (lo, hi)}` is the spec's
+    INCLUSIVE PROJECTION (§Scan Planning): a predicate on the SOURCE
+    column prunes partition tuples through the spec's transforms —
+    `o_orderkey = 42` scans 1/N of a `bucket(N, o_orderkey)` layout,
+    a timestamp range prunes day/month partitions, etc. Equality
+    projects through every transform; ranges only through
+    order-preserving ones. Metadata-only like `bounds_filter`: never a
+    residual row filter, and a file whose tuple lacks the projected
+    field (older spec) is kept."""
     tbl = IcebergTable(root)
     meta = tbl.metadata()
     if as_of_timestamp_ms is not None:
@@ -1232,6 +1353,26 @@ def read_iceberg(
         else:
             _keep = partition_filter
         data = [f for f in data if _keep(f.get("partition") or {})]
+
+    if predicate_filter:
+        conds = project_predicates(meta, predicate_filter)
+
+        def _proj_keep(f: dict) -> bool:
+            pv = f.get("partition") or {}
+            for name, lo, hi in conds:
+                if name not in pv or pv[name] is None:
+                    continue  # absent/null tuple value → never wrong-prune
+                v = pv[name]
+                try:
+                    if lo is not None and v < lo:
+                        return False
+                    if hi is not None and v > hi:
+                        return False
+                except TypeError:
+                    continue  # incomparable (legacy string tuple) → keep
+            return True
+
+        data = [f for f in data if _proj_keep(f)]
 
     if bounds_filter:
         ice_schema = current_schema(meta)

@@ -704,13 +704,32 @@ def iceberg_bucket_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     pruned = read_iceberg(
         spark, root, partition_filter={"o_orderkey_bucket": 3}
     )
+    all_keys = sorted(k for (k,) in subset.select("o_orderkey").collect())
     got = sorted(r.o_orderkey for r in pruned.select("o_orderkey").collect())
     want = sorted(
-        k
-        for (k,) in subset.select("o_orderkey").collect()
-        if bucket_value("long", k, 8) == 3
+        k for k in all_keys if bucket_value("long", k, 8) == 3
     )
     assert got == want, "bucket pruning != scalar spec reference"
+    # r13 inclusive projection: a predicate on the SOURCE column (no
+    # transform value named) must prune to exactly that key's bucket —
+    # the spec §Scan Planning behavior; at 100x this is scanning 1/8
+    # instead of 8/8 of the layout for a point lookup
+    probe = all_keys[len(all_keys) // 2]
+    proj = read_iceberg(
+        spark, root, predicate_filter={"o_orderkey": probe}
+    )
+    got_proj = sorted(
+        r.o_orderkey for r in proj.select("o_orderkey").collect()
+    )
+    want_proj = sorted(
+        k
+        for k in all_keys
+        if bucket_value("long", k, 8) == bucket_value("long", probe, 8)
+    )
+    assert got_proj == want_proj, (
+        "inclusive projection != scalar spec reference"
+    )
+    assert len(got_proj) < len(all_keys), "projection pruned nothing"
     return (
         back.groupBy("o_orderstatus")
         .agg(cnt("n"), dsum("o_totalprice", "total"))
