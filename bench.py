@@ -154,6 +154,8 @@ BENCH_QUERIES = [
     # round 13 (additive): real HoodieLogFormat block framing —
     # framed write + external plant + rollback visibility + compaction
     "hudi_log_format",
+    # round 13: Delta CDF files (update_delta partial rewrite + feed)
+    "delta_cdf_update",
 ]
 
 # The heaviest plans from BENCH_r04, re-measured at ~10x scale in the

@@ -918,8 +918,89 @@ ORDER BY phase, o_orderstatus
 """
 
 
+def delta_cdf_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta CHANGE DATA FEED round-trip (r13): insert a partitioned
+    customer subset, run `update_delta` (a PARTIAL-FILE rewrite that
+    carries unchanged rows and commits `cdc` actions pointing at
+    `_change_data/` parquet — the delta-spark CDF shape), then read the
+    change feed. Exact iff the feed serves the cdc files EXCLUSIVELY:
+    whole-file diffing the rewrite would surface every carried
+    unchanged row as delete+insert noise and break the hash. The
+    updated snapshot aggregates alongside, so the rewrite itself is
+    value-checked too."""
+    from deltacat_spark.sources.deltalake import (
+        read_delta,
+        read_delta_changes,
+        update_delta,
+        write_delta,
+    )
+
+    c = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    root = tempfile.mkdtemp(prefix="delta_cdf_")
+    write_delta(
+        c.filter(F.col("c_custkey") % 7 == 0),
+        root,
+        partition_by=["c_mktsegment"],
+    )
+    v = update_delta(
+        spark,
+        root,
+        "c_custkey % 21 = 0",
+        {"c_acctbal": "c_acctbal + 500.0"},
+    )
+    assert v == 1
+    feed = read_delta_changes(spark, root, 1, 1)
+    feed_agg = (
+        feed.groupBy(F.col("_change_type").alias("phase"), "c_mktsegment")
+        .agg(cnt("n"), dsum("c_acctbal", "total"))
+    )
+    snap_agg = (
+        read_delta(spark, root)
+        .groupBy("c_mktsegment")
+        .agg(cnt("n"), dsum("c_acctbal", "total"))
+        .withColumn("phase", F.lit("snapshot"))
+    )
+    return (
+        feed_agg.unionByName(snap_agg.select(feed_agg.columns))
+        .select("phase", "c_mktsegment", "n", "total")
+        .orderBy("phase", "c_mktsegment")
+    )
+
+
+DELTA_CDF_SQL = f"""
+WITH pre AS (
+    SELECT c_mktsegment, c_acctbal FROM customer WHERE c_custkey % 21 = 0
+), post AS (
+    SELECT c_mktsegment, c_acctbal + 500.0 AS c_acctbal
+    FROM customer WHERE c_custkey % 21 = 0
+), snap AS (
+    SELECT c_mktsegment,
+           CASE WHEN c_custkey % 21 = 0 THEN c_acctbal + 500.0
+                ELSE c_acctbal END AS c_acctbal
+    FROM customer WHERE c_custkey % 7 = 0
+)
+SELECT * FROM (
+    SELECT 'update_preimage' AS phase, c_mktsegment, {cnt_sql("n")},
+           {dsum_sql("c_acctbal", "total")}
+    FROM pre GROUP BY c_mktsegment
+    UNION ALL
+    SELECT 'update_postimage' AS phase, c_mktsegment, {cnt_sql("n")},
+           {dsum_sql("c_acctbal", "total")}
+    FROM post GROUP BY c_mktsegment
+    UNION ALL
+    SELECT 'snapshot' AS phase, c_mktsegment, {cnt_sql("n")},
+           {dsum_sql("c_acctbal", "total")}
+    FROM snap GROUP BY c_mktsegment
+)
+ORDER BY phase, c_mktsegment
+"""
+
+
 QUERIES = {
     "hudi_log_format": (hudi_log_format, HUDI_LOG_FORMAT_SQL),
+    "delta_cdf_update": (delta_cdf_update, DELTA_CDF_SQL),
     "iceberg_converter_roundtrip": (
         iceberg_converter_roundtrip,
         ICEBERG_CONVERTER_SQL,
