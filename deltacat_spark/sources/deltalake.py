@@ -593,9 +593,16 @@ def read_delta_changes(
     if not vs:
         raise FileNotFoundError(f"no Delta log under {root}/{LOG_DIR}")
     hi = vs[-1] if to_version is None else to_version
-    DeltaSnapshot(root, hi).ensure_readable(allow_deletion_vectors=True)
+    DeltaSnapshot(root, hi).ensure_readable(
+        allow_deletion_vectors=True, allow_column_mapping=True
+    )
     want = [v for v in vs if from_version <= v <= hi]
     out = None
+
+    def _phys(snapshot) -> "dict[str, str] | None":
+        if snapshot.column_mapping_mode in ("", "none"):
+            return None
+        return snapshot.physical_names()
 
     def _stamp(df: DataFrame, kind: str, v: int) -> DataFrame:
         return df.withColumn("_change_type", F.lit(kind)).withColumn(
@@ -614,7 +621,7 @@ def read_delta_changes(
         the given positions."""
         df = _scan_files(
             spark, root, snapshot.schema, snapshot.partition_columns,
-            [fmeta], lineage=True,
+            [fmeta], lineage=True, physical=_phys(snapshot),
         )
         if not positions:
             return df.drop("__delta_fp", "__delta_pos")
@@ -669,6 +676,7 @@ def read_delta_changes(
                 feed_schema,
                 snap_cdc.partition_columns,
                 cdcs,
+                physical=_phys(snap_cdc),
             )
             part = df.withColumn(
                 "_commit_version", F.lit(v).cast("long")
@@ -714,7 +722,7 @@ def read_delta_changes(
         if plain_rfiles:
             df = _scan_files(
                 spark, root, prev.schema, prev.partition_columns,
-                plain_rfiles,
+                plain_rfiles, physical=_phys(prev),
             )
             part = _stamp(df, "delete", v)
             out = part if out is None else out.unionByName(part)
@@ -749,7 +757,7 @@ def read_delta_changes(
         if plain_adds:
             df = _scan_files(
                 spark, root, snap_v.schema, snap_v.partition_columns,
-                plain_adds,
+                plain_adds, physical=_phys(snap_v),
             )
             part = _stamp(df, "insert", v)
             out = part if out is None else out.unionByName(part)
@@ -773,6 +781,7 @@ def write_delta(
     partition_by: list[str] | None = None,
     max_records_per_file: int = 5_000_000,
     txn: "tuple[str, int] | None" = None,
+    column_mapping: str | None = None,
 ) -> int:
     """DataFrame → Delta table; returns the committed version.
 
@@ -786,18 +795,59 @@ def write_delta(
     are MOVED into the table root (partition-relative layout preserved)
     before the log commit — readers never see uncommitted files because
     only the log defines liveness.
+
+    `column_mapping="name"` (table creation only) creates the table
+    with COLUMN MAPPING: every field gets `delta.columnMapping.id` +
+    a GUID `delta.columnMapping.physicalName` in the schemaString,
+    parquet files carry the PHYSICAL column names, partitionValues key
+    on physical names, and the protocol stamps reader 2 / writer 5 —
+    the external delta-spark mapped-table shape. Appends/overwrites to
+    a mapped table translate automatically (pass nothing).
     """
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode must be append|overwrite, got {mode!r}")
+    if column_mapping not in (None, "none", "name"):
+        raise ValueError(
+            f"column_mapping must be None|'none'|'name', got "
+            f"{column_mapping!r} ('id' mode writes are not implemented)"
+        )
     os.makedirs(os.path.join(root, LOG_DIR), exist_ok=True)
     versions = _list_versions(root)
     prev = DeltaSnapshot(root) if versions else None
     version = (versions[-1] + 1) if versions else 0
+    if prev is not None and column_mapping not in (None, "none"):
+        if prev.column_mapping_mode in ("", "none"):
+            raise ValueError(
+                "column_mapping applies at table creation; use "
+                "enable_column_mapping(root) to upgrade an existing "
+                "table"
+            )
 
     if partition_by is not None:
         part_cols = list(partition_by)
     else:
         part_cols = prev.partition_columns if prev else []
+
+    # column mapping: data files and partitionValues use PHYSICAL names
+    phys: dict[str, str] = {}
+    mapped_schema_json: str | None = None
+    if prev is not None and prev.column_mapping_mode not in ("", "none"):
+        prev.ensure_readable(
+            allow_deletion_vectors=True, allow_column_mapping=True
+        )
+        phys = prev.physical_names()
+    elif prev is None and column_mapping == "name":
+        mapped_schema_json, phys = _mapped_schema(df.schema)
+    if phys:
+        missing = [c for c in df.columns if c not in phys]
+        if missing:
+            raise ValueError(
+                f"columns {missing} not in the mapped table schema"
+            )
+        for c in df.columns:
+            if phys[c] != c:
+                df = df.withColumnRenamed(c, phys[c])
+    staged_part_cols = [phys.get(c, c) for c in part_cols]
     if prev is not None and part_cols != prev.partition_columns:
         raise ValueError(
             f"partition columns {part_cols} != table's "
@@ -808,22 +858,48 @@ def write_delta(
     now_ms = int(time.time() * 1000)
     adds = [
         {"add": a}
-        for a in _stage_files(df, root, part_cols, max_records_per_file)
+        for a in _stage_files(
+            df, root, staged_part_cols, max_records_per_file
+        )
     ]
 
     actions: list[dict] = []
     if prev is None:
-        actions.append(
-            {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
-        )
+        if column_mapping == "name":
+            actions.append(
+                {
+                    "protocol": {
+                        "minReaderVersion": 2,
+                        "minWriterVersion": 5,
+                    }
+                }
+            )
+            config = {
+                "delta.columnMapping.mode": "name",
+                "delta.columnMapping.maxColumnId": str(
+                    len(df.schema.fields)
+                ),
+            }
+            schema_string = mapped_schema_json
+        else:
+            actions.append(
+                {
+                    "protocol": {
+                        "minReaderVersion": 1,
+                        "minWriterVersion": 2,
+                    }
+                }
+            )
+            config = {}
+            schema_string = df.schema.json()
         actions.append(
             {
                 "metaData": {
                     "id": str(uuid.uuid4()),
                     "format": {"provider": "parquet", "options": {}},
-                    "schemaString": df.schema.json(),
+                    "schemaString": schema_string,
                     "partitionColumns": part_cols,
-                    "configuration": {},
+                    "configuration": config,
                     "createdTime": now_ms,
                 }
             }
@@ -884,6 +960,87 @@ def write_delta(
         except Exception:
             pass  # checkpoints accelerate replay; never a commit failure
     return version
+
+
+def _mapped_schema(spark_schema: T.StructType) -> tuple[str, dict[str, str]]:
+    """schemaString JSON with column-mapping field metadata (GUID
+    physicalName + sequential id per PROTOCOL.md) and the
+    logical→physical map. Nested struct/array/map columns refuse — the
+    jar-free reader doesn't map nested fields either."""
+    raw = json.loads(spark_schema.json())
+    phys: dict[str, str] = {}
+    for i, f in enumerate(raw["fields"]):
+        if isinstance(f.get("type"), dict):
+            raise NotImplementedError(
+                "column mapping over nested struct/array/map columns "
+                "is not supported by this writer"
+            )
+        pname = f"col-{uuid.uuid4()}"
+        md = dict(f.get("metadata") or {})
+        md["delta.columnMapping.id"] = i + 1
+        md["delta.columnMapping.physicalName"] = pname
+        f["metadata"] = md
+        phys[f["name"]] = pname
+    return json.dumps(raw), phys
+
+
+def enable_column_mapping(root: str) -> int:
+    """Upgrade an existing table to column mapping mode 'name' — the
+    delta-spark ALTER TABLE SET TBLPROPERTIES shape: EXISTING columns
+    keep their display name as physicalName (so every live file still
+    reads; this is what delta-spark does on upgrade), the protocol
+    bumps to reader 2 / writer 5, and future columns get GUID physical
+    names. Returns the committed version."""
+    snap = DeltaSnapshot(root)
+    if snap.column_mapping_mode not in ("", "none"):
+        return snap.version  # already mapped
+    raw = json.loads(snap.metadata["schemaString"])
+    for i, f in enumerate(raw["fields"]):
+        if isinstance(f.get("type"), dict):
+            raise NotImplementedError(
+                "column mapping over nested struct/array/map columns "
+                "is not supported by this writer"
+            )
+        md = dict(f.get("metadata") or {})
+        md["delta.columnMapping.id"] = i + 1
+        md["delta.columnMapping.physicalName"] = f["name"]
+        f["metadata"] = md
+    md_action = dict(snap.metadata)
+    cfg = dict(md_action.get("configuration") or {})
+    cfg["delta.columnMapping.mode"] = "name"
+    cfg["delta.columnMapping.maxColumnId"] = str(len(raw["fields"]))
+    md_action["configuration"] = cfg
+    md_action["schemaString"] = json.dumps(raw)
+    proto = dict(snap.protocol or {})
+    proto["minReaderVersion"] = max(
+        2, int(proto.get("minReaderVersion") or 1)
+    )
+    prior_writer = int(proto.get("minWriterVersion") or 2)
+    if prior_writer >= 7:
+        proto["writerFeatures"] = sorted(
+            set(proto.get("writerFeatures") or []) | {"columnMapping"}
+        )
+        if int(proto.get("minReaderVersion") or 1) >= 3:
+            proto["readerFeatures"] = sorted(
+                set(proto.get("readerFeatures") or []) | {"columnMapping"}
+            )
+    else:
+        proto["minWriterVersion"] = max(5, prior_writer)
+    actions = [
+        {"protocol": proto},
+        {"metaData": md_action},
+        {
+            "commitInfo": {
+                "timestamp": int(time.time() * 1000),
+                "operation": "SET TBLPROPERTIES",
+                "operationParameters": {
+                    "properties": '{"delta.columnMapping.mode":"name"}'
+                },
+                "engineInfo": "deltacat_spark-native",
+            }
+        },
+    ]
+    return _commit_actions(root, snap.version + 1, actions)
 
 
 def _stage_files(
@@ -1460,8 +1617,10 @@ def optimize_delta(
     or None when no partition had `min_files`+ files."""
     snap = DeltaSnapshot(root)
     # a DV'd file cannot be blindly repacked — its deleted rows would
-    # resurrect in the compacted output; fail loudly (rewrite first)
-    snap.ensure_readable()
+    # resurrect in the compacted output; fail loudly (rewrite first).
+    # Column-mapped tables compact fine: files keep their PHYSICAL
+    # column names end to end, so the repack is name-agnostic.
+    snap.ensure_readable(allow_column_mapping=True)
     live = snap.live_files()
     groups: dict[str, list[dict]] = {}
     for f in live:
@@ -1476,7 +1635,22 @@ def optimize_delta(
         for k, fs in todo.items()
         for f in fs
     ]
-    src = spark.read.schema(snap.data_schema).parquet(
+    # mapped tables: the files carry PHYSICAL column names — scan and
+    # rewrite under those names (no rename round-trip needed)
+    phys = (
+        snap.physical_names()
+        if snap.column_mapping_mode not in ("", "none")
+        else {}
+    )
+    parts = set(snap.partition_columns)
+    scan_schema = T.StructType(
+        [
+            T.StructField(phys.get(f.name, f.name), f.dataType, f.nullable)
+            for f in snap.schema.fields
+            if f.name not in parts
+        ]
+    )
+    src = spark.read.schema(scan_schema).parquet(
         *[p for p, _ in pairs]
     ).withColumn(
         "__src",
@@ -1565,21 +1739,10 @@ def optimize_delta(
             }
         }
     )
-    version = latest_version(root) + 1
-    tmp = _log_path(root, version) + f".tmp-{uuid.uuid4().hex[:8]}"
-    with open(tmp, "w") as f:
-        for a in actions:
-            f.write(json.dumps(a) + "\n")
-    final = _log_path(root, version)
-    try:
-        os.link(tmp, final)
-    except FileExistsError:
-        os.remove(tmp)
-        raise RuntimeError(
-            f"concurrent Delta commit at version {version}; retry"
-        )
-    os.remove(tmp)
-    return version
+    # snap.version + 1: the CAS must detect commits that landed during
+    # the repack scan (re-adding files a concurrent commit removed
+    # would resurrect data) — same rule as delete_rows_with_dv
+    return _commit_actions(root, snap.version + 1, actions)
 
 
 def vacuum_delta(root: str, keep_versions: int = 1) -> list[str]:

@@ -1283,6 +1283,34 @@ def _apply_equality_deletes(
     return out
 
 
+def _name_mapping_aliases(meta: dict) -> dict[str, list[str]]:
+    """{current column name: [parquet-side name aliases]} from the
+    `schema.name-mapping.default` table property (spec Appendix C) —
+    the read fallback for IMPORTED parquet written without iceberg
+    field ids: files carry their original column names, the mapping
+    binds those names to field ids, and the ids resolve to the current
+    schema names (which may have been renamed since import). Nested
+    mapping entries refuse. Empty when the property is absent."""
+    nm = (meta.get("properties") or {}).get("schema.name-mapping.default")
+    if not nm:
+        return {}
+    entries = json.loads(nm)
+    finfo = _field_info(current_schema(meta))
+    by_id = {fid: name for name, (fid, _) in finfo.items()}
+    out: dict[str, list[str]] = {}
+    for e in entries:
+        if e.get("fields"):
+            raise NotImplementedError(
+                "nested schema.name-mapping.default entries are not "
+                "supported by this jar-free reader"
+            )
+        cur = by_id.get(e.get("field-id"))
+        if cur is None:
+            continue  # mapping for a dropped/non-primitive column
+        out[cur] = list(dict.fromkeys(list(e.get("names") or []) + [cur]))
+    return out
+
+
 def read_iceberg(
     spark: SparkSession,
     root: str,
@@ -1420,7 +1448,35 @@ def read_iceberg(
             .withColumn("__ice_pos", F.lit(None).cast("long"))
         )
     paths = [_abs_data_path(root, f["file_path"]) for f in data]
-    df = spark.read.schema(data_schema).parquet(*paths)
+    aliases = _name_mapping_aliases(meta)
+    data_names = {f.name for f in data_schema.fields}
+    if any(aliases.get(n, [n]) != [n] for n in data_names):
+        # name-mapping fallback: scan with EVERY alias as a nullable
+        # column (Spark returns null for columns a file lacks — one
+        # scan handles per-file name variance: imported files use
+        # their original names, later files the current names), then
+        # coalesce aliases into the current name. Ambiguity refuses.
+        read_fields: list[T.StructField] = []
+        seen: dict[str, str] = {}
+        for f in data_schema.fields:
+            for a in aliases.get(f.name, [f.name]):
+                if a in seen and seen[a] != f.name:
+                    raise ValueError(
+                        f"name-mapping alias {a!r} is claimed by both "
+                        f"{seen[a]!r} and {f.name!r}"
+                    )
+                if a not in seen:
+                    seen[a] = f.name
+                    read_fields.append(T.StructField(a, f.dataType, True))
+        df = spark.read.schema(T.StructType(read_fields)).parquet(*paths)
+        for f in data_schema.fields:
+            al = aliases.get(f.name, [f.name])
+            if al != [f.name]:
+                df = df.withColumn(
+                    f.name, F.coalesce(*[F.col(a) for a in al])
+                ).drop(*[a for a in al if a != f.name])
+    else:
+        df = spark.read.schema(data_schema).parquet(*paths)
     # lineage columns from Spark's metadata struct, normalized to
     # table-root-relative paths (manifests store relative paths so the
     # table stays relocatable — documented deviation from the spec's

@@ -998,9 +998,74 @@ ORDER BY phase, c_mktsegment
 """
 
 
+def delta_column_mapped_write(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-mapped Delta WRITES (r13): create a partitioned mapped
+    table (`column_mapping="name"`), append, OPTIMIZE it (mapped
+    compaction unlocked this round), and read back through the mapped
+    reader. In-query asserts pin the EXTERNAL shape delta-spark
+    readers key on: parquet footers carry ONLY GUID physical column
+    names, partitionValues/hive dirs key on the physical partition
+    name, protocol is reader 2 / writer 5. Exact iff the physical↔
+    logical translation holds on write, append, compaction, AND read."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from deltacat_spark.sources.deltalake import (
+        DeltaSnapshot,
+        optimize_delta,
+        read_delta,
+        write_delta,
+    )
+
+    c = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    root = tempfile.mkdtemp(prefix="delta_cmw_")
+    write_delta(
+        c.filter(F.col("c_custkey") % 6 == 0),
+        root,
+        partition_by=["c_mktsegment"],
+        column_mapping="name",
+    )
+    write_delta(c.filter(F.col("c_custkey") % 6 == 3), root)
+    snap = DeltaSnapshot(root)
+    phys = snap.physical_names()
+    logical = set(phys)
+    physical = set(phys.values())
+    assert all(p.startswith("col-") for p in physical)
+    assert snap.protocol == {"minReaderVersion": 2, "minWriterVersion": 5}
+    for f in snap.live_files():
+        names = set(pq.read_schema(os.path.join(root, f["path"])).names)
+        assert names <= physical and not (names & logical), (
+            "data files must carry ONLY physical GUID column names"
+        )
+        assert set(f["partitionValues"]) == {phys["c_mktsegment"]}
+    assert optimize_delta(spark, root) is not None
+    return (
+        read_delta(spark, root)
+        .groupBy("c_mktsegment")
+        .agg(cnt("n"), dsum("c_acctbal", "total"))
+        .orderBy("c_mktsegment")
+    )
+
+
+DELTA_MAPPED_WRITE_SQL = f"""
+SELECT c_mktsegment, {cnt_sql("n")}, {dsum_sql("c_acctbal", "total")}
+FROM customer
+WHERE c_custkey % 3 = 0
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+
 QUERIES = {
     "hudi_log_format": (hudi_log_format, HUDI_LOG_FORMAT_SQL),
     "delta_cdf_update": (delta_cdf_update, DELTA_CDF_SQL),
+    "delta_column_mapped_write": (
+        delta_column_mapped_write,
+        DELTA_MAPPED_WRITE_SQL,
+    ),
     "iceberg_converter_roundtrip": (
         iceberg_converter_roundtrip,
         ICEBERG_CONVERTER_SQL,
