@@ -610,32 +610,48 @@ def lakehouse_format_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
     the six halves (or a partition-column loss across formats) breaks
     exactly the phase where it happened. This is the reference's
     DatastoreType interop promise (`types/media.py:353-420`) exercised
-    as one pipeline instead of three round-trips."""
-    from deltacat_spark.sources.deltalake import read_delta, write_delta
-    from deltacat_spark.sources.hudi import read_hudi, write_hudi
-    from deltacat_spark.sources.iceberg import read_iceberg, write_iceberg
+    as one pipeline instead of three round-trips.
+
+    r13: every hop flows through the `dc.get`/`dc.put` URL surface
+    (`iceberg+`/`delta+`/`hudi+` schemes resolved by the datastore
+    registry, reference `api.py:97-480`) — the migration a reference
+    user would actually type — and the row also runs at the deep 10x
+    bench tier for sublinear control-plane evidence."""
+    from deltacat_spark.sources.formats import read_url, write_url
 
     o = load(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderstatus", "o_totalprice"
     )
     subset = o.filter(F.col("o_orderkey") % 70 == 0)
     ice_root = tempfile.mkdtemp(prefix="mig_ice_")
-    write_iceberg(subset, ice_root, partition_by=["o_orderstatus"])
-    ice = read_iceberg(spark, ice_root)
+    write_url(
+        subset,
+        f"iceberg+{ice_root}",
+        mode="append",
+        options={"partition_by": ["o_orderstatus"]},
+    )
+    ice = read_url(spark, f"iceberg+{ice_root}")
 
     delta_root = tempfile.mkdtemp(prefix="mig_delta_")
-    write_delta(ice, delta_root, partition_by=["o_orderstatus"])
-    dl = read_delta(spark, delta_root)
+    write_url(
+        ice,
+        f"delta+{delta_root}",
+        mode="append",
+        options={"partition_by": ["o_orderstatus"]},
+    )
+    dl = read_url(spark, f"delta+{delta_root}")
 
     hudi_root = tempfile.mkdtemp(prefix="mig_hudi_")
-    write_hudi(
+    write_url(
         dl,
-        hudi_root,
-        record_key_field="o_orderkey",
-        operation="insert",
-        partition_by=["o_orderstatus"],
+        f"hudi+{hudi_root}",
+        mode="append",
+        options={
+            "record_key_field": "o_orderkey",
+            "partition_by": ["o_orderstatus"],
+        },
     )
-    hd = read_hudi(spark, hudi_root, drop_meta=True)
+    hd = read_url(spark, f"hudi+{hudi_root}", options={"drop_meta": True})
 
     out = [
         df.groupBy("o_orderstatus")
