@@ -158,23 +158,31 @@ def stream_read_hudi(
     spark,
     root: str,
     from_instant: str = "",
+    max_instants_per_trigger: int | None = None,
 ) -> DataFrame:
     """Streaming incremental read of a jar-free Hudi CoW table
     (`sources/hudi.py`): offsets are timeline instants; each
     micro-batch delivers exactly the rows the instants in range wrote,
-    stamped `_commit_instant` (see `streaming/lakehouse_source.py`)."""
+    stamped `_commit_instant` (see `streaming/lakehouse_source.py`).
+    `max_instants_per_trigger` paces a continuous query — at most N
+    timeline instants per micro-batch (Hudi's read-rate-limit
+    convention); delivery stays exactly-once."""
     from deltacat_spark.streaming.lakehouse_source import (
         HUDI_FORMAT_NAME,
         HudiIncrementalDataSource,
     )
 
     spark.dataSource.register(HudiIncrementalDataSource)
-    return (
+    reader = (
         spark.readStream.format(HUDI_FORMAT_NAME)
         .option("root", root)
         .option("from_instant", from_instant)
-        .load()
     )
+    if max_instants_per_trigger is not None:
+        reader = reader.option(
+            "max_instants_per_trigger", str(max_instants_per_trigger)
+        )
+    return reader.load()
 
 
 def stream_read_delta(
