@@ -1007,10 +1007,15 @@ def current_spec_fields(meta: dict) -> list[dict]:
 
 
 class IcebergTable:
-    """File-system-catalog Iceberg v2 table (version-hint convention)."""
+    """File-system-catalog Iceberg v2 table (version-hint convention).
 
-    def __init__(self, root: str):
+    `metadata=` preloads the CURRENT table metadata (a service catalog
+    — e.g. `sources/iceberg_rest.py` — resolves it over the wire; the
+    data/manifest planes still read from `root`)."""
+
+    def __init__(self, root: str, metadata: dict | None = None):
         self.root = root
+        self._metadata = metadata
 
     # -- metadata plumbing -------------------------------------------------
     def _meta_dir(self) -> str:
@@ -1030,6 +1035,8 @@ class IcebergTable:
         return max(vs)
 
     def metadata(self, version: int | None = None) -> dict:
+        if self._metadata is not None and version is None:
+            return self._metadata
         v = self.current_version() if version is None else version
         path = os.path.join(self._meta_dir(), f"v{v}.metadata.json")
         with open(path) as f:
@@ -1322,6 +1329,7 @@ def read_iceberg(
     apply_equality_deletes: bool = True,
     as_of_timestamp_ms: int | None = None,
     predicate_filter: dict[str, Any] | None = None,
+    metadata: dict | None = None,
 ) -> DataFrame:
     """Iceberg table → DataFrame (time travel via `snapshot_id` or
     `as_of_timestamp_ms` — the newest snapshot at or before the instant,
@@ -1348,8 +1356,12 @@ def read_iceberg(
     projects through every transform; ranges only through
     order-preserving ones. Metadata-only like `bounds_filter`: never a
     residual row filter, and a file whose tuple lacks the projected
-    field (older spec) is kept."""
-    tbl = IcebergTable(root)
+    field (older spec) is kept.
+
+    `metadata=` reads with CATALOG-RESOLVED table metadata (REST/service
+    catalogs deliver it in their LoadTableResult) instead of the
+    version-hint file under `root`."""
+    tbl = IcebergTable(root, metadata=metadata)
     meta = tbl.metadata()
     if as_of_timestamp_ms is not None:
         if snapshot_id is not None:
