@@ -143,7 +143,8 @@ def _scan_data_files(
 
     paths = [os.path.join(root, r) for r in rels]
     framed = [p for p in paths if hudi_log.is_framed(p)]
-    plain = [p for p in paths if p not in set(framed)]
+    framed_set = set(framed)
+    plain = [p for p in paths if p not in framed_set]
     parts: list[DataFrame] = []
     if plain:
         df = spark.read.option("mergeSchema", "true").parquet(*plain)
