@@ -1016,6 +1016,11 @@ class IcebergTable:
     def __init__(self, root: str, metadata: dict | None = None):
         self.root = root
         self._metadata = metadata
+        # version the last metadata() load came from — committers pin
+        # their CAS target to loaded_version + 1 so a commit that
+        # landed after the load LOSES instead of being silently rebased
+        # over (the same race class as the r13 Delta DV-commit fix)
+        self.loaded_version: int | None = None
 
     # -- metadata plumbing -------------------------------------------------
     def _meta_dir(self) -> str:
@@ -1039,6 +1044,8 @@ class IcebergTable:
             return self._metadata
         v = self.current_version() if version is None else version
         path = os.path.join(self._meta_dir(), f"v{v}.metadata.json")
+        if version is None:
+            self.loaded_version = v
         with open(path) as f:
             return json.load(f)
 
@@ -2032,8 +2039,14 @@ def _snapshot_refs(tbl: IcebergTable, snapshots: list[dict]) -> set[str]:
 
 def _commit_metadata(tbl: IcebergTable, meta: dict) -> int:
     """Write `meta` as the next metadata version (hard-link CAS — the
-    same concurrency discipline as `_commit_snapshot`)."""
-    version = tbl.current_version() + 1
+    same concurrency discipline as `_commit_snapshot`: pin to the
+    version `meta` was loaded from so a concurrent commit makes this
+    one LOSE rather than be silently rebased over)."""
+    version = (
+        tbl.loaded_version + 1
+        if tbl.loaded_version is not None
+        else tbl.current_version() + 1
+    )
     path = os.path.join(tbl._meta_dir(), f"v{version}.metadata.json")
     tmp = path + f".tmp-{uuid.uuid4().hex[:8]}"
     with open(tmp, "w") as f:
@@ -2178,7 +2191,15 @@ def _commit_snapshot(
         meta["snapshot-log"] = list(prev_meta.get("snapshot-log", [])) + [
             {"snapshot-id": snapshot_id, "timestamp-ms": now_ms}
         ]
-        version = tbl.current_version() + 1
+        # pin to the version the caller's metadata() load came from —
+        # re-reading current_version() here would silently rebase this
+        # commit's manifests over a concurrent commit (whose file
+        # changes they don't carry); the os.link CAS below must LOSE
+        version = (
+            tbl.loaded_version + 1
+            if tbl.loaded_version is not None
+            else tbl.current_version() + 1
+        )
     else:
         assert schema is not None
         ice_schema = iceberg_schema_for(schema)

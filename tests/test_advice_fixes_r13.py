@@ -254,6 +254,36 @@ def test_data_manifest_stamps_default_spec_id(spark, tmp_path):
     assert data_specs == {meta["default-spec-id"]}
 
 
+def test_iceberg_commit_pins_loaded_version(spark, tmp_path):
+    """A commit landing between metadata load and snapshot commit must
+    make the metadata CAS lose — same race class as the Delta DV fix
+    (re-reading current_version at commit time would silently rebase
+    stale manifests over the concurrent commit)."""
+    import time as _time
+
+    from deltacat_spark.sources.iceberg import _commit_snapshot
+
+    root = str(tmp_path / "ice")
+    write_iceberg(spark.range(10).select("id"), root)
+    tbl = IcebergTable(root)
+    meta = tbl.metadata()  # pins loaded_version
+    # concurrent writer lands
+    write_iceberg(spark.range(10, 12).select("id"), root, mode="append")
+    with pytest.raises(RuntimeError, match="concurrent Iceberg commit"):
+        _commit_snapshot(
+            tbl,
+            meta,
+            tbl.manifests(tbl.snapshot(meta)),
+            snapshot_id=123456789,
+            seq=meta["last-sequence-number"] + 1,
+            now_ms=int(_time.time() * 1000),
+            operation="delete",
+        )
+    # the concurrent append survives untouched
+    got = sorted(r.id for r in read_iceberg(spark, root).collect())
+    assert got == list(range(12))
+
+
 # ---------------------------------------------------------------------------
 # 4. UTC assert for temporal transforms
 # ---------------------------------------------------------------------------
