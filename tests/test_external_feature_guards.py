@@ -72,11 +72,11 @@ def test_delta_deletion_vector_guard_to_green(spark, tmp_path):
 
 
 def test_delta_column_mapping_guards(spark, tmp_path):
-    """r12: read_delta AND the stream support column mapping via
-    physicalName (tests/test_delta_column_mapping.py); a table
-    CLAIMING mapping but missing the protocol-required physicalName
-    metadata fails loudly instead of guessing, and the change feed
-    still refuses mapped tables outright."""
+    """r12 (amended r13): read_delta, the change feed, AND the stream
+    support column mapping via physicalName
+    (tests/test_delta_column_mapping*.py); a table CLAIMING mapping but
+    missing the protocol-required physicalName metadata fails loudly on
+    every path instead of guessing."""
     root = _delta_table(spark, tmp_path)
     snap = DeltaSnapshot(root)
     md = dict(snap.metadata)
@@ -84,7 +84,7 @@ def test_delta_column_mapping_guards(spark, tmp_path):
     _append_action(root, {"metaData": md})
     with pytest.raises(ValueError, match="physicalName"):
         read_delta(spark, root)
-    with pytest.raises(NotImplementedError, match="column mapping"):
+    with pytest.raises(ValueError, match="physicalName"):
         read_delta_changes(spark, root, from_version=0)
     from deltacat_spark.streaming.lakehouse_source import (
         DeltaAppendsStreamReader,
