@@ -15,6 +15,10 @@ stdlib HTTP stub serving the spec JSON shapes
     GET  …/namespaces/{ns}/tables/{name}        → LoadTableResult
                                                   (metadata-location,
                                                   metadata, config)
+    POST …/namespaces/{ns}/tables/{name}        → CommitTableRequest
+                                                  (requirements +
+                                                  updates; 409 =
+                                                  CommitFailed)
 
 Multi-level namespaces encode with the unit separator 0x1F between
 levels per the spec. Bearer-token auth via the `token` argument.
@@ -74,16 +78,31 @@ class IcebergRestCatalog:
         self.prefix = prefix.strip("/")
 
     # -- plumbing ----------------------------------------------------------
-    def _get(self, path: str) -> dict:
-        req = urllib.request.Request(self.uri + path)
+    def _request(self, path: str, body: dict | None = None) -> dict:
+        data = (
+            json.dumps(body).encode("utf-8") if body is not None else None
+        )
+        req = urllib.request.Request(
+            self.uri + path,
+            data=data,
+            method="POST" if body is not None else "GET",
+        )
+        if body is not None:
+            req.add_header("Content-Type", "application/json")
         if self.token:
             req.add_header("Authorization", f"Bearer {self.token}")
         try:
             with urllib.request.urlopen(req, timeout=30) as r:
                 return json.loads(r.read().decode("utf-8"))
         except urllib.error.HTTPError as e:
-            body = e.read().decode("utf-8", "replace")[:300]
-            raise IcebergRestError(e.code, body or e.reason) from None
+            raw = e.read().decode("utf-8", "replace")[:300]
+            raise IcebergRestError(e.code, raw or e.reason) from None
+
+    def _get(self, path: str) -> dict:
+        return self._request(path)
+
+    def _post(self, path: str, body: dict) -> dict:
+        return self._request(path, body)
 
     def _p(self, path: str) -> str:
         pre = f"/{self.prefix}" if self.prefix else ""
@@ -130,6 +149,88 @@ class IcebergRestCatalog:
             if e.status == 404:
                 return False
             raise
+
+    # -- write (CommitTableRequest protocol) ---------------------------------
+    def commit_table(
+        self,
+        namespace: "str | list[str]",
+        name: str,
+        requirements: list[dict],
+        updates: list[dict],
+    ) -> dict:
+        """POST the spec CommitTableRequest — the catalog validates
+        `requirements` against its CURRENT metadata (409 = another
+        writer won; this client surfaces it as IcebergRestError 409 —
+        retry from a fresh load) and applies `updates` atomically.
+        Returns the CommitTableResponse (metadata-location, metadata)."""
+        levels = (
+            namespace.split(".")
+            if isinstance(namespace, str)
+            else list(namespace)
+        )
+        return self._post(
+            self._p(
+                f"/namespaces/{self._ns(namespace)}/tables/"
+                f"{urllib.parse.quote(name, safe='')}"
+            ),
+            {
+                "identifier": {"namespace": levels, "name": name},
+                "requirements": requirements,
+                "updates": updates,
+            },
+        )
+
+    def append_table(
+        self,
+        spark: SparkSession,
+        namespace: "str | list[str]",
+        name: str,
+        df: DataFrame,
+    ) -> int:
+        """Append through the REST commit protocol the way a real
+        engine does: data files + manifests + the new snapshot write
+        CLIENT-SIDE into the table location, then the METADATA POINTER
+        advances via CommitTableRequest guarded by
+        `assert-ref-snapshot-id` on `main` — a commit that landed since
+        our load makes the catalog answer 409 instead of silently
+        losing either writer's snapshot. Returns the snapshot id."""
+        from deltacat_spark.sources.iceberg import (
+            IcebergTable,
+            write_iceberg,
+        )
+
+        result = self.load_table(namespace, name)
+        meta = result.get("metadata") or {}
+        root = table_location_path(meta)
+        prev_sid = meta.get("current-snapshot-id")
+        new_sid = write_iceberg(df, root, mode="append")
+        new_meta = IcebergTable(root).metadata()
+        snap = next(
+            s
+            for s in new_meta["snapshots"]
+            if s["snapshot-id"] == new_sid
+        )
+        self.commit_table(
+            namespace,
+            name,
+            requirements=[
+                {
+                    "type": "assert-ref-snapshot-id",
+                    "ref": "main",
+                    "snapshot-id": prev_sid,
+                }
+            ],
+            updates=[
+                {"action": "add-snapshot", "snapshot": snap},
+                {
+                    "action": "set-snapshot-ref",
+                    "ref-name": "main",
+                    "type": "branch",
+                    "snapshot-id": new_sid,
+                },
+            ],
+        )
+        return new_sid
 
     # -- read ----------------------------------------------------------------
     def read_table(

@@ -49,11 +49,59 @@ def catalog_server(spark, tmp_path):
         },
     }
 
+    table_key = "/v1/demo/namespaces/analytics%1Fprod/tables/t1"
+
     class Handler(BaseHTTPRequestHandler):
         token = None
 
         def log_message(self, *a):  # quiet
             pass
+
+        def do_POST(self):
+            """Spec CommitTableRequest: validate requirements against
+            the served metadata (409 on mismatch), apply add-snapshot /
+            set-snapshot-ref updates atomically."""
+            if self.path != table_key:
+                self.send_response(404)
+                self.end_headers()
+                self.wfile.write(b'{"error": "NoSuchTable"}')
+                return
+            n = int(self.headers.get("Content-Length", 0))
+            req = json.loads(self.rfile.read(n).decode())
+            served = routes[table_key]["metadata"]
+            for r in req.get("requirements", []):
+                if r.get("type") == "assert-ref-snapshot-id":
+                    if served.get("current-snapshot-id") != r.get(
+                        "snapshot-id"
+                    ):
+                        self.send_response(409)
+                        self.end_headers()
+                        self.wfile.write(
+                            b'{"error": "CommitFailedException: '
+                            b'branch main has moved"}'
+                        )
+                        return
+            for u in req.get("updates", []):
+                if u.get("action") == "add-snapshot":
+                    served["snapshots"] = list(
+                        served.get("snapshots", [])
+                    ) + [u["snapshot"]]
+                    served["last-sequence-number"] = max(
+                        served.get("last-sequence-number", 0),
+                        u["snapshot"].get("sequence-number", 0),
+                    )
+                elif u.get("action") == "set-snapshot-ref":
+                    served["current-snapshot-id"] = u["snapshot-id"]
+            payload = json.dumps(
+                {
+                    "metadata-location": "catalog://t1",
+                    "metadata": served,
+                }
+            ).encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            self.end_headers()
+            self.wfile.write(payload)
 
         def do_GET(self):
             if Handler.token and self.headers.get(
@@ -138,6 +186,53 @@ def test_remote_location_scheme_refuses():
         table_location_path({"location": "s3://bucket/warehouse/t"})
     assert table_location_path({"location": "file:///tmp/x"}) == "/tmp/x"
     assert table_location_path({"location": "/tmp/x"}) == "/tmp/x"
+
+
+def test_append_via_commit_table_protocol(spark, catalog_server):
+    """Data/manifests write client-side; the metadata pointer advances
+    through CommitTableRequest; catalog reads serve both batches."""
+    uri, _, _ = catalog_server
+    cat = IcebergRestCatalog(uri)
+    before = cat.load_table("analytics.prod", "t1")["metadata"]
+    sid = cat.append_table(
+        spark,
+        "analytics.prod",
+        "t1",
+        spark.range(100, 103).select(
+            "id", F.lit("9").alias("cat")
+        ),
+    )
+    after = cat.load_table("analytics.prod", "t1")["metadata"]
+    assert after["current-snapshot-id"] == sid
+    assert len(after["snapshots"]) == len(before["snapshots"]) + 1
+    got = sorted(
+        r.id for r in cat.read_table(spark, "analytics.prod", "t1").collect()
+    )
+    assert got == sorted(list(range(25)) + [100, 101, 102])
+
+
+def test_commit_conflict_409(spark, catalog_server):
+    """A stale assert-ref-snapshot-id requirement must come back as a
+    409 CommitFailed — never a silent pointer overwrite."""
+    uri, _, _ = catalog_server
+    cat = IcebergRestCatalog(uri)
+    with pytest.raises(IcebergRestError) as ei:
+        cat.commit_table(
+            "analytics.prod",
+            "t1",
+            requirements=[
+                {
+                    "type": "assert-ref-snapshot-id",
+                    "ref": "main",
+                    "snapshot-id": -1,  # stale
+                }
+            ],
+            updates=[],
+        )
+    assert ei.value.status == 409
+    # the catalog pointer did not move
+    meta = cat.load_table("analytics.prod", "t1")["metadata"]
+    assert meta["current-snapshot-id"] != -1
 
 
 def test_explicit_prefix_skips_handshake(catalog_server):
