@@ -2037,6 +2037,58 @@ def _snapshot_refs(tbl: IcebergTable, snapshots: list[dict]) -> set[str]:
     return out
 
 
+def upgrade_iceberg_v1_to_v2(root: str) -> int:
+    """Spec table-format upgrade — the path Iceberg itself takes before
+    writing v2 features to a legacy table (and the supported way to
+    WRITE to the v1 tables this module otherwise refuses): a pure
+    metadata transformation. Existing v1 manifests stay on disk and
+    read at sequence number 0 under v2 rules (spec: files in tables
+    upgraded to v2 inherit sequence 0); snapshots gain
+    `sequence-number` 0; the legacy single `schema` / flat
+    `partition-spec` keys become the id-selected `schemas` /
+    `partition-specs`. After upgrade every v2 surface works: appends,
+    equality/position deletes, incremental reads, streaming. Returns
+    the new metadata version; no-op on already-v2 tables."""
+    tbl = IcebergTable(root)
+    meta = tbl.metadata()
+    fv = meta.get("format-version", 2)
+    if fv == 2:
+        return tbl.loaded_version or tbl.current_version()
+    if fv != 1:
+        raise NotImplementedError(
+            f"cannot upgrade format-version {fv} (v1 → v2 only)"
+        )
+    new = dict(meta)
+    new["format-version"] = 2
+    if "schemas" not in new:
+        sch = dict(meta["schema"])
+        sch.setdefault("schema-id", 0)
+        new["schemas"] = [sch]
+        new["current-schema-id"] = sch["schema-id"]
+    new.pop("schema", None)
+    if "partition-specs" not in new:
+        fields = meta.get("partition-spec") or []
+        new["partition-specs"] = [{"spec-id": 0, "fields": fields}]
+        new["default-spec-id"] = 0
+    new.pop("partition-spec", None)
+    if "last-partition-id" not in new:
+        pids = [
+            f.get("field-id", 999)
+            for s in new["partition-specs"]
+            for f in (s.get("fields") or [])
+        ]
+        new["last-partition-id"] = max(pids, default=999)
+    new.setdefault("sort-orders", [{"order-id": 0, "fields": []}])
+    new.setdefault("default-sort-order-id", 0)
+    new.setdefault("last-sequence-number", 0)
+    new["snapshots"] = [
+        dict(s, **{"sequence-number": s.get("sequence-number", 0)})
+        for s in meta.get("snapshots", [])
+    ]
+    new.setdefault("metadata-log", [])
+    return _commit_metadata(tbl, new)
+
+
 def _commit_metadata(tbl: IcebergTable, meta: dict) -> int:
     """Write `meta` as the next metadata version (hard-link CAS — the
     same concurrency discipline as `_commit_snapshot`: pin to the
@@ -2171,6 +2223,25 @@ def _commit_snapshot(
 ) -> int:
     commit_uuid = commit_uuid or uuid.uuid4().hex[:12]
     ml_rel = f"{METADATA_DIR}/snap-{snapshot_id}-{commit_uuid}.avro"
+    # manifests carried forward from a PRE-UPGRADE v1 manifest list
+    # lack the v2 fields (content/sequence numbers/counts) — fill the
+    # spec's upgrade semantics: data content at sequence 0
+    defaults = {
+        "content": 0,
+        "sequence_number": 0,
+        "min_sequence_number": 0,
+        "added_snapshot_id": 0,
+        "added_files_count": 0,
+        "existing_files_count": 0,
+        "deleted_files_count": 0,
+        "added_rows_count": 0,
+        "existing_rows_count": 0,
+        "deleted_rows_count": 0,
+    }
+    manifests = [
+        {**defaults, **{k: v for k, v in m.items() if v is not None}}
+        for m in manifests
+    ]
     avrofile.write_container(
         os.path.join(tbl.root, ml_rel), _MANIFEST_LIST_SCHEMA, manifests
     )

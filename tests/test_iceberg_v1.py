@@ -180,6 +180,56 @@ def test_v1_write_and_incremental_refused(spark, tmp_path):
         IcebergAppendsStreamReader({"root": root})
 
 
+def test_v1_upgrade_then_full_v2_surface(spark, tmp_path):
+    """`upgrade_iceberg_v1_to_v2` is the supported write path for
+    legacy tables (the same route Iceberg itself takes): metadata-only
+    upgrade, then appends / equality deletes / incremental reads all
+    work, with the PRE-upgrade files intact at sequence 0."""
+    from pyspark.sql import functions as F
+
+    from deltacat_spark.sources.iceberg import (
+        IcebergTable,
+        commit_equality_deletes,
+        read_iceberg,
+        upgrade_iceberg_v1_to_v2,
+        write_iceberg,
+    )
+
+    root = _make_v1_table(tmp_path)
+    upgrade_iceberg_v1_to_v2(root)
+    meta = IcebergTable(root).metadata()
+    assert meta["format-version"] == 2
+    assert meta["schemas"][0]["fields"][0]["name"] == "id"
+    assert "schema" not in meta and "partition-spec" not in meta
+    assert meta["snapshots"][0]["sequence-number"] == 0
+    # idempotent
+    upgrade_iceberg_v1_to_v2(root)
+    # pre-upgrade rows intact
+    got = sorted(r.id for r in read_iceberg(spark, root).collect())
+    assert got == [1, 2, 3, 4, 5]
+    # v2 append over the upgraded table
+    write_iceberg(
+        spark.createDataFrame([(10, "0"), (11, "1")], "id long, cat string"),
+        root,
+        mode="append",
+    )
+    got = sorted(r.id for r in read_iceberg(spark, root).collect())
+    assert got == [1, 2, 3, 4, 5, 10, 11]
+    # v2 equality delete applies to PRE-upgrade files too (seq 0 < del seq)
+    commit_equality_deletes(
+        spark, root, spark.createDataFrame([(2,), (10,)], "id long")
+    )
+    got = sorted(r.id for r in read_iceberg(spark, root).collect())
+    assert got == [1, 3, 4, 5, 11]
+    # incremental read sees only the post-upgrade append
+    from deltacat_spark.sources.iceberg import read_iceberg_incremental
+
+    inc = read_iceberg_incremental(
+        spark, root, from_sequence=0, on_non_append="skip"
+    )
+    assert sorted(r.id for r in inc.collect()) == [10, 11]
+
+
 def test_v2_schema_selected_by_id_not_position(spark, tmp_path):
     """Evolved external v2 tables list schemas whose schema-id need not
     equal the list position — selection must match on the id field."""
