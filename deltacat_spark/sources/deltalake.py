@@ -357,48 +357,61 @@ def read_delta(
             _keep = partition_filter
         files = [f for f in files if _keep(f.get("partitionValues") or {})]
 
+    pos_df = _dv_positions_frame(spark, root, files)
+    df = _scan_files(
+        spark, root, snap.schema, snap.partition_columns, files,
+        lineage=pos_df is not None, physical=physical,
+    )
+    if pos_df is not None:
+        df = df.join(
+            pos_df, ["__delta_fp", "__delta_pos"], "left_anti"
+        ).drop("__delta_fp", "__delta_pos")
+    return df
+
+
+def _dv_positions_frame(
+    spark: SparkSession, root: str, files: list[dict]
+) -> "DataFrame | None":
+    """(__delta_fp, __delta_pos) of every DELETION-VECTOR-deleted row
+    across `files` — descriptors decode EXECUTOR-side (one mapInPandas
+    row per DV'd file emitting bounded position batches), ready to
+    anti-join against lineage columns. None when no file carries a
+    DV."""
     dv_rows = [
         (f["path"], json.dumps(f["deletionVector"]))
         for f in files
         if f.get("deletionVector")
     ]
-    df = _scan_files(
-        spark, root, snap.schema, snap.partition_columns, files,
-        lineage=bool(dv_rows), physical=physical,
+    if not dv_rows:
+        return None
+    desc_df = spark.createDataFrame(
+        dv_rows, "__delta_fp string, __dv string"
     )
-    if dv_rows:
-        desc_df = spark.createDataFrame(
-            dv_rows, "__delta_fp string, __dv string"
-        )
-        table_root = root
+    table_root = root
 
-        def _decode(batches):
-            import pandas as pd
+    def _decode(batches):
+        import pandas as pd
 
-            from deltacat_spark.sources import deltadv
+        from deltacat_spark.sources import deltadv
 
-            for pdf in batches:
-                for fp, dv in zip(pdf["__delta_fp"], pdf["__dv"]):
-                    desc = json.loads(dv)
-                    for chunk in deltadv.iter_descriptor_position_batches(
-                        table_root, desc
-                    ):
-                        yield pd.DataFrame(
-                            {
-                                "__delta_fp": fp,
-                                "__delta_pos": pd.Series(
-                                    chunk, dtype="int64"
-                                ),
-                            }
-                        )
+        for pdf in batches:
+            for fp, dv in zip(pdf["__delta_fp"], pdf["__dv"]):
+                desc = json.loads(dv)
+                for chunk in deltadv.iter_descriptor_position_batches(
+                    table_root, desc
+                ):
+                    yield pd.DataFrame(
+                        {
+                            "__delta_fp": fp,
+                            "__delta_pos": pd.Series(
+                                chunk, dtype="int64"
+                            ),
+                        }
+                    )
 
-        pos_df = desc_df.mapInPandas(
-            _decode, "__delta_fp string, __delta_pos long"
-        )
-        df = df.join(
-            pos_df, ["__delta_fp", "__delta_pos"], "left_anti"
-        ).drop("__delta_fp", "__delta_pos")
-    return df
+    return desc_df.mapInPandas(
+        _decode, "__delta_fp string, __delta_pos long"
+    )
 
 
 def _scan_files(
@@ -1343,9 +1356,10 @@ def update_delta(
     raises minWriterVersion to 4 (the CDF legacy writer version).
     One distributed scan finds matches; one write rewrites touched
     files; one write stages the cdc rows. Touched files carrying
-    deletion vectors refuse (combining MoR deletes with CoW updates in
-    one commit is out of scope — delete first, then update). Returns
-    the committed version, or None when nothing matched."""
+    DELETION VECTORS fold them into the rewrite (DV-deleted rows stay
+    deleted and the new files carry no DV — the CoW resolution of the
+    MoR delete, exactly what delta-spark's UPDATE does). Returns the
+    committed version, or None when nothing matched."""
     snap = DeltaSnapshot(root)
     snap.ensure_readable(allow_deletion_vectors=True)
     part_cols = snap.partition_columns
@@ -1359,9 +1373,12 @@ def update_delta(
     if unknown:
         raise ValueError(f"SET columns {unknown} not in table schema")
     files = snap.live_files()
+    all_pos = _dv_positions_frame(spark, root, files)
     df = _scan_files(
         spark, root, snap.schema, part_cols, files, lineage=True
     )
+    if all_pos is not None:
+        df = df.join(all_pos, ["__delta_fp", "__delta_pos"], "left_anti")
     touched = sorted(
         r["__delta_fp"]
         for r in df.filter(predicate)
@@ -1372,17 +1389,19 @@ def update_delta(
     if not touched:
         return None
     by_path = {f["path"]: f for f in files}
-    dvd = [p for p in touched if by_path[p].get("deletionVector")]
-    if dvd:
-        raise NotImplementedError(
-            f"update_delta over files with deletion vectors ({dvd[:3]}"
-            "...): apply/fold the DV deletes first"
-        )
 
     touched_metas = [by_path[p] for p in touched]
+    touched_pos = _dv_positions_frame(spark, root, touched_metas)
     tdf = _scan_files(
-        spark, root, snap.schema, part_cols, touched_metas
+        spark, root, snap.schema, part_cols, touched_metas,
+        lineage=touched_pos is not None,
     )
+    if touched_pos is not None:
+        # fold the MoR deletes into the CoW rewrite: DV-deleted rows
+        # stay deleted, the new files carry no DV
+        tdf = tdf.join(
+            touched_pos, ["__delta_fp", "__delta_pos"], "left_anti"
+        ).drop("__delta_fp", "__delta_pos")
     cond = F.expr(predicate)
     updated = tdf
     for c, e in set_exprs.items():

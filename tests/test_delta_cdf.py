@@ -75,10 +75,32 @@ def test_update_refuses_partition_column_set(spark, tmp_path):
         update_delta(spark, root, "id = 1", {"nope": "1"})
 
 
-def test_update_refuses_dv_files(spark, table):
+def test_update_folds_dv_files(spark, table):
+    """UPDATE over a DV-carrying file folds the MoR delete into the
+    CoW rewrite: deleted rows stay deleted, the new file has no DV,
+    and the feed shows only the updated row."""
     delete_rows_with_dv(spark, table, "id = 2")
-    with pytest.raises(NotImplementedError, match="deletion vectors"):
-        update_delta(spark, table, "id = 3", {"val": "0.0"})
+    v = update_delta(spark, table, "id = 3", {"val": "-3.0"})
+    assert v == 2
+    got = _rows(spark, table)
+    assert 2 not in got  # DV delete survived the rewrite
+    assert got[3] == ("3", -3.0)
+    assert len(got) == 39
+    snap = DeltaSnapshot(table)
+    assert not any(
+        f.get("deletionVector") for f in snap.live_files()
+    )  # folded away
+    feed = read_delta_changes(spark, table, 2, 2).collect()
+    assert sorted((r.id, r["_change_type"]) for r in feed) == [
+        (3, "update_postimage"),
+        (3, "update_preimage"),
+    ]
+
+
+def test_update_dv_deleted_rows_dont_match_predicate(spark, table):
+    """A predicate matching ONLY DV-deleted rows updates nothing."""
+    delete_rows_with_dv(spark, table, "id = 7")
+    assert update_delta(spark, table, "id = 7", {"val": "0.0"}) is None
 
 
 def test_feed_serves_cdc_exclusively(spark, table):
