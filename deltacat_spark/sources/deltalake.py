@@ -1214,11 +1214,20 @@ def delete_rows_with_dv(
     from deltacat_spark.sources import deltadv
 
     snap = DeltaSnapshot(root)
-    snap.ensure_readable(allow_deletion_vectors=True)
+    # column-mapped tables delete fine: positions are name-agnostic,
+    # only the match scan needs logical→physical translation
+    snap.ensure_readable(
+        allow_deletion_vectors=True, allow_column_mapping=True
+    )
+    physical = (
+        snap.physical_names()
+        if snap.column_mapping_mode not in ("", "none")
+        else None
+    )
     files = snap.live_files()
     df = _scan_files(
         spark, root, snap.schema, snap.partition_columns, files,
-        lineage=True,
+        lineage=True, physical=physical,
     )
     hits = (
         df.filter(predicate)
@@ -1264,13 +1273,19 @@ def delete_rows_with_dv(
     feats = set(snap.protocol.get("readerFeatures") or [])
     if pending and "deletionVectors" not in feats:
         prior_writer = int(snap.protocol.get("minWriterVersion") or 2)
+        prior_reader = int(snap.protocol.get("minReaderVersion") or 1)
+        # legacy reader 2 implies columnMapping — the features-based v3
+        # protocol must list it or external readers drop the contract
+        implied_reader = (
+            {"columnMapping"} if prior_reader >= 2 else set()
+        )
         actions.append(
             {
                 "protocol": {
                     "minReaderVersion": 3,
                     "minWriterVersion": 7,
                     "readerFeatures": sorted(
-                        feats | {"deletionVectors"}
+                        feats | {"deletionVectors"} | implied_reader
                     ),
                     # v7 requires every legacy-implied feature listed —
                     # derived from the PRIOR minWriterVersion per the

@@ -194,3 +194,21 @@ def test_optimize_on_mapped_table(spark, mapped):
 def test_update_delta_refuses_mapped(spark, mapped):
     with pytest.raises(NotImplementedError, match="column mapping"):
         update_delta(spark, mapped, "id = 1", {"val": "0.0"})
+
+
+def test_dv_delete_on_mapped_table(spark, mapped):
+    """DV deletes work on mapped tables (r13 follow-up): positions are
+    name-agnostic; the match scan translates logical→physical."""
+    from deltacat_spark.sources.deltalake import delete_rows_with_dv
+
+    v = delete_rows_with_dv(spark, mapped, "id % 5 = 2 OR cat = '1'")
+    assert v == 1
+    got = sorted(r.id for r in read_delta(spark, mapped).collect())
+    assert got == [
+        i for i in range(20) if i % 5 != 2 and i % 2 != 1
+    ]
+    snap = DeltaSnapshot(mapped)
+    assert any(f.get("deletionVector") for f in snap.live_files())
+    assert "columnMapping" in set(
+        snap.protocol.get("readerFeatures") or []
+    ) or snap.protocol["minReaderVersion"] >= 2
