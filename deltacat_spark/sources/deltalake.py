@@ -1418,11 +1418,20 @@ def update_delta(
             touched_pos, ["__delta_fp", "__delta_pos"], "left_anti"
         ).drop("__delta_fp", "__delta_pos")
     cond = F.expr(predicate)
-    updated = tdf
-    for c, e in set_exprs.items():
-        updated = updated.withColumn(
-            c, F.when(cond, F.expr(e)).otherwise(F.col(c))
-        )
+    # SQL UPDATE semantics: the predicate and EVERY SET right-hand side
+    # are evaluated against the PRE-image simultaneously — one select,
+    # never chained withColumn (which would feed already-updated columns
+    # into later SET expressions and re-evaluate the predicate on them).
+    updated = tdf.select(
+        *[
+            (
+                F.when(cond, F.expr(set_exprs[c])).otherwise(F.col(c))
+                if c in set_exprs
+                else F.col(c)
+            ).alias(c)
+            for c in tdf.columns
+        ]
+    )
     new_adds = _stage_files(
         updated, root, part_cols, max_records_per_file
     )
@@ -1430,10 +1439,15 @@ def update_delta(
     pre = tdf.filter(predicate).withColumn(
         "_change_type", F.lit("update_preimage")
     )
-    post = pre.drop("_change_type")
-    for c, e in set_exprs.items():
-        post = post.withColumn(c, F.expr(e))
-    post = post.withColumn("_change_type", F.lit("update_postimage"))
+    base = pre.drop("_change_type")
+    # postimage shares the same simultaneous pre-image evaluation as the
+    # table rewrite (all rows here match the predicate, so no when())
+    post = base.select(
+        *[
+            (F.expr(set_exprs[c]) if c in set_exprs else F.col(c)).alias(c)
+            for c in base.columns
+        ]
+    ).withColumn("_change_type", F.lit("update_postimage"))
     cdc_adds = _stage_files(
         pre.unionByName(post),
         root,

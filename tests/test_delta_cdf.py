@@ -233,3 +233,34 @@ def test_vacuumed_cdc_file_raises(spark, table):
         os.remove(os.path.join(cdc_dir, f))
     with pytest.raises(ValueError, match="CDC file"):
         read_delta_changes(spark, table, 1, 1).collect()
+
+
+def test_update_set_evaluates_against_preimage(spark, tmp_path):
+    """SQL UPDATE semantics (r14, ADVICE fix): predicate and EVERY SET
+    right-hand side are evaluated simultaneously against the pre-image.
+    `SET x = x + 1, y = 100 WHERE x = 5` must land (6, 100) — a chained
+    evaluation would bump x first, re-evaluate the predicate as 6 = 5,
+    and never set y."""
+    root = str(tmp_path / "pre")
+    df = spark.createDataFrame([(1, 5, 0), (2, 8, 0)], "id int, x int, y int")
+    write_delta(df, root)
+    v = update_delta(spark, root, "x = 5", {"x": "x + 1", "y": "100"})
+    assert v == 1
+    got = {r.id: (r.x, r.y) for r in read_delta(spark, root).collect()}
+    assert got == {1: (6, 100), 2: (8, 0)}
+    feed = read_delta_changes(spark, root, 1, 1).collect()
+    post = {(r.id, r.x, r.y) for r in feed if r["_change_type"] == "update_postimage"}
+    assert post == {(1, 6, 100)}
+
+
+def test_update_set_swap_columns(spark, tmp_path):
+    """`SET x = y, y = x` swaps — both RHS read the pre-image."""
+    root = str(tmp_path / "swap")
+    df = spark.createDataFrame([(1, 10, 20), (2, 3, 4)], "id int, x int, y int")
+    write_delta(df, root)
+    update_delta(spark, root, "id = 1", {"x": "y", "y": "x"})
+    got = {r.id: (r.x, r.y) for r in read_delta(spark, root).collect()}
+    assert got == {1: (20, 10), 2: (3, 4)}
+    feed = read_delta_changes(spark, root, 1, 1).collect()
+    post = {(r.id, r.x, r.y) for r in feed if r["_change_type"] == "update_postimage"}
+    assert post == {(1, 20, 10)}
