@@ -193,9 +193,22 @@ class IcebergRestCatalog:
         advances via CommitTableRequest guarded by
         `assert-ref-snapshot-id` on `main` — a commit that landed since
         our load makes the catalog answer 409 instead of silently
-        losing either writer's snapshot. Returns the snapshot id."""
+        losing either writer's snapshot. Returns the snapshot id.
+
+        The CATALOG pointer is authoritative, the local version-hint is
+        a cache (r14): when they diverge — a prior append whose REST
+        commit 409'd left the losing snapshot current locally, or
+        another writer advanced the catalog — the catalog's metadata is
+        materialized as the next local version BEFORE writing, so the
+        new manifest list carries exactly the catalog-committed
+        manifests forward (never the loser's). A 409 on THIS commit
+        rolls the locally written metadata version back, keeping local
+        state converged for the retry."""
+        import os
+
         from deltacat_spark.sources.iceberg import (
             IcebergTable,
+            _commit_metadata,
             write_iceberg,
         )
 
@@ -203,33 +216,80 @@ class IcebergRestCatalog:
         meta = result.get("metadata") or {}
         root = table_location_path(meta)
         prev_sid = meta.get("current-snapshot-id")
+
+        ltbl = IcebergTable(root)
+        pre_version: int | None = None
+        if ltbl.exists():
+            pre_version = ltbl.current_version()
+            if ltbl.metadata().get("current-snapshot-id") != prev_sid:
+                # diverged: rebase the local cache onto the catalog's
+                # authoritative state (loaded_version was just set by
+                # metadata(), so this CAS-commits as pre_version + 1)
+                _commit_metadata(ltbl, dict(meta))
+                pre_version = ltbl.current_version()
+        elif meta.get("snapshots") or prev_sid is not None:
+            # catalog knows committed state but the location has no
+            # local metadata yet — materialize it, or write_iceberg
+            # would start a fresh v1 table that drops catalog history
+            os.makedirs(ltbl._meta_dir(), exist_ok=True)
+            ltbl.loaded_version = 0
+            _commit_metadata(ltbl, dict(meta))
+            pre_version = ltbl.current_version()
+
         new_sid = write_iceberg(df, root, mode="append")
-        new_meta = IcebergTable(root).metadata()
+        ntbl = IcebergTable(root)
+        new_meta = ntbl.metadata()
+        new_version = ntbl.loaded_version
         snap = next(
             s
             for s in new_meta["snapshots"]
             if s["snapshot-id"] == new_sid
         )
-        self.commit_table(
-            namespace,
-            name,
-            requirements=[
-                {
-                    "type": "assert-ref-snapshot-id",
-                    "ref": "main",
-                    "snapshot-id": prev_sid,
-                }
-            ],
-            updates=[
-                {"action": "add-snapshot", "snapshot": snap},
-                {
-                    "action": "set-snapshot-ref",
-                    "ref-name": "main",
-                    "type": "branch",
-                    "snapshot-id": new_sid,
-                },
-            ],
-        )
+        try:
+            self.commit_table(
+                namespace,
+                name,
+                requirements=[
+                    {
+                        "type": "assert-ref-snapshot-id",
+                        "ref": "main",
+                        "snapshot-id": prev_sid,
+                    }
+                ],
+                updates=[
+                    {"action": "add-snapshot", "snapshot": snap},
+                    {
+                        "action": "set-snapshot-ref",
+                        "ref-name": "main",
+                        "type": "branch",
+                        "snapshot-id": new_sid,
+                    },
+                ],
+            )
+        except IcebergRestError:
+            # the catalog rejected the pointer move — roll the local
+            # metadata version back so the losing snapshot does not
+            # masquerade as current (data files stay; they are orphans
+            # until a retry or vacuum)
+            if new_version is not None:
+                try:
+                    os.remove(
+                        os.path.join(
+                            ltbl._meta_dir(),
+                            f"v{new_version}.metadata.json",
+                        )
+                    )
+                except FileNotFoundError:
+                    pass
+                hint = os.path.join(
+                    ltbl._meta_dir(), "version-hint.text"
+                )
+                if pre_version is not None:
+                    with open(hint, "w") as f:
+                        f.write(str(pre_version))
+                elif os.path.isfile(hint):
+                    os.remove(hint)
+            raise
         return new_sid
 
     # -- read ----------------------------------------------------------------

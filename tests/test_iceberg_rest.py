@@ -53,6 +53,7 @@ def catalog_server(spark, tmp_path):
 
     class Handler(BaseHTTPRequestHandler):
         token = None
+        reject_next_commit = False  # simulate a competing writer winning
 
         def log_message(self, *a):  # quiet
             pass
@@ -61,6 +62,15 @@ def catalog_server(spark, tmp_path):
             """Spec CommitTableRequest: validate requirements against
             the served metadata (409 on mismatch), apply add-snapshot /
             set-snapshot-ref updates atomically."""
+            if Handler.reject_next_commit:
+                Handler.reject_next_commit = False
+                self.send_response(409)
+                self.end_headers()
+                self.wfile.write(
+                    b'{"error": "CommitFailedException: '
+                    b'branch main has moved"}'
+                )
+                return
             if self.path != table_key:
                 self.send_response(404)
                 self.end_headers()
@@ -239,3 +249,72 @@ def test_explicit_prefix_skips_handshake(catalog_server):
     uri, _, _ = catalog_server
     cat = IcebergRestCatalog(uri, prefix="demo")
     assert cat.list_tables("analytics.prod") == ["t1"]
+
+
+def _append(cat, spark, ids, cat_val):
+    return cat.append_table(
+        spark,
+        "analytics.prod",
+        "t1",
+        spark.range(ids[0], ids[-1] + 1).select(
+            "id", F.lit(cat_val).alias("cat")
+        ),
+    )
+
+
+def test_409_rolls_back_local_and_next_append_builds_on_catalog(
+    spark, catalog_server
+):
+    """r14 (judge finding): a 409'd append must NOT leave its losing
+    snapshot current locally — the next successful append's manifest
+    list has to carry only CATALOG-committed manifests, never
+    resurrect the loser's rows."""
+    uri, handler, root = catalog_server
+    cat = IcebergRestCatalog(uri)
+    _append(cat, spark, [100, 102], "9")  # batch A: commits
+
+    handler.reject_next_commit = True
+    with pytest.raises(IcebergRestError) as ei:
+        _append(cat, spark, [200, 202], "9")  # batch B: catalog says no
+    assert ei.value.status == 409
+    # local cache rolled back to the catalog pointer
+    cat_sid = cat.load_table("analytics.prod", "t1")["metadata"][
+        "current-snapshot-id"
+    ]
+    assert IcebergTable(root).metadata()["current-snapshot-id"] == cat_sid
+
+    _append(cat, spark, [300, 302], "9")  # batch C: commits
+    got = sorted(
+        r.id for r in cat.read_table(spark, "analytics.prod", "t1").collect()
+    )
+    assert got == sorted(
+        list(range(25)) + [100, 101, 102] + [300, 301, 302]
+    ), "batch B (the 409'd loser) must not resurrect"
+
+
+def test_stale_local_hint_rebases_onto_catalog_state(spark, catalog_server):
+    """A local version-hint ahead of the catalog (a write that never
+    went through the catalog) is a losing writer: append_table rebases
+    onto the catalog's authoritative metadata, so the local-only
+    snapshot's rows never ride into the catalog-committed manifest
+    list."""
+    uri, _, root = catalog_server
+    cat = IcebergRestCatalog(uri)
+    # local-only write: advances the version-hint, catalog never told
+    write_iceberg(
+        spark.range(500, 503).select("id", F.lit("9").alias("cat")),
+        root,
+        mode="append",
+    )
+    assert IcebergTable(root).metadata()["current-snapshot-id"] != (
+        cat.load_table("analytics.prod", "t1")["metadata"][
+            "current-snapshot-id"
+        ]
+    )
+    sid = _append(cat, spark, [600, 602], "9")
+    after = cat.load_table("analytics.prod", "t1")["metadata"]
+    assert after["current-snapshot-id"] == sid
+    got = sorted(
+        r.id for r in cat.read_table(spark, "analytics.prod", "t1").collect()
+    )
+    assert got == sorted(list(range(25)) + [600, 601, 602])
