@@ -159,6 +159,7 @@ def stream_read_hudi(
     root: str,
     from_instant: str = "",
     max_instants_per_trigger: int | None = None,
+    pacing_floor_dir: str | None = None,
 ) -> DataFrame:
     """Streaming incremental read of a jar-free Hudi CoW table
     (`sources/hudi.py`): offsets are timeline instants; each
@@ -166,7 +167,10 @@ def stream_read_hudi(
     stamped `_commit_instant` (see `streaming/lakehouse_source.py`).
     `max_instants_per_trigger` paces a continuous query — at most N
     timeline instants per micro-batch (Hudi's read-rate-limit
-    convention); delivery stays exactly-once."""
+    convention); delivery stays exactly-once. `pacing_floor_dir` (r14)
+    persists the pacing floor across restarts so the FIRST post-restart
+    batch over a backlog is capped too — point it at a query-private
+    dir next to the checkpointLocation."""
     from deltacat_spark.streaming.lakehouse_source import (
         HUDI_FORMAT_NAME,
         HudiIncrementalDataSource,
@@ -182,6 +186,8 @@ def stream_read_hudi(
         reader = reader.option(
             "max_instants_per_trigger", str(max_instants_per_trigger)
         )
+    if pacing_floor_dir is not None:
+        reader = reader.option("pacing_floor_dir", pacing_floor_dir)
     return reader.load()
 
 

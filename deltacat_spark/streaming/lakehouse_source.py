@@ -112,9 +112,19 @@ class HudiIncrementalStreamReader(DataSourceStreamReader):
     (offsets stay instants; the remainder delivers on later triggers).
     Measured r13: Trigger.AvailableNow falls back to ONE batch for
     Python sources (all instants in a single micro-batch already), so
-    the knob matters for processingTime triggers, not drains; pacing
-    on the first trigger after a RESTART is uncapped (the reader
-    learns the checkpointed start only at partitions() time)."""
+    the knob matters for processingTime triggers, not drains.
+
+    RESTART pacing (r14, ADVICE): Spark calls latestOffset() before
+    the reader ever sees the checkpointed start, so a fresh reader has
+    no floor and the first post-restart batch would cover the whole
+    backlog — the exact situation the knob exists for. The
+    `pacing_floor_dir` option closes it: commit() persists the
+    committed end there (atomic rename), __init__ reloads it. The
+    persisted floor equals the query's own checkpointed offset, so
+    capping from it can never regress offsets; point it somewhere
+    query-private (e.g. next to the checkpointLocation). Without the
+    option, only the first post-restart batch is uncapped (the floor
+    re-derives at partitions() time) — documented, not silent."""
 
     def __init__(self, options):
         self._root = options["path"] if "path" in options else options["root"]
@@ -123,6 +133,13 @@ class HudiIncrementalStreamReader(DataSourceStreamReader):
         mi = options.get("max_instants_per_trigger")
         self._max_instants = int(mi) if mi is not None else None
         self._floor: str | None = None  # last committed/seen end
+        self._floor_dir = options.get("pacing_floor_dir")
+        if self._floor_dir:
+            p = os.path.join(self._floor_dir, "hudi_pacing_floor.txt")
+            if os.path.isfile(p):
+                floor = open(p).read().strip()
+                if floor:
+                    self._floor = floor
 
     def initialOffset(self) -> dict:
         self._floor = self._from
@@ -239,6 +256,16 @@ class HudiIncrementalStreamReader(DataSourceStreamReader):
         # immutable); remember the committed end as the pacing floor
         if self._floor is None or end["instant"] > self._floor:
             self._floor = end["instant"]
+        if self._floor_dir:
+            # persist so a restarted reader's FIRST latestOffset is
+            # capped too; atomic rename — a torn write can't produce a
+            # bogus floor
+            os.makedirs(self._floor_dir, exist_ok=True)
+            p = os.path.join(self._floor_dir, "hudi_pacing_floor.txt")
+            tmp = p + ".tmp"
+            with open(tmp, "w") as f:
+                f.write(self._floor)
+            os.replace(tmp, p)
 
 
 class HudiIncrementalDataSource(DataSource):

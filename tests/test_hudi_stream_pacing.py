@@ -114,3 +114,66 @@ def test_pacing_sees_new_commits_and_restart(spark, tmp_path):
         for i in b.to_pydict()["id"]
     ]
     assert sorted(rows) == [500, 501]
+
+
+def test_pacing_floor_survives_restart(spark, tmp_path):
+    """r14 (ADVICE): with `pacing_floor_dir`, a restarted reader's
+    FIRST latestOffset is already capped — commit() persisted the
+    floor, so the backlog drains at max_instants per trigger instead
+    of one unbounded batch."""
+    root = _table(spark, tmp_path, n_commits=2)
+    floor_dir = str(tmp_path / "pacing")
+    opts = {
+        "root": root,
+        "max_instants_per_trigger": "1",
+        "pacing_floor_dir": floor_dir,
+    }
+    reader = HudiIncrementalStreamReader(opts)
+    counts, _ = _drain(reader)
+    assert counts == [10, 3]
+    # a 3-commit backlog lands while the query is down
+    for i in (5, 6, 7):
+        write_hudi(
+            spark.range(100 * i, 100 * i + 2).select(
+                "id", F.lit("a").alias("cat")
+            ),
+            root,
+            record_key_field="id",
+        )
+    # fresh reader (restart): floor reloads from disk, so the very
+    # first latestOffset caps to ONE pending instant
+    r2 = HudiIncrementalStreamReader(opts)
+    assert r2._floor == completed_instants(root)[1]
+    end = r2.latestOffset()
+    pending = [i for i in completed_instants(root) if i > r2._floor]
+    assert end["instant"] == pending[0], "first post-restart batch uncapped"
+    # and the drain from the checkpointed position stays exact
+    cur = {"instant": completed_instants(root)[1]}
+    counts2, ids2 = [], []
+    for _ in range(10):
+        end = r2.latestOffset()
+        if end == cur:
+            break
+        rows = [
+            i
+            for p in r2.partitions(cur, end)
+            for b in r2.read(p)
+            for i in b.to_pydict()["id"]
+        ]
+        r2.commit(end)
+        counts2.append(len(rows))
+        ids2.extend(rows)
+        cur = end
+    assert counts2 == [2, 2, 2]
+    assert sorted(ids2) == [500, 501, 600, 601, 700, 701]
+
+
+def test_pacing_floor_dir_absent_is_uncapped_first_batch(spark, tmp_path):
+    """Without the option the documented behavior holds: first
+    post-restart latestOffset returns the timeline head."""
+    root = _table(spark, tmp_path, n_commits=3)
+    r = HudiIncrementalStreamReader(
+        {"root": root, "max_instants_per_trigger": "1"}
+    )
+    end = r.latestOffset()
+    assert end["instant"] == completed_instants(root)[-1]
