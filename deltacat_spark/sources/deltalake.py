@@ -143,44 +143,131 @@ class DeltaSnapshot:
             raise ValueError("Delta log has no metaData action")
         self.adds = adds
 
-    def _usable_checkpoint(self, upto: int) -> int | None:
-        lc = os.path.join(self.root, LOG_DIR, "_last_checkpoint")
-        cands = []
-        if os.path.isfile(lc):
-            try:
-                with open(lc) as f:
-                    cands.append(int(json.load(f)["version"]))
-            except Exception:
-                pass
+    def _checkpoint_candidates(self) -> dict[int, list[str]]:
+        """All COMPLETE checkpoints in the log dir, by the spec's three
+        file layouts (r14 — delta-spark 3.x tables stop refusing):
+
+        - classic single-file  `N.checkpoint.parquet`
+        - classic multi-part   `N.checkpoint.{part}.{parts}.parquet`
+          (10-digit 1-based part numbers; usable only when every part
+          of the set is present)
+        - v2 UUID-named        `N.checkpoint.{uniqueStr}.{parquet|json}`
+          (top-level file; `sidecar` actions inside point into
+          `_delta_log/_sidecars/`)
+
+        Returns version → ordered file list. Preference at the same
+        version: classic > v2 > multi-part (all reconstruct the same
+        state; classic is what this writer emits)."""
         d = os.path.join(self.root, LOG_DIR)
+        classic: dict[int, list[str]] = {}
+        v2: dict[int, list[str]] = {}
+        multi: dict[int, dict[int, tuple[int, str]]] = {}
         for f in os.listdir(d):
-            if f.endswith(".checkpoint.parquet"):
-                try:
-                    cands.append(int(f.split(".")[0]))
-                except ValueError:
-                    pass
-        ok = [c for c in set(cands) if c <= upto and os.path.isfile(_ckpt_path(self.root, c))]
+            parts = f.split(".")
+            if len(parts) < 3 or parts[1] != "checkpoint":
+                continue
+            try:
+                v = int(parts[0])
+            except ValueError:
+                continue
+            full = os.path.join(d, f)
+            if len(parts) == 3 and parts[2] == "parquet":
+                classic[v] = [full]
+            elif (
+                len(parts) == 5
+                and parts[4] == "parquet"
+                and len(parts[2]) == 10
+                and len(parts[3]) == 10
+                and parts[2].isdigit()
+                and parts[3].isdigit()
+            ):
+                multi.setdefault(v, {})[int(parts[2])] = (
+                    int(parts[3]),
+                    full,
+                )
+            elif len(parts) == 4 and parts[3] in ("parquet", "json"):
+                v2[v] = [full]
+        out: dict[int, list[str]] = {}
+        for v, got in multi.items():
+            n_parts = {n for n, _ in got.values()}
+            if len(n_parts) == 1:
+                n = n_parts.pop()
+                if set(got) == set(range(1, n + 1)):
+                    out[v] = [got[i][1] for i in range(1, n + 1)]
+        out.update(v2)
+        out.update(classic)
+        return out
+
+    def _usable_checkpoint(self, upto: int) -> int | None:
+        ok = [v for v in self._checkpoint_candidates() if v <= upto]
         return max(ok) if ok else None
 
-    def _read_checkpoint(self, version: int):
+    @staticmethod
+    def _undict(v):
+        # arrow map columns come back as [(k, v), ...]
+        if isinstance(v, list) and all(
+            isinstance(x, tuple) and len(x) == 2 for x in v
+        ):
+            return dict(v)
+        if isinstance(v, dict):
+            return {k: DeltaSnapshot._undict(x) for k, x in v.items()}
+        return v
+
+    def _ckpt_file_actions(self, path: str):
+        """Raw action dicts of one checkpoint (or sidecar) file —
+        parquet rows or (v2 json checkpoints) json-lines."""
+        if path.endswith(".json"):
+            with open(path) as f:
+                for line in f:
+                    line = line.strip()
+                    if line:
+                        yield json.loads(line)
+            return
         import pyarrow.parquet as pq
 
-        table = pq.read_table(_ckpt_path(self.root, version))
+        for row in pq.read_table(path).to_pylist():
+            yield {
+                k: self._undict(v)
+                for k, v in row.items()
+                if v is not None
+            }
 
-        def _undict(v):
-            # arrow map columns come back as [(k, v), ...]
-            if isinstance(v, list) and all(
-                isinstance(x, tuple) and len(x) == 2 for x in v
-            ):
-                return dict(v)
-            if isinstance(v, dict):
-                return {k: _undict(x) for k, x in v.items()}
-            return v
-
-        for row in table.to_pylist():
-            for key in ("metaData", "protocol", "add", "remove", "txn"):
-                if row.get(key) is not None:
-                    yield {key: _undict(row[key])}
+    def _read_checkpoint(self, version: int):
+        """Replayable actions of the checkpoint at `version`,
+        resolving multi-part unions and v2 sidecar references."""
+        files = self._checkpoint_candidates()[version]
+        sidecar_dir = os.path.join(self.root, LOG_DIR, "_sidecars")
+        for path in files:
+            for action in self._ckpt_file_actions(path):
+                cm = action.get("checkpointMetadata")
+                if cm is not None:
+                    if int(cm.get("version", version)) != version:
+                        raise ValueError(
+                            f"v2 checkpoint {os.path.basename(path)} "
+                            f"carries checkpointMetadata.version "
+                            f"{cm.get('version')} != {version}"
+                        )
+                    continue
+                sc = action.get("sidecar")
+                if sc is not None:
+                    rel = sc["path"]
+                    sp = (
+                        rel
+                        if os.path.isabs(rel)
+                        else os.path.join(sidecar_dir, rel)
+                    )
+                    if not os.path.isfile(sp):
+                        raise ValueError(
+                            f"v2 checkpoint sidecar missing: {rel}"
+                        )
+                    for sub in self._ckpt_file_actions(sp):
+                        for key in ("add", "remove"):
+                            if sub.get(key) is not None:
+                                yield {key: sub[key]}
+                    continue
+                for key in ("metaData", "protocol", "add", "remove", "txn"):
+                    if action.get(key) is not None:
+                        yield {key: action[key]}
 
     @staticmethod
     def _clean(d: dict) -> dict:
