@@ -422,9 +422,21 @@ def write_hudi(
     Incoming batches should be unique per (record key, partition) —
     like Hudi without a precombine field, duplicate in-batch keys have
     no defined winner (dedupe upstream, e.g. the catalog's LWW window).
+
+    `operation="delete"` (r14) HARD-deletes the incoming keys: `df`
+    needs only the record key + partition columns. CoW rewrites the
+    touched file groups WITHOUT those keys (a fully-emptied group is
+    retired via `partitionToReplaceFileIds`); MoR with
+    `log_format="hoodie"` appends real HoodieLogFormat DELETE blocks
+    (avro v3 payload — what external Hudi readers apply); MoR with
+    parquet logs appends `_hoodie_is_deleted=true` marker rows (the
+    soft-delete convention, hard-applied by the merge). Keys not
+    present in the table are no-ops.
     """
-    if operation not in ("insert", "upsert"):
-        raise ValueError(f"operation must be insert|upsert, got {operation!r}")
+    if operation not in ("insert", "upsert", "delete"):
+        raise ValueError(
+            f"operation must be insert|upsert|delete, got {operation!r}"
+        )
     if log_format not in ("parquet", "hoodie"):
         raise ValueError(
             f"log_format must be parquet|hoodie, got {log_format!r}"
@@ -471,6 +483,11 @@ def write_hudi(
             )
         partition_by = [p for p in prior_parts.split(",") if p]
     part_cols = list(partition_by or [])
+    deleting = operation == "delete"
+    if deleting and "_hoodie_is_deleted" not in df.columns:
+        # MoR-parquet path lands these as soft-delete marker rows; the
+        # other paths only consume the keys
+        df = df.withColumn("_hoodie_is_deleted", F.lit(True))
     instant = _next_instant(root)
 
     # partition path expression (hive-style) + record key
@@ -492,7 +509,9 @@ def write_hudi(
     rewrite_groups: list[dict] = []
     mor_targets: list[dict] = []
     mor_key_loc = None  # (__k, __p, __fid) of incoming keys already live
-    if operation == "upsert" and existed and completed_instants(root):
+    if operation in ("upsert", "delete") and existed and completed_instants(
+        root
+    ):
         live = file_slices(root)
         if mor:
             # key → file-group index over base AND log files: one
@@ -565,6 +584,7 @@ def write_hudi(
             ]
 
     write_stats: dict[str, list[dict]] = {}
+    replaced_fids: dict[str, list[str]] = {}  # fully-deleted CoW groups
 
     def _land_staged(
         staging: str, fname_by_key: dict[str, str],
@@ -657,29 +677,47 @@ def write_hudi(
             F.col("_hoodie_partition_path").alias("__p"),
             "__fid",
         ).distinct()
-        merged_new = incoming.join(
-            F.broadcast(key_fid),
-            (incoming["_hoodie_record_key"] == F.col("__k"))
-            & (incoming["_hoodie_partition_path"] == F.col("__p")),
-        )
-        data_cols = [c for c in df.columns]
-        merged = keep.select(
-            "_hoodie_record_key",
-            "_hoodie_partition_path",
-            "_hoodie_commit_time",
-            "_hoodie_commit_seqno",
-            "__fid",
-            *data_cols,
-        ).unionByName(
-            merged_new.select(
+        if deleting:
+            # hard delete: the rewrite carries only the SURVIVING rows
+            # (the table's own columns — the delete frame has none)
+            data_cols = [
+                c
+                for c in old_all.columns
+                if c not in set(META_COLS) | {"__fid"}
+            ]
+            merged = keep.select(
                 "_hoodie_record_key",
                 "_hoodie_partition_path",
-                F.lit(None).cast("string").alias("_hoodie_commit_time"),
-                F.lit(None).cast("string").alias("_hoodie_commit_seqno"),
+                "_hoodie_commit_time",
+                "_hoodie_commit_seqno",
                 "__fid",
                 *data_cols,
             )
-        )
+            merged_new = None
+        else:
+            merged_new = incoming.join(
+                F.broadcast(key_fid),
+                (incoming["_hoodie_record_key"] == F.col("__k"))
+                & (incoming["_hoodie_partition_path"] == F.col("__p")),
+            )
+            data_cols = [c for c in df.columns]
+            merged = keep.select(
+                "_hoodie_record_key",
+                "_hoodie_partition_path",
+                "_hoodie_commit_time",
+                "_hoodie_commit_seqno",
+                "__fid",
+                *data_cols,
+            ).unionByName(
+                merged_new.select(
+                    "_hoodie_record_key",
+                    "_hoodie_partition_path",
+                    F.lit(None).cast("string").alias("_hoodie_commit_time"),
+                    F.lit(None).cast("string").alias("_hoodie_commit_seqno"),
+                    "__fid",
+                    *data_cols,
+                )
+            )
         new_seqno = F.concat_ws(
             "_",
             F.lit(instant),
@@ -716,9 +754,27 @@ def write_hudi(
                          for f in fname_by_fid},
             fid_by_key={fname_by_fid[f]: f for f in fname_by_fid},
         )
-        handled_keys = merged_new.select(
-            "_hoodie_record_key", "_hoodie_partition_path"
-        )
+        if deleting:
+            # a group whose every row was deleted lands no file and no
+            # write stat — without retiring it, file_slices would keep
+            # serving the OLD base file and resurrect the rows
+            written = {
+                st["fileId"]
+                for sts in write_stats.values()
+                for st in sts
+            }
+            for s in rewrite_groups:
+                if s["file_id"] not in written:
+                    replaced_fids.setdefault(s["partition"], []).append(
+                        s["file_id"]
+                    )
+            handled_keys = incoming.select(
+                "_hoodie_record_key", "_hoodie_partition_path"
+            )
+        else:
+            handled_keys = merged_new.select(
+                "_hoodie_record_key", "_hoodie_partition_path"
+            )
 
     # 1b) MoR: append ONE log file per touched file group — no base
     # read, no rewrite. One fanout Spark job clustered on the group's
@@ -774,7 +830,46 @@ def write_hudi(
         staging = os.path.join(
             root, HOODIE_DIR, f".tmp-{uuid.uuid4().hex[:8]}"
         )
-        if log_format == "hoodie":
+        if log_format == "hoodie" and deleting:
+            # frame one real DELETE block per file group ON EXECUTORS
+            # — the avro v3 HoodieDeleteRecordList payload external
+            # Hudi readers apply as hard deletes
+            sel = staged.select(
+                "_hoodie_file_name",
+                "_hoodie_record_key",
+                "_hoodie_partition_path",
+            )
+            os.makedirs(staging, exist_ok=True)
+            stg, inst = staging, instant
+
+            def _frame_deletes(pdf):
+                import os as _os
+
+                import pandas as _pd
+
+                from deltacat_spark.sources import hudi_log as _hl
+
+                fname = pdf["_hoodie_file_name"].iloc[0]
+                deletes = [
+                    {"recordKey": k, "partitionPath": p}
+                    for k, p in zip(
+                        pdf["_hoodie_record_key"],
+                        pdf["_hoodie_partition_path"],
+                    )
+                ]
+                _hl.append_delete_block(
+                    _os.path.join(stg, fname), deletes, inst
+                )
+                return _pd.DataFrame(
+                    {"fname": [fname], "n": [len(deletes)]}
+                )
+
+            landed = (
+                sel.groupBy("_hoodie_file_name")
+                .applyInPandas(_frame_deletes, "fname string, n long")
+                .collect()
+            )
+        elif log_format == "hoodie":
             # frame one AVRO_DATA block per file group ON EXECUTORS
             # (applyInPandas keyed by the new log name), land + stat
             # driver-side like the parquet path — still one
@@ -816,28 +911,6 @@ def write_hudi(
                 .applyInPandas(_frame_group, "fname string, n long")
                 .collect()
             )
-            fid_by_fname = {
-                fn: fid for fid, fn in log_fname_by_fid.items()
-            }
-            for r in landed:
-                fid = fid_by_fname[r["fname"]]
-                partition = part_by_fid[fid]
-                rel = (
-                    f"{partition}/{r['fname']}" if partition else r["fname"]
-                )
-                dst = os.path.join(root, rel)
-                os.makedirs(os.path.dirname(dst), exist_ok=True)
-                os.replace(os.path.join(stg, r["fname"]), dst)
-                write_stats.setdefault(partition, []).append(
-                    {
-                        "fileId": fid,
-                        "path": rel,
-                        "numWrites": int(r["n"]),
-                        "fileSizeInBytes": os.path.getsize(dst),
-                        "prevCommit": "null",
-                    }
-                )
-            shutil.rmtree(staging, ignore_errors=True)
         else:
             staged.select(*cols).withColumn(
                 "__pp", F.col("_hoodie_file_name")
@@ -853,6 +926,32 @@ def write_hudi(
                     fn: fid for fid, fn in log_fname_by_fid.items()
                 },
             )
+        if log_format == "hoodie":
+            # land the executor-framed blocks + record write stats
+            # (shared by the AVRO_DATA and DELETE branches)
+            fid_by_fname = {
+                fn: fid for fid, fn in log_fname_by_fid.items()
+            }
+            for r in landed:
+                fid = fid_by_fname[r["fname"]]
+                partition = part_by_fid[fid]
+                rel = (
+                    f"{partition}/{r['fname']}" if partition else r["fname"]
+                )
+                dst = os.path.join(root, rel)
+                os.makedirs(os.path.dirname(dst), exist_ok=True)
+                os.replace(os.path.join(stg, r["fname"]), dst)
+                st = {
+                    "fileId": fid,
+                    "path": rel,
+                    "numWrites": 0 if deleting else int(r["n"]),
+                    "fileSizeInBytes": os.path.getsize(dst),
+                    "prevCommit": "null",
+                }
+                if deleting:
+                    st["numDeletes"] = int(r["n"])
+                write_stats.setdefault(partition, []).append(st)
+            shutil.rmtree(staging, ignore_errors=True)
         handled_keys = matched.select(
             "_hoodie_record_key", "_hoodie_partition_path"
         )
@@ -869,12 +968,15 @@ def write_hudi(
             ["_hoodie_record_key", "_hoodie_partition_path"],
             "left_anti",
         )
-    parts = sorted(
-        r._hoodie_partition_path
-        for r in remaining.select("_hoodie_partition_path")
-        .distinct()
-        .collect()
-    )
+    if deleting:
+        parts = []  # unmatched delete keys are no-ops, never new groups
+    else:
+        parts = sorted(
+            r._hoodie_partition_path
+            for r in remaining.select("_hoodie_partition_path")
+            .distinct()
+            .collect()
+        )
     if parts:
         fid_by_part = {p: str(uuid.uuid4()) for p in parts}
         token = "0-0-0"
@@ -920,6 +1022,8 @@ def write_hudi(
         "compacted": False,
         "operationType": operation.upper(),
     }
+    if replaced_fids:
+        meta["partitionToReplaceFileIds"] = replaced_fids
     if extra_meta:
         meta["extraMetadata"] = {
             str(k): str(v) for k, v in extra_meta.items()

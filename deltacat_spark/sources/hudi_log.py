@@ -48,10 +48,17 @@ TARGET_INSTANT_TIME (failed-write cleanup, Hudi's
 `AbstractHoodieLogRecordReader` semantics). Scanners also skip data
 blocks whose INSTANT_TIME is not in the completed timeline
 (uncommitted appends are invisible until their deltacommit lands).
-DELETE blocks refuse loudly: their payload is Kryo- (v1/v2) or
-avro-IDL- (v3+) serialized `HoodieDeleteRecordList`, a wire shape this
-jar-free reader does not reproduce; soft deletes (`_hoodie_is_deleted`)
-are the supported delete path. HFILE/CDC blocks refuse likewise.
+DELETE content (r14 — hard deletes): `[i32 content version][i32
+payload length][payload]`. Version 3+ payloads are Avro-binary
+`HoodieDeleteRecordList` (the public avsc in hudi-common:
+deleteRecordList = array of {recordKey, partitionPath, orderingVal},
+all nullable) and decode here; the scanner surfaces each delete as a
+marker row (`_hoodie_is_deleted=true`, data columns null) so the
+existing latest-wins merge + soft-delete filter hard-delete the key.
+Version 1/2 payloads are Kryo-serialized (HoodieKey[] /
+DeleteRecord[]) and refuse loudly — no jar-free Kryo. This writer
+emits version 3 with null orderingVal (union index 0 — unambiguous
+regardless of union member order). HFILE/CDC blocks refuse likewise.
 
 Scale shape: log files decode PER FILE on executors (`scan_framed_logs`
 maps paths through Arrow-batched `mapInPandas`) — per-file parallelism
@@ -310,8 +317,111 @@ def decode_avro_content(content: bytes, avro_schema: dict) -> list[dict]:
     return rows
 
 
+# public avsc shape (hudi-common HoodieDeleteRecordList.avsc): the
+# writer side only ever encodes null orderingVal (union index 0), so
+# interop does not hinge on the non-null member order
+DELETE_RECORD_LIST_SCHEMA: dict = {
+    "namespace": "org.apache.hudi.avro.model",
+    "type": "record",
+    "name": "HoodieDeleteRecordList",
+    "fields": [
+        {
+            "name": "deleteRecordList",
+            "type": {
+                "type": "array",
+                "items": {
+                    "type": "record",
+                    "name": "HoodieDeleteRecord",
+                    "fields": [
+                        {
+                            "name": "recordKey",
+                            "type": ["null", "string"],
+                            "default": None,
+                        },
+                        {
+                            "name": "partitionPath",
+                            "type": ["null", "string"],
+                            "default": None,
+                        },
+                        {
+                            "name": "orderingVal",
+                            "type": [
+                                "null",
+                                "boolean",
+                                "int",
+                                "long",
+                                "float",
+                                "double",
+                                "bytes",
+                                "string",
+                            ],
+                            "default": None,
+                        },
+                    ],
+                },
+            },
+            "default": [],
+        }
+    ],
+}
+
+DELETE_CONTENT_VERSION = 3  # first avro-serialized HoodieDeleteBlock version
+
+
+def encode_delete_content(deletes: list[dict]) -> bytes:
+    """DELETE_BLOCK content: i32 version(3), i32 payload length, then
+    Avro-binary HoodieDeleteRecordList. `deletes` entries:
+    {recordKey, partitionPath} (orderingVal always null here)."""
+    from deltacat_spark.sources import avrofile
+
+    env: dict[str, Any] = {}
+    avrofile._collect_names(DELETE_RECORD_LIST_SCHEMA, env)
+    enc = avrofile._Encoder()
+    avrofile.write_value(
+        DELETE_RECORD_LIST_SCHEMA,
+        {
+            "deleteRecordList": [
+                {
+                    "recordKey": d.get("recordKey"),
+                    "partitionPath": d.get("partitionPath"),
+                    "orderingVal": None,
+                }
+                for d in deletes
+            ]
+        },
+        enc,
+        env,
+    )
+    body = enc.getvalue()
+    return struct.pack(">ii", DELETE_CONTENT_VERSION, len(body)) + body
+
+
+def decode_delete_content(content: bytes) -> list[dict]:
+    """[{recordKey, partitionPath, orderingVal}] of a DELETE_BLOCK.
+    Kryo payload versions (1/2) refuse loudly."""
+    from deltacat_spark.sources import avrofile
+
+    version, length = struct.unpack_from(">ii", content, 0)
+    if version < DELETE_CONTENT_VERSION:
+        raise NotImplementedError(
+            f"Hudi DELETE_BLOCK content version {version} is "
+            "Kryo-serialized (HoodieKey[]/DeleteRecord[]) — no jar-free "
+            "Kryo; rewrite the table with a Hudi release that emits the "
+            "avro delete payload (version 3+), or compact with a real "
+            "Hudi writer"
+        )
+    env: dict[str, Any] = {}
+    avrofile._collect_names(DELETE_RECORD_LIST_SCHEMA, env)
+    dec = avrofile._Decoder(content[8 : 8 + length])
+    rec = avrofile.read_value(DELETE_RECORD_LIST_SCHEMA, dec, env)
+    return list(rec.get("deleteRecordList") or [])
+
+
 def block_records(block: dict[str, Any]) -> list[dict]:
-    """Decode one data block's records to python dicts."""
+    """Decode one data block's records to python dicts. DELETE blocks
+    come back as MARKER rows — meta key/partition/commit-time plus
+    `_hoodie_is_deleted=true`, data columns absent — so the standard
+    latest-wins merge + soft-delete filter applies the hard delete."""
     btype = block["type"]
     if btype == AVRO_DATA_BLOCK:
         schema_json = block["header"].get(H_SCHEMA)
@@ -325,13 +435,22 @@ def block_records(block: dict[str, Any]) -> list[dict]:
         import pyarrow.parquet as pq
 
         return pq.read_table(io.BytesIO(block["content"])).to_pylist()
-    if btype in (DELETE_BLOCK, HFILE_DATA_BLOCK, CDC_DATA_BLOCK):
+    if btype == DELETE_BLOCK:
+        inst = block["header"].get(H_INSTANT_TIME)
+        return [
+            {
+                "_hoodie_record_key": d.get("recordKey"),
+                "_hoodie_partition_path": d.get("partitionPath") or "",
+                "_hoodie_commit_time": inst,
+                "_hoodie_is_deleted": True,
+            }
+            for d in decode_delete_content(block["content"])
+        ]
+    if btype in (HFILE_DATA_BLOCK, CDC_DATA_BLOCK):
         raise NotImplementedError(
             f"Hudi {_BLOCK_NAMES[btype]} payloads are not supported by "
-            "this jar-free reader (DELETE blocks serialize "
-            "HoodieDeleteRecordList via Kryo/avro-IDL; HFILE/CDC need "
-            "their respective codecs) — use soft deletes "
-            "(_hoodie_is_deleted) or compact with a real Hudi writer"
+            "this jar-free reader (they need the HFile/CDC codecs) — "
+            "compact with a real Hudi writer"
         )
     raise ValueError(f"block type {btype} carries no records")
 
@@ -378,6 +497,21 @@ def append_parquet_data_block(path: str, table, instant: str) -> None:
         f.write(blk)
 
 
+def append_delete_block(
+    path: str, deletes: list[dict], instant: str
+) -> None:
+    """Append one spec-framed DELETE block (avro v3 payload).
+    `deletes` entries: {recordKey, partitionPath}."""
+    blk = frame_block(
+        DELETE_BLOCK,
+        encode_delete_content(deletes),
+        {H_INSTANT_TIME: instant},
+    )
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    with open(path, "ab") as f:
+        f.write(blk)
+
+
 def append_rollback_block(path: str, target_instant: str, instant: str) -> None:
     blk = frame_block(
         COMMAND_BLOCK,
@@ -413,7 +547,8 @@ def ensure_decodable(blocks: list[dict], path: str) -> None:
     decodable = [
         b
         for b in blocks
-        if b["type"] in (AVRO_DATA_BLOCK, PARQUET_DATA_BLOCK, COMMAND_BLOCK)
+        if b["type"]
+        in (AVRO_DATA_BLOCK, PARQUET_DATA_BLOCK, COMMAND_BLOCK, DELETE_BLOCK)
     ]
     if not decodable and any(b["type"] == CORRUPT_BLOCK for b in blocks):
         raise ValueError(
@@ -444,13 +579,16 @@ def valid_data_blocks(
                     if a["header"].get(H_INSTANT_TIME) != target
                 ]
             continue
-        if b["type"] in (AVRO_DATA_BLOCK, PARQUET_DATA_BLOCK):
+        if b["type"] in (AVRO_DATA_BLOCK, PARQUET_DATA_BLOCK, DELETE_BLOCK):
+            # DELETE blocks follow the same visibility rules as data:
+            # instant-filtered, rollback-able (a rolled-back delete
+            # never applies)
             inst = b["header"].get(H_INSTANT_TIME)
             if valid_instants is not None and inst not in valid_instants:
                 continue
             alive.append(b)
             continue
-        # DELETE/HFILE/CDC: refuse loudly rather than silently misread
+        # HFILE/CDC: refuse loudly rather than silently misread
         block_records(b)
     return alive
 
@@ -590,15 +728,33 @@ def _merge_struct_fields(schemas: list) -> "Any":
 
 def framed_spark_schema(paths: list[str]):
     """Union Spark schema over the data-block schemas of `paths` —
-    header-only peeks, no content decode."""
+    header-only peeks, no content decode. DELETE blocks contribute the
+    marker-row columns (meta strings + `_hoodie_is_deleted` boolean)."""
+    from pyspark.sql import types as T
+
     schemas = []
+    saw_delete = False
     for p in paths:
         for h in iter_block_headers(p):
+            if h["type"] == DELETE_BLOCK:
+                saw_delete = True
+                continue
             if h["type"] not in (AVRO_DATA_BLOCK, PARQUET_DATA_BLOCK):
                 continue
             sj = h["header"].get(H_SCHEMA)
             if sj:
                 schemas.append(_spark_schema_with_logical(json.loads(sj)))
+    if saw_delete:
+        schemas.append(
+            T.StructType(
+                [
+                    T.StructField("_hoodie_record_key", T.StringType()),
+                    T.StructField("_hoodie_partition_path", T.StringType()),
+                    T.StructField("_hoodie_commit_time", T.StringType()),
+                    T.StructField("_hoodie_is_deleted", T.BooleanType()),
+                ]
+            )
+        )
     if not schemas:
         raise ValueError(
             f"no data-block schemas found in framed logs {paths}"

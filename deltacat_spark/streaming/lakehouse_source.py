@@ -215,6 +215,17 @@ class HudiIncrementalStreamReader(DataSourceStreamReader):
             t = t.filter(
                 pc.equal(t["_hoodie_commit_time"], partition.instant)
             )
+            if "_hoodie_is_deleted" in t.column_names:
+                # hard/soft delete markers (r14: DELETE blocks decode as
+                # marker rows) are not upserts — the stream delivers
+                # data rows only
+                t = t.filter(
+                    pc.invert(
+                        pc.coalesce(
+                            t["_hoodie_is_deleted"], pa.scalar(False)
+                        )
+                    )
+                )
             n = len(t)
             if n == 0:
                 continue

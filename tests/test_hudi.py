@@ -239,8 +239,9 @@ def test_unpartitioned_and_validation(spark, tmp_path, df60):
     write_hudi(df60.limit(5), root, record_key_field="id")
     assert file_slices(root)[0]["partition"] == "default"
     assert read_hudi(spark, root).count() == 5
+    # operation="delete" is implemented since r14 (test_hudi_delete_blocks)
     with pytest.raises(ValueError):
-        write_hudi(df60, root, record_key_field="id", operation="delete")
+        write_hudi(df60, root, record_key_field="id", operation="bulk_zap")
     with pytest.raises(ValueError):
         write_hudi(df60, root, record_key_field="id", partition_by=["cat"])
     # a declared table_type that contradicts the table's is refused
