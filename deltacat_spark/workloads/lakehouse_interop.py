@@ -898,37 +898,74 @@ def hudi_log_format(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     s1 = agg(read_hudi(spark, root), "snapshot")
+
+    # r14 hard-delete phase: real HoodieLogFormat DELETE blocks (avro
+    # v3 HoodieDeleteRecordList payload) against every 200th key plus
+    # the planted external row; exact iff the delete codec, marker-row
+    # merge, and compaction fold all hold
+    del_keys = o.filter(F.col("o_orderkey") % 200 == 0).select(
+        "o_orderkey", "o_orderstatus"
+    ).unionByName(
+        spark.createDataFrame(
+            [(-1, "F")], "o_orderkey long, o_orderstatus string"
+        )
+    )
+    write_hudi(
+        del_keys,
+        root,
+        record_key_field="o_orderkey",
+        operation="delete",
+        log_format="hoodie",
+    )
+    assert any(
+        b["type"] == hudi_log.DELETE_BLOCK
+        for s in file_slices(root)
+        for lp in s["log_paths"]
+        for b in hudi_log.read_blocks(os.path.join(root, lp))
+    ), "expected a framed DELETE block after the hard delete"
+    s2 = agg(read_hudi(spark, root), "deleted")
     assert compact_hudi(spark, root) is not None
-    s2 = agg(read_hudi(spark, root), "compacted")
+    s3 = agg(read_hudi(spark, root), "compacted")
     return (
         s1.unionByName(s2)
+        .unionByName(s3)
         .select("phase", "o_orderstatus", "n", "total")
         .orderBy("phase", "o_orderstatus")
     )
 
 
-# snapshot and compacted views must be identical: base rows with the
-# framed-log updates applied, plus the planted external row; the
-# rolled-back / uncommitted blocks contribute nothing (a visibility bug
-# breaks the hash)
+# snapshot view: base rows with the framed-log updates applied, plus
+# the planted external row; the rolled-back / uncommitted blocks
+# contribute nothing (a visibility bug breaks the hash). The deleted
+# and compacted views drop every 200th key and the planted row (r14
+# DELETE blocks) and must agree — a delete that fails to fold at
+# compaction breaks the hash
 HUDI_LOG_FORMAT_SQL = f"""
 WITH snap AS (
-    SELECT o_orderstatus,
+    SELECT o_orderkey, o_orderstatus,
            CASE WHEN o_orderkey % 100 = 0 THEN o_totalprice + 1000.0
                 ELSE o_totalprice END AS o_totalprice
     FROM orders
     WHERE o_orderkey % 50 = 0
     UNION ALL
-    SELECT 'F', 1234.56
+    SELECT -1, 'F', 1234.56
+),
+deleted AS (
+    SELECT * FROM snap
+    WHERE o_orderkey % 200 <> 0 AND o_orderkey <> -1
 )
 SELECT * FROM (
     SELECT 'snapshot' AS phase, o_orderstatus, {cnt_sql("n")},
            {dsum_sql("o_totalprice", "total")}
     FROM snap GROUP BY o_orderstatus
     UNION ALL
+    SELECT 'deleted' AS phase, o_orderstatus, {cnt_sql("n")},
+           {dsum_sql("o_totalprice", "total")}
+    FROM deleted GROUP BY o_orderstatus
+    UNION ALL
     SELECT 'compacted' AS phase, o_orderstatus, {cnt_sql("n")},
            {dsum_sql("o_totalprice", "total")}
-    FROM snap GROUP BY o_orderstatus
+    FROM deleted GROUP BY o_orderstatus
 )
 ORDER BY phase, o_orderstatus
 """
