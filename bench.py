@@ -158,6 +158,9 @@ BENCH_QUERIES = [
     "delta_cdf_update",
     # round 13: column-mapped writes (GUID physical columns + OPTIMIZE)
     "delta_column_mapped_write",
+    # round 14: Iceberg v3 puffin deletion vectors (upgrade + DV commit
+    # + DV-applied and time-travel reads + row-lineage probe)
+    "iceberg_v3_dv_read",
 ]
 
 # The heaviest plans from BENCH_r04, re-measured at ~10x scale in the

@@ -178,7 +178,16 @@ def spark_schema_for(ice: dict) -> T.StructType:
             "timestamp": T.TimestampNTZType(),
             "uuid": T.StringType(),
         }
-        return m[t]
+        if t in m:
+            return m[t]
+        if t in ("timestamp_ns", "timestamptz_ns", "unknown", "variant",
+                 "geometry", "geography"):
+            raise NotImplementedError(
+                f"iceberg v3 type {t!r} is not supported by this "
+                "reader yet (v3 metadata/DV reads are; the new value "
+                "types are not)"
+            )
+        raise ValueError(f"unknown iceberg type {t!r}")
 
     dt = conv(ice)
     assert isinstance(dt, T.StructType)
@@ -210,14 +219,19 @@ _MANIFEST_LIST_SCHEMA = {
 }
 
 
-def _manifest_entry_schema(partition_fields: list[dict]) -> dict:
+def _manifest_entry_schema(
+    partition_fields: list[dict], v3: bool = False
+) -> dict:
     """Manifest-entry Avro schema; `partition` is a record typed by the
-    (identity) partition spec."""
+    (identity) partition spec. `v3=True` appends the format-version-3
+    data_file fields (142 first_row_id, 143 referenced_data_file,
+    144 content_offset, 145 content_size_in_bytes — the deletion-vector
+    and row-lineage carriers); v2 manifests stay byte-stable."""
     part_fields = [
         {"name": pf["name"], "type": ["null", pf["avro_type"]]}
         for pf in partition_fields
     ]
-    return {
+    schema = {
         "type": "record",
         "name": "manifest_entry",
         "fields": [
@@ -320,6 +334,32 @@ def _manifest_entry_schema(partition_fields: list[dict]) -> dict:
             },
         ],
     }
+    if v3:
+        schema["fields"][-1]["type"]["fields"].extend(
+            [
+                {
+                    "name": "first_row_id",
+                    "type": ["null", "long"],
+                    "field-id": 142,
+                },
+                {
+                    "name": "referenced_data_file",
+                    "type": ["null", "string"],
+                    "field-id": 143,
+                },
+                {
+                    "name": "content_offset",
+                    "type": ["null", "long"],
+                    "field-id": 144,
+                },
+                {
+                    "name": "content_size_in_bytes",
+                    "type": ["null", "long"],
+                    "field-id": 145,
+                },
+            ]
+        )
+    return schema
 
 
 # ---------------------------------------------------------------------------
@@ -1108,16 +1148,20 @@ class IcebergTable:
         or EXISTING manifest entry across the manifest list."""
         meta = self.metadata()
         fv = meta.get("format-version", 2)
-        if fv not in (1, 2):
-            # v3 adds deletion vectors + row lineage — silently
-            # misread, so refuse loudly. v1 reads fine through the
-            # same replay: its manifests simply lack sequence/content
-            # fields (.get defaults: data manifests, global seq 0) and
-            # the format predates delete files entirely.
+        if fv not in (1, 2, 3):
             raise NotImplementedError(
                 f"Iceberg format-version {fv} is not supported "
-                "(this jar-free reader implements v1 reads + v2)"
+                "(this jar-free reader implements v1/v3 reads + v2)"
             )
+        # v1 reads fine through the same replay: its manifests simply
+        # lack sequence/content fields (.get defaults: data manifests,
+        # global seq 0) and the format predates delete files entirely.
+        # v3 (r14) reads too: puffin DELETION VECTORS surface here as
+        # content=1 entries with content_offset/content_size_in_bytes
+        # (applied by read_iceberg), row-lineage metadata (next-row-id
+        # / first-row-id / first_row_id) is surfaced on request and
+        # otherwise ignored, and the new v3 value types refuse by name
+        # at schema translation.
         snap = self.snapshot(meta, snapshot_id)
         data, deletes = [], []
         for mf in self.manifests(snap):
@@ -1337,6 +1381,7 @@ def read_iceberg(
     as_of_timestamp_ms: int | None = None,
     predicate_filter: dict[str, Any] | None = None,
     metadata: dict | None = None,
+    with_row_lineage: bool = False,
 ) -> DataFrame:
     """Iceberg table → DataFrame (time travel via `snapshot_id` or
     `as_of_timestamp_ms` — the newest snapshot at or before the instant,
@@ -1367,7 +1412,14 @@ def read_iceberg(
 
     `metadata=` reads with CATALOG-RESOLVED table metadata (REST/service
     catalogs deliver it in their LoadTableResult) instead of the
-    version-hint file under `root`."""
+    version-hint file under `root`.
+
+    `with_row_lineage=True` (r14, v3) surfaces the spec's row-lineage
+    columns: `_row_id` = the file's `first_row_id` + row position
+    (null when the file predates lineage — the spec's unassigned
+    state) and `_last_updated_sequence_number` = the file's data
+    sequence number (the inherited value for rows the file itself
+    wrote)."""
     tbl = IcebergTable(root, metadata=metadata)
     meta = tbl.metadata()
     if as_of_timestamp_ms is not None:
@@ -1459,13 +1511,18 @@ def read_iceberg(
         data = [f for f in data if _survives(f)]
 
     if not data:
-        return (
-            spark.createDataFrame([], full_schema)
-            if not with_lineage
-            else spark.createDataFrame([], full_schema)
-            .withColumn("__ice_fp", F.lit(None).cast("string"))
-            .withColumn("__ice_pos", F.lit(None).cast("long"))
-        )
+        empty = spark.createDataFrame([], full_schema)
+        if with_row_lineage:
+            empty = empty.withColumn(
+                "_row_id", F.lit(None).cast("long")
+            ).withColumn(
+                "_last_updated_sequence_number", F.lit(None).cast("long")
+            )
+        if with_lineage:
+            empty = empty.withColumn(
+                "__ice_fp", F.lit(None).cast("string")
+            ).withColumn("__ice_pos", F.lit(None).cast("long"))
+        return empty
     paths = [_abs_data_path(root, f["file_path"]) for f in data]
     aliases = _name_mapping_aliases(meta)
     data_names = {f.name for f in data_schema.fields}
@@ -1509,8 +1566,17 @@ def read_iceberg(
         "__ice_pos", F.col("_metadata.row_index")
     )
 
-    pos_deletes = [d for d in deletes if d.get("content") != 2]
     eq_deletes = [d for d in deletes if d.get("content") == 2]
+    non_eq = [d for d in deletes if d.get("content") != 2]
+    # v3 DELETION VECTORS: puffin blobs addressed by content_offset /
+    # content_size_in_bytes, scoped to one referenced data file each
+    dv_deletes = [
+        d
+        for d in non_eq
+        if (d.get("file_format") or "").upper() == "PUFFIN"
+        or d.get("content_offset") is not None
+    ]
+    pos_deletes = [d for d in non_eq if d not in dv_deletes]
     data_seq = {
         _rel_data_path(root, f["file_path"]): int(f.get("__seq") or 0)
         for f in data
@@ -1583,6 +1649,55 @@ def read_iceberg(
             )
             df = df.join(pos_df, ["__ice_fp", "__ice_pos"], "left_anti")
 
+    if apply_deletes and dv_deletes:
+        # decode each DV blob ON EXECUTORS (one descriptor row per
+        # referenced file, Arrow-batched mapInPandas — the Delta DV
+        # pattern) and anti-join on (file, row index). A DV's file
+        # scoping is its referenced_data_file; uuid-stamped data names
+        # make the path equality exact.
+        desc_rows = [
+            (
+                _abs_data_path(root, d["file_path"]),
+                int(d["content_offset"]),
+                int(d["content_size_in_bytes"]),
+                _rel_data_path(root, d["referenced_data_file"]),
+            )
+            for d in dv_deletes
+            if d.get("referenced_data_file")
+        ]
+        if len(desc_rows) != len(dv_deletes):
+            raise ValueError(
+                "puffin delete entry without referenced_data_file — "
+                "footer-scanned DVs are not supported; the manifest "
+                "entry must carry fields 143-145"
+            )
+        desc_df = spark.createDataFrame(
+            desc_rows,
+            "__puffin string, __off long, __size long, __ice_fp string",
+        ).repartition(min(len(desc_rows), 32))
+
+        def _dv_gen(batches):
+            import pandas as pd
+
+            from deltacat_spark.sources import puffin as _puffin
+
+            for pdf in batches:
+                for pp, off, size, fp in zip(
+                    pdf["__puffin"], pdf["__off"], pdf["__size"],
+                    pdf["__ice_fp"],
+                ):
+                    poss = _puffin.dv_positions(pp, int(off), int(size))
+                    if poss:
+                        yield pd.DataFrame(
+                            {"__ice_fp": [fp] * len(poss),
+                             "__ice_pos": poss}
+                        )
+
+        dv_df = desc_df.mapInPandas(
+            _dv_gen, "__ice_fp string, __ice_pos long"
+        )
+        df = df.join(dv_df, ["__ice_fp", "__ice_pos"], "left_anti")
+
     if part_cols:
         # reconstruct identity partition columns from manifest metadata
         # (file → value map is manifest-sized, broadcastable)
@@ -1621,7 +1736,27 @@ def read_iceberg(
             how="left_anti",
         )
 
+    if with_row_lineage:
+        lin_rows = [
+            (
+                _rel_data_path(root, f["file_path"]),
+                f.get("first_row_id"),
+                int(f.get("__seq") or 0),
+            )
+            for f in data
+        ]
+        lmap = spark.createDataFrame(
+            lin_rows,
+            "__ice_fp string, __first_row_id long, "
+            "_last_updated_sequence_number long",
+        )
+        df = df.join(F.broadcast(lmap), "__ice_fp", "left").withColumn(
+            "_row_id", F.col("__first_row_id") + F.col("__ice_pos")
+        ).drop("__first_row_id")
+
     keep = [f.name for f in full_schema.fields]
+    if with_row_lineage:
+        keep = keep + ["_row_id", "_last_updated_sequence_number"]
     if with_lineage:
         keep = keep + ["__ice_fp", "__ice_pos"]
     return df.select(*keep)
@@ -2087,6 +2222,149 @@ def upgrade_iceberg_v1_to_v2(root: str) -> int:
     ]
     new.setdefault("metadata-log", [])
     return _commit_metadata(tbl, new)
+
+
+def upgrade_iceberg_v2_to_v3(root: str) -> int:
+    """Spec v2 → v3 upgrade, metadata-only (r14 — the read-first slice
+    of format-version 3): stamps `format-version: 3` and the
+    row-lineage accounting field `next-row-id` (0 for an upgraded
+    table; existing files have no `first_row_id`, so their row ids
+    surface as null until an engine assigns them — the spec's lazy
+    assignment). Existing manifests/snapshots read unchanged; after
+    the upgrade `commit_deletion_vectors` can land puffin DVs. Returns
+    the new metadata version; no-op on already-v3 tables."""
+    tbl = IcebergTable(root)
+    meta = tbl.metadata()
+    fv = meta.get("format-version", 2)
+    if fv == 3:
+        return tbl.loaded_version or tbl.current_version()
+    if fv != 2:
+        raise NotImplementedError(
+            f"cannot upgrade format-version {fv} (v2 -> v3 only; "
+            "run upgrade_iceberg_v1_to_v2 first)"
+        )
+    new = dict(meta)
+    new["format-version"] = 3
+    new.setdefault("next-row-id", 0)
+    return _commit_metadata(tbl, new)
+
+
+def commit_deletion_vectors(
+    root: str, positions_by_file: dict[str, list[int]]
+) -> int:
+    """Commit puffin DELETION VECTORS — the v3 replacement for
+    position-delete parquet: one puffin file holding one
+    `deletion-vector-v1` blob per referenced data file, registered in
+    a content=1 manifest whose entries carry `referenced_data_file` /
+    `content_offset` / `content_size_in_bytes` (data_file fields
+    143-145), so readers seek straight to the blob without touching
+    the puffin footer. `positions_by_file` maps table-root-relative
+    data paths to deleted row positions. Spec rule honored: a DV
+    REPLACES all previously-committed position deletes for its data
+    file; carried-forward delete manifests keep serving other files.
+    Returns the new snapshot id. Needs a v3 table
+    (`upgrade_iceberg_v2_to_v3`)."""
+    from deltacat_spark.sources import puffin
+
+    tbl = IcebergTable(root)
+    meta = tbl.metadata()
+    if meta.get("format-version", 2) != 3:
+        raise NotImplementedError(
+            "deletion vectors are an Iceberg v3 feature; this table is "
+            f"format-version {meta.get('format-version')} — run "
+            "upgrade_iceberg_v2_to_v3 first"
+        )
+    if not positions_by_file:
+        raise ValueError("positions_by_file is empty")
+    commit_uuid = uuid.uuid4().hex[:12]
+    snapshot_id = int.from_bytes(os.urandom(7), "big")
+    seq = meta["last-sequence-number"] + 1
+    puffin_rel = f"{DATA_DIR}/{commit_uuid}-deletes.puffin"
+    blobs = []
+    for rel in sorted(positions_by_file):
+        poss = sorted(set(positions_by_file[rel]))
+        blobs.append(
+            (
+                puffin.dv_blob_encode(poss),
+                {
+                    "type": puffin.DV_BLOB_TYPE,
+                    "snapshot-id": snapshot_id,
+                    "sequence-number": seq,
+                    "properties": {
+                        "referenced-data-file": rel,
+                        "cardinality": str(len(poss)),
+                    },
+                },
+            )
+        )
+    puffin_path = os.path.join(root, puffin_rel)
+    os.makedirs(os.path.dirname(puffin_path), exist_ok=True)
+    blob_entries = puffin.write_puffin(puffin_path, blobs)
+    fsize = os.path.getsize(puffin_path)
+
+    entry_schema = _manifest_entry_schema([], v3=True)
+    entries = []
+    for (rel, entry) in zip(sorted(positions_by_file), blob_entries):
+        entries.append(
+            {
+                "status": 1,
+                "snapshot_id": snapshot_id,
+                "sequence_number": seq,
+                "file_sequence_number": seq,
+                "data_file": {
+                    "content": 1,  # POSITION_DELETES (DV flavor)
+                    "file_path": puffin_rel,
+                    "file_format": "PUFFIN",
+                    "partition": {},
+                    "record_count": len(
+                        set(positions_by_file[rel])
+                    ),
+                    "file_size_in_bytes": fsize,
+                    "lower_bounds": None,
+                    "upper_bounds": None,
+                    "equality_ids": None,
+                    "first_row_id": None,
+                    "referenced_data_file": rel,
+                    "content_offset": entry["offset"],
+                    "content_size_in_bytes": entry["length"],
+                },
+            }
+        )
+    manifest_rel = f"{METADATA_DIR}/{commit_uuid}-m0.avro"
+    manifest_path = os.path.join(root, manifest_rel)
+    avrofile.write_container(manifest_path, entry_schema, entries)
+    delete_manifest = {
+        "manifest_path": manifest_rel,
+        "manifest_length": os.path.getsize(manifest_path),
+        "partition_spec_id": _spec_id_for_identity_fields(
+            meta, current_schema(meta), []
+        ),
+        "content": 1,
+        "sequence_number": seq,
+        "min_sequence_number": seq,
+        "added_snapshot_id": snapshot_id,
+        "added_files_count": len(entries),
+        "existing_files_count": 0,
+        "deleted_files_count": 0,
+        "added_rows_count": sum(
+            len(set(v)) for v in positions_by_file.values()
+        ),
+        "existing_rows_count": 0,
+        "deleted_rows_count": 0,
+    }
+    manifests = [delete_manifest] + _carry_forward_manifests(
+        tbl, meta, commit_uuid=commit_uuid
+    )
+    return _commit_snapshot(
+        tbl,
+        meta,
+        manifests,
+        snapshot_id,
+        seq,
+        int(time.time() * 1000),
+        operation="delete",
+        commit_uuid=commit_uuid,
+    )
 
 
 def _commit_metadata(tbl: IcebergTable, meta: dict) -> int:

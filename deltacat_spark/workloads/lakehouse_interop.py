@@ -1112,8 +1112,106 @@ ORDER BY c_mktsegment
 """
 
 
+def iceberg_v3_dv_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg FORMAT-VERSION 3 deletion vectors (r14 — the read slice
+    of the v3 gap): two v2 appends of a customer subset, the spec's
+    v2→v3 metadata upgrade, then a puffin DV commit (one
+    deletion-vector-v1 blob per touched data file — big-endian framed
+    roaring64 bitmap + CRC — registered via manifest fields 143-145)
+    deleting a key slice. Hashes BOTH the DV-applied current read and
+    a pre-DV time-travel read, plus a row-lineage probe (files predate
+    lineage, so `_row_id` must be null while
+    `_last_updated_sequence_number` is the file's data sequence) — a
+    puffin codec, DV anti-join, manifest-field, or snapshot-replay bug
+    each breaks a phase. Ref: pyiceberg catalogs
+    (`deltacat/experimental/storage/iceberg/iceberg_scan_planner.py`)."""
+    from deltacat_spark.sources.iceberg import (
+        IcebergTable,
+        commit_deletion_vectors,
+        read_iceberg,
+        upgrade_iceberg_v2_to_v3,
+        write_iceberg,
+    )
+
+    c = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    root = tempfile.mkdtemp(prefix="ice_v3_")
+    write_iceberg(c.filter(F.col("c_custkey") % 8 == 0), root)
+    write_iceberg(
+        c.filter(F.col("c_custkey") % 8 == 4), root, mode="append"
+    )
+    upgrade_iceberg_v2_to_v3(root)
+    pre_sid = IcebergTable(root).metadata()["current-snapshot-id"]
+    doomed = (
+        read_iceberg(spark, root, with_lineage=True)
+        .filter(F.col("c_custkey") % 16 == 0)
+        .select("__ice_fp", "__ice_pos")
+        .collect()
+    )
+    positions: dict[str, list[int]] = {}
+    for r in doomed:
+        positions.setdefault(r["__ice_fp"], []).append(r["__ice_pos"])
+    commit_deletion_vectors(root, positions)
+
+    cur = read_iceberg(spark, root)
+    pre = read_iceberg(spark, root, snapshot_id=pre_sid)
+    lin = read_iceberg(spark, root, with_row_lineage=True)
+    phases = [
+        df.groupBy("c_mktsegment")
+        .agg(cnt("n"), dsum("c_acctbal", "balance"))
+        .withColumn("phase", F.lit(phase))
+        for phase, df in (("dv", cur), ("pre", pre))
+    ]
+    # lineage probe: rows with unassigned _row_id grouped by their
+    # file's data sequence (1 = first append, 2 = second)
+    probe = (
+        lin.filter(F.col("_row_id").isNull())
+        .groupBy(
+            F.col("_last_updated_sequence_number")
+            .cast("string")
+            .alias("c_mktsegment")
+        )
+        .agg(cnt("n"), dsum("c_acctbal", "balance"))
+        .withColumn("phase", F.lit("lineage_seq"))
+    )
+    return (
+        phases[0]
+        .unionByName(phases[1])
+        .unionByName(probe)
+        .select("phase", "c_mktsegment", "n", "balance")
+        .orderBy("phase", "c_mktsegment")
+    )
+
+
+ICEBERG_V3_DV_SQL = f"""
+WITH both_batches AS (
+    SELECT c_mktsegment, c_acctbal, c_custkey,
+           CASE WHEN c_custkey % 8 = 0 THEN 1 ELSE 2 END AS seq
+    FROM customer WHERE c_custkey % 8 IN (0, 4)
+)
+SELECT * FROM (
+    SELECT 'dv' AS phase, c_mktsegment, {cnt_sql("n")},
+           {dsum_sql("c_acctbal", "balance")}
+    FROM both_batches WHERE NOT c_custkey % 16 = 0
+    GROUP BY c_mktsegment
+    UNION ALL
+    SELECT 'pre' AS phase, c_mktsegment, {cnt_sql("n")},
+           {dsum_sql("c_acctbal", "balance")}
+    FROM both_batches GROUP BY c_mktsegment
+    UNION ALL
+    SELECT 'lineage_seq' AS phase, CAST(seq AS VARCHAR) AS c_mktsegment,
+           {cnt_sql("n")}, {dsum_sql("c_acctbal", "balance")}
+    FROM both_batches WHERE NOT c_custkey % 16 = 0
+    GROUP BY seq
+)
+ORDER BY phase, c_mktsegment
+"""
+
+
 QUERIES = {
     "hudi_log_format": (hudi_log_format, HUDI_LOG_FORMAT_SQL),
+    "iceberg_v3_dv_read": (iceberg_v3_dv_read, ICEBERG_V3_DV_SQL),
     "delta_cdf_update": (delta_cdf_update, DELTA_CDF_SQL),
     "delta_column_mapped_write": (
         delta_column_mapped_write,

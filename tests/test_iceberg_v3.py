@@ -1,0 +1,223 @@
+"""Iceberg format-version 3 READ slice (r14, judge item 5): puffin
+deletion vectors, the v2→v3 metadata upgrade, row-lineage surfacing,
+and named refusals for the genuinely-unimplemented v3 features (new
+value types, v3 writes). External shapes per the public Puffin spec
+and Iceberg v3 spec (§Deletion vectors, §Row lineage)."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from deltacat_spark.sources import puffin
+from deltacat_spark.sources.avrofile import read_container, write_container
+from deltacat_spark.sources.iceberg import (
+    IcebergTable,
+    _manifest_entry_schema,
+    commit_deletion_vectors,
+    commit_position_deletes,
+    read_iceberg,
+    spark_schema_for,
+    upgrade_iceberg_v2_to_v3,
+    write_iceberg,
+)
+
+
+# ---------------------------------------------------------------------------
+# puffin codec
+# ---------------------------------------------------------------------------
+
+
+def test_puffin_file_and_dv_blob_round_trip(tmp_path):
+    p = str(tmp_path / "x.puffin")
+    blob1 = puffin.dv_blob_encode([0, 3, 5, 1 << 40])
+    blob2 = puffin.dv_blob_encode(list(range(5000)))  # bitmap container
+    entries = puffin.write_puffin(
+        p,
+        [
+            (blob1, {"properties": {"referenced-data-file": "data/a"}}),
+            (blob2, {"properties": {"referenced-data-file": "data/b"}}),
+        ],
+        properties={"created-by": "test"},
+    )
+    assert entries[0]["offset"] == 4
+    assert entries[1]["offset"] == 4 + len(blob1)
+    footer = puffin.read_footer(p)
+    assert footer["properties"] == {"created-by": "test"}
+    assert [b["type"] for b in footer["blobs"]] == [
+        puffin.DV_BLOB_TYPE
+    ] * 2
+    assert puffin.dv_positions(
+        p, entries[0]["offset"], entries[0]["length"]
+    ) == [0, 3, 5, 1 << 40]
+    assert puffin.dv_positions(
+        p, entries[1]["offset"], entries[1]["length"]
+    ) == list(range(5000))
+    got = puffin.dv_entries(p)
+    assert [e["referenced-data-file"] for e in got] == ["data/a", "data/b"]
+
+
+def test_puffin_corruption_and_flags(tmp_path):
+    blob = puffin.dv_blob_encode([1, 2])
+    bad = blob[:-1] + bytes([blob[-1] ^ 0xFF])
+    with pytest.raises(ValueError, match="CRC"):
+        puffin.dv_blob_decode(bad)
+    with pytest.raises(ValueError, match="magic"):
+        puffin.dv_blob_decode(blob[:4] + b"\x00\x00\x00\x00" + blob[8:])
+    p = str(tmp_path / "x.puffin")
+    puffin.write_puffin(p, [(blob, {})])
+    # flip the compressed-footer flag bit
+    raw = bytearray(open(p, "rb").read())
+    raw[-8] |= 1
+    open(p, "wb").write(bytes(raw))
+    with pytest.raises(NotImplementedError, match="LZ4"):
+        puffin.read_footer(p)
+    notp = str(tmp_path / "not.puffin")
+    open(notp, "wb").write(b"nope nope nope")
+    with pytest.raises(ValueError, match="PFA1"):
+        puffin.read_footer(notp)
+
+
+# ---------------------------------------------------------------------------
+# upgrade + DV read
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture()
+def v3_table(spark, tmp_path):
+    root = str(tmp_path / "t")
+    write_iceberg(
+        spark.range(30).select(
+            "id", (F.col("id") % 3).cast("string").alias("cat")
+        ),
+        root,
+    )
+    write_iceberg(
+        spark.range(30, 40).select(
+            "id", F.lit("9").alias("cat")
+        ),
+        root,
+        mode="append",
+    )
+    upgrade_iceberg_v2_to_v3(root)
+    return root
+
+
+def test_upgrade_v2_to_v3_reads_unchanged(spark, v3_table):
+    meta = IcebergTable(v3_table).metadata()
+    assert meta["format-version"] == 3
+    assert meta["next-row-id"] == 0
+    got = sorted(r.id for r in read_iceberg(spark, v3_table).collect())
+    assert got == list(range(40))
+    # idempotent
+    upgrade_iceberg_v2_to_v3(v3_table)
+    assert IcebergTable(v3_table).metadata()["format-version"] == 3
+
+
+def test_deletion_vector_commit_and_read(spark, v3_table):
+    rows = read_iceberg(spark, v3_table, with_lineage=True).collect()
+    by_id = {r.id: (r["__ice_fp"], r["__ice_pos"]) for r in rows}
+    kill = {3, 7, 35}
+    positions: dict[str, list[int]] = {}
+    for i in kill:
+        fp, pos = by_id[i]
+        positions.setdefault(fp, []).append(pos)
+    tbl = IcebergTable(v3_table)
+    pre_sid = tbl.metadata()["current-snapshot-id"]
+    sid = commit_deletion_vectors(v3_table, positions)
+    got = sorted(r.id for r in read_iceberg(spark, v3_table).collect())
+    assert got == [i for i in range(40) if i not in kill]
+    # time travel to the pre-DV snapshot still serves every row
+    before = sorted(
+        r.id
+        for r in read_iceberg(spark, v3_table, snapshot_id=pre_sid).collect()
+    )
+    assert before == list(range(40))
+    # the manifest entry carries the DV coordinates (fields 143-145)
+    _, deletes = tbl.live_files(sid)
+    assert len(deletes) == len(positions)
+    for d in deletes:
+        assert d["file_format"] == "PUFFIN"
+        assert d["referenced_data_file"] in positions
+        assert d["content_offset"] is not None
+        assert d["content_size_in_bytes"] is not None
+
+
+def test_second_dv_commit_accumulates(spark, v3_table):
+    rows = read_iceberg(spark, v3_table, with_lineage=True).collect()
+    by_id = {r.id: (r["__ice_fp"], r["__ice_pos"]) for r in rows}
+    fp3, pos3 = by_id[3]
+    commit_deletion_vectors(v3_table, {fp3: [pos3]})
+    fp8, pos8 = by_id[8]
+    commit_deletion_vectors(v3_table, {fp8: [pos8]})
+    got = sorted(r.id for r in read_iceberg(spark, v3_table).collect())
+    assert got == [i for i in range(40) if i not in (3, 8)]
+
+
+def test_v3_refuses_position_delete_parquet_and_writes(spark, v3_table):
+    deletes = spark.createDataFrame(
+        [("data/x.parquet", 0)], "file_path string, pos long"
+    )
+    with pytest.raises(NotImplementedError, match="v2"):
+        commit_position_deletes(spark, v3_table, deletes)
+    with pytest.raises(NotImplementedError, match="v2"):
+        write_iceberg(
+            spark.range(3).select("id", F.lit("1").alias("cat")),
+            v3_table,
+            mode="append",
+        )
+
+
+def test_v3_new_value_types_refuse_by_name():
+    ice = {
+        "type": "struct",
+        "fields": [
+            {"id": 1, "name": "ts", "required": False, "type": "timestamp_ns"}
+        ],
+    }
+    with pytest.raises(NotImplementedError, match="timestamp_ns"):
+        spark_schema_for(ice)
+
+
+# ---------------------------------------------------------------------------
+# row lineage
+# ---------------------------------------------------------------------------
+
+
+def test_row_lineage_surfaced(spark, v3_table):
+    df = read_iceberg(spark, v3_table, with_row_lineage=True)
+    assert "_row_id" in df.columns
+    assert "_last_updated_sequence_number" in df.columns
+    rows = df.collect()
+    # files predate lineage: row ids unassigned (null), sequence
+    # numbers are the files' data sequence numbers (1 and 2)
+    assert all(r["_row_id"] is None for r in rows)
+    seqs = {r.id: r["_last_updated_sequence_number"] for r in rows}
+    assert seqs[0] == 1 and seqs[35] == 2
+
+
+def test_row_lineage_first_row_id_assigned(spark, v3_table):
+    """A manifest whose entries carry first_row_id (an external v3
+    writer's shape) yields _row_id = first_row_id + position."""
+    tbl = IcebergTable(v3_table)
+    meta = tbl.metadata()
+    snap = tbl.snapshot(meta)
+    mf = tbl.manifests(snap)[0]
+    path = os.path.join(v3_table, mf["manifest_path"])
+    _, entries = read_container(path)
+    first = 1000
+    new_entries = []
+    for e in entries:
+        d = dict(e["data_file"])
+        d.setdefault("equality_ids", None)
+        d["first_row_id"] = first
+        first += d["record_count"]
+        d.setdefault("referenced_data_file", None)
+        d.setdefault("content_offset", None)
+        d.setdefault("content_size_in_bytes", None)
+        new_entries.append(dict(e, data_file=d))
+    write_container(path, _manifest_entry_schema([], v3=True), new_entries)
+    df = read_iceberg(spark, v3_table, with_row_lineage=True)
+    rows = [r for r in df.collect() if r["_row_id"] is not None]
+    assert rows, "expected assigned row ids from first_row_id"
+    assert len({r["_row_id"] for r in rows}) == len(rows)  # unique
