@@ -1009,6 +1009,38 @@ _SPARK_TO_PART_AVRO = {
 }
 
 
+def parse_single_value_json(ice_type: Any, v: Any) -> Any:
+    """The spec's JSON single-value serialization → python value
+    (r14 — the carrier for v3 `initial-default` / `write-default`).
+    Primitives only; nested defaults refuse loudly."""
+    if v is None:
+        return None
+    if not isinstance(ice_type, str):
+        raise NotImplementedError(
+            "default values on nested (struct/list/map) fields are not "
+            "supported by this reader"
+        )
+    if ice_type in ("boolean", "int", "long", "float", "double", "string",
+                    "uuid"):
+        return v
+    if ice_type == "date":
+        return datetime.date.fromisoformat(v)
+    if ice_type in ("timestamp", "timestamptz"):
+        dt = datetime.datetime.fromisoformat(v)
+        if ice_type == "timestamp" and dt.tzinfo is not None:
+            dt = dt.replace(tzinfo=None)
+        return dt
+    if ice_type.startswith("decimal"):
+        import decimal
+
+        return decimal.Decimal(str(v))
+    if ice_type == "binary" or ice_type.startswith("fixed"):
+        return bytes.fromhex(v)
+    raise NotImplementedError(
+        f"default value for iceberg type {ice_type!r} is not supported"
+    )
+
+
 def current_schema(meta: dict) -> dict:
     """The CURRENT iceberg schema object. v2: `schemas` selected by
     `current-schema-id` matching each schema's OWN `schema-id` field
@@ -1565,6 +1597,67 @@ def read_iceberg(
     df = df.withColumn("__ice_fp", rel).withColumn(
         "__ice_pos", F.col("_metadata.row_index")
     )
+
+    # v3 DEFAULT VALUES: a field's `initial-default` is the value of
+    # rows in data files written BEFORE the field existed — applied per
+    # file (footer presence check), never to explicit nulls in files
+    # that carry the column. One broadcast file→has-column map; zero
+    # cost when every file has every column.
+    data_names = {f.name for f in data_schema.fields}
+    defaulted = [
+        fd
+        for fd in current_schema(meta).get("fields", [])
+        if fd.get("initial-default") is not None
+        and fd["name"] in data_names
+    ]
+    if defaulted:
+        import pyarrow.parquet as pq
+
+        flag_rows = []
+        any_missing = False
+        for f in data:
+            names = set(
+                pq.read_schema(
+                    _abs_data_path(root, f["file_path"])
+                ).names
+            )
+            # a column present under a name-mapping alias counts
+            flags = tuple(
+                any(
+                    a in names
+                    for a in aliases.get(fd["name"], [fd["name"]])
+                )
+                for fd in defaulted
+            )
+            any_missing = any_missing or not all(flags)
+            flag_rows.append(
+                (_rel_data_path(root, f["file_path"]),) + flags
+            )
+        if any_missing:
+            fmap = spark.createDataFrame(
+                flag_rows,
+                "__ice_fp string, "
+                + ", ".join(
+                    f"__has_{i} boolean" for i in range(len(defaulted))
+                ),
+            )
+            df = df.join(F.broadcast(fmap), "__ice_fp", "left")
+            spark_types = {
+                x.name: x.dataType for x in data_schema.fields
+            }
+            for i, fd in enumerate(defaulted):
+                dv = parse_single_value_json(
+                    fd["type"], fd["initial-default"]
+                )
+                df = df.withColumn(
+                    fd["name"],
+                    F.when(
+                        F.coalesce(F.col(f"__has_{i}"), F.lit(True)),
+                        F.col(fd["name"]),
+                    ).otherwise(
+                        F.lit(dv).cast(spark_types[fd["name"]])
+                    ),
+                ).drop(f"__has_{i}")
 
     eq_deletes = [d for d in deletes if d.get("content") == 2]
     non_eq = [d for d in deletes if d.get("content") != 2]

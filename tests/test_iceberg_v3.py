@@ -221,3 +221,110 @@ def test_row_lineage_first_row_id_assigned(spark, v3_table):
     rows = [r for r in df.collect() if r["_row_id"] is not None]
     assert rows, "expected assigned row ids from first_row_id"
     assert len({r["_row_id"] for r in rows}) == len(rows)  # unique
+
+
+# ---------------------------------------------------------------------------
+# v3 default values
+# ---------------------------------------------------------------------------
+
+
+def test_single_value_json_parsing():
+    import datetime
+    from decimal import Decimal
+
+    from deltacat_spark.sources.iceberg import parse_single_value_json
+
+    assert parse_single_value_json("int", 7) == 7
+    assert parse_single_value_json("string", "x") == "x"
+    assert parse_single_value_json("boolean", True) is True
+    assert parse_single_value_json("date", "2024-03-01") == datetime.date(
+        2024, 3, 1
+    )
+    assert parse_single_value_json(
+        "timestamp", "2024-03-01T10:30:00"
+    ) == datetime.datetime(2024, 3, 1, 10, 30)
+    assert parse_single_value_json("decimal(9, 2)", "12.34") == Decimal(
+        "12.34"
+    )
+    assert parse_single_value_json("binary", "0a0b") == b"\x0a\x0b"
+    with pytest.raises(NotImplementedError, match="nested"):
+        parse_single_value_json({"type": "struct", "fields": []}, {})
+
+
+def test_initial_default_applies_to_pre_evolution_files(spark, tmp_path):
+    """Files written before a column existed read its initial-default;
+    files that carry the column keep their values INCLUDING explicit
+    nulls (the semantics coalesce() would get wrong)."""
+    root = str(tmp_path / "t")
+    write_iceberg(
+        spark.range(5).select("id", F.lit("a").alias("cat")), root
+    )
+    # evolve: add `score: int` with initial-default 7
+    tbl = IcebergTable(root)
+    meta = tbl.metadata()
+    import copy
+
+    from deltacat_spark.sources.iceberg import _commit_metadata
+
+    new = copy.deepcopy(meta)
+    sch = new["schemas"][0]
+    next_id = new["last-column-id"] + 1
+    sch["fields"].append(
+        {
+            "id": next_id,
+            "name": "score",
+            "required": False,
+            "type": "int",
+            "initial-default": 7,
+            "write-default": 7,
+        }
+    )
+    new["last-column-id"] = next_id
+    _commit_metadata(tbl, new)
+    # second batch carries the column, one row explicitly null
+    write_iceberg(
+        spark.createDataFrame(
+            [(10, "b", 99), (11, "b", None)],
+            "id long, cat string, score int",
+        ),
+        root,
+        mode="append",
+    )
+    got = {r.id: r.score for r in read_iceberg(spark, root).collect()}
+    assert got == {0: 7, 1: 7, 2: 7, 3: 7, 4: 7, 10: 99, 11: None}
+
+
+def test_initial_default_on_v3_table_with_dv(spark, tmp_path):
+    """Defaults compose with the v3 surface: upgrade + DV delete, the
+    defaulted column still fills for pre-evolution files."""
+    root = str(tmp_path / "t")
+    write_iceberg(
+        spark.range(6).select("id", F.lit("a").alias("cat")), root
+    )
+    tbl = IcebergTable(root)
+    import copy
+
+    from deltacat_spark.sources.iceberg import _commit_metadata
+
+    new = copy.deepcopy(tbl.metadata())
+    nid = new["last-column-id"] + 1
+    new["schemas"][0]["fields"].append(
+        {
+            "id": nid,
+            "name": "score",
+            "required": False,
+            "type": "long",
+            "initial-default": 5,
+        }
+    )
+    new["last-column-id"] = nid
+    _commit_metadata(tbl, new)
+    upgrade_iceberg_v2_to_v3(root)
+    rows = read_iceberg(spark, root, with_lineage=True).collect()
+    kill = [r for r in rows if r.id in (1, 4)]
+    positions: dict[str, list[int]] = {}
+    for r in kill:
+        positions.setdefault(r["__ice_fp"], []).append(r["__ice_pos"])
+    commit_deletion_vectors(root, positions)
+    got = {r.id: r.score for r in read_iceberg(spark, root).collect()}
+    assert got == {0: 5, 2: 5, 3: 5, 5: 5}
