@@ -58,7 +58,14 @@ existing latest-wins merge + soft-delete filter hard-delete the key.
 Version 1/2 payloads are Kryo-serialized (HoodieKey[] /
 DeleteRecord[]) and refuse loudly — no jar-free Kryo. This writer
 emits version 3 with null orderingVal (union index 0 — unambiguous
-regardless of union member order). HFILE/CDC blocks refuse likewise.
+regardless of union member order).
+
+CDC_DATA blocks (r14) share the AVRO_DATA wire layout; their records
+are supplemental CHANGE EVENTS (op/ts/before/after per the block's
+schema header) that `cdc_records()` surfaces instant-filtered and
+rollback-aware — data scans skip them, since the rows they describe
+also land through regular data blocks. HFILE blocks still refuse by
+name (no jar-free HBase HFile codec).
 
 Scale shape: log files decode PER FILE on executors (`scan_framed_logs`
 maps paths through Arrow-batched `mapInPandas`) — per-file parallelism
@@ -446,10 +453,22 @@ def block_records(block: dict[str, Any]) -> list[dict]:
             }
             for d in decode_delete_content(block["content"])
         ]
-    if btype in (HFILE_DATA_BLOCK, CDC_DATA_BLOCK):
+    if btype == CDC_DATA_BLOCK:
+        # HoodieCDCDataBlock shares the AVRO_DATA wire layout; its
+        # records are CHANGE EVENTS (op/ts/before/after per the
+        # block's schema header), not table rows — data scans skip
+        # these (valid_data_blocks), cdc_records() surfaces them
+        schema_json = block["header"].get(H_SCHEMA)
+        if not schema_json:
+            raise ValueError("CDC_DATA_BLOCK without a SCHEMA header")
+        schema = json.loads(schema_json)
+        rows = decode_avro_content(block["content"], schema)
+        _decode_logical_columns(rows, schema)
+        return rows
+    if btype == HFILE_DATA_BLOCK:
         raise NotImplementedError(
-            f"Hudi {_BLOCK_NAMES[btype]} payloads are not supported by "
-            "this jar-free reader (they need the HFile/CDC codecs) — "
+            "Hudi HFILE_DATA_BLOCK payloads are not supported by this "
+            "jar-free reader (they need the HBase HFile codec) — "
             "compact with a real Hudi writer"
         )
     raise ValueError(f"block type {btype} carries no records")
@@ -512,6 +531,59 @@ def append_delete_block(
         f.write(blk)
 
 
+def append_cdc_block(
+    path: str, rows: list[dict], avro_schema: dict, instant: str
+) -> None:
+    """Append one spec-framed CDC_DATA block (same avro wire as
+    AVRO_DATA; `rows` are change events in the caller's CDC schema —
+    e.g. {op, ts_ms, before, after})."""
+    rows = [dict(r) for r in rows]
+    encode_logical_values(rows, avro_schema)
+    blk = frame_block(
+        CDC_DATA_BLOCK,
+        encode_avro_content(rows, avro_schema),
+        {H_INSTANT_TIME: instant, H_SCHEMA: json.dumps(avro_schema)},
+    )
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    with open(path, "ab") as f:
+        f.write(blk)
+
+
+def cdc_records(
+    path: str, valid_instants: set[str] | None = None
+) -> list[dict]:
+    """All change events of one framed CDC log file, each stamped
+    `_cdc_instant` — instant-filtered and rollback-aware like data
+    blocks (a rolled-back write's CDC never surfaces)."""
+    blocks = read_blocks(path)
+    ensure_decodable(blocks, path)
+    alive: list[dict] = []
+    for b in blocks:
+        if b["type"] == CORRUPT_BLOCK:
+            continue
+        if b["type"] == COMMAND_BLOCK:
+            cmd = b["header"].get(H_COMMAND_BLOCK_TYPE, ROLLBACK_PREVIOUS_BLOCK)
+            if cmd == ROLLBACK_PREVIOUS_BLOCK:
+                target = b["header"].get(H_TARGET_INSTANT_TIME)
+                alive = [
+                    a
+                    for a in alive
+                    if a["header"].get(H_INSTANT_TIME) != target
+                ]
+            continue
+        if b["type"] == CDC_DATA_BLOCK:
+            inst = b["header"].get(H_INSTANT_TIME)
+            if valid_instants is not None and inst not in valid_instants:
+                continue
+            alive.append(b)
+    out: list[dict] = []
+    for b in alive:
+        inst = b["header"].get(H_INSTANT_TIME)
+        for r in block_records(b):
+            out.append(dict(r, _cdc_instant=inst))
+    return out
+
+
 def append_rollback_block(path: str, target_instant: str, instant: str) -> None:
     blk = frame_block(
         COMMAND_BLOCK,
@@ -548,7 +620,13 @@ def ensure_decodable(blocks: list[dict], path: str) -> None:
         b
         for b in blocks
         if b["type"]
-        in (AVRO_DATA_BLOCK, PARQUET_DATA_BLOCK, COMMAND_BLOCK, DELETE_BLOCK)
+        in (
+            AVRO_DATA_BLOCK,
+            PARQUET_DATA_BLOCK,
+            COMMAND_BLOCK,
+            DELETE_BLOCK,
+            CDC_DATA_BLOCK,
+        )
     ]
     if not decodable and any(b["type"] == CORRUPT_BLOCK for b in blocks):
         raise ValueError(
@@ -588,7 +666,12 @@ def valid_data_blocks(
                 continue
             alive.append(b)
             continue
-        # HFILE/CDC: refuse loudly rather than silently misread
+        if b["type"] == CDC_DATA_BLOCK:
+            # CDC blocks are SUPPLEMENTAL change events — the rows they
+            # describe also land through the regular data blocks, so a
+            # data scan must skip them (r14; cdc_records() reads them)
+            continue
+        # HFILE: refuse loudly rather than silently misread
         block_records(b)
     return alive
 

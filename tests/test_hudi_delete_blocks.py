@@ -319,3 +319,82 @@ def test_streaming_source_skips_delete_markers(spark, tmp_path):
     ]
     # inserts + upserts delivered once each; the delete instant adds none
     assert sorted(ids) == sorted(list(range(20)) + [3, 8])
+
+
+# ---------------------------------------------------------------------------
+# CDC blocks (r14: decodable change events; data scans skip them)
+# ---------------------------------------------------------------------------
+
+CDC_SCHEMA = {
+    "type": "record",
+    "name": "cdc",
+    "fields": [
+        {"name": "op", "type": "string"},
+        {"name": "record_key", "type": "string"},
+        {"name": "before_v", "type": ["null", "int"]},
+        {"name": "after_v", "type": ["null", "int"]},
+    ],
+}
+
+
+def test_cdc_block_round_trip_and_rollback(tmp_path):
+    p = str(tmp_path / "log")
+    hudi_log.append_cdc_block(
+        p,
+        [
+            {"op": "i", "record_key": "1", "before_v": None, "after_v": 10},
+            {"op": "u", "record_key": "2", "before_v": 5, "after_v": 6},
+        ],
+        CDC_SCHEMA,
+        "t1",
+    )
+    hudi_log.append_cdc_block(
+        p,
+        [{"op": "d", "record_key": "1", "before_v": 10, "after_v": None}],
+        CDC_SCHEMA,
+        "t2",
+    )
+    got = hudi_log.cdc_records(p)
+    assert [(r["op"], r["record_key"], r["_cdc_instant"]) for r in got] == [
+        ("i", "1", "t1"),
+        ("u", "2", "t1"),
+        ("d", "1", "t2"),
+    ]
+    # instant filtering + rollback visibility match data blocks
+    assert [r["op"] for r in hudi_log.cdc_records(p, {"t1"})] == ["i", "u"]
+    hudi_log.append_rollback_block(p, "t2", "t3")
+    assert [r["op"] for r in hudi_log.cdc_records(p)] == ["i", "u"]
+
+
+def test_data_scan_skips_cdc_blocks(tmp_path):
+    """A file mixing data and CDC blocks: the data scan delivers only
+    the data rows (CDC events are supplemental, never table rows)."""
+    p = str(tmp_path / "log")
+    schema = {
+        "type": "record",
+        "name": "r",
+        "fields": [
+            {"name": "_hoodie_record_key", "type": "string"},
+            {"name": "id", "type": "long"},
+        ],
+    }
+    hudi_log.append_avro_data_block(
+        p, [{"_hoodie_record_key": "1", "id": 1}], schema, "t1"
+    )
+    hudi_log.append_cdc_block(
+        p,
+        [{"op": "i", "record_key": "1", "before_v": None, "after_v": 1}],
+        CDC_SCHEMA,
+        "t1",
+    )
+    rows = hudi_log.file_records(p, valid_instants={"t1"})
+    assert [r["id"] for r in rows] == [1]
+
+
+def test_hfile_block_still_refuses(tmp_path):
+    blk = hudi_log.frame_block(
+        hudi_log.HFILE_DATA_BLOCK, b"\x00", {hudi_log.H_INSTANT_TIME: "t1"}
+    )
+    blocks = hudi_log.read_blocks(blk)
+    with pytest.raises(NotImplementedError, match="HFile"):
+        hudi_log.block_records(blocks[0])
