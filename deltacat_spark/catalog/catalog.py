@@ -4510,8 +4510,30 @@ class Catalog:
                 )
             base = self.read_table(table)
             matched = base.filter(F.expr(cond)) if cond else base
-            for colname, expr_sql in assignments:
-                matched = matched.withColumn(colname, F.expr(expr_sql))
+            # SQL UPDATE semantics (r14, same fix as the Delta path):
+            # every SET right-hand side evaluates against the PRE-image
+            # simultaneously — one select, never chained withColumn
+            # (which would feed already-updated columns into later SET
+            # expressions: `SET a = b, b = a` must swap). Identifier
+            # matching stays case-insensitive like the rest of the SQL
+            # surface.
+            set_map = {c.lower(): e for c, e in assignments}
+            unknown = set(set_map) - {c.lower() for c in matched.columns}
+            if unknown:
+                raise ValueError(
+                    f"UPDATE SET column(s) {sorted(unknown)} not in "
+                    f"table {table}"
+                )
+            matched = matched.select(
+                *[
+                    (
+                        F.expr(set_map[c.lower()]).alias(c)
+                        if c.lower() in set_map
+                        else F.col(c)
+                    )
+                    for c in matched.columns
+                ]
+            )
             matched, n = self._pin_count(matched, count_rows)
             try:
                 if n:

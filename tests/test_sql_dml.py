@@ -807,3 +807,23 @@ def test_merge_using_time_travel(cat, spark):
     )
     got = {r.id: r.age for r in cat.read_table("users").collect()}
     assert got == {1: 30, 2: 40, 3: 50}
+
+
+def test_update_set_evaluates_preimage_simultaneously(cat):
+    """r14 (same class as the Delta update_delta fix): every SET RHS
+    evaluates against the PRE-image — `SET name = CAST(age AS STRING),
+    age = age + LENGTH(name)` must use the OLD name's length and OLD
+    age, and cross-references must not see already-updated columns."""
+    cat.sql(
+        "UPDATE users SET name = CAST(age AS STRING), "
+        "age = age + LENGTH(name) WHERE id = 1"
+    )
+    got = {r.id: (r.name, r.age) for r in cat.read_table("users").collect()}
+    # pre-image: name='ann' (len 3), age=30
+    assert got[1] == ("30", 33)
+    assert got[2] == ("bob", 40)
+
+
+def test_update_set_unknown_column_rejected(cat):
+    with pytest.raises(ValueError, match="nope"):
+        cat.sql("UPDATE users SET nope = 1 WHERE id = 1")
