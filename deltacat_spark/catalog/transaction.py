@@ -206,8 +206,25 @@ class Transaction:
                 )
             base = self.read(table)
             matched = base.filter(F.expr(cond)) if cond else base
-            for colname, expr_sql in assignments:
-                matched = matched.withColumn(colname, F.expr(expr_sql))
+            # simultaneous pre-image evaluation (r14, same fix as
+            # Catalog.sql UPDATE): one select, never chained withColumn
+            set_map = {c.lower(): e for c, e in assignments}
+            unknown = set(set_map) - {c.lower() for c in matched.columns}
+            if unknown:
+                raise ValueError(
+                    f"UPDATE SET column(s) {sorted(unknown)} not in "
+                    f"table {table}"
+                )
+            matched = matched.select(
+                *[
+                    (
+                        F.expr(set_map[c.lower()]).alias(c)
+                        if c.lower() in set_map
+                        else F.col(c)
+                    )
+                    for c in matched.columns
+                ]
+            )
             n = matched.count() if count_rows else -1
             if n:
                 self.write(matched, table, mode="merge")

@@ -827,3 +827,13 @@ def test_update_set_evaluates_preimage_simultaneously(cat):
 def test_update_set_unknown_column_rejected(cat):
     with pytest.raises(ValueError, match="nope"):
         cat.sql("UPDATE users SET nope = 1 WHERE id = 1")
+
+
+def test_txn_update_set_evaluates_preimage(cat):
+    with cat.transaction() as txn:
+        txn.sql(
+            "UPDATE users SET name = CAST(age AS STRING), "
+            "age = age + LENGTH(name) WHERE id = 2"
+        )
+    got = {r.id: (r.name, r.age) for r in cat.read_table("users").collect()}
+    assert got[2] == ("40", 43)  # old name 'bob' (len 3), old age 40
