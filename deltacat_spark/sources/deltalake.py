@@ -344,8 +344,10 @@ class DeltaSnapshot:
 
     # reader features this jar-free implementation actually honors —
     # anything else in a v3 protocol's readerFeatures must FAIL LOUDLY
-    # rather than silently misread an external table
-    _SUPPORTED_READER_FEATURES = {"timestampNtz"}
+    # rather than silently misread an external table. v2Checkpoint is
+    # honored since r14: snapshot replay reads UUID-named top-level
+    # checkpoints + sidecars (`_checkpoint_candidates`).
+    _SUPPORTED_READER_FEATURES = {"timestampNtz", "v2Checkpoint"}
 
     def ensure_readable(
         self,

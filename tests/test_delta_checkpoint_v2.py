@@ -209,3 +209,46 @@ def test_classic_preferred_over_v2_at_same_version(spark, table):
         f.write(json.dumps({"checkpointMetadata": {"version": v + 1}}) + "\n")
     _truncate_log_before(root, v)
     _expect_rows(spark, root)
+
+
+def test_v2checkpoint_reader_feature_accepted(spark, table):
+    """A delta-spark 3.x table declares the v2Checkpoint reader
+    feature; now that the replay reads those checkpoints, the feature
+    gate must accept it (while unknown features still refuse)."""
+    root, v = table
+    _split_v2(root, v, "parquet")
+    _truncate_log_before(root, v)
+    # stamp a v3 protocol with the v2Checkpoint reader feature, as a
+    # real writer would
+    with open(os.path.join(root, LOG_DIR, f"{v + 1:020d}.json"), "w") as f:
+        f.write(
+            json.dumps(
+                {
+                    "protocol": {
+                        "minReaderVersion": 3,
+                        "minWriterVersion": 7,
+                        "readerFeatures": ["v2Checkpoint"],
+                        "writerFeatures": ["v2Checkpoint"],
+                    }
+                }
+            )
+            + "\n"
+        )
+    snap = DeltaSnapshot(root)
+    snap.ensure_readable()  # must not raise
+    _expect_rows(spark, root)
+    with open(os.path.join(root, LOG_DIR, f"{v + 2:020d}.json"), "w") as f:
+        f.write(
+            json.dumps(
+                {
+                    "protocol": {
+                        "minReaderVersion": 3,
+                        "minWriterVersion": 7,
+                        "readerFeatures": ["v2Checkpoint", "mysteryFeature"],
+                    }
+                }
+            )
+            + "\n"
+        )
+    with pytest.raises(NotImplementedError, match="mysteryFeature"):
+        DeltaSnapshot(root).ensure_readable()

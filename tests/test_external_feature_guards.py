@@ -102,12 +102,14 @@ def test_delta_unknown_reader_feature_refused(spark, tmp_path):
             "protocol": {
                 "minReaderVersion": 3,
                 "minWriterVersion": 7,
-                "readerFeatures": ["v2Checkpoint", "timestampNtz"],
-                "writerFeatures": ["v2Checkpoint"],
+                # v2Checkpoint READS since r14 (test_delta_checkpoint_v2)
+                # — the guard must catch a feature nothing implements
+                "readerFeatures": ["mysteryV9Feature", "timestampNtz"],
+                "writerFeatures": ["mysteryV9Feature"],
             }
         },
     )
-    with pytest.raises(NotImplementedError, match="v2Checkpoint"):
+    with pytest.raises(NotImplementedError, match="mysteryV9Feature"):
         read_delta(spark, root)
 
 
@@ -159,9 +161,15 @@ def test_iceberg_format_version_guard(spark, tmp_path):
     v = int(open(os.path.join(mdir, "version-hint.text")).read())
     mpath = os.path.join(mdir, f"v{v}.metadata.json")
     meta = json.load(open(mpath))
+    # v3 READS since r14 (test_iceberg_v3.py); the guard now lives at
+    # format-version 4 (and at the v3 features themselves: new value
+    # types, v3 writes)
     meta["format-version"] = 3
     json.dump(meta, open(mpath, "w"))
-    with pytest.raises(NotImplementedError, match="format-version 3"):
+    assert read_iceberg(spark, root).count() == 5
+    meta["format-version"] = 4
+    json.dump(meta, open(mpath, "w"))
+    with pytest.raises(NotImplementedError, match="format-version 4"):
         read_iceberg(spark, root).count()
 
 
