@@ -186,6 +186,7 @@ class IcebergRestCatalog:
         namespace: "str | list[str]",
         name: str,
         df: DataFrame,
+        retries: int = 0,
     ) -> int:
         """Append through the REST commit protocol the way a real
         engine does: data files + manifests + the new snapshot write
@@ -203,7 +204,25 @@ class IcebergRestCatalog:
         new manifest list carries exactly the catalog-committed
         manifests forward (never the loser's). A 409 on THIS commit
         rolls the locally written metadata version back, keeping local
-        state converged for the retry."""
+        state converged for the retry. `retries` (r14) re-runs the
+        whole load→rebase→write→commit cycle after a 409 up to N more
+        times — safe-by-construction because each attempt rebases onto
+        the fresh catalog state."""
+        for attempt in range(retries + 1):
+            try:
+                return self._append_table_once(spark, namespace, name, df)
+            except IcebergRestError as e:
+                if e.status != 409 or attempt == retries:
+                    raise
+        raise AssertionError("unreachable")
+
+    def _append_table_once(
+        self,
+        spark: SparkSession,
+        namespace: "str | list[str]",
+        name: str,
+        df: DataFrame,
+    ) -> int:
         import os
 
         from deltacat_spark.sources.iceberg import (

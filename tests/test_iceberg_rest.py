@@ -318,3 +318,24 @@ def test_stale_local_hint_rebases_onto_catalog_state(spark, catalog_server):
         r.id for r in cat.read_table(spark, "analytics.prod", "t1").collect()
     )
     assert got == sorted(list(range(25)) + [600, 601, 602])
+
+
+def test_409_retry_succeeds_from_fresh_state(spark, catalog_server):
+    """retries=1: the first commit 409s (simulated competing writer),
+    the retry reloads + rebases and lands — rows exact, no loser data."""
+    uri, handler, root = catalog_server
+    cat = IcebergRestCatalog(uri)
+    handler.reject_next_commit = True
+    sid = cat.append_table(
+        spark,
+        "analytics.prod",
+        "t1",
+        spark.range(700, 703).select("id", F.lit("9").alias("cat")),
+        retries=1,
+    )
+    after = cat.load_table("analytics.prod", "t1")["metadata"]
+    assert after["current-snapshot-id"] == sid
+    got = sorted(
+        r.id for r in cat.read_table(spark, "analytics.prod", "t1").collect()
+    )
+    assert got == sorted(list(range(25)) + [700, 701, 702])
