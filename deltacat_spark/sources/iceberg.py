@@ -2342,6 +2342,33 @@ def upgrade_iceberg_v2_to_v3(root: str) -> int:
     return _commit_metadata(tbl, new)
 
 
+def delete_where_dv(
+    spark: SparkSession, root: str, predicate: str
+) -> "int | None":
+    """Predicate-driven v3 DELETE via deletion vectors (r14) — the
+    merge-on-read delete an external v3 engine performs: ONE
+    distributed lineage scan finds matching (file, row-index)
+    coordinates (existing DVs/deletes already applied, so re-deleting
+    is naturally idempotent), then `commit_deletion_vectors` folds
+    them with each file's existing DV into a single replacement blob.
+    The driver holds one roaring bitmap per touched file (the puffin
+    file is a driver-side metadata artifact, same as Delta's
+    `delete_rows_with_dv`). Returns the snapshot id, or None when
+    nothing matched."""
+    matched = (
+        read_iceberg(spark, root, with_lineage=True)
+        .filter(F.expr(predicate))
+        .groupBy("__ice_fp")
+        .agg(F.collect_list("__ice_pos").alias("__poss"))
+        .collect()
+    )
+    if not matched:
+        return None
+    return commit_deletion_vectors(
+        root, {r["__ice_fp"]: list(r["__poss"]) for r in matched}
+    )
+
+
 def commit_deletion_vectors(
     root: str, positions_by_file: dict[str, list[int]]
 ) -> int:
@@ -2352,11 +2379,12 @@ def commit_deletion_vectors(
     `content_offset` / `content_size_in_bytes` (data_file fields
     143-145), so readers seek straight to the blob without touching
     the puffin footer. `positions_by_file` maps table-root-relative
-    data paths to deleted row positions. Spec rule honored: a DV
-    REPLACES all previously-committed position deletes for its data
-    file; carried-forward delete manifests keep serving other files.
-    Returns the new snapshot id. Needs a v3 table
-    (`upgrade_iceberg_v2_to_v3`)."""
+    data paths to deleted row positions. Spec rule honored (r14,
+    strengthened): a data file has AT MOST ONE live DV — the new blob
+    MERGES the file's existing DV positions, and carried-forward
+    delete manifests are rewritten WITHOUT the superseded puffin
+    entries (other files' DVs carry forward untouched). Returns the
+    new snapshot id. Needs a v3 table (`upgrade_iceberg_v2_to_v3`)."""
     from deltacat_spark.sources import puffin
 
     tbl = IcebergTable(root)
@@ -2369,6 +2397,27 @@ def commit_deletion_vectors(
         )
     if not positions_by_file:
         raise ValueError("positions_by_file is empty")
+    # fold the targeted files' EXISTING DVs into the new blobs (the
+    # spec's replacement rule: the new DV must contain every
+    # previously-deleted position of its file)
+    positions_by_file = {
+        rel: set(poss) for rel, poss in positions_by_file.items()
+    }
+    _, live_deletes = tbl.live_files()
+    for d in live_deletes:
+        ref = d.get("referenced_data_file")
+        if (
+            (d.get("file_format") or "").upper() == "PUFFIN"
+            and ref in positions_by_file
+            and d.get("content_offset") is not None
+        ):
+            positions_by_file[ref].update(
+                puffin.dv_positions(
+                    _abs_data_path(root, d["file_path"]),
+                    int(d["content_offset"]),
+                    int(d["content_size_in_bytes"]),
+                )
+            )
     commit_uuid = uuid.uuid4().hex[:12]
     snapshot_id = int.from_bytes(os.urandom(7), "big")
     seq = meta["last-sequence-number"] + 1
@@ -2446,7 +2495,10 @@ def commit_deletion_vectors(
         "deleted_rows_count": 0,
     }
     manifests = [delete_manifest] + _carry_forward_manifests(
-        tbl, meta, commit_uuid=commit_uuid
+        tbl,
+        meta,
+        commit_uuid=commit_uuid,
+        drop_dv_for=set(positions_by_file),
     )
     return _commit_snapshot(
         tbl,
@@ -2880,17 +2932,34 @@ def _carry_forward_manifests(
     meta: dict,
     drop_equality: bool = False,
     commit_uuid: str = "",
+    drop_dv_for: "set[str] | None" = None,
 ) -> list[dict]:
     """The current snapshot's manifests, optionally with EQUALITY
-    delete entries (content=2) removed. A delete manifest containing
-    equality entries is REWRITTEN (kept entries become status=0
-    EXISTING with their inherited sequence numbers materialized, per
-    the spec's manifest-rewrite rules); one that becomes empty is
-    dropped. Data manifests and clean delete manifests carry forward
-    untouched — the control plane stays O(manifests)."""
+    delete entries (content=2) and/or superseded DELETION-VECTOR
+    entries (r14: puffin content=1 entries whose referenced_data_file
+    is being replaced by a NEW DV — the v3 spec's at-most-one-live-DV-
+    per-file rule) removed. A delete manifest containing dropped
+    entries is REWRITTEN (kept entries become status=0 EXISTING with
+    their inherited sequence numbers materialized, per the spec's
+    manifest-rewrite rules); one that becomes empty is dropped. Data
+    manifests and clean delete manifests carry forward untouched — the
+    control plane stays O(manifests)."""
     manifests = tbl.manifests(tbl.snapshot(meta))
-    if not drop_equality:
+    if not drop_equality and not drop_dv_for:
         return manifests
+
+    def _dropped(df: dict) -> bool:
+        if drop_equality and df.get("content") == 2:
+            return True
+        if (
+            drop_dv_for
+            and df.get("content") == 1
+            and (df.get("file_format") or "").upper() == "PUFFIN"
+            and df.get("referenced_data_file") in drop_dv_for
+        ):
+            return True
+        return False
+
     out: list[dict] = []
     for i, mf in enumerate(manifests):
         if mf.get("content") != 1:
@@ -2899,9 +2968,7 @@ def _carry_forward_manifests(
         mpath = _abs_data_path(tbl.root, mf["manifest_path"])
         schema, entries = avrofile.read_container(mpath)
         live = [e for e in entries if e["status"] != 2]
-        kept = [
-            e for e in live if e["data_file"].get("content") != 2
-        ]
+        kept = [e for e in live if not _dropped(e["data_file"])]
         if len(kept) == len(live):
             out.append(mf)
             continue

@@ -328,3 +328,55 @@ def test_initial_default_on_v3_table_with_dv(spark, tmp_path):
     commit_deletion_vectors(root, positions)
     got = {r.id: r.score for r in read_iceberg(spark, root).collect()}
     assert got == {0: 5, 2: 5, 3: 5, 5: 5}
+
+
+# ---------------------------------------------------------------------------
+# DV replacement rule + predicate DELETE (r14 tail)
+# ---------------------------------------------------------------------------
+
+
+def test_second_dv_commit_supersedes_per_file(spark, v3_table):
+    """The v3 rule: at most ONE live DV per data file — a second DV
+    against the same file merges the old positions and the
+    carried-forward manifests drop the superseded puffin entry."""
+    rows = read_iceberg(spark, v3_table, with_lineage=True).collect()
+    by_id = {r.id: (r["__ice_fp"], r["__ice_pos"]) for r in rows}
+    fp, pos3 = by_id[3]
+    commit_deletion_vectors(v3_table, {fp: [pos3]})
+    # second DV on the SAME file
+    fp5, pos5 = by_id[5]
+    assert fp5 == fp, "fixture expectation: ids 3 and 5 share a file"
+    sid = commit_deletion_vectors(v3_table, {fp: [pos5]})
+    got = sorted(r.id for r in read_iceberg(spark, v3_table).collect())
+    assert got == [i for i in range(40) if i not in (3, 5)]
+    tbl = IcebergTable(v3_table)
+    _, deletes = tbl.live_files(sid)
+    per_file = [d for d in deletes if d.get("referenced_data_file") == fp]
+    assert len(per_file) == 1, (
+        f"expected ONE live DV for {fp}, got {len(per_file)}"
+    )
+    # the merged blob carries both positions
+    from deltacat_spark.sources import puffin as _p
+
+    d = per_file[0]
+    poss = _p.dv_positions(
+        os.path.join(v3_table, d["file_path"]),
+        d["content_offset"],
+        d["content_size_in_bytes"],
+    )
+    assert set(poss) == {pos3, pos5}
+
+
+def test_delete_where_dv(spark, v3_table):
+    from deltacat_spark.sources.iceberg import delete_where_dv
+
+    sid = delete_where_dv(spark, v3_table, "id % 10 = 3")
+    assert sid is not None
+    got = sorted(r.id for r in read_iceberg(spark, v3_table).collect())
+    assert got == [i for i in range(40) if i % 10 != 3]
+    # no match → None, table unchanged
+    assert delete_where_dv(spark, v3_table, "id = 999") is None
+    # idempotent-ish second delete composing with the first
+    delete_where_dv(spark, v3_table, "id % 10 = 7")
+    got = sorted(r.id for r in read_iceberg(spark, v3_table).collect())
+    assert got == [i for i in range(40) if i % 10 not in (3, 7)]
