@@ -1874,10 +1874,12 @@ def read_iceberg_incremental(
         raise ValueError(f"on_non_append must be fail|skip, got {on_non_append!r}")
     tbl = IcebergTable(root)
     meta = tbl.metadata()
-    if meta.get("format-version", 2) != 2:
+    if meta.get("format-version", 2) not in (2, 3):
+        # v3 keeps the v2 sequence-number model (r14) — DV commits in
+        # the window surface as non-append snapshots (fail/skip policy)
         raise NotImplementedError(
-            "incremental reads need v2 sequence numbers; this table is "
-            f"format-version {meta.get('format-version')}"
+            "incremental reads need v2/v3 sequence numbers; this table "
+            f"is format-version {meta.get('format-version')}"
         )
     full_schema = spark_schema_for(current_schema(meta))
     part_cols = [

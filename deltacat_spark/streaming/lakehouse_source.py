@@ -468,10 +468,11 @@ def _iceberg_schemas(root: str):
     )
 
     meta = IcebergTable(root).metadata()
-    if meta.get("format-version", 2) != 2:
-        # the stream's offsets ARE v2 sequence numbers
+    if meta.get("format-version", 2) not in (2, 3):
+        # the stream's offsets ARE sequence numbers (v3 keeps the v2
+        # model, r14; DV commits surface as non-append snapshots)
         raise NotImplementedError(
-            "the iceberg append stream needs a v2 table; this table "
+            "the iceberg append stream needs a v2/v3 table; this table "
             f"is format-version {meta.get('format-version')}"
         )
     full = spark_schema_for(current_schema(meta))

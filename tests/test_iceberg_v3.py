@@ -380,3 +380,24 @@ def test_delete_where_dv(spark, v3_table):
     delete_where_dv(spark, v3_table, "id % 10 = 7")
     got = sorted(r.id for r in read_iceberg(spark, v3_table).collect())
     assert got == [i for i in range(40) if i % 10 not in (3, 7)]
+
+
+def test_incremental_and_stream_accept_v3(spark, v3_table):
+    """v3 keeps the v2 sequence-number model: incremental reads and
+    the append stream work; a DV commit in the window is a non-append
+    snapshot handled by the skip policy."""
+    from deltacat_spark.sources.iceberg import read_iceberg_incremental
+
+    inc = read_iceberg_incremental(spark, v3_table, from_sequence=1)
+    got = sorted(r.id for r in inc.collect())
+    assert got == list(range(30, 40))  # the second append only
+    # DV commit lands a delete snapshot; skip policy rides over it
+    rows = read_iceberg(spark, v3_table, with_lineage=True).collect()
+    fp, pos = next((r["__ice_fp"], r["__ice_pos"]) for r in rows if r.id == 35)
+    commit_deletion_vectors(v3_table, {fp: [pos]})
+    inc2 = read_iceberg_incremental(
+        spark, v3_table, from_sequence=1, on_non_append="skip"
+    )
+    assert sorted(r.id for r in inc2.collect()) == list(range(30, 40))
+    with pytest.raises(ValueError, match="non-append|delete"):
+        read_iceberg_incremental(spark, v3_table, from_sequence=1).collect()
