@@ -1612,11 +1612,25 @@ def latest_txn_version(root: str, app_id: str) -> int | None:
     return DeltaSnapshot(root).txns.get(app_id)
 
 
-def write_checkpoint(root: str, version: int) -> None:
+def write_checkpoint(
+    root: str, version: int, layout: str = "classic"
+) -> None:
     """Columnar checkpoint per the spec: one parquet row per live
     action (protocol, metaData, every live add, and the latest txn per
     appId — dropping those would reset every idempotent writer), plus
-    _last_checkpoint."""
+    _last_checkpoint.
+
+    `layout="v2"` (r14) writes the delta-spark 3.x V2 shape instead:
+    add actions land in a SIDECAR parquet under `_delta_log/_sidecars/`
+    and the UUID-named top-level `N.checkpoint.{uuid}.parquet` carries
+    the non-file actions plus `checkpointMetadata` and the `sidecar`
+    pointer. Interop-out note: external readers require the table
+    protocol to declare the `v2Checkpoint` table feature
+    (minReaderVersion 3 / minWriterVersion 7) — stamp it with a
+    protocol commit before handing the table to delta-spark; this
+    repo's own reader accepts either way."""
+    if layout not in ("classic", "v2"):
+        raise ValueError(f"layout must be classic|v2, got {layout!r}")
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -1731,8 +1745,65 @@ def write_checkpoint(root: str, version: int) -> None:
                 "path", "partitionValues", "size", "modificationTime",
                 "dataChange", "stats", "deletionVector")}
             r["add"] = a
-    table = pa.Table.from_pylist(norm, schema=schema)
-    pq.write_table(table, _ckpt_path(root, version))
+    if layout == "classic":
+        table = pa.Table.from_pylist(norm, schema=schema)
+        pq.write_table(table, _ckpt_path(root, version))
+        with open(
+            os.path.join(root, LOG_DIR, "_last_checkpoint"), "w"
+        ) as f:
+            json.dump({"version": version, "size": len(rows)}, f)
+        return
+
+    # ---- v2 layout: sidecar(s) hold the adds, the UUID-named
+    # top-level holds everything else + checkpointMetadata + sidecar
+    ckpt_uuid = str(uuid.uuid4())
+    sc_dir = os.path.join(root, LOG_DIR, "_sidecars")
+    os.makedirs(sc_dir, exist_ok=True)
+    add_rows = [r for r in norm if r.get("add") is not None]
+    other_rows = [r for r in norm if r.get("add") is None]
+    sc_name = f"{ckpt_uuid}.parquet"
+    sc_path = os.path.join(sc_dir, sc_name)
+    pq.write_table(
+        pa.Table.from_pylist(
+            [{"add": r["add"]} for r in add_rows],
+            schema=pa.schema([schema.field("add")]),
+        ),
+        sc_path,
+    )
+    top_schema = pa.schema(
+        list(schema)
+        + [
+            pa.field(
+                "sidecar",
+                pa.struct(
+                    [
+                        ("path", pa.string()),
+                        ("sizeInBytes", pa.int64()),
+                        ("modificationTime", pa.int64()),
+                    ]
+                ),
+            ),
+            pa.field(
+                "checkpointMetadata",
+                pa.struct([("version", pa.int64())]),
+            ),
+        ]
+    )
+    top_rows = [dict(r) for r in other_rows]
+    top_rows.append(
+        {
+            "sidecar": {
+                "path": sc_name,
+                "sizeInBytes": os.path.getsize(sc_path),
+                "modificationTime": int(time.time() * 1000),
+            }
+        }
+    )
+    top_rows.append({"checkpointMetadata": {"version": version}})
+    top = os.path.join(
+        root, LOG_DIR, f"{version:020d}.checkpoint.{ckpt_uuid}.parquet"
+    )
+    pq.write_table(pa.Table.from_pylist(top_rows, schema=top_schema), top)
     with open(os.path.join(root, LOG_DIR, "_last_checkpoint"), "w") as f:
         json.dump({"version": version, "size": len(rows)}, f)
 

@@ -252,3 +252,46 @@ def test_v2checkpoint_reader_feature_accepted(spark, table):
         )
     with pytest.raises(NotImplementedError, match="mysteryFeature"):
         DeltaSnapshot(root).ensure_readable()
+
+
+def test_write_checkpoint_v2_layout_round_trip(spark, tmp_path):
+    """`write_checkpoint(layout="v2")` produces the delta-spark 3.x
+    shape — UUID-named top-level + sidecar adds — and the snapshot
+    replay reconstructs from it alone (logs truncated). Txns and DVs
+    survive the same way they do in classic checkpoints."""
+    root = str(tmp_path / "t")
+    for lo in (0, 30):
+        write_delta(
+            spark.range(lo, lo + 30).select(
+                "id", (F.col("id") % 3).cast("string").alias("p")
+            ),
+            root,
+            partition_by=["p"],
+            mode="append" if lo else "overwrite",
+            txn=("app1", lo),
+        )
+    v = DeltaSnapshot(root).version
+    write_checkpoint(root, v, layout="v2")
+    names = os.listdir(os.path.join(root, LOG_DIR))
+    top = [n for n in names if ".checkpoint." in n and n.endswith(".parquet")]
+    assert len(top) == 1 and len(top[0].split(".")) == 4
+    assert os.listdir(os.path.join(root, LOG_DIR, "_sidecars"))
+    _truncate_log_before(root, v)
+    snap = DeltaSnapshot(root)
+    assert snap._usable_checkpoint(v) == v
+    assert snap.txns == {"app1": 30}
+    got = {r.id: r.p for r in read_delta(spark, root).collect()}
+    assert got == {i: str(i % 3) for i in range(60)}
+
+
+def test_write_checkpoint_v2_with_deletion_vectors(spark, tmp_path):
+    from deltacat_spark.sources.deltalake import delete_rows_with_dv
+
+    root = str(tmp_path / "t")
+    write_delta(spark.range(40).select("id"), root)
+    assert delete_rows_with_dv(spark, root, "id % 10 = 1") is not None
+    v = DeltaSnapshot(root).version
+    write_checkpoint(root, v, layout="v2")
+    _truncate_log_before(root, v)
+    got = sorted(r.id for r in read_delta(spark, root).collect())
+    assert got == [i for i in range(40) if i % 10 != 1]
