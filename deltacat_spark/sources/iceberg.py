@@ -2034,10 +2034,20 @@ def write_iceberg(
 
     existed = tbl.exists()
     prev_meta = tbl.metadata() if existed else None
-    if existed and prev_meta.get("format-version", 2) != 2:
+    if existed and prev_meta.get("format-version", 2) not in (2, 3):
         raise NotImplementedError(
-            "writes need a v2 table (this writer commits v2 snapshots);"
-            f" this table is format-version {prev_meta.get('format-version')}"
+            "writes need a v2/v3 table; this table is format-version "
+            f"{prev_meta.get('format-version')}"
+        )
+    v3 = bool(existed and prev_meta.get("format-version", 2) == 3)
+    if v3 and mode == "replace":
+        # a replace snapshot repackages EXISTING rows, whose v3 row ids
+        # must be preserved (carried in-file) — this writer assigns
+        # fresh ids only, so compaction on v3 would corrupt lineage
+        raise NotImplementedError(
+            "rewrite/replace on a v3 table is not supported (row-id "
+            "preservation through compaction is not implemented); "
+            "compact before upgrading to v3"
         )
     # field ids/types first: transforms need their source's ice type
     ice_schema = (
@@ -2150,24 +2160,25 @@ def write_iceberg(
                 os.remove(dst)
                 continue
             lo, hi = _file_bounds_spec(dst, finfo)
+            data_file = {
+                "content": 0,
+                "file_path": rel,
+                "file_format": "PARQUET",
+                "partition": _typed_partition(
+                    pv_raw, part_cols, part_types
+                ),
+                "record_count": md.num_rows,
+                "file_size_in_bytes": os.path.getsize(dst),
+                "lower_bounds": lo,
+                "upper_bounds": hi,
+            }
             entries.append(
                 {
                     "status": 1,  # ADDED
                     "snapshot_id": snapshot_id,
                     "sequence_number": seq,
                     "file_sequence_number": seq,
-                    "data_file": {
-                        "content": 0,
-                        "file_path": rel,
-                        "file_format": "PARQUET",
-                        "partition": _typed_partition(
-                            pv_raw, part_cols, part_types
-                        ),
-                        "record_count": md.num_rows,
-                        "file_size_in_bytes": os.path.getsize(dst),
-                        "lower_bounds": lo,
-                        "upper_bounds": hi,
-                    },
+                    "data_file": data_file,
                 }
             )
             idx += 1
@@ -2175,8 +2186,26 @@ def write_iceberg(
 
     shutil.rmtree(staging, ignore_errors=True)
 
+    # v3 ROW LINEAGE (r14): every new data file gets an explicit
+    # first_row_id block carved out of the table's next-row-id counter
+    # — `_row_id` then reads as first_row_id + row position
+    first_row_base = None
+    if v3:
+        first_row_base = int(prev_meta.get("next-row-id", 0))
+        running = first_row_base
+        for e in entries:
+            e["data_file"].update(
+                {
+                    "first_row_id": running,
+                    "referenced_data_file": None,
+                    "content_offset": None,
+                    "content_size_in_bytes": None,
+                }
+            )
+            running += e["data_file"]["record_count"]
+
     # ---- manifest ----
-    entry_schema = _manifest_entry_schema(partition_fields)
+    entry_schema = _manifest_entry_schema(partition_fields, v3=v3)
     manifest_rel = f"{METADATA_DIR}/{commit_uuid}-m0.avro"
     manifest_path = os.path.join(root, manifest_rel)
     avrofile.write_container(manifest_path, entry_schema, entries)
@@ -2217,6 +2246,11 @@ def write_iceberg(
         partition_fields=partition_fields,
         commit_uuid=commit_uuid,
         summary_extra=summary_extra,
+        row_lineage=(
+            (first_row_base, added_rows)
+            if first_row_base is not None
+            else None
+        ),
     )
 
 
@@ -2645,6 +2679,7 @@ def _commit_snapshot(
     partition_fields: list[dict] | None = None,
     commit_uuid: str | None = None,
     summary_extra: dict | None = None,
+    row_lineage: "tuple[int, int] | None" = None,
 ) -> int:
     commit_uuid = commit_uuid or uuid.uuid4().hex[:12]
     ml_rel = f"{METADATA_DIR}/snap-{snapshot_id}-{commit_uuid}.avro"
@@ -2681,6 +2716,10 @@ def _commit_snapshot(
         "summary": summary,
         "schema-id": 0,
     }
+    if row_lineage is not None:
+        # v3 row-id accounting: the snapshot claims its block and the
+        # table counter advances past it
+        snap["first-row-id"] = row_lineage[0]
     if prev_meta is not None:
         meta = dict(prev_meta)
         meta["snapshots"] = list(prev_meta.get("snapshots", [])) + [snap]
@@ -2735,6 +2774,8 @@ def _commit_snapshot(
     meta["current-snapshot-id"] = snapshot_id
     meta["last-sequence-number"] = seq
     meta["last-updated-ms"] = now_ms
+    if row_lineage is not None:
+        meta["next-row-id"] = row_lineage[0] + row_lineage[1]
 
     path = os.path.join(tbl._meta_dir(), f"v{version}.metadata.json")
     tmp = path + f".tmp-{uuid.uuid4().hex[:8]}"

@@ -154,18 +154,64 @@ def test_second_dv_commit_accumulates(spark, v3_table):
     assert got == [i for i in range(40) if i not in (3, 8)]
 
 
-def test_v3_refuses_position_delete_parquet_and_writes(spark, v3_table):
+def test_v3_refuses_position_delete_parquet_and_replace(spark, v3_table):
     deletes = spark.createDataFrame(
         [("data/x.parquet", 0)], "file_path string, pos long"
     )
     with pytest.raises(NotImplementedError, match="v2"):
         commit_position_deletes(spark, v3_table, deletes)
-    with pytest.raises(NotImplementedError, match="v2"):
-        write_iceberg(
-            spark.range(3).select("id", F.lit("1").alias("cat")),
-            v3_table,
-            mode="append",
-        )
+    # appends WRITE since r14 (row-lineage accounting); replace — which
+    # would re-assign existing rows' ids — still refuses by name
+    from deltacat_spark.sources.iceberg import rewrite_data_files
+
+    with pytest.raises(NotImplementedError, match="row-id"):
+        rewrite_data_files(spark, v3_table)
+
+
+def test_v3_append_assigns_row_lineage(spark, v3_table):
+    """Appends to a v3 table carve explicit first_row_id blocks out of
+    next-row-id: new rows read non-null unique `_row_id`, pre-upgrade
+    files stay unassigned (null), and the counter advances."""
+    write_iceberg(
+        spark.range(100, 107).select("id", F.lit("z").alias("cat")),
+        v3_table,
+        mode="append",
+    )
+    meta = IcebergTable(v3_table).metadata()
+    assert meta["format-version"] == 3
+    assert meta["next-row-id"] == 7
+    snap = [s for s in meta["snapshots"] if "first-row-id" in s]
+    assert len(snap) == 1 and snap[0]["first-row-id"] == 0
+    df = read_iceberg(spark, v3_table, with_row_lineage=True)
+    rows = df.collect()
+    new_rows = [r for r in rows if r.id >= 100]
+    old_rows = [r for r in rows if r.id < 100]
+    assert sorted(r["_row_id"] for r in new_rows) == list(range(7))
+    assert all(r["_row_id"] is None for r in old_rows)
+    # a second append continues the block — ids stay globally unique
+    write_iceberg(
+        spark.range(200, 203).select("id", F.lit("z").alias("cat")),
+        v3_table,
+        mode="append",
+    )
+    meta2 = IcebergTable(v3_table).metadata()
+    assert meta2["next-row-id"] == 10
+    rows2 = read_iceberg(spark, v3_table, with_row_lineage=True).collect()
+    assigned = [r["_row_id"] for r in rows2 if r["_row_id"] is not None]
+    assert sorted(assigned) == list(range(10))
+
+
+def test_v3_append_then_dv_composes(spark, v3_table):
+    write_iceberg(
+        spark.range(100, 105).select("id", F.lit("z").alias("cat")),
+        v3_table,
+        mode="append",
+    )
+    from deltacat_spark.sources.iceberg import delete_where_dv
+
+    delete_where_dv(spark, v3_table, "id IN (101, 103, 5)")
+    got = sorted(r.id for r in read_iceberg(spark, v3_table).collect())
+    assert got == [i for i in range(40) if i != 5] + [100, 102, 104]
 
 
 def test_v3_new_value_types_refuse_by_name():
