@@ -1414,6 +1414,7 @@ def read_iceberg(
     predicate_filter: dict[str, Any] | None = None,
     metadata: dict | None = None,
     with_row_lineage: bool = False,
+    ref: str | None = None,
 ) -> DataFrame:
     """Iceberg table → DataFrame (time travel via `snapshot_id` or
     `as_of_timestamp_ms` — the newest snapshot at or before the instant,
@@ -1454,6 +1455,19 @@ def read_iceberg(
     wrote)."""
     tbl = IcebergTable(root, metadata=metadata)
     meta = tbl.metadata()
+    if ref is not None:
+        # spec refs: named branches/tags in metadata `refs` — time
+        # travel by name (r14)
+        if snapshot_id is not None or as_of_timestamp_ms is not None:
+            raise ValueError(
+                "pass ref OR snapshot_id/as_of_timestamp_ms, not both"
+            )
+        refs = meta.get("refs") or {}
+        if ref not in refs:
+            raise ValueError(
+                f"unknown iceberg ref {ref!r} (table has {sorted(refs)})"
+            )
+        snapshot_id = refs[ref]["snapshot-id"]
     if as_of_timestamp_ms is not None:
         if snapshot_id is not None:
             raise ValueError(
@@ -2577,6 +2591,155 @@ def _commit_metadata(tbl: IcebergTable, meta: dict) -> int:
     return version
 
 
+def set_iceberg_ref(
+    root: str,
+    name: str,
+    snapshot_id: int | None = None,
+    kind: str = "tag",
+) -> int:
+    """Create/move a spec ref (metadata `refs` entry): a `tag` pins a
+    snapshot for release-style time travel, a `branch` is a movable
+    pointer (this module reads branches; only `main` advances on
+    write). `snapshot_id` defaults to the current snapshot. Returns
+    the new metadata version."""
+    if kind not in ("tag", "branch"):
+        raise ValueError(f"kind must be tag|branch, got {kind!r}")
+    tbl = IcebergTable(root)
+    meta = tbl.metadata()
+    sid = (
+        meta.get("current-snapshot-id")
+        if snapshot_id is None
+        else snapshot_id
+    )
+    tbl.snapshot(meta, sid)  # raises if the snapshot does not exist
+    new = dict(meta)
+    new["refs"] = dict(meta.get("refs") or {})
+    new["refs"][name] = {"snapshot-id": sid, "type": kind}
+    return _commit_metadata(tbl, new)
+
+
+def remove_iceberg_ref(root: str, name: str) -> int:
+    """Drop a ref; its snapshot becomes expirable again. Refusing to
+    drop `main` matches engines (the current pointer is not a ref you
+    delete)."""
+    if name == "main":
+        raise ValueError("cannot remove the main branch ref")
+    tbl = IcebergTable(root)
+    meta = tbl.metadata()
+    refs = dict(meta.get("refs") or {})
+    if name not in refs:
+        raise ValueError(f"unknown iceberg ref {name!r}")
+    del refs[name]
+    new = dict(meta)
+    new["refs"] = refs
+    return _commit_metadata(tbl, new)
+
+
+def iceberg_metadata_table(
+    spark: SparkSession, root: str, kind: str
+) -> DataFrame:
+    """The spec's inspection/metadata tables as DataFrames (r14 — the
+    `db.table.snapshots` surface engines expose): `snapshots`,
+    `history`, `refs`, `manifests`, `files`, `delete_files`. All are
+    control-plane-sized (O(snapshots)/O(manifests)/O(files)) driver
+    lists — no data scan at any table size."""
+    tbl = IcebergTable(root)
+    meta = tbl.metadata()
+    if kind == "snapshots":
+        rows = [
+            (
+                int(s["snapshot-id"]),
+                int(s.get("sequence-number", 0)),
+                int(s.get("timestamp-ms", 0)),
+                (s.get("summary") or {}).get("operation"),
+                s.get("manifest-list"),
+            )
+            for s in meta.get("snapshots", [])
+        ]
+        return spark.createDataFrame(
+            rows,
+            "snapshot_id long, sequence_number long, committed_at_ms "
+            "long, operation string, manifest_list string",
+        )
+    if kind == "history":
+        cur = meta.get("current-snapshot-id")
+        live = {s["snapshot-id"] for s in meta.get("snapshots", [])}
+        rows = [
+            (
+                int(e["timestamp-ms"]),
+                int(e["snapshot-id"]),
+                e["snapshot-id"] in live,
+                e["snapshot-id"] == cur,
+            )
+            for e in meta.get("snapshot-log", [])
+        ]
+        return spark.createDataFrame(
+            rows,
+            "made_current_at_ms long, snapshot_id long, "
+            "is_retained boolean, is_current boolean",
+        )
+    if kind == "refs":
+        rows = [
+            (name, r.get("type"), int(r["snapshot-id"]))
+            for name, r in sorted((meta.get("refs") or {}).items())
+        ]
+        return spark.createDataFrame(
+            rows if rows else [],
+            "name string, type string, snapshot_id long",
+        )
+    if kind == "manifests":
+        snap = tbl.snapshot(meta)
+        rows = [
+            (
+                mf["manifest_path"],
+                int(mf.get("manifest_length", 0)),
+                int(mf.get("partition_spec_id", 0)),
+                int(mf.get("content", 0)),
+                int(mf.get("sequence_number", 0)),
+                int(mf.get("added_files_count", 0)),
+                int(mf.get("existing_files_count", 0)),
+                int(mf.get("added_rows_count", 0)),
+            )
+            for mf in tbl.manifests(snap)
+        ]
+        return spark.createDataFrame(
+            rows,
+            "path string, length long, partition_spec_id int, "
+            "content int, sequence_number long, added_files_count int, "
+            "existing_files_count int, added_rows_count long",
+        )
+    if kind in ("files", "delete_files"):
+        data, deletes = tbl.live_files()
+        src = data if kind == "files" else deletes
+        rows = [
+            (
+                f["file_path"],
+                f.get("file_format"),
+                int(f.get("content", 0)),
+                int(f.get("record_count", 0)),
+                int(f.get("file_size_in_bytes", 0)),
+                int(f.get("__seq") or 0),
+                json.dumps(
+                    {
+                        k: (str(v) if v is not None else None)
+                        for k, v in (f.get("partition") or {}).items()
+                    }
+                ),
+            )
+            for f in src
+        ]
+        return spark.createDataFrame(
+            rows,
+            "file_path string, file_format string, content int, "
+            "record_count long, file_size_in_bytes long, "
+            "sequence_number long, partition string",
+        )
+    raise ValueError(
+        f"unknown metadata table {kind!r} (snapshots, history, refs, "
+        "manifests, files, delete_files)"
+    )
+
+
 def expire_snapshots(root: str, keep_last: int = 1) -> list[str]:
     """Snapshot expiration — Iceberg's retention maintenance (the
     janitor motion: reference `catalog/main/impl.py` garbage
@@ -2585,15 +2748,25 @@ def expire_snapshots(root: str, keep_last: int = 1) -> list[str]:
     the expired ones, then deletes files ONLY expired snapshots
     reference — a file shared with any retained snapshot stays. Time
     travel to an expired snapshot id now fails; retained history is
-    untouched. Returns deleted root-relative paths."""
+    untouched. Returns deleted root-relative paths.
+
+    r14: snapshots targeted by a `refs` entry (spec branches/tags —
+    external engines pin releases with tags) are RETAINED regardless
+    of age; expiring a tagged snapshot would break the ref."""
     tbl = IcebergTable(root)
     meta = tbl.metadata()
     snaps = sorted(
         meta.get("snapshots", []), key=lambda s: s["sequence-number"]
     )
-    keep_ids = {
-        s["snapshot-id"] for s in snaps[-max(keep_last, 1) :]
-    } | {meta["current-snapshot-id"]}
+    keep_ids = (
+        {s["snapshot-id"] for s in snaps[-max(keep_last, 1) :]}
+        | {meta["current-snapshot-id"]}
+        | {
+            r["snapshot-id"]
+            for r in (meta.get("refs") or {}).values()
+            if r.get("snapshot-id") is not None
+        }
+    )
     expired = [s for s in snaps if s["snapshot-id"] not in keep_ids]
     if not expired:
         return []
