@@ -220,7 +220,26 @@ def _scan_data_files(
     plain = [p for p in paths if p not in framed_set]
     parts: list[DataFrame] = []
     if plain:
-        df = spark.read.option("mergeSchema", "true").parquet(*plain)
+        # mergeSchema=true launches a distributed footer-merge job per
+        # call (ParquetFileFormat.mergeSchemasInParallel). The footers
+        # are local files here either way — check uniformity driver-side
+        # and only pay the merge job when schemas actually diverge
+        # (e.g. a later file adds `_hoodie_is_deleted`).
+        uniform = True
+        try:
+            import pyarrow.parquet as pq
+
+            s0 = pq.read_schema(plain[0])
+            for p in plain[1:]:
+                if pq.read_schema(p) != s0:
+                    uniform = False
+                    break
+        except Exception:
+            uniform = False
+        if uniform:
+            df = spark.read.parquet(*plain)
+        else:
+            df = spark.read.option("mergeSchema", "true").parquet(*plain)
         if with_fname:
             df = df.withColumn(
                 "__fname",
@@ -589,6 +608,12 @@ def write_hudi(
     if operation in ("upsert", "delete") and existed and completed_instants(
         root
     ):
+        # The batch feeds the key-location probe, the rewrite/log-append
+        # job AND the remaining-rows job — materialize it once so its
+        # lineage (often an expensive upstream pipeline) does not
+        # re-execute per action. O(batch) executor storage, exactly the
+        # workload-profile materialization real Hudi writers do.
+        incoming = incoming.localCheckpoint(eager=True)
         live = file_slices(root)
         if mor:
             # key → file-group index over base AND log files: one
@@ -629,6 +654,10 @@ def write_hudi(
                     ),
                     ["__k", "__p"],
                 )
+                # O(matched incoming keys); consumed by the fid collect,
+                # the log-append join and the remaining-rows anti-join —
+                # without this cut each re-scans every base+log file.
+                .localCheckpoint(eager=True)
             )
             touched_fids = {
                 r["__fid"]
@@ -748,12 +777,14 @@ def write_hudi(
             "left_anti",
         )
         # updates matched to their file group: key -> fid map is one
-        # column-pruned projection of the touched slices
+        # column-pruned projection of the touched slices; materialized
+        # once — it feeds the rewrite join AND the remaining-rows
+        # anti-join, which would otherwise each rescan the slices
         key_fid = old_all.select(
             F.col("_hoodie_record_key").alias("__k"),
             F.col("_hoodie_partition_path").alias("__p"),
             "__fid",
-        ).distinct()
+        ).distinct().localCheckpoint(eager=True)
         if deleting:
             # hard delete: the rewrite carries only the SURVIVING rows
             # (the table's own columns — the delete frame has none)
@@ -849,8 +880,12 @@ def write_hudi(
                 "_hoodie_record_key", "_hoodie_partition_path"
             )
         else:
-            handled_keys = merged_new.select(
-                "_hoodie_record_key", "_hoodie_partition_path"
+            # identical key set to merged_new's output keys (incoming ∩
+            # touched-slice keys), read from the checkpointed map instead
+            # of re-running the incoming ⋈ key_fid join per consumer
+            handled_keys = key_fid.select(
+                F.col("__k").alias("_hoodie_record_key"),
+                F.col("__p").alias("_hoodie_partition_path"),
             )
 
     # 1b) MoR: append ONE log file per touched file group — no base
@@ -1029,8 +1064,11 @@ def write_hudi(
                     st["numDeletes"] = int(r["n"])
                 write_stats.setdefault(partition, []).append(st)
             shutil.rmtree(staging, ignore_errors=True)
-        handled_keys = matched.select(
-            "_hoodie_record_key", "_hoodie_partition_path"
+        # identical key set to matched's output keys — read from the
+        # checkpointed location map, not the incoming ⋈ map join
+        handled_keys = mor_key_loc.select(
+            F.col("__k").alias("_hoodie_record_key"),
+            F.col("__p").alias("_hoodie_partition_path"),
         )
 
     # 2) remaining rows → new file groups, ONE Spark job (fanout write):
@@ -1045,28 +1083,28 @@ def write_hudi(
             ["_hoodie_record_key", "_hoodie_partition_path"],
             "left_anti",
         )
-    if deleting:
-        parts = []  # unmatched delete keys are no-ops, never new groups
-    else:
-        parts = sorted(
-            r._hoodie_partition_path
-            for r in remaining.select("_hoodie_partition_path")
-            .distinct()
-            .collect()
-        )
-    if parts:
-        fid_by_part = {p: str(uuid.uuid4()) for p in parts}
+    if not deleting:  # unmatched delete keys are no-ops, never new groups
+        # fileId for a new group = digest of (partition path, instant):
+        # deterministic, so the file name is a Spark EXPRESSION — no
+        # driver collect of distinct partitions and no broadcast of a
+        # partition→name map before the write (one whole Spark job less
+        # per commit); the landing step re-derives the same ids from the
+        # staged directory names. No "_" in the id — `__fid` extraction
+        # splits the file name on underscores.
         token = "0-0-0"
-        fname_by_part = {
-            p: f"{fid}_{token}_{instant}.parquet"
-            for p, fid in fid_by_part.items()
-        }
-        pmap = spark.createDataFrame(
-            [(p, fname_by_part[p]) for p in parts],
-            "_hoodie_partition_path string, _hoodie_file_name string",
+        fid_expr = F.concat(
+            F.md5(
+                F.concat_ws(
+                    "\x00", F.col("_hoodie_partition_path"), F.lit(instant)
+                )
+            ),
+            F.lit("-0"),
         )
         staged = (
-            remaining.join(F.broadcast(pmap), "_hoodie_partition_path")
+            remaining.withColumn(
+                "_hoodie_file_name",
+                F.concat(fid_expr, F.lit(f"_{token}_{instant}.parquet")),
+            )
             .withColumn("_hoodie_commit_time", F.lit(instant))
             .withColumn(
                 "_hoodie_commit_seqno",
@@ -1087,12 +1125,32 @@ def write_hudi(
         staged.select(*cols).withColumn(
             "__pp", F.col("_hoodie_partition_path")
         ).write.mode("overwrite").partitionBy("__pp").parquet(staging)
-        _land_staged(
-            staging,
-            fname_by_key=fname_by_part,
-            part_by_key={p: p for p in parts},
-            fid_by_key=fid_by_part,
+        import hashlib
+        from urllib.parse import unquote
+
+        parts = sorted(
+            unquote(d.split("=", 1)[1])
+            for d in os.listdir(staging)
+            if d.startswith("__pp=")
         )
+        if parts:
+            fid_by_part = {
+                p: hashlib.md5(f"{p}\x00{instant}".encode()).hexdigest()
+                + "-0"
+                for p in parts
+            }
+            fname_by_part = {
+                p: f"{fid}_{token}_{instant}.parquet"
+                for p, fid in fid_by_part.items()
+            }
+            _land_staged(
+                staging,
+                fname_by_key=fname_by_part,
+                part_by_key={p: p for p in parts},
+                fid_by_key=fid_by_part,
+            )
+        else:
+            shutil.rmtree(staging, ignore_errors=True)
 
     meta = {
         "partitionToWriteStats": write_stats,
