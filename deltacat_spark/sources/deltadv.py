@@ -213,6 +213,13 @@ def dv_blob_encode(positions: list[int]) -> bytes:
     return struct.pack("<I", DV_MAGIC) + roaring64_serialize(positions)
 
 
+def dv_blob_encode_serialized(bitmap: bytes) -> bytes:
+    """Serialized deletion vector from an ALREADY-SERIALIZED portable
+    roaring64 bitmap (executor-side aggregation hands bitmaps, not
+    position lists)."""
+    return struct.pack("<I", DV_MAGIC) + bitmap
+
+
 def dv_blob_decode(blob: bytes) -> list[int]:
     (magic,) = struct.unpack_from("<I", blob, 0)
     if magic != DV_MAGIC:

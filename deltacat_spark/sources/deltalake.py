@@ -1318,15 +1318,57 @@ def delete_rows_with_dv(
         spark, root, snap.schema, snap.partition_columns, files,
         lineage=True, physical=physical,
     )
+    # fold each touched file's matched positions with its EXISTING DV
+    # and serialize the roaring64 bitmap ON EXECUTORS (applyInPandas
+    # keyed by file path) — the driver collects only (path,
+    # bitmap_bytes, cardinality): O(touched files), never O(matched
+    # rows), so a broad predicate at any scale stays driver-safe.
+    hits_df = df.filter(predicate).select("__delta_fp", "__delta_pos")
+    dv_desc_rows = [
+        (f["path"], json.dumps(f["deletionVector"]))
+        for f in files
+        if f.get("deletionVector")
+    ]
+    if dv_desc_rows:
+        dmap = spark.createDataFrame(
+            dv_desc_rows, "__delta_fp string, __dv_desc string"
+        )
+        hits_df = hits_df.join(F.broadcast(dmap), "__delta_fp", "left")
+    else:
+        hits_df = hits_df.withColumn(
+            "__dv_desc", F.lit(None).cast("string")
+        )
+    rt = root
+
+    def _fold_group(pdf):
+        import json as _json
+
+        import pandas as _pd
+
+        from deltacat_spark.sources import deltadv as _dv
+
+        fp = pdf["__delta_fp"].iloc[0]
+        poss = {int(x) for x in pdf["__delta_pos"]}
+        desc = pdf["__dv_desc"].iloc[0]
+        if isinstance(desc, str) and desc:
+            poss.update(
+                _dv.descriptor_positions(rt, _json.loads(desc))
+            )
+        return _pd.DataFrame(
+            {
+                "fp": [fp],
+                "bm": [_dv.roaring64_serialize(sorted(poss))],
+                "card": [len(poss)],
+            }
+        )
+
     hits = (
-        df.filter(predicate)
-        .groupBy("__delta_fp")
-        .agg(F.sort_array(F.collect_list("__delta_pos")).alias("pos"))
+        hits_df.groupBy("__delta_fp")
+        .applyInPandas(_fold_group, "fp string, bm binary, card long")
         .collect()
     )
     if not hits:
         return None
-    by_path = {r["__delta_fp"]: list(r["pos"]) for r in hits}
     adds_by_path = {f["path"]: f for f in files}
 
     dv_uuid = uuid.uuid4()
@@ -1335,16 +1377,11 @@ def delete_rows_with_dv(
     now_ms = int(time.time() * 1000)
 
     blobs: list[bytes] = []
-    pending: list[tuple[dict, list[int]]] = []  # (old add, merged pos)
+    pending: list[tuple[dict, int]] = []  # (old add, merged cardinality)
     removes_only: list[dict] = []
-    for path in sorted(by_path):
-        old = adds_by_path[path]
-        merged = set(by_path[path])
-        if old.get("deletionVector"):
-            merged |= set(
-                deltadv.descriptor_positions(root, old["deletionVector"])
-            )
-        merged_sorted = sorted(merged)
+    for r in sorted(hits, key=lambda r: r["fp"]):
+        old = adds_by_path[r["fp"]]
+        card = int(r["card"])
         num_records = None
         try:
             num_records = json.loads(old.get("stats") or "{}").get(
@@ -1352,11 +1389,11 @@ def delete_rows_with_dv(
             )
         except (ValueError, TypeError):
             pass
-        if num_records is not None and len(merged_sorted) >= num_records:
+        if num_records is not None and card >= num_records:
             removes_only.append(old)  # fully-deleted file: drop it
             continue
-        blobs.append(deltadv.dv_blob_encode(merged_sorted))
-        pending.append((old, merged_sorted))
+        blobs.append(deltadv.dv_blob_encode_serialized(bytes(r["bm"])))
+        pending.append((old, card))
 
     actions: list[dict] = []
     feats = set(snap.protocol.get("readerFeatures") or [])
@@ -1392,14 +1429,14 @@ def delete_rows_with_dv(
         )
     if pending:
         spans = deltadv.write_dv_file(os.path.join(root, dv_name), blobs)
-        for (old, merged_sorted), (offset, size) in zip(pending, spans):
+        for (old, card), (offset, size) in zip(pending, spans):
             new_add = dict(old)
             new_add["deletionVector"] = {
                 "storageType": "u",
                 "pathOrInlineDv": enc,
                 "offset": offset,
                 "sizeInBytes": size,
-                "cardinality": len(merged_sorted),
+                "cardinality": card,
             }
             new_add["modificationTime"] = now_ms
             new_add["dataChange"] = True

@@ -2399,28 +2399,92 @@ def delete_where_dv(
     merge-on-read delete an external v3 engine performs: ONE
     distributed lineage scan finds matching (file, row-index)
     coordinates (existing DVs/deletes already applied, so re-deleting
-    is naturally idempotent), then `commit_deletion_vectors` folds
-    them with each file's existing DV into a single replacement blob.
-    The driver holds one roaring bitmap per touched file (the puffin
-    file is a driver-side metadata artifact, same as Delta's
-    `delete_rows_with_dv`). Returns the snapshot id, or None when
-    nothing matched."""
+    is naturally idempotent). Each touched file's positions are folded
+    with its existing DV and serialized into a roaring64 bitmap ON
+    EXECUTORS (applyInPandas keyed by file path); the driver collects
+    only (path, bitmap_bytes, cardinality) — O(touched files), never
+    O(matched rows), so a broad predicate at any scale stays
+    driver-safe. Returns the snapshot id, or None when nothing
+    matched."""
+    tbl = IcebergTable(root)
+    # file → existing live-DV coordinates, shipped into the executor
+    # groups so the spec's replacement rule (new DV ⊇ old DV) is folded
+    # where the rows are
+    _, live_deletes = tbl.live_files()
+    desc_rows = [
+        (
+            d["referenced_data_file"],
+            _abs_data_path(root, d["file_path"]),
+            int(d["content_offset"]),
+            int(d["content_size_in_bytes"]),
+        )
+        for d in live_deletes
+        if (d.get("file_format") or "").upper() == "PUFFIN"
+        and d.get("referenced_data_file")
+        and d.get("content_offset") is not None
+    ]
     matched = (
         read_iceberg(spark, root, with_lineage=True)
         .filter(F.expr(predicate))
-        .groupBy("__ice_fp")
-        .agg(F.collect_list("__ice_pos").alias("__poss"))
+        .select("__ice_fp", "__ice_pos")
+    )
+    if desc_rows:
+        dmap = spark.createDataFrame(
+            desc_rows,
+            "__ice_fp string, __puffin string, __off long, __size long",
+        )
+        matched = matched.join(F.broadcast(dmap), "__ice_fp", "left")
+    else:
+        matched = (
+            matched.withColumn("__puffin", F.lit(None).cast("string"))
+            .withColumn("__off", F.lit(None).cast("long"))
+            .withColumn("__size", F.lit(None).cast("long"))
+        )
+
+    def _fold_group(pdf):
+        import pandas as pd
+
+        from deltacat_spark.sources import puffin as _puffin
+        from deltacat_spark.sources.deltadv import roaring64_serialize
+
+        fp = pdf["__ice_fp"].iloc[0]
+        poss = {int(x) for x in pdf["__ice_pos"]}
+        pp = pdf["__puffin"].iloc[0]
+        if pp is not None and isinstance(pp, str):
+            poss.update(
+                _puffin.dv_positions(
+                    pp,
+                    int(pdf["__off"].iloc[0]),
+                    int(pdf["__size"].iloc[0]),
+                )
+            )
+        return pd.DataFrame(
+            {
+                "fp": [fp],
+                "bm": [roaring64_serialize(sorted(poss))],
+                "card": [len(poss)],
+            }
+        )
+
+    folded = (
+        matched.groupBy("__ice_fp")
+        .applyInPandas(_fold_group, "fp string, bm binary, card long")
         .collect()
     )
-    if not matched:
+    if not folded:
         return None
     return commit_deletion_vectors(
-        root, {r["__ice_fp"]: list(r["__poss"]) for r in matched}
+        root,
+        bitmaps_by_file={
+            r["fp"]: (bytes(r["bm"]), int(r["card"])) for r in folded
+        },
     )
 
 
 def commit_deletion_vectors(
-    root: str, positions_by_file: dict[str, list[int]]
+    root: str,
+    positions_by_file: "dict[str, list[int]] | None" = None,
+    bitmaps_by_file: "dict[str, tuple[bytes, int]] | None" = None,
 ) -> int:
     """Commit puffin DELETION VECTORS — the v3 replacement for
     position-delete parquet: one puffin file holding one
@@ -2433,10 +2497,22 @@ def commit_deletion_vectors(
     strengthened): a data file has AT MOST ONE live DV — the new blob
     MERGES the file's existing DV positions, and carried-forward
     delete manifests are rewritten WITHOUT the superseded puffin
-    entries (other files' DVs carry forward untouched). Returns the
-    new snapshot id. Needs a v3 table (`upgrade_iceberg_v2_to_v3`)."""
+    entries (other files' DVs carry forward untouched).
+
+    `bitmaps_by_file` (r15, the scale path) maps data paths to
+    (serialized roaring64 bitmap, cardinality) ALREADY folded with the
+    file's existing DV — `delete_where_dv` aggregates these on
+    executors so the driver never materializes positions. Pass exactly
+    one of the two.
+
+    Returns the new snapshot id. Needs a v3 table
+    (`upgrade_iceberg_v2_to_v3`)."""
     from deltacat_spark.sources import puffin
 
+    if (positions_by_file is None) == (bitmaps_by_file is None):
+        raise ValueError(
+            "pass exactly one of positions_by_file / bitmaps_by_file"
+        )
     tbl = IcebergTable(root)
     meta = tbl.metadata()
     if meta.get("format-version", 2) != 3:
@@ -2445,46 +2521,55 @@ def commit_deletion_vectors(
             f"format-version {meta.get('format-version')} — run "
             "upgrade_iceberg_v2_to_v3 first"
         )
-    if not positions_by_file:
+    if not (positions_by_file or bitmaps_by_file):
         raise ValueError("positions_by_file is empty")
-    # fold the targeted files' EXISTING DVs into the new blobs (the
-    # spec's replacement rule: the new DV must contain every
-    # previously-deleted position of its file)
-    positions_by_file = {
-        rel: set(poss) for rel, poss in positions_by_file.items()
-    }
-    _, live_deletes = tbl.live_files()
-    for d in live_deletes:
-        ref = d.get("referenced_data_file")
-        if (
-            (d.get("file_format") or "").upper() == "PUFFIN"
-            and ref in positions_by_file
-            and d.get("content_offset") is not None
-        ):
-            positions_by_file[ref].update(
-                puffin.dv_positions(
-                    _abs_data_path(root, d["file_path"]),
-                    int(d["content_offset"]),
-                    int(d["content_size_in_bytes"]),
+    card_by_file: dict[str, int] = {}
+    blob_by_file: dict[str, bytes] = {}
+    if positions_by_file is not None:
+        # fold the targeted files' EXISTING DVs into the new blobs (the
+        # spec's replacement rule: the new DV must contain every
+        # previously-deleted position of its file)
+        positions_by_file = {
+            rel: set(poss) for rel, poss in positions_by_file.items()
+        }
+        _, live_deletes = tbl.live_files()
+        for d in live_deletes:
+            ref = d.get("referenced_data_file")
+            if (
+                (d.get("file_format") or "").upper() == "PUFFIN"
+                and ref in positions_by_file
+                and d.get("content_offset") is not None
+            ):
+                positions_by_file[ref].update(
+                    puffin.dv_positions(
+                        _abs_data_path(root, d["file_path"]),
+                        int(d["content_offset"]),
+                        int(d["content_size_in_bytes"]),
+                    )
                 )
-            )
+        for rel, poss in positions_by_file.items():
+            card_by_file[rel] = len(set(poss))
+            blob_by_file[rel] = puffin.dv_blob_encode(sorted(set(poss)))
+    else:
+        for rel, (bm, card) in bitmaps_by_file.items():
+            card_by_file[rel] = int(card)
+            blob_by_file[rel] = puffin.dv_blob_encode_serialized(bm)
     commit_uuid = uuid.uuid4().hex[:12]
     snapshot_id = int.from_bytes(os.urandom(7), "big")
     seq = meta["last-sequence-number"] + 1
     puffin_rel = f"{DATA_DIR}/{commit_uuid}-deletes.puffin"
     blobs = []
-    for rel in sorted(positions_by_file):
-        poss = sorted(set(positions_by_file[rel]))
+    for rel in sorted(blob_by_file):
         blobs.append(
             (
-                puffin.dv_blob_encode(poss),
+                blob_by_file[rel],
                 {
                     "type": puffin.DV_BLOB_TYPE,
                     "snapshot-id": snapshot_id,
                     "sequence-number": seq,
                     "properties": {
                         "referenced-data-file": rel,
-                        "cardinality": str(len(poss)),
+                        "cardinality": str(card_by_file[rel]),
                     },
                 },
             )
@@ -2496,7 +2581,7 @@ def commit_deletion_vectors(
 
     entry_schema = _manifest_entry_schema([], v3=True)
     entries = []
-    for (rel, entry) in zip(sorted(positions_by_file), blob_entries):
+    for (rel, entry) in zip(sorted(blob_by_file), blob_entries):
         entries.append(
             {
                 "status": 1,
@@ -2508,9 +2593,7 @@ def commit_deletion_vectors(
                     "file_path": puffin_rel,
                     "file_format": "PUFFIN",
                     "partition": {},
-                    "record_count": len(
-                        set(positions_by_file[rel])
-                    ),
+                    "record_count": card_by_file[rel],
                     "file_size_in_bytes": fsize,
                     "lower_bounds": None,
                     "upper_bounds": None,
@@ -2538,9 +2621,7 @@ def commit_deletion_vectors(
         "added_files_count": len(entries),
         "existing_files_count": 0,
         "deleted_files_count": 0,
-        "added_rows_count": sum(
-            len(set(v)) for v in positions_by_file.values()
-        ),
+        "added_rows_count": sum(card_by_file.values()),
         "existing_rows_count": 0,
         "deleted_rows_count": 0,
     }
@@ -2548,7 +2629,7 @@ def commit_deletion_vectors(
         tbl,
         meta,
         commit_uuid=commit_uuid,
-        drop_dv_for=set(positions_by_file),
+        drop_dv_for=set(blob_by_file),
     )
     return _commit_snapshot(
         tbl,

@@ -58,6 +58,15 @@ def dv_blob_encode(positions: list[int]) -> bytes:
     return struct.pack(">I", len(body)) + body + struct.pack(">I", crc)
 
 
+def dv_blob_encode_serialized(bitmap: bytes) -> bytes:
+    """deletion-vector-v1 blob bytes for an ALREADY-SERIALIZED portable
+    roaring64 bitmap — the executor-side aggregation path hands the
+    driver bitmaps, never position lists."""
+    body = DV_MAGIC + bitmap
+    crc = binascii.crc32(body) & 0xFFFFFFFF
+    return struct.pack(">I", len(body)) + body + struct.pack(">I", crc)
+
+
 def dv_blob_decode(blob: bytes) -> list[int]:
     """Row positions of one deletion-vector-v1 blob (magic + CRC
     validated)."""
