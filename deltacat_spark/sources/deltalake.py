@@ -161,7 +161,11 @@ class DeltaSnapshot:
         d = os.path.join(self.root, LOG_DIR)
         classic: dict[int, list[str]] = {}
         v2: dict[int, list[str]] = {}
-        multi: dict[int, dict[int, tuple[int, str]]] = {}
+        # version → declared part count → part number → path: part
+        # files are tracked PER (version, num_parts) set, so a retried
+        # writer's leftover parts from a different part count never
+        # disqualify a complete set
+        multi: dict[int, dict[int, dict[int, str]]] = {}
         for f in os.listdir(d):
             parts = f.split(".")
             if len(parts) < 3 or parts[1] != "checkpoint":
@@ -181,19 +185,17 @@ class DeltaSnapshot:
                 and parts[2].isdigit()
                 and parts[3].isdigit()
             ):
-                multi.setdefault(v, {})[int(parts[2])] = (
-                    int(parts[3]),
-                    full,
-                )
+                multi.setdefault(v, {}).setdefault(int(parts[3]), {})[
+                    int(parts[2])
+                ] = full
             elif len(parts) == 4 and parts[3] in ("parquet", "json"):
                 v2[v] = [full]
         out: dict[int, list[str]] = {}
-        for v, got in multi.items():
-            n_parts = {n for n, _ in got.values()}
-            if len(n_parts) == 1:
-                n = n_parts.pop()
+        for v, sets in multi.items():
+            for n, got in sorted(sets.items()):
                 if set(got) == set(range(1, n + 1)):
-                    out[v] = [got[i][1] for i in range(1, n + 1)]
+                    out[v] = [got[i] for i in range(1, n + 1)]
+                    break  # any complete set reconstructs the state
         out.update(v2)
         out.update(classic)
         return out

@@ -96,9 +96,11 @@ def _next_instant(root: str) -> str:
     return base
 
 
-# archive-file decode cache keyed by (path, size): Hudi archive logs
-# are append-only, so a grown file re-decodes and an unchanged one is
-# free — timeline listings stay O(dirlist) per call
+# archive-file decode cache keyed by path with (size, mtime, entries)
+# values: Hudi archive logs are append-only, so a grown file re-decodes
+# (replacing its entry — no superseded keys accumulate) and an
+# unchanged one is free; the mtime guards a rewritten-in-place file of
+# identical size. Timeline listings stay O(dirlist) per call.
 _ARCHIVE_CACHE: dict = {}
 
 
@@ -124,8 +126,10 @@ def _archived_entries(root: str) -> dict:
         p = os.path.join(d, fname)
         if not os.path.isfile(p) or not hudi_log.is_framed(p):
             continue
-        key = (p, os.path.getsize(p))
-        entries = _ARCHIVE_CACHE.get(key)
+        st = os.stat(p)
+        sig = (st.st_size, st.st_mtime_ns)
+        cached = _ARCHIVE_CACHE.get(p)
+        entries = cached[1] if cached and cached[0] == sig else None
         if entries is None:
             entries = {}
             for b in hudi_log.read_blocks(p):
@@ -154,7 +158,7 @@ def _archived_entries(root: str) -> dict:
                         except (ValueError, TypeError):
                             meta = None
                     entries[str(inst)] = (str(kind), meta or {})
-            _ARCHIVE_CACHE[key] = entries
+            _ARCHIVE_CACHE[p] = (sig, entries)
         out.update(entries)
     return out
 

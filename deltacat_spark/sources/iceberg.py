@@ -2640,6 +2640,10 @@ def commit_deletion_vectors(
         int(time.time() * 1000),
         operation="delete",
         commit_uuid=commit_uuid,
+        # v3 snapshots record their first-row-id assignment; a DV
+        # commit adds no rows, so it claims an empty block and
+        # next-row-id round-trips unchanged
+        row_lineage=(int(meta.get("next-row-id") or 0), 0),
     )
 
 
@@ -3028,6 +3032,17 @@ def _commit_snapshot(
     meta["current-snapshot-id"] = snapshot_id
     meta["last-sequence-number"] = seq
     meta["last-updated-ms"] = now_ms
+    if meta.get("refs"):
+        # the main branch ref tracks the current snapshot on every
+        # write (the spec's rule; external engines always stamp
+        # refs.main and treat current-snapshot-id != refs.main as
+        # inconsistent metadata). Other branches stay put — this
+        # module writes only to main.
+        meta["refs"] = dict(meta["refs"])
+        meta["refs"]["main"] = {
+            "snapshot-id": snapshot_id,
+            "type": "branch",
+        }
     if row_lineage is not None:
         meta["next-row-id"] = row_lineage[0] + row_lineage[1]
 

@@ -80,6 +80,36 @@ def test_multipart_checkpoint_read(spark, table):
     _expect_rows(spark, root)
 
 
+def test_multipart_mixed_part_sets(spark, table):
+    """A retried writer's leftover part from an abandoned N=3 attempt
+    must not disqualify the complete N=2 set (r15 ADVICE: part files
+    are tracked per (version, num_parts))."""
+    root, v = table
+    t = pq.read_table(_classic_path(root, v))
+    n = t.num_rows
+    halves = [t.slice(0, n // 2), t.slice(n // 2)]
+    for i, part in enumerate(halves, start=1):
+        pq.write_table(
+            part,
+            os.path.join(
+                root, LOG_DIR, f"{v:020d}.checkpoint.{i:010d}.{2:010d}.parquet"
+            ),
+        )
+    pq.write_table(
+        t.slice(0, 2),
+        os.path.join(
+            root, LOG_DIR, f"{v:020d}.checkpoint.{1:010d}.{3:010d}.parquet"
+        ),
+    )
+    os.remove(_classic_path(root, v))
+    with open(os.path.join(root, LOG_DIR, "_last_checkpoint"), "w") as f:
+        json.dump({"version": v, "parts": 2}, f)
+    _truncate_log_before(root, v)
+    snap = DeltaSnapshot(root)
+    assert snap._usable_checkpoint(v) == v
+    _expect_rows(spark, root)
+
+
 def test_incomplete_multipart_is_ignored(spark, table):
     root, v = table
     t = pq.read_table(_classic_path(root, v))
