@@ -1263,8 +1263,27 @@ def compact_hudi(
             "__fname",
         )
         .drop("__fname")
+        # ONE exchange for the whole fold: every version of a record
+        # key lives in its key's file group, so clustering by __fid
+        # up front both satisfies the LWW window's distribution
+        # (HashPartitioning on a subset of the window keys) AND is the
+        # clustering the per-group write below needs — the former
+        # key-window + fname-repartition shape paid two exchanges.
+        .repartition("__fid")
     )
-    merged = _merge_log_view(raw)
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(
+        "__fid", "_hoodie_partition_path", "_hoodie_record_key"
+    ).orderBy(
+        F.col("_hoodie_commit_time").desc(),
+        F.col("_hoodie_commit_seqno").desc(),
+    )
+    merged = (
+        raw.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
     if "_hoodie_is_deleted" in merged.columns:
         merged = merged.filter(
             ~F.coalesce(F.col("_hoodie_is_deleted"), F.lit(False))
@@ -1277,7 +1296,6 @@ def compact_hudi(
         merged.join(F.broadcast(fname_map), "__fid")
         .withColumn("_hoodie_file_name", F.col("__new_name"))
         .drop("__new_name", "__fid")
-        .repartition("_hoodie_file_name")
     )
     staging = os.path.join(root, HOODIE_DIR, f".tmp-{uuid.uuid4().hex[:8]}")
     staged.withColumn(
