@@ -38,20 +38,57 @@ def learn_bpe(
     df: DataFrame,
     text_col: str = "text",
     n_merges: int = 10,
+    local_vocab_threshold: int = 65_536,
 ) -> "tuple[list[tuple[str, str, int]], DataFrame]":
     """Learn `n_merges` BPE merge rules; returns ([(left, right, count)]
     in merge order, the final symbol table (w, cnt, s)).
 
-    Each iteration: one vocab-sized pair aggregation + a driver argmax
-    (one row) + an in-array fold rewrite, localCheckpoint'ed so the
-    per-iteration lineage stays flat across merges. The returned symbol
-    table is the ENCODER: a word's token sequence under the learned
-    merges is its `s` array, so tokenizing a corpus is a vocab-sized
-    broadcast join — the corpus is never re-folded."""
+    Two-phase, like production trainers: the corpus collapses to the
+    word-frequency table with ONE distributed aggregation, then the
+    merge loop runs over that vocabulary-sized table. When the vocab
+    fits under ``local_vocab_threshold`` rows (counted first — the
+    common case: vocabulary grows with corpus *diversity*, not corpus
+    size), the loop runs ON THE DRIVER via the same-tie-break local
+    fold (`learn_bpe_merges_local`) — zero Spark jobs per merge instead
+    of one vocab-shuffle + argmax round-trip each. Above the threshold
+    the distributed loop below runs unchanged: one vocab-sized pair
+    aggregation + a driver argmax (one row) + an in-array fold rewrite
+    per iteration, localCheckpoint'ed so the lineage stays flat. Both
+    paths produce identical merges and symbol tables (the local fold is
+    the pinned equality oracle of the distributed one). The returned
+    symbol table is the ENCODER: a word's token sequence under the
+    learned merges is its `s` array, so tokenizing a corpus is a
+    vocab-sized broadcast join — the corpus is never re-folded."""
     words = df.select(
         F.explode(F.split(F.col(text_col), " ")).alias("w")
     ).filter(F.col("w") != "")
     vocab = words.groupBy("w").agg(F.count(F.lit(1)).alias("cnt"))
+    if local_vocab_threshold:
+        # one corpus-sized aggregation job; everything after is sized
+        # by the (bounded) vocabulary
+        vocab = vocab.localCheckpoint(eager=True)
+        if vocab.count() <= local_vocab_threshold:
+            wc = {r["w"]: r["cnt"] for r in vocab.collect()}
+            merges = learn_bpe_merges_local(wc, n_merges)
+            spark = df.sparkSession
+            sym_rows = []
+            for w, c in wc.items():
+                out: list[str] = []
+                for x in w:  # char split, then replay merges in order
+                    out.append(x)
+                for a, b, _n in merges:
+                    folded: list[str] = []
+                    for x in out:
+                        if folded and folded[-1] == a and x == b:
+                            folded[-1] = a + b
+                        else:
+                            folded.append(x)
+                    out = folded
+                sym_rows.append((w, c, out))
+            syms = spark.createDataFrame(
+                sym_rows, "w string, cnt bigint, s array<string>"
+            )
+            return merges, syms
     syms = vocab.select(
         "w", "cnt", F.split(F.col("w"), "").alias("s")
     ).localCheckpoint(eager=False)

@@ -612,11 +612,11 @@ def write_hudi(
     if operation in ("upsert", "delete") and existed and completed_instants(
         root
     ):
-        # The batch feeds the key-location probe, the rewrite/log-append
-        # job AND the remaining-rows job — materialize it once so its
-        # lineage (often an expensive upstream pipeline) does not
-        # re-execute per action. O(batch) executor storage, exactly the
-        # workload-profile materialization real Hudi writers do.
+        # The batch feeds the key-location probe subtree AND the write
+        # job — materialize it once so its lineage (often an expensive
+        # upstream pipeline) does not re-execute per consumer. O(batch)
+        # executor storage, exactly the workload-profile materialization
+        # real Hudi writers do.
         incoming = incoming.localCheckpoint(eager=True)
         live = file_slices(root)
         if mor:
@@ -658,18 +658,21 @@ def write_hudi(
                     ),
                     ["__k", "__p"],
                 )
-                # O(matched incoming keys); consumed by the fid collect,
-                # the log-append join and the remaining-rows anti-join —
-                # without this cut each re-scans every base+log file.
-                .localCheckpoint(eager=True)
             )
-            touched_fids = {
-                r["__fid"]
-                for r in mor_key_loc.select("__fid").distinct().collect()
-            }
-            mor_targets = [
-                s for s in live if s["file_id"] in touched_fids
-            ]
+            if log_format == "hoodie" and not deleting:
+                # two sinks consume the map (framed-log applyInPandas +
+                # remaining-rows anti-join) — materialize it once so
+                # each does not re-scan every base+log file. The
+                # parquet-log path below fuses everything into ONE
+                # write job, so the map stays lazy there (evaluated
+                # exactly once inside that job), and a hoodie-format
+                # DELETE has a single sink too (unmatched delete keys
+                # are no-ops — the remaining job never runs).
+                mor_key_loc = mor_key_loc.localCheckpoint(eager=True)
+            # ALL live slices are potential log-append targets; a group
+            # no incoming key lands in simply receives no rows — no
+            # touched-fid collect round-trip is needed to name files.
+            mor_targets = list(live)
         else:
             # CoW: file groups holding an incoming key → rewrite set.
             slices_df = df.sparkSession.read.parquet(
@@ -755,6 +758,7 @@ def write_hudi(
     # driver-side per-group job loop.
     spark = df.sparkSession
     handled_keys = None
+    fused_write = False
     token = "0-0-0"
     if rewrite_groups:
         fname_by_fid = {
@@ -781,14 +785,14 @@ def write_hudi(
             "left_anti",
         )
         # updates matched to their file group: key -> fid map is one
-        # column-pruned projection of the touched slices; materialized
-        # once — it feeds the rewrite join AND the remaining-rows
-        # anti-join, which would otherwise each rescan the slices
+        # column-pruned projection of the touched slices. It stays LAZY:
+        # the fused write below is its only consumer, so the projection
+        # is evaluated exactly once inside that one job.
         key_fid = old_all.select(
             F.col("_hoodie_record_key").alias("__k"),
             F.col("_hoodie_partition_path").alias("__p"),
             "__fid",
-        ).distinct().localCheckpoint(eager=True)
+        ).distinct()
         if deleting:
             # hard delete: the rewrite carries only the SURVIVING rows
             # (the table's own columns — the delete frame has none)
@@ -805,12 +809,16 @@ def write_hudi(
                 "__fid",
                 *data_cols,
             )
-            merged_new = None
         else:
-            merged_new = incoming.join(
+            # FUSED: one left join routes each incoming row to its
+            # existing file group (rewrite) or, unmatched, to a new
+            # file group — the former separate remaining-rows job is
+            # folded into this same single write.
+            joined_new = incoming.join(
                 F.broadcast(key_fid),
                 (incoming["_hoodie_record_key"] == F.col("__k"))
                 & (incoming["_hoodie_partition_path"] == F.col("__p")),
+                "left",
             )
             data_cols = [c for c in df.columns]
             merged = keep.select(
@@ -821,7 +829,7 @@ def write_hudi(
                 "__fid",
                 *data_cols,
             ).unionByName(
-                merged_new.select(
+                joined_new.select(
                     "_hoodie_record_key",
                     "_hoodie_partition_path",
                     F.lit(None).cast("string").alias("_hoodie_commit_time"),
@@ -830,6 +838,7 @@ def write_hudi(
                     *data_cols,
                 )
             )
+            fused_write = True
         new_seqno = F.concat_ws(
             "_",
             F.lit(instant),
@@ -837,10 +846,28 @@ def write_hudi(
         )
         fname_map = spark.createDataFrame(
             [(fid, fname_by_fid[fid]) for fid in fname_by_fid],
-            "__fid string, _hoodie_file_name string",
+            "__fid string, __rw_name string",
+        )
+        new_fname_expr = F.concat(
+            F.md5(
+                F.concat_ws(
+                    "\x00", F.col("_hoodie_partition_path"), F.lit(instant)
+                )
+            ),
+            F.lit(f"-0_{token}_{instant}.parquet"),
         )
         staged = (
-            merged.join(F.broadcast(fname_map), "__fid")
+            merged.join(F.broadcast(fname_map), "__fid", "left")
+            .withColumn(
+                "_hoodie_file_name",
+                F.coalesce(F.col("__rw_name"), new_fname_expr),
+            )
+            .withColumn(
+                "__pp",
+                F.coalesce(
+                    F.col("__rw_name"), F.col("_hoodie_partition_path")
+                ),
+            )
             .withColumn(
                 "_hoodie_commit_time",
                 F.coalesce(F.col("_hoodie_commit_time"), F.lit(instant)),
@@ -849,23 +876,40 @@ def write_hudi(
                 "_hoodie_commit_seqno",
                 F.coalesce(F.col("_hoodie_commit_seqno"), new_seqno),
             )
-            .repartition("__fid")
+            .repartition("__pp")
         )
         cols = META_COLS + data_cols
         staging = os.path.join(
             root, HOODIE_DIR, f".tmp-{uuid.uuid4().hex[:8]}"
         )
-        staged.select(*cols).withColumn(
-            "__pp", F.col("_hoodie_file_name")
-        ).write.mode("overwrite").partitionBy("__pp").parquet(staging)
-        _land_staged(
-            staging,
-            fname_by_key={fname_by_fid[f]: fname_by_fid[f]
-                          for f in fname_by_fid},
-            part_by_key={fname_by_fid[f]: part_by_fid[f]
-                         for f in fname_by_fid},
-            fid_by_key={fname_by_fid[f]: f for f in fname_by_fid},
-        )
+        staged.select(*cols, "__pp").write.mode("overwrite").partitionBy(
+            "__pp"
+        ).parquet(staging)
+        fname_by_key = {fname_by_fid[f]: fname_by_fid[f]
+                        for f in fname_by_fid}
+        part_by_key = {fname_by_fid[f]: part_by_fid[f]
+                       for f in fname_by_fid}
+        fid_by_key = {fname_by_fid[f]: f for f in fname_by_fid}
+        if os.path.isdir(staging):
+            # dirs keyed by a PARTITION PATH hold new file groups whose
+            # id is the deterministic digest the expression baked in
+            import hashlib as _hashlib
+            from urllib.parse import unquote as _unq
+
+            for d in os.listdir(staging):
+                if not d.startswith("__pp="):
+                    continue
+                key = _unq(d.split("=", 1)[1])
+                if key in fname_by_key:
+                    continue  # a rewrite file
+                fid = (
+                    _hashlib.md5(f"{key}\x00{instant}".encode()).hexdigest()
+                    + "-0"
+                )
+                fname_by_key[key] = f"{fid}_{token}_{instant}.parquet"
+                part_by_key[key] = key
+                fid_by_key[key] = fid
+        _land_staged(staging, fname_by_key, part_by_key, fid_by_key)
         if deleting:
             # a group whose every row was deleted lands no file and no
             # write stat — without retiring it, file_slices would keep
@@ -880,21 +924,13 @@ def write_hudi(
                     replaced_fids.setdefault(s["partition"], []).append(
                         s["file_id"]
                     )
-            handled_keys = incoming.select(
-                "_hoodie_record_key", "_hoodie_partition_path"
-            )
-        else:
-            # identical key set to merged_new's output keys (incoming ∩
-            # touched-slice keys), read from the checkpointed map instead
-            # of re-running the incoming ⋈ key_fid join per consumer
-            handled_keys = key_fid.select(
-                F.col("__k").alias("_hoodie_record_key"),
-                F.col("__p").alias("_hoodie_partition_path"),
-            )
 
     # 1b) MoR: append ONE log file per touched file group — no base
-    # read, no rewrite. One fanout Spark job clustered on the group's
-    # new log name; write cost is O(incoming rows).
+    # read, no rewrite. Parquet log format fuses the log appends AND
+    # the new-file-group landing into ONE Spark job (a single left
+    # join against the lazy key-location map decides, per row, log
+    # append vs new group); the framed "hoodie" format keeps its
+    # executor-side block-framing sink. Write cost is O(incoming rows).
     if mor and mor_targets:
         # the WRITING instant rides as the writeToken: two concurrent
         # upserts to the same file group hold different instants, so
@@ -920,32 +956,119 @@ def write_hudi(
                 for s in mor_targets
             }
         part_by_fid = {s["file_id"]: s["partition"] for s in mor_targets}
-        matched = incoming.join(
-            F.broadcast(mor_key_loc),
-            (incoming["_hoodie_record_key"] == F.col("__k"))
-            & (incoming["_hoodie_partition_path"] == F.col("__p")),
-        )
-        fname_map = spark.createDataFrame(
-            [(fid, fn) for fid, fn in log_fname_by_fid.items()],
-            "__fid string, _hoodie_file_name string",
-        )
-        staged = (
-            matched.join(F.broadcast(fname_map), "__fid")
-            .withColumn("_hoodie_commit_time", F.lit(instant))
-            .withColumn(
-                "_hoodie_commit_seqno",
-                F.concat_ws(
-                    "_",
-                    F.lit(instant),
-                    F.monotonically_increasing_id().cast("string"),
-                ),
-            )
-            .repartition("__fid")
-        )
         cols = META_COLS + [c for c in df.columns]
         staging = os.path.join(
             root, HOODIE_DIR, f".tmp-{uuid.uuid4().hex[:8]}"
         )
+        if log_format != "hoodie":
+            # FUSED parquet path: one left join decides log-append vs
+            # new-file-group per row; one fanout write lands both.
+            fname_map = spark.createDataFrame(
+                [(fid, fn) for fid, fn in log_fname_by_fid.items()],
+                "__fid string, __log_name string",
+            )
+            joined = incoming.join(
+                F.broadcast(mor_key_loc),
+                (incoming["_hoodie_record_key"] == F.col("__k"))
+                & (incoming["_hoodie_partition_path"] == F.col("__p")),
+                "left",
+            )
+            if deleting:
+                # unmatched delete keys are no-ops, never new groups
+                joined = joined.filter(F.col("__fid").isNotNull())
+            new_fname_expr = F.concat(
+                F.md5(
+                    F.concat_ws(
+                        "\x00",
+                        F.col("_hoodie_partition_path"),
+                        F.lit(instant),
+                    )
+                ),
+                F.lit(f"-0_0-0-0_{instant}.parquet"),
+            )
+            staged = (
+                joined.join(F.broadcast(fname_map), "__fid", "left")
+                .withColumn(
+                    "_hoodie_file_name",
+                    F.coalesce(F.col("__log_name"), new_fname_expr),
+                )
+                .withColumn(
+                    "__pp",
+                    F.coalesce(
+                        F.col("__log_name"),
+                        F.col("_hoodie_partition_path"),
+                    ),
+                )
+                .withColumn("_hoodie_commit_time", F.lit(instant))
+                .withColumn(
+                    "_hoodie_commit_seqno",
+                    F.concat_ws(
+                        "_",
+                        F.lit(instant),
+                        F.monotonically_increasing_id().cast("string"),
+                    ),
+                )
+                .repartition("__pp")
+            )
+            staged.select(*cols, "__pp").write.mode(
+                "overwrite"
+            ).partitionBy("__pp").parquet(staging)
+            # landing maps: log names are driver-known; a dir keyed by
+            # a PARTITION PATH holds a new file group whose id is the
+            # same deterministic digest the expression above baked in
+            from urllib.parse import unquote as _unq
+
+            import hashlib as _hashlib
+
+            fname_by_key = {fn: fn for fn in log_fname_by_fid.values()}
+            part_by_key = {
+                fn: part_by_fid[fid]
+                for fid, fn in log_fname_by_fid.items()
+            }
+            fid_by_key = {
+                fn: fid for fid, fn in log_fname_by_fid.items()
+            }
+            if os.path.isdir(staging):
+                for d in os.listdir(staging):
+                    if not d.startswith("__pp="):
+                        continue
+                    key = _unq(d.split("=", 1)[1])
+                    if key in fname_by_key:
+                        continue  # a log append
+                    fid = (
+                        _hashlib.md5(f"{key}\x00{instant}".encode())
+                        .hexdigest()
+                        + "-0"
+                    )
+                    fname_by_key[key] = f"{fid}_0-0-0_{instant}.parquet"
+                    part_by_key[key] = key
+                    fid_by_key[key] = fid
+            _land_staged(staging, fname_by_key, part_by_key, fid_by_key)
+            handled_keys = None
+            fused_write = True
+        else:
+            matched = incoming.join(
+                F.broadcast(mor_key_loc),
+                (incoming["_hoodie_record_key"] == F.col("__k"))
+                & (incoming["_hoodie_partition_path"] == F.col("__p")),
+            )
+            fname_map = spark.createDataFrame(
+                [(fid, fn) for fid, fn in log_fname_by_fid.items()],
+                "__fid string, _hoodie_file_name string",
+            )
+            staged = (
+                matched.join(F.broadcast(fname_map), "__fid")
+                .withColumn("_hoodie_commit_time", F.lit(instant))
+                .withColumn(
+                    "_hoodie_commit_seqno",
+                    F.concat_ws(
+                        "_",
+                        F.lit(instant),
+                        F.monotonically_increasing_id().cast("string"),
+                    ),
+                )
+                .repartition("__fid")
+            )
         if log_format == "hoodie" and deleting:
             # frame one real DELETE block per file group ON EXECUTORS
             # — the avro v3 HoodieDeleteRecordList payload external
@@ -1027,21 +1150,6 @@ def write_hudi(
                 .applyInPandas(_frame_group, "fname string, n long")
                 .collect()
             )
-        else:
-            staged.select(*cols).withColumn(
-                "__pp", F.col("_hoodie_file_name")
-            ).write.mode("overwrite").partitionBy("__pp").parquet(staging)
-            _land_staged(
-                staging,
-                fname_by_key={fn: fn for fn in log_fname_by_fid.values()},
-                part_by_key={
-                    fn: part_by_fid[fid]
-                    for fid, fn in log_fname_by_fid.items()
-                },
-                fid_by_key={
-                    fn: fid for fid, fn in log_fname_by_fid.items()
-                },
-            )
         if log_format == "hoodie":
             # land the executor-framed blocks + record write stats
             # (shared by the AVRO_DATA and DELETE branches)
@@ -1068,12 +1176,12 @@ def write_hudi(
                     st["numDeletes"] = int(r["n"])
                 write_stats.setdefault(partition, []).append(st)
             shutil.rmtree(staging, ignore_errors=True)
-        # identical key set to matched's output keys — read from the
-        # checkpointed location map, not the incoming ⋈ map join
-        handled_keys = mor_key_loc.select(
-            F.col("__k").alias("_hoodie_record_key"),
-            F.col("__p").alias("_hoodie_partition_path"),
-        )
+            # identical key set to matched's output keys — read from the
+            # checkpointed location map, not the incoming ⋈ map join
+            handled_keys = mor_key_loc.select(
+                F.col("__k").alias("_hoodie_record_key"),
+                F.col("__p").alias("_hoodie_partition_path"),
+            )
 
     # 2) remaining rows → new file groups, ONE Spark job (fanout write):
     # pre-assign a fileId per partition value (the map is
@@ -1087,7 +1195,9 @@ def write_hudi(
             ["_hoodie_record_key", "_hoodie_partition_path"],
             "left_anti",
         )
-    if not deleting:  # unmatched delete keys are no-ops, never new groups
+    if not deleting and not fused_write:
+        # unmatched delete keys are no-ops, never new groups; the fused
+        # MoR parquet write above already landed its new groups
         # fileId for a new group = digest of (partition path, instant):
         # deterministic, so the file name is a Spark EXPRESSION — no
         # driver collect of distinct partitions and no broadcast of a
