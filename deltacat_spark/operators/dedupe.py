@@ -600,22 +600,22 @@ def connected_components(
     **Adaptive strategy** (same result either way — min-id labeling):
 
     * Edge count ≤ ``driver_max_edges`` (the common case even for large
-      corpora — dup EDGES are sparse relative to rows): stream the
-      deduplicated edge list to the driver (`toLocalIterator`, one
-      partition resident at a time — never a full collect) and run
+      corpora — dup EDGES are sparse relative to rows): collect the
+      FORWARD edge list to the driver in ONE Arrow `toPandas` job (two
+      int64 columns — 16 B/edge, ≤ 8 MB at the default bound) and run
       union-find locally. One Spark job + O(E α(E)) local work replaces
       O(diameter) shuffle rounds, each of which costs a full job at
       cluster scale.
 
       Driver-memory bound at the 1M-edge default (worst case — every
       edge introduces two fresh nodes, so N ≤ 2E = 2M nodes): the
-      `parent` dict ≈ 2M entries × ~90 B (int key + int value + dict
-      slot) ≈ 180 MB; `comp_min` is component-count-sized (≤ N/2);
-      the result row list ≈ 2M × ~110 B ≈ 220 MB transient while
-      `createDataFrame` serializes it. Peak < ~450 MB — the same
-      order as a large broadcast, safe on any driver sized for Spark
-      work. Real near-dup graphs are far smaller per edge count
-      (cliques/stars reuse nodes, N ≪ 2E).
+      Arrow edge frame ≈ 8 MB; the `parent` dict ≈ 2M entries × ~90 B
+      (int key + int value + dict slot) ≈ 180 MB; `comp_min` is
+      component-count-sized (≤ N/2); the result pandas frame ≈ 2M ×
+      16 B ≈ 32 MB while `createDataFrame` serializes it via Arrow.
+      Peak < ~250 MB — the same order as a large broadcast, safe on
+      any driver sized for Spark work. Real near-dup graphs are far
+      smaller per edge count (cliques/stars reuse nodes, N ≪ 2E).
     * Above the bound: distributed min-label propagation — each round
       every node takes the min of its own label and its neighbors'
       labels, one shuffle-aggregate + one join per round, converging in
@@ -629,19 +629,23 @@ def connected_components(
     Pass ``driver_max_edges=0``/``None`` to force the distributed path
     (tests do, and a cluster whose driver is tight on memory can).
     """
-    fwd = pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
-    # Materialize the edge list ONCE: its lineage may embed an expensive
-    # upstream pipeline (LSH + Jaccard verification), and every
-    # propagation round joins against it — without this cut the whole
-    # pipeline re-executes per round (measured 36s -> ~9s at sf0.1).
-    edges = fwd.union(
-        pairs.select(F.col(b_col).alias("u"), F.col(a_col).alias("v"))
+    # Materialize the FORWARD edge list once: its lineage may embed an
+    # expensive upstream pipeline (LSH + Jaccard verification), and
+    # every propagation round joins against it — without this cut the
+    # whole pipeline re-executes per round (measured 36s -> ~9s at
+    # sf0.1). The reversed direction is derived lazily from the
+    # checkpoint (a column swap), so only E rows are materialized and
+    # shipped, not 2E.
+    fwd = pairs.select(
+        F.col(a_col).alias("u"), F.col(b_col).alias("v")
     ).localCheckpoint(eager=True)
+    edges = fwd.union(fwd.select(F.col("v").alias("u"), F.col("u").alias("v")))
     if driver_max_edges:
         # count() on the checkpointed frame is one cheap metadata-ish
-        # job; the collect below only happens under the bound.
-        if edges.count() <= driver_max_edges:
-            return _cc_driver_union_find(edges)
+        # job; the collect below only happens under the bound (the
+        # bound is on the DOUBLED edge list, as documented above).
+        if 2 * fwd.count() <= driver_max_edges:
+            return _cc_driver_union_find(fwd)
     labels = edges.select("u").distinct().withColumn("label", F.col("u"))
     prev_sum = None
     for _ in range(max_iter):
@@ -680,7 +684,17 @@ def _cc_driver_union_find(edges: DataFrame) -> DataFrame:
     """Driver-side union-find over a BOUNDED collected edge list —
     the small-graph fast path of :func:`connected_components`. Labels
     every node with its component's minimum id (identical contract to
-    the distributed propagation)."""
+    the distributed propagation).
+
+    The edge list lands via ONE Arrow `toPandas` job (two int64
+    columns ≈ 16 B/edge → ≤ 8 MB at the 500k-forward-edge default
+    bound), not `toLocalIterator`, which schedules one Spark job PER
+    PARTITION — at 32+ shuffle partitions that is 32 sequential
+    driver round-trips of pure scheduling overhead for a graph this
+    path only ever sees when it is small."""
+    import pandas as pd
+
+    pdf = edges.toPandas()
     parent: dict[int, int] = {}
 
     def find(x: int) -> int:
@@ -691,12 +705,7 @@ def _cc_driver_union_find(edges: DataFrame) -> DataFrame:
             parent[x], x = root, parent[x]
         return root
 
-    # toLocalIterator streams one partition at a time — the full edge
-    # list never sits on the driver as Row objects (the byte math in
-    # `connected_components`' docstring budgets the dicts, not a
-    # collect)
-    for row in edges.toLocalIterator():
-        u, v = row[0], row[1]
+    for u, v in zip(pdf.iloc[:, 0].tolist(), pdf.iloc[:, 1].tolist()):
         if u not in parent:
             parent[u] = u
         if v not in parent:
@@ -710,9 +719,15 @@ def _cc_driver_union_find(edges: DataFrame) -> DataFrame:
         m = comp_min.get(r)
         if m is None or node < m:
             comp_min[r] = node
-    rows = [(node, comp_min[find(node)]) for node in parent]
+    out = pd.DataFrame(
+        {
+            "doc_id": list(parent),
+            "cluster_id": [comp_min[find(n)] for n in parent],
+        },
+        dtype="int64",
+    )
     return edges.sparkSession.createDataFrame(
-        rows, schema="doc_id long, cluster_id long"
+        out, schema="doc_id long, cluster_id long"
     )
 
 
