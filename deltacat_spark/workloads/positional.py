@@ -58,11 +58,17 @@ def repeated_substring_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.size("ws") >= _K)
         .select(
             "doc_id",
+            # gh is an EQUALITY-only key (join + df count — never
+            # ordered, never output), so hash grams to 8-byte int64
+            # instead of a 32-char md5 string: the gram table feeds
+            # both wide stages (df aggregation + self-join) and the
+            # key column is most of its bytes (same int64-key rewrite
+            # as dup_ngram_fraction; collision odds ~n²/2^64)
             F.explode(
                 F.expr(
                     f"transform(sequence(1, size(ws) - {_K - 1}),"
                     f" j -> struct(j AS pos,"
-                    f" md5(array_join(slice(ws, j, {_K}), ' ')) AS gh))"
+                    f" xxhash64(array_join(slice(ws, j, {_K}), ' ')) AS gh))"
                 )
             ).alias("t"),
         )
@@ -435,7 +441,7 @@ def runs_candidate_pairs(spark: SparkSession, sf_dir: str) -> int:
             F.explode(
                 F.expr(
                     f"transform(sequence(1, size(ws) - {_K - 1}),"
-                    f" j -> md5(array_join(slice(ws, j, {_K}), ' ')))"
+                    f" j -> xxhash64(array_join(slice(ws, j, {_K}), ' ')))"
                 )
             ).alias("gh"),
         )
