@@ -330,6 +330,16 @@ def _bloom_columns(props: dict) -> "list[str] | None":
 
 _DATA_DELTAS = {DeltaType.APPEND, DeltaType.ADD, DeltaType.CHRONO, DeltaType.UPSERT, None}
 
+# MoR base/delta split (`_resolve_mor`): bypass the fold window for base
+# rows whose key no live delta touches, provided the deltas are small
+# enough that their distinct keys broadcast cheaply. Scale-adaptive by
+# construction (gates on commit-log record counts, not cluster size);
+# production tuning via env without a code change.
+_MOR_SPLIT_MIN_RATIO = int(os.environ.get("DCS_MOR_SPLIT_MIN_RATIO", "4"))
+_MOR_SPLIT_MAX_DELTA_RECORDS = int(
+    os.environ.get("DCS_MOR_SPLIT_MAX_DELTA_RECORDS", str(2_000_000))
+)
+
 
 class TableNotFoundError(FileNotFoundError):
     pass
@@ -1480,6 +1490,55 @@ class Catalog:
         if not partials:
             order = snap.schema.merge_order_columns()
             order = order + [F.desc("__dcs_v"), F.desc("__dcs_f")]
+            # Base/delta split: resolved files (delta_type None — CoW or
+            # compaction output) hold at most ONE row per merge key, so
+            # only keys that appear in a live DELTA can need the fold.
+            # When the commit-log stats show the deltas are small
+            # relative to the base, broadcast the delta keys and route
+            # untouched base rows around the window — the base then
+            # never crosses an exchange (a 100-TB compacted table with
+            # a GB of fresh deltas shuffles the deltas, not the table).
+            # Touched base rows still join the window, so a custom
+            # merge_order under which an old base row beats a newer
+            # delta resolves identically to the single-window plan.
+            base_f = [f for f in data_files if f.delta_type is None]
+            delta_f = [f for f in data_files if f.delta_type is not None]
+            base_rec = (
+                sum(f.records or 0 for f in base_f)
+                if base_f and all(f.records is not None for f in base_f)
+                else None
+            )
+            delta_rec = (
+                sum(f.records or 0 for f in delta_f)
+                if delta_f and all(f.records is not None for f in delta_f)
+                else None
+            )
+            if (
+                base_rec
+                and delta_rec
+                and delta_rec * _MOR_SPLIT_MIN_RATIO <= base_rec
+                and delta_rec <= _MOR_SPLIT_MAX_DELTA_RECORDS
+            ):
+                dvers = sorted({f.version for f in delta_f})
+                is_delta = F.col("__dcs_v").isin(dvers)
+                delta_rows = rows.filter(is_delta)
+                base_rows = rows.filter(~is_delta)
+                dk = F.broadcast(
+                    delta_rows.select(
+                        *[F.col(k).alias(f"__mk_{k}") for k in keys]
+                    ).distinct()
+                )
+                cond = [
+                    F.col(k).eqNullSafe(F.col(f"__mk_{k}")) for k in keys
+                ]
+                untouched = base_rows.join(dk, cond, "left_anti")
+                touched = base_rows.join(dk, cond, "left_semi")
+                winners = dedupe_last_writer(
+                    touched.unionByName(delta_rows), keys, order
+                )
+                return winners.unionByName(untouched).drop(
+                    "__dcs_v", "__dcs_f", "__dcs_cols"
+                )
             winners = dedupe_last_writer(rows, keys, order)
             return winners.drop("__dcs_v", "__dcs_f", "__dcs_cols")
         # Partial upserts present: per-column stitching. Each non-key

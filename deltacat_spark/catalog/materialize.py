@@ -400,7 +400,21 @@ def _bounds_predicate(probe, cols):
 
     from deltacat_spark.plans.expr import col as _col
 
+    _, pred = _count_and_bounds(probe, cols)
+    return pred
+
+
+def _count_and_bounds(probe, cols):
+    """COUNT(*) plus `_bounds_predicate`'s min/max bounds in ONE Spark
+    job — the keyed branches need both over the same (persisted) probe,
+    and separate `.count()` + bounds actions cost two scheduling
+    round-trips for frames that are typically window-sized."""
+    from pyspark.sql import functions as F
+
+    from deltacat_spark.plans.expr import col as _col
+
     row = probe.agg(
+        F.count(F.lit(1)).alias("__cnt"),
         *[F.min(F.col(c)).alias(f"lo_{i}") for i, c in enumerate(cols)],
         *[F.max(F.col(c)).alias(f"hi_{i}") for i, c in enumerate(cols)],
         *[
@@ -417,7 +431,7 @@ def _bounds_predicate(probe, cols):
             continue
         p = _col(c).between(lo, hi)
         pred = p if pred is None else pred.and_(p)
-    return pred
+    return row["__cnt"], pred
 
 
 def _null_safe_semi(df, probe, cols, anti: bool = False):
@@ -542,7 +556,8 @@ def refresh_incremental(
             # touched most keys, the point-wise path's slice probes and
             # per-key merge cost more than one rebuild pass
             keys_df = keys_df.persist()
-            n_keys = keys_df.count()
+            # one job: the gate's count AND the slice-read bounds
+            n_keys, kpred = _count_and_bounds(keys_df, record_keys)
             mv_rows = max(_snapshot_row_estimate(catalog, dst, namespace), 1)
             try:
                 gate = float(
@@ -556,9 +571,9 @@ def refresh_incremental(
                 keys_df.unpersist()
                 keys_df = None
         if keys_df is not None:
-            # key-bounds predicate prunes the slice read on sorted /
-            # range-partitioned tables (point-read discipline)
-            kpred = _bounds_predicate(keys_df, record_keys)
+            # kpred (computed with the gate count above) prunes the
+            # slice read on sorted / range-partitioned tables
+            # (point-read discipline)
             # pinned to the version vector being stamped: a commit
             # landing mid-refresh must not leak into a window whose
             # watermark predates it (the next refresh owns it)
@@ -686,7 +701,8 @@ def refresh_incremental(
             # (tiny read); past the threshold, fall through to the
             # exact rebuild. Override per MV with the `mv.keyed_gate`
             # table property (fraction; tests/fixtures pin it high).
-            n_tg = touched_groups.count()
+            # one job: the gate's count AND the recompute slice bounds
+            n_tg, gpred = _count_and_bounds(touched_groups, group_cols)
             mv_groups = max(_snapshot_row_estimate(catalog, dst, namespace), 1)
             try:
                 gate = float(
@@ -702,9 +718,8 @@ def refresh_incremental(
                 keys_df = None  # most groups touched — rebuild is cheaper
         if keys_df is not None:
             # the recompute reads whole touched GROUPS (not just the
-            # touched keys), so its prune bound comes from the group
-            # values
-            gpred = _bounds_predicate(touched_groups, group_cols)
+            # touched keys), so its prune bound is the group-value
+            # bounds (gpred, computed with the gate count above)
             # pinned to the stamped version (see record-keyed note)
             cur = catalog.read_table(
                 src, namespace, version_as_of=src_snap.version,
