@@ -1445,21 +1445,61 @@ class Catalog:
             # Only delete deltas live (e.g. DELETE against an empty
             # table) — nothing to resolve.
             return self._empty(snap)
-        rows = self._scan(
-            snap,
-            data_files,
-            file_path_column,
-            provenance=True,
-            with_pos=bool(pos_files),
+        # Base/delta split: resolved files (delta_type None — CoW or
+        # compaction output) hold at most ONE row per merge key, so
+        # only keys that appear in a live DELTA can need the fold.
+        # When the commit-log stats show the deltas are small relative
+        # to the base, broadcast the delta keys and route untouched
+        # base rows around the window — the base then never crosses an
+        # exchange (a 100-TB compacted table with a GB of fresh deltas
+        # shuffles the deltas, not the table). Decided BEFORE scanning,
+        # from commit-log record counts only: __dcs_v is derived from
+        # input_file_name() at runtime, so a post-scan filter on it
+        # cannot prune a combined scan and every consumer of the split
+        # (delta-key broadcast, anti, semi, window) would re-read the
+        # FULL file set (measured: 10x MV rebuild 47s filtered-split vs
+        # 24s single-window vs 13s per-side scans).
+        partials = any(f.payload_cols for f in data_files)
+        base_f = [f for f in data_files if f.delta_type is None]
+        delta_f = [f for f in data_files if f.delta_type is not None]
+        base_rec = (
+            sum(f.records or 0 for f in base_f)
+            if base_f and all(f.records is not None for f in base_f)
+            else None
+        )
+        delta_rec = (
+            sum(f.records or 0 for f in delta_f)
+            if delta_f and all(f.records is not None for f in delta_f)
+            else None
+        )
+        use_split = (
+            not partials
+            and base_rec
+            and delta_rec
+            and delta_rec * _MOR_SPLIT_MIN_RATIO <= base_rec
+            and delta_rec <= _MOR_SPLIT_MAX_DELTA_RECORDS
+        )
+        scans = (
+            [self._scan(snap, fs, file_path_column, provenance=True,
+                        with_pos=bool(pos_files))
+             for fs in (base_f, delta_f)]
+            if use_split
+            else [self._scan(snap, data_files, file_path_column,
+                             provenance=True, with_pos=bool(pos_files))]
         )
         if pos_files:
             # Positional deletes apply to physical rows before the
-            # logical merge fold.
-            rows = self._apply_pos_deletes(snap, rows, pos_files)
+            # logical merge fold (keyed on (file, pos) — per-side
+            # application is exact).
+            scans = [
+                self._apply_pos_deletes(snap, rows, pos_files)
+                for rows in scans
+            ]
         if del_files:
             # Delete deltas group by their CONDITION columns (recorded at
             # write as payload_cols; legacy commits fall back to the
-            # merge keys) — non-key equality deletes resolve too.
+            # merge keys) — non-key equality deletes resolve too. The
+            # filter is per-row, so per-side application is exact.
             del_groups: dict[tuple, list[FileEntry]] = {}
             for f in del_files:
                 del_groups.setdefault(
@@ -1473,56 +1513,31 @@ class Catalog:
                         *[F.col(c).alias(f"__dk_{c}") for c in gcols]
                     ).agg(F.max("__dcs_v").alias("__del_v"))
                 )
-                cond = [
-                    rows[c].eqNullSafe(last_del[f"__dk_{c}"]) for c in gcols
-                ]
-                rows = (
-                    rows.join(
-                        self._hint_small(snap, last_del, dfiles), cond, "left"
+                for i, rows in enumerate(scans):
+                    cond = [
+                        rows[c].eqNullSafe(last_del[f"__dk_{c}"])
+                        for c in gcols
+                    ]
+                    scans[i] = (
+                        rows.join(
+                            self._hint_small(snap, last_del, dfiles),
+                            cond,
+                            "left",
+                        )
+                        .filter(
+                            F.col("__del_v").isNull()
+                            | (F.col("__dcs_v") > F.col("__del_v"))
+                        )
+                        .drop("__del_v", *[f"__dk_{c}" for c in gcols])
                     )
-                    .filter(
-                        F.col("__del_v").isNull()
-                        | (F.col("__dcs_v") > F.col("__del_v"))
-                    )
-                    .drop("__del_v", *[f"__dk_{c}" for c in gcols])
-                )
-        partials = any(f.payload_cols for f in data_files)
         if not partials:
             order = snap.schema.merge_order_columns()
             order = order + [F.desc("__dcs_v"), F.desc("__dcs_f")]
-            # Base/delta split: resolved files (delta_type None — CoW or
-            # compaction output) hold at most ONE row per merge key, so
-            # only keys that appear in a live DELTA can need the fold.
-            # When the commit-log stats show the deltas are small
-            # relative to the base, broadcast the delta keys and route
-            # untouched base rows around the window — the base then
-            # never crosses an exchange (a 100-TB compacted table with
-            # a GB of fresh deltas shuffles the deltas, not the table).
-            # Touched base rows still join the window, so a custom
-            # merge_order under which an old base row beats a newer
-            # delta resolves identically to the single-window plan.
-            base_f = [f for f in data_files if f.delta_type is None]
-            delta_f = [f for f in data_files if f.delta_type is not None]
-            base_rec = (
-                sum(f.records or 0 for f in base_f)
-                if base_f and all(f.records is not None for f in base_f)
-                else None
-            )
-            delta_rec = (
-                sum(f.records or 0 for f in delta_f)
-                if delta_f and all(f.records is not None for f in delta_f)
-                else None
-            )
-            if (
-                base_rec
-                and delta_rec
-                and delta_rec * _MOR_SPLIT_MIN_RATIO <= base_rec
-                and delta_rec <= _MOR_SPLIT_MAX_DELTA_RECORDS
-            ):
-                dvers = sorted({f.version for f in delta_f})
-                is_delta = F.col("__dcs_v").isin(dvers)
-                delta_rows = rows.filter(is_delta)
-                base_rows = rows.filter(~is_delta)
+            if use_split:
+                base_rows, delta_rows = scans
+                # Touched base rows still join the window, so a custom
+                # merge_order under which an old base row beats a newer
+                # delta resolves identically to the single-window plan.
                 dk = F.broadcast(
                     delta_rows.select(
                         *[F.col(k).alias(f"__mk_{k}") for k in keys]
@@ -1539,8 +1554,9 @@ class Catalog:
                 return winners.unionByName(untouched).drop(
                     "__dcs_v", "__dcs_f", "__dcs_cols"
                 )
-            winners = dedupe_last_writer(rows, keys, order)
+            winners = dedupe_last_writer(scans[0], keys, order)
             return winners.drop("__dcs_v", "__dcs_f", "__dcs_cols")
+        rows = scans[0]
         # Partial upserts present: per-column stitching. Each non-key
         # column resolves to its value in the NEWEST delta whose payload
         # INCLUDED that column (matching the CoW partial_upsert
