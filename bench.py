@@ -608,8 +608,45 @@ def main() -> None:
                 spark.stop()
                 spark = _fresh_session("remeasure")
                 adjud: dict[str, dict] = {}
+                composite_done: set[str] = set()
                 for name in flagged:
                     try:
+                        # Composite-bench rows (lakehouse_*/mv_*) have no
+                        # standalone REGISTRY entry; rerun their bench
+                        # once and adjudicate every flagged key from it.
+                        fam = None
+                        if name not in REGISTRY:
+                            fam = (
+                                "lakehouse"
+                                if name.startswith("lakehouse_")
+                                else "mv" if name.startswith("mv_") else None
+                            )
+                        if fam is not None:
+                            if fam in composite_done:
+                                continue
+                            composite_done.add(fam)
+                            bench_fn = (
+                                _lakehouse_bench
+                                if fam == "lakehouse"
+                                else _mv_bench
+                            )
+                            c1 = bench_fn(spark, sf_dir)
+                            _clear_session_state(spark)
+                            c2 = bench_fn(spark, sf_dir)
+                            _clear_session_state(spark)
+                            for k in c1:
+                                if k not in timings or k not in flagged:
+                                    continue
+                                new = round(min(c1[k], c2[k]), 3)
+                                adjud[k] = {
+                                    "prev_round": prev_q.get(k),
+                                    "in_run": timings[k],
+                                    "fresh_session_min2": new,
+                                }
+                                if new < timings[k]:
+                                    total += new - timings[k]
+                                    timings[k] = new
+                            continue
                         fn, _sql = REGISTRY[name]
                         d1 = _timed_run(spark, fn, sf_dir)
                         _clear_session_state(spark)
