@@ -673,25 +673,40 @@ def refresh_incremental(
         if res is not None:
             keys_df, payload_groups = res
         if keys_df is not None:
-            # POST-side groups come off the window's change rows
-            # (window-sized); only the PRE side needs a key-slice of
-            # the old snapshot — the current table is resolved exactly
-            # once, for the recompute itself. Both slice reads carry a
-            # bounds predicate so file skipping prunes them on sorted /
-            # range-partitioned tables.
             keys_df = keys_df.persist()
-            kpred = _bounds_predicate(keys_df, mkeys)
-            pre = catalog.read_table(
-                src, namespace, version_as_of=last, predicate=kpred
-            )
-            pre_groups = _null_safe_semi(pre, keys_df, mkeys).select(
-                *group_cols
-            )
-            touched_groups = (
-                payload_groups.unionByName(pre_groups)
-                if payload_groups is not None
-                else pre_groups
-            ).distinct().persist()
+            mk_map = {k.lower(): k for k in mkeys}
+            if all(g.lower() in mk_map for g in group_cols):
+                # Group columns ⊆ merge keys (per-key rollups): a row
+                # can never change group, so the touched-key projection
+                # IS the touched-group superset — no pre-image slice
+                # read, no pre-side bounds job (the change rows' keys
+                # cover both the group a change left and the one it
+                # landed in, because they are the same tuple).
+                touched_groups = keys_df.select(
+                    *[
+                        F.col(mk_map[g.lower()]).alias(g)
+                        for g in group_cols
+                    ]
+                ).distinct().persist()
+            else:
+                # POST-side groups come off the window's change rows
+                # (window-sized); only the PRE side needs a key-slice
+                # of the old snapshot — the current table is resolved
+                # exactly once, for the recompute itself. Both slice
+                # reads carry a bounds predicate so file skipping
+                # prunes them on sorted / range-partitioned tables.
+                kpred = _bounds_predicate(keys_df, mkeys)
+                pre = catalog.read_table(
+                    src, namespace, version_as_of=last, predicate=kpred
+                )
+                pre_groups = _null_safe_semi(pre, keys_df, mkeys).select(
+                    *group_cols
+                )
+                touched_groups = (
+                    payload_groups.unionByName(pre_groups)
+                    if payload_groups is not None
+                    else pre_groups
+                ).distinct().persist()
             # COST GATE: recompute cost ~ touched groups' row share.
             # When the window touches most groups (low-cardinality
             # group column, scattered updates), the group-slice
