@@ -571,6 +571,12 @@ def main() -> None:
         import glob as _glob
         import re as _re
 
+        # adjudicate against the newest record of a PREVIOUS round —
+        # this run rewrites BENCH_local_r{_next_round()}.json, so an
+        # interim record of the current round must not become its own
+        # comparison base (it would carry this round's noise into the
+        # band instead of the last round's adjudicated numbers)
+        this_round = _next_round()
         prevs = sorted(
             (
                 int(m.group(1)), p
@@ -582,6 +588,7 @@ def main() -> None:
                 )
             )
             if (m := _re.search(r"BENCH_local_r(\d+)\.json$", p))
+            and int(m.group(1)) < this_round
         )
         prev_rec = json.load(open(prevs[-1][1])) if prevs else None
         cal_now = calibration.get("main", {}).get("total")
