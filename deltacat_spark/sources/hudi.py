@@ -1056,6 +1056,16 @@ def write_hudi(
                 [(fid, fn) for fid, fn in log_fname_by_fid.items()],
                 "__fid string, _hoodie_file_name string",
             )
+            # No repartition here: both hoodie-format consumers below
+            # are groupBy("_hoodie_file_name").applyInPandas, whose own
+            # hash exchange clusters the rows (fname↔fid is 1:1), so a
+            # pre-repartition on __fid would shuffle the matched batch
+            # TWICE (job-profiled r15: one redundant Exchange per
+            # framed-log commit). The parquet path keeps its
+            # repartition("__pp") — partitionBy needs one task per
+            # group so each staged dir lands a single file. The seqno
+            # project sits below the first exchange either way, so
+            # monotonically_increasing_id values are unchanged.
             staged = (
                 matched.join(F.broadcast(fname_map), "__fid")
                 .withColumn("_hoodie_commit_time", F.lit(instant))
@@ -1067,7 +1077,6 @@ def write_hudi(
                         F.monotonically_increasing_id().cast("string"),
                     ),
                 )
-                .repartition("__fid")
             )
         if log_format == "hoodie" and deleting:
             # frame one real DELETE block per file group ON EXECUTORS
