@@ -204,6 +204,15 @@ def cosine_dedup_pairs(
         v.select("id", *band_cols)
         .selectExpr("id", f"stack({n_bands}, {stack}) as (band, bucket)")
     )
+    # Materialize the narrow (id, band, bucket) table before the
+    # self-join: Spark evaluates an aliased sub-plan once PER JOIN SIDE
+    # (the r7 lsh_candidates lesson), so without this the n_bands ×
+    # band_planes hyperplane projections — the most expensive per-row
+    # work in the pipeline — run twice over the corpus, and the
+    # 2048-literal plane expression tree is planned twice (measured
+    # ~0.8s driver planning + double execution on the 500-vector bench
+    # row; guide §2.4/§7.3). 16n narrow rows, MEMORY_AND_DISK.
+    buckets = buckets.localCheckpoint(eager=False)
     a = buckets.alias("a")
     b = buckets.alias("b")
     cands = (
@@ -275,6 +284,7 @@ def ivf_centroids(
     iters: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
     """K-means-lite centroids, engine-reproducible: seeds are the
     `n_centroids` vectors with the smallest md5(vec_id) (any engine can
@@ -304,27 +314,44 @@ def ivf_centroids(
     centroids = seeds.withColumn(
         "cid", F.row_number().over(w) - F.lit(1)
     ).select("cid", F.col("vec").alias("c_vec"))
+    # Per-dimension COLUMN aggregates instead of posexplode →
+    # groupBy(cid, pos) → collect_list reassembly (guide §2.3 "aggregate
+    # before you shuffle" / §2.4 remove shuffles): the explode blew each
+    # assigned row up d×, paid one hash Exchange keyed (cid, pos) AND a
+    # second Exchange to stitch positions back into arrays. d sum
+    # columns partial-aggregate map-side, so ONE k-row exchange carries
+    # k × d running sums per Lloyd round — no explode, one shuffle
+    # fewer, identical arithmetic (vectors are fixed-width, so the old
+    # per-(cid,pos) count equals the per-cid count; same scaled-long
+    # sums, same rounding, same position order).
+    if dim is None:
+        dim = vec_dim(candidates, vec_col)
     for _ in range(iters):
         assigned = _nearest_cid(c, centroids)
-        comp = (
-            assigned.select("cid", F.posexplode("vec").alias("pos", "val"))
-            .groupBy("cid", "pos")
-            .agg(
-                F.round(
-                    F.sum(
-                        F.floor(F.col("val") * 1e6 + F.lit(0.5)).cast("long")
-                    ).cast("double")
-                    / F.lit(1e6)
-                    / F.count(F.lit(1)),
-                    6,
-                ).alias("cval")
-            )
+        sums = assigned.groupBy("cid").agg(
+            F.count(F.lit(1)).alias("__n"),
+            *[
+                F.sum(
+                    F.floor(
+                        F.element_at(F.col("vec"), i + 1) * 1e6 + F.lit(0.5)
+                    ).cast("long")
+                ).alias(f"__s{i}")
+                for i in range(dim)
+            ],
         )
-        centroids = comp.groupBy("cid").agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "cval"))),
-                lambda s: s["cval"],
-            ).alias("c_vec")
+        centroids = sums.select(
+            "cid",
+            F.array(
+                *[
+                    F.round(
+                        F.col(f"__s{i}").cast("double")
+                        / F.lit(1e6)
+                        / F.col("__n"),
+                        6,
+                    )
+                    for i in range(dim)
+                ]
+            ).alias("c_vec"),
         )
     return centroids
 

@@ -48,7 +48,49 @@ TABLES = (
 )
 
 
-def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def _spread_small_scan(
+    spark: SparkSession, df: DataFrame, path: str
+) -> DataFrame:
+    """Unsplittable-input guard (optimization guide §2.5 "input skew:
+    one huge unsplittable file... otherwise repartition immediately
+    after the read"): the testdata tables are single parquet files with
+    ONE row group, so their scans collapse to a single task and any
+    per-row compute above them (shingle explodes, hashing, vector math)
+    serializes on one core regardless of cluster size. When the WHOLE
+    input is smaller than one scan split (`spark.sql.files.
+    maxPartitionBytes`), fan rows out round-robin to the session's
+    default parallelism; for real multi-split inputs the gate never
+    fires and the plan is unchanged — scale-adaptive by construction
+    (reads data size + cluster parallelism, no local-only constants).
+    Only compute-heavy consumers opt in via ``load(..., spread=True)``;
+    plain scan→agg queries keep their exchange-free plans."""
+    import os as _os
+
+    try:
+        if _os.path.isdir(path):
+            total = sum(
+                _os.path.getsize(_os.path.join(path, f))
+                for f in _os.listdir(path)
+            )
+        else:
+            total = _os.path.getsize(path)
+    except OSError:
+        return df
+    conf = spark.conf.get("spark.sql.files.maxPartitionBytes", "128MB")
+    units = {"k": 1024, "m": 1024**2, "g": 1024**3}
+    s = str(conf).strip().lower().rstrip("b")
+    max_split = (
+        int(s[:-1]) * units[s[-1]] if s and s[-1] in units
+        else int(s or 134217728)
+    )
+    if total <= max_split:
+        return df.repartition(spark.sparkContext.defaultParallelism)
+    return df
+
+
+def load(
+    spark: SparkSession, sf_dir: str, name: str, spread: bool = False
+) -> DataFrame:
     """Load one synthetic table; normalizes the events timestamp column.
 
     The returned events DataFrame carries ``ts_us`` (epoch microseconds,
@@ -56,7 +98,12 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ``epoch_us(ts)`` exactly — regardless of whether this testdata
     generation stores ``ts`` as parquet timestamp[ns] (read as int64
     nanos) or timestamp[us] (read as TIMESTAMP_NTZ).
+
+    ``spread=True`` routes the scan through :func:`_spread_small_scan`
+    — for compute-heavy consumers whose per-row work would otherwise
+    serialize on an unsplittable single-task scan.
     """
+    path = f"{sf_dir}/{name}.parquet"
     if name == "events":
         # No-op for timestamp[us]/[ms] data; required to scan the older
         # INT64(TIMESTAMP(NANOS)) generation without an error. Runtime-settable.
@@ -66,19 +113,23 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # already; setting it here too makes the inventory correct under
         # ANY caller-provided session (the driver builds its own).
         spark.conf.set("spark.sql.session.timeZone", "UTC")
-        df = spark.read.parquet(f"{sf_dir}/events.parquet")
+        df = spark.read.parquet(path)
         ts_type = df.schema["ts"].dataType
         if isinstance(ts_type, T.LongType):
             # nanos-as-long generation. Integer division — double division
             # loses precision at 1e18 nanos.
-            return df.withColumn("ts_us", F.expr("ts div 1000")).drop("ts")
-        # timestamp[us] generation: TIMESTAMP_NTZ (or TIMESTAMP). unix_micros
-        # requires TIMESTAMP, so cast first; with the session timezone pinned
-        # to UTC the NTZ→TIMESTAMP cast is the identity mapping DuckDB uses.
-        return df.withColumn(
-            "ts_us", F.unix_micros(F.col("ts").cast("timestamp"))
-        ).drop("ts")
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+            df = df.withColumn("ts_us", F.expr("ts div 1000")).drop("ts")
+        else:
+            # timestamp[us] generation: TIMESTAMP_NTZ (or TIMESTAMP).
+            # unix_micros requires TIMESTAMP, so cast first; with the
+            # session timezone pinned to UTC the NTZ→TIMESTAMP cast is
+            # the identity mapping DuckDB uses.
+            df = df.withColumn(
+                "ts_us", F.unix_micros(F.col("ts").cast("timestamp"))
+            ).drop("ts")
+    else:
+        df = spark.read.parquet(path)
+    return _spread_small_scan(spark, df, path) if spread else df
 
 
 # SQL fragment: events with ts_us, for oracle queries.

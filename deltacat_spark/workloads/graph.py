@@ -87,10 +87,16 @@ def pagerank_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition("src")
         .localCheckpoint(eager=False)
     )
-    ranks = (
-        deg.select("src", F.lit(_PR_SCALE).cast("long").alias("r"))
-        .localCheckpoint(eager=False)  # node-sized; computed once
-    )
+    # No per-iteration rank checkpoints: each localCheckpoint(eager or
+    # not) runs full Catalyst optimization + physical planning + codegen
+    # of its subtree on the DRIVER at build time — measured 1-2s per
+    # call here (guide §7.3 "planning/optimising" driver work), while
+    # the 4-iteration chain is a bounded plan that optimizes ONCE at the
+    # action (A/B: 4.6s → 3.2s same-session, identical rows). The
+    # edges_deg checkpoint above stays — it pins the hash(src) layout
+    # every iteration's join reuses. Jobs with MANY iterations should
+    # re-checkpoint every ~10 rounds to bound plan depth; 4 is fine.
+    ranks = deg.select("src", F.lit(_PR_SCALE).cast("long").alias("r"))
     for _ in range(_PR_ITERS):
         contrib = ranks.join(edges_deg, "src").select(
             "dst", F.expr("r DIV outdeg").alias("c")
@@ -104,7 +110,6 @@ def pagerank_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).alias("r")
             )
             .select(F.col("dst").alias("src"), F.col("r").cast("long"))
-            .localCheckpoint(eager=False)
         )
     return ranks.select(
         F.when(F.col("src") % 2 == 0, F.lit("part"))

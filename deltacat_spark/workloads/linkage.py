@@ -43,7 +43,7 @@ def er_fuzzy_match_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     computed in the same entity-collapse aggregate, so the pairwise
     stage never touches a corpus row.
     """
-    part = load(spark, sf_dir, "part").select("p_name")
+    part = load(spark, sf_dir, "part", spread=True).select("p_name")
     ent = (
         part.groupBy(F.col("p_name").alias("name"))
         .agg(F.count(F.lit(1)).alias("support"))

@@ -49,7 +49,7 @@ def repeated_substring_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Maximal cross-doc repeated token runs ≥ `_MIN_RUN` tokens:
     (doc_a, doc_b, start_a, start_b, n_tokens), 1-based token
     positions, longest first."""
-    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = load(spark, sf_dir, "documents", spread=True).select("doc_id", "text")
     grams = (
         docs.select(
             "doc_id",
@@ -184,7 +184,7 @@ def winnow_fingerprint_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     `repeated_substring_runs` (exact coordinates) — winnowing is the
     standard plagiarism/clone-detection middle ground.
     """
-    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = load(spark, sf_dir, "documents", spread=True).select("doc_id", "text")
     fps = (
         docs.select(
             "doc_id",
@@ -280,7 +280,7 @@ def cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     table. Fraction reported as integer parts-per-10000 (truncating
     div on both engines).
     """
-    docs = load(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    docs = load(spark, sf_dir, "documents", spread=True).select("doc_id", "source", "text")
     boundary = (
         f"(instr('0123456789abcdef', substring(md5(array_join("
         f"slice(ws, j - {_CDC_B - 1}, {_CDC_B}), ' ')), 32, 1)) - 1)"
@@ -388,7 +388,7 @@ def winnow_candidate_pairs(spark: SparkSession, sf_dir: str) -> int:
     threshold. Recorded at the deep and deep30 tiers so the bench
     proves the linear deep30 wall-time term is ROW volume, not a
     quadratic candidate-pair term (which would blow up at 100x)."""
-    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = load(spark, sf_dir, "documents", spread=True).select("doc_id", "text")
     fps = (
         docs.select(
             "doc_id",
@@ -429,7 +429,7 @@ def runs_candidate_pairs(spark: SparkSession, sf_dir: str) -> int:
     """Candidate volume of `repeated_substring_runs`' position join:
     Σ over shared grams (2 ≤ distinct-doc df ≤ cap) of n*(n-1)/2
     occurrence pairs — the join's pre-filter row volume."""
-    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = load(spark, sf_dir, "documents", spread=True).select("doc_id", "text")
     grams = (
         docs.select(
             "doc_id",

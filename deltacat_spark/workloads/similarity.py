@@ -24,7 +24,7 @@ _DOT_SQL = (
 
 
 def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load(spark, sf_dir, "embeddings")
+    e = load(spark, sf_dir, "embeddings", spread=True)
     queries = e.filter(F.col("vec_id") < 10)
     candidates = e.filter(F.col("vec_id") >= 10)
     return brute_force_topk(candidates, queries, k=5)
@@ -44,7 +44,7 @@ WHERE rn <= 5
 
 
 def knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load(spark, sf_dir, "embeddings")
+    e = load(spark, sf_dir, "embeddings", spread=True)
     queries = e.filter(F.col("vec_id") < 10)
     candidates = e.filter(F.col("vec_id") >= 10)
     topk = brute_force_topk(candidates, queries, k=10)
@@ -71,7 +71,7 @@ WHERE rn = 1
 
 
 def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load(spark, sf_dir, "embeddings")
+    e = load(spark, sf_dir, "embeddings", spread=True)
     n = e.select("label", l2_norm(F.col("embedding")).alias("nrm"))
     return n.groupBy("label").agg(
         cnt("n_vectors"),
@@ -100,7 +100,7 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     `operators.similarity.lsh_topk`): same-bucket candidates only."""
     from deltacat_spark.operators.similarity import lsh_topk
 
-    e = load(spark, sf_dir, "embeddings")
+    e = load(spark, sf_dir, "embeddings", spread=True)
     queries = e.filter(F.col("vec_id") < 10)
     candidates = e.filter(F.col("vec_id") >= 10)
     return lsh_topk(candidates, queries, k=5, n_planes=4)
@@ -147,7 +147,7 @@ def ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     recall recovery at bounded extra fan-out."""
     from deltacat_spark.operators.similarity import lsh_topk
 
-    e = load(spark, sf_dir, "embeddings")
+    e = load(spark, sf_dir, "embeddings", spread=True)
     queries = e.filter(F.col("vec_id") < 10)
     candidates = e.filter(F.col("vec_id") >= 10)
     return lsh_topk(candidates, queries, k=5, n_planes=4, multiprobe=True)
@@ -175,7 +175,7 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     0.58 on this testdata, `tests/test_ann_recall.py`)."""
     from deltacat_spark.operators.similarity import ivf_topk
 
-    e = load(spark, sf_dir, "embeddings")
+    e = load(spark, sf_dir, "embeddings", spread=True)
     queries = e.filter(F.col("vec_id") < 10)
     candidates = e.filter(F.col("vec_id") >= 10)
     return ivf_topk(
@@ -274,7 +274,7 @@ def ann_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     root = tempfile.mkdtemp(prefix="dcs_annidx_")
     try:
         cat = Catalog(spark, root)
-        e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+        e = load(spark, sf_dir, "embeddings", spread=True).select("vec_id", "embedding")
         queries = e.filter(F.col("vec_id") < 10)
         cands = e.filter(F.col("vec_id") >= 10)
         sch = Schema.from_dataframe(cands)
@@ -356,7 +356,7 @@ def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     the max|x| > 0 guard on BOTH engines. `codes` is emitted as a
     canonical comma-joined string (driver output contract: no
     array/struct/map columns in query results — see workloads/base.py)."""
-    e = load(spark, sf_dir, "embeddings")
+    e = load(spark, sf_dir, "embeddings", spread=True)
     maxabs = F.array_max(
         F.transform(F.col("embedding"), lambda x: F.abs(x))
     ).cast("double")
@@ -414,7 +414,7 @@ _XQ_EXPR = (
 
 
 def kmeans_assign_step(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load(spark, sf_dir, "embeddings")
+    e = load(spark, sf_dir, "embeddings", spread=True)
     ex = e.select(
         "vec_id", "label", F.posexplode(F.expr(_XQ_EXPR)).alias("dim", "xq")
     )

@@ -93,7 +93,7 @@ def _codes(e: DataFrame, cb: DataFrame) -> DataFrame:
 def embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Every vector's PQ code word (M=8 codes in subvector order,
     canonical comma-joined string per the driver output contract)."""
-    e = load(spark, sf_dir, "embeddings")
+    e = load(spark, sf_dir, "embeddings", spread=True)
     cb = _codebook(e)
     codes = _codes(e, cb)
     return (
@@ -166,7 +166,7 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFrame:
     true neighbors land in the shortlist (on clustered real embeddings
     they do; on this near-uniform synthetic corpus the shortlist recall
     is the measured ceiling — `tests/test_pq.py`)."""
-    e = load(spark, sf_dir, "embeddings")
+    e = load(spark, sf_dir, "embeddings", spread=True)
     cb = _codebook(e)
     codes = _codes(e, cb)
     qsubs = (

@@ -95,7 +95,7 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     Singletons (no ≥τ neighbor) form their own group and are kept."""
     from deltacat_spark.operators.dedupe import connected_components
 
-    e = load(spark, sf_dir, "embeddings")
+    e = load(spark, sf_dir, "embeddings", spread=True)
     best, cent_arr = _assigned_with_vectors(e)
     # cosine to own centroid: integer dots, then one double division
     with_cos = (
@@ -245,7 +245,7 @@ def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     upgraded to decimal(38,0) — noted, not needed at bench scale."""
     import pandas as pd
 
-    e = load(spark, sf_dir, "embeddings").select("embedding")
+    e = load(spark, sf_dir, "embeddings", spread=True).select("embedding")
 
     def gram(batches):
         import numpy as np

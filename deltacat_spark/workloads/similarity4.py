@@ -161,7 +161,7 @@ def kmeans_lloyd_iters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from deltacat_spark.workloads.base import load
     from deltacat_spark.workloads.similarity import _XQ_EXPR
 
-    e = load(spark, sf_dir, "embeddings")
+    e = load(spark, sf_dir, "embeddings", spread=True)
     ex = e.select(
         "vec_id", F.posexplode(F.expr(_XQ_EXPR)).alias("dim", "xq")
     ).localCheckpoint(eager=False)
@@ -275,7 +275,7 @@ def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     from deltacat_spark.operators.similarity import brute_force_topk, lsh_topk
     from deltacat_spark.workloads.base import load
 
-    e = load(spark, sf_dir, "embeddings")
+    e = load(spark, sf_dir, "embeddings", spread=True)
     queries = e.filter(F.col("vec_id") < 10)
     candidates = e.filter(F.col("vec_id") >= 10)
     brute = brute_force_topk(candidates, queries, k=5).select(

@@ -85,7 +85,7 @@ def hll_user_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
     register table (256-key max re-aggregate), not from the raw ids —
     the same two-level motion a 1000-executor run uses (executors sketch
     their shard, the driver folds 256-int arrays)."""
-    ev = load(spark, sf_dir, "events").select("event_type", "user_id")
+    ev = load(spark, sf_dir, "events", spread=True).select("event_type", "user_id")
     per_type = (
         hll_prep(ev, "user_id")
         .groupBy("event_type", "bucket")
@@ -184,7 +184,7 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from a sample or a prior sketch, and the CMS point-query is the
     same 4-register min. CMS never underestimates — `cms_est ≥
     exact_cnt` is asserted in tests."""
-    li = load(spark, sf_dir, "lineitem").select("l_partkey")
+    li = load(spark, sf_dir, "lineitem", spread=True).select("l_partkey")
     reg = (
         cms_prep(li, "l_partkey")
         .groupBy("r", "c")
@@ -240,7 +240,7 @@ def quantile_sketch_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
     at 100 TB. Guaranteed ≤ 2× relative error on the value (a bucket
     spans one doubling); everything stays in integer space (floor →
     bit length via `bin()`, identical on both engines)."""
-    orders = load(spark, sf_dir, "orders").select(
+    orders = load(spark, sf_dir, "orders", spread=True).select(
         "o_orderpriority", "o_totalprice"
     )
     base = orders.select(

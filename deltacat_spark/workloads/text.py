@@ -47,7 +47,7 @@ sh AS (
 
 # --- token counting ---------------------------------------------------------
 def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load(spark, sf_dir, "documents")
+    d = load(spark, sf_dir, "documents", spread=True)
     return d.select(
         "doc_id",
         "n_chars",
@@ -69,7 +69,7 @@ def token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus length profile: docs and tokens per 32-token bucket (the
     pre-training length-distribution check; one map-side-combinable
     aggregate, no shuffle wider than the bucket count)."""
-    d = load(spark, sf_dir, "documents")
+    d = load(spark, sf_dir, "documents", spread=True)
     n = token_count(F.col("text"))
     return (
         d.select((F.floor(n / 32) * 32).cast("long").alias("bucket_lo"), n.alias("n"))
@@ -92,7 +92,7 @@ def top_df_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     the stop-shingle / vocabulary-head report. Explode → distinct →
     count, one global top-k; ties broken lexically so the cut is
     deterministic on both engines."""
-    d = load(spark, sf_dir, "documents")
+    d = load(spark, sf_dir, "documents", spread=True)
     df_counts = (
         d.select("doc_id", F.explode(F.array_distinct(tokens(F.col("text")))).alias("term"))
         .groupBy("term")
@@ -142,7 +142,7 @@ FROM documents GROUP BY 1 ORDER BY split
 
 # --- quality scoring --------------------------------------------------------
 def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load(spark, sf_dir, "documents")
+    d = load(spark, sf_dir, "documents", spread=True)
     return d.select(
         "doc_id",
         quality_score(F.col("text")).alias("quality"),
@@ -171,7 +171,7 @@ def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Function-word language scorer (n-gram-heuristic family). The corpus
     is synthetic English-ish for every `lang` tag, so the value of this
     query is the agreement *matrix* it returns, not classifier accuracy."""
-    d = load(spark, sf_dir, "documents")
+    d = load(spark, sf_dir, "documents", spread=True)
     t = tokens(F.col("text"))
     en = F.size(F.filter(t, lambda x: x.isin("the", "a", "of", "and")))
     de = F.size(F.filter(t, lambda x: x.isin("der", "die", "das", "und")))
@@ -215,7 +215,7 @@ GROUP BY lang, predicted_lang
 
 # --- fingerprint ------------------------------------------------------------
 def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load(spark, sf_dir, "documents")
+    d = load(spark, sf_dir, "documents", spread=True)
     return d.select("doc_id", doc_fingerprint(F.col("text")).alias("fingerprint"))
 
 
@@ -243,7 +243,7 @@ FROM documents GROUP BY md5(text)
 
 # --- MinHash + LSH near-dup -------------------------------------------------
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load(spark, sf_dir, "documents")
+    d = load(spark, sf_dir, "documents", spread=True)
     # NOTE: persisting the shingle index was measured 1.7× SLOWER here —
     # tokenize+explode recompute is cheaper than cache materialization.
     # At cluster scale with much larger documents, revisit with
@@ -307,7 +307,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH pairs → Jaccard verify → connected components: each
     near-dup doc labeled with its cluster representative (min doc_id
     reachable through the verified-pair graph)."""
-    d = load(spark, sf_dir, "documents")
+    d = load(spark, sf_dir, "documents", spread=True)
     sh = shingle_sets(d, "doc_id", "text", n=3, hashed=True)
     sigs = minhash_signatures(
         shingle_sets(d, "doc_id", "text", n=3, distinct=False), num_perms=8
@@ -338,7 +338,7 @@ def dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     highest-quality (longest, tie → min doc_id) doc per cluster via
     `operators.dedupe.keep_best`. Reports each cluster's survivor and
     size — the rows a `write_to_table` of the cleaned corpus would keep."""
-    d = load(spark, sf_dir, "documents")
+    d = load(spark, sf_dir, "documents", spread=True)
     sh = shingle_sets(d, "doc_id", "text", n=3, hashed=True)
     sigs = minhash_signatures(
         shingle_sets(d, "doc_id", "text", n=3, distinct=False), num_perms=8
@@ -385,7 +385,7 @@ FROM ranked WHERE rn = 1
 
 # --- exact n-gram Jaccard near-dup ------------------------------------------
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load(spark, sf_dir, "documents")
+    d = load(spark, sf_dir, "documents", spread=True)
     sh = shingle_sets(d, "doc_id", "text", n=3, hashed=True)
     return jaccard_pairs(sh, candidates=None, df_cap=50, threshold=0.7)
 
@@ -420,7 +420,7 @@ def text_scrub_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     between engines a hash mismatch."""
     from deltacat_spark.functions.text import pii_counts, scrub_pii
 
-    d = load(spark, sf_dir, "documents")
+    d = load(spark, sf_dir, "documents", spread=True)
     doc_id = F.col("doc_id")
     aug = F.concat(
         F.col("text"),
@@ -497,7 +497,7 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus (doc_id < 250) WITHOUT recomputing corpus×corpus — the
     inverted-index join touches only corpus×new shingle matches
     (`operators/dedupe.py:jaccard_pairs_across`)."""
-    d = load(spark, sf_dir, "documents")
+    d = load(spark, sf_dir, "documents", spread=True)
     sh_corpus = shingle_sets(
         d.filter(F.col("doc_id") < 250), "doc_id", "text", n=3, hashed=True
     )
@@ -531,7 +531,7 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Directed shingle-containment pairs |A∩B|/|A| ≥ 0.9
     (`operators/dedupe.py:containment_pairs`): excerpt/quote detection
     where Jaccard under-scores short-in-long duplication."""
-    d = load(spark, sf_dir, "documents")
+    d = load(spark, sf_dir, "documents", spread=True)
     sh = shingle_sets(d, "doc_id", "text", n=3, hashed=True)
     return containment_pairs(sh, df_cap=None, threshold=0.9)
 
@@ -567,7 +567,7 @@ def decontaminate_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     word-3-gram shingles with any 'benchmark' probe doc (doc_id < 50).
     The probe side broadcasts — the corpus never shuffles
     (`operators/dedupe.py:contamination_overlap`)."""
-    d = load(spark, sf_dir, "documents")
+    d = load(spark, sf_dir, "documents", spread=True)
     sh_docs = shingle_sets(
         d.filter(F.col("doc_id") >= 50), "doc_id", "text", n=3, hashed=True
     )
@@ -644,7 +644,7 @@ FROM t
 
 # --- SimHash ----------------------------------------------------------------
 def simhash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load(spark, sf_dir, "documents")
+    d = load(spark, sf_dir, "documents", spread=True)
     return simhash(d, "doc_id", "text", bits=32)
 
 
@@ -686,7 +686,7 @@ def simhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit_count(xor) verify (`operators/dedupe.py:simhash_near_dup`):
     all pairs within Hamming distance 3, found without an all-pairs
     join (pigeonhole over 4 disjoint 8-bit bands)."""
-    d = load(spark, sf_dir, "documents")
+    d = load(spark, sf_dir, "documents", spread=True)
     # Pinned uncapped: this query IS the oracle-parity form (the DuckDB
     # SQL is all-pairs). The library default caps hot buckets.
     # bits=60 (r6, was 32): a band slice is bits/bands wide, so 32-bit
@@ -718,7 +718,7 @@ def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     (`operators/quality.py:repetition_stats`): top-word fraction,
     duplicate-word fraction, top-2-gram fraction — the repetition
     rules of published corpus-curation pipelines."""
-    d = load(spark, sf_dir, "documents")
+    d = load(spark, sf_dir, "documents", spread=True)
     return repetition_stats(
         d, "doc_id", "text", top_word_max=0.2, top_2gram_max=0.2
     )
@@ -756,7 +756,7 @@ FROM ws JOIN gs ON ws.doc_id = gs.doc_id
 def text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Regex tokenizer (word pieces + standalone punctuation — the
     'BPE-ish regex' pass of a pretraining tokenizer pipeline)."""
-    d = load(spark, sf_dir, "documents")
+    d = load(spark, sf_dir, "documents", spread=True)
     toks = F.expr(r"regexp_extract_all(text, '[a-z0-9]+|[^a-z0-9 ]', 0)")
     return d.select(
         "doc_id",
@@ -779,7 +779,7 @@ FROM documents
 def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Highest-TF-IDF token per document (classic corpus statistics:
     tf × ln(N/df) over the whitespace tokens)."""
-    d = load(spark, sf_dir, "documents")
+    d = load(spark, sf_dir, "documents", spread=True)
     n_docs = d.count()
     tok = d.select(
         "doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok")
@@ -832,7 +832,7 @@ def lm_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine boundary, not one per token. Plan: corpus term counts
     (map-side combinable) broadcast onto a per-doc term-count aggregate;
     nothing shuffles wider than (doc_id, term)."""
-    d = load(spark, sf_dir, "documents")
+    d = load(spark, sf_dir, "documents", spread=True)
     toks = d.select(
         "doc_id", F.explode(tokens(F.col("text"))).alias("term")
     )
@@ -922,7 +922,7 @@ def minhash_capped_run(spark: SparkSession, sf_dir: str) -> int:
     execution) so the bench can record a WALL-TIME for the capped
     path next to the uncapped oracle-parity rows (judge r12: the
     capped path had pair-count parity asserts but no timed row)."""
-    d = load(spark, sf_dir, "documents")
+    d = load(spark, sf_dir, "documents", spread=True)
     sh = shingle_sets(d, "doc_id", "text", n=3, hashed=True)
     sigs = minhash_signatures(
         shingle_sets(d, "doc_id", "text", n=3, distinct=False), num_perms=8
@@ -944,7 +944,7 @@ def minhash_candidate_pairs(
     size, so synthetic SF-replication inflates it super-linearly);
     the library DEFAULT (64) is the hot-bucket star-pair guard — the
     100 TB path — whose count must stay ~linear in rows."""
-    d = load(spark, sf_dir, "documents")
+    d = load(spark, sf_dir, "documents", spread=True)
     sigs = minhash_signatures(
         shingle_sets(d, "doc_id", "text", n=3, distinct=False), num_perms=8
     )

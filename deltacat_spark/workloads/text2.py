@@ -46,7 +46,7 @@ def dup_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     the curation keep flag. The shingle-df aggregation is the only wide
     stage and is keyed by shingle hash — at 100 TB it shuffles tokens
     once, identically to the inverted-index build."""
-    d = load(spark, sf_dir, "documents")
+    d = load(spark, sf_dir, "documents", spread=True)
     tk = F.split(F.col("text"), " ")
     shingles = F.array_distinct(
         F.transform(
@@ -225,7 +225,7 @@ def embedding_class_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     cluster seeding. posexplode keeps it one narrow explode + one
     (label, dim)-keyed aggregation; float→scaled-long keeps the mean
     order-independent."""
-    emb = load(spark, sf_dir, "embeddings")
+    emb = load(spark, sf_dir, "embeddings", spread=True)
     ex = emb.select(
         "label", F.posexplode("embedding").alias("dim", "x")
     )
@@ -317,7 +317,7 @@ def term_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     whose last-ulp libm differences could flip a rounded value).
     Two token-keyed aggregations + one broadcastable unigram join;
     min-count 5 bounds the candidate set before the join."""
-    d = load(spark, sf_dir, "documents")
+    d = load(spark, sf_dir, "documents", spread=True)
     tk = F.split(F.col("text"), " ")
     toks = d.select(F.explode(tk).alias("w"))
     uni = toks.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
@@ -404,7 +404,7 @@ def dedup_boilerplate_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     instances whose text appears in >= 3 distinct docs, and the exact
     permille. Segments are built array-native (sequence + slice +
     array_join — no explode until segments exist, no UDF)."""
-    d = load(spark, sf_dir, "documents")
+    d = load(spark, sf_dir, "documents", spread=True)
     segs = (
         d.select("doc_id", F.split("text", " ").alias("t"))
         .select(

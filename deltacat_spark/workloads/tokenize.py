@@ -35,7 +35,7 @@ _N_MERGES = 6
 def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The learned merge table: (step, left_sym, right_sym, merged,
     cnt) for `_N_MERGES` BPE iterations over the documents corpus."""
-    docs = load(spark, sf_dir, "documents").select("text")
+    docs = load(spark, sf_dir, "documents", spread=True).select("text")
     merges, _ = learn_bpe(docs, "text", _N_MERGES)
     rows = [
         (i + 1, left, right, left + right, cnt)
@@ -51,7 +51,7 @@ def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 def bpe_encode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document token counts under the learned `_N_MERGES` merges:
     (doc_id, n_tokens). Encoding = broadcast word→|symbols| join."""
-    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = load(spark, sf_dir, "documents", spread=True).select("doc_id", "text")
     _, syms = learn_bpe(docs.select("text"), "text", _N_MERGES)
     words = docs.select(
         "doc_id", F.explode(F.split("text", " ")).alias("w")

@@ -236,7 +236,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     sf0.001/0.01/0.1)."""
     from deltacat_spark.operators.similarity import cosine_dedup_pairs
 
-    e = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 500)
+    e = load(spark, sf_dir, "embeddings", spread=True).filter(F.col("vec_id") < 500)
     return cosine_dedup_pairs(
         e, threshold=0.45, n_bands=16, band_planes=2
     )
@@ -267,7 +267,7 @@ def embedding_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from deltacat_spark.operators.dedupe import connected_components
     from deltacat_spark.operators.similarity import cosine_dedup_pairs
 
-    e = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 500)
+    e = load(spark, sf_dir, "embeddings", spread=True).filter(F.col("vec_id") < 500)
     pairs = cosine_dedup_pairs(e, threshold=0.45, n_bands=16, band_planes=2)
     return connected_components(pairs, a_col="id_a", b_col="id_b").select(
         F.col("doc_id").alias("vec_id"), "cluster_id"
