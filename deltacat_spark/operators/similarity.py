@@ -314,44 +314,36 @@ def ivf_centroids(
     centroids = seeds.withColumn(
         "cid", F.row_number().over(w) - F.lit(1)
     ).select("cid", F.col("vec").alias("c_vec"))
-    # Per-dimension COLUMN aggregates instead of posexplode →
-    # groupBy(cid, pos) → collect_list reassembly (guide §2.3 "aggregate
-    # before you shuffle" / §2.4 remove shuffles): the explode blew each
-    # assigned row up d×, paid one hash Exchange keyed (cid, pos) AND a
-    # second Exchange to stitch positions back into arrays. d sum
-    # columns partial-aggregate map-side, so ONE k-row exchange carries
-    # k × d running sums per Lloyd round — no explode, one shuffle
-    # fewer, identical arithmetic (vectors are fixed-width, so the old
-    # per-(cid,pos) count equals the per-cid count; same scaled-long
-    # sums, same rounding, same position order).
-    if dim is None:
-        dim = vec_dim(candidates, vec_col)
+    # NOTE (r15 measurement): a per-dimension column-aggregate variant
+    # (64 sum columns, no explode, one exchange per round) was built
+    # and A/B-measured SLOWER warm (3.3s vs 2.6s per 2-round build) —
+    # whole-stage codegen of the 64-column aggregate costs more than
+    # the explode it removes, and the exploded (cid, pos) shuffle is
+    # already bounded map-side by partial aggregation (k × d rows per
+    # map task). Guide §1.1: the "ideal" plan lost to the gotcha;
+    # keeping the measured-faster explode form. `dim` stays accepted
+    # for callers that know it (unused by this implementation).
     for _ in range(iters):
         assigned = _nearest_cid(c, centroids)
-        sums = assigned.groupBy("cid").agg(
-            F.count(F.lit(1)).alias("__n"),
-            *[
-                F.sum(
-                    F.floor(
-                        F.element_at(F.col("vec"), i + 1) * 1e6 + F.lit(0.5)
-                    ).cast("long")
-                ).alias(f"__s{i}")
-                for i in range(dim)
-            ],
+        comp = (
+            assigned.select("cid", F.posexplode("vec").alias("pos", "val"))
+            .groupBy("cid", "pos")
+            .agg(
+                F.round(
+                    F.sum(
+                        F.floor(F.col("val") * 1e6 + F.lit(0.5)).cast("long")
+                    ).cast("double")
+                    / F.lit(1e6)
+                    / F.count(F.lit(1)),
+                    6,
+                ).alias("cval")
+            )
         )
-        centroids = sums.select(
-            "cid",
-            F.array(
-                *[
-                    F.round(
-                        F.col(f"__s{i}").cast("double")
-                        / F.lit(1e6)
-                        / F.col("__n"),
-                        6,
-                    )
-                    for i in range(dim)
-                ]
-            ).alias("c_vec"),
+        centroids = comp.groupBy("cid").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "cval"))),
+                lambda s: s["cval"],
+            ).alias("c_vec")
         )
     return centroids
 

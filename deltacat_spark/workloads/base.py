@@ -68,11 +68,14 @@ def _spread_small_scan(
 
     try:
         if _os.path.isdir(path):
-            total = sum(
-                _os.path.getsize(_os.path.join(path, f))
+            files = [
+                _os.path.join(path, f)
                 for f in _os.listdir(path)
-            )
+                if not f.startswith((".", "_"))
+            ]
+            total = sum(_os.path.getsize(p) for p in files)
         else:
+            files = [path]
             total = _os.path.getsize(path)
     except OSError:
         return df
@@ -83,8 +86,16 @@ def _spread_small_scan(
         int(s[:-1]) * units[s[-1]] if s and s[-1] in units
         else int(s or 134217728)
     )
-    if total <= max_split:
-        return df.repartition(spark.sparkContext.defaultParallelism)
+    par = spark.sparkContext.defaultParallelism
+    # Two conditions, both data-derived: the input must be small enough
+    # that splitting cannot help (single-row-group files only split by
+    # file count), AND the file count must leave at least half the
+    # cores idle — a multi-file input that already scans with ~par
+    # tasks gains nothing from the extra exchange (A/B at 30x: the
+    # repartition was cost-neutral-to-negative once the replica dir had
+    # ~30 part files).
+    if total <= max_split and len(files) < max(2, par // 2):
+        return df.repartition(par)
     return df
 
 
