@@ -220,6 +220,15 @@ def _clear_session_state(spark) -> None:
                 spark.catalog.dropTempView(tbl.name)
             except Exception:
                 pass
+    # localCheckpoint RDDs (used by the dedup/CC/MV rows) are only
+    # unpersisted when the JVM ContextCleaner sees their DataFrames
+    # dropped — which waits on PYTHON GC releasing the py4j refs. An
+    # explicit collect here keeps executor storage from accumulating
+    # across the growing suite (the previously-documented "in-run above
+    # fresh-session" drift on late rows).
+    import gc
+
+    gc.collect()
 
 
 def _timed_run(spark, fn, sf_dir: str) -> float:

@@ -32,6 +32,12 @@ from deltacat_spark.workloads.similarity import _KM_SCALE, _XQ_EXPR
 
 _TAU = 0.45  # same near-dup cosine threshold as dedup_embedding_cosine
 
+# Salt width for the cell-local pair join (see semdedup_prune): fixed
+# and small — parallelism becomes k_cells × _PAIR_SALT, while the
+# shuffle replication it costs stays ≪ the Σ|cell|² pair work at any
+# scale where cells outgrow the salt.
+_PAIR_SALT = 16
+
 # BIGINT dot product of two quantized arrays (exact: |xq| ~ 1e4+, 64
 # terms → ≪ 2^63; doubles only appear after the integer sums).
 _DOT = (
@@ -119,11 +125,28 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     # broadcast argmin) is not re-executed per consumer (same lesson as
     # the r7 lsh_candidates restructure).
     with_cos = with_cos.localCheckpoint(eager=False)
-    a, b = with_cos.alias("a"), with_cos.alias("b")
+    # Salted cell-local pair join (guide §2.5 hot keys): keyed on `cl`
+    # alone the join has only k distinct keys, so ALL Σ|cell|² cosine
+    # work lands on k tasks — job-profiled 3.2s in ONE task at sf0.1.
+    # Salt: the probe side explodes over `_PAIR_SALT` buckets, the
+    # build side hashes vec_id into its one bucket; every (a, b) pair
+    # meets exactly once (at a's replica matching b's bucket), so the
+    # pair set — and everything downstream — is bit-identical. Shuffle
+    # pays `_PAIR_SALT`× replication of one side, orders below the
+    # Σ|cell|² pair work it parallelizes (k×salt-way instead of k-way).
+    a = with_cos.withColumn(
+        "__pb",
+        F.explode(F.array(*[F.lit(i) for i in range(_PAIR_SALT)])),
+    ).alias("a")
+    b = with_cos.withColumn(
+        "__bb",
+        F.pmod(F.xxhash64(F.col("vec_id")), F.lit(_PAIR_SALT)).cast("int"),
+    ).alias("b")
     pairs = (
         a.join(
             b,
             (F.col("a.cl") == F.col("b.cl"))
+            & (F.col("a.__pb") == F.col("b.__bb"))
             & (F.col("a.vec_id") < F.col("b.vec_id")),
         )
         .withColumn(
