@@ -23,6 +23,8 @@ from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from deltacat_spark.localdf import local_df
+
 from deltacat_spark.catalog.io import (
     DEFAULT_MAX_RECORDS_PER_FILE,
     write_data_files,
@@ -1132,7 +1134,7 @@ class Catalog:
 
     def _empty(self, snap: Snapshot) -> DataFrame:
         st = snap.schema.to_struct_type() if snap.schema else None
-        return self.spark.createDataFrame([], st or "dummy int")
+        return local_df(self.spark, [], st or "dummy int")
 
     def _read_files(
         self,
@@ -1211,7 +1213,7 @@ class Catalog:
             )
             for f in files
         ]
-        return self.spark.createDataFrame(
+        return local_df(self.spark,
             rows,
             "path string, record_count long, content_length long,"
             " content_type string, commit_version long",
@@ -1239,7 +1241,7 @@ class Catalog:
         if chunk:
             batches.append(self.spark.read.format("binaryFile").load(chunk))
         if not batches:
-            return self.spark.createDataFrame(
+            return local_df(self.spark,
                 [],
                 "path string, modificationTime timestamp, length long,"
                 " content binary",
@@ -3527,7 +3529,7 @@ class Catalog:
         return self._dml_result("CREATE TABLE", 0)
 
     def _dml_result(self, operation: str, rows: int) -> DataFrame:
-        return self.spark.createDataFrame(
+        return local_df(self.spark,
             [(operation, rows)], "operation string, rows long"
         )
 
@@ -3865,7 +3867,7 @@ class Catalog:
                     "== Materialized View Rewrite ==\n"
                     f"answered from materialized view '{hit}'\n\n"
                 )
-                return self.spark.createDataFrame(
+                return local_df(self.spark,
                     [(note + plan,)], "plan string"
                 )
             self._register_referenced(inner)
@@ -3908,18 +3910,18 @@ class Catalog:
                     except (FileNotFoundError, ValueError):
                         fresh = False
                 rows.append((name, ",".join(srcs), mode, fresh))
-            return self.spark.createDataFrame(
+            return local_df(self.spark,
                 rows or [("", "", "", False)],
                 "name string, sources string, refresh_mode string,"
                 " fresh boolean",
             ).filter(F.col("name") != "")
         if re.fullmatch(r"show\s+views", q, re.IGNORECASE):
-            return self.spark.createDataFrame(
+            return local_df(self.spark,
                 [(n,) for n in sorted(self.list_saved_views())] or [("",)],
                 "view string",
             ).filter(F.col("view") != "")
         if re.fullmatch(r"show\s+tables", q, re.IGNORECASE):
-            return self.spark.createDataFrame(
+            return local_df(self.spark,
                 [(t,) for t in sorted(self.list_tables())] or [("",)],
                 "table string",
             ).filter(F.col("table") != "")
@@ -3931,7 +3933,7 @@ class Catalog:
         if m:
             table, limit = m.groups()
             rows = self.history(table, limit=int(limit) if limit else None)
-            return self.spark.createDataFrame(
+            return local_df(self.spark,
                 [
                     (
                         int(r["version"]),
@@ -3989,7 +3991,7 @@ class Catalog:
                 )
                 for f in (snap.schema.fields if snap.schema else [])
             ] or [("", "", False, False)]
-            return self.spark.createDataFrame(
+            return local_df(self.spark,
                 rows,
                 "col_name string, data_type string, merge_key boolean,"
                 " partition boolean",
@@ -4037,7 +4039,7 @@ class Catalog:
             if props:
                 kv = ", ".join(f"'{k}'='{v}'" for k, v in props.items())
                 ddl += f"\nTBLPROPERTIES ({kv})"
-            return self.spark.createDataFrame(
+            return local_df(self.spark,
                 [(ddl,)], "create_statement string"
             )
         m = re.fullmatch(r"describe\s+detail\s+(\w+)", q, re.IGNORECASE)
@@ -4053,7 +4055,7 @@ class Catalog:
                 PartitionKey.from_dict(d).source
                 for d in (snap.partition_scheme or [])
             ]
-            return self.spark.createDataFrame(
+            return local_df(self.spark,
                 [
                     (
                         table,
@@ -4088,7 +4090,7 @@ class Catalog:
                 rows = [(key, str(props[key]))]
             else:
                 rows = [(k, str(v)) for k, v in sorted(props.items())]
-            return self.spark.createDataFrame(
+            return local_df(self.spark,
                 rows or [("", "")], "key string, value string"
             ).filter(F.col("key") != "")
         m = re.fullmatch(r"show\s+partitions\s+(\w+)", q, re.IGNORECASE)
@@ -4112,7 +4114,7 @@ class Catalog:
                     and all(c in f.partition_values for c in cols)
                 }
             )
-            return self.spark.createDataFrame(
+            return local_df(self.spark,
                 [(p,) for p in seen] or [("",)], "partition string"
             ).filter(F.col("partition") != "")
         m = re.fullmatch(
@@ -4148,7 +4150,7 @@ class Catalog:
         m = re.fullmatch(r"show\s+tags\s+(\w+)", q, re.IGNORECASE)
         if m:
             tags = sorted(self.list_tags(m.group(1)).items())
-            return self.spark.createDataFrame(
+            return local_df(self.spark,
                 [(k, int(v)) for k, v in tags] or [("", -1)],
                 "tag string, version long",
             ).filter(F.col("tag") != "")

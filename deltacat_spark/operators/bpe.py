@@ -24,6 +24,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from deltacat_spark.localdf import local_df
+
 # Pair separator: a control codepoint that never appears in text
 # tokens. Built with chr() so no invisible byte sits in this source
 # file (the repo once lost an hour to an invisible \x01 literal).
@@ -85,7 +87,7 @@ def learn_bpe(
                             folded.append(x)
                     out = folded
                 sym_rows.append((w, c, out))
-            syms = spark.createDataFrame(
+            syms = local_df(spark,
                 sym_rows, "w string, cnt bigint, s array<string>"
             )
             return merges, syms

@@ -13,6 +13,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.window import Window
 
+from deltacat_spark.localdf import local_df
+
 from deltacat_spark.workloads.base import md5_prefix_int
 
 # md5 6-hex-char prefix space: rates map to integer thresholds in [0, 16^6].
@@ -36,7 +38,7 @@ def stratified_sample(
     """
     spark = df.sparkSession
     rate_rows = [(k, int(v * _HASH_SPACE)) for k, v in sorted(rates.items())]
-    dim = spark.createDataFrame(rate_rows, f"{strata_col} string, __thr long")
+    dim = local_df(spark, rate_rows, f"{strata_col} string, __thr long")
     return (
         df.join(F.broadcast(dim), strata_col)
         .filter(

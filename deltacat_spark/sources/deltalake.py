@@ -40,6 +40,8 @@ from typing import Any, Callable
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql import types as T
 
+from deltacat_spark.localdf import local_df
+
 LOG_DIR = "_delta_log"
 CHECKPOINT_INTERVAL = 10
 
@@ -475,7 +477,7 @@ def _dv_positions_frame(
     ]
     if not dv_rows:
         return None
-    desc_df = spark.createDataFrame(
+    desc_df = local_df(spark,
         dv_rows, "__delta_fp string, __dv string"
     )
     table_root = root
@@ -563,7 +565,7 @@ def _scan_files(
         return df
 
     if not files:
-        df = spark.createDataFrame([], full_schema)
+        df = local_df(spark, [], full_schema)
         if lineage:
             df = df.withColumn(
                 "__delta_fp", F.lit(None).cast("string")
@@ -729,7 +731,7 @@ def read_delta_changes(
         )
         if not positions:
             return df.drop("__delta_fp", "__delta_pos")
-        pos_df = spark.createDataFrame(
+        pos_df = local_df(spark,
             [(int(p),) for p in sorted(positions)], "__delta_pos long"
         )
         how = "left_semi" if keep else "left_anti"
@@ -867,7 +869,7 @@ def read_delta_changes(
             out = part if out is None else out.unionByName(part)
     if out is None:
         snap = DeltaSnapshot(root)
-        return _stamp(spark.createDataFrame([], snap.schema), "insert", 0).filter(
+        return _stamp(local_df(spark, [], snap.schema), "insert", 0).filter(
             F.lit(False)
         )
     return out
@@ -1332,7 +1334,7 @@ def delete_rows_with_dv(
         if f.get("deletionVector")
     ]
     if dv_desc_rows:
-        dmap = spark.createDataFrame(
+        dmap = local_df(spark,
             dv_desc_rows, "__delta_fp string, __dv_desc string"
         )
         hits_df = hits_df.join(F.broadcast(dmap), "__delta_fp", "left")
@@ -1903,7 +1905,7 @@ def optimize_delta(
         "__src",
         F.regexp_replace(F.col("_metadata.file_path"), "^file:/*", "/"),
     )
-    pmap = spark.createDataFrame(pairs, "__src string, __pk string")
+    pmap = local_df(spark, pairs, "__src string, __pk string")
     staging = os.path.join(root, f".staging-{uuid.uuid4().hex[:12]}")
     (
         src.join(F.broadcast(pmap), "__src")

@@ -69,6 +69,8 @@ from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from deltacat_spark.localdf import local_df
+
 HOODIE_DIR = ".hoodie"
 META_COLS = [
     "_hoodie_commit_time",
@@ -631,8 +633,8 @@ def write_hudi(
                 ]:
                     fmap_rows.append((os.path.basename(p), s["file_id"]))
                     src_rels.append(p)
-            fmap = df.sparkSession.createDataFrame(
-                fmap_rows, "__fname string, __fid string"
+            fmap = local_df(
+                df.sparkSession, fmap_rows, "__fname string, __fid string"
             )
             src = _scan_data_files(
                 df.sparkSession,
@@ -844,7 +846,8 @@ def write_hudi(
             F.lit(instant),
             F.monotonically_increasing_id().cast("string"),
         )
-        fname_map = spark.createDataFrame(
+        fname_map = local_df(
+            spark,
             [(fid, fname_by_fid[fid]) for fid in fname_by_fid],
             "__fid string, __rw_name string",
         )
@@ -963,7 +966,8 @@ def write_hudi(
         if log_format != "hoodie":
             # FUSED parquet path: one left join decides log-append vs
             # new-file-group per row; one fanout write lands both.
-            fname_map = spark.createDataFrame(
+            fname_map = local_df(
+                spark,
                 [(fid, fn) for fid, fn in log_fname_by_fid.items()],
                 "__fid string, __log_name string",
             )
@@ -1052,7 +1056,8 @@ def write_hudi(
                 (incoming["_hoodie_record_key"] == F.col("__k"))
                 & (incoming["_hoodie_partition_path"] == F.col("__p")),
             )
-            fname_map = spark.createDataFrame(
+            fname_map = local_df(
+                spark,
                 [(fid, fn) for fid, fn in log_fname_by_fid.items()],
                 "__fid string, _hoodie_file_name string",
             )
@@ -1375,8 +1380,8 @@ def compact_hudi(
         )
         .join(
             F.broadcast(
-                spark.createDataFrame(
-                    fmap_rows, "__fname string, __fid string"
+                local_df(
+                    spark, fmap_rows, "__fname string, __fid string"
                 )
             ),
             "__fname",
@@ -1407,7 +1412,8 @@ def compact_hudi(
         merged = merged.filter(
             ~F.coalesce(F.col("_hoodie_is_deleted"), F.lit(False))
         )
-    fname_map = spark.createDataFrame(
+    fname_map = local_df(
+        spark,
         [(fid, fn) for fid, fn in fname_by_fid.items()],
         "__fid string, __new_name string",
     )
@@ -1516,7 +1522,8 @@ def cluster_hudi(
         os.path.join(root, s["path"]) for ss in todo.values() for s in ss
     ]
     old = spark.read.parquet(*all_paths)
-    pmap = spark.createDataFrame(
+    pmap = local_df(
+        spark,
         [(p, fname_by_part[p]) for p in todo],
         "_hoodie_partition_path string, __new_name string",
     )

@@ -84,6 +84,8 @@ from typing import Any, Iterator
 
 from pyspark.sql import DataFrame, SparkSession
 
+from deltacat_spark.localdf import local_df
+
 MAGIC = b"#HUDI#"
 LOG_FORMAT_VERSION = 1
 
@@ -864,7 +866,7 @@ def scan_framed_logs(
     cols = [f.name for f in schema.fields]
     valid = sorted(valid_instants) if valid_instants is not None else None
 
-    paths_df = spark.createDataFrame(
+    paths_df = local_df(spark,
         [(p,) for p in paths], "path string"
     ).repartition(len(paths))
 

@@ -64,6 +64,8 @@ from typing import Any, Callable
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql import types as T
 
+from deltacat_spark.localdf import local_df
+
 from deltacat_spark.sources import avrofile
 
 METADATA_DIR = "metadata"
@@ -1325,7 +1327,7 @@ def _apply_equality_deletes(
                 cond = term if cond is None else cond & term
             joined = left.join(F.broadcast(eqf), cond, how)
         else:
-            dmap = spark.createDataFrame(
+            dmap = local_df(spark,
                 [
                     (
                         os.path.basename(
@@ -1347,7 +1349,7 @@ def _apply_equality_deletes(
                 .join(F.broadcast(dmap), "__dfname")
                 .drop("__dfname")
             )
-            seq_map = spark.createDataFrame(
+            seq_map = local_df(spark,
                 list(data_seq.items()),
                 "__ice_fp string, __data_seq long",
             )
@@ -1557,7 +1559,7 @@ def read_iceberg(
         data = [f for f in data if _survives(f)]
 
     if not data:
-        empty = spark.createDataFrame([], full_schema)
+        empty = local_df(spark, [], full_schema)
         if with_row_lineage:
             empty = empty.withColumn(
                 "_row_id", F.lit(None).cast("long")
@@ -1648,7 +1650,7 @@ def read_iceberg(
                 (_rel_data_path(root, f["file_path"]),) + flags
             )
         if any_missing:
-            fmap = spark.createDataFrame(
+            fmap = local_df(spark,
                 flag_rows,
                 "__ice_fp string, "
                 + ", ".join(
@@ -1722,7 +1724,7 @@ def read_iceberg(
                 )
                 for d in pos_deletes
             ]
-            dmap = spark.createDataFrame(
+            dmap = local_df(spark,
                 dmap_rows, "__dfname string, __del_seq long"
             )
             pos_df = (
@@ -1746,7 +1748,7 @@ def read_iceberg(
                 )
             )
             seq_rows = [(k, v) for k, v in data_seq.items()]
-            seq_map = spark.createDataFrame(
+            seq_map = local_df(spark,
                 seq_rows, "__ice_fp string, __data_seq long"
             )
             pos_df = (
@@ -1778,7 +1780,7 @@ def read_iceberg(
                 "footer-scanned DVs are not supported; the manifest "
                 "entry must carry fields 143-145"
             )
-        desc_df = spark.createDataFrame(
+        desc_df = local_df(spark,
             desc_rows,
             "__puffin string, __off long, __size long, __ice_fp string",
         ).repartition(min(len(desc_rows), 32))
@@ -1823,7 +1825,7 @@ def read_iceberg(
                 if f.name in part_cols
             ]
         )
-        pmap = spark.createDataFrame(
+        pmap = local_df(spark,
             [tuple(str(v) if v is not None else None for v in r) for r in rows],
             map_schema,
         )
@@ -1852,7 +1854,7 @@ def read_iceberg(
             )
             for f in data
         ]
-        lmap = spark.createDataFrame(
+        lmap = local_df(spark,
             lin_rows,
             "__ice_fp string, __first_row_id long, "
             "_last_updated_sequence_number long",
@@ -1941,7 +1943,7 @@ def read_iceberg_incremental(
                 )
     if not files:
         return (
-            spark.createDataFrame([], full_schema)
+            local_df(spark, [], full_schema)
             .withColumn("_snapshot_id", F.lit(None).cast("long"))
         )
     df = spark.read.schema(data_schema).parquet(
@@ -1961,7 +1963,7 @@ def read_iceberg_incremental(
         ]
         + [T.StructField("_snapshot_id", T.LongType())]
     )
-    pmap = spark.createDataFrame(
+    pmap = local_df(spark,
         [
             (fp,)
             + tuple(
@@ -2429,7 +2431,7 @@ def delete_where_dv(
         .select("__ice_fp", "__ice_pos")
     )
     if desc_rows:
-        dmap = spark.createDataFrame(
+        dmap = local_df(spark,
             desc_rows,
             "__ice_fp string, __puffin string, __off long, __size long",
         )
@@ -2741,7 +2743,7 @@ def iceberg_metadata_table(
             )
             for s in meta.get("snapshots", [])
         ]
-        return spark.createDataFrame(
+        return local_df(spark,
             rows,
             "snapshot_id long, sequence_number long, committed_at_ms "
             "long, operation string, manifest_list string",
@@ -2758,7 +2760,7 @@ def iceberg_metadata_table(
             )
             for e in meta.get("snapshot-log", [])
         ]
-        return spark.createDataFrame(
+        return local_df(spark,
             rows,
             "made_current_at_ms long, snapshot_id long, "
             "is_retained boolean, is_current boolean",
@@ -2768,7 +2770,7 @@ def iceberg_metadata_table(
             (name, r.get("type"), int(r["snapshot-id"]))
             for name, r in sorted((meta.get("refs") or {}).items())
         ]
-        return spark.createDataFrame(
+        return local_df(spark,
             rows if rows else [],
             "name string, type string, snapshot_id long",
         )
@@ -2787,7 +2789,7 @@ def iceberg_metadata_table(
             )
             for mf in tbl.manifests(snap)
         ]
-        return spark.createDataFrame(
+        return local_df(spark,
             rows,
             "path string, length long, partition_spec_id int, "
             "content int, sequence_number long, added_files_count int, "
@@ -2813,7 +2815,7 @@ def iceberg_metadata_table(
             )
             for f in src
         ]
-        return spark.createDataFrame(
+        return local_df(spark,
             rows,
             "file_path string, file_format string, content int, "
             "record_count long, file_size_in_bytes long, "

@@ -45,6 +45,8 @@ from typing import Any
 
 from pyspark.sql import DataFrame, functions as F
 
+from deltacat_spark.localdf import local_df
+
 BLOOM_DIR = "_bloom"
 BLOOM_K = 4
 _M_MIN = 1 << 10
@@ -200,7 +202,7 @@ def attach_blooms(
         *[F.col(c).cast("string").alias(c) for c in cols],
     )
     m_df = F.broadcast(
-        spark.createDataFrame(
+        local_df(spark,
             list(m_by_base.items()), schema="__base string, __m long"
         )
     )

@@ -12,6 +12,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from deltacat_spark.localdf import local_df
+
 from deltacat_spark.operators.merge import (
     dedupe_last_writer,
     dedupe_last_writer_agg,
@@ -219,7 +221,7 @@ def _merge_fixture(spark: SparkSession, sf_dir: str, merge_sql: str) -> DataFram
         cat.sql(merge_sql, count_rows=False)
         out = cat.read_table("cust")
         rows = out.collect()
-        return spark.createDataFrame(rows, out.schema)
+        return local_df(spark, rows, out.schema)
     finally:
         shutil.rmtree(root, ignore_errors=True)
 

@@ -25,6 +25,8 @@ import tempfile
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from deltacat_spark.localdf import local_df
+
 from deltacat_spark.workloads.base import cnt, cnt_sql, dsum, dsum_sql, load
 
 
@@ -906,7 +908,7 @@ def hudi_log_format(spark: SparkSession, sf_dir: str) -> DataFrame:
     del_keys = o.filter(F.col("o_orderkey") % 200 == 0).select(
         "o_orderkey", "o_orderstatus"
     ).unionByName(
-        spark.createDataFrame(
+        local_df(spark,
             [(-1, "F")], "o_orderkey long, o_orderstatus string"
         )
     )

@@ -32,6 +32,8 @@ import tempfile
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from deltacat_spark.localdf import local_df
+
 from deltacat_spark.workloads.base import load
 
 MV_KEYED_VIEW_SQL = (
@@ -93,7 +95,7 @@ def mv_keyed_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         out = cat.read_table("nat_mv")
         rows = out.collect()
-        return spark.createDataFrame(rows, out.schema)
+        return local_df(spark, rows, out.schema)
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
@@ -152,7 +154,7 @@ def sql_mv_rewrite_route(spark: SparkSession, sf_dir: str) -> DataFrame:
                 f"got {files[:3]}"
             )
         rows = df.collect()
-        return spark.createDataFrame(rows, df.schema)
+        return local_df(spark, rows, df.schema)
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
@@ -217,7 +219,7 @@ def mv_record_keyed_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         out = cat.read_table("rec_mv")
         rows = out.collect()
-        return spark.createDataFrame(rows, out.schema)
+        return local_df(spark, rows, out.schema)
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
@@ -281,7 +283,7 @@ def mv_join_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         out = cat.read_table("join_mv")
         rows = out.collect()
-        return spark.createDataFrame(rows, out.schema)
+        return local_df(spark, rows, out.schema)
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
@@ -343,7 +345,7 @@ def mv_join_agg_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         out = cat.read_table("jagg_mv")
         rows = out.collect()
-        return spark.createDataFrame(rows, out.schema)
+        return local_df(spark, rows, out.schema)
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
@@ -417,7 +419,7 @@ def mv_join3_agg_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         out = cat.read_table("j3_mv")
         rows = out.collect()
-        return spark.createDataFrame(rows, out.schema)
+        return local_df(spark, rows, out.schema)
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
@@ -523,7 +525,7 @@ def mv_join_keyed_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         out = cat.read_table("kj_mv")
         rows = out.collect()
-        return spark.createDataFrame(rows, out.schema)
+        return local_df(spark, rows, out.schema)
     finally:
         shutil.rmtree(root, ignore_errors=True)
 

@@ -26,6 +26,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from deltacat_spark.localdf import local_df
+
 from deltacat_spark.operators.bpe import learn_bpe
 from deltacat_spark.workloads.base import load
 
@@ -41,7 +43,7 @@ def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         (i + 1, left, right, left + right, cnt)
         for i, (left, right, cnt) in enumerate(merges)
     ]
-    return spark.createDataFrame(
+    return local_df(spark,
         rows,
         "step int, left_sym string, right_sym string,"
         " merged string, cnt bigint",

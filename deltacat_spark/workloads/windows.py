@@ -13,6 +13,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.window import Window
 
+from deltacat_spark.localdf import local_df
+
 from deltacat_spark.streaming.api import (
     session_window_agg,
     sliding_window_agg,
@@ -204,7 +206,7 @@ def range_join_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Range (non-equi) join — broadcast the tiny band dimension so the
     fact side never shuffles."""
     p = load(spark, sf_dir, "part")
-    bands = spark.createDataFrame(_BANDS, "band string, lo double, hi double")
+    bands = local_df(spark, _BANDS, "band string, lo double, hi double")
     j = p.join(
         F.broadcast(bands),
         (p.p_retailprice >= bands.lo) & (p.p_retailprice < bands.hi),
