@@ -73,6 +73,11 @@ def _spread_small_scan(
                 for f in _os.listdir(path)
                 if not f.startswith((".", "_"))
             ]
+            # A hive-partitioned layout (subdirectories) sizes wrong via
+            # getsize (dirent bytes, ~4KB) — such datasets are real
+            # multi-file tables anyway, so the gate stays off.
+            if any(_os.path.isdir(p) for p in files):
+                return df
             total = sum(_os.path.getsize(p) for p in files)
         else:
             files = [path]
@@ -80,12 +85,15 @@ def _spread_small_scan(
     except OSError:
         return df
     conf = spark.conf.get("spark.sql.files.maxPartitionBytes", "128MB")
-    units = {"k": 1024, "m": 1024**2, "g": 1024**3}
+    units = {"k": 1024, "m": 1024**2, "g": 1024**3, "t": 1024**4, "p": 1024**5}
     s = str(conf).strip().lower().rstrip("b")
-    max_split = (
-        int(s[:-1]) * units[s[-1]] if s and s[-1] in units
-        else int(s or 134217728)
-    )
+    try:
+        max_split = (
+            int(s[:-1]) * units[s[-1]] if s and s[-1] in units
+            else int(s or 134217728)
+        )
+    except ValueError:
+        max_split = 134217728
     par = spark.sparkContext.defaultParallelism
     # Two conditions, both data-derived: the input must be small enough
     # that splitting cannot help (single-row-group files only split by

@@ -44,7 +44,7 @@ def inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     columns in query results — see workloads/base.py)."""
     from pyspark.sql.window import Window
 
-    d = load(spark, sf_dir, "documents", spread=True)
+    d = load(spark, sf_dir, "documents")
     pairs = d.select(
         "doc_id", F.explode(F.array_distinct(tokens(F.col("text")))).alias("term")
     )
@@ -84,7 +84,7 @@ def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     (N, avg doc length) are one scalar row and the per-term df table has
     |query| rows, both broadcast. The same shape ranks a 100 TB corpus:
     nothing wide except the (doc, term) count."""
-    d = load(spark, sf_dir, "documents", spread=True)
+    d = load(spark, sf_dir, "documents")
     q = list(_Q_TERMS)
     occ = d.select(
         "doc_id", F.explode(tokens(F.col("text"))).alias("term")

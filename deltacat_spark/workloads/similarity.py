@@ -10,6 +10,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from deltacat_spark.localdf import local_df
+
 from deltacat_spark.functions.vectors import l2_norm
 from deltacat_spark.operators.similarity import brute_force_topk, knn_label_vote
 from deltacat_spark.workloads.base import cnt, cnt_sql, load
@@ -24,7 +26,7 @@ _DOT_SQL = (
 
 
 def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load(spark, sf_dir, "embeddings", spread=True)
+    e = load(spark, sf_dir, "embeddings")
     queries = e.filter(F.col("vec_id") < 10)
     candidates = e.filter(F.col("vec_id") >= 10)
     return brute_force_topk(candidates, queries, k=5)
@@ -300,7 +302,7 @@ def ann_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         out = ivf_index_topk(cat, "emb_ivf", queries, k=5, nprobe=3)
         rows = out.collect()
-        return spark.createDataFrame(rows, out.schema)
+        return local_df(spark, rows, out.schema)
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
@@ -356,7 +358,7 @@ def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     the max|x| > 0 guard on BOTH engines. `codes` is emitted as a
     canonical comma-joined string (driver output contract: no
     array/struct/map columns in query results — see workloads/base.py)."""
-    e = load(spark, sf_dir, "embeddings", spread=True)
+    e = load(spark, sf_dir, "embeddings")
     maxabs = F.array_max(
         F.transform(F.col("embedding"), lambda x: F.abs(x))
     ).cast("double")
@@ -414,7 +416,7 @@ _XQ_EXPR = (
 
 
 def kmeans_assign_step(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load(spark, sf_dir, "embeddings", spread=True)
+    e = load(spark, sf_dir, "embeddings")
     ex = e.select(
         "vec_id", "label", F.posexplode(F.expr(_XQ_EXPR)).alias("dim", "xq")
     )

@@ -268,7 +268,7 @@ def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     upgraded to decimal(38,0) — noted, not needed at bench scale."""
     import pandas as pd
 
-    e = load(spark, sf_dir, "embeddings", spread=True).select("embedding")
+    e = load(spark, sf_dir, "embeddings").select("embedding")
 
     def gram(batches):
         import numpy as np

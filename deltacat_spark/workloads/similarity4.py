@@ -24,6 +24,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
+from deltacat_spark.localdf import local_df
+
 from deltacat_spark.workloads.similarity3 import (
     COVARIANCE_SQL,
     embedding_covariance,
@@ -83,7 +85,7 @@ def pca_power_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
     first = next((x for x in v if x != 0), 1)
     if first < 0:
         v = [-x for x in v]
-    return spark.createDataFrame(
+    return local_df(spark,
         [(i, v[i]) for i in range(dims)], "dim int, loading bigint"
     ).orderBy("dim")
 
@@ -161,7 +163,7 @@ def kmeans_lloyd_iters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from deltacat_spark.workloads.base import load
     from deltacat_spark.workloads.similarity import _XQ_EXPR
 
-    e = load(spark, sf_dir, "embeddings", spread=True)
+    e = load(spark, sf_dir, "embeddings")
     ex = e.select(
         "vec_id", F.posexplode(F.expr(_XQ_EXPR)).alias("dim", "xq")
     ).localCheckpoint(eager=False)
@@ -275,7 +277,7 @@ def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     from deltacat_spark.operators.similarity import brute_force_topk, lsh_topk
     from deltacat_spark.workloads.base import load
 
-    e = load(spark, sf_dir, "embeddings", spread=True)
+    e = load(spark, sf_dir, "embeddings")
     queries = e.filter(F.col("vec_id") < 10)
     candidates = e.filter(F.col("vec_id") >= 10)
     brute = brute_force_topk(candidates, queries, k=5).select(

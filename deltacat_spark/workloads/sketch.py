@@ -240,7 +240,7 @@ def quantile_sketch_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
     at 100 TB. Guaranteed ≤ 2× relative error on the value (a bucket
     spans one doubling); everything stays in integer space (floor →
     bit length via `bin()`, identical on both engines)."""
-    orders = load(spark, sf_dir, "orders", spread=True).select(
+    orders = load(spark, sf_dir, "orders").select(
         "o_orderpriority", "o_totalprice"
     )
     base = orders.select(

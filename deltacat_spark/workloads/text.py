@@ -497,7 +497,7 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus (doc_id < 250) WITHOUT recomputing corpus×corpus — the
     inverted-index join touches only corpus×new shingle matches
     (`operators/dedupe.py:jaccard_pairs_across`)."""
-    d = load(spark, sf_dir, "documents", spread=True)
+    d = load(spark, sf_dir, "documents")
     sh_corpus = shingle_sets(
         d.filter(F.col("doc_id") < 250), "doc_id", "text", n=3, hashed=True
     )
@@ -567,7 +567,7 @@ def decontaminate_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     word-3-gram shingles with any 'benchmark' probe doc (doc_id < 50).
     The probe side broadcasts — the corpus never shuffles
     (`operators/dedupe.py:contamination_overlap`)."""
-    d = load(spark, sf_dir, "documents", spread=True)
+    d = load(spark, sf_dir, "documents")
     sh_docs = shingle_sets(
         d.filter(F.col("doc_id") >= 50), "doc_id", "text", n=3, hashed=True
     )
@@ -644,7 +644,7 @@ FROM t
 
 # --- SimHash ----------------------------------------------------------------
 def simhash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load(spark, sf_dir, "documents", spread=True)
+    d = load(spark, sf_dir, "documents")
     return simhash(d, "doc_id", "text", bits=32)
 
 
@@ -832,7 +832,7 @@ def lm_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine boundary, not one per token. Plan: corpus term counts
     (map-side combinable) broadcast onto a per-doc term-count aggregate;
     nothing shuffles wider than (doc_id, term)."""
-    d = load(spark, sf_dir, "documents", spread=True)
+    d = load(spark, sf_dir, "documents")
     toks = d.select(
         "doc_id", F.explode(tokens(F.col("text"))).alias("term")
     )

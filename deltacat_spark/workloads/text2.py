@@ -225,7 +225,7 @@ def embedding_class_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     cluster seeding. posexplode keeps it one narrow explode + one
     (label, dim)-keyed aggregation; float→scaled-long keeps the mean
     order-independent."""
-    emb = load(spark, sf_dir, "embeddings", spread=True)
+    emb = load(spark, sf_dir, "embeddings")
     ex = emb.select(
         "label", F.posexplode("embedding").alias("dim", "x")
     )

@@ -46,7 +46,7 @@ def json_props_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     per event_type. `get_json_object` runs inside codegen (JVM, no UDF);
     the rollup is one event_type-keyed hash aggregation with map-side
     combine — the minimal shape for "parse + aggregate" at any scale."""
-    e = load(spark, sf_dir, "events", spread=True)
+    e = load(spark, sf_dir, "events")
     k = F.get_json_object(F.col("props"), "$.k").cast("long")
     return (
         e.select("event_type", k.alias("k"))
@@ -206,7 +206,7 @@ def token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     rewrite avoids). Real length distributions spread across thousands
     of values; for a discrete score with few levels, pre-bucket the
     tiebreak column into the key instead."""
-    d = load(spark, sf_dir, "documents", spread=True)
+    d = load(spark, sf_dir, "documents")
     t = d.select(
         "doc_id",
         "n_chars",
@@ -281,7 +281,7 @@ def source_keyness(spark: SparkSession, sf_dir: str) -> DataFrame:
     over (source, token) count rows, not the corpus. At extreme corpus
     sizes (a*B near 2^63) switch the ratio to DECIMAL — noted, not
     needed below ~1e14 tokens."""
-    d = load(spark, sf_dir, "documents", spread=True)
+    d = load(spark, sf_dir, "documents")
     tok = d.select(
         "source", F.explode(F.split("text", " ")).alias("token")
     ).filter(F.col("token") != "")

@@ -31,7 +31,7 @@ def gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     one boolean per rule + the conjunction. All metrics are integers
     (permille via integer division) so the result hashes identically on
     any engine — no float ratios cross the comparison boundary."""
-    d = load(spark, sf_dir, "documents", spread=True)
+    d = load(spark, sf_dir, "documents")
     words = F.split(F.col("text"), " ")
     out = d.select(
         "doc_id",
@@ -95,7 +95,7 @@ def dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     one token explode → (doc_id, bucket) count aggregate (map-side
     combinable) joined against a broadcast {_DSIR_BUCKETS}-row ratio
     table — at 100 TB the broadcast stays 4096 rows."""
-    d = load(spark, sf_dir, "documents", spread=True)
+    d = load(spark, sf_dir, "documents")
     toks = d.select(
         "doc_id",
         "lang",
@@ -193,7 +193,7 @@ def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair expansion therefore touches |vocab| rows, not |corpus| tokens,
     and every later merge iteration would reuse the same vocab table.
     """
-    d = load(spark, sf_dir, "documents", spread=True)
+    d = load(spark, sf_dir, "documents")
     words = d.select(F.explode(F.split(F.col("text"), " ")).alias("w")).filter(
         F.col("w") != ""
     )
@@ -247,7 +247,7 @@ def oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     itself."""
     from pyspark.sql.window import Window
 
-    d = load(spark, sf_dir, "documents", spread=True)
+    d = load(spark, sf_dir, "documents")
     toks = d.select(
         "doc_id", F.explode(F.split(F.col("text"), " ")).alias("w")
     ).filter(F.col("w") != "")
