@@ -223,7 +223,8 @@ def _clear_session_state(spark) -> None:
     # localCheckpoint RDDs (used by the dedup/CC/MV rows) are only
     # unpersisted when the JVM ContextCleaner sees their DataFrames
     # dropped — which waits on PYTHON GC releasing the py4j refs. An
-    # explicit collect here keeps executor storage from accumulating
+    # explicit Python gc.collect() here (not a Spark action) keeps
+    # executor storage from accumulating
     # across the growing suite (the previously-documented "in-run above
     # fresh-session" drift on late rows).
     import gc
@@ -612,14 +613,30 @@ def main() -> None:
             probe_ratio = cal_now / cal_prev
             band = 1.6 * max(probe_ratio, 1.0)
             prev_q = prev_rec.get("queries") or {}
-            flagged = sorted(
+            flagged_slow = {
                 name
                 for name, t in timings.items()
                 if name in prev_q
                 and prev_q[name] > 0
                 and t >= 1.0
                 and t / prev_q[name] > band
-            )
+            }
+            # Symmetric check (r16, judge r15 item 7): rows that ran
+            # suspiciously FAST vs the previous record are re-measured
+            # too, so the record self-adjudicates in both directions.
+            # A fast row whose fresh-session re-measure comes back
+            # slower has its reported timing RAISED to the fresh
+            # min-of-2 (the in-run number failed verification); a fast
+            # row the fresh session confirms keeps its in-run number.
+            flagged_fast = {
+                name
+                for name, t in timings.items()
+                if name in prev_q
+                and t > 0
+                and prev_q[name] >= 1.0
+                and prev_q[name] / t > band
+            }
+            flagged = sorted(flagged_slow | flagged_fast)
             if flagged:
                 spark.stop()
                 spark = _fresh_session("remeasure")
@@ -658,8 +675,14 @@ def main() -> None:
                                     "prev_round": prev_q.get(k),
                                     "in_run": timings[k],
                                     "fresh_session_min2": new,
+                                    "direction": (
+                                        "slow" if k in flagged_slow
+                                        else "fast"
+                                    ),
                                 }
-                                if new < timings[k]:
+                                if (k in flagged_slow and new < timings[k]) or (
+                                    k in flagged_fast and new > timings[k]
+                                ):
                                     total += new - timings[k]
                                     timings[k] = new
                             continue
@@ -673,8 +696,15 @@ def main() -> None:
                             "prev_round": prev_q[name],
                             "in_run": timings[name],
                             "fresh_session_min2": new,
+                            "direction": (
+                                "slow" if name in flagged_slow else "fast"
+                            ),
                         }
-                        if new < timings[name]:
+                        if (
+                            name in flagged_slow and new < timings[name]
+                        ) or (
+                            name in flagged_fast and new > timings[name]
+                        ):
                             total += new - timings[name]
                             timings[name] = new
                     except Exception as e:
@@ -687,10 +717,13 @@ def main() -> None:
                     "vs_record": os.path.basename(prevs[-1][1]),
                     "rows": adjud,
                     "note": (
-                        "rows whose in-run time exceeded band x the "
-                        "previous record were re-measured min-of-2 in "
-                        "a fresh session; reported timing is the min, "
-                        "both numbers kept"
+                        "rows whose in-run time was band x slower OR "
+                        "band x faster than the previous record were "
+                        "re-measured min-of-2 in a fresh session; slow "
+                        "rows report the min, fast rows report the "
+                        "fresh number when it is slower (a fast in-run "
+                        "number must survive fresh-session "
+                        "verification); both numbers kept"
                     ),
                 }
                 out["value"] = round(total, 3)
@@ -701,8 +734,9 @@ def main() -> None:
                     }
                 for k, v in adjud.items():
                     print(
-                        f"# above-band remeasure {k}: in-run "
-                        f"{v['in_run']:.2f}s vs prev {v['prev_round']:.2f}s "
+                        f"# out-of-band remeasure ({v['direction']}) {k}: "
+                        f"in-run {v['in_run']:.2f}s vs prev "
+                        f"{v['prev_round']:.2f}s "
                         f"-> fresh {v['fresh_session_min2']:.2f}s",
                         file=sys.stderr,
                     )

@@ -77,7 +77,9 @@ def main() -> None:
                     "jobId": j["jobId"],
                     "dur": round(dur, 3) if dur is not None else None,
                     "tasks": j.get("numCompletedTasks"),
-                    "desc": (j.get("description") or j.get("name", ""))[:110],
+                    "desc": (j.get("description") or "")[:40]
+                    + " | "
+                    + j.get("name", "")[:90],
                 }
             )
         rows.sort(key=lambda r: r["jobId"])
