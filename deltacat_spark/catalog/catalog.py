@@ -1395,15 +1395,35 @@ class Catalog:
                             F.lit(f"{f.version}:{f.file_index}:{cols_csv}"),
                         ]
                     )
-                prov = F.create_map(*kv)[
-                    F.regexp_extract(F.input_file_name(), r"([^/]+)$", 1)
-                ]
+                # Evaluate the regexp → map-lookup → split chain ONCE
+                # per row, in its own projection. input_file_name() is
+                # nondeterministic, which disables subexpression
+                # elimination AND stops CollapseProject from inlining
+                # the alias — so deriving the three __dcs_* columns
+                # directly from `prov` re-ran the whole chain three
+                # times per row (job-profiled: the provenance project
+                # dominated a 1M-row MoR fold's 31s of task CPU).
+                prov_parts = F.split(
+                    F.create_map(*kv)[
+                        F.regexp_extract(
+                            F.input_file_name(), r"([^/]+)$", 1
+                        )
+                    ],
+                    ":",
+                    3,
+                )
                 df = (
-                    df.withColumn("__dcs_v", F.split(prov, ":")[0].cast("long"))
-                    .withColumn("__dcs_f", F.split(prov, ":")[1].cast("long"))
+                    df.withColumn("__dcs_prov", prov_parts)
+                    .withColumn(
+                        "__dcs_v", F.col("__dcs_prov")[0].cast("long")
+                    )
+                    .withColumn(
+                        "__dcs_f", F.col("__dcs_prov")[1].cast("long")
+                    )
                     # payload-column subset of the delta ("" ⇒ full) —
                     # consumed by the partial-upsert stitcher.
-                    .withColumn("__dcs_cols", F.split(prov, ":", 3)[2])
+                    .withColumn("__dcs_cols", F.col("__dcs_prov")[2])
+                    .drop("__dcs_prov")
                 )
             parts.append(df)
         out = parts[0]
