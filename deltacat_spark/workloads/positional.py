@@ -207,8 +207,20 @@ def winnow_fingerprint_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                     f"sequence(1, size(ghs) - {_WN_W - 1}),"
                     f" j -> array_min(slice(ghs, j, {_WN_W}))))"
                 )
-            ).alias("fp"),
+            ).alias("fp_md5"),
         )
+        # md5 ORDER decides the window minimum above (selection
+        # semantics — keep it); past selection `fp` is an
+        # equality-only key (df count + pair join, never output), so
+        # recode to int64 and shuffle 8 bytes instead of a 32-char
+        # string (the repeated_substring_runs/dup_ngram int64-key
+        # rewrite; collision odds ~n²/2^64).
+        .select("doc_id", F.xxhash64("fp_md5").alias("fp"))
+        # THREE consumers (df table + both pair-join sides) — the
+        # md5-per-gram + window-min build is the expensive per-row
+        # work; checkpoint so it runs once, not once per branch (the
+        # jaccard_pairs lesson).
+        .localCheckpoint(eager=False)
     )
     shared = (
         fps.groupBy("fp")
