@@ -10,8 +10,10 @@ os.environ.setdefault("SPARK_LOCAL_IP", "127.0.0.1")
 def pytest_configure(config):
     config.addinivalue_line(
         "markers",
-        "slow: long-running stress/scale tests (minutes); run by default, "
-        "deselect with -m 'not slow' for a quick loop",
+        "slow: long-running stress/scale tests (minutes); deselected by "
+        "default via pytest.ini addopts so the driver's bounded gate "
+        "completes — run everything with -m '' (builders: do this before "
+        "shipping structural changes)",
     )
 
 

@@ -326,6 +326,7 @@ def test_partition_filter_mor_move_no_stale_rows(spark, catalog):
             assert rows[i] == ("A", f"v{i}")
 
 
+@pytest.mark.slow
 def test_randomized_point_lookups_match_model(spark, catalog):
     """Model-based: a randomized mixed write program on a bloom table,
     then every live and absent key's point lookup must match the dict

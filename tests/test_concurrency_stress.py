@@ -64,6 +64,7 @@ def _apply(catalog, spark, table, mode, rows, tag=None):
 
 
 @pytest.mark.parametrize("read_opt", ["max", "none"], ids=["cow", "mor"])
+@pytest.mark.slow
 def test_stress_parallel_equals_serial_replay(spark, tmp_path, read_opt):
     c = Catalog(spark, str(tmp_path / "stress"))
     c.create_table(

@@ -344,6 +344,7 @@ def test_keyed_mv_cow_window_rebuilds(spark, tmp_path):
     assert _k_mv_rows(c) == _k_expected(c)
 
 
+@pytest.mark.slow
 def test_keyed_mv_model_random(kcat):
     """Model-random extension: a seeded op sequence (upserts, inserts,
     key deletes, predicate deletes) with a refresh after every commit —
@@ -449,6 +450,7 @@ def test_record_keyed_mv_requires_identity_keys(kcat):
     assert audit["mode"] == "full"
 
 
+@pytest.mark.slow
 def test_record_keyed_mv_model_random(kcat):
     import random
 
@@ -746,6 +748,7 @@ def test_join_agg_mv_replace_rebuilds(spark, tmp_path):
     assert _jagg_rows(c) == _jagg_expected(c)
 
 
+@pytest.mark.slow
 def test_join_agg_mv_model_random(spark, tmp_path):
     import random
 
@@ -1104,6 +1107,7 @@ def _kjagg_expected(c):
     }
 
 
+@pytest.mark.slow
 def test_join_agg_keyed_mv_merge_delete_windows(spark, tmp_path):
     """MERGE and DELETE windows on either source of a join-agg MV must
     take the keyed touched-group path (`_mv_join_keyed_refresh`) and
@@ -1140,6 +1144,7 @@ def test_join_agg_keyed_mv_merge_delete_windows(spark, tmp_path):
     assert c.refresh_materialized_view("kjagg_mv")["mode"] == "noop"
 
 
+@pytest.mark.slow
 def test_join_agg_keyed_mv_model_random(spark, tmp_path):
     """Random MERGE/DELETE walk over BOTH keyed sources (group moves,
     NULL groups, vanishing groups, no-op steps): every refresh must

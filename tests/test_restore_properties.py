@@ -36,6 +36,7 @@ history_strategy = st.lists(
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 @given(ops=history_strategy, data=st.data())
+@pytest.mark.slow
 def test_restore_reproduces_any_recorded_version(spark, tmp_path, ops, data):
     # fresh root per drawn example — hypothesis replays examples into the
     # same function-scoped tmp_path
