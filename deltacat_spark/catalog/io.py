@@ -99,8 +99,15 @@ def write_data_files(
             ).drop("__dcs_salt")
         else:
             # Cluster rows of one partition into the same task so each
-            # partition gets few, large files.
-            out = out.repartition(*part_cols.keys())
+            # partition gets few, large files. Explicit count: a bare
+            # repartition(cols) gets AQE-coalesced to one task on
+            # small writes and serializes the partitionBy fanout;
+            # each key still hashes to exactly one task, so per-dir
+            # file counts are unchanged at any scale.
+            out = out.repartition(
+                out.sparkSession.sparkContext.defaultParallelism,
+                *part_cols.keys(),
+            )
     if sort_scheme:
         out = out.sortWithinPartitions(*sort_columns(sort_scheme))
     writer = out.write.mode("overwrite").option(

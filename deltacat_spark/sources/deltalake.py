@@ -1910,7 +1910,11 @@ def optimize_delta(
     (
         src.join(F.broadcast(pmap), "__src")
         .drop("__src")
-        .repartition("__pk")
+        # explicit count: see the iceberg/hudi fanout note (AQE
+        # would coalesce the small shuffle to one serial write task)
+        .repartition(
+            spark.sparkContext.defaultParallelism, "__pk"
+        )
         .write.mode("overwrite")
         .partitionBy("__pk")
         .parquet(staging)

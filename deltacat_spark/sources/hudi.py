@@ -879,7 +879,16 @@ def write_hudi(
                 "_hoodie_commit_seqno",
                 F.coalesce(F.col("_hoodie_commit_seqno"), new_seqno),
             )
-            .repartition("__pp")
+            # Explicit partition count: a bare repartition(col) lets
+            # AQE coalesce this few-MB shuffle into ONE partition and
+            # the whole fanout write serializes in a single task
+            # (job-profiled: 0.8s of a 2.3s commit). Each __pp key
+            # still hashes to exactly one task, so every staged dir
+            # still lands a single file; cluster-width tasks just
+            # write the dirs in parallel.
+            .repartition(
+                spark.sparkContext.defaultParallelism, "__pp"
+            )
         )
         cols = META_COLS + data_cols
         staging = os.path.join(
@@ -1012,7 +1021,12 @@ def write_hudi(
                         F.monotonically_increasing_id().cast("string"),
                     ),
                 )
-                .repartition("__pp")
+                # explicit count: see the CoW fanout note — bare
+                # repartition(col) gets AQE-coalesced to one task and
+                # serializes the fanout write
+                .repartition(
+                    spark.sparkContext.defaultParallelism, "__pp"
+                )
             )
             staged.select(*cols, "__pp").write.mode(
                 "overwrite"
@@ -1242,7 +1256,13 @@ def write_hudi(
                     F.monotonically_increasing_id().cast("string"),
                 ),
             )
-            .repartition("_hoodie_partition_path")
+            # explicit count: see the CoW fanout note — bare
+            # repartition(col) gets AQE-coalesced to one task on
+            # small commits and serializes the fanout write
+            .repartition(
+                spark.sparkContext.defaultParallelism,
+                "_hoodie_partition_path",
+            )
         )
         cols = META_COLS + [c for c in df.columns]
         staging = os.path.join(
@@ -1393,7 +1413,9 @@ def compact_hudi(
         # (HashPartitioning on a subset of the window keys) AND is the
         # clustering the per-group write below needs — the former
         # key-window + fname-repartition shape paid two exchanges.
-        .repartition("__fid")
+        # Explicit count so AQE cannot coalesce the small shuffle to
+        # one task and serialize the fold + per-group write.
+        .repartition(spark.sparkContext.defaultParallelism, "__fid")
     )
     from pyspark.sql.window import Window
 
@@ -1531,7 +1553,11 @@ def cluster_hudi(
         old.join(F.broadcast(pmap), "_hoodie_partition_path")
         .withColumn("_hoodie_file_name", F.col("__new_name"))
         .drop("__new_name")
-        .repartition("_hoodie_partition_path")
+        # explicit count: see the CoW fanout note
+        .repartition(
+            spark.sparkContext.defaultParallelism,
+            "_hoodie_partition_path",
+        )
     )
     staging = os.path.join(root, HOODIE_DIR, f".tmp-{uuid.uuid4().hex[:8]}")
     staged.withColumn(

@@ -2108,7 +2108,17 @@ def write_iceberg(
             out = out.withColumn(
                 sp["name"], _transform_column(sp, finfo[sp["source"]][1])
             )
-    out = out.repartition(*part_cols) if part_cols else out
+    # explicit count: a bare repartition(cols) gets AQE-coalesced to
+    # one task on small writes and serializes the partitionBy fanout
+    # (each key still hashes to one task, so per-dir file counts are
+    # unchanged at any scale)
+    out = (
+        out.repartition(
+            out.sparkSession.sparkContext.defaultParallelism, *part_cols
+        )
+        if part_cols
+        else out
+    )
     writer = out.write.mode("overwrite").option(
         "maxRecordsPerFile", max_records_per_file
     )
