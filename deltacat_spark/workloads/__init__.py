@@ -71,58 +71,56 @@ for _m in _late_modules():
 # (or were rotated out before getting one) are ordered FIRST so every
 # operator accumulates at least one driver-checked row across rounds.
 _CHECK_FIRST = [
-    # AUTO-GENERATED by tools/rotate_checks.py — never-checked,
-    # then last-check-failed, then longest-unchecked.
-    "er_fuzzy_match_parts",
-    "bpe_learn_merges",
-    "bpe_encode_tokens",
-    "repeated_substring_runs",
-    "scd2_state_durations",
-    "scd2_state_census",
-    "embedding_dedup_clusters",
-    "set_intersect_active_buyers",
-    "window_order_gaps",
-    "percentile_prices",
-    "order_reconciliation",
-    "domain_cap_sample",
-    "lang_source_matrix",
-    "length_outliers",
-    "bm25_search",
-    "event_transitions",
-    "funnel_view_click_purchase",
-    "weekly_retention",
-    "events_hourly_gapfill",
-    "rfm_segments",
-    "hudi_mor_snapshot",
-    "jpeg_codec_pixel_stats",
-    "mjpeg_frame_stats",
-    "q1_pricing_summary",
-    "filter_like_in",
-    "q6_forecast_revenue",
-    "dedup_clusters",
-    "dedup_ngram_jaccard",
-    "simhash_fingerprint",
-    "text_scrub_pii",
-    "lm_quality_score",
-    "dedup_boilerplate_segments",
-    "json_props_rollup",
-    "segment_dedup_keep_first",
-    "token_budget_select",
-    "source_keyness",
-    "ann_cosine_topk",
-    "ann_lsh_topk",
-    "ann_lsh_multiprobe",
-    "ann_ivf_topk",
-    "knn_classify",
-    "embedding_norm_stats",
-    "kmeans_assign_step",
     "winnow_fingerprint_pairs",
-    "cdc_chunk_dedup",
+    "dedup_minhash_lsh",
+    "dedup_clusters",
+    "hudi_cluster_incremental",
+    "hudi_log_format",
+    "hudi_mor_snapshot",
     "mv_keyed_refresh",
-    "mv_join_incremental",
-    "mv_join_agg_incremental",
-    "mv_join3_agg_incremental",
-    "sql_mv_rewrite_route",
+    "bm25_search",
+    "pca_power_iter",
+    "delta_optimize_vacuum",
+    "mv_record_keyed_refresh",
+    "tumbling_window_events",
+    "sliding_window_events",
+    "session_window_events",
+    "count_distinct_parts",
+    "q7_trade_flow",
+    "min_cost_part",
+    "q2_min_cost_supplier",
+    "q11_important_stock",
+    "q16_part_supplier_relation",
+    "q20_part_promotion",
+    "weighted_sample_docs",
+    "skew_profile_orders",
+    "seasonal_naive_backtest",
+    "completeness_profile",
+    "events_daily_anomalies",
+    "inverted_index",
+    "iceberg_equality_deletes",
+    "delta_deletion_vectors",
+    "hudi_mor_stream",
+    "lakehouse_format_migration",
+    "iceberg_bucket_partitioned",
+    "jpeg_progressive_pixel_stats",
+    "scan_filter_project",
+    "q3_shipping_priority",
+    "q5_region_revenue",
+    "broadcast_join_dims",
+    "agg_having",
+    "window_topk_per_group",
+    "window_running_sum",
+    "rollup_returnflag",
+    "set_except_customers",
+    "distinct_order_profile",
+    "sql_merge_predicated",
+    "sql_merge_column_set",
+    "merge_upsert",
+    "delete_equality",
+    "merge_partial_upsert",
+    "hash_bucket_distribution",
+    "text_bpe_tokens",
 ]
 
 
